@@ -1,0 +1,59 @@
+package graft
+
+import graft.operators.Queries
+
+class QueriesSpec extends SparkSpec {
+
+  test("q1_agg returns the six flag/status groups with positive sums") {
+    val rows = Queries.q1Agg(spark, sf).collect()
+    assert(rows.length == 6)
+    assert(rows.forall(_.getAs[Double]("sum_base_price") > 0))
+    val flags = rows.map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(flags == flags.sorted)
+  }
+
+  test("q3_join keeps top-10 by revenue, descending") {
+    val rows = Queries.q3Join(spark, sf).collect()
+    assert(rows.length <= 10 && rows.nonEmpty)
+    val revs = rows.map(_.getAs[Double]("revenue")).toSeq
+    assert(revs == revs.sortBy(-_))
+  }
+
+  test("q3/q5 plans broadcast their dimension sides") {
+    val p3 = Queries.q3Join(spark, sf).queryExecution.executedPlan.toString
+    assert(p3.contains("BroadcastHashJoin"), "q3 should broadcast customer")
+    val p5 = Queries.q5MultiJoin(spark, sf).queryExecution.executedPlan.toString
+    assert(p5.contains("BroadcastHashJoin"), "q5 should broadcast dims")
+  }
+
+  test("q1 plan pushes the shipdate filter to the parquet scan") {
+    val plan = Queries.q1Agg(spark, sf).queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate)"), plan.take(400))
+  }
+
+  test("topk_window emits exactly 3 per segment, rank-ordered") {
+    val rows = Queries.topkWindow(spark, sf).collect()
+    val bySeg = rows.groupBy(_.getString(0))
+    assert(bySeg.size == 5)
+    assert(bySeg.values.forall(g => g.map(_.getAs[Int]("rn")).sorted.sameElements(Array(1, 2, 3))))
+    bySeg.values.foreach { g =>
+      val prices = g.sortBy(_.getAs[Int]("rn")).map(_.getAs[Double]("o_totalprice"))
+      assert(prices.sameElements(prices.sortBy(-(_: Double))))
+    }
+  }
+
+  test("events_sessionize: session ids are dense per user and gaps respected") {
+    val rows = Queries.eventsSessionize(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[Long]("user_id")).foreach { case (_, g) =>
+      val ids = g.map(_.getAs[Long]("session_id")).sorted
+      assert(ids.head == 1 && ids.last == ids.length)
+    }
+  }
+
+  test("events_window_agg covers all event types per busy hour") {
+    val rows = Queries.eventsWindowAgg(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Long]("n") > 0))
+  }
+}
