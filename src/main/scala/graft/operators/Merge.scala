@@ -1,0 +1,131 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Snapshot-diff and changeset-apply semantics of the reference engine,
+  * re-expressed as declarative Spark joins.
+  *
+  * Semantics derive from `linz_bde_uploader`
+  * (`sql/02-bde_control_functions.sql.in`):
+  *  - level-0 incremental = diff a fresh snapshot against the current table
+  *    on the key (`bde_ApplyLevel0Update`, line 1823, via
+  *    `table_version.ver_apply_table_differences`);
+  *  - level-5 = a change-key list plus new row images, with the action
+  *    *derived* by joining current vs incoming (`bde_ApplyLevel5Update`,
+  *    line 1576; `_bde_CreateIncDeletes/Inserts/Updates`, lines 2228-2374);
+  *  - `0` marks a no-op image, `X` marks a unique-constraint column change
+  *    that must be applied as delete+insert (`_bde_CreateIncUpdates`);
+  *  - rows whose unique column matches an incoming image but whose key
+  *    differs were missed by the extract and join the change set
+  *    (`_bde_FixChangedIncKeyRecords`, line 2146);
+  *  - post-apply row counts are sanity-checked against expectation within
+  *    configured tolerances (`_bde_CheckTableCount`, line 2006 + per-table
+  *    `row_tol_error`/`row_tol_warning`).
+  *
+  * Scale: each classification is a single key-partitioned join (full outer
+  * for diff, semi-restricted for changesets). Change sets are small relative
+  * to the table, so Spark broadcasts them; the big side never shuffles more
+  * than once. No driver-side iteration.
+  */
+object Merge {
+  val Action = "action"
+
+  private def dataCols(cur: DataFrame, incoming: DataFrame, key: String): Seq[String] =
+    cur.columns.toSeq.filter(c => c != key && incoming.columns.contains(c))
+
+  private def classify(cur: DataFrame, incoming: DataFrame, key: String,
+                       uniqueCols: Seq[String]): DataFrame = {
+    val cols = dataCols(cur, incoming, key)
+    val c = cur.alias("c")
+    val i = incoming.alias("i")
+    val allEq: Column =
+      if (cols.isEmpty) lit(true)
+      else cols.map(x => col(s"c.$x") <=> col(s"i.$x")).reduce(_ && _)
+    val uniqChanged: Column =
+      if (uniqueCols.isEmpty) lit(false)
+      else uniqueCols.map(x => !(col(s"c.$x") <=> col(s"i.$x"))).reduce(_ || _)
+    c.join(i, col(s"c.$key") === col(s"i.$key"), "full_outer")
+      .select(
+        coalesce(col(s"c.$key"), col(s"i.$key")).as(key),
+        when(col(s"i.$key").isNull, "D")
+          .when(col(s"c.$key").isNull, "I")
+          .when(allEq, "0")
+          .when(uniqChanged, "X")
+          .otherwise("U")
+          .as(Action))
+  }
+
+  /** Level-0 incremental: classify every key of current ∪ snapshot.
+    * Action `0` rows are retained so callers can count null updates.
+    */
+  def diffActions(cur: DataFrame, snapshot: DataFrame, key: String,
+                  uniqueCols: Seq[String] = Nil): DataFrame =
+    classify(cur, snapshot, key, uniqueCols)
+
+  /** Level-5: classification restricted to the announced change keys.
+    * Keys announced but present on neither side drop out (as in the
+    * reference, where both joins come up empty).
+    */
+  def changesetActions(cur: DataFrame, incoming: DataFrame, changeKeys: DataFrame,
+                       key: String, uniqueCols: Seq[String] = Nil): DataFrame = {
+    val keys = changeKeys.select(col(key)).distinct()
+    classify(
+      cur.join(keys, Seq(key), "left_semi"),
+      incoming.join(keys, Seq(key), "left_semi"),
+      key, uniqueCols)
+  }
+
+  /** `_bde_FixChangedIncKeyRecords`: current-table keys whose unique column
+    * is claimed by an incoming image under a *different* key, and which the
+    * change set does not already cover. They must be added (as implicit
+    * deletes) or the apply would violate uniqueness.
+    */
+  def missedKeyChanges(cur: DataFrame, incoming: DataFrame, changeKeys: DataFrame,
+                       key: String, uniqueCols: Seq[String]): DataFrame = {
+    val keys = changeKeys.select(col(key)).distinct()
+    val announced = incoming.join(keys, Seq(key), "left_semi").alias("i")
+    val missed = uniqueCols.map { u =>
+      cur.alias("c")
+        .join(announced,
+          col(s"c.$u") === col(s"i.$u") && col(s"c.$key") =!= col(s"i.$key"))
+        .select(col(s"c.$key").as(key))
+    }.reduce(_ unionByName _)
+    missed.distinct().join(keys, Seq(key), "left_anti")
+  }
+
+  /** Apply classified actions: D/X keys leave, I/U/X images enter, `0`
+    * keys keep their current row (`table_version._ver_apply_changes`).
+    */
+  def applyActions(cur: DataFrame, incoming: DataFrame, actions: DataFrame,
+                   key: String): DataFrame = {
+    val out = actions.filter(col(Action).isin("D", "U", "X")).select(key)
+    val in = actions.filter(col(Action).isin("I", "U", "X")).select(key)
+    cur.join(out, Seq(key), "left_anti")
+      .unionByName(incoming.join(in, Seq(key), "left_semi")
+        .select(cur.columns.map(col).toIndexedSeq: _*))
+  }
+
+  /** Per-action row counts (the reference records inserts / updates /
+    * null-updates / deletes per dataset load).
+    */
+  def counts(actions: DataFrame): DataFrame =
+    actions.groupBy(col(Action)).agg(count(lit(1)).as("n")).orderBy(col(Action))
+
+  /** Row-count tolerance validation. `checks` carries
+    * (check_name, expected_count, actual_count); emits ratio + status with
+    * `error` outranking `warn` (reference: per-table `row_tol_error` /
+    * `row_tol_warning` and `_bde_CheckTableCount`).
+    */
+  def rowCountChecks(checks: DataFrame, warnTol: Double, errTol: Double): DataFrame = {
+    val ratio = col("actual_count").cast("double") / col("expected_count").cast("double")
+    checks.select(
+      col("check_name"),
+      col("expected_count"),
+      col("actual_count"),
+      ratio.as("ratio"),
+      when(abs(ratio - 1.0) > errTol, "error")
+        .when(abs(ratio - 1.0) > warnTol, "warn")
+        .otherwise("ok").as("status"))
+  }
+}

@@ -1,0 +1,216 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deterministic merge/changeset scenarios over the harness `orders` table,
+  * exposed through the driver's correctness gate. The scenario frames are
+  * built with arithmetic predicates so the DuckDB oracle can reconstruct
+  * them exactly; the Spark side runs the generic [[Merge]] operators.
+  *
+  * Scenario: the current table is `orders` minus keys ending in 3 (each row
+  * extended with a synthetic unique column `o_uniq = 2*o_orderkey`). A
+  * level-5 dataset then announces inserts (keys ending in 3 divisible by
+  * 3), updates (keys ending in 0/4 divisible by 7, price+10), no-op images
+  * (keys ending in 5/6 divisible by 7), unique-column changes (keys ending
+  * in 9 divisible by 9, `o_uniq := -key`) and deletes (keys ending in 2
+  * divisible by 11, announced without an image).
+  */
+object MergeScenarios {
+
+  private def base(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir).withColumn("o_uniq", col("o_orderkey") * 2)
+
+  def cur(s: SparkSession, dir: String): DataFrame =
+    base(s, dir).filter(col("o_orderkey") % 10 =!= 3)
+
+  def incoming(s: SparkSession, dir: String): DataFrame = {
+    val b = base(s, dir)
+    val k = col("o_orderkey")
+    val inserts = b.filter(k % 10 === 3 && k % 3 === 0)
+    val updates = b.filter((k % 10).isin(0, 4) && k % 7 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") + 10.0)
+    val noops = b.filter((k % 10).isin(5, 6) && k % 7 === 0)
+    val uniqChanges = b.filter(k % 10 === 9 && k % 9 === 0)
+      .withColumn("o_uniq", -k)
+    inserts.unionByName(updates).unionByName(noops).unionByName(uniqChanges)
+  }
+
+  def changeKeys(s: SparkSession, dir: String): DataFrame = {
+    val k = col("o_orderkey")
+    incoming(s, dir).select("o_orderkey")
+      .unionByName(base(s, dir).filter(k % 10 === 2 && k % 11 === 0)
+        .select("o_orderkey"))
+  }
+
+  /** Shared oracle CTE prefix mirroring the scenario frames. */
+  private val Ctes = """
+    WITH base AS (SELECT *, o_orderkey * 2 AS o_uniq FROM orders),
+    cur AS (SELECT * FROM base WHERE o_orderkey % 10 <> 3),
+    inc AS (
+      SELECT * FROM base WHERE o_orderkey % 10 = 3 AND o_orderkey % 3 = 0
+      UNION ALL
+      SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice + 10.0,
+             o_orderdate, o_orderpriority, o_uniq
+        FROM base WHERE o_orderkey % 10 IN (0, 4) AND o_orderkey % 7 = 0
+      UNION ALL
+      SELECT * FROM base WHERE o_orderkey % 10 IN (5, 6) AND o_orderkey % 7 = 0
+      UNION ALL
+      SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+             o_orderdate, o_orderpriority, -o_orderkey
+        FROM base WHERE o_orderkey % 10 = 9 AND o_orderkey % 9 = 0),
+    chg AS (
+      SELECT o_orderkey FROM inc
+      UNION
+      SELECT o_orderkey FROM base
+        WHERE o_orderkey % 10 = 2 AND o_orderkey % 11 = 0)"""
+
+  private val EqCols = Seq("o_custkey", "o_orderstatus", "o_totalprice",
+    "o_orderdate", "o_orderpriority", "o_uniq")
+  private def eqSql(a: String, b: String): String =
+    EqCols.map(c => s"$a.$c IS NOT DISTINCT FROM $b.$c").mkString(" AND ")
+
+  /** Level-0 incremental diff: snapshot = a modified copy of orders
+    * (keys ending in 7 dropped, every 5th price bumped) diffed against
+    * `cur`; one action row per key.
+    */
+  def tableDiff(s: SparkSession, dir: String): DataFrame = {
+    val k = col("o_orderkey")
+    val snapshot = base(s, dir).filter(k % 10 =!= 7)
+      .withColumn("o_totalprice",
+        col("o_totalprice") + when(k % 5 === 0, 1.0).otherwise(0.0))
+    Merge.diffActions(cur(s, dir), snapshot, "o_orderkey")
+      .orderBy("o_orderkey")
+  }
+
+  val tableDiffSql: String = s"""$Ctes,
+    snap AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus,
+        o_totalprice + CASE WHEN o_orderkey % 5 = 0 THEN 1.0 ELSE 0.0 END
+          AS o_totalprice,
+        o_orderdate, o_orderpriority, o_uniq
+      FROM base WHERE o_orderkey % 10 <> 7)
+    SELECT COALESCE(cur.o_orderkey, snap.o_orderkey) AS o_orderkey,
+      CASE WHEN snap.o_orderkey IS NULL THEN 'D'
+           WHEN cur.o_orderkey IS NULL THEN 'I'
+           WHEN ${eqSql("cur", "snap")} THEN '0'
+           ELSE 'U' END AS action
+    FROM cur FULL OUTER JOIN snap ON cur.o_orderkey = snap.o_orderkey
+    ORDER BY o_orderkey"""
+
+  /** Level-5 apply: classify against announced keys, apply, dump the merged
+    * table.
+    */
+  def applyChangeset(s: SparkSession, dir: String): DataFrame = {
+    val c = cur(s, dir)
+    val i = incoming(s, dir)
+    val actions = Merge.changesetActions(c, i, changeKeys(s, dir),
+      "o_orderkey", uniqueCols = Seq("o_uniq"))
+    Merge.applyActions(c, i, actions, "o_orderkey").orderBy("o_orderkey")
+  }
+
+  // Merged result = cur minus every announced key that leaves (deletes and
+  // replaced images) plus every incoming image: for '0' keys the image is
+  // row-identical to cur, so replacing is equivalent to retaining.
+  val applyChangesetSql: String = s"""$Ctes
+    SELECT * FROM cur
+    WHERE o_orderkey NOT IN (SELECT o_orderkey FROM chg)
+    UNION ALL
+    SELECT * FROM inc
+    ORDER BY o_orderkey"""
+
+  /** Per-action counts of the level-5 classification (the reference's
+    * insert/update/null-update/delete bookkeeping).
+    */
+  def mergeCounts(s: SparkSession, dir: String): DataFrame =
+    Merge.counts(Merge.changesetActions(cur(s, dir), incoming(s, dir),
+      changeKeys(s, dir), "o_orderkey", uniqueCols = Seq("o_uniq")))
+
+  val mergeCountsSql: String = s"""$Ctes,
+    c AS (SELECT * FROM cur WHERE o_orderkey IN (SELECT o_orderkey FROM chg)),
+    i AS (SELECT * FROM inc WHERE o_orderkey IN (SELECT o_orderkey FROM chg)),
+    acts AS (
+      SELECT CASE WHEN i.o_orderkey IS NULL THEN 'D'
+                  WHEN c.o_orderkey IS NULL THEN 'I'
+                  WHEN ${eqSql("c", "i")} THEN '0'
+                  WHEN NOT (c.o_uniq IS NOT DISTINCT FROM i.o_uniq) THEN 'X'
+                  ELSE 'U' END AS action
+      FROM c FULL OUTER JOIN i ON c.o_orderkey = i.o_orderkey)
+    SELECT action, COUNT(*) AS n FROM acts GROUP BY action ORDER BY action"""
+
+  /** Missed-key repair: incoming images that re-key existing rows (same
+    * `o_uniq`, different key) force the old keys into the change set.
+    */
+  def fixChangedIncKeys(s: SparkSession, dir: String): DataFrame = {
+    val b = base(s, dir)
+    val rekeyed = b.filter(col("o_orderkey") % 13 === 0)
+      .withColumn("o_orderkey", col("o_orderkey") + 1000000)
+    Merge.missedKeyChanges(b, rekeyed, rekeyed.select("o_orderkey"),
+      "o_orderkey", uniqueCols = Seq("o_uniq"))
+      .orderBy("o_orderkey")
+  }
+
+  val fixChangedIncKeysSql: String = """
+    WITH base AS (SELECT *, o_orderkey * 2 AS o_uniq FROM orders),
+    rekeyed AS (
+      SELECT o_orderkey + 1000000 AS o_orderkey, o_uniq FROM base
+      WHERE o_orderkey % 13 = 0)
+    SELECT DISTINCT base.o_orderkey AS o_orderkey
+    FROM rekeyed JOIN base ON rekeyed.o_uniq = base.o_uniq
+      AND rekeyed.o_orderkey <> base.o_orderkey
+    WHERE base.o_orderkey NOT IN (SELECT o_orderkey FROM rekeyed)
+    ORDER BY o_orderkey"""
+
+  /** Count-tolerance validation over three derived table pairs: identical
+    * (ok), ~10% shrink (warn at 2%), ~33% shrink (error at 15%).
+    */
+  def rowCountCheck(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val checks =
+      o.agg(count(lit(1)).as("n")).select(
+        lit("orders_identical").as("check_name"),
+        col("n").as("expected_count"), col("n").as("actual_count"))
+        .unionByName(o.agg(count(lit(1)).as("e"),
+          count(when(col("o_orderkey") % 10 =!= 3, 1)).as("a"))
+          .select(lit("orders_drop_mod10").as("check_name"),
+            col("e").as("expected_count"), col("a").as("actual_count")))
+        .unionByName(o.agg(count(lit(1)).as("e"),
+          count(when(col("o_orderkey") % 3 =!= 0, 1)).as("a"))
+          .select(lit("orders_drop_mod3").as("check_name"),
+            col("e").as("expected_count"), col("a").as("actual_count")))
+    Merge.rowCountChecks(checks, warnTol = 0.02, errTol = 0.15)
+      .orderBy("check_name")
+  }
+
+  val rowCountCheckSql: String = """
+    WITH checks AS (
+      SELECT 'orders_identical' AS check_name, COUNT(*) AS expected_count,
+             COUNT(*) AS actual_count FROM orders
+      UNION ALL
+      SELECT 'orders_drop_mod10', COUNT(*),
+             COUNT(*) FILTER (WHERE o_orderkey % 10 <> 3) FROM orders
+      UNION ALL
+      SELECT 'orders_drop_mod3', COUNT(*),
+             COUNT(*) FILTER (WHERE o_orderkey % 3 <> 0) FROM orders)
+    SELECT check_name, expected_count, actual_count,
+      CAST(actual_count AS DOUBLE) / CAST(expected_count AS DOUBLE) AS ratio,
+      CASE WHEN ABS(CAST(actual_count AS DOUBLE) / CAST(expected_count AS DOUBLE) - 1.0) > 0.15 THEN 'error'
+           WHEN ABS(CAST(actual_count AS DOUBLE) / CAST(expected_count AS DOUBLE) - 1.0) > 0.02 THEN 'warn'
+           ELSE 'ok' END AS status
+    FROM checks ORDER BY check_name"""
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "table_diff" -> (tableDiff _),
+    "apply_changeset" -> (applyChangeset _),
+    "merge_counts" -> (mergeCounts _),
+    "fix_changed_inc_keys" -> (fixChangedIncKeys _),
+    "row_count_check" -> (rowCountCheck _))
+
+  val oracles: Map[String, String] = Map(
+    "table_diff" -> tableDiffSql,
+    "apply_changeset" -> applyChangesetSql,
+    "merge_counts" -> mergeCountsSql,
+    "fix_changed_inc_keys" -> fixChangedIncKeysSql,
+    "row_count_check" -> rowCountCheckSql)
+}
