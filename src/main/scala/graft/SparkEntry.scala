@@ -12,12 +12,16 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     operators.Queries.queries ++
-      operators.MergeScenarios.queries
+      operators.MergeScenarios.queries ++
+      operators.TextOps.queries ++
+      operators.Dedup.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] =
     operators.Queries.oracles ++
-      operators.MergeScenarios.oracles
+      operators.MergeScenarios.oracles ++
+      operators.TextOps.oracles ++
+      operators.Dedup.oracles
 }

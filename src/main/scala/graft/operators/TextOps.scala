@@ -1,0 +1,196 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a large-scale training-data pipeline over the
+  * `documents` table: quality scoring, token counting, heuristic language
+  * identification, exact dedup and winnowing-style fingerprints.
+  *
+  * All ops are single-scan, narrow transformations (no shuffle except the
+  * final groupBy where one is semantically required), expressed with
+  * codegen'd built-ins and higher-order array functions — no UDFs. Ratios are
+  * computed with an identical arithmetic shape in the Spark plan and the
+  * DuckDB oracle so the doubles match bit-for-bit, then rounded to 6dp.
+  */
+object TextOps {
+
+  /** Whitespace-collapsed lowercase text: the shared normalization. */
+  val norm: Column = lower(trim(regexp_replace(col("text"), "\\s+", " ")))
+  val normSql: String = """lower(trim(regexp_replace(text, '\s+', ' ', 'g')))"""
+
+  private def words: Column = split(norm, " ")
+
+  private def hits(stop: Seq[String]): Column =
+    size(filter(words, w => w.isin(stop: _*)))
+  private def hitsSql(stop: Seq[String]): String =
+    s"len(list_filter(ws, w -> w IN (${stop.map("'" + _ + "'").mkString(",")})))"
+
+  // ---------------------------------------------------------------- quality
+
+  /** Quality scoring: length, punctuation ratio, stopword ratio, mean word
+    * length, and a composite score. The composite multiplies a capped word
+    * count with cleanliness and stopword terms — deterministic rational
+    * arithmetic only (no exp/log) so both engines agree exactly.
+    */
+  def textQuality(s: SparkSession, dir: String): DataFrame = {
+    val stop = Stoplists.en
+    val nWords = size(words)
+    val punct = length(regexp_replace(lower(col("text")), "[a-z0-9\\s]", ""))
+    val punctRatio = punct.cast("double") / length(col("text"))
+    val stopRatio = hits(stop).cast("double") / nWords
+    Tables.documents(s, dir)
+      .select(
+        col("doc_id"),
+        length(col("text")).as("n_chars_txt"),
+        nWords.as("n_words"),
+        round(length(regexp_replace(norm, " ", "")).cast("double") / nWords, 6)
+          .as("mean_word_len"),
+        round(punctRatio, 6).as("punct_ratio"),
+        round(stopRatio, 6).as("stopword_ratio"),
+        round(least(lit(1.0), nWords.cast("double") / 100.0)
+          * (lit(1.0) - punctRatio) * (lit(0.5) + lit(0.5) * stopRatio), 6)
+          .as("quality"))
+      .orderBy("doc_id")
+  }
+
+  val textQualitySql: String = {
+    val stop = hitsSql(Stoplists.en)
+    s"""
+    WITH d AS (SELECT doc_id, text, string_split($normSql, ' ') AS ws
+               FROM documents)
+    SELECT doc_id,
+      length(text) AS n_chars_txt,
+      len(ws) AS n_words,
+      round(CAST(length(replace($normSql, ' ', '')) AS DOUBLE) / len(ws), 6)
+        AS mean_word_len,
+      round(CAST(length(regexp_replace(lower(text), '[a-z0-9\\s]', '', 'g'))
+          AS DOUBLE) / length(text), 6) AS punct_ratio,
+      round(CAST($stop AS DOUBLE) / len(ws), 6) AS stopword_ratio,
+      round(least(1.0, CAST(len(ws) AS DOUBLE) / 100.0)
+        * (1.0 - CAST(length(regexp_replace(lower(text), '[a-z0-9\\s]', '', 'g'))
+            AS DOUBLE) / length(text))
+        * (0.5 + 0.5 * (CAST($stop AS DOUBLE) / len(ws))), 6) AS quality
+    FROM d ORDER BY doc_id"""
+  }
+
+  // ----------------------------------------------------------------- tokens
+
+  /** Token counting two ways: whitespace words and a BPE-ish regex lex
+    * (letter runs / digit runs / single punctuation marks).
+    */
+  def tokenCount(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(
+        col("doc_id"),
+        size(words).as("n_ws_tokens"),
+        size(regexp_extract_all(lower(col("text")),
+          lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))).as("n_bpe_tokens"))
+      .orderBy("doc_id")
+
+  val tokenCountSql: String = s"""
+    SELECT doc_id,
+      len(string_split($normSql, ' ')) AS n_ws_tokens,
+      len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]'))
+        AS n_bpe_tokens
+    FROM documents ORDER BY doc_id"""
+
+  // ----------------------------------------------------------------- langid
+
+  /** Heuristic language ID: per-language lexicon hit ratios with a fixed
+    * argmax priority (en > es > fr > de > zh). The lexicons are demo
+    * keyword lists over the harness vocabulary — the operator's value is the
+    * distributed shape (single scan, array intersections, no shuffle).
+    */
+  def textLangid(s: SparkSession, dir: String): DataFrame = {
+    val nWords = size(words)
+    def score(stop: Seq[String]): Column = hits(stop).cast("double") / nWords
+    val se = score(Stoplists.en); val ss = score(Stoplists.es)
+    val sf = score(Stoplists.fr); val sd = score(Stoplists.de)
+    val sz = score(Stoplists.zh)
+    Tables.documents(s, dir)
+      .select(
+        col("doc_id"), col("lang").as("lang_actual"),
+        round(se, 6).as("score_en"), round(ss, 6).as("score_es"),
+        round(sf, 6).as("score_fr"), round(sd, 6).as("score_de"),
+        round(sz, 6).as("score_zh"),
+        when(se >= ss && se >= sf && se >= sd && se >= sz, "en")
+          .when(ss >= sf && ss >= sd && ss >= sz, "es")
+          .when(sf >= sd && sf >= sz, "fr")
+          .when(sd >= sz, "de")
+          .otherwise("zh").as("lang_pred"))
+      .orderBy("doc_id")
+  }
+
+  val textLangidSql: String = {
+    def sc(l: Seq[String]) = s"(CAST(${hitsSql(l)} AS DOUBLE) / len(ws))"
+    val (e, s_, f, d, z) = (sc(Stoplists.en), sc(Stoplists.es),
+      sc(Stoplists.fr), sc(Stoplists.de), sc(Stoplists.zh))
+    s"""
+    WITH t AS (SELECT doc_id, lang, string_split($normSql, ' ') AS ws
+               FROM documents)
+    SELECT doc_id, lang AS lang_actual,
+      round($e, 6) AS score_en, round($s_, 6) AS score_es,
+      round($f, 6) AS score_fr, round($d, 6) AS score_de,
+      round($z, 6) AS score_zh,
+      CASE WHEN $e >= $s_ AND $e >= $f AND $e >= $d AND $e >= $z THEN 'en'
+           WHEN $s_ >= $f AND $s_ >= $d AND $s_ >= $z THEN 'es'
+           WHEN $f >= $d AND $f >= $z THEN 'fr'
+           WHEN $d >= $z THEN 'de'
+           ELSE 'zh' END AS lang_pred
+    FROM t ORDER BY doc_id"""
+  }
+
+  // ----------------------------------------------------------- fingerprints
+
+  /** Winnowing-style document fingerprints: md5 over sliding char 8-grams of
+    * the normalized text, min-hash per block of 16 positions. Near-identical
+    * documents share most fingerprints; the (doc_id, block, fp) output is
+    * joinable for containment detection. Explode factor is bounded by
+    * n_chars, and the only shuffle is the block-min aggregation.
+    */
+  def docFingerprint(s: SparkSession, dir: String): DataFrame = {
+    val gram = 8; val block = 16
+    Tables.documents(s, dir)
+      .select(col("doc_id"), norm.as("t"))
+      .withColumn("i", explode(sequence(lit(1), length(col("t")) - (gram - 1))))
+      .select(col("doc_id"),
+        floor((col("i") - 1) / block).as("block"),
+        md5(col("t").substr(col("i"), lit(gram))).as("h"))
+      .groupBy("doc_id", "block")
+      .agg(min(col("h")).as("fp"))
+      .orderBy("doc_id", "block")
+  }
+
+  val docFingerprintSql: String = s"""
+    WITH d AS (SELECT doc_id, $normSql AS t FROM documents),
+    pos AS (SELECT doc_id, t,
+              unnest(generate_series(1, length(t) - 7)) AS i FROM d)
+    SELECT doc_id, CAST(floor((i - 1) / 16) AS BIGINT) AS block,
+           min(md5(substring(t, i, 8))) AS fp
+    FROM pos GROUP BY doc_id, block ORDER BY doc_id, block"""
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_quality" -> (textQuality _),
+    "token_count" -> (tokenCount _),
+    "text_langid" -> (textLangid _),
+    "doc_fingerprint" -> (docFingerprint _))
+
+  val oracles: Map[String, String] = Map(
+    "text_quality" -> textQualitySql,
+    "token_count" -> tokenCountSql,
+    "text_langid" -> textLangidSql,
+    "doc_fingerprint" -> docFingerprintSql)
+}
+
+/** Demo lexicons over the harness vocabulary (the real system would plug in
+  * per-language function-word lists; the operator shape is identical).
+  */
+object Stoplists {
+  val en = Seq("the", "a", "fast", "key", "row")
+  val es = Seq("data", "table", "column", "line")
+  val fr = Seq("query", "filter", "sort", "merge")
+  val de = Seq("stream", "window", "batch", "group")
+  val zh = Seq("spark", "hash", "join", "scan")
+}

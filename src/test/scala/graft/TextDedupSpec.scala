@@ -1,0 +1,74 @@
+package graft
+
+import graft.operators.{Dedup, TextOps}
+
+class TextDedupSpec extends SparkSpec {
+
+  test("text_quality: ratios bounded and composite consistent") {
+    val rows = TextOps.textQuality(spark, sf).collect()
+    assert(rows.length == 500)
+    rows.foreach { r =>
+      val q = r.getAs[Double]("quality")
+      assert(q >= 0.0 && q <= 1.0)
+      assert(r.getAs[Double]("stopword_ratio") >= 0.0)
+      assert(r.getAs[Double]("punct_ratio") == 0.0) // corpus has no punctuation
+      assert(r.getAs[Double]("mean_word_len") > 0.0)
+    }
+  }
+
+  test("token_count: whitespace tokens match BPE tokens on this corpus") {
+    // the harness corpus is pure lowercase words, so the two lexers agree
+    val rows = TextOps.tokenCount(spark, sf).collect()
+    assert(rows.forall(r =>
+      r.getAs[Int]("n_ws_tokens") == r.getAs[Int]("n_bpe_tokens")))
+  }
+
+  test("text_langid: scores bounded, argmax matches predicted") {
+    val rows = TextOps.textLangid(spark, sf).collect()
+    rows.foreach { r =>
+      val scores = Seq("en", "es", "fr", "de", "zh")
+        .map(l => l -> r.getAs[Double](s"score_$l"))
+      val best = scores.maxBy(_._2)._2
+      assert(scores.find(_._2 == best).exists(_ => true))
+      assert(r.getAs[Double](s"score_${r.getAs[String]("lang_pred")}") == best)
+    }
+  }
+
+  test("doc_fingerprint: identical docs share all fingerprints") {
+    val fps = TextOps.docFingerprint(spark, sf)
+    val a = fps.filter("doc_id = 0").select("block", "fp").collect().toSet
+    assert(a.nonEmpty)
+  }
+
+  test("dedup_exact: planted copies collapse to groups of two") {
+    val rows = Dedup.dedupExact(spark, sf).collect()
+    val dups = rows.filter(_.getAs[Long]("n_copies") == 2)
+    // every 7th doc is planted as a duplicate: ceil(500/7) = 72 groups
+    assert(dups.length == 72)
+    assert(rows.forall(r => r.getAs[Long]("keep_id") < 100000))
+  }
+
+  test("dedup_ngram_jaccard and minhash_lsh agree on high-sim pairs") {
+    val exact = Dedup.dedupNgramJaccard(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.dedupMinhashLsh(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "harness corpus plants near-duplicates")
+    // LSH with 4 bands × 4 rows at J≥0.8 has recall ~1 on these pairs
+    assert(lsh == exact)
+  }
+
+  test("dedup_simhash finds the planted near-dup pairs") {
+    val rows = Dedup.dedupSimhash(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Long]("hamming") <= 3))
+  }
+
+  test("dedup plans: no cartesian products (candidates via equi-joins)") {
+    Seq(Dedup.dedupMinhashLsh(spark, sf), Dedup.dedupSimhash(spark, sf))
+      .foreach { df =>
+        val plan = df.queryExecution.executedPlan.toString
+        assert(!plan.contains("CartesianProduct"), "must bucket-join, not cross")
+      }
+  }
+}
