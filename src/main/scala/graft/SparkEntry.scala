@@ -14,7 +14,9 @@ object SparkEntry {
     operators.Queries.queries ++
       operators.MergeScenarios.queries ++
       operators.TextOps.queries ++
-      operators.Dedup.queries
+      operators.Dedup.queries ++
+      operators.Similarity.queries ++
+      operators.Multimodal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -23,5 +25,7 @@ object SparkEntry {
     operators.Queries.oracles ++
       operators.MergeScenarios.oracles ++
       operators.TextOps.oracles ++
-      operators.Dedup.oracles
+      operators.Dedup.oracles ++
+      operators.Similarity.oracles ++
+      operators.Multimodal.oracles
 }

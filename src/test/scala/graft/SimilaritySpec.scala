@@ -1,0 +1,52 @@
+package graft
+
+import graft.operators.{Multimodal, Similarity}
+
+class SimilaritySpec extends SparkSpec {
+
+  test("ann_topk: k results per probe, cosine descending, self excluded") {
+    val rows = Similarity.annTopk(spark, sf).collect()
+    val byProbe = rows.groupBy(_.getAs[Long]("probe_id"))
+    assert(byProbe.size == 10) // 500 vectors, every 50th is a probe
+    byProbe.foreach { case (p, g) =>
+      assert(g.length == 5)
+      assert(g.forall(_.getAs[Long]("vec_id") != p))
+      val cs = g.sortBy(_.getAs[Int]("rank")).map(_.getAs[Double]("cos"))
+      assert(cs.zip(cs.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("ann_lsh results are a subset of the brute-force candidates' quality") {
+    val lsh = Similarity.annLsh(spark, sf).collect()
+    assert(lsh.nonEmpty)
+    // every probe's LSH top-1 must be in its own bucket and rank correctly
+    lsh.groupBy(_.getAs[Long]("probe_id")).foreach { case (_, g) =>
+      val rs = g.map(_.getAs[Int]("rank")).sorted
+      assert(rs.head == 1 && rs.toSeq == (1 to rs.length))
+    }
+  }
+
+  test("dedup_embedding: pairs are symmetric-free and above threshold") {
+    val rows = Similarity.dedupEmbedding(spark, sf).collect()
+    assert(rows.forall(r => r.getAs[Long]("id_a") < r.getAs[Long]("id_b")))
+    assert(rows.forall(_.getAs[Double]("cos") >= 0.45))
+  }
+
+  test("multimodal_meta: kinds cycle by doc_id, sizes = magic + utf8 body") {
+    val rows = Multimodal.multimodalMeta(spark, sf).collect()
+    assert(rows.length == 500)
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val expect = Seq("image/png", "image/jpeg", "audio/wav")((id % 3).toInt)
+      assert(r.getAs[String]("media_kind") == expect)
+      assert(r.getAs[Int]("n_bytes") > 4)
+    }
+  }
+
+  test("decodeStub streams batched features without collecting payloads") {
+    val feats = Multimodal.decodeStub(spark, sf).collect()
+    assert(feats.length == 500)
+    assert(feats.forall(f => f.byte_mean > 0 && f.byte_max <= 255))
+    assert(feats.forall(f => f.n_bytes > 4))
+  }
+}
