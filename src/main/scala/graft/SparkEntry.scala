@@ -16,7 +16,8 @@ object SparkEntry {
       operators.TextOps.queries ++
       operators.Dedup.queries ++
       operators.Similarity.queries ++
-      operators.Multimodal.queries
+      operators.Multimodal.queries ++
+      sources.BdeScenarios.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -27,5 +28,6 @@ object SparkEntry {
       operators.TextOps.oracles ++
       operators.Dedup.oracles ++
       operators.Similarity.oracles ++
-      operators.Multimodal.oracles
+      operators.Multimodal.oracles ++
+      sources.BdeScenarios.oracles
 }

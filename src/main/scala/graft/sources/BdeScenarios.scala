@@ -1,0 +1,132 @@
+package graft.sources
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** BDE ingest operators exposed through the correctness gate.
+  *
+  * - `bde_read`: parquet → BDE files (gzip, escaped, per-partition headers)
+  *   → DataFrame roundtrip, checked against a direct SELECT of the source
+  *   table — exercising writer and reader as one inverse pair.
+  * - `bde_select_columns`: `bde_SelectValidColumns` semantics
+  *   (`sql/02-bde_control_functions.sql.in:1336`): intersect the file's
+  *   column list with the target table, preserving file order,
+  *   case-insensitive, rejecting an empty result.
+  * - `bde_datasets`: dataset discovery/ordering
+  *   (`lib/LINZ/BdeUpload.pm:612/653`): newest level-0 plus all later
+  *   level-5 datasets in name order, with the `CheckStartDate`
+  *   (`:1070`) start-time continuity flag.
+  */
+object BdeScenarios {
+
+  /** File-order ∩ target, case-insensitive (reference keeps file order). */
+  def selectValidColumns(fileCols: Seq[String], targetCols: Seq[String]): Seq[String] = {
+    val valid = fileCols.filter(c => targetCols.exists(_.equalsIgnoreCase(c)))
+    require(valid.nonEmpty,
+      s"no file columns [${fileCols.mkString(",")}] match the target table")
+    valid
+  }
+
+  // ------------------------------------------------------------- roundtrip
+
+  private def roundtripDir(dir: String): String =
+    s"${sys.props("java.io.tmpdir")}/graft-bde/${new java.io.File(dir).getName}/orders"
+
+  /** Write `orders` as gzipped BDE, read it back, return it key-ordered.
+    * Any writer/reader asymmetry (escaping, types, timestamps, nulls)
+    * breaks the hash match with the plain-SQL oracle.
+    */
+  def bdeRead(s: SparkSession, dir: String): DataFrame = {
+    val out = roundtripDir(dir)
+    BdeWriter.write(Tables.orders(s, dir), out, "orders", gzip = true)
+    BdeReader.read(s, BdeReader.listFiles(out)).orderBy("o_orderkey")
+  }
+
+  val bdeReadSql: String = "SELECT * FROM orders ORDER BY o_orderkey"
+
+  // --------------------------------------------------------- column select
+
+  /** The file announces columns (including two the target lacks, mixed
+    * case); the valid intersection then drives a real projection of the
+    * table — the same shape the reference builds its COPY statement with.
+    */
+  def bdeSelectColumns(s: SparkSession, dir: String): DataFrame = {
+    val fileCols = Seq("o_orderkey", "O_ORDERDATE", "o_legacy_flag",
+      "o_totalprice", "o_rowversion")
+    val target = Tables.orders(s, dir)
+    val valid = selectValidColumns(fileCols, target.columns.toSeq)
+    target.select(valid.map(c => col(c.toLowerCase)): _*)
+      .orderBy("o_orderkey")
+  }
+
+  val bdeSelectColumnsSql: String =
+    "SELECT o_orderkey, o_orderdate, o_totalprice FROM orders ORDER BY o_orderkey"
+
+  // ------------------------------------------------------------- datasets
+
+  /** Generic apply-plan operator: given datasets (name, level, start, end),
+    * keep the newest level-0 and every later level-5 in name order, and
+    * flag start-time continuity (each L5 must start exactly where the
+    * previous dataset ended).
+    */
+  def applyPlan(datasets: DataFrame): DataFrame = {
+    val latestL0 = datasets.filter(col("level") === 0)
+      .agg(max(col("name")).as("l0_name"))
+    val w = Window.orderBy(col("name"))
+    datasets.join(broadcast(latestL0),
+        col("name") >= col("l0_name") &&
+          (col("level") === 5 || col("name") === col("l0_name")))
+      .withColumn("apply_order", row_number().over(w))
+      .withColumn("continuity_ok",
+        coalesce(lag(col("end_time"), 1).over(w) === col("start_time"),
+          lit(true)))
+      .select("apply_order", "name", "level", "start_time", "end_time",
+        "continuity_ok")
+  }
+
+  /** Scenario: one dataset per event-hour (`YYYYMMDDhhmmss` names, as the
+    * reference derives from directory names); midnight datasets are full
+    * level-0 extracts, the rest level-5 increments; end = start + 1 h.
+    */
+  def bdeDatasets(s: SparkSession, dir: String): DataFrame = {
+    val ds = Tables.events(s, dir)
+      .select(date_trunc("hour", col("ts")).as("start_time"))
+      .distinct()
+      .select(
+        date_format(col("start_time"), "yyyyMMddHHmmss").as("name"),
+        when(hour(col("start_time")) === 0, 0).otherwise(5).as("level"),
+        col("start_time"),
+        (col("start_time") + expr("INTERVAL 1 HOUR")).as("end_time"))
+    applyPlan(ds).orderBy("apply_order")
+  }
+
+  val bdeDatasetsSql: String = """
+    WITH ds AS (
+      SELECT strftime(h, '%Y%m%d%H%M%S') AS name,
+             CASE WHEN hour(h) = 0 THEN 0 ELSE 5 END AS level,
+             h AS start_time, h + INTERVAL 1 HOUR AS end_time
+      FROM (SELECT DISTINCT date_trunc('hour', ts) AS h FROM events)),
+    l0 AS (SELECT max(name) AS l0_name FROM ds WHERE level = 0),
+    sel AS (
+      SELECT ds.* FROM ds, l0
+      WHERE name >= l0_name AND (level = 5 OR name = l0_name)),
+    plan AS (
+      SELECT CAST(row_number() OVER (ORDER BY name) AS INT) AS apply_order,
+        name, level, start_time, end_time,
+        coalesce(lag(end_time) OVER (ORDER BY name) = start_time, TRUE)
+          AS continuity_ok
+      FROM sel)
+    SELECT * FROM plan ORDER BY apply_order"""
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "bde_read" -> (bdeRead _),
+    "bde_select_columns" -> (bdeSelectColumns _),
+    "bde_datasets" -> (bdeDatasets _))
+
+  val oracles: Map[String, String] = Map(
+    "bde_read" -> bdeReadSql,
+    "bde_select_columns" -> bdeSelectColumnsSql,
+    "bde_datasets" -> bdeDatasetsSql)
+}

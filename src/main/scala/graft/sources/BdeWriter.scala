@@ -1,0 +1,85 @@
+package graft.sources
+
+import java.io.{BufferedWriter, FileOutputStream, OutputStreamWriter}
+import java.nio.charset.StandardCharsets
+import java.time.format.DateTimeFormatter
+import java.util.zip.GZIPOutputStream
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.types._
+
+/** Distributed BDE (.crs / .crs.gz) writer: one self-describing file per
+  * partition, each with its own header — the same shape the reference
+  * consumes (a dataset directory of per-table .crs files). Executors stream
+  * rows straight to disk; nothing is collected on the driver.
+  */
+object BdeWriter {
+
+  private val TsFmt = DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss")
+  private val TsFmtFrac = DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss.SSSSSS")
+
+  private def format(v: Any): String = v match {
+    case null => ""
+    case s: String => Bde.escape(s)
+    case t: java.sql.Timestamp =>
+      val ldt = t.toLocalDateTime
+      if (ldt.getNano == 0) TsFmt.format(ldt) else TsFmtFrac.format(ldt)
+    case d: java.sql.Date => d.toString
+    case b: Boolean => if (b) "true" else "false"
+    case other => other.toString
+  }
+
+  private def headerText(table: String, schema: StructType,
+                         start: String, end: String): String = {
+    val cols = schema.fields.map { f =>
+      val nul = if (f.nullable) "NULL" else "NOT NULL"
+      f"COLUMN\t ${f.name}%-30s ${Bde.bdeType(f.dataType)} $nul"
+    }
+    (Seq(
+      "HEDR\t 2.0.0",
+      "SOFTWARE graft V1.0",
+      "SCHEMA\t V1.0",
+      "USER\t graft",
+      s"START\t $start",
+      s"END\t $end",
+      s"SQL\t SELECT * FROM $table",
+      s"TABLE\t$table") ++ cols ++ Seq("DESC", "SIZE          0", Bde.DataMarker)
+      ).mkString("", "\n", "\n")
+  }
+
+  /** Write `df` as BDE files under `outDir` (one per partition); returns the
+    * written paths. START/END are caller-supplied dataset timestamps
+    * (`YYYY-MM-DD hh:mm:ss`), as in the reference's dataset bookkeeping.
+    */
+  def write(df: DataFrame, outDir: String, table: String,
+            start: String = "2026-01-01 00:00:00",
+            end: String = "2026-01-01 00:00:00",
+            gzip: Boolean = false): Seq[String] = {
+    val dir = new java.io.File(outDir)
+    dir.mkdirs()
+    Option(dir.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.startsWith("part-")).foreach(_.delete())
+    val schema = df.schema
+    val head = headerText(table, schema, start, end)
+    val ext = if (gzip) ".crs.gz" else ".crs"
+    df.rdd.mapPartitionsWithIndex { (idx, rows) =>
+      if (rows.isEmpty) Iterator.empty
+      else {
+        val path = f"$outDir/part-$idx%05d$ext"
+        val raw = new FileOutputStream(path)
+        val out = if (gzip) new GZIPOutputStream(raw) else raw
+        val w = new BufferedWriter(
+          new OutputStreamWriter(out, StandardCharsets.UTF_8))
+        try {
+          w.write(head)
+          rows.foreach { r =>
+            var i = 0
+            while (i < r.length) { w.write(format(r.get(i))); w.write("|"); i += 1 }
+            w.write("\n")
+          }
+        } finally w.close()
+        Iterator(path)
+      }
+    }.collect().toSeq.sorted
+  }
+}
