@@ -17,6 +17,7 @@ object SparkEntry {
       operators.Dedup.queries ++
       operators.Similarity.queries ++
       operators.Multimodal.queries ++
+      operators.VersionedScenarios.queries ++
       sources.BdeScenarios.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -29,5 +30,6 @@ object SparkEntry {
       operators.Dedup.oracles ++
       operators.Similarity.oracles ++
       operators.Multimodal.oracles ++
+      operators.VersionedScenarios.oracles ++
       sources.BdeScenarios.oracles
 }
