@@ -18,7 +18,9 @@ object SparkEntry {
       operators.Similarity.queries ++
       operators.Multimodal.queries ++
       operators.VersionedScenarios.queries ++
-      sources.BdeScenarios.queries
+      sources.BdeScenarios.queries ++
+      sources.JdbcUpsert.queries ++
+      streaming.StreamScenarios.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -31,5 +33,7 @@ object SparkEntry {
       operators.Similarity.oracles ++
       operators.Multimodal.oracles ++
       operators.VersionedScenarios.oracles ++
-      sources.BdeScenarios.oracles
+      sources.BdeScenarios.oracles ++
+      sources.JdbcUpsert.oracles ++
+      streaming.StreamScenarios.oracles
 }

@@ -1,0 +1,72 @@
+package graft.streaming
+
+import graft.{Exact, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Correctness-gate scenarios for the streaming operators, run in batch mode
+  * (Spark executes the identical `flatMapGroupsWithState` / windowed-agg
+  * plans over bounded inputs, so the DuckDB oracle checks the same code the
+  * streams run).
+  *
+  * Change stream derived from `orders`: every key is inserted (seq 1),
+  * keys ≡0 (mod 3) are updated to price+1 (seq 2), keys ≡0 (mod 5) are
+  * deleted (seq 3), keys ≡0 (mod 7) are re-inserted at price+50 (seq 4) —
+  * covering upsert, delete, and delete-then-reinsert lifecycles.
+  */
+object StreamScenarios {
+
+  def changeStream(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val k = col("o_orderkey")
+    val p = col("o_totalprice")
+    o.select(k.as("key"), lit("I").as("action"), p.as("payload"),
+        lit(1L).as("seq"))
+      .unionByName(o.filter(k % 3 === 0).select(k.as("key"),
+        lit("U").as("action"), (p + 1.0).as("payload"), lit(2L).as("seq")))
+      .unionByName(o.filter(k % 5 === 0).select(k.as("key"),
+        lit("D").as("action"), lit(0.0).as("payload"), lit(3L).as("seq")))
+      .unionByName(o.filter(k % 7 === 0).select(k.as("key"),
+        lit("I").as("action"), (p + 50.0).as("payload"), lit(4L).as("seq")))
+  }
+
+  def streamChangeset(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    ChangesetStream.latestState(changeStream(s, dir).as[ChangeRecord])
+      .toDF().orderBy("key")
+  }
+
+  val streamChangesetSql: String = """
+    SELECT o_orderkey AS key,
+      CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 50.0
+           WHEN o_orderkey % 3 = 0 THEN o_totalprice + 1.0
+           ELSE o_totalprice END AS payload,
+      CASE WHEN o_orderkey % 7 = 0 THEN 4
+           WHEN o_orderkey % 3 = 0 THEN 2
+           ELSE 1 END AS last_seq,
+      CAST(1 + CASE WHEN o_orderkey % 3 = 0 THEN 1 ELSE 0 END
+             + CASE WHEN o_orderkey % 5 = 0 THEN 1 ELSE 0 END
+             + CASE WHEN o_orderkey % 7 = 0 THEN 1 ELSE 0 END AS INT)
+        AS n_changes
+    FROM orders
+    WHERE o_orderkey % 5 <> 0 OR o_orderkey % 7 = 0
+    ORDER BY key"""
+
+  def streamWindowCounts(s: SparkSession, dir: String): DataFrame =
+    WindowCounts.counts(Tables.events(s, dir))
+      .orderBy("win_start", "event_type")
+
+  val streamWindowCountsSql: String = s"""
+    SELECT date_trunc('hour', ts) AS win_start,
+      date_trunc('hour', ts) + INTERVAL 1 HOUR AS win_end,
+      event_type, COUNT(*) AS n, ${Exact.sqlSum("value")} AS sum_value
+    FROM events GROUP BY 1, 2, 3 ORDER BY win_start, event_type"""
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_changeset" -> (streamChangeset _),
+    "stream_window_counts" -> (streamWindowCounts _))
+
+  val oracles: Map[String, String] = Map(
+    "stream_changeset" -> streamChangesetSql,
+    "stream_window_counts" -> streamWindowCountsSql)
+}

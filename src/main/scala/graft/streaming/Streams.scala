@@ -1,0 +1,78 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** One change-table record: the reference's level-5 stream shape
+  * (`(id, tablename, tablekeyvalue, action, timestamp)` — see
+  * `t/data/xaud.crs`), with the row image inlined as `payload`.
+  */
+case class ChangeRecord(key: Long, action: String, payload: Double, seq: Long)
+
+/** Current state of one key after applying its change history. */
+case class KeyState(key: Long, payload: Double, last_seq: Long, n_changes: Int)
+
+/** Structured Streaming operators: the changeset-apply loop of the reference
+  * run as an unbounded stream instead of dataset-at-a-time batches.
+  *
+  * `latestState` is the streaming twin of `Merge.applyActions`: a
+  * `flatMapGroupsWithState` keeps the newest row image per key, applying
+  * I/U upserts and D deletes in sequence order. The same function runs in
+  * batch mode (Spark executes `flatMapGroupsWithState` over a bounded
+  * Dataset with empty initial state), which is how the DuckDB oracle checks
+  * it; the streaming path is spec-tested with a MemoryStream.
+  *
+  * Scale: state is partitioned by key across executors (RocksDB/HDFS state
+  * store in production); each micro-batch shuffles only its delta on the
+  * key — the same single-shuffle discipline as the batch apply.
+  */
+object ChangesetStream {
+
+  /** Apply a change stream; emit the surviving state per key on update. */
+  def latestState(changes: Dataset[ChangeRecord]): Dataset[KeyState] = {
+    import changes.sparkSession.implicits._
+    changes
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[KeyState, KeyState](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (key: Long, records: Iterator[ChangeRecord], state: GroupState[KeyState]) =>
+          val ordered = records.toSeq.sortBy(_.seq)
+          var cur = state.getOption
+          var n = cur.map(_.n_changes).getOrElse(0)
+          ordered.foreach { r =>
+            n += 1
+            r.action match {
+              case "D" => cur = None
+              case _ => cur = Some(KeyState(key, r.payload, r.seq, n))
+            }
+          }
+          cur match {
+            case Some(st) => state.update(st); Iterator(st)
+            case None => state.remove(); Iterator.empty
+          }
+      }
+  }
+}
+
+/** Watermarked tumbling-window aggregation (the streaming twin of the batch
+  * `events_window_agg`). The same plan runs bounded or unbounded; streaming
+  * callers add `withWatermark` before the groupBy so late events beyond the
+  * bound are dropped and state is reclaimed.
+  */
+object WindowCounts {
+
+  /** Hourly tumbling counts per event type over (ts, event_type, value). */
+  def counts(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(30,10)")).cast("double").as("sum_value"))
+      .select(col("window.start").as("win_start"),
+        col("window.end").as("win_end"),
+        col("event_type"), col("n"), col("sum_value"))
+
+  /** Streaming form: 2-hour watermark, update-mode-compatible. */
+  def streamingCounts(events: DataFrame): DataFrame =
+    counts(events.withWatermark("ts", "2 hours"))
+}

@@ -1,0 +1,61 @@
+package graft
+
+import graft.streaming.{ChangeRecord, ChangesetStream, WindowCounts}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+class StreamingSpec extends SparkSpec {
+
+  test("changeset stream: state evolves across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[ChangeRecord]
+    val query = ChangesetStream.latestState(input.toDS())
+      .writeStream.format("memory").queryName("chg_state")
+      .outputMode(OutputMode.Update).start()
+    try {
+      // batch 1: two inserts
+      input.addData(ChangeRecord(1, "I", 10.0, 1), ChangeRecord(2, "I", 20.0, 1))
+      query.processAllAvailable()
+      val b1 = spark.table("chg_state").collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(b1 == Map(1L -> 10.0, 2L -> 20.0))
+      // batch 2: update key 1, delete key 2 — state must carry over
+      input.addData(ChangeRecord(1, "U", 11.0, 2), ChangeRecord(2, "D", 0.0, 2))
+      query.processAllAvailable()
+      val rows = spark.table("chg_state").collect()
+      val k1 = rows.filter(_.getLong(0) == 1L).maxBy(_.getAs[Long]("last_seq"))
+      assert(k1.getDouble(1) == 11.0 && k1.getAs[Int]("n_changes") == 2)
+      // batch 3: re-insert deleted key with fresh state
+      input.addData(ChangeRecord(2, "I", 25.0, 3))
+      query.processAllAvailable()
+      val k2 = spark.table("chg_state").collect()
+        .filter(_.getLong(0) == 2L).maxBy(_.getAs[Long]("last_seq"))
+      assert(k2.getDouble(1) == 25.0)
+    } finally query.stop()
+  }
+
+  test("windowed counts run streaming with watermark and match batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val events = input.toDF().toDF("ts", "event_type", "value")
+    val query = WindowCounts.streamingCounts(events)
+      .writeStream.format("memory").queryName("win_counts")
+      .outputMode(OutputMode.Update).start()
+    try {
+      input.addData(
+        (java.sql.Timestamp.valueOf("2024-01-01 10:05:00"), "a", 1.0),
+        (java.sql.Timestamp.valueOf("2024-01-01 10:55:00"), "a", 2.0),
+        (java.sql.Timestamp.valueOf("2024-01-01 11:05:00"), "b", 3.0))
+      query.processAllAvailable()
+      val rows = spark.table("win_counts").collect()
+      val hourA = rows.filter(r => r.getString(2) == "a")
+      assert(hourA.map(_.getAs[Long]("n")).sum == 2)
+      assert(rows.forall(r =>
+        r.getAs[java.sql.Timestamp]("win_end").getTime -
+          r.getAs[java.sql.Timestamp]("win_start").getTime == 3600000L))
+    } finally query.stop()
+  }
+}
