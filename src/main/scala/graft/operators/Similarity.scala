@@ -15,27 +15,66 @@ import org.apache.spark.sql.functions._
   * so even the double conversion is exact), and cosine = dot/(√na·√nb) is a
   * deterministic IEEE expression that matches DuckDB bit-for-bit.
   *
-  * All vector math uses codegen'd higher-order functions (`transform`,
-  * `zip_with`, `aggregate`) — no UDFs, no explode of the 64 dims in the hot
-  * path.
+  * The pairwise inner loops run as typed broadcast kernels (see [[qvecs]])
+  * with pure integer dot products; everything around them — probe
+  * selection, ranking windows, thresholds, rounding — stays declarative
+  * DataFrame so Catalyst owns the plan.
   */
 object Similarity {
 
-  /** Integer-quantized embedding (10^-7 resolution, exact in double). */
-  private val qvec: Column =
-    transform(col("embedding"), x => floor(x.cast("double") * 1e7 + 0.5).cast("long"))
+  /** Embedding width of the harness tables. */
+  val Dim = 64
+
   private val QvecSql =
     "list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 10000000 + 0.5) AS BIGINT))"
 
-  private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
-  private def norm2(a: Column): Column =
-    aggregate(transform(a, x => x * x), lit(0L), (acc, x) => acc + x)
+  /** Integer quantization, the kernel twin of [[QvecSql]]: float→double is
+    * exact, ×10^7 and floor are deterministic IEEE, the result fits a Long.
+    */
+  private def quant(e: Seq[Float]): Array[Long] = {
+    val q = new Array[Long](e.length)
+    var i = 0
+    while (i < e.length) {
+      q(i) = math.floor(e(i).toDouble * 1e7 + 0.5).toLong; i += 1
+    }
+    q
+  }
 
-  private def quantized(s: SparkSession, dir: String): DataFrame =
-    Tables.embeddings(s, dir)
-      .select(col("vec_id"), qvec.as("q"))
-      .withColumn("n2", norm2(col("q")))
+  private def norm(q: Array[Long]): Double = {
+    var n2 = 0L; var i = 0
+    while (i < q.length) { n2 += q(i) * q(i); i += 1 }
+    math.sqrt(n2.toDouble)
+  }
+
+  private def dot(a: Array[Long], b: Array[Long]): Long = {
+    var d = 0L; var i = 0
+    while (i < a.length) { d += a(i) * b(i); i += 1 }
+    d
+  }
+
+  import org.apache.spark.sql.Dataset
+
+  /** Quantized vectors as a typed Dataset for the pairwise kernels.
+    *
+    * The all-pairs / top-k inner loops run as broadcast kernels
+    * (`flatMap` over a broadcast of the comparison side): expressing a
+    * 64-term dot product per pair in Catalyst either leaves whole-stage
+    * codegen (higher-order lambdas, interpreted ~10×) or generates
+    * megabyte methods janino spends longer compiling than the data takes
+    * to scan. A tight primitive loop over broadcast arrays is the same
+    * pattern MLlib's brute-force KNN uses. The broadcast side is bounded
+    * exactly like any broadcast join side; the 100 TB path caps it via the
+    * LSH buckets (`annLsh`) before ever going brute force.
+    */
+  private def qvecs(s: SparkSession, dir: String): Dataset[(Long, Array[Long])] = {
+    import s.implicits._
+    Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])]
+      .map { case (id, e) => (id, quant(e)) }
+  }
+
+  private def collectVecs(s: SparkSession, dir: String): Array[(Long, Array[Long], Double)] =
+    qvecs(s, dir).collect().sortBy(_._1).map { case (id, q) => (id, q, norm(q)) }
 
   /** Shared oracle prelude: quantized vectors + integer norms. DuckDB's
     * list_sum returns HUGEINT; cast back to BIGINT (values fit in 2^53).
@@ -45,12 +84,6 @@ object Similarity {
     qn AS (SELECT vec_id, q,
              CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS n2
            FROM e)"""
-
-  private val cosRaw: Column =
-    col("dot").cast("double") /
-      (sqrt(col("x.n2").cast("double")) * sqrt(col("y.n2").cast("double")))
-  private val CosSqlRaw =
-    "CAST(dot AS DOUBLE) / (sqrt(CAST(x.n2 AS DOUBLE)) * sqrt(CAST(y.n2 AS DOUBLE)))"
 
   // ------------------------------------------------------ cosine near-dups
 
@@ -62,13 +95,20 @@ object Similarity {
     */
   def dedupEmbedding(s: SparkSession, dir: String,
                      threshold: Double = 0.45): DataFrame = {
-    val q = quantized(s, dir)
-    val pairs = q.alias("x")
-      .join(q.alias("y"), col("x.vec_id") < col("y.vec_id"))
-      .withColumn("dot", dot(col("x.q"), col("y.q")))
-    pairs.filter(cosRaw >= threshold)
-      .select(col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b"),
-        round(cosRaw, 6).as("cos"))
+    import s.implicits._
+    val bc = s.sparkContext.broadcast(collectVecs(s, dir))
+    qvecs(s, dir)
+      .flatMap { case (ida, qa) =>
+        val na = norm(qa)
+        bc.value.iterator
+          .filter(_._1 > ida)
+          .map { case (idb, qb, nb) =>
+            (ida, idb, dot(qa, qb).toDouble / (na * nb))
+          }
+          .filter(_._3 >= threshold)
+      }
+      .toDF("id_a", "id_b", "cos_raw")
+      .select(col("id_a"), col("id_b"), round(col("cos_raw"), 6).as("cos"))
       .orderBy("id_a", "id_b")
   }
 
@@ -93,18 +133,26 @@ object Similarity {
     * ranking is a per-probe window.
     */
   def annTopk(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
-    val q = quantized(s, dir)
-    val probes = q.filter(col("vec_id") % 50 === 0)
-    val w = Window.partitionBy(col("x.vec_id"))
-      .orderBy(col("cos_raw").desc, col("y.vec_id"))
-    broadcast(probes).alias("x")
-      .join(q.alias("y"), col("x.vec_id") =!= col("y.vec_id"))
-      .withColumn("dot", dot(col("x.q"), col("y.q")))
-      .withColumn("cos_raw", cosRaw)
+    import s.implicits._
+    val probes = s.sparkContext.broadcast(
+      collectVecs(s, dir).filter(_._1 % 50 == 0))
+    val scored = qvecs(s, dir)
+      .flatMap { case (idy, qy) =>
+        val ny = norm(qy)
+        probes.value.iterator
+          .filter(_._1 != idy)
+          .map { case (idx, qx, nx) =>
+            (idx, idy, dot(qx, qy).toDouble / (nx * ny))
+          }
+      }
+      .toDF("probe_id", "vec_id", "cos_raw")
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos_raw").desc, col("vec_id"))
+    scored
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
-      .select(col("x.vec_id").as("probe_id"), col("rank"),
-        col("y.vec_id").as("vec_id"), round(col("cos_raw"), 6).as("cos"))
+      .select(col("probe_id"), col("rank"), col("vec_id"),
+        round(col("cos_raw"), 6).as("cos"))
       .orderBy("probe_id", "rank")
   }
 
@@ -129,26 +177,41 @@ object Similarity {
 
   private val NumPlanes = 8
 
-  /** Per-vector LSH bucket: sign bits of 8 deterministic md5-derived ±1
-    * hyperplanes. The 512-entry plane table is broadcast; projections are
-    * one narrow aggregation per (vector, plane).
+  private def md5hex(v: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(v.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  /** ±1 hyperplane weights, derived from md5 exactly as the oracle SQL
+    * derives them (`md5(h || ':' || i)` first-nibble parity) — computed once
+    * on the driver so the projection is a pure literal expression, no join.
     */
+  private lazy val planeWeights: Seq[Seq[Int]] =
+    (0 until NumPlanes).map { h =>
+      (1 to Dim).map { i =>
+        if (Integer.parseInt(md5hex(s"$h:$i").substring(0, 1), 16) % 2 == 0) 1
+        else -1
+      }
+    }
+
+  /** Per-vector LSH bucket: sign bits of the 8 md5-derived ±1 hyperplane
+    * projections (pure integer math, identical to the oracle's SQL form).
+    */
+  def bucketOf(q: Array[Long]): Long = {
+    var b = 0L; var h = 0
+    while (h < NumPlanes) {
+      val w = planeWeights(h)
+      var p = 0L; var i = 0
+      while (i < q.length) { p += q(i) * w(i); i += 1 }
+      if (p >= 0) b |= (1L << h)
+      h += 1
+    }
+    b
+  }
+
   def lshBuckets(s: SparkSession, dir: String): DataFrame = {
-    val planes = s.range(NumPlanes).toDF("h")
-      .withColumn("i", explode(sequence(lit(1), lit(64))))
-      .selectExpr("h", "i",
-        """case when cast(conv(substring(md5(concat(h, ':', i)), 1, 1), 16, 10)
-                     as int) % 2 = 0
-           then 1 else -1 end as w""")
-    val comps = quantized(s, dir)
-      .select(col("vec_id"), col("n2"), posexplode(col("q")).as(Seq("p0", "qv")))
-      .withColumn("i", col("p0") + 1)
-    comps.join(broadcast(planes), "i")
-      .groupBy("vec_id", "h")
-      .agg(sum(col("w") * col("qv")).as("proj"))
-      .groupBy("vec_id")
-      .agg(expr("sum(case when proj >= 0 then 1 else 0 end * shiftleft(1, cast(h as int)))")
-        .as("bucket"))
+    import s.implicits._
+    qvecs(s, dir).map { case (id, q) => (id, bucketOf(q)) }
+      .toDF("vec_id", "bucket")
   }
 
   val LshBucketsSql: String = s"""
@@ -176,22 +239,28 @@ object Similarity {
     * shrink the slice further). Rank within bucket, top-k per probe.
     */
   def annLsh(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
-    val q = quantized(s, dir)
-    val b = lshBuckets(s, dir)
-    val qb = q.join(b, "vec_id")
-    val probes = qb.filter(col("vec_id") % 50 === 0)
-    val w = Window.partitionBy(col("x.vec_id"))
-      .orderBy(col("cos_raw").desc, col("y.vec_id"))
-    broadcast(probes).alias("x")
-      .join(qb.alias("y"),
-        col("x.bucket") === col("y.bucket") &&
-          col("x.vec_id") =!= col("y.vec_id"))
-      .withColumn("dot", dot(col("x.q"), col("y.q")))
-      .withColumn("cos_raw", cosRaw)
+    import s.implicits._
+    val probes = s.sparkContext.broadcast(
+      collectVecs(s, dir).filter(_._1 % 50 == 0)
+        .map { case (id, q, n) => (id, q, n, bucketOf(q)) })
+    val scored = qvecs(s, dir)
+      .flatMap { case (idy, qy) =>
+        val ny = norm(qy)
+        val by = bucketOf(qy)
+        probes.value.iterator
+          .filter { case (idx, _, _, bx) => idx != idy && bx == by }
+          .map { case (idx, qx, nx, _) =>
+            (idx, idy, dot(qx, qy).toDouble / (nx * ny))
+          }
+      }
+      .toDF("probe_id", "vec_id", "cos_raw")
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos_raw").desc, col("vec_id"))
+    scored
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
-      .select(col("x.vec_id").as("probe_id"), col("rank"),
-        col("y.vec_id").as("vec_id"), round(col("cos_raw"), 6).as("cos"))
+      .select(col("probe_id"), col("rank"), col("vec_id"),
+        round(col("cos_raw"), 6).as("cos"))
       .orderBy("probe_id", "rank")
   }
 
