@@ -100,13 +100,16 @@ object MergeScenarios {
     ORDER BY o_orderkey"""
 
   /** Level-5 apply: classify against announced keys, apply, dump the merged
-    * table.
+    * table. The scenario frames are cached: `cur`/`incoming`/`actions` each
+    * appear several times in the apply plan, and without persistence the
+    * whole derivation subtree is re-scanned at every appearance (~150
+    * parquet scans for this one query).
     */
   def applyChangeset(s: SparkSession, dir: String): DataFrame = {
-    val c = cur(s, dir)
-    val i = incoming(s, dir)
+    val c = cur(s, dir).cache()
+    val i = incoming(s, dir).cache()
     val actions = Merge.changesetActions(c, i, changeKeys(s, dir),
-      "o_orderkey", uniqueCols = Seq("o_uniq"))
+      "o_orderkey", uniqueCols = Seq("o_uniq")).cache()
     Merge.applyActions(c, i, actions, "o_orderkey").orderBy("o_orderkey")
   }
 
@@ -124,7 +127,8 @@ object MergeScenarios {
     * insert/update/null-update/delete bookkeeping).
     */
   def mergeCounts(s: SparkSession, dir: String): DataFrame =
-    Merge.counts(Merge.changesetActions(cur(s, dir), incoming(s, dir),
+    Merge.counts(Merge.changesetActions(cur(s, dir).cache(),
+      incoming(s, dir).cache(),
       changeKeys(s, dir), "o_orderkey", uniqueCols = Seq("o_uniq")))
 
   val mergeCountsSql: String = s"""$Ctes,
@@ -143,7 +147,7 @@ object MergeScenarios {
     * `o_uniq`, different key) force the old keys into the change set.
     */
   def fixChangedIncKeys(s: SparkSession, dir: String): DataFrame = {
-    val b = base(s, dir)
+    val b = base(s, dir).cache()
     val rekeyed = b.filter(col("o_orderkey") % 13 === 0)
       .withColumn("o_orderkey", col("o_orderkey") + 1000000)
     Merge.missedKeyChanges(b, rekeyed, rekeyed.select("o_orderkey"),

@@ -126,6 +126,7 @@ object VersionedScenarios {
   private def store(s: SparkSession, dir: String): DataFrame =
     Versioned.build(
       Seq(1 -> r1(s, dir), 2 -> r2(s, dir), 3 -> r3(s, dir)), "o_orderkey")
+      .cache() // diff reconstructs two revisions from the same store
 
   /** Full versioned store dump. */
   def versionedTable(s: SparkSession, dir: String): DataFrame =
