@@ -285,13 +285,113 @@ object Similarity {
            round(cos_raw, 6) AS cos
     FROM scored WHERE rank <= $k ORDER BY probe_id, rank"""
 
+  // ------------------------------------------------------------- IVF (ANN)
+
+  private val CentroidMod = 97
+  private val NProbe = 2
+
+  /** Squared L2 between quantized vectors — exact integer math (diffs ≤
+    * 2·10^7, squares ≤ 4·10^14, 64 terms < 2^63).
+    */
+  private def dist2(a: Array[Long], b: Array[Long]): Long = {
+    var d = 0L; var i = 0
+    while (i < a.length) { val t = a(i) - b(i); d += t * t; i += 1 }
+    d
+  }
+
+  /** Nearest-centroid cell id (tie-break: smaller centroid id). */
+  private def cellOf(q: Array[Long],
+                     cents: Array[(Long, Array[Long], Double)]): Long = {
+    var best = Long.MaxValue; var cell = Long.MaxValue
+    cents.foreach { case (cid, cq, _) =>
+      val d = dist2(q, cq)
+      if (d < best || (d == best && cid < cell)) { best = d; cell = cid }
+    }
+    cell
+  }
+
+  /** IVF-flat ANN: a deterministic coarse quantizer (every 97th vector is a
+    * centroid — sampling in place of k-means training keeps the oracle
+    * SQL-expressible), inverted lists per cell, probes scan their `NProbe`
+    * nearest cells only. The third scale regime: LSH cuts by signature,
+    * IVF cuts by geometry; at 100 TB the inverted lists are the partition
+    * keys and each probe touches nprobe/ncells of the corpus.
+    */
+  def annIvf(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    import s.implicits._
+    val cents = s.sparkContext.broadcast(
+      collectVecs(s, dir).filter(_._1 % CentroidMod == 0))
+    val probes = s.sparkContext.broadcast(
+      collectVecs(s, dir).filter(_._1 % 50 == 0).map { case (id, q, n) =>
+        val cells = cents.value
+          .map { case (cid, cq, _) => (dist2(q, cq), cid) }
+          .sorted.take(NProbe).map(_._2).toSet
+        (id, q, n, cells)
+      })
+    val scored = qvecs(s, dir)
+      .flatMap { case (idy, qy) =>
+        val ny = norm(qy)
+        val cy = cellOf(qy, cents.value)
+        probes.value.iterator
+          .filter { case (idx, _, _, cells) => idx != idy && cells(cy) }
+          .map { case (idx, qx, nx, _) =>
+            (idx, idy, dot(qx, qy).toDouble / (nx * ny))
+          }
+      }
+      .toDF("probe_id", "vec_id", "cos_raw")
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos_raw").desc, col("vec_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("probe_id"), col("rank"), col("vec_id"),
+        round(col("cos_raw"), 6).as("cos"))
+      .orderBy("probe_id", "rank")
+  }
+
+  def annIvfSql(k: Int = 5): String = s"""
+    WITH $QuantSql,
+    cents AS (SELECT vec_id AS cid, q AS cq FROM qn
+              WHERE vec_id % $CentroidMod = 0),
+    asg AS (
+      SELECT vec_id, cid,
+        row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+      FROM (
+        SELECT qn.vec_id, cents.cid,
+          CAST(list_sum(list_transform(generate_series(1, len(q)),
+            i -> (q[i] - cq[i]) * (q[i] - cq[i]))) AS BIGINT) AS d2
+        FROM qn, cents)),
+    cells AS (SELECT vec_id, cid AS cell FROM asg WHERE rn = 1),
+    probe_cells AS (
+      SELECT vec_id, cid AS cell FROM asg
+      WHERE vec_id % 50 = 0 AND rn <= $NProbe),
+    pairs AS (
+      SELECT x.vec_id AS probe_id, y.vec_id AS vec_id,
+             x.n2 AS na, y.n2 AS nb,
+        CAST(list_sum(list_transform(generate_series(1, len(x.q)),
+          i -> x.q[i] * y.q[i])) AS BIGINT) AS dot
+      FROM qn x
+      JOIN probe_cells pc ON pc.vec_id = x.vec_id
+      JOIN cells cy ON cy.cell = pc.cell
+      JOIN qn y ON y.vec_id = cy.vec_id AND y.vec_id <> x.vec_id),
+    scored AS (
+      SELECT probe_id, vec_id, $PairCosSql AS cos_raw,
+        row_number() OVER (PARTITION BY probe_id
+          ORDER BY $PairCosSql DESC, vec_id) AS rank
+      FROM pairs)
+    SELECT probe_id, CAST(rank AS INT) AS rank, vec_id,
+           round(cos_raw, 6) AS cos
+    FROM scored WHERE rank <= $k ORDER BY probe_id, rank"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_embedding" -> (dedupEmbedding(_, _)),
     "ann_topk" -> (annTopk(_, _)),
-    "ann_lsh" -> (annLsh(_, _)))
+    "ann_lsh" -> (annLsh(_, _)),
+    "ann_ivf" -> (annIvf(_, _)))
 
   val oracles: Map[String, String] = Map(
     "dedup_embedding" -> dedupEmbeddingSql,
     "ann_topk" -> annTopkSql(),
-    "ann_lsh" -> annLshSql())
+    "ann_lsh" -> annLshSql(),
+    "ann_ivf" -> annIvfSql())
 }

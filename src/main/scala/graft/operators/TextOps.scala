@@ -171,17 +171,93 @@ object TextOps {
            min(md5(substring(t, i, 8))) AS fp
     FROM pos GROUP BY doc_id, block ORDER BY doc_id, block"""
 
+  // ------------------------------------------------------------ containment
+
+  /** Containment detection over the winnowing fingerprints: document pairs
+    * sharing ≥ `minShared` distinct fingerprint values (near-copies and
+    * partial inclusions both surface here; the fingerprint value is the
+    * join key, so candidates come from an equi-join, never a cross
+    * product).
+    */
+  def docContainment(s: SparkSession, dir: String,
+                     minShared: Int = 8, maxDf: Int = 20): DataFrame = {
+    val all = docFingerprint(s, dir)
+      .select(col("doc_id"), col("fp")).distinct()
+    // drop stop-fingerprints (shared by > maxDf docs): they carry no
+    // containment signal and are exactly the posting lists that go
+    // quadratic in the self-join
+    val rare = all.groupBy("fp").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf).select("fp")
+    val fp = all.join(rare, "fp").cache()
+    fp.alias("a")
+      .join(fp.alias("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .orderBy("id_a", "id_b")
+  }
+
+  val docContainmentSql: String = s"""
+    WITH d AS (SELECT doc_id, $normSql AS t FROM documents),
+    pos AS (SELECT doc_id, t,
+              unnest(generate_series(1, length(t) - 7)) AS i FROM d),
+    fps AS (SELECT doc_id, CAST(floor((i - 1) / 16) AS BIGINT) AS block,
+              min(md5(substring(t, i, 8))) AS fp
+            FROM pos GROUP BY doc_id, block),
+    allfp AS (SELECT DISTINCT doc_id, fp FROM fps),
+    rare AS (SELECT fp FROM allfp GROUP BY fp HAVING count(*) <= 20),
+    fp AS (SELECT doc_id, allfp.fp FROM allfp JOIN rare ON allfp.fp = rare.fp),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+      FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT id_a, id_b, n_shared FROM pairs WHERE n_shared >= 8
+    ORDER BY id_a, id_b"""
+
+  // ------------------------------------------------------------ corpus stats
+
+  /** Corpus vocabulary statistics: term frequency, document frequency and
+    * df-ratio per word — the wordcount shape (one explode, one shuffle,
+    * map-side combined).
+    */
+  def corpusStats(s: SparkSession, dir: String): DataFrame = {
+    val total = Tables.documents(s, dir).count()
+    Tables.documents(s, dir)
+      .select(col("doc_id"), explode(split(norm, " ")).as("w"))
+      .groupBy("w")
+      .agg(count(lit(1)).as("n_occurrences"),
+        countDistinct(col("doc_id")).as("n_docs"))
+      .withColumn("df_ratio",
+        round(col("n_docs").cast("double") / total.toDouble, 6))
+      .orderBy("w")
+  }
+
+  val corpusStatsSql: String = s"""
+    WITH w AS (SELECT doc_id, unnest(string_split($normSql, ' ')) AS w
+               FROM documents),
+    tot AS (SELECT count(*) AS n FROM documents)
+    SELECT w, count(*) AS n_occurrences,
+      count(DISTINCT doc_id) AS n_docs,
+      round(CAST(count(DISTINCT doc_id) AS DOUBLE) / (SELECT CAST(n AS DOUBLE) FROM tot), 6)
+        AS df_ratio
+    FROM w GROUP BY w ORDER BY w"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_quality" -> (textQuality _),
     "token_count" -> (tokenCount _),
     "text_langid" -> (textLangid _),
-    "doc_fingerprint" -> (docFingerprint _))
+    "doc_fingerprint" -> (docFingerprint _),
+    "doc_containment" -> (docContainment(_, _)),
+    "corpus_stats" -> (corpusStats _))
 
   val oracles: Map[String, String] = Map(
     "text_quality" -> textQualitySql,
     "token_count" -> tokenCountSql,
     "text_langid" -> textLangidSql,
-    "doc_fingerprint" -> docFingerprintSql)
+    "doc_fingerprint" -> docFingerprintSql,
+    "doc_containment" -> docContainmentSql,
+    "corpus_stats" -> corpusStatsSql)
 }
 
 /** Demo lexicons over the harness vocabulary (the real system would plug in

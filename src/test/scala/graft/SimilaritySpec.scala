@@ -26,6 +26,17 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("ann_ivf: ranks are dense per probe and cosines ordered") {
+    val rows = Similarity.annIvf(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[Long]("probe_id")).foreach { case (_, g) =>
+      val rs = g.map(_.getAs[Int]("rank")).sorted
+      assert(rs.head == 1 && rs.toSeq == (1 to rs.length))
+      val cs = g.sortBy(_.getAs[Int]("rank")).map(_.getAs[Double]("cos"))
+      assert(cs.zip(cs.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
   test("dedup_embedding: pairs are symmetric-free and above threshold") {
     val rows = Similarity.dedupEmbedding(spark, sf).collect()
     assert(rows.forall(r => r.getAs[Long]("id_a") < r.getAs[Long]("id_b")))
