@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+/** Plan-shape assertions: the properties that keep these operators viable at
+  * 100 TB, checked on the actual executed plans.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  private def count(p: String, op: String): Int = op.r.findAllIn(p).length
+
+  test("no query's plan contains a cartesian product") {
+    // the pairwise ops must generate candidates by equi-join or broadcast
+    // kernel, never by a quadratic cross join
+    for ((name, fn) <- SparkEntry.queries) {
+      val p = plan(fn(spark, sf))
+      assert(!p.contains("CartesianProduct"), s"$name plans a cross join")
+    }
+  }
+
+  test("table_diff is a single co-partitioned shuffle join") {
+    val p = plan(operators.MergeScenarios.tableDiff(spark, sf))
+    assert(count(p, "SortMergeJoin") == 1)
+    assert(count(p, "FileScan") == 2, "exactly one scan per side")
+  }
+
+  test("analytics joins broadcast their dimension sides") {
+    val p3 = plan(operators.Queries.q3Join(spark, sf))
+    val p5 = plan(operators.Queries.q5MultiJoin(spark, sf))
+    assert(count(p3, "BroadcastHashJoin") >= 1)
+    assert(count(p5, "BroadcastHashJoin") >= 3, "q5 dims all broadcast")
+  }
+
+  test("scans are column-pruned: q1 reads only the columns it needs") {
+    val p = plan(operators.Queries.q1Agg(spark, sf))
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"))
+    assert(!p.contains("l_partkey"), "unused columns must not reach the scan")
+  }
+
+  test("aggregations are map-side combined (partial HashAggregate)") {
+    for (df <- Seq(operators.Queries.q1Agg(spark, sf),
+      operators.TextOps.corpusStats(spark, sf))) {
+      val p = plan(df)
+      assert(count(p, "HashAggregate") >= 2,
+        "partial + final aggregate expected")
+    }
+  }
+
+  test("changeset apply never collects data to the driver") {
+    // the merged-table plan ends in distributed operators only
+    val p = plan(operators.MergeScenarios.applyChangeset(spark, sf))
+    assert(!p.contains("CollectLimit"))
+  }
+}
