@@ -1,0 +1,82 @@
+package graft
+
+import graft.operators.{Merge, Skew, Versioned, VersionedScenarios}
+import graft.sources.{BdeReader, BdeWriter, ParquetSink}
+import org.apache.spark.sql.functions._
+
+class ScaleOpsSpec extends SparkSpec {
+
+  test("saltedJoin equals the plain join on a skewed key") {
+    val big = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_suppkey"),
+        (col("l_orderkey") % 3).as("k")) // 3 hot keys over ~6k rows
+    val small = spark.range(3).toDF("k")
+      .withColumn("label", concat(lit("grp"), col("k")))
+    val plain = big.join(small, "k")
+    val salted = Skew.saltedJoin(big, small, "k", factor = 8)
+    assert(salted.count() == plain.count())
+    assert(salted.columns.sorted.sameElements(plain.columns.sorted))
+    val a = plain.agg(sum(col("l_suppkey"))).first().getLong(0)
+    val b = salted.agg(sum(col("l_suppkey"))).first().getLong(0)
+    assert(a == b)
+  }
+
+  test("versioned store partitioned by revision prunes at-revision reads") {
+    val path = s"${sys.props("java.io.tmpdir")}/graft-verstore"
+    val store = Versioned.build(
+      Seq(1 -> VersionedScenarios.r1(spark, sf),
+        2 -> VersionedScenarios.r2(spark, sf),
+        3 -> VersionedScenarios.r3(spark, sf)), "o_orderkey")
+    ParquetSink.writeVersioned(store, path)
+    val dirs = new java.io.File(path).listFiles().map(_.getName).filter(_.startsWith("_ver_created="))
+    assert(dirs.toSet == Set("_ver_created=1", "_ver_created=2", "_ver_created=3"))
+    val back = ParquetSink.readVersioned(spark, path)
+    // reconstruction from disk equals reconstruction from memory
+    val fromDisk = Versioned.atRevision(back, 2)
+      .agg(count(lit(1)), Exact.sumD(col("o_totalprice"))).first()
+    val fromMem = Versioned.atRevision(store, 2)
+      .agg(count(lit(1)), Exact.sumD(col("o_totalprice"))).first()
+    assert(fromDisk == fromMem)
+    // partition pruning reaches the scan
+    val plan = back.filter(col(Versioned.Created) === 1)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(_ver_created"),
+      plan.take(500))
+  }
+
+  test("BDE level-0 + level-5 file flow end to end") {
+    val tmp = s"${sys.props("java.io.tmpdir")}/graft-bde-e2e"
+    val k = col("o_orderkey")
+    val current = Tables.orders(spark, sf).filter(k % 10 =!= 3)
+    val incoming = Tables.orders(spark, sf).filter(k % 10 === 3 || k % 7 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") + 1.0)
+    // ship both sides as BDE datasets, read them back, apply the changeset
+    BdeWriter.write(current, s"$tmp/l0", "orders", gzip = true)
+    BdeWriter.write(incoming, s"$tmp/l5", "orders", gzip = true)
+    val cur = BdeReader.read(spark, BdeReader.listFiles(s"$tmp/l0")).cache()
+    val inc = BdeReader.read(spark, BdeReader.listFiles(s"$tmp/l5")).cache()
+    val actions = Merge.changesetActions(cur, inc,
+      inc.select("o_orderkey"), "o_orderkey").cache()
+    val merged = Merge.applyActions(cur, inc, actions, "o_orderkey")
+    // inserts: keys ≡3 (mod 10); updates: keys ≡0 (mod 7) not ≡3 (mod 10)
+    val byAction = Merge.counts(actions).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val nIns = incoming.filter(k % 10 === 3).count()
+    val nUpd = incoming.filter(k % 10 =!= 3).count()
+    assert(byAction("I") == nIns)
+    assert(byAction("U") == nUpd)
+    assert(merged.count() == current.count() + nIns)
+    // updated rows carry the incoming image
+    val bumped = merged.alias("m")
+      .join(Tables.orders(spark, sf).alias("o"), "o_orderkey")
+      .filter(k % 7 === 0 && k % 10 =!= 3)
+      .filter(col("m.o_totalprice") =!= col("o.o_totalprice") + 1.0)
+    assert(bumped.count() == 0)
+  }
+
+  test("reader handles the reference utf8 sample losslessly") {
+    val df = BdeReader.read(spark, Seq("/root/reference/t/data/utf8.crs"))
+    val vals = df.collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(vals(1) == "♯" && vals(2) == "♭" && vals(3) == "♮")
+  }
+}
