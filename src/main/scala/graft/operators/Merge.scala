@@ -112,6 +112,18 @@ object Merge {
   def counts(actions: DataFrame): DataFrame =
     actions.groupBy(col(Action)).agg(count(lit(1)).as("n")).orderBy(col(Action))
 
+  /** Announced keys for one table from a reference-format change table
+    * (`(id, tablename, tablekeyvalue, action, timestamp)` — the level-5
+    * stream in `t/data/xaud.crs`). Actions in the file are advisory only;
+    * the real classification is re-derived by [[changesetActions]], exactly
+    * as the reference re-derives it (`_bde_CreateIncDeletes/Inserts/
+    * Updates`).
+    */
+  def changeKeysFromChangeTable(changeTable: DataFrame, tableName: String,
+                                key: String): DataFrame =
+    changeTable.filter(col("tablename") === tableName)
+      .select(col("tablekeyvalue").as(key)).distinct()
+
   /** Row-count tolerance validation. `checks` carries
     * (check_name, expected_count, actual_count); emits ratio + status with
     * `error` outranking `warn` (reference: per-table `row_tol_error` /

@@ -120,13 +120,70 @@ object BdeScenarios {
       FROM sel)
     SELECT * FROM plan ORDER BY apply_order"""
 
+  // --------------------------------------------------------- spatial fixup
+
+  /** `bde_copy`'s spatial fixups (`conf/linz_bde_uploader.conf:384-390`):
+    * geometry arrives as WKT text; leading digits/spaces are stripped, the
+    * configured `wkt_prefix` (an SRID tag) is prepended, and
+    * `longitude_offset` is added to every longitude (the reference shifts
+    * by 160 so the 180° meridian doesn't split the dataset).
+    *
+    * The harness tables carry no geometry, so the scenario synthesizes a
+    * WKT POINT per order from key arithmetic; the operator itself is the
+    * real fixup: regex strip + prefix + numeric shift, all codegen'd
+    * column expressions over the WKT.
+    */
+  def bdeSpatialFixup(s: SparkSession, dir: String): DataFrame = {
+    val k = col("o_orderkey")
+    val lon = (k % 160).cast("double") / 2.0
+    val lat = ((col("o_custkey") % 180).cast("double") / 2.0) - 45.0
+    val raw = concat(lit("00 POINT("), lon, lit(" "), lat, lit(")"))
+    val stripped = regexp_replace(raw, "^[0-9 ]+", "")
+    val shifted = regexp_replace(stripped, "^POINT\\(", "")
+    Tables.orders(s, dir)
+      .select(k.as("o_orderkey"), raw.as("wkt_raw"),
+        concat(lit("SRID=4167;POINT("),
+          split(shifted, " ").getItem(0).cast("double") + 160.0,
+          lit(" "),
+          regexp_replace(split(shifted, " ").getItem(1), "\\)$", "")
+            .cast("double"),
+          lit(")")).as("wkt_fixed"))
+      .orderBy("o_orderkey")
+  }
+
+  val bdeSpatialFixupSql: String = """
+    WITH g AS (
+      SELECT o_orderkey,
+        '00 POINT(' || CAST(CAST(o_orderkey % 160 AS DOUBLE) / 2.0 AS VARCHAR)
+          || ' ' ||
+          CAST(CAST(o_custkey % 180 AS DOUBLE) / 2.0 - 45.0 AS VARCHAR) || ')'
+          AS wkt_raw,
+        regexp_replace(
+          regexp_replace(
+            '00 POINT(' || CAST(CAST(o_orderkey % 160 AS DOUBLE) / 2.0 AS VARCHAR)
+              || ' ' ||
+              CAST(CAST(o_custkey % 180 AS DOUBLE) / 2.0 - 45.0 AS VARCHAR) || ')',
+            '^[0-9 ]+', ''),
+          '^POINT\(', '') AS body
+      FROM orders)
+    SELECT o_orderkey, wkt_raw,
+      'SRID=4167;POINT(' ||
+        CAST(CAST(string_split(body, ' ')[1] AS DOUBLE) + 160.0 AS VARCHAR)
+        || ' ' ||
+        CAST(CAST(regexp_replace(string_split(body, ' ')[2], '\)$', '')
+          AS DOUBLE) AS VARCHAR)
+        || ')' AS wkt_fixed
+    FROM g ORDER BY o_orderkey"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "bde_read" -> (bdeRead _),
     "bde_select_columns" -> (bdeSelectColumns _),
-    "bde_datasets" -> (bdeDatasets _))
+    "bde_datasets" -> (bdeDatasets _),
+    "bde_spatial_fixup" -> (bdeSpatialFixup _))
 
   val oracles: Map[String, String] = Map(
     "bde_read" -> bdeReadSql,
     "bde_select_columns" -> bdeSelectColumnsSql,
-    "bde_datasets" -> bdeDatasetsSql)
+    "bde_datasets" -> bdeDatasetsSql,
+    "bde_spatial_fixup" -> bdeSpatialFixupSql)
 }

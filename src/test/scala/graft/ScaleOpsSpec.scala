@@ -74,6 +74,24 @@ class ScaleOpsSpec extends SparkSpec {
     assert(bumped.count() == 0)
   }
 
+  test("reference change-table file (xaud.crs) drives the changeset ops") {
+    val chg = BdeReader.read(spark, Seq("/root/reference/t/data/xaud.crs"))
+    assert(chg.columns.toSeq ==
+      Seq("id", "tablename", "tablekeyvalue", "action", "timestamp"))
+    val keys = Merge.changeKeysFromChangeTable(
+      chg, "crs_parcel_bndry", "audit_id")
+    val announced = keys.collect().map(_.getInt(0)).toSet
+    assert(announced.contains(80401150) && announced.contains(300))
+    // classification against the pab1 snapshot re-derives actions: announced
+    // keys absent from both sides drop out, present-only-in-current become D
+    val cur = BdeReader.read(spark, Seq("/root/reference/t/data/pab1.crs"))
+    val actions = Merge.changesetActions(
+      cur, cur.limit(0), keys, "audit_id")
+    val acts = actions.collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(acts.values.toSet == Set("D"), "no incoming images → all deletes")
+    assert(acts.keySet.subsetOf(announced))
+  }
+
   test("reader handles the reference utf8 sample losslessly") {
     val df = BdeReader.read(spark, Seq("/root/reference/t/data/utf8.crs"))
     val vals = df.collect().map(r => r.getInt(0) -> r.getString(1)).toMap
