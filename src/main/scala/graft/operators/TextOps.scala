@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for a large-scale training-data pipeline over the
@@ -243,7 +244,70 @@ object TextOps {
         AS df_ratio
     FROM w GROUP BY w ORDER BY w"""
 
+  // --------------------------------------------------------------- sampling
+
+  /** Deterministic stratified sampling for data mixing: each document's md5
+    * maps to a stable per-mille bucket, and per-language quotas keep or drop
+    * it. A pure narrow filter — no shuffle, no RNG state, reproducible
+    * across runs and engines, and the sample of a 100 TB corpus costs one
+    * scan.
+    */
+  def corpusSample(s: SparkSession, dir: String): DataFrame = {
+    val bucket = expr(
+      "pmod(cast(conv(substring(md5(cast(doc_id as string)), 1, 8), 16, 10) as bigint), 1000)")
+    val rate = when(col("lang") === "en", 500).otherwise(250)
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), bucket.as("bucket"), rate.as("rate"))
+      .filter(col("bucket") < col("rate"))
+      .select("doc_id", "lang", "bucket")
+      .orderBy("doc_id")
+  }
+
+  val corpusSampleSql: String = """
+    WITH b AS (
+      SELECT doc_id, lang,
+        ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 1000
+          AS bucket,
+        CASE WHEN lang = 'en' THEN 500 ELSE 250 END AS rate
+      FROM documents)
+    SELECT doc_id, lang, bucket FROM b WHERE bucket < rate
+    ORDER BY doc_id"""
+
+  /** Quota-binned sequence packing: documents are assigned to fixed
+    * token-budget training sequences by cumulative token count within each
+    * language stratum (a deterministic, shuffle-once approximation of
+    * greedy packing; the window partitions by stratum, so no global
+    * ordering bottleneck).
+    */
+  def packSequences(s: SparkSession, dir: String,
+                    budget: Int = 2048): DataFrame = {
+    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"),
+        size(split(norm, " ")).as("n_tokens"))
+      .withColumn("cum", sum(col("n_tokens"))
+        .over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        floor((col("cum") - col("n_tokens")) / budget).as("seq_id"))
+      .orderBy("lang", "doc_id")
+  }
+
+  val packSequencesSql: String = s"""
+    WITH t AS (
+      SELECT doc_id, lang, len(string_split($normSql, ' ')) AS n_tokens
+      FROM documents),
+    c AS (
+      SELECT doc_id, lang, n_tokens,
+        sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM t)
+    SELECT doc_id, lang, n_tokens,
+      CAST(floor((cum - n_tokens) / 2048) AS BIGINT) AS seq_id
+    FROM c ORDER BY lang, doc_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_sample" -> (corpusSample _),
+    "pack_sequences" -> (packSequences(_, _)),
     "text_quality" -> (textQuality _),
     "token_count" -> (tokenCount _),
     "text_langid" -> (textLangid _),
@@ -252,6 +316,8 @@ object TextOps {
     "corpus_stats" -> (corpusStats _))
 
   val oracles: Map[String, String] = Map(
+    "corpus_sample" -> corpusSampleSql,
+    "pack_sequences" -> packSequencesSql,
     "text_quality" -> textQualitySql,
     "token_count" -> tokenCountSql,
     "text_langid" -> textLangidSql,

@@ -40,6 +40,27 @@ class TextDedupSpec extends SparkSpec {
     assert(a.nonEmpty)
   }
 
+  test("corpus_sample: stable strata quotas, deterministic membership") {
+    val a = TextOps.corpusSample(spark, sf).collect()
+    val b = TextOps.corpusSample(spark, sf).collect()
+    assert(a.map(_.getLong(0)).sameElements(b.map(_.getLong(0))), "reproducible")
+    assert(a.forall(_.getAs[Long]("bucket") < 500))
+    val en = a.count(_.getAs[String]("lang") == "en")
+    assert(en > 0 && a.length > en, "multiple strata survive")
+  }
+
+  test("pack_sequences: bins respect the token budget per stratum") {
+    val rows = TextOps.packSequences(spark, sf).collect()
+    rows.groupBy(r => (r.getAs[String]("lang"), r.getAs[Long]("seq_id")))
+      .foreach { case ((_, seq), g) =>
+        val tokens = g.map(_.getAs[Int]("n_tokens").toLong).sum
+        // a bin only exceeds budget by at most its last (overflowing) doc
+        assert(tokens - g.map(_.getAs[Int]("n_tokens").toLong).max <= 2048,
+          s"bin $seq overfilled")
+      }
+    assert(rows.map(_.getAs[Long]("seq_id")).max > 0, "multiple bins used")
+  }
+
   test("dedup_exact: planted copies collapse to groups of two") {
     val rows = Dedup.dedupExact(spark, sf).collect()
     val dups = rows.filter(_.getAs[Long]("n_copies") == 2)
