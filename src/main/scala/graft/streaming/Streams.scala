@@ -76,3 +76,14 @@ object WindowCounts {
   def streamingCounts(events: DataFrame): DataFrame =
     counts(events.withWatermark("ts", "2 hours"))
 }
+
+/** Streaming exact-dedup: drop events whose id was already seen, with the
+  * watermark bounding how long ids stay in the state store (the streaming
+  * twin of `Dedup.dedupExact`'s content-hash grouping — at-least-once
+  * sources become effectively-once downstream).
+  */
+object StreamDedup {
+  def dedupe(events: DataFrame, idCols: Seq[String]): DataFrame =
+    events.withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark(idCols)
+}

@@ -36,6 +36,30 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("stream dedup drops re-delivered ids across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val events = input.toDF().toDF("ts", "event_id", "payload")
+    val query = graft.streaming.StreamDedup.dedupe(events, Seq("event_id"))
+      .writeStream.format("memory").queryName("dedup_stream")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(
+        (java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 1L, "a"),
+        (java.sql.Timestamp.valueOf("2024-01-01 10:00:01"), 1L, "a-dup"),
+        (java.sql.Timestamp.valueOf("2024-01-01 10:00:02"), 2L, "b"))
+      query.processAllAvailable()
+      // re-delivery in a later batch, inside the watermark
+      input.addData(
+        (java.sql.Timestamp.valueOf("2024-01-01 10:00:03"), 1L, "a-redelivered"),
+        (java.sql.Timestamp.valueOf("2024-01-01 10:00:04"), 3L, "c"))
+      query.processAllAvailable()
+      val ids = spark.table("dedup_stream").collect().map(_.getLong(1)).sorted
+      assert(ids.sameElements(Array(1L, 2L, 3L)), s"got ${ids.toSeq}")
+    } finally query.stop()
+  }
+
   test("windowed counts run streaming with watermark and match batch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
