@@ -1,0 +1,66 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+
+/** Native Catalyst expression: integer dot product of two `array<bigint>`
+  * columns, with whole-stage codegen (`doGenCode` emits the primitive loop
+  * directly into the generated stage — no boxing, no lambda dispatch).
+  *
+  * This is the (b) extension tier for vector math when the pairing itself
+  * is produced by a join (bucketed candidates, pre-paired frames) and a
+  * broadcast kernel doesn't apply: `q_dot(a.q, b.q)` stays inside the same
+  * generated function as the surrounding filter/projection.
+  */
+case class QDot(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"q_dot expects two array<bigint> args, got ${l.sql} and ${r.sql}")
+    }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "q_dot"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var d = 0L
+    var i = 0
+    while (i < n) { d += x.getLong(i) * y.getLong(i); i += 1 }
+    d
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |${ev.value} = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  ${ev.value} += $a.getLong($i) * $b.getLong($i);
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): QDot =
+    copy(left = newLeft, right = newRight)
+}
+
+/** SQL registration for graft's native expressions. */
+object GraftFunctions {
+  /** Makes `q_dot(a, b)` available to `selectExpr` / `spark.sql`. */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "q_dot", exprs => QDot(exprs(0), exprs(1)), "built-in")
+}
