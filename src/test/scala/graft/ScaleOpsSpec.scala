@@ -44,6 +44,36 @@ class ScaleOpsSpec extends SparkSpec {
       plan.take(500))
   }
 
+  test("bucketed current table: only the incoming side shuffles") {
+    // SURVEY §4: current table bucketed by key on disk ⇒ a changeset apply
+    // shuffles only the (small) incoming side
+    val o = Tables.orders(spark, sf)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", -1)
+    try {
+      spark.sql("DROP TABLE IF EXISTS orders_bucketed")
+      val loc = new java.io.File("spark-warehouse/orders_bucketed")
+      if (loc.exists())
+        loc.listFiles().foreach(_.delete())
+      loc.delete()
+      // bucket count matches the session's shuffle partitioning so the
+      // bucketed side's layout satisfies the join distribution directly
+      val buckets = spark.conf.get("spark.sql.shuffle.partitions").toInt
+      o.write.mode("overwrite").bucketBy(buckets, "o_orderkey")
+        .sortBy("o_orderkey").format("parquet").saveAsTable("orders_bucketed")
+      val cur = spark.table("orders_bucketed")
+      val inc = o.filter(col("o_orderkey") % 97 === 0)
+      val j = cur.join(inc, "o_orderkey")
+      j.collect()
+      // AQE's toString repeats the initial plan; count in the final only
+      val plan = j.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+      assert(exchanges == 1, s"expected 1 exchange, plan:\n${plan.take(800)}")
+      assert(plan.contains("Bucketed: true"))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("BDE level-0 + level-5 file flow end to end") {
     val tmp = s"${sys.props("java.io.tmpdir")}/graft-bde-e2e"
     val k = col("o_orderkey")
