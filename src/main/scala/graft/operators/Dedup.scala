@@ -62,7 +62,7 @@ object Dedup {
       .distinct()
   }
 
-  private val shinglesSql: String = s"""
+  private[operators] val shinglesSql: String = s"""
     w AS (SELECT doc_id, string_split($normSql, ' ') AS ws FROM documents),
     pos AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 2)) AS i
             FROM w),
@@ -74,6 +74,21 @@ object Dedup {
     * shingle string — at scale, hot shingles are salted by capping posting
     * lists; here AQE covers it.
     */
+  /** The pair-generation CTE chain shared with composed pipelines: appends
+    * `sz`, `inter` and `pairs` (ids with exact Jaccard ≥ 0.8) after
+    * [[shinglesSql]].
+    */
+  private[operators] val jaccardPairsSql: String = s"""
+    sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    pairs AS (
+      SELECT id_a, id_b
+      FROM inter JOIN sz x ON id_a = x.doc_id JOIN sz y ON id_b = y.doc_id
+      WHERE CAST(c AS DOUBLE) / CAST(x.n + y.n - c AS DOUBLE) >= 0.8)"""
+
   def dedupNgramJaccard(s: SparkSession, dir: String,
                         threshold: Double = 0.8): DataFrame = {
     val sh = shingles(Tables.documents(s, dir)).cache()

@@ -305,7 +305,50 @@ object TextOps {
       CAST(floor((cum - n_tokens) / 2048) AS BIGINT) AS seq_id
     FROM c ORDER BY lang, doc_id"""
 
+  // ---------------------------------------------------------- composed clean
+
+  /** The composed cleaning pipeline: quality gate + near-dup removal in one
+    * pass — the shape a production corpus-prep job takes. Keeps documents
+    * whose quality score clears the threshold, then drops the non-canonical
+    * member (higher doc_id) of every n-gram-Jaccard near-dup pair via an
+    * anti-join (no collect, no loop; the dedup side reuses the LSH-able
+    * pair generator).
+    */
+  def corpusClean(s: SparkSession, dir: String,
+                  minQuality: Double = 0.3): DataFrame = {
+    val dupIds = Dedup.dedupNgramJaccard(s, dir)
+      .select(col("id_b").as("doc_id")).distinct()
+    textQuality(s, dir)
+      .join(Tables.documents(s, dir).select("doc_id", "lang"), "doc_id")
+      .filter(col("quality") >= minQuality)
+      .join(dupIds, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("lang"), col("quality"))
+      .orderBy("doc_id")
+  }
+
+  val corpusCleanSql: String = {
+    val stop = hitsSql(Stoplists.en)
+    s"""
+    WITH ${Dedup.shinglesSql.trim},
+    ${Dedup.jaccardPairsSql.trim},
+    q AS (
+      SELECT doc_id,
+        round(least(1.0, CAST(len(ws) AS DOUBLE) / 100.0)
+          * (1.0 - CAST(length(regexp_replace(lower(text), '[a-z0-9\\s]', '', 'g'))
+              AS DOUBLE) / length(text))
+          * (0.5 + 0.5 * (CAST($stop AS DOUBLE) / len(ws))), 6) AS quality
+      FROM (SELECT doc_id, text, string_split($normSql, ' ') AS ws
+            FROM documents)),
+    clean AS (
+      SELECT d.doc_id, d.lang, q.quality
+      FROM documents d JOIN q ON d.doc_id = q.doc_id
+      WHERE q.quality >= 0.3
+        AND d.doc_id NOT IN (SELECT id_b FROM pairs))
+    SELECT * FROM clean ORDER BY doc_id"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_clean" -> (corpusClean(_, _)),
     "corpus_sample" -> (corpusSample _),
     "pack_sequences" -> (packSequences(_, _)),
     "text_quality" -> (textQuality _),
@@ -316,6 +359,7 @@ object TextOps {
     "corpus_stats" -> (corpusStats _))
 
   val oracles: Map[String, String] = Map(
+    "corpus_clean" -> corpusCleanSql,
     "corpus_sample" -> corpusSampleSql,
     "pack_sequences" -> packSequencesSql,
     "text_quality" -> textQualitySql,
