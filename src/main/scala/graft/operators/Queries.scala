@@ -181,7 +181,8 @@ object Queries {
         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY tss
           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
       FROM flagged)
-    SELECT user_id, session_id, MIN(tss) AS session_start,
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+      MIN(tss) AS session_start,
       COUNT(*) AS n_events, ${Exact.sqlSum("value")} AS sum_value
     FROM sess GROUP BY user_id, session_id
     ORDER BY user_id, session_id"""

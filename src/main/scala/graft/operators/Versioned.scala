@@ -218,8 +218,8 @@ object VersionedScenarios {
       COUNT(*) AS n_events,
       COUNT(DISTINCT user_id) AS n_users,
       ${Exact.sqlSum("value")} AS sum_value,
-      epoch(date_trunc('second', max(ts))) - epoch(date_trunc('second', min(ts)))
-        AS duration_secs
+      CAST(epoch(date_trunc('second', max(ts)))
+         - epoch(date_trunc('second', min(ts))) AS BIGINT) AS duration_secs
     FROM events GROUP BY 1, 2 ORDER BY dataset_day, event_type"""
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

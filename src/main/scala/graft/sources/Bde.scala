@@ -16,7 +16,9 @@ import org.apache.spark.sql.types._
   * (`conf/linz_bde_uploader.conf:416-419`). graft keeps the same escape
   * alphabet but is lossless: `\` → `\\`, `|` → `\x7c`, and other control
   * characters → `\xHH`. The reader accepts the full `\n`/`\r`/`\\`/`\xHH`
-  * set either way.
+  * set either way. NULL is `\N` (PG COPY text convention) so it stays
+  * distinct from the empty string; `datetime` columns are wall-clock
+  * (TimestampNTZ), as in the PG tables the reference loads.
   */
 object Bde {
 
@@ -40,7 +42,7 @@ object Bde {
     case "bigint" | "int8" => LongType
     case "double" | "float8" | "real" | "float" => DoubleType
     case DecimalRe(p, s) => DecimalType(p.toInt, s.toInt)
-    case "datetime" | "timestamp" => TimestampType
+    case "datetime" | "timestamp" => TimestampNTZType
     case "date" => DateType
     case "bool" | "boolean" => BooleanType
     case _ => StringType // char, varchar, text, geometry (WKT), unknown
@@ -52,7 +54,7 @@ object Bde {
     case LongType => "bigint"
     case DoubleType | FloatType => "double"
     case d: DecimalType => s"decimal(${d.precision},${d.scale})"
-    case TimestampType => "datetime"
+    case TimestampType | TimestampNTZType => "datetime"
     case DateType => "date"
     case BooleanType => "boolean"
     case _ => "varchar"

@@ -39,14 +39,23 @@ object BdeReader {
     } finally r.close()
   }
 
+  private val LdtFmt =
+    java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss[.SSSSSS]")
+
   private def convert(v: String, dt: DataType): Any = {
-    if (v.isEmpty) return null
+    // \N = NULL (PG COPY text convention; what BdeWriter emits). An empty
+    // field is NULL for non-text types (nothing parses to a number) but a
+    // real empty string for text — matching COPY text semantics, and making
+    // the writer→reader pair lossless for both NULL and "".
+    if (v == "\\N") return null
+    if (v.isEmpty && dt != StringType) return null
     val u = Bde.unescape(v)
     dt match {
       case IntegerType => u.trim.toInt
       case LongType => u.trim.toLong
       case DoubleType => u.trim.toDouble
       case d: DecimalType => new java.math.BigDecimal(u.trim)
+      case TimestampNTZType => java.time.LocalDateTime.parse(u.trim, LdtFmt)
       case TimestampType => java.sql.Timestamp.valueOf(u.trim)
       case DateType => java.sql.Date.valueOf(u.trim)
       case BooleanType => u.trim == "t" || u.trim == "true" || u.trim == "Y"

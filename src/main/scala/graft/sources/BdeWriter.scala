@@ -18,13 +18,21 @@ object BdeWriter {
   private val TsFmt = DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss")
   private val TsFmtFrac = DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss.SSSSSS")
 
+  private def fmtLdt(ldt: java.time.LocalDateTime): String =
+    if (ldt.getNano == 0) TsFmt.format(ldt) else TsFmtFrac.format(ldt)
+
+  // NULL is written as \N (the PG COPY text convention the reference's end
+  // target uses), so it stays distinct from the empty string; a literal
+  // backslash in data escapes to \\ so no data value can collide with it.
   private def format(v: Any): String = v match {
-    case null => ""
+    case null => "\\N"
     case s: String => Bde.escape(s)
-    case t: java.sql.Timestamp =>
-      val ldt = t.toLocalDateTime
-      if (ldt.getNano == 0) TsFmt.format(ldt) else TsFmtFrac.format(ldt)
+    case t: java.sql.Timestamp => fmtLdt(t.toLocalDateTime)
+    case ldt: java.time.LocalDateTime => fmtLdt(ldt) // TimestampNTZType
+    case i: java.time.Instant =>
+      fmtLdt(java.time.LocalDateTime.ofInstant(i, java.time.ZoneOffset.UTC))
     case d: java.sql.Date => d.toString
+    case d: java.time.LocalDate => d.toString
     case b: Boolean => if (b) "true" else "false"
     case other => other.toString
   }

@@ -26,8 +26,9 @@ class BdeSpec extends SparkSpec {
     assert(h.table == "crs_parcel_bndry")
     assert(h.start == "2016-06-01 17:12:25")
     assert(h.columns.map(_.name) == Seq("pri_id", "sequence", "reversed", "loaded"))
+    // BDE datetimes are wall-clock → TimestampNTZ
     assert(h.schema.fields.map(_.dataType.typeName).toSeq ==
-      Seq("integer", "long", "string", "timestamp"))
+      Seq("integer", "long", "string", "timestamp_ntz"))
     assert(!h.schema("sequence").nullable)
   }
 
@@ -48,11 +49,13 @@ class BdeSpec extends SparkSpec {
     import org.apache.spark.sql.types._
     val schema = StructType(Seq(
       StructField("id", LongType), StructField("name", StringType),
-      StructField("score", DoubleType), StructField("at", TimestampType)))
+      StructField("score", DoubleType), StructField("at", TimestampNTZType)))
     val rows = Seq(
-      Row(1L, "plain", 1.5, java.sql.Timestamp.valueOf("2024-01-01 10:30:00")),
+      Row(1L, "plain", 1.5,
+        java.time.LocalDateTime.parse("2024-01-01T10:30:00")),
       Row(2L, "pipe|and\\esc\n", -0.25, null),
-      Row(3L, null, 1.0e-7, java.sql.Timestamp.valueOf("2024-01-01 10:30:00.123456")))
+      Row(3L, null, 1.0e-7,
+        java.time.LocalDateTime.parse("2024-01-01T10:30:00.123456")))
     val df = spark.createDataFrame(
       spark.sparkContext.parallelize(rows, 2), schema)
     val dir = s"${sys.props("java.io.tmpdir")}/graft-bde-spec"
@@ -65,7 +68,24 @@ class BdeSpec extends SparkSpec {
     assert(got(1).getString(1) == "pipe|and\\esc\n")
     assert(got(1).isNullAt(3) && got(2).isNullAt(1))
     assert(got(2).getDouble(2) == 1.0e-7)
-    assert(got(2).getTimestamp(3).toString == "2024-01-01 10:30:00.123456")
+    assert(got(2).getAs[java.time.LocalDateTime](3).toString ==
+      "2024-01-01T10:30:00.123456")
+  }
+
+  test("roundtrip keeps NULL distinct from the empty string (\\N marker)") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("s", StringType)))
+    val rows = Seq(Row(1L, ""), Row(2L, null), Row(3L, "\\N"))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+    val dir = s"${sys.props("java.io.tmpdir")}/graft-bde-null-spec"
+    BdeWriter.write(df, dir, "null_spec")
+    val got = BdeReader.read(spark, BdeReader.listFiles(dir))
+      .collect().sortBy(_.getLong(0))
+    assert(got(0).getString(1) == "")     // empty string survives
+    assert(got(1).isNullAt(1))            // NULL survives
+    assert(got(2).getString(1) == "\\N")  // literal backslash-N is escaped, not NULL
   }
 
   test("reader parses the reference sample files") {
