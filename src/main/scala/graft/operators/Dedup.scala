@@ -227,7 +227,8 @@ object Dedup {
 
   /** md5(word) → 64 signed bit contributions (bit j = nibble j/4, position
     * 3−j%4; contribution = 2·bit−1) — the kernel twin of the oracle's `wb`
-    * CTE, computed once per vocabulary word on the driver.
+    * CTE. A pure function of the word, so it is computed executor-side
+    * (memoized per partition); no vocabulary ever leaves the executors.
     */
   private def contribsOf(word: String): Array[Int] = {
     val h = md5hex(word)
@@ -241,40 +242,57 @@ object Dedup {
     out
   }
 
+  /** Max per-partition contribution-memo entries: bounds executor memory on
+    * an unbounded web-corpus vocabulary (past the cap, contributions are
+    * recomputed — an md5 per word occurrence, still executor-local).
+    */
+  private val MemoCap = 1 << 20
+
   /** Per-document 64-bit SimHash signatures as 16-hex-char strings.
     *
-    * Runs as a vocabulary-broadcast kernel: distinct words (lexicon-scale,
-    * the same bound the banded aggregation would put on its broadcast side)
-    * map to precomputed ±1 contribution vectors; each document then needs
-    * one tight 64-wide accumulation instead of a 64× exploded aggregation
-    * (9.6M intermediate rows at sf0.1 — the previous plan's bottleneck).
+    * Runs as a narrow per-partition kernel: each task memoizes
+    * word → ±1 contribution vectors as it streams its documents (the
+    * contribution is a pure function of md5(word), so no vocabulary is
+    * collected or broadcast — the round-1 plan's driver-side vocabulary
+    * collect is gone); each document needs one tight 64-wide accumulation
+    * instead of a 64× exploded aggregation (9.6M intermediate rows at
+    * sf0.1 — the original plan's bottleneck). Zero shuffles, zero driver
+    * state: at 100 TB this is a pure map over the corpus scan.
     */
   def simhashSignatures(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val docs = Tables.documents(s, dir)
       .select(col("doc_id"), norm.as("t")).as[(Long, String)]
-    val vocab = docs.flatMap(_._2.split(' ')).distinct().collect()
-    val bc = s.sparkContext.broadcast(
-      vocab.map(w => w -> contribsOf(w)).toMap)
-    docs.map { case (id, t) =>
-      val sums = new Array[Long](64)
-      t.split(' ').foreach { w =>
-        val c = bc.value(w)
-        var j = 0
-        while (j < 64) { sums(j) += c(j); j += 1 }
-      }
-      val sb = new StringBuilder(16)
-      var n = 0
-      while (n < 16) {
-        var v = 0; var r = 0
-        while (r < 4) {
-          if (sums(n * 4 + r) >= 0) v |= 1 << (3 - r)
-          r += 1
+    docs.mapPartitions { it =>
+      val memo = new java.util.HashMap[String, Array[Int]]()
+      def contribs(w: String): Array[Int] = {
+        var c = memo.get(w)
+        if (c == null) {
+          c = contribsOf(w)
+          if (memo.size < MemoCap) memo.put(w, c)
         }
-        sb.append("0123456789abcdef".charAt(v))
-        n += 1
+        c
       }
-      (id, sb.toString)
+      it.map { case (id, t) =>
+        val sums = new Array[Long](64)
+        t.split(' ').foreach { w =>
+          val c = contribs(w)
+          var j = 0
+          while (j < 64) { sums(j) += c(j); j += 1 }
+        }
+        val sb = new StringBuilder(16)
+        var n = 0
+        while (n < 16) {
+          var v = 0; var r = 0
+          while (r < 4) {
+            if (sums(n * 4 + r) >= 0) v |= 1 << (3 - r)
+            r += 1
+          }
+          sb.append("0123456789abcdef".charAt(v))
+          n += 1
+        }
+        (id, sb.toString)
+      }
     }.toDF("doc_id", "simhash")
   }
 

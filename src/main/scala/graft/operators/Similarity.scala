@@ -1,13 +1,22 @@
 package graft.operators
 
 import graft.Tables
+import graft.functions.GraftFunctions
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Similarity search over the `embeddings` table: embedding-cosine near-dup
-  * pairs, brute-force cosine top-k, and a random-hyperplane-LSH bucketed
-  * variant (the 100 TB path: each probe touches 1/2^b of the corpus).
+  * pairs (banded random-hyperplane LSH + exact verify), brute-force cosine
+  * top-k, single-table LSH ANN and IVF ANN.
+  *
+  * Fully distributed: bucket / band / cell assignment are column
+  * expressions evaluated executor-side, candidate generation is an
+  * equi-join on the bucket key, and every pairwise score runs through the
+  * native `q_dot` Catalyst expression (whole-stage codegen, see
+  * [[graft.functions.QDot]]). Nothing is ever collected to the driver; the
+  * only broadcast sides are the probe set and the centroid set — both
+  * bounded small by construction, exactly like any broadcast-join dim.
   *
   * Cross-engine exactness: float sums are order-dependent, so every vector
   * is first quantized to integers (q = floor(x·10^7 + 0.5)); dot products
@@ -15,10 +24,10 @@ import org.apache.spark.sql.functions._
   * so even the double conversion is exact), and cosine = dot/(√na·√nb) is a
   * deterministic IEEE expression that matches DuckDB bit-for-bit.
   *
-  * The pairwise inner loops run as typed broadcast kernels (see [[qvecs]])
-  * with pure integer dot products; everything around them — probe
-  * selection, ranking windows, thresholds, rounding — stays declarative
-  * DataFrame so Catalyst owns the plan.
+  * Top-k ranking uses a `row_number() <= k` window, which Spark executes
+  * with a map-side WindowGroupLimit (each task keeps only its local top-k
+  * per probe before the shuffle), so the exchange carries O(k·probes) rows
+  * per task, not the full scored set.
   */
 object Similarity {
 
@@ -28,53 +37,28 @@ object Similarity {
   private val QvecSql =
     "list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 10000000 + 0.5) AS BIGINT))"
 
-  /** Integer quantization, the kernel twin of [[QvecSql]]: float→double is
-    * exact, ×10^7 and floor are deterministic IEEE, the result fits a Long.
+  /** Spark twin of [[QvecSql]]: float→double is exact, ×10^7 and floor are
+    * deterministic IEEE, the result fits a Long.
     */
-  private def quant(e: Seq[Float]): Array[Long] = {
-    val q = new Array[Long](e.length)
-    var i = 0
-    while (i < e.length) {
-      q(i) = math.floor(e(i).toDouble * 1e7 + 0.5).toLong; i += 1
-    }
-    q
-  }
+  private val QvecExpr =
+    "transform(embedding, x -> cast(floor(cast(x as double) * 10000000 + 0.5) as bigint))"
 
-  private def norm(q: Array[Long]): Double = {
-    var n2 = 0L; var i = 0
-    while (i < q.length) { n2 += q(i) * q(i); i += 1 }
-    math.sqrt(n2.toDouble)
-  }
-
-  private def dot(a: Array[Long], b: Array[Long]): Long = {
-    var d = 0L; var i = 0
-    while (i < a.length) { d += a(i) * b(i); i += 1 }
-    d
-  }
-
-  import org.apache.spark.sql.Dataset
-
-  /** Quantized vectors as a typed Dataset for the pairwise kernels.
-    *
-    * The all-pairs / top-k inner loops run as broadcast kernels
-    * (`flatMap` over a broadcast of the comparison side): expressing a
-    * 64-term dot product per pair in Catalyst either leaves whole-stage
-    * codegen (higher-order lambdas, interpreted ~10×) or generates
-    * megabyte methods janino spends longer compiling than the data takes
-    * to scan. A tight primitive loop over broadcast arrays is the same
-    * pattern MLlib's brute-force KNN uses. The broadcast side is bounded
-    * exactly like any broadcast join side; the 100 TB path caps it via the
-    * LSH buckets (`annLsh`) before ever going brute force.
+  /** Quantized corpus: `vec_id`, `q` (array<bigint>), `n2` (Σq², via the
+    * native q_dot expression — no higher-order lambda in the per-row norm).
     */
-  private def qvecs(s: SparkSession, dir: String): Dataset[(Long, Array[Long])] = {
-    import s.implicits._
-    Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
-      .as[(Long, Seq[Float])]
-      .map { case (id, e) => (id, quant(e)) }
+  private def qdf(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    Tables.embeddings(s, dir)
+      .select(col("vec_id"), expr(QvecExpr).as("q"))
+      .withColumn("n2", expr("q_dot(q, q)"))
   }
 
-  private def collectVecs(s: SparkSession, dir: String): Array[(Long, Array[Long], Double)] =
-    qvecs(s, dir).collect().sortBy(_._1).map { case (id, q) => (id, q, norm(q)) }
+  /** The probe set is a FILTER of the corpus (vec_id ≡ 0 mod 50), kept as a
+    * DataFrame so `broadcast()` ships the filtered plan — never a driver
+    * collect.
+    */
+  private def probesOf(df: DataFrame): DataFrame =
+    df.filter(col("vec_id") % 50 === 0)
 
   /** Shared oracle prelude: quantized vectors + integer norms. DuckDB's
     * list_sum returns HUGEINT; cast back to BIGINT (values fit in 2^53).
@@ -85,67 +69,136 @@ object Similarity {
              CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS n2
            FROM e)"""
 
-  // ------------------------------------------------------ cosine near-dups
-
-  /** All-pairs cosine near-dup detection (threshold 0.45). Brute force is
-    * the correctness baseline; at scale the LSH bucketing below prefilters
-    * candidates. The join is a broadcast nested loop over the (small)
-    * vector side — at 100 TB this operator runs after `annLshBuckets`
-    * restricts pairs to shared buckets.
-    */
-  def dedupEmbedding(s: SparkSession, dir: String,
-                     threshold: Double = 0.45): DataFrame = {
-    import s.implicits._
-    val bc = s.sparkContext.broadcast(collectVecs(s, dir))
-    qvecs(s, dir)
-      .flatMap { case (ida, qa) =>
-        val na = norm(qa)
-        bc.value.iterator
-          .filter(_._1 > ida)
-          .map { case (idb, qb, nb) =>
-            (ida, idb, dot(qa, qb).toDouble / (na * nb))
-          }
-          .filter(_._3 >= threshold)
-      }
-      .toDF("id_a", "id_b", "cos_raw")
-      .select(col("id_a"), col("id_b"), round(col("cos_raw"), 6).as("cos"))
-      .orderBy("id_a", "id_b")
-  }
-
   private val PairCosSql =
     "CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE)))"
 
+  /** `dot/(√na·√nb)` with the exact same operation order as [[PairCosSql]]
+    * so the IEEE result matches DuckDB bit-for-bit.
+    */
+  private def cosCol(dot: Column, na: Column, nb: Column): Column =
+    dot.cast("double") / (sqrt(na.cast("double")) * sqrt(nb.cast("double")))
+
+  // ------------------------------------------------- random-hyperplane LSH
+
+  private val NumPlanes = 8   // single-bucket ANN path
+  private val DedupBands = 4  // banded near-dup path: 4 bands × 4 planes
+  private val BandPlanes = 4
+
+  private def md5hex(v: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(v.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  /** ±1 hyperplane weights, derived from md5 exactly as the oracle SQL
+    * derives them (`md5(h || ':' || i)` first-nibble parity). Pure
+    * constants (16×64 ints) folded into literal arrays — the projection is
+    * `q_dot(q, <literal array>)`, evaluated executor-side in codegen.
+    */
+  private lazy val planeWeights: Seq[Seq[Int]] =
+    (0 until DedupBands * BandPlanes).map { h =>
+      (1 to Dim).map { i =>
+        if (Integer.parseInt(md5hex(s"$h:$i").substring(0, 1), 16) % 2 == 0) 1
+        else -1
+      }
+    }
+
+  /** Projection of `q` onto plane `h` as a native-codegen dot product. */
+  private def planeCol(h: Int): Column =
+    expr(s"q_dot(q, array(${planeWeights(h).map(w => s"${w}L").mkString(",")}))")
+
+  /** Single LSH bucket: sign bits of the first `n` plane projections. */
+  private def bucketCol(n: Int): Column =
+    (0 until n).map(h => when(planeCol(h) >= 0, lit(1L << h)).otherwise(0L))
+      .reduce(_ + _)
+
+  /** Per-band 4-bit signature for the banded near-dup path. */
+  private def bandSigCol(b: Int): Column =
+    (0 until BandPlanes)
+      .map(r => when(planeCol(b * BandPlanes + r) >= 0, lit(1L << r)).otherwise(0L))
+      .reduce(_ + _)
+
+  /** Oracle CTEs for plane projections over `nPlanes` planes (append after
+    * [[QuantSql]]); yields `proj(vec_id, h, proj)`.
+    */
+  private def projSql(nPlanes: Int): String = s"""
+    planes AS (
+      SELECT h, i,
+        CASE WHEN (instr('0123456789abcdef',
+            substring(md5(h || ':' || i), 1, 1)) - 1) % 2 = 0
+          THEN 1 ELSE -1 END AS w
+      FROM (SELECT unnest(generate_series(0, ${nPlanes - 1})) AS h),
+           (SELECT unnest(generate_series(1, $Dim)) AS i)),
+    comps AS (
+      SELECT vec_id, unnest(q) AS qv,
+             unnest(generate_series(1, len(q))) AS i
+      FROM qn),
+    proj AS (
+      SELECT vec_id, h, sum(w * qv) AS proj
+      FROM comps JOIN planes USING (i) GROUP BY 1, 2)"""
+
+  // ------------------------------------------------------ cosine near-dups
+
+  /** Banded-LSH cosine near-dup detection (threshold 0.45): candidates are
+    * pairs agreeing on all 4 sign bits of at least one of 4 bands (an
+    * equi-join on `(band, sig)` — the shuffle key), then verified with the
+    * exact cosine. This is the 100 TB plan: no all-pairs comparison
+    * anywhere; recall is tuned by the band/plane counts (more bands →
+    * higher recall, more planes per band → smaller buckets), the same
+    * tradeoff the MinHash-LSH text path exposes.
+    */
+  def dedupEmbedding(s: SparkSession, dir: String,
+                     threshold: Double = 0.45): DataFrame = {
+    val qn = qdf(s, dir)
+    val sigs = (0 until DedupBands).map(bandSigCol)
+    val bands = qn.select(col("vec_id"),
+      posexplode(array(sigs: _*)).as(Seq("band", "sig")))
+    val cand = bands.alias("a")
+      .join(bands.alias("b"),
+        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
+      .distinct()
+    val scored = cand
+      .join(qn.select(col("vec_id").as("id_a"), col("q").as("qa"),
+        col("n2").as("na")), "id_a")
+      .join(qn.select(col("vec_id").as("id_b"), col("q").as("qb"),
+        col("n2").as("nb")), "id_b")
+      .withColumn("dot", expr("q_dot(qa, qb)"))
+    val cos = cosCol(col("dot"), col("na"), col("nb"))
+    scored.filter(cos >= threshold)
+      .select(col("id_a"), col("id_b"), round(cos, 6).as("cos"))
+      .orderBy("id_a", "id_b")
+  }
+
   val dedupEmbeddingSql: String = s"""
     WITH $QuantSql,
+    ${projSql(DedupBands * BandPlanes)},
+    bands AS (
+      SELECT vec_id, h // $BandPlanes AS band,
+        sum(CASE WHEN proj >= 0 THEN 1 ELSE 0 END * (1 << (h % $BandPlanes)))
+          AS sig
+      FROM proj GROUP BY 1, 2),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.sig = b.sig AND a.vec_id < b.vec_id),
     pairs AS (
-      SELECT x.vec_id AS id_a, y.vec_id AS id_b, x.n2 AS na, y.n2 AS nb,
+      SELECT id_a, id_b, x.n2 AS na, y.n2 AS nb,
         CAST(list_sum(list_transform(generate_series(1, len(x.q)),
           i -> x.q[i] * y.q[i])) AS BIGINT) AS dot
-      FROM qn x JOIN qn y ON x.vec_id < y.vec_id)
+      FROM cand JOIN qn x ON id_a = x.vec_id JOIN qn y ON id_b = y.vec_id)
     SELECT id_a, id_b, round($PairCosSql, 6) AS cos
     FROM pairs WHERE $PairCosSql >= 0.45
     ORDER BY id_a, id_b"""
 
   // ----------------------------------------------------------- top-k (ANN)
 
-  /** Brute-force cosine top-k for a probe set (vec_id % 50 = 0): the exact
-    * baseline every ANN variant is measured against. Probes are broadcast;
-    * ranking is a per-probe window.
+  /** Shared tail: score (probe, candidate) rows with q_dot and keep the
+    * per-probe top-k by cosine. Expects columns `probe_id, pq, pn2, vec_id,
+    * q, n2`.
     */
-  def annTopk(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
-    import s.implicits._
-    val probes = s.sparkContext.broadcast(
-      collectVecs(s, dir).filter(_._1 % 50 == 0))
-    val scored = qvecs(s, dir)
-      .flatMap { case (idy, qy) =>
-        val ny = norm(qy)
-        probes.value.iterator
-          .filter(_._1 != idy)
-          .map { case (idx, qx, nx) =>
-            (idx, idy, dot(qx, qy).toDouble / (nx * ny))
-          }
-      }
-      .toDF("probe_id", "vec_id", "cos_raw")
+  private def topkTail(paired: DataFrame, k: Int): DataFrame = {
+    val scored = paired.withColumn("dot", expr("q_dot(pq, q)"))
+      .withColumn("cos_raw", cosCol(col("dot"), col("pn2"), col("n2")))
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("cos_raw").desc, col("vec_id"))
     scored
@@ -154,6 +207,18 @@ object Similarity {
       .select(col("probe_id"), col("rank"), col("vec_id"),
         round(col("cos_raw"), 6).as("cos"))
       .orderBy("probe_id", "rank")
+  }
+
+  /** Brute-force cosine top-k for the probe set: the exact baseline every
+    * ANN variant is measured against. The probe side is a broadcast of the
+    * *filtered plan* (no collect); scoring is a broadcast nested-loop over
+    * the corpus scan with q_dot inside the generated stage.
+    */
+  def annTopk(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val qn = qdf(s, dir)
+    val probes = probesOf(qn).select(col("vec_id").as("probe_id"),
+      col("q").as("pq"), col("n2").as("pn2"))
+    topkTail(qn.join(broadcast(probes), col("probe_id") =!= col("vec_id")), k)
   }
 
   def annTopkSql(k: Int = 5): String = s"""
@@ -173,100 +238,28 @@ object Similarity {
            round(cos_raw, 6) AS cos
     FROM scored WHERE rank <= $k ORDER BY probe_id, rank"""
 
-  // ------------------------------------------------- random-hyperplane LSH
-
-  private val NumPlanes = 8
-
-  private def md5hex(v: String): String =
-    java.security.MessageDigest.getInstance("MD5")
-      .digest(v.getBytes("UTF-8")).map("%02x".format(_)).mkString
-
-  /** ±1 hyperplane weights, derived from md5 exactly as the oracle SQL
-    * derives them (`md5(h || ':' || i)` first-nibble parity) — computed once
-    * on the driver so the projection is a pure literal expression, no join.
-    */
-  private lazy val planeWeights: Seq[Seq[Int]] =
-    (0 until NumPlanes).map { h =>
-      (1 to Dim).map { i =>
-        if (Integer.parseInt(md5hex(s"$h:$i").substring(0, 1), 16) % 2 == 0) 1
-        else -1
-      }
-    }
-
-  /** Per-vector LSH bucket: sign bits of the 8 md5-derived ±1 hyperplane
-    * projections (pure integer math, identical to the oracle's SQL form).
-    */
-  def bucketOf(q: Array[Long]): Long = {
-    var b = 0L; var h = 0
-    while (h < NumPlanes) {
-      val w = planeWeights(h)
-      var p = 0L; var i = 0
-      while (i < q.length) { p += q(i) * w(i); i += 1 }
-      if (p >= 0) b |= (1L << h)
-      h += 1
-    }
-    b
-  }
-
-  def lshBuckets(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    qvecs(s, dir).map { case (id, q) => (id, bucketOf(q)) }
-      .toDF("vec_id", "bucket")
-  }
-
-  val LshBucketsSql: String = s"""
-    planes AS (
-      SELECT h, i,
-        CASE WHEN (instr('0123456789abcdef',
-            substring(md5(h || ':' || i), 1, 1)) - 1) % 2 = 0
-          THEN 1 ELSE -1 END AS w
-      FROM (SELECT unnest(generate_series(0, ${NumPlanes - 1})) AS h),
-           (SELECT unnest(generate_series(1, 64)) AS i)),
-    comps AS (
-      SELECT vec_id, unnest(q) AS qv,
-             unnest(generate_series(1, len(q))) AS i
-      FROM qn),
-    proj AS (
-      SELECT vec_id, h, sum(w * qv) AS proj
-      FROM comps JOIN planes USING (i) GROUP BY 1, 2),
-    buckets AS (
-      SELECT vec_id,
-        sum(CASE WHEN proj >= 0 THEN 1 ELSE 0 END * (1 << h)) AS bucket
-      FROM proj GROUP BY vec_id)"""
-
-  /** Bucketed ANN: probes only score candidates in their own bucket —
-    * the scale path (each probe touches ~1/2^8 of the corpus; more planes
-    * shrink the slice further). Rank within bucket, top-k per probe.
+  /** Bucketed ANN: probes only score candidates in their own bucket — the
+    * scale path (each probe touches ~1/2^8 of the corpus; more planes
+    * shrink the slice further). Bucket assignment is a column expression on
+    * both sides; the join is a broadcast hash join on the bucket key.
     */
   def annLsh(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
-    import s.implicits._
-    val probes = s.sparkContext.broadcast(
-      collectVecs(s, dir).filter(_._1 % 50 == 0)
-        .map { case (id, q, n) => (id, q, n, bucketOf(q)) })
-    val scored = qvecs(s, dir)
-      .flatMap { case (idy, qy) =>
-        val ny = norm(qy)
-        val by = bucketOf(qy)
-        probes.value.iterator
-          .filter { case (idx, _, _, bx) => idx != idy && bx == by }
-          .map { case (idx, qx, nx, _) =>
-            (idx, idy, dot(qx, qy).toDouble / (nx * ny))
-          }
-      }
-      .toDF("probe_id", "vec_id", "cos_raw")
-    val w = Window.partitionBy(col("probe_id"))
-      .orderBy(col("cos_raw").desc, col("vec_id"))
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("probe_id"), col("rank"), col("vec_id"),
-        round(col("cos_raw"), 6).as("cos"))
-      .orderBy("probe_id", "rank")
+    val qb = qdf(s, dir).withColumn("bucket", bucketCol(NumPlanes))
+    val probes = probesOf(qb).select(col("vec_id").as("probe_id"),
+      col("q").as("pq"), col("n2").as("pn2"), col("bucket").as("pbucket"))
+    topkTail(
+      qb.join(broadcast(probes),
+        col("pbucket") === col("bucket") && col("probe_id") =!= col("vec_id")),
+      k)
   }
 
   def annLshSql(k: Int = 5): String = s"""
     WITH $QuantSql,
-    $LshBucketsSql,
+    ${projSql(NumPlanes)},
+    buckets AS (
+      SELECT vec_id,
+        sum(CASE WHEN proj >= 0 THEN 1 ELSE 0 END * (1 << h)) AS bucket
+      FROM proj GROUP BY vec_id),
     qb AS (SELECT qn.vec_id, q, n2, bucket
            FROM qn JOIN buckets USING (vec_id)),
     pairs AS (
@@ -290,63 +283,41 @@ object Similarity {
   private val CentroidMod = 97
   private val NProbe = 2
 
-  /** Squared L2 between quantized vectors — exact integer math (diffs ≤
-    * 2·10^7, squares ≤ 4·10^14, 64 terms < 2^63).
-    */
-  private def dist2(a: Array[Long], b: Array[Long]): Long = {
-    var d = 0L; var i = 0
-    while (i < a.length) { val t = a(i) - b(i); d += t * t; i += 1 }
-    d
-  }
-
-  /** Nearest-centroid cell id (tie-break: smaller centroid id). */
-  private def cellOf(q: Array[Long],
-                     cents: Array[(Long, Array[Long], Double)]): Long = {
-    var best = Long.MaxValue; var cell = Long.MaxValue
-    cents.foreach { case (cid, cq, _) =>
-      val d = dist2(q, cq)
-      if (d < best || (d == best && cid < cell)) { best = d; cell = cid }
-    }
-    cell
-  }
-
   /** IVF-flat ANN: a deterministic coarse quantizer (every 97th vector is a
     * centroid — sampling in place of k-means training keeps the oracle
     * SQL-expressible), inverted lists per cell, probes scan their `NProbe`
-    * nearest cells only. The third scale regime: LSH cuts by signature,
-    * IVF cuts by geometry; at 100 TB the inverted lists are the partition
-    * keys and each probe touches nprobe/ncells of the corpus.
+    * nearest cells only. Cell assignment is a broadcast join against the
+    * centroid set + a map-side-combining `min_by` aggregation (no window
+    * over the corpus); only the probe set goes through a rank window for
+    * its nprobe cells. At 100 TB the inverted lists are the partition keys
+    * and each probe touches nprobe/ncells of the corpus; the centroid count
+    * is a fixed parameter, so the assignment join stays broadcastable.
     */
   def annIvf(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
-    import s.implicits._
-    val cents = s.sparkContext.broadcast(
-      collectVecs(s, dir).filter(_._1 % CentroidMod == 0))
-    val probes = s.sparkContext.broadcast(
-      collectVecs(s, dir).filter(_._1 % 50 == 0).map { case (id, q, n) =>
-        val cells = cents.value
-          .map { case (cid, cq, _) => (dist2(q, cq), cid) }
-          .sorted.take(NProbe).map(_._2).toSet
-        (id, q, n, cells)
-      })
-    val scored = qvecs(s, dir)
-      .flatMap { case (idy, qy) =>
-        val ny = norm(qy)
-        val cy = cellOf(qy, cents.value)
-        probes.value.iterator
-          .filter { case (idx, _, _, cells) => idx != idy && cells(cy) }
-          .map { case (idx, qx, nx, _) =>
-            (idx, idy, dot(qx, qy).toDouble / (nx * ny))
-          }
-      }
-      .toDF("probe_id", "vec_id", "cos_raw")
-    val w = Window.partitionBy(col("probe_id"))
-      .orderBy(col("cos_raw").desc, col("vec_id"))
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("probe_id"), col("rank"), col("vec_id"),
-        round(col("cos_raw"), 6).as("cos"))
-      .orderBy("probe_id", "rank")
+    val qn = qdf(s, dir)
+    val cents = qn.filter(col("vec_id") % CentroidMod === 0)
+      .select(col("vec_id").as("cid"), col("q").as("cq"), col("n2").as("cn2"))
+    // d2(q, c) = n2 − 2·q·c + cn2: exact integer squared-L2, one q_dot per
+    // (vector, centroid) pair
+    val asg = qn.join(broadcast(cents))
+      .withColumn("d2",
+        col("n2") - lit(2L) * expr("q_dot(q, cq)") + col("cn2"))
+    // corpus → nearest cell: min_by aggregates partially (map-side combine),
+    // carrying q/n2 through (functionally dependent on vec_id)
+    val cells = asg.groupBy(col("vec_id"))
+      .agg(min_by(col("cid"), struct(col("d2"), col("cid"))).as("cell"),
+        first(col("q")).as("q"), first(col("n2")).as("n2"))
+    // probes → nprobe nearest cells: rank window over the (small) probe set
+    val pw = Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("cid"))
+    val probeCells = probesOf(asg)
+      .withColumn("rn", row_number().over(pw))
+      .filter(col("rn") <= NProbe)
+      .select(col("vec_id").as("probe_id"), col("cid").as("pcell"),
+        col("q").as("pq"), col("n2").as("pn2"))
+    topkTail(
+      cells.join(broadcast(probeCells),
+        col("pcell") === col("cell") && col("probe_id") =!= col("vec_id")),
+      k)
   }
 
   def annIvfSql(k: Int = 5): String = s"""
