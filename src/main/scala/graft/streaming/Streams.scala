@@ -29,7 +29,16 @@ case class KeyState(key: Long, payload: Double, last_seq: Long, n_changes: Int)
   */
 object ChangesetStream {
 
-  /** Apply a change stream; emit the surviving state per key on update. */
+  /** Apply a change stream; emit the surviving state per key on update.
+    *
+    * Replay/late-arrival idempotency: records whose `seq` is not beyond the
+    * state's `last_seq` are skipped, so an at-least-once source re-delivering
+    * a micro-batch cannot re-apply stale changes. Caveat: a delete removes
+    * the state (and with it `last_seq`) — a replay arriving *after* a delete
+    * of the same key re-applies; keys that are deleted and replayed in the
+    * same batch are still handled correctly because the watermark var below
+    * survives the delete within the invocation.
+    */
   def latestState(changes: Dataset[ChangeRecord]): Dataset[KeyState] = {
     import changes.sparkSession.implicits._
     changes
@@ -40,11 +49,15 @@ object ChangesetStream {
           val ordered = records.toSeq.sortBy(_.seq)
           var cur = state.getOption
           var n = cur.map(_.n_changes).getOrElse(0)
+          var lastSeq = cur.map(_.last_seq).getOrElse(Long.MinValue)
           ordered.foreach { r =>
-            n += 1
-            r.action match {
-              case "D" => cur = None
-              case _ => cur = Some(KeyState(key, r.payload, r.seq, n))
+            if (r.seq > lastSeq) {
+              lastSeq = r.seq
+              n += 1
+              r.action match {
+                case "D" => cur = None
+                case _ => cur = Some(KeyState(key, r.payload, r.seq, n))
+              }
             }
           }
           cur match {

@@ -36,6 +36,32 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("changeset stream: replayed and late records are idempotent") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[ChangeRecord]
+    val query = ChangesetStream.latestState(input.toDS())
+      .writeStream.format("memory").queryName("chg_replay")
+      .outputMode(OutputMode.Update).start()
+    try {
+      input.addData(ChangeRecord(1, "I", 10.0, 1), ChangeRecord(1, "U", 11.0, 2))
+      query.processAllAvailable()
+      // an at-least-once source re-delivers seq 1 and 2 in a later batch:
+      // stale changes must not re-apply (payload stays 11.0, n_changes 2)
+      input.addData(ChangeRecord(1, "I", 10.0, 1), ChangeRecord(1, "U", 11.0, 2))
+      query.processAllAvailable()
+      val k1 = spark.table("chg_replay").collect()
+        .filter(_.getLong(0) == 1L).maxBy(_.getAs[Long]("last_seq"))
+      assert(k1.getDouble(1) == 11.0 && k1.getAs[Int]("n_changes") == 2)
+      // a genuinely new change still applies
+      input.addData(ChangeRecord(1, "U", 12.0, 3))
+      query.processAllAvailable()
+      val k1b = spark.table("chg_replay").collect()
+        .filter(_.getLong(0) == 1L).maxBy(_.getAs[Long]("last_seq"))
+      assert(k1b.getDouble(1) == 12.0 && k1b.getAs[Int]("n_changes") == 3)
+    } finally query.stop()
+  }
+
   test("stream dedup drops re-delivered ids across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
