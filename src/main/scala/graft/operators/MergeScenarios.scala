@@ -19,6 +19,25 @@ import org.apache.spark.sql.functions._
   */
 object MergeScenarios {
 
+  /** The scenario's table registry in the reference `tables.conf` format
+    * (`BdeUpload.pm:125 _read_config`): the key column driving
+    * `apply_changeset` and the row tolerances driving `row_count_check`
+    * come from here, not from code — declaring a new table is a config
+    * edit, as in the reference. `row_tol=e,w` is (error, warning).
+    */
+  private val RegistryConf = """
+    # graft gate registry (reference tables.conf format)
+    TABLE l5_change_table                                  files xaud
+    TABLE orders    key=o_orderkey  row_tol=0.15,0.02      files ord
+    TABLE lineitem  key=l_orderkey  row_tol=0.20,0.95      files lin1 lin2
+  """
+
+  private[graft] val registry: Map[String, graft.sources.BdeTableDef] =
+    graft.sources.BdeConfig.parseTables(RegistryConf).map(t => t.name -> t).toMap
+
+  private val ordersDef = registry("orders")
+  private val OrdersKey = ordersDef.keyColumn.get
+
   private def base(s: SparkSession, dir: String): DataFrame =
     Tables.orders(s, dir).withColumn("o_uniq", col("o_orderkey") * 2)
 
@@ -109,8 +128,8 @@ object MergeScenarios {
     val c = cur(s, dir).cache()
     val i = incoming(s, dir).cache()
     val actions = Merge.changesetActions(c, i, changeKeys(s, dir),
-      "o_orderkey", uniqueCols = Seq("o_uniq")).cache()
-    Merge.applyActions(c, i, actions, "o_orderkey").orderBy("o_orderkey")
+      OrdersKey, uniqueCols = Seq("o_uniq")).cache()
+    Merge.applyActions(c, i, actions, OrdersKey).orderBy(OrdersKey)
   }
 
   // Merged result = cur minus every announced key that leaves (deletes and
@@ -129,7 +148,7 @@ object MergeScenarios {
   def mergeCounts(s: SparkSession, dir: String): DataFrame =
     Merge.counts(Merge.changesetActions(cur(s, dir).cache(),
       incoming(s, dir).cache(),
-      changeKeys(s, dir), "o_orderkey", uniqueCols = Seq("o_uniq")))
+      changeKeys(s, dir), OrdersKey, uniqueCols = Seq("o_uniq")))
 
   val mergeCountsSql: String = s"""$Ctes,
     c AS (SELECT * FROM cur WHERE o_orderkey IN (SELECT o_orderkey FROM chg)),
@@ -167,7 +186,8 @@ object MergeScenarios {
     ORDER BY o_orderkey"""
 
   /** Count-tolerance validation over three derived table pairs: identical
-    * (ok), ~10% shrink (warn at 2%), ~33% shrink (error at 15%).
+    * (ok), ~10% shrink (warn), ~33% shrink (error) — thresholds from the
+    * registry's `row_tol` for `orders` (error 0.15, warning 0.02).
     */
   def rowCountCheck(s: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(s, dir)
@@ -183,7 +203,8 @@ object MergeScenarios {
           count(when(col("o_orderkey") % 3 =!= 0, 1)).as("a"))
           .select(lit("orders_drop_mod3").as("check_name"),
             col("e").as("expected_count"), col("a").as("actual_count")))
-    Merge.rowCountChecks(checks, warnTol = 0.02, errTol = 0.15)
+    Merge.rowCountChecks(checks,
+      warnTol = ordersDef.rowTolWarning.get, errTol = ordersDef.rowTolError.get)
       .orderBy("check_name")
   }
 

@@ -1,17 +1,20 @@
 package graft.sources
 
-import java.io.{BufferedWriter, FileOutputStream, OutputStreamWriter}
+import java.io.{BufferedWriter, OutputStreamWriter}
 import java.nio.charset.StandardCharsets
 import java.time.format.DateTimeFormatter
 import java.util.zip.GZIPOutputStream
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.types._
 
 /** Distributed BDE (.crs / .crs.gz) writer: one self-describing file per
   * partition, each with its own header — the same shape the reference
   * consumes (a dataset directory of per-table .crs files). Executors stream
-  * rows straight to disk; nothing is collected on the driver.
+  * rows straight to the Hadoop FileSystem resolved from the driver's
+  * configuration (local disk, HDFS or an object store); nothing but the
+  * written path names is collected on the driver.
   */
 object BdeWriter {
 
@@ -63,18 +66,22 @@ object BdeWriter {
             start: String = "2026-01-01 00:00:00",
             end: String = "2026-01-01 00:00:00",
             gzip: Boolean = false): Seq[String] = {
-    val dir = new java.io.File(outDir)
-    dir.mkdirs()
-    Option(dir.listFiles()).getOrElse(Array.empty)
-      .filter(_.getName.startsWith("part-")).foreach(_.delete())
+    val hconf = new SerializableHadoopConf(
+      df.sparkSession.sparkContext.hadoopConfiguration)
+    val dirPath = new Path(outDir)
+    val fs = dirPath.getFileSystem(hconf.value)
+    fs.mkdirs(dirPath)
+    fs.listStatus(dirPath)
+      .filter(_.getPath.getName.startsWith("part-"))
+      .foreach(st => fs.delete(st.getPath, false))
     val schema = df.schema
     val head = headerText(table, schema, start, end)
     val ext = if (gzip) ".crs.gz" else ".crs"
     df.rdd.mapPartitionsWithIndex { (idx, rows) =>
       if (rows.isEmpty) Iterator.empty
       else {
-        val path = f"$outDir/part-$idx%05d$ext"
-        val raw = new FileOutputStream(path)
+        val path = new Path(f"$outDir/part-$idx%05d$ext")
+        val raw = path.getFileSystem(hconf.value).create(path, true)
         val out = if (gzip) new GZIPOutputStream(raw) else raw
         val w = new BufferedWriter(
           new OutputStreamWriter(out, StandardCharsets.UTF_8))
@@ -86,8 +93,8 @@ object BdeWriter {
             w.write("\n")
           }
         } finally w.close()
-        Iterator(path)
+        Iterator(path.toString)
       }
-    }.collect().toSeq.sorted
+    }.collect().toSeq.sorted // paths only (metadata), never row data
   }
 }
