@@ -112,6 +112,35 @@ object Merge {
   def counts(actions: DataFrame): DataFrame =
     actions.groupBy(col(Action)).agg(count(lit(1)).as("n")).orderBy(col(Action))
 
+  /** Durable apply bookkeeping — the `_bde_RecordDatasetLoaded` record
+    * (`sql/02-bde_control_functions.sql.in:975`): one row per
+    * (dataset, table) apply with insert / update / null-update / delete
+    * counts. `X` actions are applied as delete+insert to protect
+    * uniqueness, so they count toward both. A single partial-aggregating
+    * pass over the action frame — at 100 TB this adds one scalar row per
+    * apply, not a shuffle.
+    */
+  def bookkeeping(actions: DataFrame, dataset: String, table: String): DataFrame =
+    actions.agg(
+      count(when(col(Action).isin("I", "X"), 1)).as("n_insert"),
+      count(when(col(Action) === "U", 1)).as("n_update"),
+      count(when(col(Action) === "0", 1)).as("n_null_update"),
+      count(when(col(Action).isin("D", "X"), 1)).as("n_delete"))
+      .select(lit(dataset).as("dataset"), lit(table).as("tablename"),
+        col("n_insert"), col("n_update"), col("n_null_update"), col("n_delete"))
+
+  /** Changeset apply that also emits its bookkeeping: the merged table plus
+    * the `_bde_RecordDatasetLoaded`-shaped stats row, with the load
+    * duration stamped at persist time by [[graft.sources.ParquetSink
+    * .writeApplyResult]]. Callers that only need the table keep using
+    * [[applyActions]].
+    */
+  def applyWithBookkeeping(cur: DataFrame, incoming: DataFrame,
+                           actions: DataFrame, key: String,
+                           dataset: String, table: String): (DataFrame, DataFrame) =
+    (applyActions(cur, incoming, actions, key),
+      bookkeeping(actions, dataset, table))
+
   /** Announced keys for one table from a reference-format change table
     * (`(id, tablename, tablekeyvalue, action, timestamp)` — the level-5
     * stream in `t/data/xaud.crs`). Actions in the file are advisory only;

@@ -162,6 +162,36 @@ object MergeScenarios {
       FROM c FULL OUTER JOIN i ON c.o_orderkey = i.o_orderkey)
     SELECT action, COUNT(*) AS n FROM acts GROUP BY action ORDER BY action"""
 
+  /** Bookkeeping of an actual apply (`_bde_RecordDatasetLoaded` shape): the
+    * level-5 classification above, aggregated to the per-(dataset, table)
+    * stats row the reference persists after every load. The oracle
+    * recomputes the same classification and counts independently.
+    */
+  def applyBookkeeping(s: SparkSession, dir: String): DataFrame = {
+    val c = cur(s, dir).cache()
+    val i = incoming(s, dir).cache()
+    val actions = Merge.changesetActions(c, i, changeKeys(s, dir),
+      OrdersKey, uniqueCols = Seq("o_uniq"))
+    Merge.bookkeeping(actions, dataset = "20260101000000", table = "orders")
+  }
+
+  val applyBookkeepingSql: String = s"""$Ctes,
+    c AS (SELECT * FROM cur WHERE o_orderkey IN (SELECT o_orderkey FROM chg)),
+    i AS (SELECT * FROM inc WHERE o_orderkey IN (SELECT o_orderkey FROM chg)),
+    acts AS (
+      SELECT CASE WHEN i.o_orderkey IS NULL THEN 'D'
+                  WHEN c.o_orderkey IS NULL THEN 'I'
+                  WHEN ${eqSql("c", "i")} THEN '0'
+                  WHEN NOT (c.o_uniq IS NOT DISTINCT FROM i.o_uniq) THEN 'X'
+                  ELSE 'U' END AS action
+      FROM c FULL OUTER JOIN i ON c.o_orderkey = i.o_orderkey)
+    SELECT '20260101000000' AS dataset, 'orders' AS tablename,
+      COUNT(*) FILTER (WHERE action IN ('I', 'X')) AS n_insert,
+      COUNT(*) FILTER (WHERE action = 'U') AS n_update,
+      COUNT(*) FILTER (WHERE action = '0') AS n_null_update,
+      COUNT(*) FILTER (WHERE action IN ('D', 'X')) AS n_delete
+    FROM acts"""
+
   /** Missed-key repair: incoming images that re-key existing rows (same
     * `o_uniq`, different key) force the old keys into the change set.
     */
@@ -228,6 +258,7 @@ object MergeScenarios {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "table_diff" -> (tableDiff _),
     "apply_changeset" -> (applyChangeset _),
+    "apply_bookkeeping" -> (applyBookkeeping _),
     "merge_counts" -> (mergeCounts _),
     "fix_changed_inc_keys" -> (fixChangedIncKeys _),
     "row_count_check" -> (rowCountCheck _))
@@ -235,6 +266,7 @@ object MergeScenarios {
   val oracles: Map[String, String] = Map(
     "table_diff" -> tableDiffSql,
     "apply_changeset" -> applyChangesetSql,
+    "apply_bookkeeping" -> applyBookkeepingSql,
     "merge_counts" -> mergeCountsSql,
     "fix_changed_inc_keys" -> fixChangedIncKeysSql,
     "row_count_check" -> rowCountCheckSql)

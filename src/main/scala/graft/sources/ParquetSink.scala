@@ -28,6 +28,24 @@ object ParquetSink {
   def writeVersioned(store: DataFrame, path: String): Unit =
     writePartitioned(store, path, Seq(Versioned.Created))
 
+  /** Persist an apply result with its bookkeeping, reference-style
+    * (`_bde_RecordDatasetLoaded` + the event log): the merged table lands
+    * under `<path>/data`, the stats row — stamped with the measured load
+    * duration — is appended under `<path>/bookkeeping` partitioned by
+    * dataset, so the upload history accumulates across applies and stays
+    * partition-prunable by dataset.
+    */
+  def writeApplyResult(merged: DataFrame, bookkeeping: DataFrame,
+                       path: String): Unit = {
+    import org.apache.spark.sql.functions.lit
+    val t0 = System.nanoTime()
+    merged.write.mode("overwrite").parquet(s"$path/data")
+    val secs = (System.nanoTime() - t0) / 1e9
+    bookkeeping.withColumn("duration_secs", lit(secs))
+      .write.mode("append").partitionBy("dataset")
+      .parquet(s"$path/bookkeeping")
+  }
+
   /** Read a versioned store back with partition pruning intact. */
   def readVersioned(spark: org.apache.spark.sql.SparkSession,
                     path: String): DataFrame =

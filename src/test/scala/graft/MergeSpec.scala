@@ -69,4 +69,27 @@ class MergeSpec extends SparkSpec {
     // keys stay unique through the apply
     assert(merged.select("o_orderkey").distinct().count() == merged.count())
   }
+
+  test("applyWithBookkeeping persists the stats row alongside the result") {
+    val cur = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")
+    val inc = Seq((2L, "b2"), (4L, "d")).toDF("id", "v")
+    val keys = Seq(2L, 3L, 4L).toDF("id")
+    val actions = Merge.changesetActions(cur, inc, keys, "id")
+    val (merged, stats) =
+      Merge.applyWithBookkeeping(cur, inc, actions, "id", "20240101000000", "t")
+    val path = java.nio.file.Files.createTempDirectory("graft-apply").toString
+    graft.sources.ParquetSink.writeApplyResult(merged, stats, path)
+    // second dataset: bookkeeping accumulates by partition
+    graft.sources.ParquetSink.writeApplyResult(merged,
+      Merge.bookkeeping(actions, "20240102000000", "t"), path)
+    val data = spark.read.parquet(s"$path/data")
+    assert(data.collect().map(r => r.getLong(0) -> r.getString(1)).toMap ==
+      Map(1L -> "a", 2L -> "b2", 4L -> "d")) // U applied, D removed, I added
+    val bk = spark.read.parquet(s"$path/bookkeeping")
+    assert(bk.count() == 2) // one stats row per dataset apply, appended
+    val row = bk.filter(bk("dataset") === "20240101000000").collect().head
+    assert(row.getAs[Long]("n_insert") == 1 && row.getAs[Long]("n_update") == 1
+      && row.getAs[Long]("n_delete") == 1)
+    assert(row.getAs[Double]("duration_secs") > 0.0)
+  }
 }
