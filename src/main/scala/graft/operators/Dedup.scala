@@ -89,9 +89,14 @@ object Dedup {
       FROM inter JOIN sz x ON id_a = x.doc_id JOIN sz y ON id_b = y.doc_id
       WHERE CAST(c AS DOUBLE) / CAST(x.n + y.n - c AS DOUBLE) >= 0.8)"""
 
+  // the shingle set feeds dedup_ngram_jaccard, dedup_minhash_lsh and the
+  // composed corpus_clean — built+cached once per (session, dir)
+  private def shinglesC(s: SparkSession, dir: String): DataFrame =
+    graft.Memo.cached(s, "doc_shingles", dir)(shingles(Tables.documents(s, dir)))
+
   def dedupNgramJaccard(s: SparkSession, dir: String,
                         threshold: Double = 0.8): DataFrame = {
-    val sh = shingles(Tables.documents(s, dir)).cache()
+    val sh = shinglesC(s, dir)
     val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = sh.alias("a")
       .join(sh.alias("b"),
@@ -133,7 +138,7 @@ object Dedup {
     */
   def dedupMinhashLsh(s: SparkSession, dir: String,
                       threshold: Double = 0.8): DataFrame = {
-    val sh = shingles(Tables.documents(s, dir)).cache()
+    val sh = shinglesC(s, dir)
     // minhash_i(doc) = min over shingles of h1 + i·h2 (mod 2^32), the
     // Kirsch–Mitzenmacher construction over the two 32-bit halves of ONE
     // md5 per shingle — all 16 minima in a single aggregation pass (16 agg

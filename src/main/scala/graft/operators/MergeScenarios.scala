@@ -124,13 +124,22 @@ object MergeScenarios {
     * whole derivation subtree is re-scanned at every appearance (~150
     * parquet scans for this one query).
     */
-  def applyChangeset(s: SparkSession, dir: String): DataFrame = {
-    val c = cur(s, dir).cache()
-    val i = incoming(s, dir).cache()
-    val actions = Merge.changesetActions(c, i, changeKeys(s, dir),
-      OrdersKey, uniqueCols = Seq("o_uniq")).cache()
-    Merge.applyActions(c, i, actions, OrdersKey).orderBy(OrdersKey)
-  }
+  // the scenario frames appear several times in each apply plan and across
+  // three gate queries — cached once per (session, dir) via Memo (without
+  // persistence the whole derivation subtree re-scans at every appearance:
+  // ~150 parquet scans for the apply alone)
+  private def curC(s: SparkSession, dir: String): DataFrame =
+    graft.Memo.cached(s, "merge_cur", dir)(cur(s, dir))
+  private def incomingC(s: SparkSession, dir: String): DataFrame =
+    graft.Memo.cached(s, "merge_incoming", dir)(incoming(s, dir))
+  private def actionsC(s: SparkSession, dir: String): DataFrame =
+    graft.Memo.cached(s, "merge_actions", dir)(
+      Merge.changesetActions(curC(s, dir), incomingC(s, dir),
+        changeKeys(s, dir), OrdersKey, uniqueCols = Seq("o_uniq")))
+
+  def applyChangeset(s: SparkSession, dir: String): DataFrame =
+    Merge.applyActions(curC(s, dir), incomingC(s, dir), actionsC(s, dir),
+      OrdersKey).orderBy(OrdersKey)
 
   // Merged result = cur minus every announced key that leaves (deletes and
   // replaced images) plus every incoming image: for '0' keys the image is
@@ -146,9 +155,7 @@ object MergeScenarios {
     * insert/update/null-update/delete bookkeeping).
     */
   def mergeCounts(s: SparkSession, dir: String): DataFrame =
-    Merge.counts(Merge.changesetActions(cur(s, dir).cache(),
-      incoming(s, dir).cache(),
-      changeKeys(s, dir), OrdersKey, uniqueCols = Seq("o_uniq")))
+    Merge.counts(actionsC(s, dir))
 
   val mergeCountsSql: String = s"""$Ctes,
     c AS (SELECT * FROM cur WHERE o_orderkey IN (SELECT o_orderkey FROM chg)),
@@ -167,13 +174,9 @@ object MergeScenarios {
     * stats row the reference persists after every load. The oracle
     * recomputes the same classification and counts independently.
     */
-  def applyBookkeeping(s: SparkSession, dir: String): DataFrame = {
-    val c = cur(s, dir).cache()
-    val i = incoming(s, dir).cache()
-    val actions = Merge.changesetActions(c, i, changeKeys(s, dir),
-      OrdersKey, uniqueCols = Seq("o_uniq"))
-    Merge.bookkeeping(actions, dataset = "20260101000000", table = "orders")
-  }
+  def applyBookkeeping(s: SparkSession, dir: String): DataFrame =
+    Merge.bookkeeping(actionsC(s, dir),
+      dataset = "20260101000000", table = "orders")
 
   val applyBookkeepingSql: String = s"""$Ctes,
     c AS (SELECT * FROM cur WHERE o_orderkey IN (SELECT o_orderkey FROM chg)),
@@ -196,7 +199,7 @@ object MergeScenarios {
     * `o_uniq`, different key) force the old keys into the change set.
     */
   def fixChangedIncKeys(s: SparkSession, dir: String): DataFrame = {
-    val b = base(s, dir).cache()
+    val b = graft.Memo.cached(s, "merge_base", dir)(base(s, dir))
     val rekeyed = b.filter(col("o_orderkey") % 13 === 0)
       .withColumn("o_orderkey", col("o_orderkey") + 1000000)
     Merge.missedKeyChanges(b, rekeyed, rekeyed.select("o_orderkey"),

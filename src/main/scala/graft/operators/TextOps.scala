@@ -235,7 +235,7 @@ object TextOps {
     // quadratic in the self-join
     val rare = all.groupBy("fp").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf).select("fp")
-    val fp = all.join(rare, "fp").cache()
+    val fp = graft.Memo.cached(s, "containment_fp", dir)(all.join(rare, "fp"))
     fp.alias("a")
       .join(fp.alias("b"),
         col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))

@@ -123,10 +123,13 @@ object VersionedScenarios {
     survivors.unionByName(reinserts)
   }
 
+  // built+cached once per (session, dir): versioned_table, table_at_revision
+  // and version_diff all read the same store, as production reads would
   private def store(s: SparkSession, dir: String): DataFrame =
-    Versioned.build(
-      Seq(1 -> r1(s, dir), 2 -> r2(s, dir), 3 -> r3(s, dir)), "o_orderkey")
-      .cache() // diff reconstructs two revisions from the same store
+    graft.Memo.cached(s, "versioned_store", dir) {
+      Versioned.build(
+        Seq(1 -> r1(s, dir), 2 -> r2(s, dir), 3 -> r3(s, dir)), "o_orderkey")
+    }
 
   /** Full versioned store dump. */
   def versionedTable(s: SparkSession, dir: String): DataFrame =

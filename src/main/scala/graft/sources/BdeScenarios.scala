@@ -74,7 +74,11 @@ object BdeScenarios {
   def applyPlan(datasets: DataFrame): DataFrame = {
     val latestL0 = datasets.filter(col("level") === 0)
       .agg(max(col("name")).as("l0_name"))
-    val w = Window.orderBy(col("name"))
+    // partitioned by the L0 generation: every selected dataset shares the
+    // one l0_name, so the ordering is total where it must be, while the
+    // window spec stays partitioned (one apply plan per L0 generation; the
+    // frame is bounded by the dataset count, not the data volume)
+    val w = Window.partitionBy(col("l0_name")).orderBy(col("name"))
     datasets.join(broadcast(latestL0),
         col("name") >= col("l0_name") &&
           (col("level") === 5 || col("name") === col("l0_name")))
