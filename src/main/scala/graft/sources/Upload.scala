@@ -1,0 +1,134 @@
+package graft.sources
+
+import graft.operators.{Merge, Versioned}
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+
+/** One table's state after an upload run: the current table, its full
+  * revision history, the per-dataset bookkeeping, and the row-count check
+  * grades — everything the reference persists across
+  * `bde_ApplyLevel0Update` / `bde_ApplyLevel5Update` /
+  * `_bde_RecordDatasetLoaded` / `_bde_CheckTableCount`.
+  */
+case class UploadedTable(
+    current: DataFrame,
+    versioned: DataFrame,
+    bookkeeping: DataFrame,
+    countChecks: DataFrame)
+
+/** The reference's top-level upload loop (`BdeUpload.pm:560 ApplyUpdates` →
+  * `GetLevel0Updates`/`GetLevel5Updates` → per-dataset applies), composed
+  * from graft's operators:
+  *
+  *  1. discover datasets in the filesystem repository ([[BdeRepository]]);
+  *  2. for each configured table: load the newest level-0 that carries its
+  *     files ([[BdeReader]] with the configured error policy);
+  *  3. apply every later level-5 in name order — change keys from the
+  *     `l5_change_table` file, actions re-derived against the current
+  *     table ([[Merge.changesetActions]]), `level5_is_full` tables
+  *     re-diffed as snapshots ([[Merge.diffActions]]);
+  *  4. record bookkeeping per apply and grade row counts against the
+  *     table's configured tolerances;
+  *  5. keep every revision so the versioned store ([[Versioned.build]])
+  *     reconstructs any point in history.
+  *
+  * Scale: each apply is the operators' own single-shuffle plans; the only
+  * driver-side values are counts (bookkeeping metadata, as in the
+  * reference's event log). Production runs persist each revision via
+  * [[ParquetSink.writeApplyResult]] / [[ParquetSink.writeVersioned]]
+  * instead of holding the chain in cache.
+  */
+object Upload {
+
+  private def stem(f: String): String =
+    new Path(f).getName.replaceAll("\\.crs(\\.gz)?$", "")
+
+  private def filesFor(ds: BdeRepository.Dataset, t: BdeTableDef): Seq[String] =
+    ds.files.filter(f => t.files.contains(stem(f)))
+
+  /** Run the upload loop for every data table in `tables` (the parsed
+    * registry). Returns per-table results keyed by table name.
+    */
+  def run(spark: SparkSession, repoRoot: String, tables: Seq[BdeTableDef],
+          policy: BdeErrorPolicy = BdeErrorPolicy()): Map[String, UploadedTable] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val datasets = BdeRepository.datasets(repoRoot, conf)
+    val changeDef = tables.find(_.levels.contains("C"))
+    tables.filterNot(_.levels.contains("C"))
+      .map(t => t.name -> runTable(spark, datasets, t, changeDef, policy))
+      .toMap
+  }
+
+  private def checksRow(spark: SparkSession, name: String,
+                        expected: Long, actual: Long): DataFrame =
+    spark.createDataFrame(
+      java.util.Arrays.asList(Row(name, expected, actual)),
+      StructType(Seq(StructField("check_name", StringType, false),
+        StructField("expected_count", LongType, false),
+        StructField("actual_count", LongType, false))))
+
+  private def runTable(spark: SparkSession, datasets: Seq[BdeRepository.Dataset],
+                       t: BdeTableDef, changeDef: Option[BdeTableDef],
+                       policy: BdeErrorPolicy): UploadedTable = {
+    val l0 = datasets
+      .filter(d => d.level == 0 && filesFor(d, t).nonEmpty)
+      .lastOption
+      .getOrElse(throw new IllegalStateException(
+        s"no level-0 dataset carries files for table ${t.name}"))
+    var later5 = datasets.filter(d =>
+      d.level == 5 && d.name > l0.name && t.levels.contains("5") &&
+        filesFor(d, t).nonEmpty)
+    // level5_is_full tables treat each L5 file as a complete snapshot, so
+    // only the newest matters (GetLevel5Updates keeps just the last)
+    if (t.level5IsFull) later5 = later5.takeRight(1)
+
+    var cur = BdeReader.read(spark, filesFor(l0, t), None, policy).cache()
+    val key = t.keyColumn.getOrElse(cur.columns.head)
+    val keyType = cur.schema(key).dataType
+
+    var rev = 1
+    var snapshots = List(rev -> cur)
+    // a fresh level-0 load is all inserts (reference records it as such)
+    var book = Merge.bookkeeping(
+      cur.select(lit("I").as(Merge.Action)), l0.name, t.name)
+    val l0n = cur.count()
+    var checks = checksRow(spark, s"${t.name}@${l0.name}", l0n, l0n)
+    var before = l0n
+
+    later5.foreach { ds =>
+      val incoming = BdeReader.read(spark, filesFor(ds, t),
+        Some(cur.schema.asInstanceOf[StructType]), policy)
+      val actions =
+        if (t.level5IsFull) Merge.diffActions(cur, incoming, key)
+        else {
+          val keys = changeDef
+            .map(cd => filesFor(ds, cd))
+            .filter(_.nonEmpty)
+            .map { fs =>
+              val ct = BdeReader.read(spark, fs, None, policy)
+              Merge.changeKeysFromChangeTable(ct, t.name, key)
+            }
+            .getOrElse(incoming.select(col(key)))
+            .select(col(key).cast(keyType).as(key))
+          Merge.changesetActions(cur, incoming, keys, key)
+        }
+      val (merged, bk) =
+        Merge.applyWithBookkeeping(cur, incoming, actions, key, ds.name, t.name)
+      cur = merged.cache()
+      rev += 1
+      snapshots = snapshots :+ (rev -> cur)
+      book = book.unionByName(bk)
+      val after = cur.count()
+      checks = checks.unionByName(
+        checksRow(spark, s"${t.name}@${ds.name}", before, after))
+      before = after
+    }
+    // grade every apply's (expected=before, actual=after) pair at once
+    val graded = Merge.rowCountChecks(checks,
+      warnTol = t.rowTolWarning.getOrElse(1.0),
+      errTol = t.rowTolError.getOrElse(1.0))
+    UploadedTable(cur, Versioned.build(snapshots, key), book, graded)
+  }
+}
