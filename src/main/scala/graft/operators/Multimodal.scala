@@ -100,7 +100,13 @@ object Multimodal {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "multimodal_meta" -> (multimodalMeta _))
+    "multimodal_meta" -> (multimodalMeta _),
+    // decoded-feature extraction: byte statistics are not expressible over
+    // DuckDB varchars (per-byte iteration on UTF-8), so no oracle entry —
+    // the driver records the weaker rows-only check; the decode plumbing
+    // itself is spec-tested (SimilaritySpec)
+    "multimodal_decode" -> ((s, dir) => decodeStub(s, dir).toDF()
+      .orderBy("doc_id")))
 
   val oracles: Map[String, String] = Map(
     "multimodal_meta" -> multimodalMetaSql)

@@ -351,6 +351,40 @@ object TextOps {
       CAST(floor((cum - n_tokens) / 2048) AS BIGINT) AS seq_id
     FROM c ORDER BY lang, doc_id"""
 
+  // ----------------------------------------------------------------- mixing
+
+  /** Weighted deterministic corpus mixing: each source contributes to the
+    * training stream proportionally to its weight (even-numbered sources
+    * 3×, odd 1× here; production plugs in a weight table). A document's
+    * `mix_pos` = its per-source rank divided by the source weight — the
+    * water-filling position — so sorting by `mix_pos` interleaves sources
+    * at the configured ratio without any global window: the only window is
+    * partitioned by source, and `mix_pos` itself is the global sort key
+    * consumers range-partition on. Reproducible across runs and engines
+    * (no RNG).
+    */
+  def corpusMix(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+    val weight = when(expr("cast(substring(source, 4) as int) % 2 = 0"), 3.0)
+      .otherwise(1.0)
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("mix_pos", round(col("rn").cast("double") / weight, 6))
+      .orderBy("mix_pos", "source", "doc_id")
+  }
+
+  val corpusMixSql: String = """
+    WITH w AS (
+      SELECT doc_id, source,
+        row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+      FROM documents)
+    SELECT doc_id, source, CAST(rn AS INT) AS rn,
+      round(CAST(rn AS DOUBLE) /
+        (CASE WHEN CAST(substring(source, 4) AS INT) % 2 = 0
+              THEN 3.0 ELSE 1.0 END), 6) AS mix_pos
+    FROM w ORDER BY mix_pos, source, doc_id"""
+
   // ---------------------------------------------------------- composed clean
 
   /** The composed cleaning pipeline: quality gate + near-dup removal in one
@@ -397,6 +431,7 @@ object TextOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "corpus_clean" -> (corpusClean(_, _)),
+    "corpus_mix" -> (corpusMix _),
     "corpus_sample" -> (corpusSample _),
     "pack_sequences" -> (packSequences(_, _)),
     "text_quality" -> (textQuality _),
@@ -408,6 +443,7 @@ object TextOps {
 
   val oracles: Map[String, String] = Map(
     "corpus_clean" -> corpusCleanSql,
+    "corpus_mix" -> corpusMixSql,
     "corpus_sample" -> corpusSampleSql,
     "pack_sequences" -> packSequencesSql,
     "text_quality" -> textQualitySql,

@@ -61,6 +61,24 @@ class TextDedupSpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("seq_id")).max > 0, "multiple bins used")
   }
 
+  test("corpus_mix: sources interleave at their configured weights") {
+    val rows = operators.TextOps.corpusMix(spark, sf).collect()
+    // deterministic: a second run yields the identical order
+    val again = operators.TextOps.corpusMix(spark, sf).collect()
+    assert(rows.map(_.getLong(0)).sameElements(again.map(_.getLong(0))))
+    // within any mix_pos prefix, even (3x) sources contribute ~3x the docs
+    // of odd (1x) sources, per their availability
+    val prefix = rows.take(rows.length / 2)
+    val even = prefix.count(r => r.getString(1).stripPrefix("src").toInt % 2 == 0)
+    val odd = prefix.length - even
+    assert(even > odd, s"expected 3x-weighted sources to dominate: $even vs $odd")
+    // per-source ranks stay ordered by doc_id
+    rows.groupBy(_.getString(1)).foreach { case (_, g) =>
+      val byRank = g.sortBy(_.getAs[Int]("rn")).map(_.getLong(0))
+      assert(byRank.sameElements(byRank.sorted))
+    }
+  }
+
   test("dedup_exact: planted copies collapse to groups of two") {
     val rows = Dedup.dedupExact(spark, sf).collect()
     val dups = rows.filter(_.getAs[Long]("n_copies") == 2)
