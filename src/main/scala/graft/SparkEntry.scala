@@ -12,6 +12,7 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     operators.Queries.queries ++
+      operators.Skew.queries ++
       operators.MergeScenarios.queries ++
       operators.TextOps.queries ++
       operators.Dedup.queries ++
@@ -27,6 +28,7 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] =
     operators.Queries.oracles ++
+      operators.Skew.oracles ++
       operators.MergeScenarios.oracles ++
       operators.TextOps.oracles ++
       operators.Dedup.oracles ++

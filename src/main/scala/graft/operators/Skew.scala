@@ -1,6 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import graft.{Exact, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Skew mitigation for hot join keys.
@@ -30,4 +31,30 @@ object Skew {
       .withColumn("_salt", col("_salt").cast("long"))
     salted.join(replicated, Seq(key, "_salt")).drop("_salt")
   }
+
+  /** Gate query: lineitem ⋈ part through the salted path, rolled up per
+    * brand. The oracle is the *plain* join — proving the salt fan-out and
+    * replication change the physical distribution only, never the result.
+    */
+  def skewSaltedJoin(s: SparkSession, dir: String): DataFrame = {
+    val big = Tables.lineitem(s, dir)
+      .select(col("l_partkey").as("key"), col("l_quantity"))
+    val small = Tables.part(s, dir)
+      .select(col("p_partkey").as("key"), col("p_brand"))
+    saltedJoin(big, small, "key", factor = 8)
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("n"), Exact.sumD(col("l_quantity")).as("sum_qty"))
+      .orderBy("p_brand")
+  }
+
+  val skewSaltedJoinSql: String = s"""
+    SELECT p_brand, COUNT(*) AS n, ${Exact.sqlSum("l_quantity")} AS sum_qty
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY p_brand ORDER BY p_brand"""
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "skew_salted_join" -> (skewSaltedJoin _))
+
+  val oracles: Map[String, String] = Map(
+    "skew_salted_join" -> skewSaltedJoinSql)
 }

@@ -52,6 +52,20 @@ object StreamScenarios {
     WHERE o_orderkey % 5 <> 0 OR o_orderkey % 7 = 0
     ORDER BY key"""
 
+  /** Batch-mode run of the stateful sessionizer — checked by the SAME
+    * oracle SQL as the window-based `events_sessionize`, proving the two
+    * execution paths agree.
+    */
+  def streamSessionize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val evs = Tables.events(s, dir)
+      .select(col("user_id"), date_trunc("second", col("ts")).as("tss"),
+        col("value"))
+      .as[SessionEvent]
+    StreamSessionize.sessions(evs).toDF()
+      .orderBy("user_id", "session_id")
+  }
+
   def streamWindowCounts(s: SparkSession, dir: String): DataFrame =
     WindowCounts.counts(Tables.events(s, dir))
       .orderBy("win_start", "event_type")
@@ -64,9 +78,11 @@ object StreamScenarios {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_changeset" -> (streamChangeset _),
+    "stream_sessionize" -> (streamSessionize _),
     "stream_window_counts" -> (streamWindowCounts _))
 
   val oracles: Map[String, String] = Map(
     "stream_changeset" -> streamChangesetSql,
+    "stream_sessionize" -> graft.operators.Queries.eventsSessionizeSql,
     "stream_window_counts" -> streamWindowCountsSql)
 }

@@ -68,6 +68,71 @@ object ChangesetStream {
   }
 }
 
+/** One event of a user's activity stream (timestamps pre-truncated to
+  * seconds by the caller, matching the batch sessionizer).
+  */
+case class SessionEvent(user_id: Long, tss: java.sql.Timestamp, value: Double)
+
+/** One (possibly still-open) session of a user. */
+case class UserSession(user_id: Long, session_id: Long,
+                       session_start: java.sql.Timestamp,
+                       n_events: Long, sum_value: Double)
+
+private[streaming] case class SessionState(
+    session_id: Long, session_start: java.sql.Timestamp,
+    n_events: Long, sum_str: String, last_secs: Long)
+
+/** Stateful gap-based sessionization: the streaming twin of
+  * `Queries.eventsSessionize` (same 30-minute gap rule, same output shape
+  * — in batch mode the DuckDB oracle that checks the window-based batch
+  * query checks this state-based path too). Per-key state carries the
+  * open session across micro-batches; in Update mode each batch re-emits
+  * the sessions it touched. The running sum is kept as an exact decimal
+  * (each addend rounded to 10 decimal places, the `Exact.sqlSum` rule) so
+  * the emitted double matches the oracle bit-for-bit regardless of
+  * arrival order across batches.
+  */
+object StreamSessionize {
+
+  def sessions(events: Dataset[SessionEvent],
+               gapSecs: Long = 1800): Dataset[UserSession] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, UserSession](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (uid: Long, records: Iterator[SessionEvent], state: GroupState[SessionState]) =>
+          val evs = records.toArray.sortBy(_.tss.getTime)
+          if (evs.isEmpty) Iterator.empty
+          else {
+            var st = state.getOption.orNull
+            val out = scala.collection.mutable.ArrayBuffer[UserSession]()
+            def emit(): Unit = if (st != null)
+              out += UserSession(uid, st.session_id, st.session_start,
+                st.n_events, BigDecimal(st.sum_str).doubleValue)
+            evs.foreach { e =>
+              val t = e.tss.getTime / 1000
+              if (st == null || t - st.last_secs > gapSecs) {
+                emit() // the previous session is final — a gap closed it
+                st = SessionState(
+                  if (st == null) 1L else st.session_id + 1,
+                  e.tss, 0L, "0", t)
+              }
+              st = st.copy(
+                n_events = st.n_events + 1,
+                sum_str = (BigDecimal(st.sum_str) +
+                  BigDecimal(java.lang.Double.toString(e.value))
+                    .setScale(10, BigDecimal.RoundingMode.HALF_UP)).toString,
+                last_secs = t)
+            }
+            emit() // current shape of the still-open session (Update mode)
+            state.update(st)
+            out.iterator
+          }
+      }
+  }
+}
+
 /** Watermarked tumbling-window aggregation (the streaming twin of the batch
   * `events_window_agg`). The same plan runs bounded or unbounded; streaming
   * callers add `withWatermark` before the groupBy so late events beyond the

@@ -86,6 +86,37 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("sessionizer carries open sessions across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.{SessionEvent, StreamSessionize}
+    def ev(u: Long, t: String, v: Double) =
+      SessionEvent(u, java.sql.Timestamp.valueOf(t), v)
+    val input = MemoryStream[SessionEvent]
+    val query = StreamSessionize.sessions(input.toDS())
+      .writeStream.format("memory").queryName("sess_state")
+      .outputMode(OutputMode.Update).start()
+    try {
+      input.addData(ev(1, "2024-01-01 10:00:00", 1.0),
+        ev(1, "2024-01-01 10:10:00", 2.0))
+      query.processAllAvailable()
+      // batch 2: within the gap → same session continues; then a >30min
+      // gap opens session 2
+      input.addData(ev(1, "2024-01-01 10:20:00", 3.0),
+        ev(1, "2024-01-01 12:00:00", 10.0))
+      query.processAllAvailable()
+      val rows = spark.table("sess_state").collect()
+        .groupBy(_.getAs[Long]("session_id"))
+        .map { case (sid, g) => // Update mode re-emits; keep the final shape
+          sid -> g.maxBy(_.getAs[Long]("n_events"))
+        }
+      assert(rows(1L).getAs[Long]("n_events") == 3)
+      assert(rows(1L).getAs[Double]("sum_value") == 6.0)
+      assert(rows(2L).getAs[Long]("n_events") == 1)
+      assert(rows(2L).getAs[Double]("sum_value") == 10.0)
+    } finally query.stop()
+  }
+
   test("windowed counts run streaming with watermark and match batch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
