@@ -278,6 +278,73 @@ object Similarity {
            round(cos_raw, 6) AS cos
     FROM scored WHERE rank <= $k ORDER BY probe_id, rank"""
 
+  // ------------------------------------------- multi-table LSH (OR-amplify)
+
+  private val LshTables = 2
+
+  /** Bucket from planes `t·8 … t·8+7` — table `t`'s hash function. */
+  private def tableBucketCol(t: Int): Column =
+    (0 until NumPlanes)
+      .map(h => when(planeCol(t * NumPlanes + h) >= 0, lit(1L << h))
+        .otherwise(0L))
+      .reduce(_ + _)
+
+  /** OR-amplified LSH ANN: `LshTables` independent hash tables; a
+    * candidate matches a probe if they share a bucket in ANY table. The
+    * standard recall knob — each extra table multiplies the candidate
+    * slice (~L/2^b of the corpus) and the recall approaches 1 − (1−p^b)^L.
+    * Still an equi-join per table (shuffle key = (table, bucket)),
+    * deduplicated before scoring so each surviving pair is scored once.
+    */
+  def annLshMulti(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val qn = qdf(s, dir)
+    val buckets = qn.select(col("vec_id"),
+      posexplode(array((0 until LshTables).map(tableBucketCol): _*))
+        .as(Seq("tbl", "bucket")))
+    val probeB = buckets.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("probe_id"), col("tbl").as("ptbl"),
+        col("bucket").as("pbucket"))
+    val cand = buckets.join(broadcast(probeB),
+        col("ptbl") === col("tbl") && col("pbucket") === col("bucket") &&
+          col("probe_id") =!= col("vec_id"))
+      .select(col("probe_id"), col("vec_id"))
+      .distinct()
+    val paired = cand
+      .join(qn.select(col("vec_id").as("probe_id"), col("q").as("pq"),
+        col("n2").as("pn2")), "probe_id")
+      .join(qn, "vec_id")
+    topkTail(paired, k)
+  }
+
+  def annLshMultiSql(k: Int = 5): String = s"""
+    WITH $QuantSql,
+    ${projSql(LshTables * NumPlanes)},
+    buckets AS (
+      SELECT vec_id, h // $NumPlanes AS tbl,
+        sum(CASE WHEN proj >= 0 THEN 1 ELSE 0 END * (1 << (h % $NumPlanes)))
+          AS bucket
+      FROM proj GROUP BY 1, 2),
+    cand AS (
+      SELECT DISTINCT x.vec_id AS probe_id, y.vec_id AS cand_id
+      FROM buckets x JOIN buckets y
+        ON x.tbl = y.tbl AND x.bucket = y.bucket
+      WHERE x.vec_id % 50 = 0 AND x.vec_id <> y.vec_id),
+    pairs AS (
+      SELECT probe_id, cand_id AS vec_id, x.n2 AS na, y.n2 AS nb,
+        CAST(list_sum(list_transform(generate_series(1, len(x.q)),
+          i -> x.q[i] * y.q[i])) AS BIGINT) AS dot
+      FROM cand
+      JOIN qn x ON probe_id = x.vec_id
+      JOIN qn y ON cand_id = y.vec_id),
+    scored AS (
+      SELECT probe_id, vec_id, $PairCosSql AS cos_raw,
+        row_number() OVER (PARTITION BY probe_id
+          ORDER BY $PairCosSql DESC, vec_id) AS rank
+      FROM pairs)
+    SELECT probe_id, CAST(rank AS INT) AS rank, vec_id,
+           round(cos_raw, 6) AS cos
+    FROM scored WHERE rank <= $k ORDER BY probe_id, rank"""
+
   // ------------------------------------------------------------- IVF (ANN)
 
   private val CentroidMod = 97
@@ -358,11 +425,13 @@ object Similarity {
     "dedup_embedding" -> (dedupEmbedding(_, _)),
     "ann_topk" -> (annTopk(_, _)),
     "ann_lsh" -> (annLsh(_, _)),
+    "ann_lsh_multi" -> (annLshMulti(_, _)),
     "ann_ivf" -> (annIvf(_, _)))
 
   val oracles: Map[String, String] = Map(
     "dedup_embedding" -> dedupEmbeddingSql,
     "ann_topk" -> annTopkSql(),
     "ann_lsh" -> annLshSql(),
+    "ann_lsh_multi" -> annLshMultiSql(),
     "ann_ivf" -> annIvfSql())
 }

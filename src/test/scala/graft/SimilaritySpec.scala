@@ -26,6 +26,20 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("ann_lsh_multi: OR-amplification never loses recall vs one table") {
+    // table 0 of the multi-table variant IS ann_lsh's hash function, so
+    // every single-table candidate survives; the best cosine per probe can
+    // only improve (or stay equal) with the second table's candidates
+    val single = Similarity.annLsh(spark, sf).collect()
+      .filter(_.getAs[Int]("rank") == 1)
+      .map(r => r.getAs[Long]("probe_id") -> r.getAs[Double]("cos")).toMap
+    val multi = Similarity.annLshMulti(spark, sf).collect()
+      .filter(_.getAs[Int]("rank") == 1)
+      .map(r => r.getAs[Long]("probe_id") -> r.getAs[Double]("cos")).toMap
+    assert(single.keySet.subsetOf(multi.keySet))
+    single.foreach { case (p, c) => assert(multi(p) >= c, s"probe $p") }
+  }
+
   test("ann_ivf: ranks are dense per probe and cosines ordered") {
     val rows = Similarity.annIvf(spark, sf).collect()
     assert(rows.nonEmpty)
