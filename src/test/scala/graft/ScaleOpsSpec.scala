@@ -127,4 +127,78 @@ class ScaleOpsSpec extends SparkSpec {
     val vals = df.collect().map(r => r.getInt(0) -> r.getString(1)).toMap
     assert(vals(1) == "♯" && vals(2) == "♭" && vals(3) == "♮")
   }
+
+  test("LSH index persisted by bucket prunes probe reads to one partition") {
+    // SURVEY §4's ANN scale path on disk: the bucket assignment is written
+    // as a partition column, so a probe's candidate read scans only its
+    // own bucket's files — 1/2^b of the index — via partition pruning
+    import graft.functions.GraftFunctions
+    GraftFunctions.register(spark)
+    val path = s"${sys.props("java.io.tmpdir")}/graft-annindex"
+    val qn = Tables.embeddings(spark, sf)
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> cast(floor(cast(x as double) * 10000000 + 0.5) as bigint))").as("q"))
+      .withColumn("n2", expr("q_dot(q, q)"))
+    // any deterministic bucketing works for the layout proof; use 4 bits
+    // of the vector's first component sign pattern via q_dot
+    val bucketed = qn.withColumn("bucket", pmod(col("n2"), lit(16)))
+    ParquetSink.writePartitioned(bucketed, path, Seq("bucket"))
+    val back = spark.read.parquet(path)
+    val probe = back.filter(col("bucket") === 3)
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(bucket"),
+      plan.take(500))
+    // the pruned read returns exactly the bucket's rows
+    assert(probe.count() ==
+      bucketed.filter(col("bucket") === 3).count())
+  }
+
+  test("upload honors level5_is_full: the L5 file re-diffs as a snapshot") {
+    import java.nio.charset.StandardCharsets
+    import java.nio.file.{Files, Paths}
+    val root = Files.createTempDirectory("graft-l5full").toString
+    def put(path: String, text: String): Unit = {
+      val p = Paths.get(path)
+      Files.createDirectories(p.getParent)
+      Files.write(p, text.stripMargin.getBytes(StandardCharsets.UTF_8))
+    }
+    put(s"$root/level_0/20240101000000/snap.crs",
+      """TABLE snap_table
+        |COLUMN id bigint NOT NULL
+        |COLUMN v varchar NULL
+        |{CRS-DATA}
+        |1|a|
+        |2|b|
+        |3|c|
+        |""")
+    // two later "full" L5 snapshots: only the newest must apply
+    put(s"$root/level_5/20240102000000/snap.crs",
+      """TABLE snap_table
+        |COLUMN id bigint NOT NULL
+        |COLUMN v varchar NULL
+        |{CRS-DATA}
+        |1|a|
+        |9|ignored|
+        |""")
+    put(s"$root/level_5/20240103000000/snap.crs",
+      """TABLE snap_table
+        |COLUMN id bigint NOT NULL
+        |COLUMN v varchar NULL
+        |{CRS-DATA}
+        |1|a2|
+        |4|d|
+        |""")
+    val tables = graft.sources.BdeConfig.parseTables(
+      "TABLE snap_table key=id l5_is_full row_tol=1.0,1.0 files snap")
+    val res = graft.sources.Upload.run(spark, root, tables)("snap_table")
+    val cur = res.current.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // newest snapshot replaces everything: 2/3 deleted, 1 updated, 4 added
+    assert(cur == Map(1L -> "a2", 4L -> "d"))
+    val bk = res.bookkeeping.collect()
+      .map(r => r.getAs[String]("dataset") ->
+        (r.getAs[Long]("n_insert"), r.getAs[Long]("n_update"),
+          r.getAs[Long]("n_delete"))).toMap
+    assert(bk.size == 2, "intermediate full L5 skipped")
+    assert(bk("20240103000000") == ((1L, 1L, 2L)))
+  }
 }
