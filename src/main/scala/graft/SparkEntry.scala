@@ -12,6 +12,7 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     operators.Queries.queries ++
+      operators.AsOf.queries ++
       operators.Skew.queries ++
       operators.MergeScenarios.queries ++
       operators.TextOps.queries ++
@@ -28,6 +29,7 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] =
     operators.Queries.oracles ++
+      operators.AsOf.oracles ++
       operators.Skew.oracles ++
       operators.MergeScenarios.oracles ++
       operators.TextOps.oracles ++
