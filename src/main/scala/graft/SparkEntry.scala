@@ -13,6 +13,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     operators.Queries.queries ++
       operators.AsOf.queries ++
+      operators.RangeJoin.queries ++
       operators.Skew.queries ++
       operators.MergeScenarios.queries ++
       operators.TextOps.queries ++
@@ -30,6 +31,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     operators.Queries.oracles ++
       operators.AsOf.oracles ++
+      operators.RangeJoin.oracles ++
       operators.Skew.oracles ++
       operators.MergeScenarios.oracles ++
       operators.TextOps.oracles ++

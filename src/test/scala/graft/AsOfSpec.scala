@@ -27,6 +27,29 @@ class AsOfSpec extends SparkSpec {
       "e4" -> 200L, "e5" -> 900L))
   }
 
+  test("rangeJoin: bin trick matches the inequality join exactly") {
+    import graft.operators.RangeJoin
+    val points = Seq(
+      (1L, ts("2024-01-01 10:30:00"), "p1"), // inside iv1
+      (1L, ts("2024-01-01 12:00:00"), "p2"), // at iv1.hi (exclusive) → out
+      (1L, ts("2024-01-02 00:30:00"), "p3"), // inside iv2 (crosses a bin)
+      (2L, ts("2024-01-01 10:30:00"), "p4")  // right key, no interval
+    ).toDF("k", "t", "tag")
+    val ivs = Seq(
+      (1L, ts("2024-01-01 10:00:00"), ts("2024-01-01 12:00:00"), "iv1"),
+      (1L, ts("2024-01-01 23:00:00"), ts("2024-01-02 01:00:00"), "iv2")
+    ).toDF("k", "lo", "hi", "name")
+    val got = RangeJoin.rangeJoin(points, ivs, "k", "t", "lo", "hi",
+      Seq("name"), binSecs = 3600L)
+      .collect().map(r => r.getAs[String]("tag") -> r.getAs[String]("name"))
+    assert(got.toSet == Set("p1" -> "iv1", "p3" -> "iv2"))
+    // the gate-scenario plan is an equi-join, not a nested loop
+    val plan = RangeJoin.rangeJoinQuery(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("asofJoin plan: one shuffle on the key, no range-join blowup") {
     val plan = AsOf.asofJoinQuery(spark, sf).queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct") &&
