@@ -14,6 +14,7 @@ object SparkEntry {
     operators.Queries.queries ++
       operators.AsOf.queries ++
       operators.RangeJoin.queries ++
+      operators.Sketch.queries ++
       operators.Skew.queries ++
       operators.MergeScenarios.queries ++
       operators.TextOps.queries ++
@@ -32,6 +33,7 @@ object SparkEntry {
     operators.Queries.oracles ++
       operators.AsOf.oracles ++
       operators.RangeJoin.oracles ++
+      operators.Sketch.oracles ++
       operators.Skew.oracles ++
       operators.MergeScenarios.oracles ++
       operators.TextOps.oracles ++

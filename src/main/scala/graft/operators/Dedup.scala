@@ -22,7 +22,7 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  import TextOps.{norm, normSql}
+  import TextNorm.{norm, normSql}
 
   /** Exact dedup on normalized text. The scenario plants real duplicates by
     * re-keying every 7th document, then groups by content hash keeping the
@@ -89,10 +89,17 @@ object Dedup {
       FROM inter JOIN sz x ON id_a = x.doc_id JOIN sz y ON id_b = y.doc_id
       WHERE CAST(c AS DOUBLE) / CAST(x.n + y.n - c AS DOUBLE) >= 0.8)"""
 
-  // the shingle set feeds dedup_ngram_jaccard, dedup_minhash_lsh and the
-  // composed corpus_clean — built+cached once per (session, dir)
+  // the shingle set feeds dedup_ngram_jaccard, dedup_minhash_lsh, the
+  // composed corpus_clean and the KMV sketch — built+cached once per
+  // (session, dir)
   private def shinglesC(s: SparkSession, dir: String): DataFrame =
     graft.Memo.cached(s, "doc_shingles", dir)(shingles(Tables.documents(s, dir)))
+
+  /** The memoized per-document distinct-shingle frame, for operators
+    * outside this object (e.g. [[Sketch]]).
+    */
+  private[operators] def shinglesOf(s: SparkSession, dir: String): DataFrame =
+    shinglesC(s, dir)
 
   def dedupNgramJaccard(s: SparkSession, dir: String,
                         threshold: Double = 0.8): DataFrame = {

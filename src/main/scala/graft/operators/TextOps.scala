@@ -15,11 +15,22 @@ import org.apache.spark.sql.functions._
   * computed with an identical arithmetic shape in the Spark plan and the
   * DuckDB oracle so the doubles match bit-for-bit, then rounded to 6dp.
   */
-object TextOps {
-
-  /** Whitespace-collapsed lowercase text: the shared normalization. */
+/** The shared text normalization, in its own object so `TextOps` and
+  * `Dedup` (which reference each other: corpus_clean composes the LSH
+  * dedup; the dedup shingles build on the normalization) both depend only
+  * on this leaf — keeping object initialization acyclic regardless of
+  * which operator is touched first.
+  */
+object TextNorm {
+  /** Whitespace-collapsed lowercase text. */
   val norm: Column = lower(trim(regexp_replace(col("text"), "\\s+", " ")))
   val normSql: String = """lower(trim(regexp_replace(text, '\s+', ' ', 'g')))"""
+}
+
+object TextOps {
+
+  val norm: Column = TextNorm.norm
+  val normSql: String = TextNorm.normSql
 
   private def words: Column = split(norm, " ")
 
@@ -269,14 +280,18 @@ object TextOps {
     * map-side combined).
     */
   def corpusStats(s: SparkSession, dir: String): DataFrame = {
-    val total = Tables.documents(s, dir).count()
+    // the corpus total joins in as a 1-row aggregate (broadcast), keeping
+    // the whole thing one job — no separate driver-side count action
+    val total = Tables.documents(s, dir).agg(count(lit(1)).as("_total"))
     Tables.documents(s, dir)
       .select(col("doc_id"), explode(split(norm, " ")).as("w"))
       .groupBy("w")
       .agg(count(lit(1)).as("n_occurrences"),
         countDistinct(col("doc_id")).as("n_docs"))
+      .crossJoin(broadcast(total))
       .withColumn("df_ratio",
-        round(col("n_docs").cast("double") / total.toDouble, 6))
+        round(col("n_docs").cast("double") / col("_total").cast("double"), 6))
+      .drop("_total")
       .orderBy("w")
   }
 

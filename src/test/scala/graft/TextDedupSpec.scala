@@ -79,6 +79,19 @@ class TextDedupSpec extends SparkSpec {
     }
   }
 
+  test("kmv sketch: estimate within 30% of exact, exact under k distinct") {
+    val row = operators.Sketch.corpusDistinctKmv(spark, sf).collect().head
+    val est = row.getAs[Double]("est_distinct")
+    val exact = row.getAs[Long]("exact_distinct").toDouble
+    assert(exact > 256, "scenario needs more distinct values than k")
+    assert(math.abs(est - exact) / exact < 0.30, s"est=$est exact=$exact")
+    // under k distinct values the sketch degrades to the exact count
+    import spark.implicits._
+    val small = (1 to 50).map(i => s"v$i").toDF("sh")
+    val smallRow = operators.Sketch.kmvDistinct(small, "sh", 256).collect().head
+    assert(smallRow.getAs[Double]("est_distinct") == 50.0)
+  }
+
   test("dedup_exact: planted copies collapse to groups of two") {
     val rows = Dedup.dedupExact(spark, sf).collect()
     val dups = rows.filter(_.getAs[Long]("n_copies") == 2)
