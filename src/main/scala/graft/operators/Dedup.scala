@@ -144,7 +144,15 @@ object Dedup {
     * quadratic comparison; the verify join touches only candidate pairs.
     */
   def dedupMinhashLsh(s: SparkSession, dir: String,
-                      threshold: Double = 0.8): DataFrame = {
+                      threshold: Double = 0.8): DataFrame =
+    graft.Memo.cached(s, s"minhash_pairs_$threshold", dir)(
+      minhashLshPairs(s, dir, threshold))
+      .orderBy("id_a", "id_b")
+
+  // the verified near-dup pairs, memoized above: both the dedup gate query
+  // and the composed corpus_clean consume this frame
+  private def minhashLshPairs(s: SparkSession, dir: String,
+                              threshold: Double): DataFrame = {
     val sh = shinglesC(s, dir)
     // minhash_i(doc) = min over shingles of h1 + i·h2 (mod 2^32), the
     // Kirsch–Mitzenmacher construction over the two 32-bit halves of ONE
@@ -184,7 +192,6 @@ object Dedup {
       .join(sz.alias("y"), col("id_b") === col("y.doc_id"))
       .filter(j >= threshold)
       .select(col("id_a"), col("id_b"), round(j, 6).as("jaccard"))
-      .orderBy("id_a", "id_b")
   }
 
   val dedupMinhashLshSql: String = s"""
