@@ -72,6 +72,13 @@ object Upload {
   private def runTable(spark: SparkSession, datasets: Seq[BdeRepository.Dataset],
                        t: BdeTableDef, changeDef: Option[BdeTableDef],
                        policy: BdeErrorPolicy): UploadedTable = {
+    // an l5_only table has no level-0 to start from: the reference errors
+    // ("no previous upload") unless prior state exists — here that means
+    // seeding the run with a persisted table, which this loop doesn't do
+    if (!t.levels.contains("0"))
+      throw new IllegalStateException(
+        s"table ${t.name} is l5_only: incremental loads need a previously " +
+          "uploaded table (persist the level-0 era result and seed with it)")
     val l0 = datasets
       .filter(d => d.level == 0 && filesFor(d, t).nonEmpty)
       .lastOption
@@ -99,7 +106,7 @@ object Upload {
 
     later5.foreach { ds =>
       val incoming = BdeReader.read(spark, filesFor(ds, t),
-        Some(cur.schema.asInstanceOf[StructType]), policy)
+        Some(cur.schema), policy)
       val actions =
         if (t.level5IsFull) Merge.diffActions(cur, incoming, key)
         else {

@@ -106,6 +106,16 @@ class UploadSpec extends SparkSpec {
     assert(!result("orders").current.collect().exists(_.getLong(0) == 99L))
   }
 
+  test("l5_only tables refuse to run without a seeded previous upload") {
+    val root = mkRepo()
+    val cfg = BdeConfig.parseTables(
+      "TABLE orders key=id l5_only files ord")
+    val e = intercept[IllegalStateException] {
+      Upload.run(spark, root, cfg)
+    }
+    assert(e.getMessage.contains("l5_only"))
+  }
+
   test("job lock: single writer, stale locks broken, withLock releases") {
     val dir = Files.createTempDirectory("graft-lock").toString
     assert(JobLock.acquire(dir, "job-a", ttlMs = 60000))
