@@ -366,6 +366,54 @@ object TextOps {
       CAST(floor((cum - n_tokens) / 2048) AS BIGINT) AS seq_id
     FROM c ORDER BY lang, doc_id"""
 
+  // -------------------------------------------------------------------- PII
+
+  private val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  private val UrlRe = "https?://[^\\s]+"
+
+  /** PII detection + scrubbing — the redaction pass every training-corpus
+    * pipeline runs before tokenization. Counts and redacts email/URL
+    * matches per document with codegen'd regex expressions (one narrow
+    * scan, no shuffle; patterns restricted to constructs Java regex and
+    * RE2 interpret identically so the oracle matches). The scenario plants
+    * deterministic PII in every 7th document — both engines construct the
+    * same augmented text — so the scrub provably fires; the redacted text
+    * is emitted as its md5 (the full text would bloat the gate output).
+    */
+  def textPii(s: SparkSession, dir: String): DataFrame = {
+    val aug = when(col("doc_id") % 7 === 0,
+      concat(col("text"), lit(" contact user"), col("doc_id"),
+        lit("@example.com via http://ex.com/doc/"), col("doc_id")))
+      .otherwise(col("text"))
+    val low = lower(aug)
+    val redacted = regexp_replace(
+      regexp_replace(low, EmailRe, "<EMAIL>"), UrlRe, "<URL>")
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        size(regexp_extract_all(low, lit(EmailRe), lit(0))).as("n_emails"),
+        size(regexp_extract_all(low, lit(UrlRe), lit(0))).as("n_urls"),
+        md5(redacted).as("redacted_hash"))
+      .orderBy("doc_id")
+  }
+
+  val textPiiSql: String = s"""
+    WITH a AS (
+      SELECT doc_id,
+        lower(CASE WHEN doc_id % 7 = 0
+          THEN text || ' contact user' || doc_id
+               || '@example.com via http://ex.com/doc/' || doc_id
+          ELSE text END) AS low
+      FROM documents)
+    SELECT doc_id,
+      len(regexp_extract_all(low, '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}'))
+        AS n_emails,
+      len(regexp_extract_all(low, 'https?://[^\\s]+')) AS n_urls,
+      md5(regexp_replace(
+        regexp_replace(low, '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}',
+          '<EMAIL>', 'g'),
+        'https?://[^\\s]+', '<URL>', 'g')) AS redacted_hash
+    FROM a ORDER BY doc_id"""
+
   // ----------------------------------------------------------------- mixing
 
   /** Weighted deterministic corpus mixing: each source contributes to the
@@ -448,6 +496,7 @@ object TextOps {
     "corpus_clean" -> (corpusClean(_, _)),
     "corpus_mix" -> (corpusMix _),
     "corpus_sample" -> (corpusSample _),
+    "text_pii" -> (textPii _),
     "pack_sequences" -> (packSequences(_, _)),
     "text_quality" -> (textQuality _),
     "token_count" -> (tokenCount _),
@@ -460,6 +509,7 @@ object TextOps {
     "corpus_clean" -> corpusCleanSql,
     "corpus_mix" -> corpusMixSql,
     "corpus_sample" -> corpusSampleSql,
+    "text_pii" -> textPiiSql,
     "pack_sequences" -> packSequencesSql,
     "text_quality" -> textQualitySql,
     "token_count" -> tokenCountSql,

@@ -79,6 +79,16 @@ class TextDedupSpec extends SparkSpec {
     }
   }
 
+  test("text_pii: planted PII detected and scrubbed, clean docs untouched") {
+    val rows = operators.TextOps.textPii(spark, sf).collect()
+    val (planted, clean) = rows.partition(_.getLong(0) % 7 == 0)
+    assert(planted.nonEmpty)
+    assert(planted.forall(r =>
+      r.getAs[Int]("n_emails") >= 1 && r.getAs[Int]("n_urls") >= 1))
+    assert(clean.forall(r =>
+      r.getAs[Int]("n_emails") == 0 && r.getAs[Int]("n_urls") == 0))
+  }
+
   test("kmv sketch: estimate within 30% of exact, exact under k distinct") {
     val row = operators.Sketch.corpusDistinctKmv(spark, sf).collect().head
     val est = row.getAs[Double]("est_distinct")
