@@ -15,10 +15,21 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * store the way consecutive production reads would.
   */
 object Memo {
-  private val frames = TrieMap[(Int, String, String), DataFrame]()
+  // Keyed by the session object itself (weakly, so a stopped session's
+  // entries become collectable) rather than identityHashCode — distinct
+  // sessions can collide on identity hash, which would hand one session's
+  // cached plan to another.
+  private val sessions =
+    new java.util.WeakHashMap[SparkSession, TrieMap[(String, String), DataFrame]]()
+
+  private def framesOf(s: SparkSession): TrieMap[(String, String), DataFrame] =
+    sessions.synchronized {
+      var m = sessions.get(s)
+      if (m == null) { m = TrieMap.empty; sessions.put(s, m) }
+      m
+    }
 
   def cached(s: SparkSession, key: String, dir: String)
             (mk: => DataFrame): DataFrame =
-    frames.getOrElseUpdate(
-      (System.identityHashCode(s), key, dir), mk.cache())
+    framesOf(s).getOrElseUpdate((key, dir), mk.cache())
 }

@@ -59,8 +59,15 @@ case class QDot(left: Expression, right: Expression)
 
 /** SQL registration for graft's native expressions. */
 object GraftFunctions {
-  /** Makes `q_dot(a, b)` available to `selectExpr` / `spark.sql`. */
-  def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "q_dot", exprs => QDot(exprs(0), exprs(1)), "built-in")
+  /** Makes `q_dot(a, b)` available to `selectExpr` / `spark.sql`.
+    * Idempotent per session: re-registering an existing temp function logs
+    * a replacement warning on every query, so skip when already present.
+    */
+  def register(spark: SparkSession): Unit = {
+    val registry = spark.sessionState.functionRegistry
+    val id = org.apache.spark.sql.catalyst.FunctionIdentifier("q_dot")
+    if (!registry.functionExists(id))
+      registry.createOrReplaceTempFunction(
+        "q_dot", exprs => QDot(exprs(0), exprs(1)), "built-in")
+  }
 }

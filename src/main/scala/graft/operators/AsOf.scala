@@ -40,10 +40,18 @@ object AsOf {
         payload.map(col)): _*)
     val w = Window.partitionBy(col(key)).orderBy(col("_t"), col("_side"))
       .rowsBetween(Window.unboundedPreceding, 0)
-    val filled = payload.foldLeft(l.unionByName(r)) { (df, p) =>
-      df.withColumn(p, last(col(p), ignoreNulls = true).over(w))
+    // Carry ONE struct set only on right rows, so `last(ignoreNulls)` keys
+    // on row recency, not payload non-nullity: a right row whose payload is
+    // legitimately NULL still wins over older rows (its NULL is returned,
+    // as a true as-of join would).
+    val carried = l.unionByName(r)
+      .withColumn("_carry",
+        when(col("_side") === 0, struct(payload.map(col): _*)))
+      .withColumn("_carry", last(col("_carry"), ignoreNulls = true).over(w))
+    val unpacked = payload.foldLeft(carried) { (df, p) =>
+      df.withColumn(p, col("_carry").getField(p))
     }
-    filled.filter(col("_side") === 1).drop("_t", "_side")
+    unpacked.filter(col("_side") === 1).drop("_t", "_side", "_carry")
   }
 
   /** Gate scenario: each event picks up the key of the most recent order

@@ -246,7 +246,10 @@ object TextOps {
     // quadratic in the self-join
     val rare = all.groupBy("fp").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf).select("fp")
-    val fp = graft.Memo.cached(s, "containment_fp", dir)(all.join(rare, "fp"))
+    // the memo key carries maxDf: a later call with a different cap must
+    // not be served the frame built with the other one
+    val fp = graft.Memo.cached(s, s"containment_fp_$maxDf", dir)(
+      all.join(rare, "fp"))
     fp.alias("a")
       .join(fp.alias("b"),
         col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))

@@ -67,8 +67,16 @@ object BdeConfig {
   /** Parse a `tables.conf`-format text into table definitions, accumulating
     * every error before failing (as the reference does).
     */
-  def parseTables(text: String): Seq[BdeTableDef] = {
+  def parseTables(text: String): Seq[BdeTableDef] =
+    parseTablesWithWarnings(text)._1
+
+  /** As [[parseTables]], also returning non-fatal warnings (unrecognized
+    * TABLE options — the reference's `_read_config` silently ignores
+    * these, so a legacy config with unknown options must still parse).
+    */
+  def parseTablesWithWarnings(text: String): (Seq[BdeTableDef], Seq[String]) = {
     val defs = Seq.newBuilder[BdeTableDef]
+    val warnings = Seq.newBuilder[String]
     val errors = Seq.newBuilder[String]
     val seenLevels = scala.collection.mutable.Set[(String, String)]()
     var current: BdeTableDef = null
@@ -107,8 +115,12 @@ object BdeConfig {
                     if (ed > 1) errors += s"Line $ln: error tolerance invalid for table $name"
                     if (wd > 1) errors += s"Line $ln: warning tolerance invalid for table $name"
                     tolE = Some(ed); tolW = Some(wd)
-                  case other => errors += s"Line $ln: unknown option '$other' for table $name"
+                  case other => warnings += s"Line $ln: unknown option '$other' for table $name"
                 }
+                // the change-table record is ALWAYS level C, even if an
+                // l0_only/l5_only option appeared (the reference forces C
+                // after option processing)
+                if (name == "l5_change_table") levels = Set("C")
                 val files = filesTok.drop(1) // drop the "files" marker
                 if (files.isEmpty) errors += s"Line $ln: no files defined for table $name"
                 levels.foreach { l =>
@@ -131,7 +143,7 @@ object BdeConfig {
     val errs = errors.result()
     if (errs.nonEmpty) throw new IllegalArgumentException(
       "Error reading BDE upload configuration:\n" + errs.mkString("\n"))
-    defs.result()
+    (defs.result(), warnings.result())
   }
 
   /** Parse the error-policy subset of the main configuration file

@@ -43,8 +43,15 @@ object JobLock {
     if (tryCreate()) true
     else holder(dir, conf) match {
       case Some((_, ts)) if System.currentTimeMillis() - ts > ttlMs =>
-        fs.delete(p, false) // zombie: break and retry once
-        tryCreate()
+        // Zombie: break by RENAMING the stale marker (atomic), not by
+        // check-then-delete — two acquirers can both observe the zombie,
+        // but only one rename succeeds, so only one breaker proceeds and
+        // nobody can delete a freshly re-acquired lock out from under its
+        // owner.
+        val tomb = new Path(dir,
+          s"_graft_lock_broken_${java.util.UUID.randomUUID()}")
+        if (fs.rename(p, tomb)) { fs.delete(tomb, false); tryCreate() }
+        else false
       case None => tryCreate() // released between the attempts
       case _ => false
     }

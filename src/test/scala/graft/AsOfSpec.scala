@@ -27,6 +27,18 @@ class AsOfSpec extends SparkSpec {
       "e4" -> 200L, "e5" -> 900L))
   }
 
+  test("asofJoin: a legitimately-NULL payload on the latest right row wins") {
+    val left = Seq((1L, ts("2024-01-01 12:00:00"), "e1")).toDF("k", "t", "tag")
+    val right = Seq(
+      (1L, ts("2024-01-01 10:00:00"), Some(100L)),
+      (1L, ts("2024-01-01 11:00:00"), None) // latest row: payload IS null
+    ).toDF("k", "rt", "v")
+    val row = AsOf.asofJoin(left, right, "k", "t", "rt", Seq("v"))
+      .collect().head
+    assert(row.isNullAt(row.fieldIndex("v")),
+      "recency, not payload non-nullity, must drive the carry")
+  }
+
   test("rangeJoin: bin trick matches the inequality join exactly") {
     import graft.operators.RangeJoin
     val points = Seq(

@@ -43,6 +43,20 @@ class BdeConfigSpec extends SparkSpec {
     assert(e.getMessage.contains("definition for t2 level 0 repeated"))
   }
 
+  test("parseTables: unknown options warn, never fail (legacy configs)") {
+    val (defs, warnings) = BdeConfig.parseTablesWithWarnings(
+      "TABLE t1 key=id shiny_new_option files f1")
+    assert(defs.map(_.name) == Seq("t1"))
+    assert(defs.head.keyColumn.contains("id"))
+    assert(warnings.exists(_.contains("shiny_new_option")))
+  }
+
+  test("parseTables: l5_change_table is level C even with a level option") {
+    val defs = BdeConfig.parseTables("TABLE l5_change_table l5_only files xaud")
+    assert(defs.head.levels == Set("C"),
+      "the change-table record must stay level C after option processing")
+  }
+
   test("parseTables: the reference's real tables.conf parses faithfully") {
     val text = new String(Files.readAllBytes(
       Paths.get("/root/reference/conf/tables.conf")), StandardCharsets.UTF_8)
