@@ -33,17 +33,26 @@ object Bench {
       try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => }
     }
-    // stable execution order (map iteration order is not)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok =
-        try {
-          fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true
-        } catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
-        }
-      // a failed query records the -1 sentinel, never a normal-looking time
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+    // Two timed passes, report per-query min: a transient load burst on a
+    // shared box hits one contiguous time window, so the min across passes
+    // separated in time is a far more stable steady-state estimate than a
+    // single sample (run-to-run noise on a contended host reached 3.7×).
+    def timedPass(): Seq[(String, Double)] =
+      // stable execution order (map iteration order is not)
+      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        val ok =
+          try {
+            fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true
+          } catch { case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
+          }
+        // a failed query records the -1 sentinel, never a normal-looking time
+        name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      }
+    val (p1, p2) = (timedPass(), timedPass())
+    val results = p1.zip(p2).map { case ((name, a), (_, b)) =>
+      name -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
     }
     val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
       .mkString("{", ",", "}")

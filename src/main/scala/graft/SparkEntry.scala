@@ -17,6 +17,7 @@ object SparkEntry {
       operators.Sketch.queries ++
       operators.Skew.queries ++
       operators.MergeScenarios.queries ++
+      operators.Clustering.queries ++
       operators.TextOps.queries ++
       operators.Dedup.queries ++
       operators.Similarity.queries ++
@@ -36,6 +37,7 @@ object SparkEntry {
       operators.Sketch.oracles ++
       operators.Skew.oracles ++
       operators.MergeScenarios.oracles ++
+      operators.Clustering.oracles ++
       operators.TextOps.oracles ++
       operators.Dedup.oracles ++
       operators.Similarity.oracles ++

