@@ -19,6 +19,7 @@ object SparkEntry {
       operators.MergeScenarios.queries ++
       operators.Clustering.queries ++
       operators.TextOps.queries ++
+      operators.CorpusFilters.queries ++
       operators.Dedup.queries ++
       operators.Similarity.queries ++
       operators.Multimodal.queries ++
@@ -39,6 +40,7 @@ object SparkEntry {
       operators.MergeScenarios.oracles ++
       operators.Clustering.oracles ++
       operators.TextOps.oracles ++
+      operators.CorpusFilters.oracles ++
       operators.Dedup.oracles ++
       operators.Similarity.oracles ++
       operators.Multimodal.oracles ++

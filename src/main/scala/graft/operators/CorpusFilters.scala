@@ -1,0 +1,155 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Corpus-hygiene filters for training-data pipelines: intra-document
+  * repetition signals (the Gopher-style quality gate that catches boilerplate
+  * and degenerate generations) and benchmark decontamination (remove
+  * training documents that share n-grams with an evaluation set).
+  *
+  * Scale design (100 TB):
+  * - `text_repetition` is two narrow passes per n-gram order: explode →
+  *   (doc, gram) count with map-side combine → per-doc aggregate. The
+  *   shuffle key is (doc_id, gram), so hot grams never concentrate (each
+  *   document's grams stay in that document's groups); no joins against
+  *   corpus-wide state.
+  * - `decontaminate` joins the corpus shingle table against the DISTINCT
+  *   shingles of the eval set — the eval side is tiny by construction
+  *   (benchmarks are human-sized), so it broadcasts as a filtered plan and
+  *   the "join" is a broadcast semi-probe over the corpus scan: no shuffle
+  *   of the 100 TB side at all.
+  */
+object CorpusFilters {
+
+  import TextNorm.{norm, normSql}
+
+  // ------------------------------------------------------------ repetition
+
+  /** Gopher-style thresholds: a doc whose single most frequent bigram
+    * covers ≥ 18% of bigram slots, or whose duplicated trigrams cover
+    * ≥ 30% of trigram slots, is flagged repetitive.
+    */
+  private val TopBigramMax = 0.18
+  private val DupTrigramMax = 0.30
+
+  /** Word n-grams WITH multiplicity (unlike [[Dedup]]'s distinct shingles —
+    * repetition is exactly what multiplicity measures).
+    */
+  private def grams(docs: DataFrame, n: Int): DataFrame = {
+    val ws = split(norm, " ")
+    docs.select(col("doc_id"), ws.as("ws"))
+      .filter(size(col("ws")) >= 3)
+      .withColumn("i", explode(sequence(lit(1), size(col("ws")) - (n - 1))))
+      .select(col("doc_id"),
+        concat_ws(" ", (0 until n).map(k =>
+          element_at(col("ws"), col("i") + k)): _*).as("g"))
+  }
+
+  private def gramsSql(n: Int): String = {
+    val parts = (0 until n).map(k => s"ws[i + $k]").mkString(" || ' ' || ")
+    s"""(SELECT doc_id, $parts AS g FROM (
+          SELECT doc_id, ws, unnest(generate_series(1, len(ws) - ${n - 1})) AS i
+          FROM (SELECT doc_id, string_split($normSql, ' ') AS ws
+                FROM documents)
+          WHERE len(ws) >= 3))"""
+  }
+
+  /** Per-document repetition signals: total bigram slots, the top bigram's
+    * share of them, and the share of trigram slots occupied by trigrams
+    * appearing more than once.
+    */
+  def textRepetition(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val bg = grams(docs, 2).groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum(col("c")).as("n_bigrams"), max(col("c")).as("top"))
+      .withColumn("top_bigram_frac",
+        col("top").cast("double") / col("n_bigrams").cast("double"))
+    val tg = grams(docs, 3).groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum(when(col("c") >= 2, col("c")).otherwise(0L)).as("dup"),
+        sum(col("c")).as("n_tri"))
+      .withColumn("dup_trigram_frac",
+        col("dup").cast("double") / col("n_tri").cast("double"))
+    bg.join(tg, "doc_id")
+      .select(col("doc_id"), col("n_bigrams"),
+        round(col("top_bigram_frac"), 6).as("top_bigram_frac"),
+        round(col("dup_trigram_frac"), 6).as("dup_trigram_frac"),
+        (col("top_bigram_frac") >= TopBigramMax ||
+          col("dup_trigram_frac") >= DupTrigramMax).as("repetitive"))
+      .orderBy("doc_id")
+  }
+
+  val textRepetitionSql: String = s"""
+    WITH bgc AS (
+      SELECT doc_id, g, count(*) AS c FROM ${gramsSql(2)} GROUP BY 1, 2),
+    bstat AS (
+      SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+        CAST(max(c) AS DOUBLE) / CAST(CAST(sum(c) AS BIGINT) AS DOUBLE)
+          AS top_bigram_frac
+      FROM bgc GROUP BY doc_id),
+    tgc AS (
+      SELECT doc_id, g, count(*) AS c FROM ${gramsSql(3)} GROUP BY 1, 2),
+    tstat AS (
+      SELECT doc_id,
+        CAST(CAST(sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT) AS DOUBLE)
+          / CAST(CAST(sum(c) AS BIGINT) AS DOUBLE) AS dup_trigram_frac
+      FROM tgc GROUP BY doc_id)
+    SELECT doc_id, n_bigrams,
+      round(top_bigram_frac, 6) AS top_bigram_frac,
+      round(dup_trigram_frac, 6) AS dup_trigram_frac,
+      top_bigram_frac >= $TopBigramMax OR dup_trigram_frac >= $DupTrigramMax
+        AS repetitive
+    FROM bstat JOIN tstat USING (doc_id)
+    ORDER BY doc_id"""
+
+  // -------------------------------------------------------- decontamination
+
+  /** Documents whose id ≡ 0 (mod 101) stand in for the evaluation set. */
+  private val EvalMod = 101
+
+  /** A training doc sharing ≥ this many distinct 3-gram shingles with the
+    * eval set is contaminated.
+    */
+  private val ContaminationMin = 3
+
+  /** Benchmark decontamination: per training document, the number of
+    * distinct 3-gram shingles shared with ANY eval document, for documents
+    * with at least one shared shingle. Anti-joining `contaminated` out of
+    * the corpus is the production step; the gate surfaces the overlap
+    * counts so the threshold is auditable.
+    */
+  def decontaminate(s: SparkSession, dir: String): DataFrame = {
+    val sh = Dedup.shinglesOf(s, dir)
+    val evalSh = sh.filter(col("doc_id") % EvalMod === 0)
+      .select(col("sh")).distinct()
+    sh.filter(col("doc_id") % EvalMod =!= 0)
+      .join(broadcast(evalSh), "sh")
+      .groupBy("doc_id")
+      // shingles are distinct per doc, so count(*) counts distinct shares
+      .agg(count(lit(1)).as("n_overlap"))
+      .select(col("doc_id"), col("n_overlap"),
+        (col("n_overlap") >= ContaminationMin).as("contaminated"))
+      .orderBy("doc_id")
+  }
+
+  val decontaminateSql: String = s"""
+    WITH ${Dedup.shinglesSql},
+    ev AS (SELECT DISTINCT t.sh FROM sh t WHERE t.doc_id % $EvalMod = 0)
+    SELECT t.doc_id, count(*) AS n_overlap,
+           count(*) >= $ContaminationMin AS contaminated
+    FROM sh t JOIN ev ON t.sh = ev.sh
+    WHERE t.doc_id % $EvalMod <> 0
+    GROUP BY t.doc_id
+    ORDER BY t.doc_id"""
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_repetition" -> (textRepetition(_, _)),
+    "decontaminate" -> (decontaminate(_, _)))
+
+  val oracles: Map[String, String] = Map(
+    "text_repetition" -> textRepetitionSql,
+    "decontaminate" -> decontaminateSql)
+}

@@ -200,19 +200,120 @@ object Queries {
       COUNT(*) AS n, ${Exact.sqlSum("value")} AS sum_value
     FROM events GROUP BY 1, 2 ORDER BY win, event_type"""
 
+  /** Hierarchical totals (ROLLUP over returnflag → linestatus): subtotal
+    * rows carry an `ALL` label and the grouping-set id, so the output is
+    * null-free and sort-stable across engines. One shuffle: Spark expands
+    * the grouping sets before the partial aggregate, so every set still
+    * map-side combines.
+    */
+  def qRollup(s: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(s, dir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(grouping_id().as("gid"), count(lit(1)).as("n"),
+        Exact.sumD(col("l_quantity")).as("sum_qty"),
+        Exact.sumD(col("l_extendedprice")).as("sum_price"))
+      .select(col("gid"),
+        coalesce(col("l_returnflag"), lit("ALL")).as("rflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("lstatus"),
+        col("n"), col("sum_qty"), col("sum_price"))
+      .orderBy("gid", "rflag", "lstatus")
+  }
+
+  val qRollupSql: String = s"""
+    SELECT CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+      coalesce(l_returnflag, 'ALL') AS rflag,
+      coalesce(l_linestatus, 'ALL') AS lstatus,
+      COUNT(*) AS n,
+      ${Exact.sqlSum("l_quantity")} AS sum_qty,
+      ${Exact.sqlSum("l_extendedprice")} AS sum_price
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    ORDER BY gid, rflag, lstatus"""
+
+  /** Exact interpolated quartiles of order quantity per return flag.
+    * Spark's `percentile` and DuckDB's `quantile_cont` share the
+    * p·(n−1) linear-interpolation definition; on integer-valued doubles
+    * with binary-fraction percentiles both are exact, so the gate is
+    * hash-tight. At scale the exact percentile is a single sort-based
+    * aggregation per group; the approximate path (`percentile_approx`)
+    * trades that for a mergeable sketch with the same plan shape.
+    */
+  def qQuantiles(s: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(expr("percentile(l_quantity, array(0.25D, 0.5D, 0.75D))").as("ps"),
+        count(lit(1)).as("n"))
+      .select(col("l_returnflag"),
+        round(element_at(col("ps"), 1), 6).as("p25"),
+        round(element_at(col("ps"), 2), 6).as("p50"),
+        round(element_at(col("ps"), 3), 6).as("p75"),
+        col("n"))
+      .orderBy("l_returnflag")
+  }
+
+  val qQuantilesSql: String = """
+    SELECT l_returnflag,
+      round(qs[1], 6) AS p25, round(qs[2], 6) AS p50, round(qs[3], 6) AS p75, n
+    FROM (
+      SELECT l_returnflag,
+        quantile_cont(l_quantity, [0.25, 0.5, 0.75]) AS qs,
+        COUNT(*) AS n
+      FROM lineitem GROUP BY l_returnflag)
+    ORDER BY l_returnflag"""
+
+  /** Hour-over-hour user retention: of the users active in hour h, how many
+    * are also active in h+1. One distinct pass + one lead window keyed by
+    * user — no self-join of the events table.
+    */
+  def eventsRetention(s: SparkSession, dir: String): DataFrame = {
+    val uh = Tables.events(s, dir)
+      .select(col("user_id"), date_trunc("hour", col("ts")).as("h"))
+      .distinct()
+    val w = Window.partitionBy(col("user_id")).orderBy(col("h"))
+    uh.withColumn("next_h", lead(col("h"), 1).over(w))
+      .withColumn("retained",
+        when(col("next_h") === col("h") + expr("INTERVAL 1 HOUR"), 1L)
+          .otherwise(0L))
+      .groupBy(col("h"))
+      .agg(count(lit(1)).as("n_active"), sum(col("retained")).as("n_retained"))
+      .withColumn("retention",
+        round(col("n_retained").cast("double") / col("n_active").cast("double"), 6))
+      .orderBy("h")
+  }
+
+  val eventsRetentionSql: String = """
+    WITH uh AS (
+      SELECT DISTINCT user_id, date_trunc('hour', ts) AS h FROM events),
+    flagged AS (
+      SELECT user_id, h,
+        CASE WHEN LEAD(h) OVER (PARTITION BY user_id ORDER BY h)
+               = h + INTERVAL 1 HOUR THEN 1 ELSE 0 END AS retained
+      FROM uh)
+    SELECT h, COUNT(*) AS n_active,
+      CAST(SUM(retained) AS BIGINT) AS n_retained,
+      round(CAST(CAST(SUM(retained) AS BIGINT) AS DOUBLE)
+            / CAST(COUNT(*) AS DOUBLE), 6) AS retention
+    FROM flagged GROUP BY h ORDER BY h"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> (q1Agg _),
     "q3_join" -> (q3Join _),
     "q5_multijoin" -> (q5MultiJoin _),
+    "q_rollup" -> (qRollup _),
+    "q_quantiles" -> (qQuantiles _),
     "topk_window" -> (topkWindow _),
     "events_sessionize" -> (eventsSessionize _),
-    "events_window_agg" -> (eventsWindowAgg _))
+    "events_window_agg" -> (eventsWindowAgg _),
+    "events_retention" -> (eventsRetention _))
 
   val oracles: Map[String, String] = Map(
     "q1_agg" -> q1AggSql,
     "q3_join" -> q3JoinSql,
     "q5_multijoin" -> q5MultiJoinSql,
+    "q_rollup" -> qRollupSql,
+    "q_quantiles" -> qQuantilesSql,
     "topk_window" -> topkWindowSql,
     "events_sessionize" -> eventsSessionizeSql,
-    "events_window_agg" -> eventsWindowAggSql)
+    "events_window_agg" -> eventsWindowAggSql,
+    "events_retention" -> eventsRetentionSql)
 }

@@ -428,17 +428,68 @@ object Similarity {
            round(cos_raw, 6) AS cos
     FROM scored WHERE rank <= $k ORDER BY probe_id, rank"""
 
+  // ------------------------------------------------------ int8 quantization
+
+  /** Int8 scale: |x| < 0.635 in any unit-ish embedding keeps
+    * round(x·200) within [−127, 127], so the stored vector is one byte per
+    * dimension — 4× smaller than float32, the standard serving-memory
+    * optimization for ANN indexes.
+    */
+  private val Int8Scale = 200
+  /** 10^7 / Int8Scale: one int8 step measured in fine-quantization units. */
+  private val StepFine = 50000
+
+  /** Int8 quantization audit: per vector, the squared reconstruction error
+    * and max per-dimension error of the 1-byte representation, measured
+    * against the 10^7 fine quantization — all integer arithmetic, so the
+    * gate is exact. A narrow single-scan projection (zero shuffle); the
+    * production path stores `q8` and serves `q_dot(q8, q8probe)` with the
+    * scale factored out of the cosine.
+    */
+  def embedQuantize(s: SparkSession, dir: String): DataFrame = {
+    val qn = qdf(s, dir)
+    qn.join(
+        Tables.embeddings(s, dir).select(col("vec_id"),
+          expr(s"transform(embedding, x -> cast(floor(cast(x as double) * $Int8Scale + 0.5) as bigint))")
+            .as("q8")),
+        "vec_id")
+      .withColumn("err", expr(s"zip_with(q, q8, (a, b) -> a - ${StepFine}L * b)"))
+      .select(col("vec_id"),
+        expr("q_dot(err, err)").as("sse"),
+        expr("array_max(transform(err, x -> abs(x)))").as("max_err"))
+      .orderBy("vec_id")
+  }
+
+  val embedQuantizeSql: String = s"""
+    WITH e7 AS (SELECT vec_id, $QvecSql AS q FROM embeddings),
+    e8 AS (SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * $Int8Scale + 0.5) AS BIGINT))
+               AS q8
+           FROM embeddings),
+    er AS (
+      SELECT vec_id,
+        list_transform(generate_series(1, len(q)),
+          i -> q[i] - $StepFine * q8[i]) AS err
+      FROM e7 JOIN e8 USING (vec_id))
+    SELECT vec_id,
+      CAST(list_sum(list_transform(err, x -> x * x)) AS BIGINT) AS sse,
+      CAST(list_max(list_transform(err, x -> abs(x))) AS BIGINT) AS max_err
+    FROM er ORDER BY vec_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_embedding" -> (dedupEmbedding(_, _)),
     "ann_topk" -> (annTopk(_, _)),
     "ann_lsh" -> (annLsh(_, _)),
     "ann_lsh_multi" -> (annLshMulti(_, _)),
-    "ann_ivf" -> (annIvf(_, _)))
+    "ann_ivf" -> (annIvf(_, _)),
+    "embed_quantize" -> (embedQuantize(_, _)))
 
   val oracles: Map[String, String] = Map(
     "dedup_embedding" -> dedupEmbeddingSql,
     "ann_topk" -> annTopkSql(),
     "ann_lsh" -> annLshSql(),
     "ann_lsh_multi" -> annLshMultiSql(),
-    "ann_ivf" -> annIvfSql())
+    "ann_ivf" -> annIvfSql(),
+    "embed_quantize" -> embedQuantizeSql)
 }

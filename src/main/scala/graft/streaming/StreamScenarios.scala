@@ -70,6 +70,27 @@ object StreamScenarios {
     WindowCounts.counts(Tables.events(s, dir))
       .orderBy("win_start", "event_type")
 
+  /** Batch-mode run of the watermarked stream deduplicator over an event
+    * feed with planted exact-duplicate deliveries (every third event
+    * arrives twice — the at-least-once delivery the operator exists for).
+    * The aggregate makes surviving duplicates visible: any undropped copy
+    * would double its event's contribution to `n`/`sum_value`, so the
+    * oracle over the duplicate-free table is a tight check.
+    */
+  def streamDedup(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    val withDupes = e.unionByName(e.filter(col("event_id") % 3 === 0))
+    StreamDedup.dedupe(withDupes, Seq("event_id"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), Exact.sumD(col("value")).as("sum_value"))
+      .orderBy("event_type")
+  }
+
+  val streamDedupSql: String = s"""
+    SELECT event_type, COUNT(*) AS n, ${Exact.sqlSum("value")} AS sum_value
+    FROM events GROUP BY event_type ORDER BY event_type"""
+
   val streamWindowCountsSql: String = s"""
     SELECT date_trunc('hour', ts) AS win_start,
       date_trunc('hour', ts) + INTERVAL 1 HOUR AS win_end,
@@ -79,10 +100,12 @@ object StreamScenarios {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_changeset" -> (streamChangeset _),
     "stream_sessionize" -> (streamSessionize _),
-    "stream_window_counts" -> (streamWindowCounts _))
+    "stream_window_counts" -> (streamWindowCounts _),
+    "stream_dedup" -> (streamDedup _))
 
   val oracles: Map[String, String] = Map(
     "stream_changeset" -> streamChangesetSql,
     "stream_sessionize" -> graft.operators.Queries.eventsSessionizeSql,
-    "stream_window_counts" -> streamWindowCountsSql)
+    "stream_window_counts" -> streamWindowCountsSql,
+    "stream_dedup" -> streamDedupSql)
 }

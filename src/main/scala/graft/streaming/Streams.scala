@@ -161,7 +161,13 @@ object WindowCounts {
   * sources become effectively-once downstream).
   */
 object StreamDedup {
+  /** On a stream: watermarked within-watermark dedup (bounded state). On a
+    * bounded frame the same contract is plain `dropDuplicates` —
+    * `dropDuplicatesWithinWatermark` itself refuses batch inputs.
+    */
   def dedupe(events: DataFrame, idCols: Seq[String]): DataFrame =
-    events.withWatermark("ts", "1 hour")
-      .dropDuplicatesWithinWatermark(idCols)
+    if (events.isStreaming)
+      events.withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(idCols)
+    else events.dropDuplicates(idCols)
 }

@@ -1,0 +1,118 @@
+package graft
+
+import graft.operators.{CorpusFilters, Dedup, Queries, Similarity}
+import org.apache.spark.sql.functions._
+
+/** Specs for the round-3 operator additions (corpus filters, rollup /
+  * quantile / retention analytics, int8 quantization, batch stream-dedup).
+  */
+class Round3OpsSpec extends SparkSpec {
+
+  test("text_repetition: fractions bounded, slot count matches word count") {
+    val rows = CorpusFilters.textRepetition(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val top = r.getAs[Double]("top_bigram_frac")
+      val dup = r.getAs[Double]("dup_trigram_frac")
+      assert(top > 0.0 && top <= 1.0)
+      assert(dup >= 0.0 && dup <= 1.0)
+    }
+    // bigram slots = word count − 1 for a sampled doc
+    val d0 = Tables.documents(spark, sf).filter(col("doc_id") === 0)
+      .select(size(split(lower(trim(regexp_replace(col("text"), "\\s+", " "))),
+        " ")))
+      .head().getInt(0)
+    val r0 = rows.find(_.getAs[Long]("doc_id") == 0).get
+    assert(r0.getAs[Long]("n_bigrams") == d0 - 1)
+  }
+
+  test("decontaminate: overlap counts match a direct recount") {
+    val out = CorpusFilters.decontaminate(spark, sf).collect()
+    assert(out.nonEmpty, "some train docs share shingles with the eval set")
+    assert(out.forall(_.getAs[Long]("doc_id") % 101 != 0), "no eval docs")
+    assert(out.forall(r =>
+      r.getAs[Boolean]("contaminated") == (r.getAs[Long]("n_overlap") >= 3)))
+    // recount one doc's overlap directly from the shingle definition
+    val probe = out.head.getAs[Long]("doc_id")
+    val sh = Dedup.dedupMinhashLsh(spark, sf) // warms the shared shingle memo
+    val docs = Tables.documents(spark, sf)
+    def shingleSet(pred: org.apache.spark.sql.Column) = docs.filter(pred)
+      .select(explode(expr(
+        """transform(sequence(1, size(split(lower(trim(regexp_replace(text, '\\s+', ' '))), ' ')) - 2),
+             i -> concat_ws(' ',
+               element_at(split(lower(trim(regexp_replace(text, '\\s+', ' '))), ' '), i),
+               element_at(split(lower(trim(regexp_replace(text, '\\s+', ' '))), ' '), i + 1),
+               element_at(split(lower(trim(regexp_replace(text, '\\s+', ' '))), ' '), i + 2)))"""))
+        .as("sh"))
+      .distinct().collect().map(_.getString(0)).toSet
+    val evalSet = shingleSet(col("doc_id") % 101 === 0)
+    val probeSet = shingleSet(col("doc_id") === probe)
+    val expected = (probeSet intersect evalSet).size
+    val got = out.find(_.getAs[Long]("doc_id") == probe).get.getAs[Long]("n_overlap")
+    assert(got == expected, s"doc $probe overlap $got != $expected")
+  }
+
+  test("q_rollup: subtotals roll up to the grand total") {
+    val rows = Queries.qRollup(spark, sf).collect()
+    val leaves = rows.filter(_.getAs[Long]("gid") == 0)
+    val flagTotals = rows.filter(_.getAs[Long]("gid") == 1)
+    val grand = rows.filter(_.getAs[Long]("gid") == 3)
+    assert(grand.length == 1)
+    assert(leaves.map(_.getAs[Long]("n")).sum == grand.head.getAs[Long]("n"))
+    assert(flagTotals.map(_.getAs[Long]("n")).sum == grand.head.getAs[Long]("n"))
+    flagTotals.foreach { ft =>
+      val flag = ft.getAs[String]("rflag")
+      val fl = leaves.filter(_.getAs[String]("rflag") == flag)
+      assert(fl.map(_.getAs[Long]("n")).sum == ft.getAs[Long]("n"))
+      assert(math.abs(fl.map(_.getAs[Double]("sum_qty")).sum -
+        ft.getAs[Double]("sum_qty")) < 1e-6)
+    }
+  }
+
+  test("q_quantiles: ordered and inside the per-group range") {
+    val qs = Queries.qQuantiles(spark, sf).collect()
+    val ranges = Tables.lineitem(spark, sf).groupBy("l_returnflag")
+      .agg(min("l_quantity").as("lo"), max("l_quantity").as("hi"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2)))
+      .toMap
+    qs.foreach { r =>
+      val (p25, p50, p75) = (r.getAs[Double]("p25"), r.getAs[Double]("p50"),
+        r.getAs[Double]("p75"))
+      val (lo, hi) = ranges(r.getAs[String]("l_returnflag"))
+      assert(lo <= p25 && p25 <= p50 && p50 <= p75 && p75 <= hi)
+    }
+  }
+
+  test("events_retention: counts consistent, rates bounded") {
+    val rows = Queries.eventsRetention(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_retained") <= r.getAs[Long]("n_active"))
+      val rate = r.getAs[Double]("retention")
+      assert(rate >= 0.0 && rate <= 1.0)
+    }
+    assert(rows.exists(_.getAs[Long]("n_retained") > 0), "some retention")
+  }
+
+  test("embed_quantize: int8 error bounded by half a quantization step") {
+    val rows = Similarity.embedQuantize(spark, sf).collect()
+    assert(rows.length == Tables.embeddings(spark, sf).count())
+    rows.foreach { r =>
+      // |fine − 50000·int8| ≤ 25000 + fine-rounding slack of 1
+      assert(r.getAs[Long]("max_err") <= 25001)
+      assert(r.getAs[Long]("sse") <= 64L * 25001 * 25001)
+    }
+  }
+
+  test("stream_dedup (batch mode): planted duplicate deliveries collapse") {
+    val out = graft.streaming.StreamScenarios.streamDedup(spark, sf).collect()
+    val direct = Tables.events(spark, sf).groupBy("event_type")
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getAs[Long]("n") == direct(r.getAs[String]("event_type")),
+        "every duplicate delivery was dropped")
+    }
+  }
+}

@@ -16,6 +16,12 @@ import duckdb
 
 def norm(df):
     df = df[sorted(df.columns)]
+    # integer WIDTH differences are tolerated by the driver's hash
+    # (e.g. Spark size() INT vs DuckDB len() BIGINT) — only float-vs-int
+    # representation breaks it, so widen all ints before comparing
+    for c in df.columns:
+        if str(df[c].dtype) in ("int8", "int16", "int32", "uint32"):
+            df[c] = df[c].astype("int64")
     df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
     return df
 
