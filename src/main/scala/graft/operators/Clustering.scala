@@ -55,17 +55,28 @@ object Clustering {
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("lab", col("id"))
     var changed = 1L
+    var prev: DataFrame = null
     while (changed > 0) {
       val nbrMin = edges
-        .join(labels.withColumnRenamed("id", "dst"), "dst")
+        .join(labels.select(col("id").as("dst"), col("lab")), "dst")
         .groupBy(col("src").as("id")).agg(min(col("lab")).as("nbr"))
-      val next = labels.join(nbrMin, Seq("id"), "left")
-        .select(col("id"),
-          least(col("lab"), coalesce(col("nbr"), col("lab"))).as("lab"))
-      // scalar aggregate only — no data ever reaches the driver
-      changed = next.join(labels.withColumnRenamed("lab", "old"), "id")
-        .filter(col("lab") =!= col("old")).count()
-      labels = next
+      // near-dup components are shallow (edges share LSH buckets), so plain
+      // min-propagation converges in a handful of rounds; a pointer-jumping
+      // variant (label ← label-of-label, O(log n) worst case) was measured
+      // slower here — the extra per-round join outweighs the rounds saved
+      val next = labels.withColumnRenamed("lab", "old")
+        .join(nbrMin, Seq("id"), "left")
+        .select(col("id"), col("old"),
+          least(col("old"), coalesce(col("nbr"), col("old"))).as("lab"))
+        .persist()
+      // one persisted frame per round: the convergence check and the next
+      // round share a single evaluation, and unpersisting the previous
+      // round keeps lineage (and recompute) linear in the round count.
+      // The check is a scalar aggregate — no data ever reaches the driver.
+      changed = next.filter(col("lab") =!= col("old")).count()
+      if (prev != null) prev.unpersist()
+      prev = next
+      labels = next.select(col("id"), col("lab"))
     }
     val sizes = labels.groupBy(col("lab")).agg(count(lit(1)).as("csize"))
     labels.join(sizes, "lab")

@@ -295,6 +295,84 @@ object Queries {
             / CAST(COUNT(*) AS DOUBLE), 6) AS retention
     FROM flagged GROUP BY h ORDER BY h"""
 
+  /** Semi-structured extraction: the `props` JSON column parsed in-plan
+    * (`get_json_object` is codegen'd — no UDF) and aggregated per event
+    * type. Integer payloads keep the gate exact; the avg divides two exact
+    * integers, deterministic IEEE on both engines.
+    */
+  def eventsJson(s: SparkSession, dir: String): DataFrame = {
+    Tables.events(s, dir)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("bigint"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+      .withColumn("avg_k",
+        round(col("sum_k").cast("double") / col("n").cast("double"), 6))
+      .orderBy("event_type")
+  }
+
+  val eventsJsonSql: String = """
+    WITH e AS (
+      SELECT event_type,
+        CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      FROM events)
+    SELECT event_type, COUNT(*) AS n,
+      CAST(SUM(k) AS BIGINT) AS sum_k, MIN(k) AS min_k, MAX(k) AS max_k,
+      round(CAST(CAST(SUM(k) AS BIGINT) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+        AS avg_k
+    FROM e GROUP BY event_type ORDER BY event_type"""
+
+  /** Ordered conversion funnel view → click → purchase: each stage is the
+    * earliest qualifying event strictly after the previous stage's, per
+    * user. Three user-keyed aggregations — the shuffle key is always
+    * user_id, so the funnel runs in the events table's natural
+    * partitioning; no self-join of the raw stream. Timestamps are
+    * second-truncated on both engines so nanos-vs-micros precision can't
+    * flip a strict comparison.
+    */
+  def eventsFunnel(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+      .select(col("user_id"), date_trunc("second", col("ts")).as("tss"),
+        col("event_type"))
+    val v = e.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min(col("tss")).as("t_view"))
+    val c = e.filter(col("event_type") === "click").join(v, "user_id")
+      .filter(col("tss") > col("t_view"))
+      .groupBy("user_id").agg(min(col("tss")).as("t_click"))
+    val p = e.filter(col("event_type") === "purchase").join(c, "user_id")
+      .filter(col("tss") > col("t_click"))
+      .groupBy("user_id").agg(min(col("tss")).as("t_buy"))
+    v.join(c, Seq("user_id"), "left").join(p, Seq("user_id"), "left")
+      .agg(count(lit(1)).as("n_view"),
+        count(col("t_click")).as("n_click"),
+        count(col("t_buy")).as("n_purchase"))
+      .select(col("n_view"), col("n_click"), col("n_purchase"),
+        round(col("n_click").cast("double") / col("n_view").cast("double"), 6)
+          .as("view_to_click"),
+        round(col("n_purchase").cast("double") / col("n_click").cast("double"), 6)
+          .as("click_to_purchase"))
+  }
+
+  val eventsFunnelSql: String = """
+    WITH e AS (
+      SELECT user_id, date_trunc('second', ts) AS tss, event_type FROM events),
+    v AS (SELECT user_id, min(tss) AS t_view FROM e
+          WHERE event_type = 'view' GROUP BY user_id),
+    c AS (SELECT e.user_id, min(tss) AS t_click
+          FROM e JOIN v ON e.user_id = v.user_id
+          WHERE event_type = 'click' AND tss > t_view GROUP BY e.user_id),
+    p AS (SELECT e.user_id, min(tss) AS t_buy
+          FROM e JOIN c ON e.user_id = c.user_id
+          WHERE event_type = 'purchase' AND tss > t_click GROUP BY e.user_id)
+    SELECT count(*) AS n_view,
+      count(t_click) AS n_click,
+      count(t_buy) AS n_purchase,
+      round(CAST(count(t_click) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+        AS view_to_click,
+      round(CAST(count(t_buy) AS DOUBLE) / CAST(count(t_click) AS DOUBLE), 6)
+        AS click_to_purchase
+    FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> (q1Agg _),
     "q3_join" -> (q3Join _),
@@ -304,7 +382,9 @@ object Queries {
     "topk_window" -> (topkWindow _),
     "events_sessionize" -> (eventsSessionize _),
     "events_window_agg" -> (eventsWindowAgg _),
-    "events_retention" -> (eventsRetention _))
+    "events_retention" -> (eventsRetention _),
+    "events_json" -> (eventsJson _),
+    "events_funnel" -> (eventsFunnel _))
 
   val oracles: Map[String, String] = Map(
     "q1_agg" -> q1AggSql,
@@ -315,5 +395,7 @@ object Queries {
     "topk_window" -> topkWindowSql,
     "events_sessionize" -> eventsSessionizeSql,
     "events_window_agg" -> eventsWindowAggSql,
-    "events_retention" -> eventsRetentionSql)
+    "events_retention" -> eventsRetentionSql,
+    "events_json" -> eventsJsonSql,
+    "events_funnel" -> eventsFunnelSql)
 }
