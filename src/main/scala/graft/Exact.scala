@@ -17,8 +17,20 @@ import org.apache.spark.sql.types.DecimalType
 object Exact {
   private val Wide = DecimalType(30, 10)
 
+  /** The wide decimal type used for exact sums, for callers staging their
+    * own partial aggregates (see [[sumDec]]).
+    */
+  def wide: DecimalType = Wide
+
   /** Order-independent sum of a double expression. */
   def sumD(c: Column): Column = sum(c.cast(Wide)).cast("double")
+
+  /** Exact decimal sum, kept as decimal — for multi-stage aggregation
+    * (partial states merged later) where only the FINAL result may round
+    * to double. Decimal addition is exact and associative, so any merge
+    * tree of these partials equals the direct sum.
+    */
+  def sumDec(c: Column): Column = sum(c.cast(Wide))
 
   /** Order-independent mean of a double expression. */
   def avgD(c: Column): Column = sum(c.cast(Wide)).cast("double") / count(lit(1))

@@ -18,6 +18,7 @@ object SparkEntry {
       operators.Skew.queries ++
       operators.MergeScenarios.queries ++
       operators.Clustering.queries ++
+      operators.ZOrder.queries ++
       operators.TextOps.queries ++
       operators.CorpusFilters.queries ++
       operators.Dedup.queries ++
@@ -39,6 +40,7 @@ object SparkEntry {
       operators.Skew.oracles ++
       operators.MergeScenarios.oracles ++
       operators.Clustering.oracles ++
+      operators.ZOrder.oracles ++
       operators.TextOps.oracles ++
       operators.CorpusFilters.oracles ++
       operators.Dedup.oracles ++

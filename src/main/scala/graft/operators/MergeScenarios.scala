@@ -258,13 +258,40 @@ object MergeScenarios {
            ELSE 'ok' END AS status
     FROM checks ORDER BY check_name"""
 
+  /** Incremental aggregate maintenance across the level-5 apply: the
+    * post-apply per-status (count, exact price sum) computed from the
+    * pre-apply aggregate state plus the changeset ONLY — the oracle
+    * recomputes the same aggregate directly over the merged table, so a
+    * hash match proves the incremental path is exactly equivalent to a
+    * full rescan.
+    */
+  def incrementalAgg(s: SparkSession, dir: String): DataFrame = {
+    val oldState = Merge.aggState(curC(s, dir), "o_orderstatus", "o_totalprice")
+    Merge.incrementalAgg(oldState, curC(s, dir), incomingC(s, dir),
+        actionsC(s, dir), OrdersKey, "o_orderstatus", "o_totalprice")
+      .select(col("o_orderstatus"), col("n"),
+        col("sum_dec").cast("double").as("sum_price"))
+      .orderBy("o_orderstatus")
+  }
+
+  val incrementalAggSql: String = s"""$Ctes,
+    merged AS (
+      SELECT * FROM cur
+      WHERE o_orderkey NOT IN (SELECT o_orderkey FROM chg)
+      UNION ALL
+      SELECT * FROM inc)
+    SELECT o_orderstatus, COUNT(*) AS n,
+      ${graft.Exact.sqlSum("o_totalprice")} AS sum_price
+    FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "table_diff" -> (tableDiff _),
     "apply_changeset" -> (applyChangeset _),
     "apply_bookkeeping" -> (applyBookkeeping _),
     "merge_counts" -> (mergeCounts _),
     "fix_changed_inc_keys" -> (fixChangedIncKeys _),
-    "row_count_check" -> (rowCountCheck _))
+    "row_count_check" -> (rowCountCheck _),
+    "incremental_agg" -> (incrementalAgg _))
 
   val oracles: Map[String, String] = Map(
     "table_diff" -> tableDiffSql,
@@ -272,5 +299,6 @@ object MergeScenarios {
     "apply_bookkeeping" -> applyBookkeepingSql,
     "merge_counts" -> mergeCountsSql,
     "fix_changed_inc_keys" -> fixChangedIncKeysSql,
-    "row_count_check" -> rowCountCheckSql)
+    "row_count_check" -> rowCountCheckSql,
+    "incremental_agg" -> incrementalAggSql)
 }

@@ -428,6 +428,97 @@ object Similarity {
            round(cos_raw, 6) AS cos
     FROM scored WHERE rank <= $k ORDER BY probe_id, rank"""
 
+  // --------------------------------------------- product quantization (ANN)
+
+  private val PqM = 8   // subspaces
+  private val PqSub = 8 // dims per subspace (PqM · PqSub = Dim)
+  private val PqK = 16  // codes per subspace codebook
+
+  /** PQ-coded ANN with asymmetric distance computation: each vector is
+    * encoded as `PqM` one-byte codes (nearest codebook entry per
+    * subspace); a probe precomputes its `PqM × PqK` distance table and the
+    * approximate distance of any candidate is the sum of `PqM` table
+    * lookups — the index touches only codes, never raw vectors. This is
+    * the serving-memory scale path beyond IVF: 64 float dims become 8
+    * bytes (32×), and scoring is `PqM` additions per candidate.
+    *
+    * Plan shape: the codebook (deterministic: the first `PqK` vectors'
+    * subspace slices — k-means++ per subspace at scale, same plan) and the
+    * probe distance tables are broadcast; encoding is one broadcast join +
+    * map-side-combining `min_by` per (vector, subspace); candidate scoring
+    * is an equi-join on (subspace, code) followed by a sum keyed by
+    * (probe, vector). All distances are exact integers (quantized
+    * components), so the gate is hash-tight with no float comparisons.
+    */
+  def annPq(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val qn = qdf(s, dir)
+    val subs = qn.select(col("vec_id"),
+        posexplode(array((0 until PqM).map(m =>
+          expr(s"slice(q, ${m * PqSub + 1}, $PqSub)")): _*)).as(Seq("m", "sub")))
+      .withColumn("sn2", expr("q_dot(sub, sub)"))
+    val cb = subs.filter(col("vec_id") < PqK)
+      .select(col("m"), col("vec_id").as("code"),
+        col("sub").as("csub"), col("sn2").as("cn2"))
+    val dExpr = col("sn2") - lit(2L) * expr("q_dot(sub, csub)") + col("cn2")
+    val enc = subs.join(broadcast(cb), "m")
+      .withColumn("d2", dExpr)
+      .groupBy(col("vec_id"), col("m"))
+      .agg(min_by(col("code"), struct(col("d2"), col("code"))).as("code"))
+    val pt = subs.filter(col("vec_id") % 50 === 0).join(broadcast(cb), "m")
+      .select(col("vec_id").as("probe_id"), col("m"), col("code"),
+        dExpr.as("dm"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("adc"), col("vec_id"))
+    enc.join(broadcast(pt), Seq("m", "code"))
+      .filter(col("probe_id") =!= col("vec_id"))
+      .groupBy(col("probe_id"), col("vec_id"))
+      .agg(sum(col("dm")).as("adc"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("probe_id"), col("rank"), col("vec_id"), col("adc"))
+      .orderBy("probe_id", "rank")
+  }
+
+  def annPqSql(k: Int = 5): String = {
+    val subDot =
+      s"CAST(list_sum(list_transform(generate_series(1, $PqSub), i -> s.sub[i] * cb.csub[i])) AS BIGINT)"
+    s"""
+    WITH $QuantSql,
+    ms AS (SELECT unnest(generate_series(0, ${PqM - 1})) AS m),
+    subs AS (
+      SELECT vec_id, m, list_slice(q, m * $PqSub + 1, m * $PqSub + $PqSub) AS sub
+      FROM qn, ms),
+    ssn AS (
+      SELECT vec_id, m, sub,
+        CAST(list_sum(list_transform(sub, x -> x * x)) AS BIGINT) AS sn2
+      FROM subs),
+    cb AS (SELECT m, vec_id AS code, sub AS csub, sn2 AS cn2
+           FROM ssn WHERE vec_id < $PqK),
+    enc AS (
+      SELECT vec_id, m, code FROM (
+        SELECT s.vec_id, s.m, cb.code,
+          row_number() OVER (PARTITION BY s.vec_id, s.m
+            ORDER BY s.sn2 - 2 * $subDot + cb.cn2, cb.code) AS rn
+        FROM ssn s JOIN cb ON s.m = cb.m)
+      WHERE rn = 1),
+    pt AS (
+      SELECT s.vec_id AS probe_id, s.m, cb.code,
+        s.sn2 - 2 * $subDot + cb.cn2 AS dm
+      FROM ssn s JOIN cb ON s.m = cb.m
+      WHERE s.vec_id % 50 = 0),
+    adc AS (
+      SELECT probe_id, e.vec_id, CAST(sum(dm) AS BIGINT) AS adc
+      FROM enc e JOIN pt ON e.m = pt.m AND e.code = pt.code
+      WHERE probe_id <> e.vec_id
+      GROUP BY 1, 2),
+    ranked AS (
+      SELECT probe_id, vec_id, adc,
+        row_number() OVER (PARTITION BY probe_id ORDER BY adc, vec_id) AS rank
+      FROM adc)
+    SELECT probe_id, CAST(rank AS INT) AS rank, vec_id, adc
+    FROM ranked WHERE rank <= $k ORDER BY probe_id, rank"""
+  }
+
   // ------------------------------------------------------ int8 quantization
 
   /** Int8 scale: |x| < 0.635 in any unit-ish embedding keeps
@@ -483,6 +574,7 @@ object Similarity {
     "ann_lsh" -> (annLsh(_, _)),
     "ann_lsh_multi" -> (annLshMulti(_, _)),
     "ann_ivf" -> (annIvf(_, _)),
+    "ann_pq" -> (annPq(_, _)),
     "embed_quantize" -> (embedQuantize(_, _)))
 
   val oracles: Map[String, String] = Map(
@@ -491,5 +583,6 @@ object Similarity {
     "ann_lsh" -> annLshSql(),
     "ann_lsh_multi" -> annLshMultiSql(),
     "ann_ivf" -> annIvfSql(),
+    "ann_pq" -> annPqSql(),
     "embed_quantize" -> embedQuantizeSql)
 }

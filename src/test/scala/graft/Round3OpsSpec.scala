@@ -104,6 +104,75 @@ class Round3OpsSpec extends SparkSpec {
     }
   }
 
+  test("ann_pq: complete ranked lists, non-negative integer ADC") {
+    val rows = Similarity.annPq(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[Long]("probe_id")).foreach { case (_, g) =>
+      assert(g.map(_.getAs[Int]("rank")).sorted.sameElements(1 to g.length))
+      assert(g.length <= 5)
+    }
+    rows.foreach { r =>
+      assert(r.getAs[Long]("adc") >= 0, "ADC is a sum of squared distances")
+      assert(r.getAs[Long]("vec_id") != r.getAs[Long]("probe_id"))
+    }
+    // deterministic across runs (codebook + tie-breaks are fixed)
+    val again = Similarity.annPq(spark, sf).collect()
+    assert(rows.map(_.toString).sameElements(again.map(_.toString)))
+  }
+
+  test("ann_pq: approximate neighbors overlap the exact top-k") {
+    val exact = Similarity.annTopk(spark, sf, k = 10).collect()
+      .groupBy(_.getAs[Long]("probe_id"))
+      .map { case (p, g) => p -> g.map(_.getAs[Long]("vec_id")).toSet }
+    val pq = Similarity.annPq(spark, sf).collect()
+      .groupBy(_.getAs[Long]("probe_id"))
+      .map { case (p, g) => p -> g.map(_.getAs[Long]("vec_id")).toSet }
+    // PQ is approximate; require SOME overlap with the exact top-10 across
+    // the probe set rather than per-probe recall
+    val hits = pq.map { case (p, cands) =>
+      (cands intersect exact.getOrElse(p, Set.empty)).size }.sum
+    assert(hits > 0, "PQ candidates never intersect exact top-10")
+  }
+
+  test("zorder: interleave round-trips and layout ranges are disjoint") {
+    import org.apache.spark.sql.functions._
+    val rows = operators.ZOrder.zorderLayout(spark, sf).collect()
+    rows.take(50).foreach { r =>
+      val (ck, d, z) = (r.getAs[Long]("ck"), r.getAs[Long]("d"),
+        r.getAs[Long]("zval"))
+      // de-interleave the even/odd bits recovers both dimensions
+      var (rc, rd) = (0L, 0L)
+      (0 until 16).foreach { i =>
+        rc |= ((z >> (2 * i)) & 1) << i
+        rd |= ((z >> (2 * i + 1)) & 1) << i
+      }
+      assert(rc == ck && rd == d, s"z $z should decode to ($ck, $d)")
+    }
+    // range partitioning by zval yields disjoint per-partition z intervals
+    val laid = operators.ZOrder.zOrderedLayout(Tables.orders(spark, sf), 4)
+    val parts = laid.select(spark_partition_id().as("p"), col("zval"))
+      .groupBy("p").agg(min("zval").as("lo"), max("zval").as("hi"))
+      .collect().map(r => (r.getAs[Long]("lo"), r.getAs[Long]("hi")))
+      .sortBy(_._1)
+    parts.sliding(2).foreach {
+      case Array((_, hi1), (lo2, _)) => assert(hi1 <= lo2, "overlapping z ranges")
+      case _ =>
+    }
+  }
+
+  test("incremental_agg: equals a direct aggregate over the merged table") {
+    import graft.operators.MergeScenarios
+    val incr = MergeScenarios.incrementalAgg(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val direct = MergeScenarios.applyChangeset(spark, sf)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"), Exact.sumD(col("o_totalprice")).as("s"))
+      .orderBy("o_orderstatus").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(incr.sameElements(direct),
+      "incremental state + delta must equal the full rescan exactly")
+  }
+
   test("stream_dedup (batch mode): planted duplicate deliveries collapse") {
     val out = graft.streaming.StreamScenarios.streamDedup(spark, sf).collect()
     val direct = Tables.events(spark, sf).groupBy("event_type")
