@@ -76,10 +76,35 @@ class PlanSpec extends SparkSpec {
     // regression guard for the round-1 anti-pattern: collecting the
     // embeddings table / vocabulary to the driver before querying
     for (f <- Seq("src/main/scala/graft/operators/Similarity.scala",
-      "src/main/scala/graft/operators/Dedup.scala")) {
+      "src/main/scala/graft/operators/Dedup.scala",
+      "src/main/scala/graft/operators/Clustering.scala",
+      "src/main/scala/graft/operators/CorpusFilters.scala",
+      "src/main/scala/graft/operators/ZOrder.scala")) {
       val src = new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get(f)))
       assert(!src.contains(".collect()"), s"$f collects to the driver")
     }
+  }
+
+  test("PQ ANN runs on broadcast codebooks/tables with q_dot in-plan") {
+    val p = plan(operators.Similarity.annPq(spark, sf))
+    assert(p.contains("q_dot"), "subspace distances via the native expression")
+    assert(count(p, "BroadcastHashJoin") >= 2,
+      "codebook + probe-table joins must broadcast")
+    assert(p.contains("WindowGroupLimit"), "map-side top-k expected")
+  }
+
+  test("decontaminate broadcasts the eval side") {
+    val p = plan(operators.CorpusFilters.decontaminate(spark, sf))
+    assert(count(p, "BroadcastHashJoin") >= 1,
+      "the eval shingle set is tiny by construction — it must broadcast")
+  }
+
+  test("kmeans assignment joins broadcast the centroid side") {
+    val p = plan(operators.Clustering.kmeansEmbed(spark, sf))
+    assert(p.contains("q_dot"))
+    assert(count(p, "BroadcastNestedLoopJoin") >= 1,
+      "vector × centroid pairing is an explicit broadcast NLJ")
+    assert(!p.contains("CartesianProduct"))
   }
 }
