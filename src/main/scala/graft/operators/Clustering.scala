@@ -54,29 +54,34 @@ object Clustering {
         .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst"))))
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("lab", col("id"))
-    var changed = 1L
+    // per-id labels only ever decrease, so the total label sum strictly
+    // decreases until the fixpoint — a single scalar aggregate doubles as
+    // the convergence test (no data ever reaches the driver)
+    var labelSum = Long.MaxValue
     var prev: DataFrame = null
-    while (changed > 0) {
-      val nbrMin = edges
+    var converged = false
+    while (!converged) {
+      // one round = 2 shuffles: neighbour labels unioned with own labels,
+      // then a map-side-combining min per id. Near-dup components are
+      // shallow (edges share LSH buckets), so plain min-propagation
+      // converges in a handful of rounds; a pointer-jumping variant
+      // (label ← label-of-label, O(log n) worst case) was measured slower
+      // here — the extra per-round join outweighs the rounds saved.
+      val next = edges
         .join(labels.select(col("id").as("dst"), col("lab")), "dst")
-        .groupBy(col("src").as("id")).agg(min(col("lab")).as("nbr"))
-      // near-dup components are shallow (edges share LSH buckets), so plain
-      // min-propagation converges in a handful of rounds; a pointer-jumping
-      // variant (label ← label-of-label, O(log n) worst case) was measured
-      // slower here — the extra per-round join outweighs the rounds saved
-      val next = labels.withColumnRenamed("lab", "old")
-        .join(nbrMin, Seq("id"), "left")
-        .select(col("id"), col("old"),
-          least(col("old"), coalesce(col("nbr"), col("old"))).as("lab"))
+        .select(col("src").as("id"), col("lab"))
+        .unionByName(labels)
+        .groupBy(col("id")).agg(min(col("lab")).as("lab"))
         .persist()
-      // one persisted frame per round: the convergence check and the next
+      // one persisted frame per round: the convergence scalar and the next
       // round share a single evaluation, and unpersisting the previous
-      // round keeps lineage (and recompute) linear in the round count.
-      // The check is a scalar aggregate — no data ever reaches the driver.
-      changed = next.filter(col("lab") =!= col("old")).count()
+      // round keeps lineage (and recompute) linear in the round count
+      val s = next.agg(sum(col("lab"))).head().getLong(0)
+      converged = s == labelSum
+      labelSum = s
       if (prev != null) prev.unpersist()
       prev = next
-      labels = next.select(col("id"), col("lab"))
+      labels = next
     }
     val sizes = labels.groupBy(col("lab")).agg(count(lit(1)).as("csize"))
     labels.join(sizes, "lab")
