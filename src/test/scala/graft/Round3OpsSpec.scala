@@ -160,6 +160,21 @@ class Round3OpsSpec extends SparkSpec {
     }
   }
 
+  test("versioned_append: incremental revision equals a full rebuild") {
+    import graft.operators.{Versioned, VersionedScenarios => VS}
+    val rebuilt = Versioned.build(
+      Seq(1 -> VS.r1(spark, sf), 2 -> VS.r2(spark, sf), 3 -> VS.r3(spark, sf)),
+      "o_orderkey")
+    val appended = VS.versionedAppend(spark, sf)
+    assert(appended.exceptAll(rebuilt).isEmpty &&
+      rebuilt.exceptAll(appended).isEmpty,
+      "append path must reproduce the rebuild row-for-row")
+    // every key has at most one open version
+    val multiOpen = appended.filter(col(Versioned.Expired).isNull)
+      .groupBy("o_orderkey").count().filter(col("count") > 1).count()
+    assert(multiOpen == 0)
+  }
+
   test("incremental_agg: equals a direct aggregate over the merged table") {
     import graft.operators.MergeScenarios
     val incr = MergeScenarios.incrementalAgg(spark, sf).collect()
