@@ -19,6 +19,7 @@ object SparkEntry {
       operators.MergeScenarios.queries ++
       operators.Clustering.queries ++
       operators.ZOrder.queries ++
+      operators.Quality.queries ++
       operators.TextOps.queries ++
       operators.CorpusFilters.queries ++
       operators.Dedup.queries ++
@@ -41,6 +42,7 @@ object SparkEntry {
       operators.MergeScenarios.oracles ++
       operators.Clustering.oracles ++
       operators.ZOrder.oracles ++
+      operators.Quality.oracles ++
       operators.TextOps.oracles ++
       operators.CorpusFilters.oracles ++
       operators.Dedup.oracles ++

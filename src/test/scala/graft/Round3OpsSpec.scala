@@ -160,6 +160,20 @@ class Round3OpsSpec extends SparkSpec {
     }
   }
 
+  test("dq_check: rule families report, failing rule counted not just flagged") {
+    val rows = graft.operators.Quality.dqCheck(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(rows.size == 6)
+    // clean rules on this schema
+    for (ok <- Seq("orders_pk_unique", "lineitem_fk_orders",
+      "orders_status_domain", "orders_price_positive", "lineitem_qty_range"))
+      assert(rows(ok) == (0L, "ok"), s"$ok should pass")
+    // the synthetic data genuinely violates ship-after-order
+    val (n, st) = rows("lineitem_ship_before_order")
+    assert(st == "fail" && n > 0, "violations must be counted")
+    assert(n < Tables.lineitem(spark, sf).count(), "not everything violates")
+  }
+
   test("versioned_append: incremental revision equals a full rebuild") {
     import graft.operators.{Versioned, VersionedScenarios => VS}
     val rebuilt = Versioned.build(
