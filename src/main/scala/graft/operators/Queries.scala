@@ -373,6 +373,66 @@ object Queries {
         AS click_to_purchase
     FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)"""
 
+  /** RANGE-framed moving window: per customer, order count and exact
+    * revenue over the trailing 30 days of each order (value-based frame,
+    * not row-based — the frame is defined on the day offset, so ties and
+    * gaps behave correctly). The window is key-partitioned: one shuffle on
+    * customer, linear scan per customer.
+    */
+  def ordersMovingRevenue(s: SparkSession, dir: String): DataFrame = {
+    val d = datediff(to_date(col("o_orderdate")), lit("1992-01-01").cast("date"))
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("d"))
+      .rangeBetween(-30, 0)
+    Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_custkey"), d.as("d"),
+        col("o_totalprice"))
+      .withColumn("n_30d", count(lit(1)).over(w))
+      .withColumn("rev_30d",
+        sum(col("o_totalprice").cast(graft.Exact.wide)).over(w).cast("double"))
+      .select("o_orderkey", "o_custkey", "d", "n_30d", "rev_30d")
+      .orderBy("o_orderkey")
+  }
+
+  val ordersMovingRevenueSql: String = """
+    SELECT o_orderkey, o_custkey, d,
+      count(*) OVER w AS n_30d,
+      CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(30,10))) OVER w AS VARCHAR)
+        AS DOUBLE) AS rev_30d
+    FROM (
+      SELECT o_orderkey, o_custkey,
+        date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS d,
+        o_totalprice
+      FROM orders)
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY d
+                 RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)
+    ORDER BY o_orderkey"""
+
+  /** Pivoted cross-tab: order counts and exact revenue per status,
+    * priorities as columns. Spark's `pivot` with explicit values keeps the
+    * plan a single groupBy (no distinct-values pre-query); the oracle
+    * mirrors it with FILTER aggregates.
+    */
+  private val Priorities =
+    Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+
+  def ordersPivot(s: SparkSession, dir: String): DataFrame = {
+    val agged = Tables.orders(s, dir)
+      .groupBy(col("o_orderstatus"))
+      .pivot("o_orderpriority", Priorities)
+      .agg(count(lit(1)))
+    val renamed = Priorities.zipWithIndex.foldLeft(agged) {
+      case (df, (p, i)) => df.withColumnRenamed(p, s"n_p${i + 1}")
+    }
+    renamed.orderBy("o_orderstatus")
+  }
+
+  val ordersPivotSql: String = s"""
+    SELECT o_orderstatus,
+      ${Priorities.zipWithIndex.map { case (p, i) =>
+        s"count(*) FILTER (WHERE o_orderpriority = '$p') AS n_p${i + 1}"
+      }.mkString(",\n      ")}
+    FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> (q1Agg _),
     "q3_join" -> (q3Join _),
@@ -384,7 +444,9 @@ object Queries {
     "events_window_agg" -> (eventsWindowAgg _),
     "events_retention" -> (eventsRetention _),
     "events_json" -> (eventsJson _),
-    "events_funnel" -> (eventsFunnel _))
+    "events_funnel" -> (eventsFunnel _),
+    "orders_moving_revenue" -> (ordersMovingRevenue _),
+    "orders_pivot" -> (ordersPivot _))
 
   val oracles: Map[String, String] = Map(
     "q1_agg" -> q1AggSql,
@@ -397,5 +459,7 @@ object Queries {
     "events_window_agg" -> eventsWindowAggSql,
     "events_retention" -> eventsRetentionSql,
     "events_json" -> eventsJsonSql,
-    "events_funnel" -> eventsFunnelSql)
+    "events_funnel" -> eventsFunnelSql,
+    "orders_moving_revenue" -> ordersMovingRevenueSql,
+    "orders_pivot" -> ordersPivotSql)
 }

@@ -160,6 +160,34 @@ class Round3OpsSpec extends SparkSpec {
     }
   }
 
+  test("orders_moving_revenue: trailing frame bounds the per-row aggregate") {
+    val rows = Queries.ordersMovingRevenue(spark, sf).collect()
+    assert(rows.length == Tables.orders(spark, sf).count())
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_30d") >= 1, "frame always includes current row")
+      assert(r.getAs[Double]("rev_30d") > 0.0)
+    }
+    // a customer's rows: n_30d never exceeds their total order count
+    val byCust = rows.groupBy(_.getAs[Long]("o_custkey"))
+    byCust.foreach { case (_, g) =>
+      assert(g.map(_.getAs[Long]("n_30d")).max <= g.length)
+    }
+  }
+
+  test("orders_pivot: pivoted counts reconstruct the flat group-by") {
+    val piv = Queries.ordersPivot(spark, sf).collect()
+    val flat = Tables.orders(spark, sf)
+      .groupBy("o_orderstatus", "o_orderpriority").count().collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val prios = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+    piv.foreach { r =>
+      val st = r.getString(0)
+      prios.zipWithIndex.foreach { case (p, i) =>
+        assert(r.getAs[Long](s"n_p${i + 1}") == flat.getOrElse((st, p), 0L))
+      }
+    }
+  }
+
   test("dq_check: rule families report, failing rule counted not just flagged") {
     val rows = graft.operators.Quality.dqCheck(spark, sf).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getString(2))).toMap
