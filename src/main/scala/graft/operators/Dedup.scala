@@ -96,9 +96,9 @@ object Dedup {
     graft.Memo.cached(s, "doc_shingles", dir)(shingles(Tables.documents(s, dir)))
 
   /** The memoized per-document distinct-shingle frame, for operators
-    * outside this object (e.g. [[Sketch]]).
+    * outside this object (e.g. [[Sketch]]) and their specs.
     */
-  private[operators] def shinglesOf(s: SparkSession, dir: String): DataFrame =
+  private[graft] def shinglesOf(s: SparkSession, dir: String): DataFrame =
     shinglesC(s, dir)
 
   def dedupNgramJaccard(s: SparkSession, dir: String,

@@ -59,9 +59,81 @@ object Sketch {
       (SELECT count(*) FROM d) AS exact_distinct
     FROM topk"""
 
+  /** Grouped KMV + sketch MERGE: per-language vocabulary sketches (k
+    * minima per group — a map-side WindowGroupLimit, so each task ships at
+    * most k rows per group), plus an `ALL` row built by MERGING the
+    * per-group sketches (union the minima, dedup, re-take the k smallest)
+    * rather than rescanning the corpus. This is the property that matters
+    * at 100 TB: per-partition / per-day / per-source sketches combine into
+    * any rollup without touching the data again, and the merged estimate
+    * is IDENTICAL to the direct global sketch (each group contributes its
+    * k smallest, so the global k smallest survive the union).
+    */
+  def kmvByGroup(s: SparkSession, dir: String, k: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // domain: distinct 3-gram shingles per language — large enough that the
+    // (k−1)/h_k estimation branch genuinely fires (the word vocabulary
+    // would fall in the exact n<k branch)
+    val wl = Dedup.shinglesOf(s, dir)
+      .join(Tables.documents(s, dir).select("doc_id", "lang"), "doc_id")
+      .select(col("lang"), col("sh").as("w"))
+      .distinct()
+    val hs = wl.select(col("lang"), expr(h01("w")).as("h"))
+    val rn = row_number().over(Window.partitionBy(col("lang")).orderBy(col("h")))
+    val mins = hs.withColumn("rn", rn).filter(col("rn") <= k).drop("rn")
+    def est(n: org.apache.spark.sql.Column, hk: org.apache.spark.sql.Column) =
+      round(when(n < k, n.cast("double"))
+        .otherwise(lit((k - 1).toDouble) / hk), 2)
+    val perLang = mins.groupBy(col("lang"))
+      .agg(max(col("h")).as("hk"), count(lit(1)).as("n"))
+      .select(col("lang"), lit(k).as("k"), est(col("n"), col("hk")).as("est_distinct"))
+    val merged = mins.select(col("h")).distinct()
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(lit(1)).orderBy(col("h"))))
+      .filter(col("rn") <= k)
+      .agg(max(col("h")).as("hk"), count(lit(1)).as("n"))
+      .select(lit("ALL").as("lang"), lit(k).as("k"),
+        est(col("n"), col("hk")).as("est_distinct"))
+    perLang.unionByName(merged).orderBy("lang")
+  }
+
+  def kmvByGroupSql(k: Int = 64): String = s"""
+    WITH ${Dedup.shinglesSql.trim},
+    wl AS (
+      SELECT DISTINCT d.lang, s.sh AS w
+      FROM sh s JOIN documents d ON s.doc_id = d.doc_id),
+    hs AS (SELECT lang,
+             CAST(('0x' || substring(md5(w), 1, 8))::BIGINT AS DOUBLE)
+               / 4294967296.0 AS h
+           FROM wl),
+    mins AS (
+      SELECT lang, h FROM (
+        SELECT lang, h,
+          row_number() OVER (PARTITION BY lang ORDER BY h) AS rn
+        FROM hs) WHERE rn <= $k),
+    perlang AS (
+      SELECT lang, CAST($k AS INT) AS k,
+        round(CASE WHEN count(*) < $k THEN CAST(count(*) AS DOUBLE)
+                   ELSE ${(k - 1).toDouble} / max(h) END, 2) AS est_distinct
+      FROM mins GROUP BY lang),
+    allmins AS (
+      SELECT h FROM (
+        SELECT h, row_number() OVER (ORDER BY h) AS rn
+        FROM (SELECT DISTINCT h FROM mins)) WHERE rn <= $k),
+    merged AS (
+      SELECT 'ALL' AS lang, CAST($k AS INT) AS k,
+        round(CASE WHEN count(*) < $k THEN CAST(count(*) AS DOUBLE)
+                   ELSE ${(k - 1).toDouble} / max(h) END, 2) AS est_distinct
+      FROM allmins)
+    SELECT lang, k, est_distinct FROM perlang
+    UNION ALL SELECT lang, k, est_distinct FROM merged
+    ORDER BY lang"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "corpus_distinct_kmv" -> (corpusDistinctKmv(_, _)))
+    "corpus_distinct_kmv" -> (corpusDistinctKmv(_, _)),
+    "kmv_by_group" -> (kmvByGroup(_, _)))
 
   val oracles: Map[String, String] = Map(
-    "corpus_distinct_kmv" -> corpusDistinctKmvSql())
+    "corpus_distinct_kmv" -> corpusDistinctKmvSql(),
+    "kmv_by_group" -> kmvByGroupSql())
 }

@@ -188,6 +188,23 @@ class Round3OpsSpec extends SparkSpec {
     }
   }
 
+  test("kmv_by_group: merged per-group sketches equal the direct global sketch") {
+    import graft.operators.{Dedup, Sketch}
+    val rows = Sketch.kmvByGroup(spark, sf).collect()
+    val all = rows.find(_.getString(0) == "ALL").get.getAs[Double]("est_distinct")
+    // direct global sketch over the same shingle domain
+    val direct = Sketch.kmvDistinct(
+        Dedup.shinglesOf(spark, sf).select("sh"), "sh", 64)
+      .collect().head.getAs[Double]("est_distinct")
+    assert(all == direct,
+      s"merged sketch ($all) must equal the direct global sketch ($direct)")
+    // estimates are within plausible bounds of the exact counts (k=64 →
+    // ~12.5% standard error; allow 4 sigma)
+    val exact = graft.operators.Dedup.shinglesOf(spark, sf)
+      .select("sh").distinct().count().toDouble
+    assert(math.abs(all - exact) / exact < 0.5, s"est $all vs exact $exact")
+  }
+
   test("dq_check: rule families report, failing rule counted not just flagged") {
     val rows = graft.operators.Quality.dqCheck(spark, sf).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getString(2))).toMap
