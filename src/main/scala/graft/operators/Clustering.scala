@@ -129,10 +129,16 @@ object Clustering {
 
   /** One full Lloyd round (integer-exact assign → mean update) plus the
     * re-assignment against the updated means: `(vec_id, cluster)` for the
-    * whole corpus.
+    * whole corpus. Memoized per (session, dir) — the assignment doubles as
+    * the blocking key of [[dedupSemantic]], and in production it's a
+    * persisted index artifact, not a per-query recompute.
     */
-  def kmeansEmbed(s: SparkSession, dir: String): DataFrame = {
+  private[operators] def cellsOf(s: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(s)
+    graft.Memo.cached(s, "kmeans_cells", dir)(assignCells(s, dir))
+  }
+
+  private def assignCells(s: SparkSession, dir: String): DataFrame = {
     val qn = graft.Memo.cached(s, "kmeans_qvecs", dir) {
       Tables.embeddings(s, dir)
         .select(col("vec_id"), expr(KQvecExpr).as("q"))
@@ -165,11 +171,16 @@ object Clustering {
       .withColumn("d2", d2)
       .groupBy(col("vec_id"))
       .agg(min_by(col("cell"), struct(col("d2"), col("cell"))).as("cluster"))
-      .orderBy("vec_id")
   }
 
-  val kmeansEmbedSql: String = s"""
-    WITH e AS (SELECT vec_id, $KQvecSql AS q FROM embeddings),
+  def kmeansEmbed(s: SparkSession, dir: String): DataFrame =
+    cellsOf(s, dir).orderBy("vec_id")
+
+  /** Oracle CTE chain ending in `kcells(vec_id, cluster)` — shared by the
+    * k-means gate and the semantic-dedup gate.
+    */
+  private[operators] val kmeansCtesSql: String = s"""
+    e AS (SELECT vec_id, $KQvecSql AS q FROM embeddings),
     qn AS (SELECT vec_id, q,
              CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS n2
            FROM e),
@@ -207,18 +218,89 @@ object Clustering {
         SELECT qn.vec_id, c1n.cell, c1n.c, c1n.s2, qn.n2,
           CAST(list_sum(list_transform(generate_series(1, len(q)),
             i -> q[i] * sq[i])) AS BIGINT) AS dot
-        FROM qn, c1n))
-    SELECT vec_id, cluster FROM (
-      SELECT vec_id, cell AS cluster,
-        row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
-      FROM d2t) WHERE rn = 1
-    ORDER BY vec_id"""
+        FROM qn, c1n)),
+    kcells AS (
+      SELECT vec_id, cluster FROM (
+        SELECT vec_id, cell AS cluster,
+          row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+        FROM d2t) WHERE rn = 1)"""
+
+  val kmeansEmbedSql: String = s"""
+    WITH $kmeansCtesSql
+    SELECT vec_id, cluster FROM kcells ORDER BY vec_id"""
+
+  // -------------------------------------------------------- semantic dedup
+
+  /** Cosine threshold for two embeddings to count as semantic duplicates.
+    * Deliberately lower than `Similarity.dedupEmbedding`'s LSH threshold:
+    * cluster blocking has perfect recall within a cell, so the knob trades
+    * aggressiveness, not recall.
+    */
+  private val SemThreshold = 0.40
+
+  /** Semantic deduplication (the SemDeDup recipe, arXiv:2303.09540): block
+    * the corpus by k-means cell, compare all pairs WITHIN a cell with the
+    * exact integer cosine, and mark every vector that has a
+    * lower-id duplicate above the threshold as droppable (`keep = 0` —
+    * the lowest id of each duplicate group is its canonical survivor).
+    *
+    * Scale shape: the only shuffle keys are the cell id (pair generation —
+    * the quadratic term is bounded by the cell size, which the cluster
+    * count controls) and the vector id (the keep-aggregation). No
+    * all-pairs comparison, no broadcast of anything unbounded; the
+    * clusters come from the memoized [[cellsOf]] assignment — in
+    * production a persisted artifact of the same k-means that trains the
+    * IVF index.
+    */
+  def dedupSemantic(s: SparkSession, dir: String): DataFrame = {
+    val qn7 = Similarity.qdf(s, dir)
+    val m = cellsOf(s, dir).join(qn7, "vec_id")
+    val a = m.select(col("cluster"), col("vec_id").as("id_a"),
+      col("q").as("qa"), col("n2").as("na"))
+    val b = m.select(col("cluster"), col("vec_id").as("id_b"),
+      col("q").as("qb"), col("n2").as("nb"))
+    val cos = Similarity.cosCol(expr("q_dot(qa, qb)"), col("na"), col("nb"))
+    val dupPairs = a.join(b, Seq("cluster"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(cos >= SemThreshold)
+      .select(col("cluster"), col("id_b"))
+    m.select(col("cluster"), col("vec_id"))
+      .join(dupPairs.groupBy(col("id_b")).agg(count(lit(1)).as("ndup")),
+        col("vec_id") === col("id_b"), "left")
+      .select(col("vec_id"), col("cluster"),
+        when(col("ndup").isNull, 1L).otherwise(0L).as("keep"))
+      .orderBy("vec_id")
+  }
+
+  val dedupSemanticSql: String = s"""
+    WITH $kmeansCtesSql,
+    e7 AS (SELECT vec_id, ${Similarity.QvecSql} AS q FROM embeddings),
+    qn7 AS (SELECT vec_id, q,
+              CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS n2
+            FROM e7),
+    mm AS (SELECT k.vec_id, k.cluster, q, n2
+           FROM kcells k JOIN qn7 ON k.vec_id = qn7.vec_id),
+    pr AS (
+      SELECT b.vec_id AS id_b, a.n2 AS na, b.n2 AS nb,
+        CAST(list_sum(list_transform(generate_series(1, len(a.q)),
+          i -> a.q[i] * b.q[i])) AS BIGINT) AS dot
+      FROM mm a JOIN mm b ON a.cluster = b.cluster AND a.vec_id < b.vec_id),
+    dup AS (
+      SELECT id_b, count(*) AS ndup FROM pr
+      WHERE ${Similarity.PairCosSql} >= $SemThreshold
+      GROUP BY 1)
+    SELECT mm.vec_id, cluster,
+      CASE WHEN dup.id_b IS NULL THEN 1 ELSE 0 END AS keep
+    FROM mm LEFT JOIN dup ON mm.vec_id = dup.id_b
+    ORDER BY mm.vec_id"""
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_clusters" -> (dedupClusters(_, _)),
-    "kmeans_embed" -> (kmeansEmbed(_, _)))
+    "kmeans_embed" -> (kmeansEmbed(_, _)),
+    "dedup_semantic" -> (dedupSemantic(_, _)))
 
   val oracles: Map[String, String] = Map(
     "dedup_clusters" -> dedupClustersSql,
-    "kmeans_embed" -> kmeansEmbedSql)
+    "kmeans_embed" -> kmeansEmbedSql,
+    "dedup_semantic" -> dedupSemanticSql)
 }

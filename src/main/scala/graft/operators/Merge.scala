@@ -106,6 +106,21 @@ object Merge {
         .select(cur.columns.map(col).toIndexedSeq: _*))
   }
 
+  /** Invert a classified changeset: inserts become deletes, deletes become
+    * inserts, updates stay updates (applied with the OLD images), no-ops
+    * stay no-ops. Applying the inverted actions to the post-apply table
+    * with the pre-apply table as the image source rolls the apply back
+    * exactly — the recovery path when a bad dataset load must be undone
+    * without restoring from a snapshot (the reference's equivalent is a
+    * transaction rollback, which a lake-format table doesn't get for free).
+    * A pure column mapping — no extra shuffle beyond [[applyActions]]'s.
+    */
+  def invertActions(actions: DataFrame): DataFrame =
+    actions.withColumn(Action,
+      when(col(Action) === "I", "D")
+        .when(col(Action) === "D", "I")
+        .otherwise(col(Action)))
+
   /** Per-action row counts (the reference records inserts / updates /
     * null-updates / deletes per dataset load).
     */

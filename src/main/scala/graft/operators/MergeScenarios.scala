@@ -151,6 +151,24 @@ object MergeScenarios {
     SELECT * FROM inc
     ORDER BY o_orderkey"""
 
+  /** Roll back the level-5 apply: the merged table minus the inverted
+    * changeset must be byte-identical to the pre-apply table. The Spark
+    * side goes the long way (classify → apply → invert → re-apply with the
+    * old images); the oracle reconstructs the pre-apply table directly, so
+    * a hash match proves apply ∘ invert = identity.
+    */
+  def changesetInvert(s: SparkSession, dir: String): DataFrame = {
+    val applied = graft.Memo.cached(s, "merge_applied", dir)(
+      Merge.applyActions(curC(s, dir), incomingC(s, dir), actionsC(s, dir),
+        OrdersKey))
+    Merge.applyActions(applied, curC(s, dir),
+        Merge.invertActions(actionsC(s, dir)), OrdersKey)
+      .orderBy(OrdersKey)
+  }
+
+  val changesetInvertSql: String = s"""$Ctes
+    SELECT * FROM cur ORDER BY o_orderkey"""
+
   /** Per-action counts of the level-5 classification (the reference's
     * insert/update/null-update/delete bookkeeping).
     */
@@ -291,7 +309,8 @@ object MergeScenarios {
     "merge_counts" -> (mergeCounts _),
     "fix_changed_inc_keys" -> (fixChangedIncKeys _),
     "row_count_check" -> (rowCountCheck _),
-    "incremental_agg" -> (incrementalAgg _))
+    "incremental_agg" -> (incrementalAgg _),
+    "changeset_invert" -> (changesetInvert _))
 
   val oracles: Map[String, String] = Map(
     "table_diff" -> tableDiffSql,
@@ -300,5 +319,6 @@ object MergeScenarios {
     "merge_counts" -> mergeCountsSql,
     "fix_changed_inc_keys" -> fixChangedIncKeysSql,
     "row_count_check" -> rowCountCheckSql,
-    "incremental_agg" -> incrementalAggSql)
+    "incremental_agg" -> incrementalAggSql,
+    "changeset_invert" -> changesetInvertSql)
 }

@@ -433,6 +433,84 @@ object Queries {
       }.mkString(",\n      ")}
     FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""
 
+  /** Statistical anomaly detection over the event stream: hours whose
+    * per-type event count deviates from that type's mean by more than 3
+    * standard deviations. The z-score is computed as
+    * `(c·n − S) / sqrt(n·S2 − S²)` — numerator and radicand are exact
+    * integer aggregates (S = Σc, S2 = Σc² over the type's n hours), so the
+    * single division and sqrt are correctly-rounded IEEE ops that match
+    * DuckDB bit-for-bit. Two shuffles: the (type, hour) count and the
+    * per-type moment rollup; the stats side is one row per type, so the
+    * re-join broadcasts.
+    */
+  def eventsAnomaly(s: SparkSession, dir: String): DataFrame = {
+    val hc = Tables.events(s, dir)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hr"))
+      .agg(count(lit(1)).as("cnt"))
+    val stats = hc.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("nh"), sum(col("cnt")).as("s1"),
+        sum(col("cnt") * col("cnt")).as("s2"))
+    val den = col("nh") * col("s2") - col("s1") * col("s1")
+    val z = when(den === 0, lit(0.0)).otherwise(
+      (col("cnt") * col("nh") - col("s1")).cast("double") /
+        sqrt(den.cast("double")))
+    hc.join(broadcast(stats), "event_type")
+      .select(col("event_type"), col("hr"), col("cnt"),
+        round(z, 6).as("z"),
+        when(abs(z) > 3.0, 1L).otherwise(0L).as("anomaly"))
+      .orderBy("event_type", "hr")
+  }
+
+  val eventsAnomalySql: String = """
+    WITH hc AS (
+      SELECT event_type, date_trunc('hour', ts) AS hr, COUNT(*) AS cnt
+      FROM events GROUP BY 1, 2),
+    stats AS (
+      SELECT event_type, COUNT(*) AS nh,
+        CAST(sum(cnt) AS BIGINT) AS s1,
+        CAST(sum(cnt * cnt) AS BIGINT) AS s2
+      FROM hc GROUP BY 1),
+    z AS (
+      SELECT event_type, hr, cnt,
+        CASE WHEN nh * s2 - s1 * s1 = 0 THEN 0.0
+          ELSE CAST(cnt * nh - s1 AS DOUBLE)
+            / sqrt(CAST(nh * s2 - s1 * s1 AS DOUBLE)) END AS z_raw
+      FROM hc JOIN stats USING (event_type))
+    SELECT event_type, hr, cnt, round(z_raw, 6) AS z,
+      CASE WHEN abs(z_raw) > 3.0 THEN 1 ELSE 0 END AS anomaly
+    FROM z ORDER BY event_type, hr"""
+
+  /** Cohort analysis: users grouped by their first-active hour, activity
+    * matrix of distinct active users per (cohort, age-in-hours). One
+    * user-keyed shuffle computes both the distinct (user, hour) grid and
+    * the per-user cohort (a full-partition min window on the same key —
+    * no second exchange); the matrix rollup is the only other shuffle.
+    */
+  def eventsCohort(s: SparkSession, dir: String): DataFrame = {
+    val eh = Tables.events(s, dir)
+      .select(col("user_id"), date_trunc("hour", col("ts")).as("hr"))
+      .dropDuplicates("user_id", "hr")
+    val w = Window.partitionBy(col("user_id"))
+    eh.withColumn("cohort", min(col("hr")).over(w))
+      .withColumn("age",
+        expr("(unix_timestamp(hr) - unix_timestamp(cohort)) div 3600"))
+      .groupBy(col("cohort"), col("age"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("cohort", "age")
+  }
+
+  val eventsCohortSql: String = """
+    WITH eh AS (
+      SELECT DISTINCT user_id, date_trunc('hour', ts) AS hr FROM events),
+    c AS (
+      SELECT user_id, hr,
+        min(hr) OVER (PARTITION BY user_id) AS cohort
+      FROM eh)
+    SELECT cohort,
+      CAST(epoch(hr) - epoch(cohort) AS BIGINT) // 3600 AS age,
+      COUNT(*) AS n_users
+    FROM c GROUP BY 1, 2 ORDER BY cohort, age"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> (q1Agg _),
     "q3_join" -> (q3Join _),
@@ -446,7 +524,9 @@ object Queries {
     "events_json" -> (eventsJson _),
     "events_funnel" -> (eventsFunnel _),
     "orders_moving_revenue" -> (ordersMovingRevenue _),
-    "orders_pivot" -> (ordersPivot _))
+    "orders_pivot" -> (ordersPivot _),
+    "events_anomaly" -> (eventsAnomaly _),
+    "events_cohort" -> (eventsCohort _))
 
   val oracles: Map[String, String] = Map(
     "q1_agg" -> q1AggSql,
@@ -461,5 +541,7 @@ object Queries {
     "events_json" -> eventsJsonSql,
     "events_funnel" -> eventsFunnelSql,
     "orders_moving_revenue" -> ordersMovingRevenueSql,
-    "orders_pivot" -> ordersPivotSql)
+    "orders_pivot" -> ordersPivotSql,
+    "events_anomaly" -> eventsAnomalySql,
+    "events_cohort" -> eventsCohortSql)
 }

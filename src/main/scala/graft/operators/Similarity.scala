@@ -34,7 +34,7 @@ object Similarity {
   /** Embedding width of the harness tables. */
   val Dim = 64
 
-  private val QvecSql =
+  private[operators] val QvecSql =
     "list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 10000000 + 0.5) AS BIGINT))"
 
   /** Spark twin of [[QvecSql]]: float→double is exact, ×10^7 and floor are
@@ -51,7 +51,7 @@ object Similarity {
     * production analog is a materialized quantized+normed projection of
     * the embedding store.
     */
-  private def qdf(s: SparkSession, dir: String): DataFrame = {
+  private[operators] def qdf(s: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(s)
     graft.Memo.cached(s, "sim_qvecs", dir) {
       Tables.embeddings(s, dir)
@@ -70,19 +70,19 @@ object Similarity {
   /** Shared oracle prelude: quantized vectors + integer norms. DuckDB's
     * list_sum returns HUGEINT; cast back to BIGINT (values fit in 2^53).
     */
-  private val QuantSql = s"""
+  private[operators] val QuantSql = s"""
     e AS (SELECT vec_id, $QvecSql AS q FROM embeddings),
     qn AS (SELECT vec_id, q,
              CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS n2
            FROM e)"""
 
-  private val PairCosSql =
+  private[operators] val PairCosSql =
     "CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE)))"
 
   /** `dot/(√na·√nb)` with the exact same operation order as [[PairCosSql]]
     * so the IEEE result matches DuckDB bit-for-bit.
     */
-  private def cosCol(dot: Column, na: Column, nb: Column): Column =
+  private[operators] def cosCol(dot: Column, na: Column, nb: Column): Column =
     dot.cast("double") / (sqrt(na.cast("double")) * sqrt(nb.cast("double")))
 
   // ------------------------------------------------- random-hyperplane LSH
@@ -519,6 +519,195 @@ object Similarity {
     FROM ranked WHERE rank <= $k ORDER BY probe_id, rank"""
   }
 
+  // ----------------------------------------------------------- IVF+PQ (ANN)
+
+  /** IVF-PQ ANN — the composition every billion-scale vector index ships
+    * (FAISS `IVFxx,PQyy`): the IVF coarse quantizer prunes the corpus to
+    * `NProbe` cells per probe, and within those cells candidates are scored
+    * by PQ asymmetric distance over their one-byte codes — the raw vectors
+    * are touched only to build the index, never at query time.
+    *
+    * Plan shape: cell assignment and code assignment are each one broadcast
+    * join + a map-side-combining `min_by` over the corpus; at query time the
+    * probe's cell list and distance tables are broadcast dims, candidate
+    * selection is an equi-join on the cell key, and scoring is a sum of
+    * `PqM` lookups keyed by (probe, vector). The per-probe work is
+    * `nprobe/ncells` of the corpus × 8 additions — no q_dot against raw
+    * vectors in the query path at all. All-integer distances keep the gate
+    * hash-tight.
+    */
+  def annIvfPq(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val qn = qdf(s, dir)
+    // IVF: corpus → cell, probes → nprobe cells (as in annIvf)
+    val cents = qn.filter(col("vec_id") % CentroidMod === 0)
+      .select(col("vec_id").as("cid"), col("q").as("cq"), col("n2").as("cn2"))
+    val asg = qn.join(broadcast(cents))
+      .withColumn("d2",
+        col("n2") - lit(2L) * expr("q_dot(q, cq)") + col("cn2"))
+    val cells = asg.groupBy(col("vec_id"))
+      .agg(min_by(col("cid"), struct(col("d2"), col("cid"))).as("cell"))
+    val pw = Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("cid"))
+    val probeCells = probesOf(asg)
+      .withColumn("rn", row_number().over(pw))
+      .filter(col("rn") <= NProbe)
+      .select(col("vec_id").as("probe_id"), col("cid").as("pcell"))
+    // PQ: per-subspace codebooks, corpus codes, probe distance tables
+    // (as in annPq)
+    val subs = qn.select(col("vec_id"),
+        posexplode(array((0 until PqM).map(m =>
+          expr(s"slice(q, ${m * PqSub + 1}, $PqSub)")): _*)).as(Seq("m", "sub")))
+      .withColumn("sn2", expr("q_dot(sub, sub)"))
+    val cb = subs.filter(col("vec_id") < PqK)
+      .select(col("m"), col("vec_id").as("code"),
+        col("sub").as("csub"), col("sn2").as("cn2q"))
+    val dExpr = col("sn2") - lit(2L) * expr("q_dot(sub, csub)") + col("cn2q")
+    val enc = subs.join(broadcast(cb), "m")
+      .withColumn("dq", dExpr)
+      .groupBy(col("vec_id"), col("m"))
+      .agg(min_by(col("code"), struct(col("dq"), col("code"))).as("code"))
+    val pt = probesOf(subs).join(broadcast(cb), "m")
+      .select(col("vec_id").as("probe_id"), col("m"), col("code"),
+        dExpr.as("dm"))
+    // IVF-pruned candidates, ADC-scored over codes only
+    val cand = cells.join(broadcast(probeCells),
+        col("pcell") === col("cell") && col("probe_id") =!= col("vec_id"))
+      .select(col("probe_id"), col("vec_id"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("adc"), col("vec_id"))
+    cand.join(enc, "vec_id")
+      .join(broadcast(pt), Seq("probe_id", "m", "code"))
+      .groupBy(col("probe_id"), col("vec_id"))
+      .agg(sum(col("dm")).as("adc"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("probe_id"), col("rank"), col("vec_id"), col("adc"))
+      .orderBy("probe_id", "rank")
+  }
+
+  def annIvfPqSql(k: Int = 5): String = {
+    val subDot =
+      s"CAST(list_sum(list_transform(generate_series(1, $PqSub), i -> s.sub[i] * cb.csub[i])) AS BIGINT)"
+    s"""
+    WITH $QuantSql,
+    cents AS (SELECT vec_id AS cid, q AS cq FROM qn
+              WHERE vec_id % $CentroidMod = 0),
+    asg AS (
+      SELECT vec_id, cid,
+        row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+      FROM (
+        SELECT qn.vec_id, cents.cid,
+          CAST(list_sum(list_transform(generate_series(1, len(q)),
+            i -> (q[i] - cq[i]) * (q[i] - cq[i]))) AS BIGINT) AS d2
+        FROM qn, cents)),
+    cells AS (SELECT vec_id, cid AS cell FROM asg WHERE rn = 1),
+    probe_cells AS (
+      SELECT vec_id, cid AS cell FROM asg
+      WHERE vec_id % 50 = 0 AND rn <= $NProbe),
+    ms AS (SELECT unnest(generate_series(0, ${PqM - 1})) AS m),
+    subs AS (
+      SELECT vec_id, m, list_slice(q, m * $PqSub + 1, m * $PqSub + $PqSub) AS sub
+      FROM qn, ms),
+    ssn AS (
+      SELECT vec_id, m, sub,
+        CAST(list_sum(list_transform(sub, x -> x * x)) AS BIGINT) AS sn2
+      FROM subs),
+    cb AS (SELECT m, vec_id AS code, sub AS csub, sn2 AS cn2
+           FROM ssn WHERE vec_id < $PqK),
+    enc AS (
+      SELECT vec_id, m, code FROM (
+        SELECT s.vec_id, s.m, cb.code,
+          row_number() OVER (PARTITION BY s.vec_id, s.m
+            ORDER BY s.sn2 - 2 * $subDot + cb.cn2, cb.code) AS rn
+        FROM ssn s JOIN cb ON s.m = cb.m)
+      WHERE rn = 1),
+    pt AS (
+      SELECT s.vec_id AS probe_id, s.m, cb.code,
+        s.sn2 - 2 * $subDot + cb.cn2 AS dm
+      FROM ssn s JOIN cb ON s.m = cb.m
+      WHERE s.vec_id % 50 = 0),
+    cand AS (
+      SELECT pc.vec_id AS probe_id, cy.vec_id AS vec_id
+      FROM probe_cells pc JOIN cells cy ON cy.cell = pc.cell
+      WHERE cy.vec_id <> pc.vec_id),
+    adc AS (
+      SELECT c.probe_id, c.vec_id, CAST(sum(dm) AS BIGINT) AS adc
+      FROM cand c
+      JOIN enc e ON e.vec_id = c.vec_id
+      JOIN pt ON pt.probe_id = c.probe_id AND pt.m = e.m AND pt.code = e.code
+      GROUP BY 1, 2),
+    ranked AS (
+      SELECT probe_id, vec_id, adc,
+        row_number() OVER (PARTITION BY probe_id ORDER BY adc, vec_id) AS rank
+      FROM adc)
+    SELECT probe_id, CAST(rank AS INT) AS rank, vec_id, adc
+    FROM ranked WHERE rank <= $k ORDER BY probe_id, rank"""
+  }
+
+  // ------------------------------------------------------------- kNN graph
+
+  /** k-nearest-neighbour graph over the WHOLE corpus — every vector gets
+    * its top-k cosine neighbours among vectors sharing an LSH bucket in any
+    * of the two hash tables. This is the other scale regime from the
+    * probe-set ANNs: the "probe" side IS the corpus, so nothing is
+    * broadcastable — candidate generation must be a shuffle equi-join on
+    * the (table, bucket) key, and the top-k must reduce map-side (Spark's
+    * WindowGroupLimit keeps each task's local top-k per source before the
+    * rank exchange). kNN graphs feed semantic dedup, graph clustering and
+    * diversity sampling in training-data pipelines.
+    *
+    * Vectors sharing a bucket with nobody produce no row — at scale those
+    * are exactly the vectors a denser hash family (more tables) would
+    * recover, the standard recall/cost knob.
+    */
+  def knnGraph(s: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val qn = qdf(s, dir)
+    val buckets = qn.select(col("vec_id"),
+      posexplode(array((0 until LshTables).map(tableBucketCol): _*))
+        .as(Seq("tbl", "bucket")))
+    val cand = buckets.alias("a")
+      .join(buckets.alias("b"),
+        col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("probe_id"), col("b.vec_id").as("vec_id"))
+      .distinct()
+    val paired = cand
+      .join(qn.select(col("vec_id").as("probe_id"), col("q").as("pq"),
+        col("n2").as("pn2")), "probe_id")
+      .join(qn, "vec_id")
+    topkTail(paired, k)
+      .select(col("probe_id").as("src"), col("rank"),
+        col("vec_id").as("nbr"), col("cos"))
+  }
+
+  def knnGraphSql(k: Int = 3): String = s"""
+    WITH $QuantSql,
+    ${projSql(LshTables * NumPlanes)},
+    buckets AS (
+      SELECT vec_id, h // $NumPlanes AS tbl,
+        sum(CASE WHEN proj >= 0 THEN 1 ELSE 0 END * (1 << (h % $NumPlanes)))
+          AS bucket
+      FROM proj GROUP BY 1, 2),
+    cand AS (
+      SELECT DISTINCT x.vec_id AS probe_id, y.vec_id AS cand_id
+      FROM buckets x JOIN buckets y
+        ON x.tbl = y.tbl AND x.bucket = y.bucket
+      WHERE x.vec_id <> y.vec_id),
+    pairs AS (
+      SELECT probe_id, cand_id AS vec_id, x.n2 AS na, y.n2 AS nb,
+        CAST(list_sum(list_transform(generate_series(1, len(x.q)),
+          i -> x.q[i] * y.q[i])) AS BIGINT) AS dot
+      FROM cand
+      JOIN qn x ON probe_id = x.vec_id
+      JOIN qn y ON cand_id = y.vec_id),
+    scored AS (
+      SELECT probe_id, vec_id, $PairCosSql AS cos_raw,
+        row_number() OVER (PARTITION BY probe_id
+          ORDER BY $PairCosSql DESC, vec_id) AS rank
+      FROM pairs)
+    SELECT probe_id AS src, CAST(rank AS INT) AS rank, vec_id AS nbr,
+           round(cos_raw, 6) AS cos
+    FROM scored WHERE rank <= $k ORDER BY src, rank"""
+
   // ------------------------------------------------------ int8 quantization
 
   /** Int8 scale: |x| < 0.635 in any unit-ish embedding keeps
@@ -575,6 +764,8 @@ object Similarity {
     "ann_lsh_multi" -> (annLshMulti(_, _)),
     "ann_ivf" -> (annIvf(_, _)),
     "ann_pq" -> (annPq(_, _)),
+    "ann_ivf_pq" -> (annIvfPq(_, _)),
+    "knn_graph" -> (knnGraph(_, _)),
     "embed_quantize" -> (embedQuantize(_, _)))
 
   val oracles: Map[String, String] = Map(
@@ -584,5 +775,7 @@ object Similarity {
     "ann_lsh_multi" -> annLshMultiSql(),
     "ann_ivf" -> annIvfSql(),
     "ann_pq" -> annPqSql(),
+    "ann_ivf_pq" -> annIvfPqSql(),
+    "knn_graph" -> knnGraphSql(),
     "embed_quantize" -> embedQuantizeSql)
 }

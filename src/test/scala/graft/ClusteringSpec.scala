@@ -73,4 +73,19 @@ class ClusteringSpec extends SparkSpec {
     val within = pairsIn.agg(avg("cos")).as[Double].head()
     assert(within > 0.0, s"within-cluster mean cosine $within should be positive")
   }
+
+  test("dedup_semantic: one row per vector, canonical survivor kept") {
+    val rows = Clustering.dedupSemantic(spark, sf).collect()
+    assert(rows.length == 500)
+    assert(rows.map(_.getAs[Long]("vec_id")).distinct.length == 500)
+    assert(rows.forall(r => Set(0L, 1L)(r.getAs[Long]("keep"))))
+    val dropped = rows.count(_.getAs[Long]("keep") == 0L)
+    assert(dropped > 0, "threshold should fire on the synthetic corpus")
+    // the lowest vec_id of every cluster has no lower-id partner, so it is
+    // always the kept canonical representative
+    rows.groupBy(_.getAs[Long]("cluster")).foreach { case (c, g) =>
+      val lowest = g.minBy(_.getAs[Long]("vec_id"))
+      assert(lowest.getAs[Long]("keep") == 1L, s"cluster $c")
+    }
+  }
 }

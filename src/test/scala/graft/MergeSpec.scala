@@ -92,4 +92,18 @@ class MergeSpec extends SparkSpec {
       && row.getAs[Long]("n_delete") == 1)
     assert(row.getAs[Double]("duration_secs") > 0.0)
   }
+
+  test("invertActions rolls an apply back to the exact pre-apply table") {
+    val cur = operators.MergeScenarios.cur(spark, sf)
+    val inc = operators.MergeScenarios.incoming(spark, sf)
+    val actions = Merge.changesetActions(cur, inc,
+      operators.MergeScenarios.changeKeys(spark, sf), "o_orderkey",
+      uniqueCols = Seq("o_uniq"))
+    val applied = Merge.applyActions(cur, inc, actions, "o_orderkey")
+    // the apply must actually change something for the rollback to be real
+    assert(applied.exceptAll(cur).count() > 0)
+    val reverted = Merge.applyActions(applied, cur,
+      Merge.invertActions(actions), "o_orderkey")
+    assert(reverted.exceptAll(cur).isEmpty && cur.exceptAll(reverted).isEmpty)
+  }
 }

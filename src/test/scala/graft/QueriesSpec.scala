@@ -56,4 +56,35 @@ class QueriesSpec extends SparkSpec {
     assert(rows.nonEmpty)
     assert(rows.forall(_.getAs[Long]("n") > 0))
   }
+
+  test("events_anomaly: z-scores are mean-zero per type, flag matches |z|>3") {
+    val rows = Queries.eventsAnomaly(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[String]("event_type")).foreach { case (t, g) =>
+      // z = (c·n − S)/√(n·S2 − S²): the numerators sum to zero over the
+      // type's hours, so the z-scores must too (up to rounding)
+      val zsum = g.map(_.getAs[Double]("z")).sum
+      assert(math.abs(zsum) < 1e-3, s"type $t z-sum $zsum")
+      g.foreach { r =>
+        val flagged = r.getAs[Long]("anomaly") == 1L
+        val big = math.abs(r.getAs[Double]("z")) > 3.0
+        assert(flagged == big || math.abs(math.abs(r.getAs[Double]("z")) - 3.0) < 1e-5)
+      }
+    }
+  }
+
+  test("events_cohort: matrix masses equal the distinct user-hour grid") {
+    val rows = Queries.eventsCohort(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Long]("age") >= 0))
+    val total = rows.map(_.getAs[Long]("n_users")).sum
+    val grid = Tables.events(spark, sf)
+      .selectExpr("user_id", "date_trunc('hour', ts) as hr")
+      .distinct().count()
+    assert(total == grid)
+    // every cohort contains its own founding hour
+    rows.groupBy(_.getAs[java.sql.Timestamp]("cohort")).foreach { case (c, g) =>
+      assert(g.exists(_.getAs[Long]("age") == 0L), s"cohort $c")
+    }
+  }
 }

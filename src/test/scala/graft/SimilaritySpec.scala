@@ -74,4 +74,43 @@ class SimilaritySpec extends SparkSpec {
     assert(feats.forall(f => f.byte_mean > 0 && f.byte_max <= 255))
     assert(feats.forall(f => f.n_bytes > 4))
   }
+
+  test("ann_ivf_pq: ADC scores agree with ann_pq on shared pairs") {
+    val ivfpq = Similarity.annIvfPq(spark, sf).collect()
+    assert(ivfpq.nonEmpty)
+    ivfpq.groupBy(_.getAs[Long]("probe_id")).foreach { case (_, g) =>
+      val byRank = g.sortBy(_.getAs[Int]("rank"))
+      assert(byRank.map(_.getAs[Int]("rank")).toSeq ==
+        (1 to byRank.length).toSeq)
+      val adcs = byRank.map(_.getAs[Long]("adc"))
+      assert(adcs.zip(adcs.tail).forall { case (x, y) => x <= y })
+    }
+    // the PQ code assignment is shared machinery: any (probe, vec) pair
+    // present in both indexes must carry the identical ADC distance
+    val pq = Similarity.annPq(spark, sf).collect()
+      .map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("vec_id")) ->
+        r.getAs[Long]("adc")).toMap
+    val shared = ivfpq.flatMap { r =>
+      val key = (r.getAs[Long]("probe_id"), r.getAs[Long]("vec_id"))
+      pq.get(key).map(adc => (key, r.getAs[Long]("adc"), adc))
+    }
+    assert(shared.nonEmpty)
+    shared.foreach { case (key, a, b) => assert(a == b, s"pair $key") }
+  }
+
+  test("knn_graph: every edge is a non-self neighbour, cosine-ordered") {
+    val rows = Similarity.knnGraph(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getAs[Long]("src") != r.getAs[Long]("nbr")))
+    rows.groupBy(_.getAs[Long]("src")).foreach { case (_, g) =>
+      val byRank = g.sortBy(_.getAs[Int]("rank"))
+      assert(byRank.map(_.getAs[Int]("rank")).toSeq ==
+        (1 to byRank.length).toSeq)
+      val cs = byRank.map(_.getAs[Double]("cos"))
+      assert(cs.zip(cs.tail).forall { case (x, y) => x >= y })
+    }
+    // the graph covers (nearly) the whole corpus, not a probe subset —
+    // only bucket-singletons may be absent
+    assert(rows.map(_.getAs[Long]("src")).distinct.length > 400)
+  }
 }
