@@ -27,6 +27,7 @@ object SparkEntry {
       operators.Multimodal.queries ++
       operators.VersionedScenarios.queries ++
       sources.BdeScenarios.queries ++
+      sources.JsonlCorpus.queries ++
       sources.JdbcUpsert.queries ++
       streaming.StreamScenarios.queries
 
@@ -50,6 +51,7 @@ object SparkEntry {
       operators.Multimodal.oracles ++
       operators.VersionedScenarios.oracles ++
       sources.BdeScenarios.oracles ++
+      sources.JsonlCorpus.oracles ++
       sources.JdbcUpsert.oracles ++
       streaming.StreamScenarios.oracles
 }

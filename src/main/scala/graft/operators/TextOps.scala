@@ -495,7 +495,115 @@ object TextOps {
     SELECT * FROM clean ORDER BY doc_id"""
   }
 
+  // ------------------------------------------------------- BM25 retrieval
+
+  private val Bm25K1 = 1.2
+  private val Bm25B = 0.75
+  private val Bm25Terms = Seq("join", "vector", "spark")
+  private val Bm25K = 20
+
+  /** BM25 top-k retrieval over the corpus for a fixed conjunctive query —
+    * the ranking function behind quality-aware corpus selection and
+    * retrieval-augmented data curation. tf / df / doc-length come from one
+    * narrow scan (the per-term tf is a higher-order filter over the token
+    * array, codegen'd, no explode); the corpus-level stats (N, Σdl, df per
+    * term) are a single aggregate row broadcast back, and the final top-k
+    * is Spark's TakeOrderedAndProject (per-partition heaps, no global
+    * sort).
+    *
+    * Cross-engine exactness: the standard BM25 idf is `ln((N−df+0.5)/
+    * (df+0.5))` — but `ln` is not guaranteed bit-identical across math
+    * libraries, so the gate-safe variant used here keeps the raw odds
+    * ratio un-logged (monotone in the same direction, exactly computable:
+    * both operands are exactly-representable halves, one correctly-rounded
+    * division). Every other factor follows the textbook formula with an
+    * identical operation order on both engines.
+    */
+  def bm25Topk(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .withColumn("dl", size(col("ws")).cast("long"))
+    val wtf = docs.select(
+      col("doc_id") +: col("dl") +: Bm25Terms.map(t =>
+        expr(s"cast(size(filter(ws, w -> w = '$t')) as long)").as(s"tf_$t")): _*)
+    val aggCols = count(lit(1)).as("nd") +: sum(col("dl")).as("sumdl") +:
+      Bm25Terms.map(t => count(when(col(s"tf_$t") > 0, 1)).as(s"df_$t"))
+    val stats = wtf.agg(aggCols.head, aggCols.tail: _*)
+    val avgdl = col("sumdl").cast("double") / col("nd").cast("double")
+    def term(t: String): Column = {
+      val idf = (col("nd").cast("double") - col(s"df_$t").cast("double") + lit(0.5)) /
+        (col(s"df_$t").cast("double") + lit(0.5))
+      val tf = col(s"tf_$t").cast("double")
+      idf * ((tf * lit(Bm25K1 + 1)) /
+        (tf + lit(Bm25K1) * (lit(1 - Bm25B) + lit(Bm25B) * (col("dl").cast("double") / avgdl))))
+    }
+    val score = Bm25Terms.map(term).reduce(_ + _)
+    wtf.crossJoin(broadcast(stats))
+      .select(col("doc_id") +: col("dl") +:
+        Bm25Terms.map(t => col(s"tf_$t")) :+ round(score, 6).as("score"): _*)
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(Bm25K)
+  }
+
+  val bm25TopkSql: String = {
+    val tfs = Bm25Terms.map(t =>
+      s"CAST(len(list_filter(string_split(text, ' '), w -> w = '$t')) AS BIGINT) AS tf_$t")
+      .mkString(", ")
+    val dfs = Bm25Terms.map(t =>
+      s"COUNT(*) FILTER (WHERE tf_$t > 0) AS df_$t").mkString(", ")
+    def term(t: String) = {
+      val idf = s"(CAST(nd AS DOUBLE) - CAST(df_$t AS DOUBLE) + 0.5) / (CAST(df_$t AS DOUBLE) + 0.5)"
+      s"$idf * ((CAST(tf_$t AS DOUBLE) * ${Bm25K1 + 1}::DOUBLE) / (CAST(tf_$t AS DOUBLE) + $Bm25K1::DOUBLE * (${1 - Bm25B}::DOUBLE + $Bm25B::DOUBLE * (CAST(dl AS DOUBLE) / (CAST(sumdl AS DOUBLE) / CAST(nd AS DOUBLE))))))"
+    }
+    val score = Bm25Terms.map(term).mkString(" + ")
+    s"""
+    WITH wtf AS (
+      SELECT doc_id,
+        CAST(len(string_split(text, ' ')) AS BIGINT) AS dl, $tfs
+      FROM documents),
+    stats AS (
+      SELECT COUNT(*) AS nd, CAST(sum(dl) AS BIGINT) AS sumdl, $dfs
+      FROM wtf)
+    SELECT doc_id, dl, ${Bm25Terms.map(t => s"tf_$t").mkString(", ")},
+      round($score, 6) AS score
+    FROM wtf, stats
+    ORDER BY $score DESC, doc_id LIMIT $Bm25K"""
+  }
+
+  // --------------------------------------------------- text normalization
+
+  /** Canonical text normalization — the first stage of every dedup /
+    * fingerprint pipeline run as its own auditable operator: lowercase,
+    * strip non-alphanumerics, collapse whitespace runs, trim. Emits the
+    * md5 and length of the canonical form (the text itself stays in the
+    * pipeline; the digest is what dedup joins on). Pure narrow projection,
+    * zero shuffle.
+    */
+  def textNormalize(s: SparkSession, dir: String): DataFrame = {
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        trim(regexp_replace(
+          regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "),
+          " +", " ")).as("norm"))
+      .select(col("doc_id"), md5(col("norm")).as("norm_md5"),
+        length(col("norm")).cast("long").as("n_norm"))
+      .orderBy("doc_id")
+  }
+
+  val textNormalizeSql: String = """
+    WITH n AS (
+      SELECT doc_id,
+        trim(regexp_replace(
+          regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+          ' +', ' ', 'g')) AS norm
+      FROM documents)
+    SELECT doc_id, md5(norm) AS norm_md5,
+      CAST(length(norm) AS BIGINT) AS n_norm
+    FROM n ORDER BY doc_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "bm25_topk" -> (bm25Topk _),
+    "text_normalize" -> (textNormalize _),
     "corpus_clean" -> (corpusClean(_, _)),
     "corpus_mix" -> (corpusMix _),
     "corpus_sample" -> (corpusSample _),
@@ -509,6 +617,8 @@ object TextOps {
     "corpus_stats" -> (corpusStats _))
 
   val oracles: Map[String, String] = Map(
+    "bm25_topk" -> bm25TopkSql,
+    "text_normalize" -> textNormalizeSql,
     "corpus_clean" -> corpusCleanSql,
     "corpus_mix" -> corpusMixSql,
     "corpus_sample" -> corpusSampleSql,

@@ -107,4 +107,30 @@ class PlanSpec extends SparkSpec {
       "vector × centroid pairing is an explicit broadcast NLJ")
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("IVF-PQ query path scores codes, never raw vectors") {
+    val p = plan(operators.Similarity.annIvfPq(spark, sf))
+    // index build uses q_dot; the candidate-scoring tail is a sum of
+    // broadcast table lookups grouped by (probe, vector)
+    assert(p.contains("q_dot"))
+    assert(count(p, "BroadcastHashJoin") >= 2,
+      "probe cells + distance tables must broadcast")
+    assert(p.contains("WindowGroupLimit"), "map-side top-k expected")
+  }
+
+  test("knn_graph generates candidates by bucket equi-join, top-k map-side") {
+    val p = plan(operators.Similarity.knnGraph(spark, sf))
+    assert(p.contains("q_dot"))
+    assert(!p.contains("CartesianProduct"),
+      "the corpus-vs-corpus pairing must stay an equi-join on the bucket key")
+    assert(p.contains("WindowGroupLimit"),
+      "per-source top-k must reduce before the rank exchange")
+  }
+
+  test("dedup_semantic blocks by cluster key — no all-pairs comparison") {
+    val p = plan(operators.Clustering.dedupSemantic(spark, sf))
+    assert(p.contains("q_dot"))
+    assert(!p.contains("CartesianProduct"),
+      "pair generation must be an equi-join on the k-means cell")
+  }
 }

