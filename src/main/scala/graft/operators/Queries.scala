@@ -433,6 +433,45 @@ object Queries {
       }.mkString(",\n      ")}
     FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""
 
+  /** TPC-H Q15-shaped "top supplier": per-supplier revenue over a shipdate
+    * window, returning every supplier achieving the maximum (the classic
+    * correlated-subquery query, rewritten Spark-first: the max is a
+    * single-row aggregate broadcast back over the per-supplier rollup — no
+    * correlated rescan, no global window). Revenue is a per-row double
+    * product folded into an exact decimal sum, so the max-equality filter
+    * compares exact decimals, never floats.
+    */
+  def topSupplier(s: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1995-04-01").cast("timestamp"))
+      .groupBy(col("l_suppkey"))
+      .agg(Exact.sumDec(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .as("rev_dec"))
+    val best = rev.agg(max(col("rev_dec")).as("best_dec"))
+    rev.join(broadcast(best), col("rev_dec") === col("best_dec"))
+      .join(Tables.supplier(s, dir),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        col("rev_dec").cast("double").as("total_revenue"))
+      .orderBy("s_suppkey")
+  }
+
+  val topSupplierSql: String = s"""
+    WITH rev AS (
+      SELECT l_suppkey,
+        SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,10)))
+          AS rev_dec
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1995-04-01 00:00:00'
+      GROUP BY l_suppkey)
+    SELECT s_suppkey, s_name,
+      CAST(CAST(rev_dec AS VARCHAR) AS DOUBLE) AS total_revenue
+    FROM rev JOIN supplier ON l_suppkey = s_suppkey
+    WHERE rev_dec = (SELECT max(rev_dec) FROM rev)
+    ORDER BY s_suppkey"""
+
   /** Statistical anomaly detection over the event stream: hours whose
     * per-type event count deviates from that type's mean by more than 3
     * standard deviations. The z-score is computed as
@@ -526,7 +565,8 @@ object Queries {
     "orders_moving_revenue" -> (ordersMovingRevenue _),
     "orders_pivot" -> (ordersPivot _),
     "events_anomaly" -> (eventsAnomaly _),
-    "events_cohort" -> (eventsCohort _))
+    "events_cohort" -> (eventsCohort _),
+    "top_supplier" -> (topSupplier _))
 
   val oracles: Map[String, String] = Map(
     "q1_agg" -> q1AggSql,
@@ -543,5 +583,6 @@ object Queries {
     "orders_moving_revenue" -> ordersMovingRevenueSql,
     "orders_pivot" -> ordersPivotSql,
     "events_anomaly" -> eventsAnomalySql,
-    "events_cohort" -> eventsCohortSql)
+    "events_cohort" -> eventsCohortSql,
+    "top_supplier" -> topSupplierSql)
 }

@@ -90,6 +90,17 @@ object Versioned {
       .unionByName(closed).unionByName(stillOpen).unionByName(entering)
   }
 
+  /** Retention vacuum: drop every version that expired at or before the
+    * retention revision `r` — after it, revisions < r are no longer
+    * reconstructable, revisions ≥ r are untouched (the lake-format VACUUM
+    * analog; the reference keeps all history, which at 100 TB of multi-year
+    * daily loads is exactly what operators vacuum). A pure filter: with the
+    * store partitioned by `_ver_created` the rewrite prunes to the
+    * partitions that contain expired rows.
+    */
+  def vacuum(versioned: DataFrame, r: Int): DataFrame =
+    versioned.filter(col(Expired).isNull || col(Expired) > r)
+
   /** The table as of revision `r`: a pure filter over the versioned store. */
   def atRevision(versioned: DataFrame, r: Int): DataFrame =
     versioned
@@ -273,8 +284,22 @@ object VersionedScenarios {
       .orderBy(col("o_orderkey"), col(Versioned.Created))
   }
 
+  /** Vacuum gate: drop history expired at or before revision 2, dump the
+    * surviving store. The oracle rebuilds the full SCD2 chain and applies
+    * the same retention predicate independently; a follow-up spec proves
+    * reconstruction at revisions ≥ 2 is unchanged.
+    */
+  def versionVacuum(s: SparkSession, dir: String): DataFrame =
+    Versioned.vacuum(store(s, dir), 2)
+      .orderBy(col("o_orderkey"), col(Versioned.Created))
+
+  val versionVacuumSql: String =
+    versionedTableSql.replace("SELECT * FROM versions",
+      "SELECT * FROM versions WHERE _ver_expired IS NULL OR _ver_expired > 2")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "versioned_table" -> (versionedTable _),
+    "version_vacuum" -> (versionVacuum _),
     "versioned_append" -> (versionedAppend _),
     "table_at_revision" -> (tableAtRevision _),
     "version_diff" -> (versionDiff _),
@@ -282,6 +307,7 @@ object VersionedScenarios {
 
   val oracles: Map[String, String] = Map(
     "versioned_table" -> versionedTableSql,
+    "version_vacuum" -> versionVacuumSql,
     "versioned_append" -> versionedTableSql,
     "table_at_revision" -> tableAtRevisionSql,
     "version_diff" -> versionDiffSql,

@@ -52,6 +52,34 @@ object StreamScenarios {
     WHERE o_orderkey % 5 <> 0 OR o_orderkey % 7 = 0
     ORDER BY key"""
 
+  /** CDC-maintained aggregate (a streaming materialized view): the per-key
+    * latest-state stream feeds a bucketed rollup, so every micro-batch
+    * maintains the aggregate from state transitions instead of rescanning
+    * the table — the streaming twin of `incremental_agg`. Batch-gated over
+    * the full change stream: n and exact-decimal payload sum per key
+    * bucket of the surviving keys.
+    */
+  def streamAggMaintain(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    ChangesetStream.latestState(changeStream(s, dir).as[ChangeRecord])
+      .toDF()
+      .groupBy((col("key") % 10).as("bucket"))
+      .agg(count(lit(1)).as("n"), Exact.sumD(col("payload")).as("sum_payload"))
+      .orderBy("bucket")
+  }
+
+  val streamAggMaintainSql: String = s"""
+    WITH live AS (
+      SELECT o_orderkey AS key,
+        CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 50.0
+             WHEN o_orderkey % 3 = 0 THEN o_totalprice + 1.0
+             ELSE o_totalprice END AS payload
+      FROM orders
+      WHERE o_orderkey % 5 <> 0 OR o_orderkey % 7 = 0)
+    SELECT key % 10 AS bucket, COUNT(*) AS n,
+      ${Exact.sqlSum("payload")} AS sum_payload
+    FROM live GROUP BY 1 ORDER BY bucket"""
+
   /** Batch-mode run of the stateful sessionizer — checked by the SAME
     * oracle SQL as the window-based `events_sessionize`, proving the two
     * execution paths agree.
@@ -101,11 +129,13 @@ object StreamScenarios {
     "stream_changeset" -> (streamChangeset _),
     "stream_sessionize" -> (streamSessionize _),
     "stream_window_counts" -> (streamWindowCounts _),
-    "stream_dedup" -> (streamDedup _))
+    "stream_dedup" -> (streamDedup _),
+    "stream_agg_maintain" -> (streamAggMaintain _))
 
   val oracles: Map[String, String] = Map(
     "stream_changeset" -> streamChangesetSql,
     "stream_sessionize" -> graft.operators.Queries.eventsSessionizeSql,
     "stream_window_counts" -> streamWindowCountsSql,
-    "stream_dedup" -> streamDedupSql)
+    "stream_dedup" -> streamDedupSql,
+    "stream_agg_maintain" -> streamAggMaintainSql)
 }

@@ -73,6 +73,21 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
+  test("top_supplier: the winner outearns every other supplier in-window") {
+    val rows = Queries.topSupplier(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val best = rows.map(_.getAs[Double]("total_revenue")).max
+    import org.apache.spark.sql.functions._
+    val perSupp = Tables.lineitem(spark, sf)
+      .filter(col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1995-04-01").cast("timestamp"))
+      .groupBy("l_suppkey")
+      .agg(Exact.sumD(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .as("rev"))
+      .collect().map(_.getAs[Double]("rev"))
+    assert(perSupp.forall(_ <= best))
+  }
+
   test("events_cohort: matrix masses equal the distinct user-hour grid") {
     val rows = Queries.eventsCohort(spark, sf).collect()
     assert(rows.nonEmpty)

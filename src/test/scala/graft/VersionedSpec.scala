@@ -59,4 +59,19 @@ class VersionedSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("Window"), "SCD2 must run as a window, not a loop")
   }
+
+  test("vacuum keeps every revision at or after retention reconstructable") {
+    val store = Versioned.build(
+      Seq(1 -> VersionedScenarios.r1(spark, sf),
+        2 -> VersionedScenarios.r2(spark, sf),
+        3 -> VersionedScenarios.r3(spark, sf)), "o_orderkey")
+    val vac = Versioned.vacuum(store, 2)
+    assert(vac.count() < store.count(), "retention must drop expired history")
+    for (r <- Seq(2, 3)) {
+      val before = Versioned.atRevision(store, r)
+      val after = Versioned.atRevision(vac, r)
+      assert(after.exceptAll(before).isEmpty && before.exceptAll(after).isEmpty,
+        s"revision $r changed by vacuum")
+    }
+  }
 }
