@@ -16,6 +16,9 @@ object Spark {
       .builder()
       .appName(appName)
       .master(s"local[$cores]")
+      // native expressions as session extensions — the cluster deployment
+      // path (spark.sql.extensions=graft.functions.GraftExtensions)
+      .withExtensions(new functions.GraftExtensions)
       .config("spark.sql.shuffle.partitions", cores)
       .config("spark.sql.session.timeZone", "UTC")
       // events.parquet carries TIMESTAMP(NANOS); read as long, see Tables.

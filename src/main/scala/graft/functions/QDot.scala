@@ -57,6 +57,21 @@ case class QDot(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Session-extensions entry point: injects graft's native expressions at
+  * session build, the deployment path for a real cluster —
+  * `spark.sql.extensions=graft.functions.GraftExtensions` (or
+  * `.withExtensions(new GraftExtensions)`) makes `q_dot` a resolved
+  * built-in on every executor with no per-session registration call.
+  */
+class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+    ext.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("q_dot"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[QDot].getName, "q_dot"),
+      (exprs: Seq[Expression]) => QDot(exprs(0), exprs(1))))
+}
+
 /** SQL registration for graft's native expressions. */
 object GraftFunctions {
   /** Makes `q_dot(a, b)` available to `selectExpr` / `spark.sql`.

@@ -65,8 +65,9 @@ object Clustering {
       // then a map-side-combining min per id. Near-dup components are
       // shallow (edges share LSH buckets), so plain min-propagation
       // converges in a handful of rounds; a pointer-jumping variant
-      // (label ← label-of-label, O(log n) worst case) was measured slower
-      // here — the extra per-round join outweighs the rounds saved.
+      // (label ← label-of-label, O(log n) worst case) and a 2-hops-per-round
+      // batching variant were both measured slower here — the extra
+      // per-round work outweighs the rounds saved.
       val next = edges
         .join(labels.select(col("id").as("dst"), col("lab")), "dst")
         .select(col("src").as("id"), col("lab"))

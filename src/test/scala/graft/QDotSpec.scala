@@ -38,4 +38,12 @@ class QDotSpec extends SparkSpec {
     val selfRow = q.selectExpr("q_dot(q, q) as n2", "vec_id").first()
     assert(selfRow.getLong(0) > 0)
   }
+
+  test("q_dot resolves via session extensions without explicit registration") {
+    // the shared session is built with GraftExtensions injected, so the
+    // function must resolve in raw SQL with no register() call
+    val r = spark.sql("SELECT q_dot(array(1L, 2L, 3L), array(4L, 5L, 6L)) AS d")
+      .head().getLong(0)
+    assert(r == 32L)
+  }
 }
