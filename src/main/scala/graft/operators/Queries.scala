@@ -433,6 +433,65 @@ object Queries {
       }.mkString(",\n      ")}
     FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""
 
+  /** CUBE over (status, priority): all four grouping sets in ONE shuffle —
+    * Spark expands the sets before the partial aggregate, so every set
+    * still map-side combines; subtotal rows carry `ALL` labels and the
+    * grouping-set id, keeping the output null-free and sort-stable.
+    */
+  def ordersCube(s: SparkSession, dir: String): DataFrame = {
+    Tables.orders(s, dir)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(grouping_id().as("gid"), count(lit(1)).as("n"),
+        Exact.sumD(col("o_totalprice")).as("sum_price"))
+      .select(col("gid"),
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("n"), col("sum_price"))
+      .orderBy("gid", "status", "priority")
+  }
+
+  val ordersCubeSql: String = s"""
+    SELECT CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+      COALESCE(o_orderstatus, 'ALL') AS status,
+      COALESCE(o_orderpriority, 'ALL') AS priority,
+      COUNT(*) AS n, ${Exact.sqlSum("o_totalprice")} AS sum_price
+    FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    ORDER BY gid, status, priority"""
+
+  /** TPC-H Q14-shaped promotion-revenue share per ship month: two exact
+    * decimal sums over one broadcast-joined scan, ratio taken once at the
+    * end in a fixed operation order (exact-decimal totals → double →
+    * one multiply, one divide), so the percentage matches DuckDB
+    * bit-for-bit.
+    */
+  def promoShare(s: SparkSession, dir: String): DataFrame = {
+    val rev = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+    Tables.lineitem(s, dir)
+      .join(broadcast(Tables.part(s, dir)),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(date_format(col("l_shipdate"), "yyyy-MM").as("month"))
+      .agg(
+        Exact.sumD(when(col("p_type") === "PROMO", rev).otherwise(lit(0.0)))
+          .as("promo_rev"),
+        Exact.sumD(rev).as("total_rev"))
+      .withColumn("promo_pct",
+        round((lit(100.0) * col("promo_rev")) / col("total_rev"), 6))
+      .orderBy("month")
+  }
+
+  val promoShareSql: String = s"""
+    WITH m AS (
+      SELECT strftime(l_shipdate, '%Y-%m') AS month,
+        ${Exact.sqlSum(
+          "CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END")}
+          AS promo_rev,
+        ${Exact.sqlSum("l_extendedprice * (1.0 - l_discount)")} AS total_rev
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      GROUP BY 1)
+    SELECT month, promo_rev, total_rev,
+      round((100.0 * promo_rev) / total_rev, 6) AS promo_pct
+    FROM m ORDER BY month"""
+
   /** TPC-H Q15-shaped "top supplier": per-supplier revenue over a shipdate
     * window, returning every supplier achieving the maximum (the classic
     * correlated-subquery query, rewritten Spark-first: the max is a
@@ -566,7 +625,9 @@ object Queries {
     "orders_pivot" -> (ordersPivot _),
     "events_anomaly" -> (eventsAnomaly _),
     "events_cohort" -> (eventsCohort _),
-    "top_supplier" -> (topSupplier _))
+    "top_supplier" -> (topSupplier _),
+    "orders_cube" -> (ordersCube _),
+    "promo_share" -> (promoShare _))
 
   val oracles: Map[String, String] = Map(
     "q1_agg" -> q1AggSql,
@@ -584,5 +645,7 @@ object Queries {
     "orders_pivot" -> ordersPivotSql,
     "events_anomaly" -> eventsAnomalySql,
     "events_cohort" -> eventsCohortSql,
-    "top_supplier" -> topSupplierSql)
+    "top_supplier" -> topSupplierSql,
+    "orders_cube" -> ordersCubeSql,
+    "promo_share" -> promoShareSql)
 }

@@ -73,6 +73,27 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
+  test("orders_cube: every grouping set conserves the table mass") {
+    val rows = Queries.ordersCube(spark, sf).collect()
+    val grand = rows.filter(_.getAs[Long]("gid") == 3L)
+    assert(grand.length == 1)
+    val n = grand.head.getAs[Long]("n")
+    assert(n == Tables.orders(spark, sf).count())
+    for (g <- Seq(0L, 1L, 2L))
+      assert(rows.filter(_.getAs[Long]("gid") == g)
+        .map(_.getAs[Long]("n")).sum == n, s"set $g")
+  }
+
+  test("promo_share: percentages bounded, promo never exceeds total") {
+    val rows = Queries.promoShare(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val pct = r.getAs[Double]("promo_pct")
+      assert(pct >= 0.0 && pct <= 100.0)
+      assert(r.getAs[Double]("promo_rev") <= r.getAs[Double]("total_rev"))
+    }
+  }
+
   test("top_supplier: the winner outearns every other supplier in-window") {
     val rows = Queries.topSupplier(spark, sf).collect()
     assert(rows.nonEmpty)
