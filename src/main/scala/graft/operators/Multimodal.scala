@@ -99,8 +99,92 @@ object Multimodal {
       }
   }
 
+  /** Resize plumbing with a stubbed codec: each payload is downsampled to
+    * 1/`stride` of its bytes (the nearest-neighbour-downsample shape —
+    * a real deployment decodes, resizes and re-encodes here). Runs through
+    * the same batched `mapPartitions` the decoder uses; emits the size and
+    * digest of the resized payload so the gate pins the exact output
+    * bytes. ==== RESIZE STUB ==== (codec libraries absent; the stride
+    * sample is the deterministic stand-in.)
+    */
+  def resizeStub(s: SparkSession, dir: String, stride: Int = 8,
+                 batchSize: Int = 64): DataFrame = {
+    import s.implicits._
+    withPayload(s, dir).select("doc_id", "payload")
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          // <- a vectorized resize kernel would process `batch` in one call
+          batch.iterator.map { case (id, bytes) =>
+            val out = bytes.indices.collect {
+              case i if i % stride == 0 => bytes(i) }.toArray
+            val md = java.security.MessageDigest.getInstance("MD5")
+              .digest(out).map("%02x".format(_)).mkString
+            (id, out.length.toLong, md)
+          }
+        }
+      }
+      .toDF("doc_id", "n_out", "out_md5")
+      .orderBy("doc_id")
+  }
+
+  val resizeStubSql: String = """
+    WITH p AS (
+      SELECT doc_id,
+        ['PNG!', 'JPG!', 'WAV!'][CAST(doc_id % 3 AS INT) + 1] || text AS s
+      FROM documents),
+    r AS (
+      SELECT doc_id,
+        array_to_string(list_transform(
+          generate_series(1, length(s), 8), i -> s[i:i]), '') AS rs
+      FROM p)
+    SELECT doc_id, CAST(length(rs) AS BIGINT) AS n_out, md5(rs) AS out_md5
+    FROM r ORDER BY doc_id"""
+
+  private val FrameBytes = 16
+  private val FrameEvery = 4
+
+  /** Frame sampling for framed media ("video"): split the payload into
+    * fixed-size frames, keep every `FrameEvery`-th — entirely as column
+    * expressions (sequence → transform → posexplode), no UDF, so the frame
+    * slicing runs codegen'd and a real decoder only ever sees the sampled
+    * frames. The sampled fraction is the standard cost knob of video
+    * pipelines: the scan reads every byte, but decode cost (the expensive
+    * stage at 100 TB) drops by the sampling factor.
+    */
+  def frameSample(s: SparkSession, dir: String): DataFrame =
+    withPayload(s, dir)
+      .select(col("doc_id"),
+        posexplode(expr(
+          s"""transform(
+                sequence(0, cast((length(payload) + ${FrameBytes - 1}) div $FrameBytes as int) - 1),
+                i -> substring(payload, i * $FrameBytes + 1, $FrameBytes))"""))
+          .as(Seq("frame_idx", "frame")))
+      .filter(col("frame_idx") % FrameEvery === 0)
+      .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
+        length(col("frame")).cast("long").as("frame_len"),
+        md5(col("frame")).as("frame_md5"))
+      .orderBy("doc_id", "frame_idx")
+
+  val frameSampleSql: String = s"""
+    WITH p AS (
+      SELECT doc_id,
+        ['PNG!', 'JPG!', 'WAV!'][CAST(doc_id % 3 AS INT) + 1] || text AS s
+      FROM documents),
+    f AS (
+      SELECT doc_id, i AS frame_idx,
+        s[i * $FrameBytes + 1 : i * $FrameBytes + $FrameBytes] AS frame
+      FROM p, UNNEST(generate_series(0,
+        (length(s) + ${FrameBytes - 1}) // $FrameBytes - 1)) AS u(i))
+    SELECT doc_id, frame_idx, CAST(length(frame) AS BIGINT) AS frame_len,
+      md5(frame) AS frame_md5
+    FROM f WHERE frame_idx % $FrameEvery = 0
+    ORDER BY doc_id, frame_idx"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "multimodal_meta" -> (multimodalMeta _),
+    "multimodal_resize" -> (resizeStub(_, _)),
+    "multimodal_frames" -> (frameSample _),
     // decoded-feature extraction: byte statistics are not expressible over
     // DuckDB varchars (per-byte iteration on UTF-8), so no oracle entry —
     // the driver records the weaker rows-only check; the decode plumbing
@@ -109,5 +193,7 @@ object Multimodal {
       .orderBy("doc_id")))
 
   val oracles: Map[String, String] = Map(
-    "multimodal_meta" -> multimodalMetaSql)
+    "multimodal_meta" -> multimodalMetaSql,
+    "multimodal_resize" -> resizeStubSql,
+    "multimodal_frames" -> frameSampleSql)
 }

@@ -75,6 +75,27 @@ class SimilaritySpec extends SparkSpec {
     assert(feats.forall(f => f.n_bytes > 4))
   }
 
+  test("resize and frame-sample plumbing match the payload geometry") {
+    val meta = Multimodal.multimodalMeta(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("n_bytes")).toMap
+    val rs = Multimodal.resizeStub(spark, sf).collect()
+    assert(rs.length == meta.size)
+    rs.foreach { r =>
+      val n = meta(r.getAs[Long]("doc_id"))
+      assert(r.getAs[Long]("n_out") == (n + 7) / 8, s"doc ${r.get(0)}")
+    }
+    val fr = Multimodal.frameSample(spark, sf).collect()
+    assert(fr.nonEmpty)
+    assert(fr.forall(_.getAs[Long]("frame_idx") % 4 == 0))
+    assert(fr.forall(r => r.getAs[Long]("frame_len") <= 16 &&
+      r.getAs[Long]("frame_len") > 0))
+    // per doc: sampled frames = ceil(nframes / 4) for stride-4 sampling
+    fr.groupBy(_.getAs[Long]("doc_id")).foreach { case (id, g) =>
+      val nf = (meta(id) + 15) / 16
+      assert(g.length == (nf + 3) / 4, s"doc $id")
+    }
+  }
+
   test("ann_ivf_pq: ADC scores agree with ann_pq on shared pairs") {
     val ivfpq = Similarity.annIvfPq(spark, sf).collect()
     assert(ivfpq.nonEmpty)
