@@ -433,6 +433,47 @@ object Queries {
       }.mkString(",\n      ")}
     FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""
 
+  /** Customer spend deciles within each market segment: NTILE over a
+    * segment-partitioned window (no global sort — the global-NTILE variant
+    * would single-partition at 100 TB; per-segment is the scale-correct
+    * framing and the business question anyway). Spend is an exact decimal,
+    * so the decile ordering (spend desc, custkey) is total and
+    * engine-independent.
+    */
+  def customerDeciles(s: SparkSession, dir: String): DataFrame = {
+    val spend = Tables.orders(s, dir)
+      .groupBy(col("o_custkey"))
+      .agg(Exact.sumDec(col("o_totalprice")).as("spend_dec"))
+    val seg = spend.join(Tables.customer(s, dir),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment").as("segment"),
+        col("o_custkey").as("custkey"), col("spend_dec"))
+    val w = Window.partitionBy(col("segment"))
+      .orderBy(col("spend_dec").desc, col("custkey"))
+    seg.withColumn("decile", ntile(10).over(w))
+      .groupBy(col("segment"), col("decile"))
+      .agg(count(lit(1)).as("n"), sum(col("spend_dec")).as("sum_dec"))
+      .select(col("segment"), col("decile").cast("long").as("decile"),
+        col("n"), col("sum_dec").cast("double").as("sum_spend"))
+      .orderBy("segment", "decile")
+  }
+
+  val customerDecilesSql: String = """
+    WITH spend AS (
+      SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(30,10))) AS spend_dec
+      FROM orders GROUP BY 1),
+    seg AS (
+      SELECT c_mktsegment AS segment, o_custkey AS custkey, spend_dec
+      FROM spend JOIN customer ON o_custkey = c_custkey),
+    d AS (
+      SELECT segment, custkey, spend_dec,
+        ntile(10) OVER (PARTITION BY segment
+          ORDER BY spend_dec DESC, custkey) AS decile
+      FROM seg)
+    SELECT segment, CAST(decile AS BIGINT) AS decile, COUNT(*) AS n,
+      CAST(CAST(SUM(spend_dec) AS VARCHAR) AS DOUBLE) AS sum_spend
+    FROM d GROUP BY 1, 2 ORDER BY segment, decile"""
+
   /** CUBE over (status, priority): all four grouping sets in ONE shuffle —
     * Spark expands the sets before the partial aggregate, so every set
     * still map-side combines; subtotal rows carry `ALL` labels and the
@@ -627,7 +668,8 @@ object Queries {
     "events_cohort" -> (eventsCohort _),
     "top_supplier" -> (topSupplier _),
     "orders_cube" -> (ordersCube _),
-    "promo_share" -> (promoShare _))
+    "promo_share" -> (promoShare _),
+    "customer_deciles" -> (customerDeciles _))
 
   val oracles: Map[String, String] = Map(
     "q1_agg" -> q1AggSql,
@@ -647,5 +689,6 @@ object Queries {
     "events_cohort" -> eventsCohortSql,
     "top_supplier" -> topSupplierSql,
     "orders_cube" -> ordersCubeSql,
-    "promo_share" -> promoShareSql)
+    "promo_share" -> promoShareSql,
+    "customer_deciles" -> customerDecilesSql)
 }

@@ -73,6 +73,22 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
+  test("customer_deciles: balanced bins, spend monotone down the deciles") {
+    val rows = Queries.customerDeciles(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[String]("segment")).foreach { case (seg, g) =>
+      val byDec = g.sortBy(_.getAs[Long]("decile"))
+      assert(byDec.map(_.getAs[Long]("decile")).toSeq ==
+        (1L to byDec.length).toSeq, s"$seg deciles not dense")
+      // NTILE balance: bin sizes differ by at most one
+      val ns = byDec.map(_.getAs[Long]("n"))
+      assert(ns.max - ns.min <= 1, s"$seg unbalanced: ${ns.mkString(",")}")
+      // average spend per customer decreases down the deciles
+      val avg = byDec.map(r => r.getAs[Double]("sum_spend") / r.getAs[Long]("n"))
+      assert(avg.zip(avg.tail).forall { case (a, b) => a >= b }, seg)
+    }
+  }
+
   test("orders_cube: every grouping set conserves the table mass") {
     val rows = Queries.ordersCube(spark, sf).collect()
     val grand = rows.filter(_.getAs[Long]("gid") == 3L)
