@@ -87,10 +87,11 @@ object Sketch {
     val perLang = mins.groupBy(col("lang"))
       .agg(max(col("h")).as("hk"), count(lit(1)).as("n"))
       .select(col("lang"), lit(k).as("k"), est(col("n"), col("hk")).as("est_distinct"))
+    // merge = k smallest of the unioned minima: TakeOrdered (per-partition
+    // heaps), never a single-partition window — the input is bounded at
+    // k·n_groups rows but the plan shape should not rely on that
     val merged = mins.select(col("h")).distinct()
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(lit(1)).orderBy(col("h"))))
-      .filter(col("rn") <= k)
+      .orderBy(col("h")).limit(k)
       .agg(max(col("h")).as("hk"), count(lit(1)).as("n"))
       .select(lit("ALL").as("lang"), lit(k).as("k"),
         est(col("n"), col("hk")).as("est_distinct"))
