@@ -28,6 +28,7 @@ object SparkEntry {
       operators.VersionedScenarios.queries ++
       sources.BdeScenarios.queries ++
       sources.JsonlCorpus.queries ++
+      sources.CsvCorpus.queries ++
       sources.JdbcUpsert.queries ++
       streaming.StreamScenarios.queries
 
@@ -52,6 +53,7 @@ object SparkEntry {
       operators.VersionedScenarios.oracles ++
       sources.BdeScenarios.oracles ++
       sources.JsonlCorpus.oracles ++
+      sources.CsvCorpus.oracles ++
       sources.JdbcUpsert.oracles ++
       streaming.StreamScenarios.oracles
 }

@@ -52,6 +52,40 @@ object StreamScenarios {
     WHERE o_orderkey % 5 <> 0 OR o_orderkey % 7 = 0
     ORDER BY key"""
 
+  /** View→purchase attribution via the interval join: per user, purchases
+    * landing within an hour of one of their views (each qualifying
+    * view-purchase pair counts — standard multi-touch attribution). Gate
+    * runs the bounded path; the streaming path (watermarked stream-stream
+    * join) is spec-driven with two MemoryStreams.
+    */
+  def streamIntervalJoin(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+      .select(col("user_id"), date_trunc("second", col("ts")).as("tss"),
+        col("event_type"), col("value"))
+    val views = e.filter(col("event_type") === "view").select("user_id", "tss")
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("tss"), col("value"))
+    IntervalJoin.attribute(views, purchases)
+      .select(col("v.user_id").as("user_id"), col("p.value").as("value"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_attrib"), Exact.sumD(col("value")).as("sum_attrib"))
+      .orderBy("user_id")
+  }
+
+  val streamIntervalJoinSql: String = s"""
+    WITH e AS (
+      SELECT user_id, date_trunc('second', ts) AS tss, event_type, value
+      FROM events),
+    v AS (SELECT user_id, tss FROM e WHERE event_type = 'view'),
+    p AS (SELECT user_id, tss, value FROM e WHERE event_type = 'purchase'),
+    j AS (
+      SELECT v.user_id, p.value
+      FROM v JOIN p ON v.user_id = p.user_id
+        AND p.tss >= v.tss AND p.tss <= v.tss + INTERVAL 1 HOUR)
+    SELECT user_id, COUNT(*) AS n_attrib,
+      ${Exact.sqlSum("value")} AS sum_attrib
+    FROM j GROUP BY 1 ORDER BY user_id"""
+
   /** CDC-maintained aggregate (a streaming materialized view): the per-key
     * latest-state stream feeds a bucketed rollup, so every micro-batch
     * maintains the aggregate from state transitions instead of rescanning
@@ -130,12 +164,14 @@ object StreamScenarios {
     "stream_sessionize" -> (streamSessionize _),
     "stream_window_counts" -> (streamWindowCounts _),
     "stream_dedup" -> (streamDedup _),
-    "stream_agg_maintain" -> (streamAggMaintain _))
+    "stream_agg_maintain" -> (streamAggMaintain _),
+    "stream_interval_join" -> (streamIntervalJoin _))
 
   val oracles: Map[String, String] = Map(
     "stream_changeset" -> streamChangesetSql,
     "stream_sessionize" -> graft.operators.Queries.eventsSessionizeSql,
     "stream_window_counts" -> streamWindowCountsSql,
     "stream_dedup" -> streamDedupSql,
-    "stream_agg_maintain" -> streamAggMaintainSql)
+    "stream_agg_maintain" -> streamAggMaintainSql,
+    "stream_interval_join" -> streamIntervalJoinSql)
 }

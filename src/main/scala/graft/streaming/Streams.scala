@@ -155,6 +155,38 @@ object WindowCounts {
     counts(events.withWatermark("ts", "2 hours"))
 }
 
+/** Stream-stream interval join: attribute each purchase to the views of
+  * the same user in the preceding hour — Spark's watermarked stream-stream
+  * inner join with a time-range condition. Both sides' state is bounded by
+  * the watermark + the interval (the state store evicts views older than
+  * the watermark minus one hour), so the join runs indefinitely on
+  * unbounded inputs. On bounded frames the identical join condition runs
+  * as a plain batch equi-join on user plus the range filter — the gate
+  * checks that path against the oracle, the spec drives two MemoryStreams.
+  *
+  * Scale: the shuffle key is the user id on both sides; the range
+  * condition never becomes a cross join because the equi-key carries the
+  * join. Skewed power-users are AQE's skew-join case, same as any key join.
+  */
+object IntervalJoin {
+
+  /** (view, purchase) pairs of the same user with purchase within `range`
+    * after the view. Columns must include user_id + a `tss` timestamp.
+    */
+  def attribute(views: DataFrame, purchases: DataFrame,
+                range: String = "1 hour"): DataFrame = {
+    val (v, p) =
+      if (views.isStreaming)
+        (views.withWatermark("tss", "2 hours").alias("v"),
+          purchases.withWatermark("tss", "2 hours").alias("p"))
+      else (views.alias("v"), purchases.alias("p"))
+    v.join(p,
+      col("v.user_id") === col("p.user_id") &&
+        col("p.tss") >= col("v.tss") &&
+        col("p.tss") <= col("v.tss") + expr(s"INTERVAL $range"))
+  }
+}
+
 /** Streaming exact-dedup: drop events whose id was already seen, with the
   * watermark bounding how long ids stay in the state store (the streaming
   * twin of `Dedup.dedupExact`'s content-hash grouping — at-least-once

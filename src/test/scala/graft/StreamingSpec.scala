@@ -1,6 +1,6 @@
 package graft
 
-import graft.streaming.{ChangeRecord, ChangesetStream, WindowCounts}
+import graft.streaming.{ChangeRecord, ChangesetStream, IntervalJoin, WindowCounts}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.OutputMode
@@ -89,6 +89,34 @@ class StreamingSpec extends SparkSpec {
       // batch reconciliation path, which the gate query checks
       assert(live.filter(_.getLong(0) == 2L).forall(_.getAs[Long]("last_seq") == 1L))
     } finally query.stop()
+  }
+
+  test("stream-stream interval join attributes purchases across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val vIn = MemoryStream[(java.sql.Timestamp, Long)]
+    val pIn = MemoryStream[(java.sql.Timestamp, Long, Double)]
+    val q = IntervalJoin.attribute(
+        vIn.toDS().toDF("tss", "user_id"),
+        pIn.toDS().toDF("tss", "user_id", "value"))
+      .select(col("v.user_id").as("user_id"), col("p.value").as("value"))
+      .writeStream.format("memory").queryName("attrib")
+      .outputMode("append").start()
+    try {
+      def ts(m: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 10:$m%02d:00")
+      vIn.addData((ts(0), 1L), (ts(5), 2L))
+      q.processAllAvailable()
+      // purchases arrive in LATER micro-batches — the view state must
+      // persist in the store for the range condition to match
+      pIn.addData((ts(30), 1L, 10.0))
+      q.processAllAvailable()
+      pIn.addData((ts(50), 2L, 5.0), (ts(59), 1L, 2.0))
+      q.processAllAvailable()
+      val rows = spark.table("attrib").collect()
+      assert(rows.count(_.getLong(0) == 1L) == 2) // purchases at :30 and :59
+      assert(rows.count(_.getLong(0) == 2L) == 1) // purchase at :50
+      assert(rows.map(_.getDouble(1)).sum == 17.0)
+    } finally q.stop()
   }
 
   test("stream dedup drops re-delivered ids across micro-batches") {

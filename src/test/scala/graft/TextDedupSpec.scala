@@ -160,6 +160,24 @@ class TextDedupSpec extends SparkSpec {
     assert(r7.getAs[Long]("n_norm") == norm.length.toLong)
   }
 
+  test("csv reader honors the malformed-row policy instead of aborting") {
+    val dir = new java.io.File(s"${sys.props("java.io.tmpdir")}/graft-csv-spec")
+    dir.mkdirs()
+    val f = new java.io.File(dir, "part-000.csv")
+    val w = new java.io.PrintWriter(f)
+    w.println("doc_id,text,lang,source,n_chars")
+    w.println("1,good row,en,src0,8")
+    w.println("BAD,not a long,en,src0,11") // malformed doc_id
+    w.println("3,another good,fr,src1,12")
+    w.close()
+    val permissive = sources.CsvCorpus.read(spark, f.getPath).collect()
+    assert(permissive.length == 3)
+    assert(permissive.count(_.isNullAt(0)) == 1, "bad cell nulled, row kept")
+    val dropped = sources.CsvCorpus.read(spark, f.getPath,
+      mode = "DROPMALFORMED").collect()
+    assert(dropped.length == 2 && dropped.forall(!_.isNullAt(0)))
+  }
+
   test("jsonl roundtrip preserves the corpus exactly, shards by partition") {
     val docs = Tables.documents(spark, sf)
     val dir = s"${sys.props("java.io.tmpdir")}/graft-jsonl-spec"
