@@ -206,6 +206,28 @@ object Merge {
       .filter(col("n") > 0)
   }
 
+  /** Incremental JOIN maintenance (the delta rule for a fact-side change:
+    * Δ(F ⋈ D) = ΔF⁻ ⋈ D removed, ΔF⁺ ⋈ D added — the dimension side is
+    * untouched, so only the changeset ever joins it). The maintained
+    * result is updated in O(|changeset| ⋈ D) with the dimension side
+    * broadcast; the full fact table is never rescanned — the join twin of
+    * [[incrementalAgg]], i.e. materialized-view maintenance for joins.
+    */
+  def incrementalJoin(oldResult: DataFrame, incoming: DataFrame,
+                      actions: DataFrame, key: String,
+                      dim: DataFrame, dimKey: String,
+                      factDimCol: String): DataFrame = {
+    val outK = actions.filter(col(Action).isin("D", "U", "X")).select(key)
+    val inF = incoming.join(
+      actions.filter(col(Action).isin("I", "U", "X")).select(key),
+      Seq(key), "left_semi")
+    oldResult.join(outK, Seq(key), "left_anti")
+      .unionByName(
+        inF.join(org.apache.spark.sql.functions.broadcast(dim),
+          inF(factDimCol) === dim(dimKey))
+          .select(oldResult.columns.map(col).toIndexedSeq: _*))
+  }
+
   /** Row-count tolerance validation. `checks` carries
     * (check_name, expected_count, actual_count); emits ratio + status with
     * `error` outranking `warn` (reference: per-table `row_tol_error` /

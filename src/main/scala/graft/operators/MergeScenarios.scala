@@ -302,8 +302,37 @@ object MergeScenarios {
       ${graft.Exact.sqlSum("o_totalprice")} AS sum_price
     FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus"""
 
+  /** Incremental maintenance of the `orders ⋈ customer` materialized join
+    * under the level-5 apply: departing keys anti-join out of the old
+    * result, entering images join the (broadcast) dimension — the fact
+    * table is never rescanned. The oracle recomputes the join over the
+    * merged table directly, so a hash match proves the delta rule exact.
+    */
+  def incrementalJoin(s: SparkSession, dir: String): DataFrame = {
+    val dim = Tables.customer(s, dir).select(col("c_custkey"), col("c_mktsegment"))
+    val old = graft.Memo.cached(s, "merge_join_old", dir) {
+      val f = curC(s, dir)
+      f.join(broadcast(dim), f("o_custkey") === dim("c_custkey"))
+        .select((f.columns.map(col) :+ col("c_mktsegment")).toIndexedSeq: _*)
+    }
+    Merge.incrementalJoin(old, incomingC(s, dir), actionsC(s, dir), OrdersKey,
+        dim, "c_custkey", "o_custkey")
+      .orderBy(OrdersKey)
+  }
+
+  val incrementalJoinSql: String = s"""$Ctes,
+    merged AS (
+      SELECT * FROM cur
+      WHERE o_orderkey NOT IN (SELECT o_orderkey FROM chg)
+      UNION ALL
+      SELECT * FROM inc)
+    SELECT m.*, c_mktsegment
+    FROM merged m JOIN customer ON o_custkey = c_custkey
+    ORDER BY o_orderkey"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "table_diff" -> (tableDiff _),
+    "incremental_join" -> (incrementalJoin _),
     "apply_changeset" -> (applyChangeset _),
     "apply_bookkeeping" -> (applyBookkeeping _),
     "merge_counts" -> (mergeCounts _),
@@ -314,6 +343,7 @@ object MergeScenarios {
 
   val oracles: Map[String, String] = Map(
     "table_diff" -> tableDiffSql,
+    "incremental_join" -> incrementalJoinSql,
     "apply_changeset" -> applyChangesetSql,
     "apply_bookkeeping" -> applyBookkeepingSql,
     "merge_counts" -> mergeCountsSql,

@@ -284,6 +284,41 @@ object VersionedScenarios {
       .orderBy(col("o_orderkey"), col(Versioned.Created))
   }
 
+  /** SCD2 dimension lookup: each fact row (key, rev) joins the dimension
+    * VERSION valid at its revision — the classic as-of-revision lookup
+    * over the versioned store (equi-join on the key carries the shuffle;
+    * the version-range predicate is a cheap residual filter, never a range
+    * join). Facts derive a revision arithmetically (key mod 3 + 1) so the
+    * oracle can reconstruct the expected version WITHOUT re-deriving SCD2:
+    * it joins each fact straight to the r1/r2/r3 snapshot it names — an
+    * independent path to the same rows.
+    */
+  def scd2Lookup(s: SparkSession, dir: String): DataFrame = {
+    val facts = Tables.orders(s, dir)
+      .select(col("o_orderkey"), (col("o_orderkey") % 3 + 1).cast("int").as("rev"))
+    val st = store(s, dir)
+    facts.join(st,
+        facts("o_orderkey") === st("o_orderkey") &&
+          st(Versioned.Created) <= facts("rev") &&
+          (st(Versioned.Expired).isNull || st(Versioned.Expired) > facts("rev")))
+      .select(facts("o_orderkey"), facts("rev"), st("o_totalprice"))
+      .orderBy("o_orderkey")
+  }
+
+  val scd2LookupSql: String = s"""
+    WITH $RevSqls,
+    facts AS (
+      SELECT o_orderkey, CAST(o_orderkey % 3 + 1 AS INT) AS rev FROM orders)
+    SELECT f.o_orderkey, f.rev, r.o_totalprice
+    FROM facts f JOIN r1 r ON f.rev = 1 AND f.o_orderkey = r.o_orderkey
+    UNION ALL
+    SELECT f.o_orderkey, f.rev, r.o_totalprice
+    FROM facts f JOIN r2 r ON f.rev = 2 AND f.o_orderkey = r.o_orderkey
+    UNION ALL
+    SELECT f.o_orderkey, f.rev, r.o_totalprice
+    FROM facts f JOIN r3 r ON f.rev = 3 AND f.o_orderkey = r.o_orderkey
+    ORDER BY o_orderkey"""
+
   /** Vacuum gate: drop history expired at or before revision 2, dump the
     * surviving store. The oracle rebuilds the full SCD2 chain and applies
     * the same retention predicate independently; a follow-up spec proves
@@ -300,6 +335,7 @@ object VersionedScenarios {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "versioned_table" -> (versionedTable _),
     "version_vacuum" -> (versionVacuum _),
+    "scd2_lookup" -> (scd2Lookup _),
     "versioned_append" -> (versionedAppend _),
     "table_at_revision" -> (tableAtRevision _),
     "version_diff" -> (versionDiff _),
@@ -308,6 +344,7 @@ object VersionedScenarios {
   val oracles: Map[String, String] = Map(
     "versioned_table" -> versionedTableSql,
     "version_vacuum" -> versionVacuumSql,
+    "scd2_lookup" -> scd2LookupSql,
     "versioned_append" -> versionedTableSql,
     "table_at_revision" -> tableAtRevisionSql,
     "version_diff" -> versionDiffSql,

@@ -93,6 +93,23 @@ class MergeSpec extends SparkSpec {
     assert(row.getAs[Double]("duration_secs") > 0.0)
   }
 
+  test("incrementalJoin equals a fresh join over the applied table") {
+    val cur = operators.MergeScenarios.cur(spark, sf)
+    val inc = operators.MergeScenarios.incoming(spark, sf)
+    val actions = Merge.changesetActions(cur, inc,
+      operators.MergeScenarios.changeKeys(spark, sf), "o_orderkey",
+      uniqueCols = Seq("o_uniq"))
+    val dim = Tables.customer(spark, sf).select("c_custkey", "c_mktsegment")
+    def joined(f: org.apache.spark.sql.DataFrame) =
+      f.join(dim, f("o_custkey") === dim("c_custkey"))
+        .select((f.columns.map(col) :+ col("c_mktsegment")).toIndexedSeq: _*)
+    val maintained = Merge.incrementalJoin(joined(cur), inc, actions,
+      "o_orderkey", dim, "c_custkey", "o_custkey")
+    val fresh = joined(Merge.applyActions(cur, inc, actions, "o_orderkey"))
+    assert(maintained.exceptAll(fresh).isEmpty &&
+      fresh.exceptAll(maintained).isEmpty)
+  }
+
   test("invertActions rolls an apply back to the exact pre-apply table") {
     val cur = operators.MergeScenarios.cur(spark, sf)
     val inc = operators.MergeScenarios.incoming(spark, sf)

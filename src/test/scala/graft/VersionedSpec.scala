@@ -60,6 +60,23 @@ class VersionedSpec extends SparkSpec {
     assert(plan.contains("Window"), "SCD2 must run as a window, not a loop")
   }
 
+  test("scd2_lookup returns the version each fact's revision saw") {
+    val rows = VersionedScenarios.scd2Lookup(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val store = Versioned.build(
+      Seq(1 -> VersionedScenarios.r1(spark, sf),
+        2 -> VersionedScenarios.r2(spark, sf),
+        3 -> VersionedScenarios.r3(spark, sf)), "o_orderkey")
+    for (r <- Seq(1, 2, 3)) {
+      val snap = Versioned.atRevision(store, r).collect()
+        .map(x => x.getAs[Long]("o_orderkey") -> x.getAs[Double]("o_totalprice"))
+        .toMap
+      rows.filter(_.getAs[Int]("rev") == r).foreach { x =>
+        assert(snap(x.getAs[Long]("o_orderkey")) == x.getAs[Double]("o_totalprice"))
+      }
+    }
+  }
+
   test("vacuum keeps every revision at or after retention reconstructable") {
     val store = Versioned.build(
       Seq(1 -> VersionedScenarios.r1(spark, sf),
