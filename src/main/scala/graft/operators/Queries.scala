@@ -433,6 +433,71 @@ object Queries {
       }.mkString(",\n      ")}
     FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""
 
+  /** First-order Markov transitions over each user's event sequence:
+    * P(next type | type) from a per-user lead window (one user-keyed
+    * shuffle, no self-join) and one (from, to) rollup. The probability is
+    * a single division of two exact integer counts — bit-identical IEEE
+    * on both engines. The n-gram-over-sessions shape behind funnel mining
+    * and next-event prediction features.
+    */
+  def eventsMarkov(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("tss"), col("event_id"))
+    val pairs = Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"),
+        date_trunc("second", col("ts")).as("tss"), col("event_type"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"),
+        col("next_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = pairs.groupBy(col("from_type"))
+      .agg(sum(col("n")).as("tot"))
+    pairs.join(broadcast(totals), "from_type")
+      .select(col("from_type"), col("to_type"), col("n"),
+        round(col("n").cast("double") / col("tot").cast("double"), 6).as("p"))
+      .orderBy("from_type", "to_type")
+  }
+
+  val eventsMarkovSql: String = """
+    WITH seq AS (
+      SELECT event_type,
+        lead(event_type) OVER (PARTITION BY user_id
+          ORDER BY date_trunc('second', ts), event_id) AS next_type
+      FROM events),
+    pairs AS (
+      SELECT event_type AS from_type, next_type AS to_type, COUNT(*) AS n
+      FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2),
+    totals AS (
+      SELECT from_type, CAST(sum(n) AS BIGINT) AS tot
+      FROM pairs GROUP BY 1)
+    SELECT from_type, to_type, n,
+      round(CAST(n AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS p
+    FROM pairs JOIN totals USING (from_type)
+    ORDER BY from_type, to_type"""
+
+  /** Fixed-width histogram of order totals: bucket = floor(price / 500) —
+    * one narrow scan + one shuffle, the plan every profiling/EDA histogram
+    * should have (no windows, no sort until the bounded output). Bucket
+    * arithmetic is floor of a double quotient of exact inputs — identical
+    * in both engines.
+    */
+  def ordersHistogram(s: SparkSession, dir: String): DataFrame = {
+    val bucket = floor(col("o_totalprice") / lit(500.0)).cast("long")
+    Tables.orders(s, dir)
+      .groupBy(bucket.as("bucket"))
+      .agg(count(lit(1)).as("n"), Exact.sumD(col("o_totalprice")).as("sum_price"))
+      .withColumn("lo", (col("bucket") * 500).cast("double"))
+      .select(col("bucket"), col("lo"), col("n"), col("sum_price"))
+      .orderBy("bucket")
+  }
+
+  val ordersHistogramSql: String = s"""
+    SELECT CAST(floor(o_totalprice / 500.0) AS BIGINT) AS bucket,
+      CAST(CAST(floor(o_totalprice / 500.0) AS BIGINT) * 500 AS DOUBLE) AS lo,
+      COUNT(*) AS n, ${Exact.sqlSum("o_totalprice")} AS sum_price
+    FROM orders GROUP BY 1, 2 ORDER BY bucket"""
+
   /** Customer spend deciles within each market segment: NTILE over a
     * segment-partitioned window (no global sort — the global-NTILE variant
     * would single-partition at 100 TB; per-segment is the scale-correct
@@ -669,7 +734,9 @@ object Queries {
     "top_supplier" -> (topSupplier _),
     "orders_cube" -> (ordersCube _),
     "promo_share" -> (promoShare _),
-    "customer_deciles" -> (customerDeciles _))
+    "customer_deciles" -> (customerDeciles _),
+    "events_markov" -> (eventsMarkov _),
+    "orders_histogram" -> (ordersHistogram _))
 
   val oracles: Map[String, String] = Map(
     "q1_agg" -> q1AggSql,
@@ -690,5 +757,7 @@ object Queries {
     "top_supplier" -> topSupplierSql,
     "orders_cube" -> ordersCubeSql,
     "promo_share" -> promoShareSql,
-    "customer_deciles" -> customerDecilesSql)
+    "customer_deciles" -> customerDecilesSql,
+    "events_markov" -> eventsMarkovSql,
+    "orders_histogram" -> ordersHistogramSql)
 }

@@ -73,6 +73,30 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
+  test("events_markov: rows are a stochastic matrix over event types") {
+    val rows = Queries.eventsMarkov(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[String]("from_type")).foreach { case (t, g) =>
+      val psum = g.map(_.getAs[Double]("p")).sum
+      assert(math.abs(psum - 1.0) < 1e-4, s"$t row sums to $psum")
+      assert(g.forall(_.getAs[Long]("n") > 0))
+    }
+  }
+
+  test("orders_histogram: buckets partition the table, edges consistent") {
+    val rows = Queries.ordersHistogram(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getAs[Long]("n")).sum ==
+      Tables.orders(spark, sf).count())
+    rows.foreach { r =>
+      assert(r.getAs[Double]("lo") == r.getAs[Long]("bucket") * 500.0)
+      // the bucket's mass lives inside its edges
+      assert(r.getAs[Double]("sum_price") >= r.getAs[Double]("lo") * r.getAs[Long]("n"))
+      assert(r.getAs[Double]("sum_price") <
+        (r.getAs[Double]("lo") + 500.0) * r.getAs[Long]("n"))
+    }
+  }
+
   test("customer_deciles: balanced bins, spend monotone down the deciles") {
     val rows = Queries.customerDeciles(spark, sf).collect()
     assert(rows.nonEmpty)
