@@ -70,9 +70,59 @@ object ZOrder {
     withZ(orders).repartitionByRange(n, col("zval"))
       .sortWithinPartitions(col("zval"))
 
+  // ------------------------------------------------------ n-dim interleave
+
+  /** Generalized Morton interleave over any number of dimensions: bit i of
+    * dimension j lands at position `i·ndims + j`. With `bits` bits per
+    * dimension the code needs `bits·ndims ≤ 63` — 3×16 fits a BIGINT. Still
+    * a pure column expression (bits·ndims shift/mask terms, codegen'd).
+    */
+  private[operators] def interleaveNExpr(cols: Seq[String], bits: Int = Bits): String =
+    (for { i <- 0 until bits; (c, j) <- cols.zipWithIndex } yield
+      s"shiftleft(shiftright($c, $i) & 1, ${i * cols.length + j})")
+      .mkString(" + ")
+
+  private def interleaveNSql(cols: Seq[String], bits: Int = Bits): String =
+    (for { i <- 0 until bits; (c, j) <- cols.zipWithIndex } yield
+      s"((($c >> $i) & 1) << ${i * cols.length + j})")
+      .mkString(" + ")
+
+  private val StatusOrd =
+    "CASE o_orderstatus WHEN 'F' THEN 0 WHEN 'O' THEN 1 ELSE 2 END"
+
+  /** 3-dim z-value over (customer, order-day, status): range predicates on
+    * ANY of the three dimensions prune the laid-out files. Same sampled
+    * bit-for-bit gate as the 2-dim path.
+    */
+  def zorder3Layout(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .withColumn("ck", col("o_custkey") % 65536)
+      .withColumn("d",
+        datediff(to_date(col("o_orderdate")), lit("1992-01-01").cast("date"))
+          .cast("bigint") % 65536)
+      .withColumn("st", expr(StatusOrd).cast("bigint"))
+      .withColumn("zval3", expr(interleaveNExpr(Seq("ck", "d", "st"))))
+      .filter(col("o_orderkey") % 37 === 0)
+      .select(col("o_orderkey"), col("ck"), col("d"), col("st"), col("zval3"))
+      .orderBy("o_orderkey")
+
+  val zorder3LayoutSql: String = s"""
+    WITH t AS (
+      SELECT o_orderkey, o_custkey % 65536 AS ck,
+        date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) % 65536
+          AS d,
+        CAST($StatusOrd AS BIGINT) AS st
+      FROM orders)
+    SELECT o_orderkey, ck, d, st,
+      ${interleaveNSql(Seq("ck", "d", "st"))} AS zval3
+    FROM t WHERE o_orderkey % 37 = 0
+    ORDER BY o_orderkey"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "zorder_layout" -> (zorderLayout(_, _)))
+    "zorder_layout" -> (zorderLayout(_, _)),
+    "zorder3_layout" -> (zorder3Layout(_, _)))
 
   val oracles: Map[String, String] = Map(
-    "zorder_layout" -> zorderLayoutSql)
+    "zorder_layout" -> zorderLayoutSql,
+    "zorder3_layout" -> zorder3LayoutSql)
 }

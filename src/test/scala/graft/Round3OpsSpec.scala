@@ -160,6 +160,20 @@ class Round3OpsSpec extends SparkSpec {
     }
   }
 
+  test("zorder3: the n-dim interleave round-trips all three dimensions") {
+    val rows = operators.ZOrder.zorder3Layout(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.take(50).foreach { r =>
+      val z = r.getAs[Long]("zval3")
+      // bit i of dim j sits at position i*3 + j
+      def dim(j: Int): Long =
+        (0 until 16).foldLeft(0L)((acc, i) => acc | (((z >> (i * 3 + j)) & 1) << i))
+      assert(dim(0) == r.getAs[Long]("ck"))
+      assert(dim(1) == r.getAs[Long]("d"))
+      assert(dim(2) == r.getAs[Long]("st"))
+    }
+  }
+
   test("orders_moving_revenue: trailing frame bounds the per-row aggregate") {
     val rows = Queries.ordersMovingRevenue(spark, sf).collect()
     assert(rows.length == Tables.orders(spark, sf).count())
