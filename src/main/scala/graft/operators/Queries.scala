@@ -433,6 +433,32 @@ object Queries {
       }.mkString(",\n      ")}
     FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""
 
+  /** Sliding-window active users: distinct users per 3-hour window sliding
+    * hourly (each event lands in 3 overlapping windows — Spark's `window`
+    * with slide < length). The dedup keys the shuffle by (window, user);
+    * the count is then a map-side-combining rollup. Overlap factor =
+    * length/slide is the replication cost at scale, the knob every
+    * sliding-window job trades against freshness.
+    */
+  def eventsActiveSliding(s: SparkSession, dir: String): DataFrame = {
+    Tables.events(s, dir)
+      .select(window(col("ts"), "3 hours", "1 hour").as("w"), col("user_id"))
+      .select(col("w.start").as("win_start"), col("user_id"))
+      .distinct()
+      .groupBy(col("win_start"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("win_start")
+  }
+
+  val eventsActiveSlidingSql: String = """
+    WITH e AS (
+      SELECT date_trunc('hour', ts) AS h, user_id FROM events),
+    w AS (
+      SELECT DISTINCT h - to_hours(k) AS win_start, user_id
+      FROM e, UNNEST(generate_series(0, 2)) AS u(k))
+    SELECT win_start, COUNT(*) AS n_users
+    FROM w GROUP BY 1 ORDER BY win_start"""
+
   /** First-order Markov transitions over each user's event sequence:
     * P(next type | type) from a per-user lead window (one user-keyed
     * shuffle, no self-join) and one (from, to) rollup. The probability is
@@ -736,7 +762,8 @@ object Queries {
     "promo_share" -> (promoShare _),
     "customer_deciles" -> (customerDeciles _),
     "events_markov" -> (eventsMarkov _),
-    "orders_histogram" -> (ordersHistogram _))
+    "orders_histogram" -> (ordersHistogram _),
+    "events_active_sliding" -> (eventsActiveSliding _))
 
   val oracles: Map[String, String] = Map(
     "q1_agg" -> q1AggSql,
@@ -759,5 +786,6 @@ object Queries {
     "promo_share" -> promoShareSql,
     "customer_deciles" -> customerDecilesSql,
     "events_markov" -> eventsMarkovSql,
-    "orders_histogram" -> ordersHistogramSql)
+    "orders_histogram" -> ordersHistogramSql,
+    "events_active_sliding" -> eventsActiveSlidingSql)
 }

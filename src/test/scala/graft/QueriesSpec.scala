@@ -73,6 +73,29 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
+  test("events_active_sliding: each window covers its three tumbling hours") {
+    val rows = Queries.eventsActiveSliding(spark, sf).collect()
+      .map(r => r.getAs[java.sql.Timestamp]("win_start") ->
+        r.getAs[Long]("n_users")).toMap
+    assert(rows.nonEmpty)
+    // hourly distinct users (tumbling) bound the sliding window from below
+    // and the 3-hour union equals it exactly for any covered hour
+    val hourly = Tables.events(spark, sf)
+      .selectExpr("date_trunc('hour', ts) as h", "user_id").distinct()
+      .collect().groupBy(_.getAs[java.sql.Timestamp]("h"))
+      .map { case (h, g) => h -> g.map(_.getAs[Long]("user_id")).toSet }
+    hourly.foreach { case (h, users) =>
+      val slid = rows.getOrElse(h, 0L)
+      val union = (0 to 2).flatMap { k =>
+        hourly.getOrElse(
+          java.sql.Timestamp.from(h.toInstant.plusSeconds(3600L * k)),
+          Set.empty[Long])
+      }.toSet
+      if (rows.contains(h)) assert(slid == union.size || union.isEmpty, s"$h")
+      assert(slid >= 0 && (slid >= users.size || !rows.contains(h)))
+    }
+  }
+
   test("events_markov: rows are a stochastic matrix over event types") {
     val rows = Queries.eventsMarkov(spark, sf).collect()
     assert(rows.nonEmpty)
