@@ -91,6 +91,38 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("CDC stream materializes one versioned revision per micro-batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.CdcToVersioned
+    import graft.operators.Versioned
+    val path = s"${sys.props("java.io.tmpdir")}/graft-cdc-store"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
+    val in = MemoryStream[ChangeRecord]
+    val q = CdcToVersioned.run(in.toDS().toDF(), path)
+    try {
+      in.addData(ChangeRecord(1, "I", 10.0, 1), ChangeRecord(2, "I", 20.0, 2))
+      q.processAllAvailable()
+      in.addData(ChangeRecord(1, "U", 11.0, 3), ChangeRecord(3, "I", 30.0, 4))
+      q.processAllAvailable()
+      in.addData(ChangeRecord(2, "D", 0.0, 5))
+      q.processAllAvailable()
+      val store = spark.read.parquet(path)
+      def snap(r: Int): Map[Long, Double] =
+        Versioned.atRevision(store, r).collect()
+          .map(x => x.getAs[Long]("key") -> x.getAs[Double]("payload")).toMap
+      assert(snap(1) == Map(1L -> 10.0, 2L -> 20.0))
+      assert(snap(2) == Map(1L -> 11.0, 2L -> 20.0, 3L -> 30.0))
+      assert(snap(3) == Map(1L -> 11.0, 3L -> 30.0))
+      // the store is exactly what a from-scratch SCD2 build would produce
+      val rebuilt = Versioned.build(Seq(
+        1 -> Seq((1L, 10.0), (2L, 20.0)).toDF("key", "payload"),
+        2 -> Seq((1L, 11.0), (2L, 20.0), (3L, 30.0)).toDF("key", "payload"),
+        3 -> Seq((1L, 11.0), (3L, 30.0)).toDF("key", "payload")), "key")
+      assert(store.exceptAll(rebuilt).isEmpty && rebuilt.exceptAll(store).isEmpty)
+    } finally q.stop()
+  }
+
   test("stream-stream interval join attributes purchases across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
