@@ -12,6 +12,8 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     operators.Queries.queries ++
+      operators.JoinShapes.queries ++
+      operators.Reshape.queries ++
       operators.AsOf.queries ++
       operators.RangeJoin.queries ++
       operators.Sketch.queries ++
@@ -28,6 +30,7 @@ object SparkEntry {
       operators.VersionedScenarios.queries ++
       sources.BdeScenarios.queries ++
       sources.JsonlCorpus.queries ++
+      sources.OrcCorpus.queries ++
       sources.CsvCorpus.queries ++
       sources.JdbcUpsert.queries ++
       streaming.StreamScenarios.queries
@@ -37,6 +40,8 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] =
     operators.Queries.oracles ++
+      operators.JoinShapes.oracles ++
+      operators.Reshape.oracles ++
       operators.AsOf.oracles ++
       operators.RangeJoin.oracles ++
       operators.Sketch.oracles ++
@@ -53,6 +58,7 @@ object SparkEntry {
       operators.VersionedScenarios.oracles ++
       sources.BdeScenarios.oracles ++
       sources.JsonlCorpus.oracles ++
+      sources.OrcCorpus.oracles ++
       sources.CsvCorpus.oracles ++
       sources.JdbcUpsert.oracles ++
       streaming.StreamScenarios.oracles

@@ -1,0 +1,114 @@
+package graft.operators
+
+import graft.{Exact, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Table reshaping and series-completion operators: unpivot (the inverse
+  * of `orders_pivot`'s cross-tab), time-series gap filling against a
+  * generated calendar, and relative ranking.
+  */
+object Reshape {
+
+  /** Unpivot (melt) the lineitem money columns into (measure, value) rows,
+    * then aggregate per measure. The melt is a single `stack` projection —
+    * one scan, rows×3 narrow tuples, no shuffle until the 3-group rollup —
+    * which is why melting 100 TB is cheap while its inverse (pivot)
+    * needs a shuffle. Exact decimal sums keep the totals order-independent.
+    */
+  def lineitemUnpivot(s: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(s, dir)
+      .select(expr(
+        """stack(3,
+          |  'extendedprice', l_extendedprice,
+          |  'discount', l_discount,
+          |  'tax', l_tax) AS (measure, value)""".stripMargin))
+      .groupBy(col("measure"))
+      .agg(count(lit(1)).as("n"), Exact.sumD(col("value")).as("total"))
+      .orderBy("measure")
+  }
+
+  val lineitemUnpivotSql: String = s"""
+    WITH melted AS (
+      SELECT 'extendedprice' AS measure, l_extendedprice AS value FROM lineitem
+      UNION ALL
+      SELECT 'discount', l_discount FROM lineitem
+      UNION ALL
+      SELECT 'tax', l_tax FROM lineitem)
+    SELECT measure, COUNT(*) AS n, ${Exact.sqlSum("value")} AS total
+    FROM melted GROUP BY measure ORDER BY measure"""
+
+  /** Time-series gap filling: the complete (event_type × hour) grid over
+    * the stream's span, with missing hours filled as zero — the
+    * prerequisite for any windowed model over event streams (a silent
+    * missing hour corrupts a moving average more than a wrong one).
+    * The calendar is GENERATED (one aggregated bounds row broadcast into a
+    * per-type `sequence` explode), never materialized as a table; the only
+    * wide operation is the left join of the grid onto the hourly counts,
+    * keyed on (type, hour).
+    */
+  def eventsGapfill(s: SparkSession, dir: String): DataFrame = {
+    val hr = date_trunc("hour", col("ts"))
+    val e = Tables.events(s, dir)
+    val counts = e.groupBy(col("event_type"), hr.as("hr"))
+      .agg(count(lit(1)).as("cnt"))
+    val bounds = e.agg(min(hr).as("lo"), max(hr).as("hi"))
+    val grid = e.select("event_type").distinct()
+      .crossJoin(broadcast(bounds))
+      .select(col("event_type"),
+        explode(sequence(col("lo"), col("hi"), expr("interval 1 hour")))
+          .as("hr"))
+    grid.join(counts, Seq("event_type", "hr"), "left")
+      .select(col("event_type"), col("hr"),
+        coalesce(col("cnt"), lit(0L)).as("cnt"))
+      .orderBy("event_type", "hr")
+  }
+
+  val eventsGapfillSql: String = """
+    WITH b AS (
+      SELECT min(date_trunc('hour', ts)) AS lo,
+             max(date_trunc('hour', ts)) AS hi FROM events),
+    g AS (
+      SELECT event_type,
+        unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hr
+      FROM (SELECT DISTINCT event_type FROM events), b),
+    c AS (
+      SELECT event_type, date_trunc('hour', ts) AS hr, COUNT(*) AS cnt
+      FROM events GROUP BY 1, 2)
+    SELECT g.event_type, g.hr, COALESCE(cnt, 0) AS cnt
+    FROM g LEFT JOIN c ON g.event_type = c.event_type AND g.hr = c.hr
+    ORDER BY g.event_type, g.hr"""
+
+  /** Relative standing of every customer inside their market segment:
+    * `percent_rank` over balance. The window is segment-partitioned (no
+    * global sort; each segment ranks independently after one key-wise
+    * shuffle). Hash-safe across engines because percent_rank is the single
+    * correctly-rounded division (rank−1)/(n−1) of exact integers — both
+    * engines produce the identical double bit pattern, no rounding needed.
+    */
+  def customerPctRank(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("c_mktsegment")).orderBy(col("c_acctbal"))
+    Tables.customer(s, dir)
+      .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"),
+        percent_rank().over(w).as("bal_pct_rank"))
+      .orderBy("c_mktsegment", "c_custkey")
+  }
+
+  val customerPctRankSql: String = """
+    SELECT c_custkey, c_mktsegment, c_acctbal,
+      percent_rank() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal)
+        AS bal_pct_rank
+    FROM customer
+    ORDER BY c_mktsegment, c_custkey"""
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "lineitem_unpivot" -> (lineitemUnpivot _),
+    "events_gapfill" -> (eventsGapfill _),
+    "customer_pct_rank" -> (customerPctRank _))
+
+  val oracles: Map[String, String] = Map(
+    "lineitem_unpivot" -> lineitemUnpivotSql,
+    "events_gapfill" -> eventsGapfillSql,
+    "customer_pct_rank" -> customerPctRankSql)
+}
