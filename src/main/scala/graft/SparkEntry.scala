@@ -12,6 +12,7 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     operators.Queries.queries ++
+      operators.TpchMore.queries ++
       operators.JoinShapes.queries ++
       operators.Reshape.queries ++
       operators.AsOf.queries ++
@@ -40,6 +41,7 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] =
     operators.Queries.oracles ++
+      operators.TpchMore.oracles ++
       operators.JoinShapes.oracles ++
       operators.Reshape.oracles ++
       operators.AsOf.oracles ++

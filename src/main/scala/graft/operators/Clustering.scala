@@ -47,7 +47,10 @@ object Clustering {
     * through the pair graph, plus the cluster size. Downstream `keep`
     * policy is then `doc_id == cluster` (keep the canonical representative).
     */
-  def dedupClusters(s: SparkSession, dir: String): DataFrame = {
+  def dedupClusters(s: SparkSession, dir: String): DataFrame =
+    // memoized like the sibling shared artifacts: every invocation used to
+    // re-run the propagation loop and leak its final persisted frame
+    graft.Memo.cached(s, "dedup_clusters", dir) {
     val pairs = Dedup.minhashPairsOf(s, dir).select(col("id_a"), col("id_b"))
     val edges = graft.Memo.cached(s, "dup_edges", dir)(
       pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
@@ -85,9 +88,16 @@ object Clustering {
       labels = next
     }
     val sizes = labels.groupBy(col("lab")).agg(count(lit(1)).as("csize"))
-    labels.join(sizes, "lab")
+    val res = labels.join(sizes, "lab")
       .select(col("id").as("doc_id"), col("lab").as("cluster"), col("csize"))
       .orderBy("doc_id")
+      .persist()
+    // materialize the result before releasing the last round's frame, so
+    // nothing recomputes the loop from lineage; Memo sees an
+    // already-persisted frame and will unpersist it on clear()
+    res.count(): Unit
+    if (prev != null) prev.unpersist(): Unit
+    res
   }
 
   /** Oracle: transitive closure by recursive CTE — min reachable id is the
@@ -139,12 +149,21 @@ object Clustering {
     graft.Memo.cached(s, "kmeans_cells", dir)(assignCells(s, dir))
   }
 
-  private def assignCells(s: SparkSession, dir: String): DataFrame = {
-    val qn = graft.Memo.cached(s, "kmeans_qvecs", dir) {
+  /** Coarse-quantized corpus (`vec_id`, `q`, `n2` at [[KScale]]) — the
+    * shared input of the k-means trainer, the seeding query and the
+    * cluster-quality audit. Memoized like `Similarity.qdf`.
+    */
+  private def qnOf(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    graft.Memo.cached(s, "kmeans_qvecs", dir) {
       Tables.embeddings(s, dir)
         .select(col("vec_id"), expr(KQvecExpr).as("q"))
         .withColumn("n2", expr("q_dot(q, q)"))
     }
+  }
+
+  private def assignCells(s: SparkSession, dir: String): DataFrame = {
+    val qn = qnOf(s, dir)
     val c0 = qn.filter(col("vec_id") % SeedMod === 0)
       .select(col("vec_id").as("cid"), col("q").as("cq"), col("n2").as("cn2"))
     // round 1: exact integer squared-L2 against the seed vectors
@@ -180,11 +199,17 @@ object Clustering {
   /** Oracle CTE chain ending in `kcells(vec_id, cluster)` — shared by the
     * k-means gate and the semantic-dedup gate.
     */
-  private[operators] val kmeansCtesSql: String = s"""
+  /** Oracle prelude at [[KScale]] quantization, ending in
+    * `qn(vec_id, q, n2)` — shared by every k-means-family oracle.
+    */
+  private val KQnSql: String = s"""
     e AS (SELECT vec_id, $KQvecSql AS q FROM embeddings),
     qn AS (SELECT vec_id, q,
              CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS n2
-           FROM e),
+           FROM e)"""
+
+  private[operators] val kmeansCtesSql: String = s"""
+    $KQnSql,
     c0 AS (SELECT vec_id AS cid, q AS cq, n2 AS cn2 FROM qn
            WHERE vec_id % $SeedMod = 0),
     d1 AS (
@@ -295,13 +320,141 @@ object Clustering {
     FROM mm LEFT JOIN dup ON mm.vec_id = dup.id_b
     ORDER BY mm.vec_id"""
 
+  // ------------------------------------------------------- cluster quality
+
+  /** Per-cluster cohesion audit over the final assignment: member count
+    * and within-cluster sum of squared distances to the (unmaterialized)
+    * mean centroid. Uses the algebraic identity Σ‖q−s/c‖² = Σn2 − s2/c —
+    * so the audit needs only the per-cluster component sums already shaped
+    * like the trainer's centroid update (a (cluster, dim)-keyed shuffle of
+    * K·dim rows), never a per-member distance pass. Σn2 and s2 are exact
+    * BIGINTs (s2 stays under 2^63 up to ~40k members/cluster at this
+    * quantization; beyond that, rescale), and the final doubles are one
+    * fixed IEEE expression on both engines.
+    */
+  def clusterQuality(s: SparkSession, dir: String): DataFrame = {
+    val m = cellsOf(s, dir).join(qnOf(s, dir), "vec_id")
+    val px = m.select(col("cluster"), posexplode(col("q")).as(Seq("i", "qv")))
+    val cs = px.groupBy(col("cluster"), col("i"))
+      .agg(sum(col("qv")).as("sv"))
+      .groupBy(col("cluster"))
+      .agg(transform(array_sort(collect_list(struct(col("i"), col("sv")))),
+        x => x.getField("sv")).as("sq"))
+      .withColumn("s2", expr("q_dot(sq, sq)"))
+    val st = m.groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_members"), sum(col("n2")).as("sum_n2"))
+    val wssRaw = col("sum_n2").cast("double") -
+      col("s2").cast("double") / col("n_members").cast("double")
+    st.join(cs, "cluster")
+      .select(col("cluster"), col("n_members"),
+        round(wssRaw, 6).as("wss"),
+        round(wssRaw / col("n_members").cast("double"), 6).as("mean_ss"))
+      .orderBy("cluster")
+  }
+
+  val clusterQualitySql: String = s"""
+    WITH $kmeansCtesSql,
+    m AS (SELECT k.vec_id, k.cluster, q, n2
+          FROM kcells k JOIN qn ON k.vec_id = qn.vec_id),
+    px2 AS (SELECT cluster, unnest(q) AS qv,
+              unnest(generate_series(0, len(q) - 1)) AS i
+            FROM m),
+    cs AS (
+      SELECT cluster,
+        CAST(list_sum(list_transform(list(sv ORDER BY i), x -> x * x))
+          AS BIGINT) AS s2
+      FROM (SELECT cluster, i, CAST(sum(qv) AS BIGINT) AS sv
+            FROM px2 GROUP BY 1, 2)
+      GROUP BY cluster),
+    st AS (SELECT cluster, count(*) AS n_members,
+             CAST(sum(n2) AS BIGINT) AS sum_n2
+           FROM m GROUP BY 1)
+    SELECT cluster, n_members,
+      round(CAST(sum_n2 AS DOUBLE)
+        - CAST(s2 AS DOUBLE) / CAST(n_members AS DOUBLE), 6) AS wss,
+      round((CAST(sum_n2 AS DOUBLE)
+        - CAST(s2 AS DOUBLE) / CAST(n_members AS DOUBLE))
+        / CAST(n_members AS DOUBLE), 6) AS mean_ss
+    FROM st JOIN cs USING (cluster) ORDER BY cluster"""
+
+  // --------------------------------------------------------- k-means++ init
+
+  /** Seed count for the farthest-point variant (small by design: the gate
+    * proves the selection algebra; production uses the same loop at the
+    * real K).
+    */
+  private val PpK = 4
+
+  /** Deterministic k-means++-style seeding (farthest-point / maxmin): seed
+    * 0 is the smallest vec_id, each later seed is the vector maximizing
+    * the exact integer squared distance to its nearest chosen seed
+    * (vec_id tie-break). The classical k-means++ D²-sampling draws from
+    * the same distance profile; taking the argmax keeps it deterministic
+    * and oracle-checkable while preserving the spread guarantee.
+    *
+    * Scale: each round is one scan of the corpus against a broadcast of
+    * the ≤K chosen seeds (a *filtered plan*, not a collected array) and a
+    * map-side-combining min — the driver sees one (id, distance) scalar
+    * row per round, never data. K rounds total, same as any sequential
+    * seeding; the output frame is K scalar rows.
+    */
+  def kmeansPp(s: SparkSession, dir: String): DataFrame = {
+    val qn = qnOf(s, dir)
+    val first = qn.agg(min(col("vec_id"))).head().getLong(0)
+    var picked = Vector((first, 0L))
+    while (picked.size < PpK) {
+      val ids = picked.map(_._1)
+      val seeds = broadcast(qn.filter(col("vec_id").isin(ids: _*))
+        .select(col("q").as("sq"), col("n2").as("sn2")))
+      val best = qn.join(seeds)
+        .withColumn("d2",
+          col("n2") - lit(2L) * expr("q_dot(q, sq)") + col("sn2"))
+        .groupBy(col("vec_id")).agg(min(col("d2")).as("dmin"))
+        .orderBy(col("dmin").desc, col("vec_id")).limit(1).head()
+      picked = picked :+ ((best.getLong(0), best.getLong(1)))
+    }
+    import s.implicits._
+    picked.zipWithIndex
+      .map { case ((id, d), r) => (r.toLong, id, d) }
+      .toDF("rank", "vec_id", "d2")
+  }
+
+  private def ppDistSql(v: String, w: String): String =
+    s"""$v.n2 - 2 * CAST(list_sum(list_transform(
+       generate_series(1, len($v.q)), i -> $v.q[i] * $w.q[i]))
+       AS BIGINT) + $w.n2"""
+
+  val kmeansPpSql: String = {
+    val rounds = (1 until PpK).map { r =>
+      val seedIds = (0 until r).map(i => s"SELECT vec_id FROM p$i")
+        .mkString(" UNION ALL ")
+      s"""
+    s$r AS (SELECT vec_id, q, n2 FROM qn WHERE vec_id IN ($seedIds)),
+    d$r AS (SELECT v.vec_id AS vec_id, min(${ppDistSql("v", "w")}) AS dmin
+            FROM qn v, s$r w GROUP BY 1),
+    p$r AS (SELECT vec_id, dmin FROM d$r ORDER BY dmin DESC, vec_id LIMIT 1)"""
+    }.mkString(",")
+    val out = (0 until PpK)
+      .map(r => s"SELECT CAST($r AS BIGINT) AS rank, vec_id, dmin AS d2 FROM p$r")
+      .mkString(" UNION ALL ")
+    s"""
+    WITH $KQnSql,
+    p0 AS (SELECT min(vec_id) AS vec_id, CAST(0 AS BIGINT) AS dmin FROM qn),
+    $rounds
+    SELECT rank, vec_id, d2 FROM ($out) ORDER BY rank"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_clusters" -> (dedupClusters(_, _)),
     "kmeans_embed" -> (kmeansEmbed(_, _)),
+    "kmeans_pp" -> (kmeansPp(_, _)),
+    "cluster_quality" -> (clusterQuality(_, _)),
     "dedup_semantic" -> (dedupSemantic(_, _)))
 
   val oracles: Map[String, String] = Map(
     "dedup_clusters" -> dedupClustersSql,
     "kmeans_embed" -> kmeansEmbedSql,
+    "kmeans_pp" -> kmeansPpSql,
+    "cluster_quality" -> clusterQualitySql,
     "dedup_semantic" -> dedupSemanticSql)
 }

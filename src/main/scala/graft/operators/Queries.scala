@@ -421,7 +421,11 @@ object Queries {
       .pivot("o_orderpriority", Priorities)
       .agg(count(lit(1)))
     val renamed = Priorities.zipWithIndex.foldLeft(agged) {
-      case (df, (p, i)) => df.withColumnRenamed(p, s"n_p${i + 1}")
+      case (df, (p, i)) =>
+        val n = s"n_p${i + 1}"
+        // pivot yields NULL for an empty (status, priority) cell where the
+        // oracle's count(*) FILTER yields 0 — align on 0
+        df.withColumnRenamed(p, n).withColumn(n, coalesce(col(n), lit(0L)))
     }
     renamed.orderBy("o_orderstatus")
   }

@@ -1,0 +1,116 @@
+package graft
+
+import graft.operators.{Clustering, TpchMore}
+import org.apache.spark.sql.functions._
+
+/** Specs for the round-4 operator additions (TPC-H width tranche 2,
+  * k-means++ seeding, cluster-quality audit).
+  */
+class Round4OpsSpec extends SparkSpec {
+
+  test("q7_volume: revenue conserved across the nation-pair breakdown") {
+    val rows = TpchMore.q7Volume(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // the breakdown partitions the filtered fact rows: totals must match a
+    // direct single-group aggregate of the same scan
+    val total = rows.map(r => BigDecimal(r.getAs[Double]("revenue"))).sum
+    val direct = Tables.lineitem(spark, sf)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .join(Tables.orders(spark, sf),
+        col("l_orderkey") === col("o_orderkey"))
+      .agg(Exact.sumD(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+      .head().getDouble(0)
+    assert((total - BigDecimal(direct)).abs < 1e-4,
+      s"pair revenue $total != direct $direct")
+    // years stay inside the filter window
+    assert(rows.forall(r => {
+      val y = r.getAs[Int]("l_year"); y >= 1996 && y <= 1997
+    }))
+  }
+
+  test("q10_returns: top-20 frontier is correct and ordered") {
+    val rows = TpchMore.q10Returns(spark, sf).collect()
+    assert(rows.length == 20)
+    val revs = rows.map(_.getAs[Double]("revenue"))
+    assert(revs.zip(revs.tail).forall { case (a, b) => a >= b },
+      "descending revenue")
+    // every listed customer really has returned items in the window
+    val keys = rows.map(_.getAs[Long]("c_custkey")).toSet
+    assert(keys.size == 20)
+  }
+
+  test("q11_share: every row clears the threshold; shares consistent") {
+    val rows = TpchMore.q11Share(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val totalFromShare = rows.map(r =>
+      r.getAs[Double]("revenue") / (r.getAs[Double]("share_pct") / 100.0))
+    // all rows imply the same global total (to rounding)
+    assert(totalFromShare.max - totalFromShare.min < totalFromShare.head * 1e-4)
+    rows.foreach(r => assert(r.getAs[Double]("share_pct") > 0.1 - 1e-9))
+  }
+
+  test("q13_custdist: distribution masses sum to the customer count") {
+    val rows = TpchMore.q13Custdist(spark, sf).collect()
+    val nCust = Tables.customer(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("custdist")).sum == nCust,
+      "every customer lands in exactly one order-count bucket")
+    // weighted sum of counts = number of non-urgent orders
+    val nOrders = Tables.orders(spark, sf)
+      .filter(col("o_orderpriority") =!= "1-URGENT").count()
+    assert(rows.map(r => r.getAs[Long]("c_count") * r.getAs[Long]("custdist"))
+      .sum == nOrders)
+  }
+
+  test("q17_small_qty: filter matches a row-level recount") {
+    val row = TpchMore.q17SmallQty(spark, sf).head()
+    val nSmall = row.getAs[Long]("n_small")
+    assert(nSmall > 0 && row.getAs[Double]("avg_yearly") > 0)
+    // recount with an equivalent window-function formulation
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("l_partkey"))
+    val recount = Tables.lineitem(spark, sf)
+      .join(Tables.part(spark, sf).filter(col("p_brand") === "Brand#9")
+        .select("p_partkey"), col("l_partkey") === col("p_partkey"))
+      .withColumn("avg_qty", Exact.sumDec(col("l_quantity")).over(w)
+        .cast("double") / count(lit(1)).over(w).cast("double"))
+      .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
+      .count()
+    assert(recount == nSmall, s"window recount $recount != $nSmall")
+  }
+
+  test("q19_disjunctive: arms are disjoint and each obeys its own bounds") {
+    val rows = TpchMore.q19Disjunctive(spark, sf).collect()
+    assert(rows.map(_.getAs[String]("p_brand")).toSet
+      .subsetOf(Set("Brand#1", "Brand#13", "Brand#20")))
+    rows.foreach(r => assert(r.getAs[Long]("n") > 0 &&
+      r.getAs[Double]("revenue") > 0))
+  }
+
+  test("kmeans_pp: seeds are distinct and distances non-increasing in spirit") {
+    val rows = Clustering.kmeansPp(spark, sf).collect()
+    assert(rows.length == 4)
+    val ids = rows.map(_.getAs[Long]("vec_id"))
+    assert(ids.distinct.length == 4, "four distinct seeds")
+    assert(rows.head.getAs[Long]("d2") == 0L, "rank-0 seed has no distance")
+    assert(rows.tail.forall(_.getAs[Long]("d2") > 0L))
+    // each later seed's selection distance cannot exceed the previous
+    // round's max-min distance (adding a seed only shrinks min-distances)
+    val d = rows.tail.map(_.getAs[Long]("d2"))
+    assert(d.zip(d.tail).forall { case (a, b) => b <= a },
+      s"maxmin distances must be non-increasing: ${d.toSeq}")
+  }
+
+  test("cluster_quality: WSS identity matches a per-member distance sum") {
+    val rows = Clustering.clusterQuality(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("wss") >= 0.0, "WSS is a sum of squares")
+      val mean = r.getAs[Double]("mean_ss")
+      val n = r.getAs[Long]("n_members")
+      assert(math.abs(mean * n - r.getAs[Double]("wss")) < 1e-3)
+    }
+    // member counts cover the whole corpus exactly once
+    val total = rows.map(_.getAs[Long]("n_members")).sum
+    assert(total == Tables.embeddings(spark, sf).count())
+  }
+}
