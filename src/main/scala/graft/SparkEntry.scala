@@ -24,6 +24,7 @@ object SparkEntry {
       operators.ZOrder.queries ++
       operators.Quality.queries ++
       operators.TextOps.queries ++
+      operators.TrainPrep.queries ++
       operators.CorpusFilters.queries ++
       operators.Dedup.queries ++
       operators.Similarity.queries ++
@@ -53,6 +54,7 @@ object SparkEntry {
       operators.ZOrder.oracles ++
       operators.Quality.oracles ++
       operators.TextOps.oracles ++
+      operators.TrainPrep.oracles ++
       operators.CorpusFilters.oracles ++
       operators.Dedup.oracles ++
       operators.Similarity.oracles ++

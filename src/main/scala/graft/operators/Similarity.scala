@@ -659,18 +659,57 @@ object Similarity {
     * are exactly the vectors a denser hash family (more tables) would
     * recover, the standard recall/cost knob.
     */
-  def knnGraph(s: SparkSession, dir: String, k: Int = 3): DataFrame = {
+  def knnGraph(s: SparkSession, dir: String, k: Int = 3): DataFrame =
+    knnGraphOf(s, dir, k)
+
+  /** Memoized kNN graph — shared between the `knn_graph` gate and the
+    * NN-descent refinement pass (in production the graph is a persisted
+    * index artifact that refinement rounds iterate on).
+    */
+  private[operators] def knnGraphOf(s: SparkSession, dir: String,
+                                    k: Int = 3): DataFrame =
+    graft.Memo.cached(s, "knn_graph", dir) {
+      val qn = qdf(s, dir)
+      val buckets = qn.select(col("vec_id"),
+        posexplode(array((0 until LshTables).map(tableBucketCol): _*))
+          .as(Seq("tbl", "bucket")))
+      val cand = buckets.alias("a")
+        .join(buckets.alias("b"),
+          col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
+            col("a.vec_id") =!= col("b.vec_id"))
+        .select(col("a.vec_id").as("probe_id"), col("b.vec_id").as("vec_id"))
+        .distinct()
+      val paired = cand
+        .join(qn.select(col("vec_id").as("probe_id"), col("q").as("pq"),
+          col("n2").as("pn2")), "probe_id")
+        .join(qn, "vec_id")
+      topkTail(paired, k)
+        .select(col("probe_id").as("src"), col("rank"),
+          col("vec_id").as("nbr"), col("cos"))
+    }
+
+  /** One NN-descent round (Dong et al., WWW'11) over the kNN graph: a
+    * vector's improved neighbour candidates are its neighbours'
+    * neighbours — the local-closure observation that lets kNN graphs
+    * converge without re-scanning the corpus. Candidates = current edges ∪
+    * two-hop edges, re-scored exactly, per-source top-k re-taken. The
+    * output dominates the input graph (the candidate set is a superset,
+    * so every source's k-th cosine is ≥ its previous k-th).
+    *
+    * Scale: the self-join is on the neighbour id key — O(n·k) rows join
+    * O(n·k) rows producing ≤ n·k² candidates, all shuffle-bounded by the
+    * graph size (never the corpus); scoring re-joins the quantized
+    * vectors on their id and reduces map-side via WindowGroupLimit like
+    * every other top-k.
+    */
+  def knnRefine(s: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val g = knnGraphOf(s, dir, k).select(col("src"), col("nbr"))
+    val twoHop = g.alias("a").join(g.alias("b"), col("a.nbr") === col("b.src"))
+      .filter(col("b.nbr") =!= col("a.src"))
+      .select(col("a.src").as("src"), col("b.nbr").as("nbr"))
     val qn = qdf(s, dir)
-    val buckets = qn.select(col("vec_id"),
-      posexplode(array((0 until LshTables).map(tableBucketCol): _*))
-        .as(Seq("tbl", "bucket")))
-    val cand = buckets.alias("a")
-      .join(buckets.alias("b"),
-        col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
-          col("a.vec_id") =!= col("b.vec_id"))
-      .select(col("a.vec_id").as("probe_id"), col("b.vec_id").as("vec_id"))
-      .distinct()
-    val paired = cand
+    val paired = g.unionByName(twoHop).distinct()
+      .withColumnRenamed("src", "probe_id").withColumnRenamed("nbr", "vec_id")
       .join(qn.select(col("vec_id").as("probe_id"), col("q").as("pq"),
         col("n2").as("pn2")), "probe_id")
       .join(qn, "vec_id")
@@ -679,8 +718,11 @@ object Similarity {
         col("vec_id").as("nbr"), col("cos"))
   }
 
-  def knnGraphSql(k: Int = 3): String = s"""
-    WITH $QuantSql,
+  /** Oracle CTE chain ending in `graph(src, rank, nbr, cos_raw)` — shared
+    * by the kNN-graph gate and the NN-descent refinement gate.
+    */
+  private def knnCtesSql(k: Int): String = s"""
+    $QuantSql,
     ${projSql(LshTables * NumPlanes)},
     buckets AS (
       SELECT vec_id, h // $NumPlanes AS tbl,
@@ -703,10 +745,37 @@ object Similarity {
       SELECT probe_id, vec_id, $PairCosSql AS cos_raw,
         row_number() OVER (PARTITION BY probe_id
           ORDER BY $PairCosSql DESC, vec_id) AS rank
-      FROM pairs)
-    SELECT probe_id AS src, CAST(rank AS INT) AS rank, vec_id AS nbr,
-           round(cos_raw, 6) AS cos
-    FROM scored WHERE rank <= $k ORDER BY src, rank"""
+      FROM pairs),
+    graph AS (
+      SELECT probe_id AS src, rank, vec_id AS nbr, cos_raw
+      FROM scored WHERE rank <= $k)"""
+
+  def knnGraphSql(k: Int = 3): String = s"""
+    WITH ${knnCtesSql(k)}
+    SELECT src, CAST(rank AS INT) AS rank, nbr, round(cos_raw, 6) AS cos
+    FROM graph ORDER BY src, rank"""
+
+  def knnRefineSql(k: Int = 3): String = s"""
+    WITH ${knnCtesSql(k)},
+    cand2 AS (
+      SELECT src, nbr FROM graph
+      UNION
+      SELECT a.src, b.nbr FROM graph a JOIN graph b ON a.nbr = b.src
+      WHERE b.nbr <> a.src),
+    pairs2 AS (
+      SELECT src, nbr, x.n2 AS na, y.n2 AS nb,
+        CAST(list_sum(list_transform(generate_series(1, len(x.q)),
+          i -> x.q[i] * y.q[i])) AS BIGINT) AS dot
+      FROM cand2
+      JOIN qn x ON src = x.vec_id
+      JOIN qn y ON nbr = y.vec_id),
+    scored2 AS (
+      SELECT src, nbr, $PairCosSql AS cos_raw,
+        row_number() OVER (PARTITION BY src
+          ORDER BY $PairCosSql DESC, nbr) AS rank
+      FROM pairs2)
+    SELECT src, CAST(rank AS INT) AS rank, nbr, round(cos_raw, 6) AS cos
+    FROM scored2 WHERE rank <= $k ORDER BY src, rank"""
 
   // ------------------------------------------------------ int8 quantization
 
@@ -766,6 +835,7 @@ object Similarity {
     "ann_pq" -> (annPq(_, _)),
     "ann_ivf_pq" -> (annIvfPq(_, _)),
     "knn_graph" -> (knnGraph(_, _)),
+    "knn_refine" -> (knnRefine(_, _)),
     "embed_quantize" -> (embedQuantize(_, _)))
 
   val oracles: Map[String, String] = Map(
@@ -777,5 +847,6 @@ object Similarity {
     "ann_pq" -> annPqSql(),
     "ann_ivf_pq" -> annIvfPqSql(),
     "knn_graph" -> knnGraphSql(),
+    "knn_refine" -> knnRefineSql(),
     "embed_quantize" -> embedQuantizeSql)
 }

@@ -1,0 +1,258 @@
+package graft.operators
+
+import graft.Tables
+import graft.operators.TextNorm.{norm, normSql}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Training-set preparation operators: deterministic corpus splitting,
+  * vocabulary construction with OOV auditing, tf-idf keyword extraction
+  * and a bigram language-model table — the text-side artifacts an LLM
+  * data pipeline materializes after cleaning/dedup and before packing.
+  *
+  * Scale design:
+  *  - `corpus_split` is a pure projection (split = md5(doc_id) mod 10 —
+  *    stable under re-runs and corpus growth) folded into one
+  *    map-side-combining rollup; no shuffle of documents, ever.
+  *  - `vocab_build` / `oov_rate` shuffle (token)-keyed counts, i.e. the
+  *    vocabulary, not the corpus; the df threshold caps what survives.
+  *    The OOV probe joins doc tokens to the vocab on the token key —
+  *    at 100 TB the vocab side is the small one and broadcasts; the
+  *    fallback is a plain equi-join, still token-keyed.
+  *  - `tfidf_topk` ranks per-document, so the row_number window partitions
+  *    by doc_id and Spark reduces it map-side (WindowGroupLimit); idf is
+  *    the un-logged ratio N/df — log is NOT bit-stable across libms (the
+  *    BM25 lesson), and a monotone transform doesn't change ranks.
+  *  - `text_bigram_lm` shuffles (w1, w2) pair counts — bounded by the
+  *    observed bigram vocabulary; the conditional probability is one
+  *    exact-integer division per surviving pair.
+  *
+  * Reference tie-in: the reference engine has no text stack; these extend
+  * the corpus operators (`TextOps`, `CorpusFilters`) the way
+  * `bde_ApplyLevel0Update` extends into analytics — same tables, same
+  * oracle discipline.
+  */
+object TrainPrep {
+
+  // ----------------------------------------------------------- corpus split
+
+  /** Split fractions in tenths: buckets 0-7 train, 8 val, 9 test. */
+  private def bucketCol: org.apache.spark.sql.Column =
+    expr("cast(conv(substring(md5(cast(doc_id as string)), 1, 8), 16, 10) as bigint) % 10")
+  private val BucketSql =
+    "('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10"
+
+  /** Deterministic 80/10/10 train/val/test split with per-split corpus
+    * stats. Hash-based assignment (not row_number) so membership is a pure
+    * function of the id: re-runs, repartitioning and corpus growth never
+    * move a document between splits.
+    */
+  def corpusSplit(s: SparkSession, dir: String): DataFrame = {
+    Tables.documents(s, dir)
+      .select(
+        when(bucketCol < 8, "train").when(bucketCol === 8, "val")
+          .otherwise("test").as("split"),
+        col("lang"), col("n_chars"),
+        size(split(norm, " ")).cast("long").as("n_tokens"))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("lang")).as("n_langs"),
+        sum(col("n_chars")).as("sum_chars"),
+        sum(col("n_tokens")).as("sum_tokens"))
+      .orderBy("split")
+  }
+
+  val corpusSplitSql: String = s"""
+    WITH d AS (
+      SELECT CASE WHEN $BucketSql < 8 THEN 'train'
+                  WHEN $BucketSql = 8 THEN 'val'
+                  ELSE 'test' END AS split,
+        lang, n_chars,
+        len(string_split($normSql, ' ')) AS n_tokens
+      FROM documents)
+    SELECT split, count(*) AS n_docs,
+      count(DISTINCT lang) AS n_langs,
+      CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+      CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+    FROM d GROUP BY split ORDER BY split"""
+
+  // ----------------------------------------------------------- vocab build
+
+  /** Minimum document frequency for a token to enter the vocabulary. */
+  private val MinDf = 5
+
+  /** Shared (doc_id, token) pairs — one row per occurrence. */
+  private def docTokens(s: SparkSession, dir: String): DataFrame =
+    graft.Memo.cached(s, "doc_tokens", dir) {
+      Tables.documents(s, dir)
+        .select(col("doc_id"), explode(split(norm, " ")).as("w"))
+    }
+
+  private val DocTokensSql =
+    s"dt AS (SELECT doc_id, unnest(string_split($normSql, ' ')) AS w FROM documents)"
+
+  /** Vocabulary with document/term frequencies, thresholded at
+    * df ≥ [[MinDf]] — the id-able token table a tokenizer trainer or
+    * feature hasher consumes.
+    */
+  def vocabBuild(s: SparkSession, dir: String): DataFrame = {
+    docTokens(s, dir)
+      .groupBy(col("w"))
+      .agg(countDistinct(col("doc_id")).as("df"), count(lit(1)).as("tf"))
+      .filter(col("df") >= MinDf)
+      .orderBy("w")
+  }
+
+  val vocabBuildSql: String = s"""
+    WITH $DocTokensSql
+    SELECT w, count(DISTINCT doc_id) AS df, count(*) AS tf
+    FROM dt GROUP BY w HAVING count(DISTINCT doc_id) >= $MinDf
+    ORDER BY w"""
+
+  /** Per-document out-of-vocabulary audit against the [[vocabBuild]]
+    * vocabulary: token total, OOV count and OOV rate (exact-integer
+    * division). High-OOV documents are the ones a fixed tokenizer
+    * fragments worst — the standard pre-training data health check.
+    */
+  def oovRate(s: SparkSession, dir: String): DataFrame = {
+    val vocab = vocabBuild(s, dir).select(col("w"))
+    docTokens(s, dir)
+      .join(broadcast(vocab.withColumn("in_vocab", lit(1L))), Seq("w"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+        round(col("n_oov").cast("double") / col("n_tokens").cast("double"), 6)
+          .as("oov_rate"))
+      .orderBy("doc_id")
+  }
+
+  val oovRateSql: String = s"""
+    WITH $DocTokensSql,
+    v AS (SELECT w FROM dt GROUP BY w
+          HAVING count(DISTINCT doc_id) >= $MinDf)
+    SELECT doc_id, count(*) AS n_tokens,
+      CAST(sum(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+      round(CAST(sum(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+        / CAST(count(*) AS DOUBLE), 6) AS oov_rate
+    FROM dt LEFT JOIN v USING (w)
+    GROUP BY doc_id ORDER BY doc_id"""
+
+  // ------------------------------------------------------------ tf-idf top-k
+
+  private val TfidfK = 3
+
+  /** Top-[[TfidfK]] keywords per document by tf·(N/df). The idf is the
+    * un-logged odds ratio: ranking under any monotone transform of idf is
+    * identical, and the raw ratio is a single exact-integer division both
+    * engines round the same way (ln/log differ by ulps across libms).
+    * Tokens shorter than 3 chars are dropped (articles dominate raw tf).
+    */
+  def tfidfTopk(s: SparkSession, dir: String): DataFrame = {
+    val dt = docTokens(s, dir).filter(length(col("w")) >= 3)
+    val tf = dt.groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+    val df = dt.groupBy(col("w")).agg(countDistinct(col("doc_id")).as("df"))
+    val n = dt.agg(countDistinct(col("doc_id")).as("n_docs"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("w"))
+    tf.join(df, "w")
+      .join(broadcast(n))
+      .withColumn("score",
+        col("tf").cast("double") *
+          (col("n_docs").cast("double") / col("df").cast("double")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TfidfK)
+      .select(col("doc_id"), col("rank").cast("long").as("rank"), col("w"),
+        col("tf"), col("df"), round(col("score"), 6).as("score"))
+      .orderBy("doc_id", "rank")
+  }
+
+  val tfidfTopkSql: String = s"""
+    WITH $DocTokensSql,
+    dt3 AS (SELECT doc_id, w FROM dt WHERE length(w) >= 3),
+    tf AS (SELECT doc_id, w, count(*) AS tf FROM dt3 GROUP BY 1, 2),
+    df AS (SELECT w, count(DISTINCT doc_id) AS df FROM dt3 GROUP BY 1),
+    n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM dt3),
+    scored AS (
+      SELECT doc_id, w, tf, df,
+        CAST(tf AS DOUBLE) * (CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE))
+          AS score
+      FROM tf JOIN df USING (w), n),
+    ranked AS (
+      SELECT doc_id, w, tf, df, score,
+        row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, w)
+          AS rank
+      FROM scored)
+    SELECT doc_id, CAST(rank AS BIGINT) AS rank, w, tf, df,
+      round(score, 6) AS score
+    FROM ranked WHERE rank <= $TfidfK ORDER BY doc_id, rank"""
+
+  // ------------------------------------------------------------- bigram LM
+
+  /** Minimum unigram count for a context word to be reported. */
+  private val LmMinCount = 30
+
+  /** First-order bigram language model over the corpus: for each context
+    * word with ≥ [[LmMinCount]] continuations, the most likely next word
+    * and its conditional probability c(w1,w2)/c(w1) — the text twin of
+    * `events_markov`. Bigrams come from a per-document lead window (no
+    * self-join, document boundaries respected).
+    */
+  def textBigramLm(s: SparkSession, dir: String): DataFrame = {
+    // in-row bigram extraction (explode over positions, element_at pairs):
+    // a narrow map over the scan — no per-document window shuffle. The
+    // size guard matters: Spark's sequence(1, n) DESCENDS for n < 1.
+    val ws = split(norm, " ")
+    val grams = Tables.documents(s, dir)
+      .select(col("doc_id"), ws.as("ws"))
+      .filter(size(col("ws")) >= 2)
+      .withColumn("i", explode(sequence(lit(1), size(col("ws")) - 1)))
+      .select(element_at(col("ws"), col("i")).as("w1"),
+        element_at(col("ws"), col("i") + 1).as("w2"))
+    val pairs = grams.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c12"))
+    val ctx = pairs.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
+    val rk = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("w1")).orderBy(col("c12").desc, col("w2"))
+    pairs.join(ctx, "w1")
+      .filter(col("c1") >= LmMinCount)
+      .withColumn("rn", row_number().over(rk))
+      .filter(col("rn") === 1)
+      .select(col("w1"), col("w2"), col("c12"), col("c1"),
+        round(col("c12").cast("double") / col("c1").cast("double"), 6)
+          .as("p"))
+      .orderBy("w1")
+  }
+
+  val textBigramLmSql: String = s"""
+    WITH g AS (
+      SELECT ws[i] AS w1, ws[i + 1] AS w2 FROM (
+        SELECT ws, unnest(generate_series(1, len(ws) - 1)) AS i
+        FROM (SELECT string_split($normSql, ' ') AS ws FROM documents)
+        WHERE len(ws) >= 2)),
+    pairs AS (
+      SELECT w1, w2, count(*) AS c12 FROM g GROUP BY 1, 2),
+    ctx AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM pairs GROUP BY 1),
+    ranked AS (
+      SELECT w1, w2, c12, c1,
+        row_number() OVER (PARTITION BY w1 ORDER BY c12 DESC, w2) AS rn
+      FROM pairs JOIN ctx USING (w1) WHERE c1 >= $LmMinCount)
+    SELECT w1, w2, c12, c1,
+      round(CAST(c12 AS DOUBLE) / CAST(c1 AS DOUBLE), 6) AS p
+    FROM ranked WHERE rn = 1 ORDER BY w1"""
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_split" -> (corpusSplit _),
+    "vocab_build" -> (vocabBuild _),
+    "oov_rate" -> (oovRate _),
+    "tfidf_topk" -> (tfidfTopk _),
+    "text_bigram_lm" -> (textBigramLm _))
+
+  val oracles: Map[String, String] = Map(
+    "corpus_split" -> corpusSplitSql,
+    "vocab_build" -> vocabBuildSql,
+    "oov_rate" -> oovRateSql,
+    "tfidf_topk" -> tfidfTopkSql,
+    "text_bigram_lm" -> textBigramLmSql)
+}

@@ -153,6 +153,25 @@ object StreamScenarios {
     SELECT event_type, COUNT(*) AS n, ${Exact.sqlSum("value")} AS sum_value
     FROM events GROUP BY event_type ORDER BY event_type"""
 
+  /** Batch-mode run of the streaming top-k plan: watermarked hourly counts
+    * (the incremental layer) + per-window rank (the read-time layer).
+    */
+  def streamTopk(s: SparkSession, dir: String): DataFrame =
+    StreamTopK.topk(StreamTopK.hourlyCounts(Tables.events(s, dir)))
+      .orderBy("win_start", "rank")
+
+  val streamTopkSql: String = """
+    WITH hc AS (
+      SELECT date_trunc('hour', ts) AS win_start, event_type, COUNT(*) AS n
+      FROM events GROUP BY 1, 2),
+    r AS (
+      SELECT win_start, event_type, n,
+        row_number() OVER (PARTITION BY win_start
+          ORDER BY n DESC, event_type) AS rank
+      FROM hc)
+    SELECT win_start, CAST(rank AS INT) AS rank, event_type, n
+    FROM r WHERE rank <= 3 ORDER BY win_start, rank"""
+
   val streamWindowCountsSql: String = s"""
     SELECT date_trunc('hour', ts) AS win_start,
       date_trunc('hour', ts) + INTERVAL 1 HOUR AS win_end,
@@ -165,6 +184,7 @@ object StreamScenarios {
     "stream_window_counts" -> (streamWindowCounts _),
     "stream_dedup" -> (streamDedup _),
     "stream_agg_maintain" -> (streamAggMaintain _),
+    "stream_topk" -> (streamTopk _),
     "stream_interval_join" -> (streamIntervalJoin _))
 
   val oracles: Map[String, String] = Map(
@@ -173,5 +193,6 @@ object StreamScenarios {
     "stream_window_counts" -> streamWindowCountsSql,
     "stream_dedup" -> streamDedupSql,
     "stream_agg_maintain" -> streamAggMaintainSql,
+    "stream_topk" -> streamTopkSql,
     "stream_interval_join" -> streamIntervalJoinSql)
 }

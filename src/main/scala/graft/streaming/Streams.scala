@@ -155,6 +155,38 @@ object WindowCounts {
     counts(events.withWatermark("ts", "2 hours"))
 }
 
+/** Streaming windowed top-k: the most frequent event types per hour. The
+  * counting layer is an ordinary watermarked tumbling aggregation — fully
+  * incremental, state bounded by the watermark. The RANK layer is not
+  * incrementally maintainable in append mode (a late event can demote an
+  * already-emitted rank), so it runs where ranking belongs in a streaming
+  * architecture: over the maintained counts at read time (or per
+  * micro-batch via foreachBatch) — the same split `stream_agg_maintain`
+  * uses for CDC-maintained aggregates. Batch-gated on the identical plan.
+  */
+object StreamTopK {
+
+  /** Hourly tumbling per-type counts over (ts, event_type, ...). */
+  def hourlyCounts(events: DataFrame): DataFrame =
+    events.groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("win_start"), col("event_type"),
+        col("n"))
+
+  /** Streaming form of the counting layer: 2-hour watermark. */
+  def streamingCounts(events: DataFrame): DataFrame =
+    hourlyCounts(events.withWatermark("ts", "2 hours"))
+
+  /** Rank layer: top-k event types within each window. */
+  def topk(counts: DataFrame, k: Int = 3): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("win_start")).orderBy(col("n").desc, col("event_type"))
+    counts.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("win_start"), col("rank"), col("event_type"), col("n"))
+  }
+}
+
 /** Streaming CDC → versioned store: every micro-batch of change records
   * becomes one REVISION of an SCD2 parquet store — the end-to-end shape of
   * a CDC-fed lakehouse table (the reference's dataset-apply loop, driven

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Clustering, TpchMore}
+import graft.operators.{Clustering, Similarity, TpchMore, TrainPrep}
 import org.apache.spark.sql.functions._
 
 /** Specs for the round-4 operator additions (TPC-H width tranche 2,
@@ -112,5 +112,83 @@ class Round4OpsSpec extends SparkSpec {
     // member counts cover the whole corpus exactly once
     val total = rows.map(_.getAs[Long]("n_members")).sum
     assert(total == Tables.embeddings(spark, sf).count())
+  }
+
+  test("corpus_split: splits partition the corpus, assignment is stable") {
+    val rows = TrainPrep.corpusSplit(spark, sf).collect()
+    assert(rows.map(_.getAs[String]("split")).sorted.toSeq ==
+      Seq("test", "train", "val"))
+    assert(rows.map(_.getAs[Long]("n_docs")).sum ==
+      Tables.documents(spark, sf).count())
+    val train = rows.find(_.getAs[String]("split") == "train").get
+    // 80% in expectation; allow broad slack on 500 docs
+    assert(train.getAs[Long]("n_docs") > rows.map(_.getAs[Long]("n_docs"))
+      .sum / 2)
+  }
+
+  test("vocab_build and oov_rate are mutually consistent") {
+    val vocab = TrainPrep.vocabBuild(spark, sf).collect()
+    assert(vocab.nonEmpty)
+    assert(vocab.forall(_.getAs[Long]("df") >= 5))
+    assert(vocab.forall(r => r.getAs[Long]("tf") >= r.getAs[Long]("df")),
+      "term frequency dominates document frequency")
+    val oov = TrainPrep.oovRate(spark, sf).collect()
+    assert(oov.length == Tables.documents(spark, sf).count().toInt)
+    oov.foreach { r =>
+      val rate = r.getAs[Double]("oov_rate")
+      assert(rate >= 0.0 && rate <= 1.0)
+      assert(r.getAs[Long]("n_oov") <= r.getAs[Long]("n_tokens"))
+    }
+  }
+
+  test("tfidf_topk: ranks dense from 1, scores non-increasing per doc") {
+    val rows = TrainPrep.tfidfTopk(spark, sf).collect()
+    rows.groupBy(_.getAs[Long]("doc_id")).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getAs[Long]("rank"))
+      assert(sorted.map(_.getAs[Long]("rank")).toSeq ==
+        (1L to sorted.length).toSeq)
+      val scores = sorted.map(_.getAs[Double]("score"))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("text_bigram_lm: probabilities valid, top continuation is the mode") {
+    val rows = TrainPrep.textBigramLm(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("c1") >= 30)
+      assert(r.getAs[Long]("c12") <= r.getAs[Long]("c1"))
+      val p = r.getAs[Double]("p")
+      assert(p > 0.0 && p <= 1.0)
+    }
+    assert(rows.map(_.getAs[String]("w1")).distinct.length == rows.length,
+      "one row per context word")
+  }
+
+  test("knn_refine dominates the input graph (NN-descent improves)") {
+    def byRank(rows: Array[org.apache.spark.sql.Row]) = rows
+      .groupBy(_.getAs[Long]("src"))
+      .view.mapValues(_.sortBy(_.getAs[Int]("rank"))
+        .map(_.getAs[Double]("cos")).toSeq).toMap
+    val before = byRank(Similarity.knnGraph(spark, sf).collect())
+    val after = byRank(Similarity.knnRefine(spark, sf).collect())
+    assert(before.keySet.subsetOf(after.keySet),
+      "refinement never loses a source")
+    // superset candidates ⇒ at every rank position the cosine can only
+    // improve (a sparse-bucket source may also GAIN positions — extra
+    // lower-cosine neighbours at new ranks are an improvement, not a
+    // regression)
+    var improved = 0
+    before.foreach { case (src, bs) =>
+      val as = after(src)
+      assert(as.length >= bs.length)
+      bs.indices.foreach { i =>
+        assert(as(i) >= bs(i) - 1e-9,
+          s"src $src rank ${i + 1} regressed: ${as(i)} < ${bs(i)}")
+      }
+      if (as.length > bs.length ||
+        bs.indices.exists(i => as(i) > bs(i) + 1e-9)) improved += 1
+    }
+    assert(improved > 0, "at least one source improves")
   }
 }

@@ -1,6 +1,6 @@
 package graft
 
-import graft.streaming.{ChangeRecord, ChangesetStream, IntervalJoin, WindowCounts}
+import graft.streaming.{ChangeRecord, ChangesetStream, IntervalJoin, StreamTopK, WindowCounts}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.OutputMode
@@ -226,6 +226,33 @@ class StreamingSpec extends SparkSpec {
       assert(rows.forall(r =>
         r.getAs[java.sql.Timestamp]("win_end").getTime -
           r.getAs[java.sql.Timestamp]("win_start").getTime == 3600000L))
+    } finally query.stop()
+  }
+
+  test("stream top-k: counting layer streams, rank layer matches batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, String)]
+    val events = input.toDF().toDF("ts", "event_type")
+    val query = StreamTopK.streamingCounts(events)
+      .writeStream.format("memory").queryName("topk_counts")
+      .outputMode(OutputMode.Update).start()
+    try {
+      def t(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+      // hour 10: a×3, b×2, c×1, d×1 → top-3 is a, b, then c (tie c<d)
+      input.addData((t(1), "a"), (t(2), "a"), (t(10), "b"))
+      query.processAllAvailable()
+      input.addData((t(20), "a"), (t(21), "b"), (t(30), "c"), (t(31), "d"))
+      query.processAllAvailable()
+      // update mode re-emits refined counts; latest row per key wins
+      val counts = spark.table("topk_counts")
+        .groupBy("win_start", "event_type").agg(max("n").as("n"))
+      val ranked = StreamTopK.topk(counts).collect()
+        .sortBy(_.getAs[Int]("rank"))
+      assert(ranked.map(r =>
+        (r.getAs[Int]("rank"), r.getAs[String]("event_type"),
+          r.getAs[Long]("n"))).toSeq ==
+        Seq((1, "a", 3L), (2, "b", 2L), (3, "c", 1L)))
     } finally query.stop()
   }
 }
