@@ -285,6 +285,86 @@ object Similarity {
            round(cos_raw, 6) AS cos
     FROM scored WHERE rank <= $k ORDER BY probe_id, rank"""
 
+  // ------------------------------------------------------- range search
+
+  /** Cosine threshold for the range query. */
+  private val RangeThreshold = 0.15
+
+  /** Range search (the dual of top-k): every corpus vector within cosine
+    * ≥ [[RangeThreshold]] of a probe — "all near enough", the retrieval
+    * primitive behind near-duplicate lookup and RAG relevance cutoffs.
+    * Same bucketed candidate generation as [[annLsh]] (one shuffle key:
+    * the bucket), exact verify, NO window: a range query needs no rank
+    * exchange at all, so the plan is join → filter → sort-for-output.
+    */
+  def annRange(s: SparkSession, dir: String): DataFrame = {
+    val qb = qdf(s, dir).withColumn("bucket", bucketCol(NumPlanes))
+    val probes = probesOf(qb).select(col("vec_id").as("probe_id"),
+      col("q").as("pq"), col("n2").as("pn2"), col("bucket").as("pbucket"))
+    qb.join(broadcast(probes),
+        col("pbucket") === col("bucket") && col("probe_id") =!= col("vec_id"))
+      .withColumn("cos_raw",
+        cosCol(expr("q_dot(pq, q)"), col("pn2"), col("n2")))
+      .filter(col("cos_raw") >= RangeThreshold)
+      .select(col("probe_id"), col("vec_id"),
+        round(col("cos_raw"), 6).as("cos"))
+      .orderBy("probe_id", "vec_id")
+  }
+
+  val annRangeSql: String = s"""
+    WITH $QuantSql,
+    ${projSql(NumPlanes)},
+    buckets AS (
+      SELECT vec_id,
+        sum(CASE WHEN proj >= 0 THEN 1 ELSE 0 END * (1 << h)) AS bucket
+      FROM proj GROUP BY vec_id),
+    qb AS (SELECT qn.vec_id, q, n2, bucket
+           FROM qn JOIN buckets USING (vec_id)),
+    pairs AS (
+      SELECT x.vec_id AS probe_id, y.vec_id AS vec_id,
+             x.n2 AS na, y.n2 AS nb,
+        CAST(list_sum(list_transform(generate_series(1, len(x.q)),
+          i -> x.q[i] * y.q[i])) AS BIGINT) AS dot
+      FROM qb x JOIN qb y ON x.bucket = y.bucket
+        AND x.vec_id % 50 = 0 AND x.vec_id <> y.vec_id)
+    SELECT probe_id, vec_id, round($PairCosSql, 6) AS cos
+    FROM pairs WHERE $PairCosSql >= $RangeThreshold
+    ORDER BY probe_id, vec_id"""
+
+  // ---------------------------------------------------------- norm audit
+
+  /** Embedding-norm health audit: per label-group vector count, the exact
+    * integer min/max of Σq², the mean norm² and the count of (near-)zero
+    * vectors — the standard pre-indexing check that catches collapsed or
+    * unnormalized embeddings before they poison a cosine index. Zero
+    * shuffle beyond the one rollup; everything else is the memoized
+    * quantized projection.
+    */
+  def embedNormStats(s: SparkSession, dir: String): DataFrame = {
+    val labeled = Tables.embeddings(s, dir).select(col("vec_id"), col("label"))
+      .join(qdf(s, dir), "vec_id")
+    labeled.groupBy(col("label"))
+      .agg(count(lit(1)).as("n"),
+        min(col("n2")).as("min_n2"),
+        max(col("n2")).as("max_n2"),
+        round(sum(col("n2")).cast("double") / count(lit(1)).cast("double"), 6)
+          .as("mean_n2"),
+        sum(when(col("n2") < 1000000L, 1L).otherwise(0L)).as("n_degenerate"))
+      .orderBy("label")
+  }
+
+  val embedNormStatsSql: String = s"""
+    WITH $QuantSql
+    SELECT label, count(*) AS n,
+      CAST(min(n2) AS BIGINT) AS min_n2,
+      CAST(max(n2) AS BIGINT) AS max_n2,
+      round(CAST(CAST(sum(n2) AS BIGINT) AS DOUBLE)
+        / CAST(count(*) AS DOUBLE), 6) AS mean_n2,
+      CAST(sum(CASE WHEN n2 < 1000000 THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_degenerate
+    FROM embeddings JOIN qn USING (vec_id)
+    GROUP BY label ORDER BY label"""
+
   // ------------------------------------------- multi-table LSH (OR-amplify)
 
   private val LshTables = 2
@@ -836,6 +916,8 @@ object Similarity {
     "ann_ivf_pq" -> (annIvfPq(_, _)),
     "knn_graph" -> (knnGraph(_, _)),
     "knn_refine" -> (knnRefine(_, _)),
+    "ann_range" -> (annRange _),
+    "embed_norm_stats" -> (embedNormStats _),
     "embed_quantize" -> (embedQuantize(_, _)))
 
   val oracles: Map[String, String] = Map(
@@ -848,5 +930,7 @@ object Similarity {
     "ann_ivf_pq" -> annIvfPqSql(),
     "knn_graph" -> knnGraphSql(),
     "knn_refine" -> knnRefineSql(),
+    "ann_range" -> annRangeSql,
+    "embed_norm_stats" -> embedNormStatsSql,
     "embed_quantize" -> embedQuantizeSql)
 }

@@ -267,7 +267,93 @@ object TpchMore {
            AND l_quantity BETWEEN 20 AND 45)
     GROUP BY p_brand ORDER BY p_brand"""
 
+  // --------------------------------------------------- Q20 above-average
+
+  /** Suppliers whose revenue beats their nation's per-supplier average
+    * (TPC-H Q20's nested-aggregate shape). The nation average is a
+    * per-nation aggregate broadcast back; the comparison multiplies
+    * decimals (`rev·n > nation_total`) instead of dividing, so the cut
+    * line is exact. The supplier-count factor is cast decimal(6,0) —
+    * enough for any per-nation supplier population this side of 10^6;
+    * wider deployments widen the cast, not the logic.
+    */
+  def q20Semi(s: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.lineitem(s, dir)
+      .groupBy(col("l_suppkey"))
+      .agg(Exact.sumDec(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .as("rev_dec"))
+      .join(broadcast(Tables.supplier(s, dir)
+        .select("s_suppkey", "s_name", "s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+    val nat = rev.groupBy(col("s_nationkey").as("nk"))
+      .agg(sum(col("rev_dec")).as("nat_dec"),
+        count(lit(1)).cast("decimal(6,0)").as("n_sup"))
+    rev.join(broadcast(nat), col("s_nationkey") === col("nk"))
+      .filter(col("rev_dec") * col("n_sup") > col("nat_dec"))
+      .select(col("s_suppkey"), col("s_name"),
+        col("s_nationkey").cast("int").as("s_nationkey"),
+        col("rev_dec").cast("double").as("revenue"))
+      .orderBy("s_suppkey")
+  }
+
+  val q20SemiSql: String = """
+    WITH rev AS (
+      SELECT s_suppkey, s_name, s_nationkey,
+        SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,10)))
+          AS rev_dec
+      FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      GROUP BY 1, 2, 3),
+    nat AS (
+      SELECT s_nationkey AS nk, SUM(rev_dec) AS nat_dec,
+        CAST(count(*) AS DECIMAL(6,0)) AS n_sup
+      FROM rev GROUP BY 1)
+    SELECT s_suppkey, s_name, s_nationkey,
+      CAST(CAST(rev_dec AS VARCHAR) AS DOUBLE) AS revenue
+    FROM rev JOIN nat ON s_nationkey = nk
+    WHERE rev_dec * n_sup > nat_dec
+    ORDER BY s_suppkey"""
+
+  // ------------------------------------------------------- event paths
+
+  /** Top-10 three-step behavioural paths across the event stream: per-user
+    * time-ordered event-type trigrams, counted globally. One user-keyed
+    * shuffle feeds both lead windows; the global top-10 is a
+    * TakeOrdered, not a sort. Timestamps truncate to seconds on both
+    * engines (the parquet nanos rule), with event_id as the within-second
+    * tie-break so the sequence order is total and identical.
+    */
+  def eventsPaths(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"))
+      .orderBy(date_trunc("second", col("ts")), col("event_id"))
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .withColumn("e2", lead(col("event_type"), 1).over(w))
+      .withColumn("e3", lead(col("event_type"), 2).over(w))
+      .filter(col("e3").isNotNull)
+      .groupBy(col("event_type").as("step1"), col("e2").as("step2"),
+        col("e3").as("step3"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("step1"), col("step2"), col("step3"))
+      .limit(10)
+  }
+
+  val eventsPathsSql: String = """
+    WITH seq AS (
+      SELECT user_id, event_type AS step1,
+        lead(event_type, 1) OVER w AS step2,
+        lead(event_type, 2) OVER w AS step3
+      FROM events
+      WINDOW w AS (PARTITION BY user_id
+                   ORDER BY date_trunc('second', ts), event_id))
+    SELECT step1, step2, step3, count(*) AS n
+    FROM seq WHERE step3 IS NOT NULL
+    GROUP BY 1, 2, 3
+    ORDER BY n DESC, step1, step2, step3 LIMIT 10"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q20_semi" -> (q20Semi _),
+    "events_paths" -> (eventsPaths _),
     "q7_volume" -> (q7Volume _),
     "q10_returns" -> (q10Returns _),
     "q11_share" -> (q11Share _),
@@ -276,6 +362,8 @@ object TpchMore {
     "q19_disjunctive" -> (q19Disjunctive _))
 
   val oracles: Map[String, String] = Map(
+    "q20_semi" -> q20SemiSql,
+    "events_paths" -> eventsPathsSql,
     "q7_volume" -> q7VolumeSql,
     "q10_returns" -> q10ReturnsSql,
     "q11_share" -> q11ShareSql,

@@ -242,7 +242,112 @@ object TrainPrep {
       round(CAST(c12 AS DOUBLE) / CAST(c1 AS DOUBLE), 6) AS p
     FROM ranked WHERE rn = 1 ORDER BY w1"""
 
+  // ------------------------------------------------------------ chunking
+
+  /** Chunk size / stride in tokens (overlap = ChunkLen − ChunkStride). */
+  private val ChunkLen = 64
+  private val ChunkStride = 48
+
+  /** Fixed-size overlapping token chunks per document (the RAG/pretraining
+    * chunker): windows of [[ChunkLen]] tokens every [[ChunkStride]],
+    * trailing partial chunk kept. Entirely in-row (stepped sequence →
+    * explode → slice): a narrow map over the scan, no shuffle, no UDF —
+    * the chunk digest keys downstream dedup/embedding joins.
+    */
+  def docChunking(s: SparkSession, dir: String): DataFrame = {
+    val ws = split(norm, " ")
+    Tables.documents(s, dir)
+      .select(col("doc_id"), ws.as("ws"))
+      .withColumn("start",
+        explode(sequence(lit(1), size(col("ws")), lit(ChunkStride))))
+      .select(col("doc_id"),
+        (((col("start") - 1) / ChunkStride).cast("long")).as("chunk_id"),
+        col("start").cast("long").as("start_tok"),
+        least(lit(ChunkLen), size(col("ws")) - col("start") + 1).cast("long")
+          .as("n_tok"),
+        md5(concat_ws(" ", slice(col("ws"), col("start"), lit(ChunkLen))))
+          .as("chunk_digest"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
+  val docChunkingSql: String = s"""
+    WITH d AS (SELECT doc_id, string_split($normSql, ' ') AS ws
+               FROM documents),
+    st AS (SELECT doc_id, ws,
+             unnest(generate_series(1, len(ws), $ChunkStride)) AS start
+           FROM d)
+    SELECT doc_id,
+      CAST((start - 1) // $ChunkStride AS BIGINT) AS chunk_id,
+      CAST(start AS BIGINT) AS start_tok,
+      CAST(least($ChunkLen, len(ws) - start + 1) AS BIGINT) AS n_tok,
+      md5(array_to_string(ws[start : start + ${ChunkLen - 1}], ' '))
+        AS chunk_digest
+    FROM st ORDER BY doc_id, chunk_id"""
+
+  // -------------------------------------------------------- quality funnel
+
+  /** Cleaning-funnel observability: how much of the corpus (docs and token
+    * mass) survives each cumulative filter stage. One scan computes every
+    * per-doc predicate; the funnel is a conditional aggregation — adding a
+    * stage never adds a pass over the data. The stage thresholds mirror
+    * the usual Gopher-style length/word-shape/density gates.
+    */
+  def qualityFunnel(s: SparkSession, dir: String): DataFrame = {
+    val ws = split(norm, " ")
+    val d = Tables.documents(s, dir).select(
+      size(ws).cast("long").as("n_tokens"),
+      (length(regexp_replace(norm, " ", "")).cast("double") /
+        size(ws).cast("double")).as("mwl"),
+      size(filter(ws, w => w.isin("the", "of", "and", "to", "in"))).cast("long")
+        .as("stops"))
+      .select(col("n_tokens"),
+        col("n_tokens").between(50, 2000).as("p1"),
+        col("mwl").between(3.0, 12.0).as("p2"),
+        (col("stops") > 0).as("p3"))
+      .select(col("n_tokens"), col("p1"),
+        (col("p1") && col("p2")).as("s2"),
+        (col("p1") && col("p2") && col("p3")).as("s3"))
+    val stage = (name: String, pred: org.apache.spark.sql.Column) => Seq(
+      sum(when(pred, 1L).otherwise(0L)).as(s"n_docs_$name"),
+      sum(when(pred, col("n_tokens")).otherwise(0L)).as(s"tok_$name"))
+    val aggs = Seq(count(lit(1)).as("n_docs_all"),
+      sum(col("n_tokens")).as("tok_all")) ++
+      stage("len", col("p1")) ++ stage("shape", col("s2")) ++
+      stage("density", col("s3"))
+    d.agg(aggs.head, aggs.tail: _*)
+  }
+
+  val qualityFunnelSql: String = s"""
+    WITH d AS (
+      SELECT len(ws) AS n_tokens,
+        CAST(length(replace(t, ' ', '')) AS DOUBLE)
+          / CAST(len(ws) AS DOUBLE) AS mwl,
+        len(list_filter(ws, w -> w IN ('the','of','and','to','in'))) AS stops
+      FROM (SELECT $normSql AS t, string_split($normSql, ' ') AS ws
+            FROM documents)),
+    p AS (
+      SELECT n_tokens,
+        (n_tokens BETWEEN 50 AND 2000) AS p1,
+        (mwl BETWEEN 3.0 AND 12.0) AS p2,
+        (stops > 0) AS p3
+      FROM d)
+    SELECT count(*) AS n_docs_all,
+      CAST(sum(n_tokens) AS BIGINT) AS tok_all,
+      CAST(sum(CASE WHEN p1 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_len,
+      CAST(sum(CASE WHEN p1 THEN n_tokens ELSE 0 END) AS BIGINT) AS tok_len,
+      CAST(sum(CASE WHEN p1 AND p2 THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_docs_shape,
+      CAST(sum(CASE WHEN p1 AND p2 THEN n_tokens ELSE 0 END) AS BIGINT)
+        AS tok_shape,
+      CAST(sum(CASE WHEN p1 AND p2 AND p3 THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_docs_density,
+      CAST(sum(CASE WHEN p1 AND p2 AND p3 THEN n_tokens ELSE 0 END)
+        AS BIGINT) AS tok_density
+    FROM p"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "doc_chunking" -> (docChunking _),
+    "quality_funnel" -> (qualityFunnel _),
     "corpus_split" -> (corpusSplit _),
     "vocab_build" -> (vocabBuild _),
     "oov_rate" -> (oovRate _),
@@ -250,6 +355,8 @@ object TrainPrep {
     "text_bigram_lm" -> (textBigramLm _))
 
   val oracles: Map[String, String] = Map(
+    "doc_chunking" -> docChunkingSql,
+    "quality_funnel" -> qualityFunnelSql,
     "corpus_split" -> corpusSplitSql,
     "vocab_build" -> vocabBuildSql,
     "oov_rate" -> oovRateSql,

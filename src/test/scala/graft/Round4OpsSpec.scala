@@ -165,6 +165,116 @@ class Round4OpsSpec extends SparkSpec {
       "one row per context word")
   }
 
+  test("doc_chunking: chunks tile every document with the fixed stride") {
+    val rows = TrainPrep.docChunking(spark, sf).collect()
+    val docs = rows.groupBy(_.getAs[Long]("doc_id"))
+    assert(docs.size == Tables.documents(spark, sf).count().toInt,
+      "every document produces at least one chunk")
+    docs.foreach { case (_, cs) =>
+      val sorted = cs.sortBy(_.getAs[Long]("chunk_id"))
+      assert(sorted.map(_.getAs[Long]("chunk_id")).toSeq ==
+        (0L until sorted.length).toSeq, "dense chunk ids")
+      // chunk lengths follow exactly from the doc's token count: with
+      // stride < length the last TWO chunks may be partial, nothing else
+      val nTokens = sorted.map(c =>
+        c.getAs[Long]("start_tok") + c.getAs[Long]("n_tok") - 1).max
+      sorted.foreach { c =>
+        assert(c.getAs[Long]("start_tok") ==
+          c.getAs[Long]("chunk_id") * 48 + 1, "stride-48 starts")
+        assert(c.getAs[Long]("n_tok") ==
+          math.min(64L, nTokens - c.getAs[Long]("start_tok") + 1))
+      }
+    }
+  }
+
+  test("quality_funnel: stage survivors are monotonically non-increasing") {
+    val r = TrainPrep.qualityFunnel(spark, sf).head()
+    val docs = Seq("n_docs_all", "n_docs_len", "n_docs_shape",
+      "n_docs_density").map(r.getAs[Long])
+    val toks = Seq("tok_all", "tok_len", "tok_shape", "tok_density")
+      .map(r.getAs[Long])
+    assert(docs.zip(docs.tail).forall { case (a, b) => a >= b }, s"$docs")
+    assert(toks.zip(toks.tail).forall { case (a, b) => a >= b }, s"$toks")
+    assert(docs.last > 0, "the funnel keeps something")
+  }
+
+  test("ann_range: exactly the probe pairs above the threshold, both ways") {
+    val rows = Similarity.annRange(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getAs[Double]("cos") >= 0.15))
+    // range results are a sub/superset slice of brute-force scoring:
+    // every returned pair must also appear in the probe's exhaustive
+    // scoring with the same cosine
+    val brute = Similarity.annTopk(spark, sf, k = 50).collect()
+      .map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("vec_id")) ->
+        r.getAs[Double]("cos")).toMap
+    rows.foreach { r =>
+      val key = (r.getAs[Long]("probe_id"), r.getAs[Long]("vec_id"))
+      brute.get(key).foreach(c =>
+        assert(math.abs(c - r.getAs[Double]("cos")) < 1e-9))
+    }
+  }
+
+  test("embed_norm_stats: label groups cover the corpus; bounds hold") {
+    val rows = Similarity.embedNormStats(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("n")).sum ==
+      Tables.embeddings(spark, sf).count())
+    rows.foreach { r =>
+      assert(r.getAs[Long]("min_n2") <= r.getAs[Long]("max_n2"))
+      val mean = r.getAs[Double]("mean_n2")
+      assert(mean >= r.getAs[Long]("min_n2").toDouble - 1e-6 &&
+        mean <= r.getAs[Long]("max_n2").toDouble + 1e-6)
+    }
+  }
+
+  test("q20_semi: every survivor beats its nation's average revenue") {
+    val rows = TpchMore.q20Semi(spark, sf).collect()
+    // recompute nation averages directly
+    val perSupp = Tables.lineitem(spark, sf)
+      .groupBy(col("l_suppkey"))
+      .agg(Exact.sumDec(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .as("rev"))
+      .join(Tables.supplier(spark, sf),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_nationkey"),
+        col("rev").cast("double").as("rev"))
+      .collect()
+    val byNation = perSupp.groupBy(_.getAs[Int]("s_nationkey"))
+      .view.mapValues(rs => rs.map(_.getAs[Double]("rev")).sum / rs.length)
+      .toMap
+    val winners = rows.map(_.getAs[Long]("s_suppkey")).toSet
+    perSupp.foreach { r =>
+      val avg = byNation(r.getAs[Int]("s_nationkey"))
+      val rev = r.getAs[Double]("rev")
+      if (winners.contains(r.getAs[Long]("s_suppkey")))
+        assert(rev > avg - 1e-6,
+          s"supplier ${r.getAs[Long]("s_suppkey")} not above avg")
+      else
+        assert(rev < avg + 1e-6,
+          s"supplier ${r.getAs[Long]("s_suppkey")} above avg but missing")
+    }
+    // at sf0.001 every nation has a single revenue-bearing supplier, so
+    // the strict inequality correctly yields zero winners — the emptiness
+    // itself is only legitimate in that degenerate shape
+    if (rows.isEmpty) {
+      val perNation = perSupp.groupBy(_.getAs[Int]("s_nationkey"))
+      assert(perNation.values.forall(_.length == 1),
+        "no winners despite multi-supplier nations")
+    }
+  }
+
+  test("events_paths: top-10 trigram paths have consistent mass") {
+    val rows = TpchMore.eventsPaths(spark, sf).collect()
+    assert(rows.length == 10)
+    val ns = rows.map(_.getAs[Long]("n"))
+    assert(ns.zip(ns.tail).forall { case (a, b) => a >= b }, "sorted desc")
+    // total trigram slots = sum over users of max(0, n_events - 2);
+    // the top-10 cannot exceed that
+    val slots = Tables.events(spark, sf).groupBy("user_id").count()
+      .select(sum(greatest(col("count") - 2, lit(0L)))).head().getLong(0)
+    assert(ns.sum <= slots)
+  }
+
   test("knn_refine dominates the input graph (NN-descent improves)") {
     def byRank(rows: Array[org.apache.spark.sql.Row]) = rows
       .groupBy(_.getAs[Long]("src"))
