@@ -331,6 +331,44 @@ object Similarity {
     FROM pairs WHERE $PairCosSql >= $RangeThreshold
     ORDER BY probe_id, vec_id"""
 
+  // ----------------------------------------------------- LSH index health
+
+  /** LSH index-health audit: the distribution of bucket occupancies per
+    * hash table (how many buckets hold 1, 2, … vectors). Expected query
+    * cost of a bucketed ANN is the mean occupancy of the probe's bucket —
+    * a heavy tail here means the plane family is failing to split the
+    * corpus and candidate generation degrades toward quadratic; this is
+    * the observability query an operator checks before turning recall
+    * knobs. Two map-side-combining rollups, keys bounded by the bucket
+    * space.
+    */
+  def lshBucketStats(s: SparkSession, dir: String): DataFrame = {
+    val buckets = qdf(s, dir).select(col("vec_id"),
+      posexplode(array((0 until LshTables).map(tableBucketCol): _*))
+        .as(Seq("tbl", "bucket")))
+    buckets.groupBy(col("tbl"), col("bucket"))
+      .agg(count(lit(1)).as("occupancy"))
+      .groupBy(col("tbl"), col("occupancy"))
+      .agg(count(lit(1)).as("n_buckets"))
+      .orderBy("tbl", "occupancy")
+  }
+
+  // lazy: references LshTables, which is declared further down the object
+  // body — a strict val here would capture 0 during object init
+  lazy val lshBucketStatsSql: String = s"""
+    WITH $QuantSql,
+    ${projSql(LshTables * NumPlanes)},
+    buckets AS (
+      SELECT vec_id, h // $NumPlanes AS tbl,
+        sum(CASE WHEN proj >= 0 THEN 1 ELSE 0 END * (1 << (h % $NumPlanes)))
+          AS bucket
+      FROM proj GROUP BY 1, 2),
+    occ AS (
+      SELECT tbl, bucket, count(*) AS occupancy
+      FROM buckets GROUP BY 1, 2)
+    SELECT CAST(tbl AS INT) AS tbl, occupancy, count(*) AS n_buckets
+    FROM occ GROUP BY 1, 2 ORDER BY tbl, occupancy"""
+
   // ---------------------------------------------------------- norm audit
 
   /** Embedding-norm health audit: per label-group vector count, the exact
@@ -918,6 +956,7 @@ object Similarity {
     "knn_refine" -> (knnRefine(_, _)),
     "ann_range" -> (annRange _),
     "embed_norm_stats" -> (embedNormStats _),
+    "lsh_bucket_stats" -> (lshBucketStats _),
     "embed_quantize" -> (embedQuantize(_, _)))
 
   val oracles: Map[String, String] = Map(
@@ -932,5 +971,6 @@ object Similarity {
     "knn_refine" -> knnRefineSql(),
     "ann_range" -> annRangeSql,
     "embed_norm_stats" -> embedNormStatsSql,
+    "lsh_bucket_stats" -> lshBucketStatsSql,
     "embed_quantize" -> embedQuantizeSql)
 }

@@ -351,7 +351,94 @@ object TpchMore {
     GROUP BY 1, 2, 3
     ORDER BY n DESC, step1, step2, step3 LIMIT 10"""
 
+  // ---------------------------------------------------- GROUPING SETS
+
+  /** Arbitrary GROUPING SETS — the general form rollup/cube specialize:
+    * per-status, per-priority, and grand-total aggregates in ONE shuffle
+    * (Spark expands the sets before the partial aggregate, so each set
+    * still combines map-side; no UNION of three scans).
+    */
+  def qGroupingSets(s: SparkSession, dir: String): DataFrame = {
+    Tables.orders(s, dir).createOrReplaceTempView("orders_gs")
+    s.sql(s"""
+      SELECT CAST(grouping_id(o_orderstatus, o_orderpriority) AS BIGINT)
+          AS gid,
+        COALESCE(o_orderstatus, 'ALL') AS status,
+        COALESCE(o_orderpriority, 'ALL') AS priority,
+        COUNT(*) AS n,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(30,10))) AS DOUBLE)
+          AS sum_price
+      FROM orders_gs
+      GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+      ORDER BY gid, status, priority""")
+  }
+
+  val qGroupingSetsSql: String = """
+    SELECT CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+      COALESCE(o_orderstatus, 'ALL') AS status,
+      COALESCE(o_orderpriority, 'ALL') AS priority,
+      COUNT(*) AS n,
+      CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,10))) AS VARCHAR)
+        AS DOUBLE) AS sum_price
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    ORDER BY gid, status, priority"""
+
+  // -------------------------------------------------------- market lift
+
+  /** Market-basket-style affinity: for each (customer segment, part type),
+    * the lift P(type | segment) / P(type) — which part categories each
+    * segment over/under-buys. Exact-integer probability ratios in one
+    * fixed IEEE order; output bounded by |segments|·|types| regardless of
+    * scale. One fact shuffle; segment/type marginals are single-row /
+    * tiny aggregates broadcast back.
+    */
+  def partAffinity(s: SparkSession, dir: String): DataFrame = {
+    val f = Tables.lineitem(s, dir).select("l_orderkey", "l_partkey")
+      .join(Tables.orders(s, dir).select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(s, dir)
+        .select("c_custkey", "c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.part(s, dir).select("p_partkey", "p_type")),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("c_mktsegment").as("segment"), col("p_type").as("ptype"))
+    val cells = f.groupBy(col("segment"), col("ptype"))
+      .agg(count(lit(1)).as("n_st"))
+    val seg = cells.groupBy(col("segment")).agg(sum(col("n_st")).as("n_s"))
+    val typ = cells.groupBy(col("ptype")).agg(sum(col("n_st")).as("n_t"))
+    val tot = cells.agg(sum(col("n_st")).as("n"))
+    cells.join(broadcast(seg), "segment").join(broadcast(typ), "ptype")
+      .join(broadcast(tot))
+      .select(col("segment"), col("ptype"), col("n_st"),
+        round((col("n_st").cast("double") / col("n_s").cast("double")) /
+          (col("n_t").cast("double") / col("n").cast("double")), 6)
+          .as("lift"))
+      .orderBy("segment", "ptype")
+  }
+
+  val partAffinitySql: String = """
+    WITH f AS (
+      SELECT c_mktsegment AS segment, p_type AS ptype
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN part ON l_partkey = p_partkey),
+    cells AS (SELECT segment, ptype, count(*) AS n_st FROM f GROUP BY 1, 2),
+    seg AS (SELECT segment, CAST(sum(n_st) AS BIGINT) AS n_s
+            FROM cells GROUP BY 1),
+    typ AS (SELECT ptype, CAST(sum(n_st) AS BIGINT) AS n_t
+            FROM cells GROUP BY 1),
+    tot AS (SELECT CAST(sum(n_st) AS BIGINT) AS n FROM cells)
+    SELECT segment, ptype, n_st,
+      round((CAST(n_st AS DOUBLE) / CAST(n_s AS DOUBLE))
+        / (CAST(n_t AS DOUBLE) / CAST(n AS DOUBLE)), 6) AS lift
+    FROM cells JOIN seg USING (segment) JOIN typ USING (ptype), tot
+    ORDER BY segment, ptype"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_grouping_sets" -> (qGroupingSets _),
+    "part_affinity" -> (partAffinity _),
     "q20_semi" -> (q20Semi _),
     "events_paths" -> (eventsPaths _),
     "q7_volume" -> (q7Volume _),
@@ -362,6 +449,8 @@ object TpchMore {
     "q19_disjunctive" -> (q19Disjunctive _))
 
   val oracles: Map[String, String] = Map(
+    "q_grouping_sets" -> qGroupingSetsSql,
+    "part_affinity" -> partAffinitySql,
     "q20_semi" -> q20SemiSql,
     "events_paths" -> eventsPathsSql,
     "q7_volume" -> q7VolumeSql,

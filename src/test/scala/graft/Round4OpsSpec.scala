@@ -275,6 +275,45 @@ class Round4OpsSpec extends SparkSpec {
     assert(ns.sum <= slots)
   }
 
+  test("lsh_bucket_stats: histogram mass equals the corpus per table") {
+    val rows = Similarity.lshBucketStats(spark, sf).collect()
+    val n = Tables.embeddings(spark, sf).count()
+    rows.groupBy(_.getAs[Int]("tbl")).foreach { case (_, rs) =>
+      // Σ occupancy × n_buckets = corpus size (every vector in one bucket)
+      assert(rs.map(r =>
+        r.getAs[Long]("occupancy") * r.getAs[Long]("n_buckets")).sum == n)
+    }
+    assert(rows.map(_.getAs[Int]("tbl")).distinct.sorted.toSeq == Seq(0, 1))
+  }
+
+  test("q_grouping_sets: each set conserves the order-table mass") {
+    val rows = TpchMore.qGroupingSets(spark, sf).collect()
+    val nOrders = Tables.orders(spark, sf).count()
+    // gid 1 = by status, gid 2 = by priority, gid 3 = grand total
+    Seq(1L, 2L, 3L).foreach { gid =>
+      val set = rows.filter(_.getAs[Long]("gid") == gid)
+      assert(set.nonEmpty, s"set $gid present")
+      assert(set.map(_.getAs[Long]("n")).sum == nOrders, s"set $gid mass")
+    }
+  }
+
+  test("part_affinity: lifts average to 1 under each segment's mix") {
+    val rows = TpchMore.partAffinity(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // Σ_t P(t|s)·lift-normalizer: Σ_t (n_st/n_s) · (n_t/n) weights the
+    // lift column to exactly 1 per segment
+    val total = rows.map(_.getAs[Long]("n_st")).sum.toDouble
+    val byType = rows.groupBy(_.getAs[String]("ptype"))
+      .view.mapValues(_.map(_.getAs[Long]("n_st")).sum.toDouble).toMap
+    rows.groupBy(_.getAs[String]("segment")).foreach { case (seg, rs) =>
+      // lift_st · P(t) = P(t|s), so Σ_t lift·P(t) = Σ_t P(t|s) = 1
+      val weighted = rs.map { r =>
+        r.getAs[Double]("lift") * (byType(r.getAs[String]("ptype")) / total)
+      }.sum
+      assert(math.abs(weighted - 1.0) < 1e-3, s"$seg weighted lift $weighted")
+    }
+  }
+
   test("knn_refine dominates the input graph (NN-descent improves)") {
     def byRank(rows: Array[org.apache.spark.sql.Row]) = rows
       .groupBy(_.getAs[Long]("src"))
