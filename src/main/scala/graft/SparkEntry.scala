@@ -13,6 +13,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     operators.Queries.queries ++
       operators.TpchMore.queries ++
+      operators.TpchFill.queries ++
       operators.JoinShapes.queries ++
       operators.Reshape.queries ++
       operators.AsOf.queries ++
@@ -43,6 +44,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     operators.Queries.oracles ++
       operators.TpchMore.oracles ++
+      operators.TpchFill.oracles ++
       operators.JoinShapes.oracles ++
       operators.Reshape.oracles ++
       operators.AsOf.oracles ++
