@@ -66,7 +66,18 @@ object Bench {
     val total = results.map(_._2).filter(_ >= 0).sum
     val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    val full =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","n":${results.size},"queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
+    // The harness keeps only a stdout tail, so a single long line loses its
+    // own head. Emit the bulky per-query detail FIRST, persist the complete
+    // JSON to bench_full.json, and make the LAST stdout line a short summary
+    // that always survives truncation.
+    println(full)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get("bench_full.json"),
+      (full + "\n").getBytes("UTF-8"))
+    println(
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","n":${results.size},"failed":$failed,"sf":"$sfDir","detail":"bench_full.json"}""")
     spark.stop()
   }
 }

@@ -4,26 +4,30 @@ import graft.Tables
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Per-document decoded-media features (decode itself is stubbed — see
-  * [[Multimodal.decodeStub]]).
+/** Per-document decoded-image features from the real `javax.imageio` codec:
+  * geometry, band count, integer pixel-sum (oracle-checkable), and an md5
+  * over the row-major RGB bytes (digest-pinned in the spec).
   */
-case class MediaFeatures(doc_id: Long, media_kind: String, n_bytes: Long,
-                         byte_mean: Double, byte_max: Int)
+case class ImageFeatures(doc_id: Long, width: Int, height: Int,
+                         channels: Int, pix_sum: Long, pix_md5: String)
 
 /** Opaque-binary ("multimodal") column plumbing: typed metadata over
-  * image/audio/video payload columns.
+  * image/audio/video payload columns, plus a REAL image codec path.
   *
-  * The harness tables carry no real media, so the scenario materializes a
-  * deterministic payload per document (a 4-byte magic header + the document
-  * body as bytes). Everything Spark-side is real — binary columns, magic-byte
-  * sniffing, sizes, digests, batched decode plumbing; only the codec call
-  * itself is a clearly-marked stub (image/audio libraries are not in this
-  * container).
+  * The harness tables carry no media, so the scenarios materialize payloads
+  * per document two ways: a text payload with a sniffable magic header (for
+  * the metadata/frame plumbing), and a genuine PNG image whose pixels are a
+  * deterministic function of `doc_id` (for the decode/resize path). The
+  * decode and resize operators run the actual `javax.imageio` PNG codec
+  * (public JDK API) inside batched `mapPartitions` — no stubs. Because the
+  * pixel generator is pure integer arithmetic and PNG is lossless, the
+  * decoded pixel sums are recomputable in plain SQL, so even the codec path
+  * is oracle-gated, and the spec pins the full RGB digest.
   *
   * Scale: payloads never leave the executor (no collect); metadata extraction
-  * is a narrow projection; the batched decode is `mapPartitions` with
-  * fixed-size batches, the same shape a vectorized decoder (or
-  * `mapInPandas` in PySpark) would use.
+  * is a narrow projection; decode is `mapPartitions` with fixed-size batches,
+  * the same shape a vectorized decoder (or `mapInPandas` in PySpark) would
+  * use — decode cost parallelizes per-partition with zero shuffle.
   */
 object Multimodal {
 
@@ -70,76 +74,185 @@ object Multimodal {
       md5(s) AS digest
     FROM p ORDER BY doc_id"""
 
-  /** Batched decode plumbing: partitions stream through fixed-size batches
-    * exactly as a vectorized image/audio decoder would consume them.
-    *
-    * ==== DECODE STUB ====
-    * A real deployment calls the codec here (e.g. JPEG decode → pixel
-    * tensor). Those libraries are absent in this container, so the "decoded
-    * features" are deterministic byte statistics of the payload. The
-    * surrounding plumbing — binary column in, typed Dataset out, batch
-    * shape, partition boundaries — is the real, tested article.
+  /** Synthetic image geometry. Small on purpose: the gate exercises the
+    * codec and the plumbing, not raw pixel throughput.
     */
-  def decodeStub(s: SparkSession, dir: String,
-                 batchSize: Int = 64): Dataset[MediaFeatures] = {
+  val ImgW = 24
+  val ImgH = 16
+
+  /** Deterministic RGB generator: pure integer arithmetic in (doc_id, x, y)
+    * so an SQL oracle can recompute any pixel statistic without a codec.
+    */
+  @inline private def pixR(id: Long, x: Int, y: Int): Int = ((id * 31 + x * 7 + y * 13) % 256).toInt
+  @inline private def pixG(id: Long, x: Int, y: Int): Int = ((id * 17 + x * 11 + y * 3) % 256).toInt
+  @inline private def pixB(id: Long, x: Int, y: Int): Int = ((id * 5 + x * 13 + y * 29) % 256).toInt
+
+  /** Row-major RGB bytes of the generated image — the decode spec pins the
+    * decoded digest against md5 of exactly this sequence.
+    */
+  def rgbBytes(id: Long): Array[Byte] = {
+    val out = new Array[Byte](ImgW * ImgH * 3)
+    var i = 0
+    var y = 0
+    while (y < ImgH) {
+      var x = 0
+      while (x < ImgW) {
+        out(i) = pixR(id, x, y).toByte; out(i + 1) = pixG(id, x, y).toByte
+        out(i + 2) = pixB(id, x, y).toByte; i += 3; x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  private def md5hex(bytes: Array[Byte]): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(bytes).map("%02x".format(_)).mkString
+
+  /** Documents with a REAL PNG payload: each document's pixels come from the
+    * deterministic generator above, encoded with the JDK's `javax.imageio`
+    * PNG writer on the executors (distributed; payload bytes never visit the
+    * driver). PNG is lossless, so decode ∘ encode = identity on the pixels.
+    */
+  def withImagePayload(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    multimodalMeta(s, dir)
-      .join(withPayload(s, dir).select("doc_id", "payload"), "doc_id")
-      .select("doc_id", "media_kind", "payload")
-      .as[(Long, String, Array[Byte])]
+    Tables.documents(s, dir).select("doc_id").as[Long]
       .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.map { id =>
+          val img = new java.awt.image.BufferedImage(
+            ImgW, ImgH, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < ImgH) {
+            var x = 0
+            while (x < ImgW) {
+              img.setRGB(x, y,
+                (pixR(id, x, y) << 16) | (pixG(id, x, y) << 8) | pixB(id, x, y))
+              x += 1
+            }
+            y += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", bos)
+          (id, bos.toByteArray)
+        }
+      }
+      .toDF("doc_id", "payload")
+  }
+
+  /** REAL image decode: `javax.imageio.ImageIO.read` (the JDK PNG/JPEG/BMP/
+    * GIF codec) inside batched `mapPartitions` — binary column in, typed
+    * feature Dataset out. Emits geometry, band count, the integer pixel sum
+    * (recomputed by the SQL oracle from the generator arithmetic — PNG is
+    * lossless, so a single flipped pixel fails the gate) and the md5 of the
+    * row-major RGB bytes (pinned by the spec against [[rgbBytes]]).
+    */
+  def decodeImages(s: SparkSession, dir: String,
+                   batchSize: Int = 64): Dataset[ImageFeatures] = {
+    import s.implicits._
+    withImagePayload(s, dir)
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
         it.grouped(batchSize).flatMap { batch =>
-          // <- a vectorized decoder would process `batch` in one call
-          batch.iterator.map { case (id, kind, bytes) =>
-            MediaFeatures(id, kind, bytes.length,
-              bytes.foldLeft(0L)((acc, b) => acc + (b & 0xff)).toDouble / bytes.length,
-              bytes.foldLeft(0)((m, b) => math.max(m, b & 0xff)))
+          // <- a vectorized decoder would hand `batch` to the codec in one call
+          batch.iterator.map { case (id, bytes) =>
+            val img = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(bytes))
+            val (w, h) = (img.getWidth, img.getHeight)
+            val rgb = new Array[Byte](w * h * 3)
+            var sum = 0L
+            var i = 0
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val p = img.getRGB(x, y)
+                val (r, g, b) = ((p >> 16) & 0xff, (p >> 8) & 0xff, p & 0xff)
+                rgb(i) = r.toByte; rgb(i + 1) = g.toByte; rgb(i + 2) = b.toByte
+                sum += r + g + b; i += 3; x += 1
+              }
+              y += 1
+            }
+            ImageFeatures(id, w, h, img.getRaster.getNumBands, sum, md5hex(rgb))
           }
         }
       }
   }
 
-  /** Resize plumbing with a stubbed codec: each payload is downsampled to
-    * 1/`stride` of its bytes (the nearest-neighbour-downsample shape —
-    * a real deployment decodes, resizes and re-encodes here). Runs through
-    * the same batched `mapPartitions` the decoder uses; emits the size and
-    * digest of the resized payload so the gate pins the exact output
-    * bytes. ==== RESIZE STUB ==== (codec libraries absent; the stride
-    * sample is the deterministic stand-in.)
+  /** Oracle for the decoded pixel sum: DuckDB re-derives every pixel from
+    * the generator arithmetic (no codec needed) and must agree with what
+    * `javax.imageio` decoded from the PNG bytes.
     */
-  def resizeStub(s: SparkSession, dir: String, stride: Int = 8,
-                 batchSize: Int = 64): DataFrame = {
+  val decodeSql: String = s"""
+    SELECT d.doc_id,
+      CAST($ImgW AS INT) AS width, CAST($ImgH AS INT) AS height,
+      CAST(3 AS INT) AS channels,
+      CAST(SUM((d.doc_id * 31 + x.i * 7 + y.i * 13) % 256
+             + (d.doc_id * 17 + x.i * 11 + y.i * 3) % 256
+             + (d.doc_id * 5 + x.i * 13 + y.i * 29) % 256) AS BIGINT) AS pix_sum
+    FROM documents d
+    CROSS JOIN generate_series(0, ${ImgW - 1}) AS x(i)
+    CROSS JOIN generate_series(0, ${ImgH - 1}) AS y(i)
+    GROUP BY d.doc_id ORDER BY d.doc_id"""
+
+  /** REAL image resize: decode the PNG with `javax.imageio`, nearest-
+    * neighbour downsample by `stride` (deterministic — no interpolation, so
+    * output pixel (x,y) = input pixel (stride·x, stride·y) exactly), and
+    * re-encode to PNG. Runs through the same batched `mapPartitions` as the
+    * decoder. Emits the resized geometry, the resized pixel sum (oracle
+    * recomputes it from the generator at stride'd coordinates) and the byte
+    * count of the re-encoded PNG.
+    */
+  def resizeImages(s: SparkSession, dir: String, stride: Int = 2,
+                   batchSize: Int = 64): DataFrame = {
     import s.implicits._
-    withPayload(s, dir).select("doc_id", "payload")
+    withImagePayload(s, dir)
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
         it.grouped(batchSize).flatMap { batch =>
           // <- a vectorized resize kernel would process `batch` in one call
           batch.iterator.map { case (id, bytes) =>
-            val out = bytes.indices.collect {
-              case i if i % stride == 0 => bytes(i) }.toArray
-            val md = java.security.MessageDigest.getInstance("MD5")
-              .digest(out).map("%02x".format(_)).mkString
-            (id, out.length.toLong, md)
+            val img = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(bytes))
+            val (ow, oh) = (img.getWidth / stride, img.getHeight / stride)
+            val out = new java.awt.image.BufferedImage(
+              ow, oh, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            var sum = 0L
+            var y = 0
+            while (y < oh) {
+              var x = 0
+              while (x < ow) {
+                val p = img.getRGB(x * stride, y * stride)
+                out.setRGB(x, y, p)
+                sum += ((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)
+                x += 1
+              }
+              y += 1
+            }
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(out, "png", bos)
+            (id, ow, oh, sum, bos.size().toLong)
           }
         }
       }
-      .toDF("doc_id", "n_out", "out_md5")
+      .toDF("doc_id", "out_w", "out_h", "out_pix_sum", "out_png_bytes")
+      .select(col("doc_id"), col("out_w"), col("out_h"), col("out_pix_sum"))
       .orderBy("doc_id")
   }
 
-  val resizeStubSql: String = """
-    WITH p AS (
-      SELECT doc_id,
-        ['PNG!', 'JPG!', 'WAV!'][CAST(doc_id % 3 AS INT) + 1] || text AS s
-      FROM documents),
-    r AS (
-      SELECT doc_id,
-        array_to_string(list_transform(
-          generate_series(1, length(s), 8), i -> s[i:i]), '') AS rs
-      FROM p)
-    SELECT doc_id, CAST(length(rs) AS BIGINT) AS n_out, md5(rs) AS out_md5
-    FROM r ORDER BY doc_id"""
+  val resizeSql: String = s"""
+    SELECT d.doc_id,
+      CAST(${ImgW / 2} AS INT) AS out_w, CAST(${ImgH / 2} AS INT) AS out_h,
+      CAST(SUM((d.doc_id * 31 + x.i * 2 * 7 + y.i * 2 * 13) % 256
+             + (d.doc_id * 17 + x.i * 2 * 11 + y.i * 2 * 3) % 256
+             + (d.doc_id * 5 + x.i * 2 * 13 + y.i * 2 * 29) % 256) AS BIGINT)
+        AS out_pix_sum
+    FROM documents d
+    CROSS JOIN generate_series(0, ${ImgW / 2 - 1}) AS x(i)
+    CROSS JOIN generate_series(0, ${ImgH / 2 - 1}) AS y(i)
+    GROUP BY d.doc_id ORDER BY d.doc_id"""
 
   private val FrameBytes = 16
   private val FrameEvery = 4
@@ -183,17 +296,17 @@ object Multimodal {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "multimodal_meta" -> (multimodalMeta _),
-    "multimodal_resize" -> (resizeStub(_, _)),
+    "multimodal_resize" -> (resizeImages(_, _)),
     "multimodal_frames" -> (frameSample _),
-    // decoded-feature extraction: byte statistics are not expressible over
-    // DuckDB varchars (per-byte iteration on UTF-8), so no oracle entry —
-    // the driver records the weaker rows-only check; the decode plumbing
-    // itself is spec-tested (SimilaritySpec)
-    "multimodal_decode" -> ((s, dir) => decodeStub(s, dir).toDF()
+    // real javax.imageio decode; pix_md5 is spec-pinned (not SQL-expressible)
+    // while geometry + pixel sum are fully oracle-gated
+    "multimodal_decode" -> ((s, dir) => decodeImages(s, dir).toDF()
+      .select("doc_id", "width", "height", "channels", "pix_sum")
       .orderBy("doc_id")))
 
   val oracles: Map[String, String] = Map(
     "multimodal_meta" -> multimodalMetaSql,
-    "multimodal_resize" -> resizeStubSql,
-    "multimodal_frames" -> frameSampleSql)
+    "multimodal_resize" -> resizeSql,
+    "multimodal_frames" -> frameSampleSql,
+    "multimodal_decode" -> decodeSql)
 }

@@ -68,22 +68,39 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
-  test("decodeStub streams batched features without collecting payloads") {
-    val feats = Multimodal.decodeStub(spark, sf).collect()
+  test("decodeImages: real javax.imageio decode, digest pinned to generator") {
+    val feats = Multimodal.decodeImages(spark, sf).collect()
     assert(feats.length == 500)
-    assert(feats.forall(f => f.byte_mean > 0 && f.byte_max <= 255))
-    assert(feats.forall(f => f.n_bytes > 4))
+    feats.foreach { f =>
+      assert(f.width == Multimodal.ImgW && f.height == Multimodal.ImgH)
+      assert(f.channels == 3)
+      // PNG is lossless: the decoded RGB bytes must be EXACTLY the
+      // generator's — one flipped bit anywhere fails the md5
+      val expect = Multimodal.rgbBytes(f.doc_id)
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(expect).map("%02x".format(_)).mkString
+      assert(f.pix_md5 == md, s"doc ${f.doc_id}: decoded pixels differ")
+      assert(f.pix_sum == expect.map(_ & 0xff).map(_.toLong).sum)
+    }
   }
 
   test("resize and frame-sample plumbing match the payload geometry") {
+    val rs = Multimodal.resizeImages(spark, sf).collect()
+    assert(rs.length == 500)
+    rs.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      assert(r.getAs[Int]("out_w") == Multimodal.ImgW / 2)
+      assert(r.getAs[Int]("out_h") == Multimodal.ImgH / 2)
+      // nearest-neighbour at stride 2 = generator at even coordinates
+      val full = Multimodal.rgbBytes(id)
+      var expect = 0L
+      for (y <- 0 until Multimodal.ImgH / 2; x <- 0 until Multimodal.ImgW / 2;
+           c <- 0 until 3)
+        expect += full((y * 2 * Multimodal.ImgW + x * 2) * 3 + c) & 0xff
+      assert(r.getAs[Long]("out_pix_sum") == expect, s"doc $id")
+    }
     val meta = Multimodal.multimodalMeta(spark, sf).collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("n_bytes")).toMap
-    val rs = Multimodal.resizeStub(spark, sf).collect()
-    assert(rs.length == meta.size)
-    rs.foreach { r =>
-      val n = meta(r.getAs[Long]("doc_id"))
-      assert(r.getAs[Long]("n_out") == (n + 7) / 8, s"doc ${r.get(0)}")
-    }
     val fr = Multimodal.frameSample(spark, sf).collect()
     assert(fr.nonEmpty)
     assert(fr.forall(_.getAs[Long]("frame_idx") % 4 == 0))

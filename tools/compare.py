@@ -21,7 +21,7 @@ def norm(df):
     return df
 
 
-def main(sfdir, outdir):
+def main(sfdir, outdir, only=None):
     con = duckdb.connect()
     for t in ("region nation customer supplier part orders lineitem "
               "events documents embeddings").split():
@@ -30,6 +30,8 @@ def main(sfdir, outdir):
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
+        if only and name not in only:
+            continue
         try:
             want = con.sql(sql).df()
             files = glob.glob(f"{outdir}/{name}/*.parquet")
@@ -67,4 +69,5 @@ def main(sfdir, outdir):
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
+    sys.exit(main(sys.argv[1], sys.argv[2], only))
