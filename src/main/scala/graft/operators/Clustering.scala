@@ -166,6 +166,16 @@ object Clustering {
     val qn = qnOf(s, dir)
     val c0 = qn.filter(col("vec_id") % SeedMod === 0)
       .select(col("vec_id").as("cid"), col("q").as("cq"), col("n2").as("cn2"))
+    assignCellsFrom(s, dir, c0)
+  }
+
+  /** One Lloyd round + re-assignment from an arbitrary seed frame
+    * `(cid, cq, cn2)` — shared by the modulus-seeded gate and the
+    * k-means||-seeded production path.
+    */
+  private def assignCellsFrom(s: SparkSession, dir: String,
+                              c0: DataFrame): DataFrame = {
+    val qn = qnOf(s, dir)
     // round 1: exact integer squared-L2 against the seed vectors
     val a1 = qn.join(broadcast(c0))
       .withColumn("d2", col("n2") - lit(2L) * expr("q_dot(q, cq)") + col("cn2"))
@@ -444,10 +454,223 @@ object Clustering {
     SELECT rank, vec_id, d2 FROM ($out) ORDER BY rank"""
   }
 
+  // ------------------------------------------------------------- k-means||
+
+  /** k-means|| oversampling rounds (Bahmani et al., VLDB 2012: O(log n)
+    * rounds suffice; 3 covers any corpus the gate sees and is the knob a
+    * production run would raise to ~5 for 100 TB).
+    */
+  private val PllRounds = 3
+
+  /** Oversampling factor ℓ (the paper's recommendation is ℓ ≈ 2K; the gate
+    * selects K = [[PpK]] = 4 final seeds).
+    */
+  private val PllL = 8.0
+
+  /** Deterministic uniform draw in [0,1) for (vec_id, round): the first 32
+    * md5 bits of `"id:round"`, exactly reproducible in SQL.
+    */
+  private def uExpr(r: Int): String =
+    s"cast(conv(substring(md5(concat(cast(vec_id as string), ':$r')), 1, 8), 16, 10) as bigint)"
+  private def uSql(r: Int): String =
+    s"('0x' || substring(md5(CAST(vec_id AS VARCHAR) || ':$r'), 1, 8))::BIGINT"
+
+  /** k-means|| candidate oversampling — the PRODUCTION seeder. Where the
+    * farthest-point gate [[kmeansPp]] runs one corpus scan per seed (K
+    * serial jobs — unusable at codebook K of 256–4096), this runs a FIXED
+    * number of corpus passes independent of K: each round computes every
+    * vector's exact integer D² to the current candidate set (one broadcast
+    * join + map-side min), reduces the total cost φ to a single driver
+    * scalar, and admits each vector independently with probability
+    * ℓ·D²/φ — drawn from the deterministic md5 stream above, so the whole
+    * sampled trajectory is replayable in SQL. Candidates are then weighted
+    * by the size of their nearest-assignment cell, exactly the statistic
+    * the final clustering step needs.
+    *
+    * Scale: per round, the shuffle carries one (vec_id, dmin) row per
+    * vector; candidates stay a broadcast-sized filtered plan (expected
+    * ℓ per round, never collected); the driver sees one scalar per round.
+    */
+  private[graft] def kmeansParallelCandidates(
+      s: SparkSession, dir: String, l: Double = PllL,
+      rounds: Int = PllRounds): DataFrame = {
+    val qn = qnOf(s, dir)
+    val first = qn.agg(min(col("vec_id"))).head().getLong(0)
+    var cand = qn.filter(col("vec_id") === first)
+      .select(col("vec_id").as("cid"), col("q").as("cq"),
+        col("n2").as("cn2"), lit(0L).as("round"))
+      .persist()
+    for (r <- 1 to rounds) {
+      val d = qn.join(broadcast(cand.select("cid", "cq", "cn2")))
+        .withColumn("dd",
+          col("n2") - lit(2L) * expr("q_dot(q, cq)") + col("cn2"))
+        .groupBy(col("vec_id")).agg(min(col("dd")).as("dmin"))
+        .persist()
+      // φ = Σ D² — exact BIGINT (< 2^53, so its double image is exact too)
+      val phi = d.agg(sum(col("dmin"))).head().getLong(0)
+      // admit iff u < ℓ·D²/φ, evaluated in one fixed IEEE order on both
+      // engines; existing candidates have D² = 0 and can never re-enter
+      val picked = d
+        .filter(expr(uExpr(r)).cast("double") / lit(4294967296.0) <
+          lit(l) * col("dmin").cast("double") / lit(phi.toDouble))
+        .join(qn, "vec_id")
+        .select(col("vec_id").as("cid"), col("q").as("cq"),
+          col("n2").as("cn2"), lit(r.toLong).as("round"))
+      val next = cand.unionByName(picked).persist()
+      next.count(): Unit // materialize before releasing this round's inputs
+      d.unpersist(); cand.unpersist()
+      cand = next
+    }
+    val assign = qn.join(broadcast(cand.select("cid", "cq", "cn2")))
+      .withColumn("dd",
+        col("n2") - lit(2L) * expr("q_dot(q, cq)") + col("cn2"))
+      .groupBy(col("vec_id"))
+      .agg(min_by(col("cid"), struct(col("dd"), col("cid"))).as("cid"))
+      .groupBy(col("cid")).agg(count(lit(1)).as("weight"))
+    cand.select(col("cid").as("cand_id"), col("round"))
+      .join(assign, col("cand_id") === col("cid"), "left")
+      .select(col("cand_id"), col("round"),
+        coalesce(col("weight"), lit(0L)).as("weight"))
+  }
+
+  def kmeansParallel(s: SparkSession, dir: String): DataFrame =
+    graft.Memo.cached(s, "kmeans_parallel", dir)(
+      kmeansParallelCandidates(s, dir)).orderBy("cand_id")
+
+  private def pllDistSql(v: String, w: String): String =
+    s"""$v.n2 - 2 * CAST(list_sum(list_transform(
+       generate_series(1, len($v.q)), i -> $v.q[i] * $w.cq[i]))
+       AS BIGINT) + $w.cn2"""
+
+  /** Oracle CTE chain: [[PllRounds]] unrolled sampling rounds ending in
+    * candidate set `cand$PllRounds` and weights `pw`.
+    */
+  private[operators] val kmeansPllCtesSql: String = {
+    val rounds = (1 to PllRounds).map { r =>
+      val prev = s"cand${r - 1}"
+      s"""
+    d$r AS (SELECT v.vec_id AS vec_id, min(${pllDistSql("v", "w")}) AS dmin
+            FROM qn v, $prev w GROUP BY 1),
+    s$r AS (SELECT vec_id FROM d$r
+            WHERE CAST(${uSql(r)} AS DOUBLE) / 4294967296.0 <
+              $PllL * CAST(dmin AS DOUBLE) /
+              CAST((SELECT CAST(sum(dmin) AS BIGINT) FROM d$r) AS DOUBLE)),
+    cand$r AS (SELECT * FROM $prev UNION ALL
+               SELECT vec_id AS cid, q AS cq, n2 AS cn2,
+                 CAST($r AS BIGINT) AS round
+               FROM qn JOIN s$r USING (vec_id))"""
+    }.mkString(",")
+    s"""
+    cand0 AS (SELECT vec_id AS cid, q AS cq, n2 AS cn2,
+                CAST(0 AS BIGINT) AS round
+              FROM qn WHERE vec_id = (SELECT min(vec_id) FROM qn)),
+    $rounds,
+    pw AS (
+      SELECT cid, count(*) AS weight FROM (
+        SELECT v.vec_id, w.cid,
+          row_number() OVER (PARTITION BY v.vec_id
+            ORDER BY ${pllDistSql("v", "w")}, w.cid) AS rn
+        FROM qn v, cand$PllRounds w) WHERE rn = 1 GROUP BY cid)"""
+  }
+
+  val kmeansParallelSql: String = s"""
+    WITH $KQnSql,
+    $kmeansPllCtesSql
+    SELECT cid AS cand_id, round, coalesce(weight, 0) AS weight
+    FROM cand$PllRounds LEFT JOIN pw USING (cid)
+    ORDER BY cand_id"""
+
+  /** Final seed selection: weighted farthest-point over the CANDIDATE set —
+    * seed 0 is the heaviest candidate, each next seed maximizes
+    * weight·D²(candidate, chosen seeds) (cand id tie-break), the greedy
+    * deterministic analog of the paper's weighted k-means++ finish. The
+    * candidate set is O(ℓ·rounds) = O(K log n) rows by construction — the
+    * one legitimately driver-sized artifact in the pipeline (MLlib's
+    * k-means|| finishes the same way), so this runs locally and is still
+    * bit-reproducible in SQL over the same CTEs.
+    */
+  def kmeansParallelSeeds(s: SparkSession, dir: String): DataFrame = {
+    val cand = graft.Memo.cached(s, "kmeans_parallel", dir)(
+      kmeansParallelCandidates(s, dir))
+    val qn = qnOf(s, dir)
+    val rows = cand.join(qn, cand("cand_id") === qn("vec_id"))
+      .select(col("cand_id"), col("weight"), col("q"), col("n2"))
+      .collect() // O(K log n) candidate rows — seed-count-sized, not data
+      .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](2).toArray,
+        r.getLong(3)))
+      .sortBy(_._1)
+    def d2(a: Array[Long], na: Long, b: Array[Long], nb: Long): Long = {
+      var dot = 0L; var i = 0
+      while (i < a.length) { dot += a(i) * b(i); i += 1 }
+      na - 2L * dot + nb
+    }
+    val first = rows.maxBy(r => (r._2, -r._1))
+    var chosen = Vector((first._1, first._2 * 0L))
+    while (chosen.size < PpK) {
+      val ids = chosen.map(_._1).toSet
+      val best = rows.filter(r => !ids.contains(r._1))
+        .map { r =>
+          val dmin = rows.filter(x => ids.contains(x._1))
+            .map(x => d2(r._3, r._4, x._3, x._4)).min
+          (r._1, r._2 * dmin)
+        }
+        .maxBy { case (id, wd) => (wd, -id) }
+      chosen = chosen :+ best
+    }
+    import s.implicits._
+    chosen.zipWithIndex
+      .map { case ((id, wd), rank) => (rank.toLong, id, wd) }
+      .toDF("rank", "vec_id", "wd2")
+  }
+
+  val kmeansParallelSeedsSql: String = {
+    val rounds = (1 until PpK).map { r =>
+      val seedIds = (0 until r).map(i => s"SELECT vec_id FROM q$i")
+        .mkString(" UNION ALL ")
+      s"""
+    t$r AS (SELECT cw.cid, cw.weight,
+              min(cw.n2 - 2 * CAST(list_sum(list_transform(
+                generate_series(1, len(cw.q)), i -> cw.q[i] * w.q[i]))
+                AS BIGINT) + w.n2) AS dmin
+            FROM cw, qn w
+            WHERE w.vec_id IN ($seedIds) AND cw.cid NOT IN ($seedIds)
+            GROUP BY 1, 2),
+    q$r AS (SELECT cid AS vec_id, weight * dmin AS wd2 FROM t$r
+            ORDER BY weight * dmin DESC, cid LIMIT 1)"""
+    }.mkString(",")
+    val out = (0 until PpK)
+      .map(r => s"SELECT CAST($r AS BIGINT) AS rank, vec_id, wd2 FROM q$r")
+      .mkString(" UNION ALL ")
+    s"""
+    WITH $KQnSql,
+    $kmeansPllCtesSql,
+    cw AS (SELECT cid, coalesce(weight, 0) AS weight, cq AS q, cn2 AS n2
+           FROM cand$PllRounds LEFT JOIN pw USING (cid)),
+    q0 AS (SELECT cid AS vec_id, CAST(0 AS BIGINT) AS wd2 FROM cw
+           ORDER BY weight DESC, cid LIMIT 1),
+    $rounds
+    SELECT rank, vec_id, wd2 FROM ($out) ORDER BY rank"""
+  }
+
+  /** Lloyd assignment seeded from the k-means|| seeds instead of the
+    * deterministic modulus — the production composition (spec-proved; the
+    * gates keep the modulus seeding so the long oracle chains stay stable).
+    */
+  private[graft] def kmeansEmbedWithPllSeeds(s: SparkSession,
+                                             dir: String): DataFrame = {
+    val seedIds = kmeansParallelSeeds(s, dir).select("vec_id")
+    val qn = qnOf(s, dir)
+    val c0 = qn.join(broadcast(seedIds), "vec_id")
+      .select(col("vec_id").as("cid"), col("q").as("cq"), col("n2").as("cn2"))
+    assignCellsFrom(s, dir, c0)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_clusters" -> (dedupClusters(_, _)),
     "kmeans_embed" -> (kmeansEmbed(_, _)),
     "kmeans_pp" -> (kmeansPp(_, _)),
+    "kmeans_parallel" -> (kmeansParallel(_, _)),
+    "kmeans_pll_seeds" -> ((s, d) => kmeansParallelSeeds(s, d).orderBy("rank")),
     "cluster_quality" -> (clusterQuality(_, _)),
     "dedup_semantic" -> (dedupSemantic(_, _)))
 
@@ -455,6 +678,8 @@ object Clustering {
     "dedup_clusters" -> dedupClustersSql,
     "kmeans_embed" -> kmeansEmbedSql,
     "kmeans_pp" -> kmeansPpSql,
+    "kmeans_parallel" -> kmeansParallelSql,
+    "kmeans_pll_seeds" -> kmeansParallelSeedsSql,
     "cluster_quality" -> clusterQualitySql,
     "dedup_semantic" -> dedupSemanticSql)
 }

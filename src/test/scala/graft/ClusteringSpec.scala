@@ -74,6 +74,78 @@ class ClusteringSpec extends SparkSpec {
     assert(within > 0.0, s"within-cluster mean cosine $within should be positive")
   }
 
+  /** Spark jobs launched by `f`, via an isolating job group (statusTracker
+    * is fed asynchronously, so poll until the count is stable).
+    */
+  private def jobsDuring(f: => Unit): Int = {
+    val sc = spark.sparkContext
+    val group = "kmpll-" + System.nanoTime()
+    sc.setJobGroup(group, group)
+    try f finally sc.clearJobGroup()
+    var n = -1
+    var stable = 0
+    while (stable < 5) {
+      val m = sc.statusTracker.getJobIdsForGroup(group).length
+      if (m == n) stable += 1 else { n = m; stable = 0 }
+      Thread.sleep(100)
+    }
+    n
+  }
+
+  test("kmeans||: corpus passes scale with rounds, NOT with oversampling ℓ") {
+    // warm the shared memoized inputs so neither measured run pays them
+    Clustering.kmeansParallel(spark, sf).collect()
+    val jSmall = jobsDuring {
+      Clustering.kmeansParallelCandidates(spark, sf, l = 4.0).collect(): Unit
+    }
+    val jBig = jobsDuring {
+      Clustering.kmeansParallelCandidates(spark, sf, l = 16.0).collect(): Unit
+    }
+    // 4× the oversampling (∝ seed count K) must cost ZERO extra jobs —
+    // the farthest-point seeder this replaces is one scan PER SEED
+    assert(jSmall == jBig, s"jobs: l=4 -> $jSmall, l=16 -> $jBig")
+    // ...while one extra round costs a fixed number of extra jobs
+    val jMoreRounds = jobsDuring {
+      Clustering.kmeansParallelCandidates(spark, sf, l = 4.0,
+        rounds = 4).collect(): Unit
+    }
+    assert(jMoreRounds > jSmall, s"rounds=4 -> $jMoreRounds vs $jSmall")
+  }
+
+  test("kmeans||: candidates cover the corpus, weights partition it") {
+    val cand = Clustering.kmeansParallel(spark, sf).collect()
+    val n = Tables.embeddings(spark, sf).count()
+    assert(cand.map(_.getAs[Long]("weight")).sum == n,
+      "every vector is assigned to exactly one candidate")
+    assert(cand.map(_.getAs[Long]("round")).forall(r => r >= 0 && r <= 3))
+    val first = cand.minBy(_.getAs[Long]("cand_id"))
+    assert(first.getAs[Long]("round") == 0, "round-0 seed is the min vec_id")
+    assert(cand.length >= 4, "oversampling yields at least K candidates")
+  }
+
+  test("kmeans|| seeds: heaviest-first weighted maxmin over candidates") {
+    val cand = Clustering.kmeansParallel(spark, sf).collect()
+      .map(r => r.getAs[Long]("cand_id") -> r.getAs[Long]("weight")).toMap
+    val seeds = Clustering.kmeansParallelSeeds(spark, sf).collect()
+    assert(seeds.length == 4)
+    val ids = seeds.map(_.getAs[Long]("vec_id"))
+    assert(ids.distinct.length == 4, "seeds are distinct")
+    assert(ids.forall(cand.contains), "seeds come from the candidate set")
+    val maxW = cand.values.max
+    val rank0 = seeds.find(_.getAs[Long]("rank") == 0L).get
+    assert(cand(rank0.getAs[Long]("vec_id")) == maxW,
+      "rank-0 seed is the heaviest candidate")
+  }
+
+  test("kmeans||-seeded Lloyd: full assignment, cells drawn from the seeds") {
+    val seedIds = Clustering.kmeansParallelSeeds(spark, sf).collect()
+      .map(_.getAs[Long]("vec_id")).toSet
+    val asg = Clustering.kmeansEmbedWithPllSeeds(spark, sf).collect()
+    assert(asg.length == Tables.embeddings(spark, sf).count())
+    assert(asg.map(_.getAs[Long]("vec_id")).distinct.length == asg.length)
+    assert(asg.map(_.getAs[Long]("cluster")).toSet.subsetOf(seedIds))
+  }
+
   test("dedup_semantic: one row per vector, canonical survivor kept") {
     val rows = Clustering.dedupSemantic(spark, sf).collect()
     assert(rows.length == 500)
