@@ -32,6 +32,7 @@ object SparkEntry {
       operators.Multimodal.queries ++
       operators.VersionedScenarios.queries ++
       sources.BdeScenarios.queries ++
+      sources.UploadScenarios.queries ++
       sources.JsonlCorpus.queries ++
       sources.OrcCorpus.queries ++
       sources.CsvCorpus.queries ++
@@ -63,6 +64,7 @@ object SparkEntry {
       operators.Multimodal.oracles ++
       operators.VersionedScenarios.oracles ++
       sources.BdeScenarios.oracles ++
+      sources.UploadScenarios.oracles ++
       sources.JsonlCorpus.oracles ++
       sources.OrcCorpus.oracles ++
       sources.CsvCorpus.oracles ++

@@ -18,6 +18,27 @@ case class UploadedTable(
     bookkeeping: DataFrame,
     countChecks: DataFrame)
 
+/** Everything one apply knew, handed to registered post-load hooks — the
+  * Spark-side seam for the reference's registered SQL functions
+  * (`bde_ApplyPostLevel0Functions` / `bde_ApplyPostUploadFunctions` run
+  * `bde_postlevel0_*` / `bde_postupload_*` per upload:
+  * `sql/02-bde_control_functions.sql.in:2645,2661`, `BdeUpload.pm:819,590`).
+  * `previous`/`incoming`/`actions` are None for the level-0 load (a fresh
+  * snapshot has no delta); for level-5 applies they carry exactly the
+  * inputs incremental view maintenance needs, so maintained artifacts
+  * ([[graft.operators.Merge.incrementalAgg]] /
+  * [[graft.operators.Merge.incrementalJoin]]) update in O(|changeset|)
+  * without rescanning the table.
+  */
+final case class ApplyEvent(
+    table: String,
+    dataset: String,
+    level: Int,
+    previous: Option[DataFrame],
+    incoming: Option[DataFrame],
+    actions: Option[DataFrame],
+    current: DataFrame)
+
 /** The reference's top-level upload loop (`BdeUpload.pm:560 ApplyUpdates` →
   * `GetLevel0Updates`/`GetLevel5Updates` → per-dataset applies), composed
   * from graft's operators:
@@ -48,16 +69,34 @@ object Upload {
   private def filesFor(ds: BdeRepository.Dataset, t: BdeTableDef): Seq[String] =
     ds.files.filter(f => t.files.contains(stem(f)))
 
+  /** A post-load hook. Registration replaces the reference's
+    * `bde_postlevel0_*` / `bde_postupload_*` function-name convention.
+    */
+  type PostApplyHook = ApplyEvent => Unit
+
   /** Run the upload loop for every data table in `tables` (the parsed
     * registry). Returns per-table results keyed by table name.
+    *
+    * Hook seams (each fired with the full [[ApplyEvent]]):
+    *  - `postApply` — after EVERY apply (the level-0 load and each level-5
+    *    changeset): the maintenance seam for incrementally-maintained
+    *    artifacts;
+    *  - `postLevel0` — after the level-0 load only (the reference's
+    *    `bde_ApplyPostLevel0Functions`);
+    *  - `postUpload` — once per table after its last apply (the reference's
+    *    `bde_ApplyPostUploadFunctions`).
     */
   def run(spark: SparkSession, repoRoot: String, tables: Seq[BdeTableDef],
-          policy: BdeErrorPolicy = BdeErrorPolicy()): Map[String, UploadedTable] = {
+          policy: BdeErrorPolicy = BdeErrorPolicy(),
+          postApply: Seq[PostApplyHook] = Nil,
+          postLevel0: Seq[PostApplyHook] = Nil,
+          postUpload: Seq[PostApplyHook] = Nil): Map[String, UploadedTable] = {
     val conf = spark.sparkContext.hadoopConfiguration
     val datasets = BdeRepository.datasets(repoRoot, conf)
     val changeDef = tables.find(_.levels.contains("C"))
     tables.filterNot(_.levels.contains("C"))
-      .map(t => t.name -> runTable(spark, datasets, t, changeDef, policy))
+      .map(t => t.name -> runTable(spark, datasets, t, changeDef, policy,
+        postApply, postLevel0, postUpload))
       .toMap
   }
 
@@ -71,7 +110,10 @@ object Upload {
 
   private def runTable(spark: SparkSession, datasets: Seq[BdeRepository.Dataset],
                        t: BdeTableDef, changeDef: Option[BdeTableDef],
-                       policy: BdeErrorPolicy): UploadedTable = {
+                       policy: BdeErrorPolicy,
+                       postApply: Seq[PostApplyHook] = Nil,
+                       postLevel0: Seq[PostApplyHook] = Nil,
+                       postUpload: Seq[PostApplyHook] = Nil): UploadedTable = {
     // an l5_only table has no level-0 to start from: the reference errors
     // ("no previous upload") unless prior state exists — here that means
     // seeding the run with a persisted table, which this loop doesn't do
@@ -104,6 +146,9 @@ object Upload {
     var checks = checksRow(spark, s"${t.name}@${l0.name}", l0n, l0n)
     var before = l0n
 
+    var lastEvent = ApplyEvent(t.name, l0.name, 0, None, None, None, cur)
+    (postApply ++ postLevel0).foreach(_(lastEvent))
+
     later5.foreach { ds =>
       val incoming = BdeReader.read(spark, filesFor(ds, t),
         Some(cur.schema), policy)
@@ -123,6 +168,7 @@ object Upload {
         }
       val (merged, bk) =
         Merge.applyWithBookkeeping(cur, incoming, actions, key, ds.name, t.name)
+      val prev = cur
       cur = merged.cache()
       rev += 1
       snapshots = snapshots :+ (rev -> cur)
@@ -131,7 +177,11 @@ object Upload {
       checks = checks.unionByName(
         checksRow(spark, s"${t.name}@${ds.name}", before, after))
       before = after
+      lastEvent = ApplyEvent(t.name, ds.name, 5,
+        Some(prev), Some(incoming), Some(actions), cur)
+      postApply.foreach(_(lastEvent))
     }
+    postUpload.foreach(_(lastEvent))
     // grade every apply's (expected=before, actual=after) pair at once
     val graded = Merge.rowCountChecks(checks,
       warnTol = t.rowTolWarning.getOrElse(1.0),

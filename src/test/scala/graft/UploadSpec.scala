@@ -106,6 +106,48 @@ class UploadSpec extends SparkSpec {
     assert(!result("orders").current.collect().exists(_.getLong(0) == 99L))
   }
 
+  test("post-load hooks fire per level with the full apply context") {
+    val root = mkRepo()
+    val applies = scala.collection.mutable.ArrayBuffer[(String, Int)]()
+    val level0s = scala.collection.mutable.ArrayBuffer[Int]()
+    val uploads = scala.collection.mutable.ArrayBuffer[(String, Int)]()
+    Upload.run(spark, root, BdeConfig.parseTables(Config),
+      postApply = Seq(ev => { applies += ((ev.dataset, ev.level)): Unit }),
+      postLevel0 = Seq(ev => {
+        assert(ev.previous.isEmpty && ev.actions.isEmpty,
+          "a fresh level-0 snapshot has no delta")
+        level0s += ev.level: Unit
+      }),
+      postUpload = Seq(ev => { uploads += ((ev.dataset, ev.level)): Unit }))
+    // postApply: once per apply, in dataset order, with the right level
+    assert(applies.toSeq ==
+      Seq(("20240101000000", 0), ("20240102000000", 5)))
+    assert(level0s.toSeq == Seq(0), "postLevel0 fires exactly once, at L0")
+    // postUpload: once, carrying the LAST apply's context
+    assert(uploads.toSeq == Seq(("20240102000000", 5)))
+  }
+
+  test("hook-maintained aggregate tracks the table through the L5 apply") {
+    val root = mkRepo()
+    var state: org.apache.spark.sql.DataFrame = null
+    val maintain: Upload.PostApplyHook = ev =>
+      state =
+        if (ev.level == 0) operators.Merge.aggState(ev.current, "v", "price")
+        else operators.Merge.incrementalAgg(state, ev.previous.get,
+          ev.incoming.get, ev.actions.get, "id", "v", "price")
+    val result = Upload.run(spark, root, BdeConfig.parseTables(Config),
+      postApply = Seq(maintain))
+    // the incrementally-maintained aggregate == a fresh scan of the final
+    // table (level-5 actions flowed through the hook exactly once)
+    val direct = operators.Merge
+      .aggState(result("orders").current, "v", "price")
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        r.getDecimal(2).doubleValue)).toSet
+    val maintained = state.collect().map(r => (r.getString(0), r.getLong(1),
+      r.getDecimal(2).doubleValue)).toSet
+    assert(maintained == direct)
+  }
+
   test("l5_only tables refuse to run without a seeded previous upload") {
     val root = mkRepo()
     val cfg = BdeConfig.parseTables(
