@@ -176,3 +176,82 @@ object BdeConfig {
     p
   }
 }
+
+/** Job-scoped engine option store — `bde_SetOption` / `bde_GetOption`
+  * (`sql/02-bde_control_functions.sql.in:767,803`): a tiny key→value table
+  * the controlling script and engine steps use to pass state. Reference
+  * semantics kept exactly: setting a null value deletes the option; `get`
+  * of an absent option returns None. Persistence is a properties file on
+  * the Hadoop FileSystem (local/HDFS/object stores), so options survive
+  * across the separate JVMs of a multi-step run, like the reference's
+  * per-upload `_options` table survives across function calls.
+  */
+final class GraftOptions private (
+    private var opts: Map[String, String]) {
+
+  def get(option: String): Option[String] = opts.get(option)
+
+  def getOrElse(option: String, default: String): String =
+    opts.getOrElse(option, default)
+
+  /** Set (upsert) an option; `None` deletes it. Returns affected count,
+    * as the reference function does.
+    */
+  def set(option: String, value: Option[String]): Int = value match {
+    case Some(v) => opts = opts.updated(option, v); 1
+    case None =>
+      val n = if (opts.contains(option)) 1 else 0
+      opts = opts - option
+      n
+  }
+  def set(option: String, value: String): Int = set(option, Option(value))
+
+  def toMap: Map[String, String] = opts
+
+  /** Persist to `path` via the same staged-create-then-rename commit the
+    * manifest store uses — a reader never sees a torn file.
+    */
+  def save(spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val staged = new org.apache.hadoop.fs.Path(
+      p.getParent, s".${p.getName}.${java.util.UUID.randomUUID()}")
+    val out = fs.create(staged, false)
+    try {
+      val props = new java.util.Properties()
+      opts.foreach { case (k, v) => props.setProperty(k, v) }
+      props.store(out, "graft options")
+    } finally out.close()
+    if (fs.exists(p) && !fs.delete(p, false))
+      sys.error(s"GraftOptions: cannot replace $p")
+    if (!fs.rename(staged, p))
+      sys.error(s"GraftOptions: cannot publish $p")
+  }
+}
+
+object GraftOptions {
+  def empty: GraftOptions = new GraftOptions(Map.empty)
+
+  def apply(defaults: Map[String, String]): GraftOptions =
+    new GraftOptions(defaults)
+
+  /** Load from a properties file written by [[GraftOptions.save]]; an
+    * absent file is an empty store (a fresh job).
+    */
+  def load(spark: org.apache.spark.sql.SparkSession,
+           path: String): GraftOptions = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) empty
+    else {
+      val in = fs.open(p)
+      try {
+        val props = new java.util.Properties()
+        props.load(in)
+        val m = scala.jdk.CollectionConverters
+          .PropertiesHasAsScala(props).asScala.toMap
+        new GraftOptions(m)
+      } finally in.close()
+    }
+  }
+}

@@ -209,11 +209,11 @@ object CdcToVersioned {
   def applyBatch(s: SparkSession, batch: DataFrame, path: String,
                  rev: Int): DataFrame = {
     import s.implicits._
-    val dir = new org.apache.hadoop.fs.Path(path)
-    val fs = dir.getFileSystem(s.sparkContext.hadoopConfiguration)
-    val exists = fs.exists(dir)
+    val published = graft.sources.ManifestStore.currentVersion(s, path)
     val cur: DataFrame =
-      if (exists) Versioned.atRevision(s.read.parquet(path), rev - 1)
+      if (published.isDefined)
+        Versioned.atRevision(graft.sources.ManifestStore.resolve(s, path),
+          rev - 1)
       else Seq.empty[(Long, Double)].toDF("key", "payload")
     // derive the post-batch snapshot: latest record per key wins, deletes
     // drop the key — then diff against the current open rows
@@ -225,32 +225,21 @@ object CdcToVersioned {
       .unionByName(latest.filter(col("action") =!= "D")
         .select(col("key"), col("payload")))
     val next =
-      if (exists)
-        Versioned.appendRevision(s.read.parquet(path), snapshot, rev, "key")
+      if (published.isDefined)
+        Versioned.appendRevision(graft.sources.ManifestStore.resolve(s, path),
+          snapshot, rev, "key")
       else snapshot
         .withColumn(Versioned.Created, lit(rev).cast("int"))
         .withColumn(Versioned.Expired, lit(null).cast("int"))
-    val tmp = new org.apache.hadoop.fs.Path(path + ".tmp")
-    next.write.mode("overwrite").parquet(tmp.toString)
-    // Swap without a window where no store exists: move the live dir
-    // aside, promote the new one, then drop the old. A crash between any
-    // two steps leaves either the old store (at `path` or `.bak`) or the
-    // new one — never neither — and every rename's result is checked.
-    // Hadoop FileSystem (not java.io) so non-local stores work too; note
-    // object stores emulate rename as copy, where the real fix is a table
-    // format's atomic pointer swap — out of scope here.
-    val bak = new org.apache.hadoop.fs.Path(path + ".bak")
-    if (fs.exists(bak) && !fs.delete(bak, true))
-      sys.error(s"CdcToVersioned: cannot remove stale $bak")
-    if (exists && !fs.rename(dir, bak))
-      sys.error(s"CdcToVersioned: cannot move $dir aside")
-    if (!fs.rename(tmp, dir)) {
-      if (exists) fs.rename(bak, dir) // restore before failing
-      sys.error(s"CdcToVersioned: cannot promote $tmp to $dir")
-    }
-    if (exists && !fs.delete(bak, true))
-      sys.error(s"CdcToVersioned: swapped OK but cannot remove $bak")
-    s.read.parquet(path)
+    // Object-store-safe commit: the new store version is written to its own
+    // immutable directory and becomes visible only when the manifest pointer
+    // lands ([[graft.sources.ManifestStore]]); a crash anywhere leaves the
+    // previous version readable — there is no window with no store, and no
+    // data-directory rename for object stores to copy-emulate.
+    graft.sources.ManifestStore.publish(next, path)
+    // bound storage: keep the new head + one rollback version per batch
+    graft.sources.ManifestStore.vacuum(s, path, keep = 2)
+    graft.sources.ManifestStore.resolve(s, path)
   }
 
   /** Streaming entry: one revision per micro-batch, starting at `firstRev`. */

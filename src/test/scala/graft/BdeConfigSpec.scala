@@ -250,4 +250,30 @@ class BdeConfigSpec extends SparkSpec {
     assert(plan.map(_.getAs[Boolean]("continuity_ok")).toSeq ==
       Seq(true, true, false)) // the last L5 starts 12h late
   }
+
+  test("option store: reference set/get semantics, persisted across loads") {
+    val o = sources.GraftOptions(Map("mode" -> "full"))
+    assert(o.get("mode").contains("full"))
+    assert(o.get("absent").isEmpty)
+    assert(o.getOrElse("absent", "dflt") == "dflt")
+    // upsert returns 1; delete-by-null returns 1 when present, 0 when not
+    assert(o.set("mode", "incremental") == 1)
+    assert(o.set("retries", "3") == 1)
+    assert(o.set("mode", None) == 1)
+    assert(o.set("mode", None) == 0)
+    assert(o.get("mode").isEmpty && o.get("retries").contains("3"))
+
+    // survives a save/load cycle (separate JVM steps of a real run)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-opts").toString + "/options.properties"
+    o.save(spark, path)
+    val o2 = sources.GraftOptions.load(spark, path)
+    assert(o2.toMap == Map("retries" -> "3"))
+    // replace-in-place publishes the new state
+    o2.set("retries", "5")
+    o2.save(spark, path)
+    assert(sources.GraftOptions.load(spark, path).get("retries").contains("5"))
+    // absent file = fresh empty store
+    assert(sources.GraftOptions.load(spark, path + ".nope").toMap.isEmpty)
+  }
 }

@@ -107,7 +107,7 @@ class StreamingSpec extends SparkSpec {
       q.processAllAvailable()
       in.addData(ChangeRecord(2, "D", 0.0, 5))
       q.processAllAvailable()
-      val store = spark.read.parquet(path)
+      val store = graft.sources.ManifestStore.resolve(spark, path)
       def snap(r: Int): Map[Long, Double] =
         Versioned.atRevision(store, r).collect()
           .map(x => x.getAs[Long]("key") -> x.getAs[Double]("payload")).toMap
