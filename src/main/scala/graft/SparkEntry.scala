@@ -29,6 +29,7 @@ object SparkEntry {
       operators.CorpusFilters.queries ++
       operators.Dedup.queries ++
       operators.Similarity.queries ++
+      operators.Hnsw.queries ++
       operators.Multimodal.queries ++
       operators.VersionedScenarios.queries ++
       sources.BdeScenarios.queries ++
@@ -61,6 +62,7 @@ object SparkEntry {
       operators.CorpusFilters.oracles ++
       operators.Dedup.oracles ++
       operators.Similarity.oracles ++
+      operators.Hnsw.oracles ++
       operators.Multimodal.oracles ++
       operators.VersionedScenarios.oracles ++
       sources.BdeScenarios.oracles ++

@@ -595,7 +595,7 @@ object Clustering {
     val qn = qnOf(s, dir)
     val rows = cand.join(qn, cand("cand_id") === qn("vec_id"))
       .select(col("cand_id"), col("weight"), col("q"), col("n2"))
-      .collect() // O(K log n) candidate rows — seed-count-sized, not data
+      .collect() // audited-bounded-collect: O(K log n) candidate rows — seed-count-sized metadata, not corpus data
       .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](2).toArray,
         r.getLong(3)))
       .sortBy(_._1)

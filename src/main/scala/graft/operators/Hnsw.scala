@@ -1,0 +1,260 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** HNSW-style navigable layered graph over the embedding corpus (Malkov &
+  * Yashunin, TPAMI 2018), composed Spark-first from the existing kNN-graph
+  * machinery:
+  *
+  *  - **layers**: every vector gets a geometric level from a deterministic
+  *    md5 draw (P(level ≥ ℓ) = 4^−ℓ, capped) — the exponentially-thinning
+  *    layer hierarchy of the paper, reproducible in SQL;
+  *  - **layer graphs**: each layer is a kNN graph over the vectors at that
+  *    level or above, built with the SAME bucketed LSH candidate join as
+  *    `knn_graph` (layer 0 IS the `knn_graph` artifact, shared via Memo) —
+  *    candidates always come from an equi-join on the (table, bucket) key,
+  *    never all-pairs, at every layer;
+  *  - **search**: greedy descent — enter at the top layer's global entry
+  *    point, take the best-scoring step among the current vertex's layer
+  *    neighbours, drop a layer, repeat; at layer 0 expand the final
+  *    neighbourhood and return the top-k. Each hop is one equi-join of the
+  *    probe frontier with the layer's edge list plus one map-side-reduced
+  *    rank — O(probes·M) rows per hop, independent of corpus size.
+  *
+  * The full structure — level draws, layer graphs, the descent itself — is
+  * deterministic integer/IEEE arithmetic, so all three gates are
+  * hash-checked against a DuckDB replay of the whole navigation.
+  *
+  * Scale: the build is per-layer bucketed kNN (the `knn_graph` cost model,
+  * shrinking 4× per layer); the search touches O(layers · M) candidates
+  * per probe — the logarithmic-ish navigation HNSW exists for — and every
+  * step is a bounded equi-join, no corpus scan on the query path. In
+  * production the per-layer edge lists are persisted artifacts refined by
+  * `knn_refine` rounds; a beam width > 1 is the recall knob (here beam = 1,
+  * the paper's ef=1 greedy descent, which keeps the oracle tractable).
+  */
+object Hnsw {
+
+  /** Level cap (layers 0..2; the corpus thins 4× per level). */
+  private val MaxLevel = 2
+
+  /** Neighbours per vertex per layer (the paper's M). */
+  private val M = 3
+
+  /** Final top-k returned by the search. */
+  private val K = 3
+
+  private def uExpr: String =
+    "cast(conv(substring(md5(concat(cast(vec_id as string), ':lvl')), 1, 8), 16, 10) as bigint)"
+  private val uSql: String =
+    "('0x' || substring(md5(CAST(vec_id AS VARCHAR) || ':lvl'), 1, 8))::BIGINT"
+
+  /** (vec_id, level): geometric with ratio 1/4 from the md5 draw. */
+  private[operators] def levels(s: SparkSession, dir: String): DataFrame =
+    graft.Memo.cached(s, "hnsw_levels", dir) {
+      Similarity.qdf(s, dir).select(col("vec_id"))
+        .withColumn("u", expr(uExpr))
+        .select(col("vec_id"),
+          when(col("u") % 16 === 0, 2L)
+            .when(col("u") % 4 === 0, 1L)
+            .otherwise(0L).as("level"))
+    }
+
+  def hnswLayers(s: SparkSession, dir: String): DataFrame =
+    levels(s, dir).orderBy("vec_id")
+
+  val hnswLayersSql: String = s"""
+    WITH e AS (SELECT vec_id FROM embeddings),
+    u AS (SELECT vec_id, $uSql AS u FROM e)
+    SELECT vec_id,
+      CAST(CASE WHEN u % 16 = 0 THEN 2
+                WHEN u % 4 = 0 THEN 1
+                ELSE 0 END AS BIGINT) AS level
+    FROM u ORDER BY vec_id"""
+
+  /** Layer ℓ's edge list `(src, rank, nbr, cos)`: bucketed kNN over the
+    * vectors with level ≥ ℓ. Layer 0 is exactly the shared `knn_graph`
+    * artifact; upper layers re-run the same candidate join on the
+    * exponentially smaller vertex set. Memoized — in production these are
+    * persisted index artifacts.
+    */
+  private[operators] def layerEdges(s: SparkSession, dir: String,
+                                    l: Int): DataFrame =
+    if (l == 0) Similarity.knnGraphOf(s, dir, M)
+    else graft.Memo.cached(s, s"hnsw_layer_$l", dir) {
+      val verts = levels(s, dir).filter(col("level") >= l).select("vec_id")
+      val qn = Similarity.qdf(s, dir).join(verts, "vec_id")
+      val buckets = qn.select(col("vec_id"),
+        posexplode(array((0 until Similarity.LshTables)
+          .map(Similarity.tableBucketCol): _*)).as(Seq("tbl", "bucket")))
+      val cand = buckets.alias("a")
+        .join(buckets.alias("b"),
+          col("a.tbl") === col("b.tbl") &&
+            col("a.bucket") === col("b.bucket") &&
+            col("a.vec_id") =!= col("b.vec_id"))
+        .select(col("a.vec_id").as("probe_id"), col("b.vec_id").as("vec_id"))
+        .distinct()
+      val paired = cand
+        .join(qn.select(col("vec_id").as("probe_id"), col("q").as("pq"),
+          col("n2").as("pn2")), "probe_id")
+        .join(qn, "vec_id")
+      Similarity.topkTail(paired, M)
+        .select(col("probe_id").as("src"), col("rank"),
+          col("vec_id").as("nbr"), col("cos"))
+    }
+
+  def hnswGraph(s: SparkSession, dir: String): DataFrame =
+    (0 to MaxLevel).map(l => layerEdges(s, dir, l)
+        .select(lit(l.toLong).as("level"), col("src"), col("rank"),
+          col("nbr"), col("cos")))
+      .reduce(_.unionByName(_))
+      .orderBy("level", "src", "rank")
+
+  /** Oracle prelude shared by the graph and search gates: quantized
+    * vectors, projections, buckets, levels, and one kNN block per layer
+    * ending in `g0/g1/g2(src, rank, nbr, cos_raw)`.
+    */
+  private def layersCtesSql: String = {
+    val perLevel = (0 to MaxLevel).map { l =>
+      s"""
+    cand$l AS (
+      SELECT DISTINCT x.vec_id AS src, y.vec_id AS nbr
+      FROM buckets x JOIN buckets y
+        ON x.tbl = y.tbl AND x.bucket = y.bucket
+      JOIN lvl lx ON x.vec_id = lx.vec_id
+      JOIN lvl ly ON y.vec_id = ly.vec_id
+      WHERE x.vec_id <> y.vec_id AND lx.level >= $l AND ly.level >= $l),
+    pairs$l AS (
+      SELECT src, nbr, x.n2 AS na, y.n2 AS nb,
+        CAST(list_sum(list_transform(generate_series(1, len(x.q)),
+          i -> x.q[i] * y.q[i])) AS BIGINT) AS dot
+      FROM cand$l JOIN qn x ON src = x.vec_id JOIN qn y ON nbr = y.vec_id),
+    g$l AS (
+      SELECT src, rank, nbr, cos_raw FROM (
+        SELECT src, nbr, ${Similarity.PairCosSql} AS cos_raw,
+          row_number() OVER (PARTITION BY src
+            ORDER BY ${Similarity.PairCosSql} DESC, nbr) AS rank
+        FROM pairs$l) WHERE rank <= $M)"""
+    }.mkString(",")
+    s"""${Similarity.QuantSql},
+    ${Similarity.projSql(Similarity.LshTables * Similarity.NumPlanes)},
+    buckets AS (
+      SELECT vec_id, h // ${Similarity.NumPlanes} AS tbl,
+        sum(CASE WHEN proj >= 0 THEN 1 ELSE 0 END
+          * (1 << (h % ${Similarity.NumPlanes}))) AS bucket
+      FROM proj GROUP BY 1, 2),
+    lvl AS (
+      SELECT vec_id,
+        CASE WHEN u % 16 = 0 THEN 2 WHEN u % 4 = 0 THEN 1 ELSE 0 END AS level
+      FROM (SELECT vec_id, $uSql AS u FROM qn)),
+    $perLevel"""
+  }
+
+  val hnswGraphSql: String = {
+    val sel = (0 to MaxLevel)
+      .map(l => s"SELECT CAST($l AS BIGINT) AS level, src, rank, nbr, cos_raw FROM g$l")
+      .mkString(" UNION ALL ")
+    s"""
+    WITH $layersCtesSql
+    SELECT level, src, CAST(rank AS INT) AS rank, nbr,
+      round(cos_raw, 6) AS cos
+    FROM ($sel) ORDER BY level, src, rank"""
+  }
+
+  /** Greedy navigable search for the standard probe set: enter at the
+    * global top-layer entry point, take the best neighbour step per layer,
+    * expand at layer 0, return the per-probe top-[[K]] (self excluded).
+    */
+  def hnswSearch(s: SparkSession, dir: String): DataFrame = {
+    val qn = Similarity.qdf(s, dir)
+    val entry = levels(s, dir)
+      .orderBy(col("level").desc, col("vec_id")).limit(1)
+      .select(col("vec_id").as("cand"))
+    val probes = Similarity.probesOf(qn)
+      .select(col("vec_id").as("probe_id"), col("q").as("pq"),
+        col("n2").as("pn2"))
+    def best(cands: DataFrame, k: Int): DataFrame = {
+      val sc = cands
+        .join(qn.select(col("vec_id").as("cand"), col("q"), col("n2")), "cand")
+        .withColumn("dot", expr("q_dot(pq, q)"))
+        .withColumn("cos_raw",
+          Similarity.cosCol(col("dot"), col("pn2"), col("n2")))
+      val w = Window.partitionBy(col("probe_id"))
+        .orderBy(col("cos_raw").desc, col("cand"))
+      sc.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    }
+    var frontier = probes.crossJoin(broadcast(entry))
+    (MaxLevel to 1 by -1).foreach { l =>
+      val g = layerEdges(s, dir, l).select(col("src"), col("nbr"))
+      val stepped = frontier
+        .unionByName(frontier.join(g, frontier("cand") === g("src"))
+          .select(col("probe_id"), col("pq"), col("pn2"),
+            col("nbr").as("cand")))
+        .dropDuplicates("probe_id", "cand")
+      frontier = best(stepped, 1)
+        .select(col("probe_id"), col("pq"), col("pn2"), col("cand"))
+    }
+    val g0 = layerEdges(s, dir, 0).select(col("src"), col("nbr"))
+    val expanded = frontier
+      .unionByName(frontier.join(g0, frontier("cand") === g0("src"))
+        .select(col("probe_id"), col("pq"), col("pn2"), col("nbr").as("cand")))
+      .dropDuplicates("probe_id", "cand")
+      .filter(col("cand") =!= col("probe_id"))
+    best(expanded, K)
+      .select(col("probe_id"), col("rank"), col("cand").as("vec_id"),
+        round(col("cos_raw"), 6).as("cos"))
+      .orderBy("probe_id", "rank")
+  }
+
+  val hnswSearchSql: String = {
+    def scoreSql(cands: String): String = s"""
+      SELECT probe_id, cand, ${Similarity.PairCosSql} AS cos_raw,
+        row_number() OVER (PARTITION BY probe_id
+          ORDER BY ${Similarity.PairCosSql} DESC, cand) AS rank
+      FROM (
+        SELECT probe_id, cand, p.pn2 AS na, y.n2 AS nb,
+          CAST(list_sum(list_transform(generate_series(1, len(p.pq)),
+            i -> p.pq[i] * y.q[i])) AS BIGINT) AS dot
+        FROM $cands c
+        JOIN probes p USING (probe_id)
+        JOIN qn y ON c.cand = y.vec_id)"""
+    s"""
+    WITH $layersCtesSql,
+    probes AS (SELECT vec_id AS probe_id, q AS pq, n2 AS pn2 FROM qn
+               WHERE vec_id % 50 = 0),
+    entry AS (SELECT vec_id FROM lvl ORDER BY level DESC, vec_id LIMIT 1),
+    c2 AS (
+      SELECT probe_id, e.vec_id AS cand FROM probes CROSS JOIN entry e
+      UNION
+      SELECT probe_id, g.nbr FROM probes CROSS JOIN entry e
+        JOIN g2 g ON g.src = e.vec_id),
+    f2 AS (SELECT probe_id, cand FROM (${scoreSql("c2")}) WHERE rank = 1),
+    c1 AS (
+      SELECT probe_id, cand FROM f2
+      UNION
+      SELECT f.probe_id, g.nbr FROM f2 f JOIN g1 g ON g.src = f.cand),
+    f1 AS (SELECT probe_id, cand FROM (${scoreSql("c1")}) WHERE rank = 1),
+    c0 AS (
+      SELECT probe_id, cand FROM (
+        SELECT probe_id, cand FROM f1
+        UNION
+        SELECT f.probe_id, g.nbr FROM f1 f JOIN g0 g ON g.src = f.cand)
+      WHERE cand <> probe_id)
+    SELECT probe_id, CAST(rank AS INT) AS rank, cand AS vec_id,
+      round(cos_raw, 6) AS cos
+    FROM (${scoreSql("c0")}) WHERE rank <= $K
+    ORDER BY probe_id, rank"""
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "hnsw_layers" -> (hnswLayers _),
+    "hnsw_graph" -> (hnswGraph _),
+    "hnsw_search" -> (hnswSearch _))
+
+  val oracles: Map[String, String] = Map(
+    "hnsw_layers" -> hnswLayersSql,
+    "hnsw_graph" -> hnswGraphSql,
+    "hnsw_search" -> hnswSearchSql)
+}

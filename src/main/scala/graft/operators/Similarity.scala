@@ -64,7 +64,7 @@ object Similarity {
     * DataFrame so `broadcast()` ships the filtered plan — never a driver
     * collect.
     */
-  private def probesOf(df: DataFrame): DataFrame =
+  private[operators] def probesOf(df: DataFrame): DataFrame =
     df.filter(col("vec_id") % 50 === 0)
 
   /** Shared oracle prelude: quantized vectors + integer norms. DuckDB's
@@ -87,7 +87,7 @@ object Similarity {
 
   // ------------------------------------------------- random-hyperplane LSH
 
-  private val NumPlanes = 8   // single-bucket ANN path
+  private[operators] val NumPlanes = 8   // single-bucket ANN path
   private val DedupBands = 4  // banded near-dup path: 4 bands × 4 planes
   private val BandPlanes = 4
 
@@ -126,7 +126,7 @@ object Similarity {
   /** Oracle CTEs for plane projections over `nPlanes` planes (append after
     * [[QuantSql]]); yields `proj(vec_id, h, proj)`.
     */
-  private def projSql(nPlanes: Int): String = s"""
+  private[operators] def projSql(nPlanes: Int): String = s"""
     planes AS (
       SELECT h, i,
         CASE WHEN (instr('0123456789abcdef',
@@ -203,7 +203,7 @@ object Similarity {
     * per-probe top-k by cosine. Expects columns `probe_id, pq, pn2, vec_id,
     * q, n2`.
     */
-  private def topkTail(paired: DataFrame, k: Int): DataFrame = {
+  private[operators] def topkTail(paired: DataFrame, k: Int): DataFrame = {
     val scored = paired.withColumn("dot", expr("q_dot(pq, q)"))
       .withColumn("cos_raw", cosCol(col("dot"), col("pn2"), col("n2")))
     val w = Window.partitionBy(col("probe_id"))
@@ -405,10 +405,10 @@ object Similarity {
 
   // ------------------------------------------- multi-table LSH (OR-amplify)
 
-  private val LshTables = 2
+  private[operators] val LshTables = 2
 
   /** Bucket from planes `t·8 … t·8+7` — table `t`'s hash function. */
-  private def tableBucketCol(t: Int): Column =
+  private[operators] def tableBucketCol(t: Int): Column =
     (0 until NumPlanes)
       .map(h => when(planeCol(t * NumPlanes + h) >= 0, lit(1L << h))
         .otherwise(0L))

@@ -1,0 +1,65 @@
+package graft
+
+import graft.operators.{Hnsw, Similarity}
+
+class HnswSpec extends SparkSpec {
+
+  test("layers thin geometrically and follow the deterministic draw") {
+    val rows = Hnsw.hnswLayers(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    assert(rows.length == 500)
+    val byLevel = rows.groupBy(_._2).view.mapValues(_.length).toMap
+    // P(level ≥ 1) = 1/4, P(level = 2) = 1/16 — loose bounds, exact draw
+    assert(byLevel(0L) > byLevel.getOrElse(1L, 0), "level 0 dominates")
+    assert(byLevel.getOrElse(1L, 0) > byLevel.getOrElse(2L, 0),
+      "each layer is thinner than the one below")
+    rows.foreach { case (id, lvl) =>
+      val u = java.lang.Long.parseLong(
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(s"$id:lvl".getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.substring(0, 8), 16)
+      val expect = if (u % 16 == 0) 2L else if (u % 4 == 0) 1L else 0L
+      assert(lvl == expect, s"vec $id")
+    }
+  }
+
+  test("layer graphs: edges stay within their layer's vertex set") {
+    val lv = Hnsw.hnswLayers(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val edges = Hnsw.hnswGraph(spark, sf).collect()
+    assert(edges.nonEmpty)
+    edges.foreach { e =>
+      val (l, src, rank, nbr) = (e.getLong(0), e.getAs[Long]("src"),
+        e.getAs[Int]("rank"), e.getAs[Long]("nbr"))
+      assert(lv(src) >= l && lv(nbr) >= l, s"edge at level $l leaves layer")
+      assert(rank >= 1 && rank <= 3)
+      assert(src != nbr)
+    }
+    // layer 0 is the shared knn_graph artifact, verbatim
+    val g0 = edges.filter(_.getLong(0) == 0L)
+      .map(e => (e.getAs[Long]("src"), e.getAs[Int]("rank"),
+        e.getAs[Long]("nbr"))).toSet
+    val knn = Similarity.knnGraph(spark, sf).collect()
+      .map(e => (e.getAs[Long]("src"), e.getAs[Int]("rank"),
+        e.getAs[Long]("nbr"))).toSet
+    assert(g0 == knn)
+  }
+
+  test("greedy descent: monotone per-layer steps, top-k well-formed") {
+    val res = Hnsw.hnswSearch(spark, sf).collect()
+    val probes = res.map(_.getAs[Long]("probe_id")).distinct
+    assert(probes.length == 10) // vec_id % 50 == 0 at sf0.001
+    res.groupBy(_.getAs[Long]("probe_id")).foreach { case (p, g) =>
+      val ranked = g.sortBy(_.getAs[Int]("rank"))
+      assert(ranked.map(_.getAs[Int]("rank")).toSeq == (1 to ranked.length))
+      val cs = ranked.map(_.getAs[Double]("cos"))
+      assert(cs.zip(cs.tail).forall { case (a, b) => a >= b },
+        s"probe $p: cosines not descending")
+      assert(g.forall(_.getAs[Long]("vec_id") != p), "self excluded")
+    }
+    // deterministic end to end: a second run is bit-identical
+    val again = Hnsw.hnswSearch(spark, sf).collect()
+    assert(res.map(_.toString).sorted.toSeq ==
+      again.map(_.toString).sorted.toSeq)
+  }
+}

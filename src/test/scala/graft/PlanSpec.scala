@@ -74,16 +74,29 @@ class PlanSpec extends SparkSpec {
 
   test("similarity and dedup sources contain no driver-side collect") {
     // regression guard for the round-1 anti-pattern: collecting the
-    // embeddings table / vocabulary to the driver before querying
+    // embeddings table / vocabulary to the driver before querying. A
+    // collect is allowed ONLY on a line carrying the explicit
+    // `audited-bounded-collect` marker (currently one: the k-means||
+    // candidate-set finish, bounded at O(K log n) seed rows — the same
+    // local finish MLlib's k-means|| uses); anything unmarked fails.
+    var audited = 0
     for (f <- Seq("src/main/scala/graft/operators/Similarity.scala",
       "src/main/scala/graft/operators/Dedup.scala",
       "src/main/scala/graft/operators/Clustering.scala",
       "src/main/scala/graft/operators/CorpusFilters.scala",
-      "src/main/scala/graft/operators/ZOrder.scala")) {
+      "src/main/scala/graft/operators/ZOrder.scala",
+      "src/main/scala/graft/operators/Hnsw.scala")) {
       val src = new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get(f)))
-      assert(!src.contains(".collect()"), s"$f collects to the driver")
+      src.linesIterator.zipWithIndex.foreach { case (line, i) =>
+        if (line.contains(".collect()")) {
+          assert(line.contains("audited-bounded-collect"),
+            s"$f:${i + 1} collects to the driver without an audit marker")
+          audited += 1
+        }
+      }
     }
+    assert(audited == 1, s"audited collects changed ($audited) — re-review")
   }
 
   test("PQ ANN runs on broadcast codebooks/tables with q_dot in-plan") {
