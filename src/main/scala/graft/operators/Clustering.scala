@@ -214,52 +214,60 @@ object Clustering {
     */
   private val KQnSql: String = s"""
     e AS (SELECT vec_id, $KQvecSql AS q FROM embeddings),
-    qn AS (SELECT vec_id, q,
+    qn AS MATERIALIZED (SELECT vec_id, q,
              CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS n2
            FROM e)"""
 
-  private[operators] val kmeansCtesSql: String = s"""
-    $KQnSql,
-    c0 AS (SELECT vec_id AS cid, q AS cq, n2 AS cn2 FROM qn
-           WHERE vec_id % $SeedMod = 0),
-    d1 AS (
+  /** One-Lloyd-round assignment chain (round-1 integer assign → exact mean
+    * update → round-2 IEEE re-assign), parameterized by the seed CTE name
+    * and a CTE-name prefix so it composes with chains that already use the
+    * default names. Ends in `<p>kcells(vec_id, cluster)`.
+    */
+  private def kmeansAssignSql(c0: String, p: String = ""): String = s"""
+    ${p}d1 AS (
       SELECT vec_id, cid,
         n2 - 2 * CAST(list_sum(list_transform(generate_series(1, len(q)),
           i -> q[i] * cq[i])) AS BIGINT) + cn2 AS d2
-      FROM qn, c0),
-    a1 AS (
+      FROM qn, $c0),
+    ${p}a1 AS MATERIALIZED (
       SELECT vec_id, cid AS cell FROM (
         SELECT vec_id, cid,
           row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
-        FROM d1) WHERE rn = 1),
-    px AS (
+        FROM ${p}d1) WHERE rn = 1),
+    ${p}px AS (
       SELECT cell, unnest(q) AS qv,
              unnest(generate_series(0, len(q) - 1)) AS i
-      FROM a1 JOIN qn USING (vec_id)),
-    sums AS (SELECT cell, i, CAST(sum(qv) AS BIGINT) AS sv
-             FROM px GROUP BY 1, 2),
-    cnts AS (SELECT cell, count(*) AS c FROM a1 GROUP BY cell),
-    c1 AS (
+      FROM ${p}a1 JOIN qn USING (vec_id)),
+    ${p}sums AS (SELECT cell, i, CAST(sum(qv) AS BIGINT) AS sv
+             FROM ${p}px GROUP BY 1, 2),
+    ${p}cnts AS (SELECT cell, count(*) AS c FROM ${p}a1 GROUP BY cell),
+    ${p}c1 AS (
       SELECT cell, list(sv ORDER BY i) AS sq, c
-      FROM sums JOIN cnts USING (cell) GROUP BY cell, c),
-    c1n AS (SELECT cell, sq, c,
+      FROM ${p}sums JOIN ${p}cnts USING (cell) GROUP BY cell, c),
+    ${p}c1n AS (SELECT cell, sq, c,
               CAST(list_sum(list_transform(sq, x -> x * x)) AS BIGINT) AS s2
-            FROM c1),
-    d2t AS (
+            FROM ${p}c1),
+    ${p}d2t AS (
       SELECT vec_id, cell,
         CAST(n2 AS DOUBLE)
           - 2.0 * CAST(dot AS DOUBLE) / CAST(c AS DOUBLE)
           + CAST(s2 AS DOUBLE) / (CAST(c AS DOUBLE) * CAST(c AS DOUBLE)) AS d2
       FROM (
-        SELECT qn.vec_id, c1n.cell, c1n.c, c1n.s2, qn.n2,
+        SELECT qn.vec_id, ${p}c1n.cell, ${p}c1n.c, ${p}c1n.s2, qn.n2,
           CAST(list_sum(list_transform(generate_series(1, len(q)),
             i -> q[i] * sq[i])) AS BIGINT) AS dot
-        FROM qn, c1n)),
-    kcells AS (
+        FROM qn, ${p}c1n)),
+    ${p}kcells AS (
       SELECT vec_id, cluster FROM (
         SELECT vec_id, cell AS cluster,
           row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
-        FROM d2t) WHERE rn = 1)"""
+        FROM ${p}d2t) WHERE rn = 1)"""
+
+  private[operators] val kmeansCtesSql: String = s"""
+    $KQnSql,
+    c0 AS (SELECT vec_id AS cid, q AS cq, n2 AS cn2 FROM qn
+           WHERE vec_id % $SeedMod = 0),
+    ${kmeansAssignSql("c0")}"""
 
   val kmeansEmbedSql: String = s"""
     WITH $kmeansCtesSql
@@ -549,23 +557,24 @@ object Clustering {
     val rounds = (1 to PllRounds).map { r =>
       val prev = s"cand${r - 1}"
       s"""
-    d$r AS (SELECT v.vec_id AS vec_id, min(${pllDistSql("v", "w")}) AS dmin
+    d$r AS MATERIALIZED (SELECT v.vec_id AS vec_id,
+              min(${pllDistSql("v", "w")}) AS dmin
             FROM qn v, $prev w GROUP BY 1),
     s$r AS (SELECT vec_id FROM d$r
             WHERE CAST(${uSql(r)} AS DOUBLE) / 4294967296.0 <
               $PllL * CAST(dmin AS DOUBLE) /
               CAST((SELECT CAST(sum(dmin) AS BIGINT) FROM d$r) AS DOUBLE)),
-    cand$r AS (SELECT * FROM $prev UNION ALL
+    cand$r AS MATERIALIZED (SELECT * FROM $prev UNION ALL
                SELECT vec_id AS cid, q AS cq, n2 AS cn2,
                  CAST($r AS BIGINT) AS round
                FROM qn JOIN s$r USING (vec_id))"""
     }.mkString(",")
     s"""
-    cand0 AS (SELECT vec_id AS cid, q AS cq, n2 AS cn2,
+    cand0 AS MATERIALIZED (SELECT vec_id AS cid, q AS cq, n2 AS cn2,
                 CAST(0 AS BIGINT) AS round
               FROM qn WHERE vec_id = (SELECT min(vec_id) FROM qn)),
     $rounds,
-    pw AS (
+    pw AS MATERIALIZED (
       SELECT cid, count(*) AS weight FROM (
         SELECT v.vec_id, w.cid,
           row_number() OVER (PARTITION BY v.vec_id
@@ -623,33 +632,60 @@ object Clustering {
       .toDF("rank", "vec_id", "wd2")
   }
 
-  val kmeansParallelSeedsSql: String = {
+  /** Seed-selection CTEs (weighted maxmin over the candidate set), ending
+    * in `q0..q<PpK-1>` — shared by the seeds gate and the seeded-Lloyd
+    * gate.
+    */
+  private val kmeansPllSeedCtesSql: String = {
     val rounds = (1 until PpK).map { r =>
       val seedIds = (0 until r).map(i => s"SELECT vec_id FROM q$i")
         .mkString(" UNION ALL ")
       s"""
-    t$r AS (SELECT cw.cid, cw.weight,
+    t$r AS MATERIALIZED (SELECT cw.cid, cw.weight,
               min(cw.n2 - 2 * CAST(list_sum(list_transform(
                 generate_series(1, len(cw.q)), i -> cw.q[i] * w.q[i]))
                 AS BIGINT) + w.n2) AS dmin
             FROM cw, qn w
             WHERE w.vec_id IN ($seedIds) AND cw.cid NOT IN ($seedIds)
             GROUP BY 1, 2),
-    q$r AS (SELECT cid AS vec_id, weight * dmin AS wd2 FROM t$r
+    q$r AS MATERIALIZED (SELECT cid AS vec_id, weight * dmin AS wd2 FROM t$r
             ORDER BY weight * dmin DESC, cid LIMIT 1)"""
     }.mkString(",")
+    s"""
+    cw AS MATERIALIZED (SELECT cid, coalesce(weight, 0) AS weight,
+             cq AS q, cn2 AS n2
+           FROM cand$PllRounds LEFT JOIN pw USING (cid)),
+    q0 AS MATERIALIZED (SELECT cid AS vec_id, CAST(0 AS BIGINT) AS wd2 FROM cw
+           ORDER BY weight DESC, cid LIMIT 1),
+    $rounds"""
+  }
+
+  val kmeansParallelSeedsSql: String = {
     val out = (0 until PpK)
       .map(r => s"SELECT CAST($r AS BIGINT) AS rank, vec_id, wd2 FROM q$r")
       .mkString(" UNION ALL ")
     s"""
     WITH $KQnSql,
     $kmeansPllCtesSql,
-    cw AS (SELECT cid, coalesce(weight, 0) AS weight, cq AS q, cn2 AS n2
-           FROM cand$PllRounds LEFT JOIN pw USING (cid)),
-    q0 AS (SELECT cid AS vec_id, CAST(0 AS BIGINT) AS wd2 FROM cw
-           ORDER BY weight DESC, cid LIMIT 1),
-    $rounds
+    $kmeansPllSeedCtesSql
     SELECT rank, vec_id, wd2 FROM ($out) ORDER BY rank"""
+  }
+
+  /** The production composition gate: Lloyd assignment seeded from the
+    * k-means|| seeds end to end — oracle replays oversampling, weighting,
+    * seed selection AND the Lloyd round in one SQL chain.
+    */
+  val kmeansPllEmbedSql: String = {
+    val seedIds = (0 until PpK).map(i => s"SELECT vec_id FROM q$i")
+      .mkString(" UNION ALL ")
+    s"""
+    WITH $KQnSql,
+    $kmeansPllCtesSql,
+    $kmeansPllSeedCtesSql,
+    pc0 AS MATERIALIZED (SELECT vec_id AS cid, q AS cq, n2 AS cn2 FROM qn
+            WHERE vec_id IN ($seedIds)),
+    ${kmeansAssignSql("pc0", "p")}
+    SELECT vec_id, cluster FROM pkcells ORDER BY vec_id"""
   }
 
   /** Lloyd assignment seeded from the k-means|| seeds instead of the
@@ -671,6 +707,8 @@ object Clustering {
     "kmeans_pp" -> (kmeansPp(_, _)),
     "kmeans_parallel" -> (kmeansParallel(_, _)),
     "kmeans_pll_seeds" -> ((s, d) => kmeansParallelSeeds(s, d).orderBy("rank")),
+    "kmeans_pll_embed" -> ((s, d) =>
+      kmeansEmbedWithPllSeeds(s, d).orderBy("vec_id")),
     "cluster_quality" -> (clusterQuality(_, _)),
     "dedup_semantic" -> (dedupSemantic(_, _)))
 
@@ -680,6 +718,7 @@ object Clustering {
     "kmeans_pp" -> kmeansPpSql,
     "kmeans_parallel" -> kmeansParallelSql,
     "kmeans_pll_seeds" -> kmeansParallelSeedsSql,
+    "kmeans_pll_embed" -> kmeansPllEmbedSql,
     "cluster_quality" -> clusterQualitySql,
     "dedup_semantic" -> dedupSemanticSql)
 }

@@ -114,7 +114,12 @@ object Multimodal {
     * PNG writer on the executors (distributed; payload bytes never visit the
     * driver). PNG is lossless, so decode ∘ encode = identity on the pixels.
     */
-  def withImagePayload(s: SparkSession, dir: String): DataFrame = {
+  def withImagePayload(s: SparkSession, dir: String): DataFrame =
+    // memoized: the decode and resize gates share one PNG generation pass
+    // (in production the payloads are a stored binary column, not derived)
+    graft.Memo.cached(s, "mm_image_payload", dir)(genImagePayload(s, dir))
+
+  private def genImagePayload(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Tables.documents(s, dir).select("doc_id").as[Long]
       .mapPartitions { it =>
