@@ -163,11 +163,25 @@ object Hnsw {
     FROM ($sel) ORDER BY level, src, rank"""
   }
 
+  /** Beam width of the widened search variant (the paper's `ef` knob):
+    * the descent keeps the best [[Ef]] vertices per layer instead of 1, so
+    * the layer-0 expansion sees [[Ef]]× the neighbourhoods — recall rises,
+    * cost stays O(layers · ef · M) rows per probe.
+    */
+  private val Ef = 2
+
   /** Greedy navigable search for the standard probe set: enter at the
     * global top-layer entry point, take the best neighbour step per layer,
     * expand at layer 0, return the per-probe top-[[K]] (self excluded).
     */
-  def hnswSearch(s: SparkSession, dir: String): DataFrame = {
+  def hnswSearch(s: SparkSession, dir: String): DataFrame =
+    navigate(s, dir, beam = 1)
+
+  /** The widened-beam variant ([[Ef]] per layer) — the recall knob gate. */
+  def hnswSearchBeam(s: SparkSession, dir: String): DataFrame =
+    navigate(s, dir, beam = Ef)
+
+  private def navigate(s: SparkSession, dir: String, beam: Int): DataFrame = {
     val qn = Similarity.qdf(s, dir)
     val entry = levels(s, dir)
       .orderBy(col("level").desc, col("vec_id")).limit(1)
@@ -193,7 +207,7 @@ object Hnsw {
           .select(col("probe_id"), col("pq"), col("pn2"),
             col("nbr").as("cand")))
         .dropDuplicates("probe_id", "cand")
-      frontier = best(stepped, 1)
+      frontier = best(stepped, beam)
         .select(col("probe_id"), col("pq"), col("pn2"), col("cand"))
     }
     val g0 = layerEdges(s, dir, 0).select(col("src"), col("nbr"))
@@ -208,7 +222,7 @@ object Hnsw {
       .orderBy("probe_id", "rank")
   }
 
-  val hnswSearchSql: String = {
+  private def searchSql(beam: Int): String = {
     def scoreSql(cands: String): String = s"""
       SELECT probe_id, cand, ${Similarity.PairCosSql} AS cos_raw,
         row_number() OVER (PARTITION BY probe_id
@@ -230,12 +244,14 @@ object Hnsw {
       UNION
       SELECT probe_id, g.nbr FROM probes CROSS JOIN entry e
         JOIN g2 g ON g.src = e.vec_id),
-    f2 AS (SELECT probe_id, cand FROM (${scoreSql("c2")}) WHERE rank = 1),
+    f2 AS (SELECT probe_id, cand FROM (${scoreSql("c2")})
+           WHERE rank <= $beam),
     c1 AS (
       SELECT probe_id, cand FROM f2
       UNION
       SELECT f.probe_id, g.nbr FROM f2 f JOIN g1 g ON g.src = f.cand),
-    f1 AS (SELECT probe_id, cand FROM (${scoreSql("c1")}) WHERE rank = 1),
+    f1 AS (SELECT probe_id, cand FROM (${scoreSql("c1")})
+           WHERE rank <= $beam),
     c0 AS (
       SELECT probe_id, cand FROM (
         SELECT probe_id, cand FROM f1
@@ -248,13 +264,18 @@ object Hnsw {
     ORDER BY probe_id, rank"""
   }
 
+  val hnswSearchSql: String = searchSql(1)
+  val hnswSearchBeamSql: String = searchSql(Ef)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "hnsw_layers" -> (hnswLayers _),
     "hnsw_graph" -> (hnswGraph _),
-    "hnsw_search" -> (hnswSearch _))
+    "hnsw_search" -> (hnswSearch _),
+    "hnsw_search_beam" -> (hnswSearchBeam _))
 
   val oracles: Map[String, String] = Map(
     "hnsw_layers" -> hnswLayersSql,
     "hnsw_graph" -> hnswGraphSql,
-    "hnsw_search" -> hnswSearchSql)
+    "hnsw_search" -> hnswSearchSql,
+    "hnsw_search_beam" -> hnswSearchBeamSql)
 }

@@ -62,4 +62,20 @@ class HnswSpec extends SparkSpec {
     assert(res.map(_.toString).sorted.toSeq ==
       again.map(_.toString).sorted.toSeq)
   }
+
+  test("beam widening (ef) never loses recall vs the greedy descent") {
+    def best(rows: Array[org.apache.spark.sql.Row]): Map[Long, Double] =
+      rows.filter(_.getAs[Int]("rank") == 1)
+        .map(r => r.getAs[Long]("probe_id") -> r.getAs[Double]("cos")).toMap
+    val greedy = best(Hnsw.hnswSearch(spark, sf).collect())
+    val beam = best(Hnsw.hnswSearchBeam(spark, sf).collect())
+    assert(beam.keySet == greedy.keySet)
+    // deterministic regression pin: on this corpus the widened beam's top
+    // hit matches or beats the greedy top hit for every probe (the usual
+    // ef tradeoff; not a theorem — a beam can in principle displace the
+    // greedy path — so this pins measured behaviour, not an invariant)
+    greedy.foreach { case (p, c) =>
+      assert(beam(p) >= c, s"probe $p: beam ${beam(p)} < greedy $c")
+    }
+  }
 }
