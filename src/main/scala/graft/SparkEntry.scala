@@ -30,6 +30,7 @@ object SparkEntry {
       operators.Dedup.queries ++
       operators.Similarity.queries ++
       operators.Hnsw.queries ++
+      operators.GraphOps.queries ++
       operators.Multimodal.queries ++
       operators.VersionedScenarios.queries ++
       sources.BdeScenarios.queries ++
@@ -63,6 +64,7 @@ object SparkEntry {
       operators.Dedup.oracles ++
       operators.Similarity.oracles ++
       operators.Hnsw.oracles ++
+      operators.GraphOps.oracles ++
       operators.Multimodal.oracles ++
       operators.VersionedScenarios.oracles ++
       sources.BdeScenarios.oracles ++

@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Graph analytics over the kNN similarity graph — centrality for
+  * corpus curation (PageRank-weighted data selection: sample documents
+  * whose neighbourhoods anchor dense semantic regions).
+  *
+  * PageRank runs in FIXED-POINT integer arithmetic (scale 10^12, damping
+  * 7/8): contributions are integer floor-divisions, per-target sums are
+  * exact BIGINT aggregations (order-independent — no float summation
+  * drift), and the update `base + (7·Σ) div 8` is pure integer math, so
+  * every iteration is bit-identical in Spark and the DuckDB oracle. The
+  * float PR value is derived only at output time.
+  *
+  * Scale: each iteration is one equi-join of the edge list with the rank
+  * vector (both O(n·k)) plus a map-side-combining sum — the classic
+  * edge-partitioned PageRank shape; nothing is ever driver-side. Dangling
+  * mass (vertices with no out-edges) is dropped, the common simplification
+  * when ranks feed a relative sampling policy rather than a probability
+  * distribution — documented so the oracle states the same contract.
+  */
+object GraphOps {
+
+  /** Fixed-point scale (1.0 == 10^12). */
+  private val Scale = 1000000000000L
+
+  /** Damping 7/8 and base (1 − d) = 1/8, binary-exact by construction. */
+  private val BaseFp = Scale / 8
+
+  private val Iters = 3
+
+  private def edgesOf(s: SparkSession, dir: String): DataFrame =
+    Similarity.knnGraphOf(s, dir).select(col("src"), col("nbr"))
+
+  /** Fixed-point PageRank after [[Iters]] synchronous iterations over the
+    * kNN graph; emits the integer rank and its float rendering.
+    */
+  def graphPagerank(s: SparkSession, dir: String): DataFrame = {
+    val edges = edgesOf(s, dir)
+    val nodes = edges.select(col("src").as("v"))
+      .union(edges.select(col("nbr").as("v"))).distinct()
+    val odeg = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
+    var pr = nodes.withColumn("pr", lit(Scale))
+    (1 to Iters).foreach { _ =>
+      val contrib = edges
+        .join(pr.select(col("v").as("src"), col("pr")), "src")
+        .join(odeg, "src")
+        .select(col("nbr").as("v"), expr("pr div d").as("c"))
+        .groupBy(col("v")).agg(sum(col("c")).as("m"))
+      pr = nodes.join(contrib, Seq("v"), "left")
+        .select(col("v"),
+          (lit(BaseFp) + expr(s"(7 * coalesce(m, 0L)) div 8")).as("pr"))
+    }
+    pr.select(col("v").as("vec_id"), col("pr").as("pr_fixed"),
+        round(col("pr").cast("double") / lit(Scale.toDouble), 6).as("pr"))
+      .orderBy("vec_id")
+  }
+
+  val graphPagerankSql: String = {
+    val rounds = (1 to Iters).map { i =>
+      val prev = if (i == 1) "pr0" else s"it${i - 1}"
+      s"""
+    it$i AS MATERIALIZED (
+      SELECT n.v, CAST($BaseFp + (7 * COALESCE(s.m, 0)) // 8 AS BIGINT) AS pr
+      FROM nodes n LEFT JOIN (
+        SELECT g.nbr AS v, CAST(SUM(p.pr // o.d) AS BIGINT) AS m
+        FROM gmat g JOIN $prev p ON g.src = p.v JOIN odeg o ON g.src = o.src
+        GROUP BY 1) s ON n.v = s.v)"""
+    }.mkString(",")
+    s"""
+    WITH ${Similarity.knnCtesSql(3)},
+    gmat AS MATERIALIZED (SELECT src, nbr FROM graph),
+    nodes AS MATERIALIZED (
+      SELECT DISTINCT v FROM (
+        SELECT src AS v FROM gmat UNION SELECT nbr FROM gmat)),
+    odeg AS MATERIALIZED (SELECT src, count(*) AS d FROM gmat GROUP BY 1),
+    pr0 AS (SELECT v, CAST($Scale AS BIGINT) AS pr FROM nodes),
+    $rounds
+    SELECT v AS vec_id, pr AS pr_fixed,
+      round(CAST(pr AS DOUBLE) / $Scale.0, 6) AS pr
+    FROM it$Iters ORDER BY vec_id"""
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_pagerank" -> (graphPagerank _))
+
+  val oracles: Map[String, String] = Map(
+    "graph_pagerank" -> graphPagerankSql)
+}

@@ -839,7 +839,7 @@ object Similarity {
   /** Oracle CTE chain ending in `graph(src, rank, nbr, cos_raw)` — shared
     * by the kNN-graph gate and the NN-descent refinement gate.
     */
-  private def knnCtesSql(k: Int): String = s"""
+  private[operators] def knnCtesSql(k: Int): String = s"""
     $QuantSql,
     ${projSql(LshTables * NumPlanes)},
     buckets AS (
