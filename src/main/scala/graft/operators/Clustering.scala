@@ -118,6 +118,84 @@ object Clustering {
     SELECT doc_id, cluster, csize FROM comp JOIN sizes USING (cluster)
     ORDER BY doc_id"""
 
+  // ------------------------------------------- pointer-jumping components
+
+  /** Connected components by min-label propagation WITH pointer jumping —
+    * the deep-graph variant of [[dedupClusters]]. Plain propagation moves
+    * labels one hop per round (O(diameter) rounds — fine for shallow
+    * near-dup graphs, hopeless for adversarial chains); adding the jump
+    * step `label ← label(label)` halves the remaining distance each round,
+    * so convergence is O(log diameter).
+    *
+    * Each round is two equi-joins (neighbour min, then the jump — both on
+    * a key the shuffle carries) over O(nodes + edges) frames, with the
+    * same scalar-only driver feedback as the shallow loop.
+    */
+  def ccPointerJump(edges: DataFrame): DataFrame = {
+    val und = edges.select(col("src"), col("dst"))
+      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
+    var labels = und.select(col("src").as("id")).distinct()
+      .withColumn("lab", col("id"))
+    var labelSum = Long.MaxValue
+    var prev: DataFrame = null
+    var converged = false
+    while (!converged) {
+      // persisted: the jump step references this frame on both sides
+      val viaNbr = und
+        .join(labels.select(col("id").as("dst"), col("lab")), "dst")
+        .select(col("src").as("id"), col("lab"))
+        .unionByName(labels)
+        .groupBy(col("id")).agg(min(col("lab")).as("lab"))
+        .persist()
+      // pointer jump: follow the current label one step — labels double
+      // their reach every round. The jump references viaNbr TWICE, so
+      // without lineage truncation the logical plan doubles every round
+      // (exponential analysis — the loop OOMs on plan objects, not data);
+      // an eager localCheckpoint materializes the round and resets the
+      // plan to a leaf, the standard discipline for iterative frames.
+      val next = viaNbr.alias("a")
+        .join(viaNbr.select(col("id").as("lab"), col("lab").as("lab2"))
+          .alias("b"), Seq("lab"), "left")
+        .select(col("id"), least(col("lab"), col("lab2")).as("lab"))
+        .localCheckpoint(true)
+      val s = next.agg(sum(col("lab"))).head().getLong(0)
+      viaNbr.unpersist()
+      converged = s == labelSum
+      labelSum = s
+      if (prev != null) prev.unpersist()
+      prev = next
+      labels = next
+    }
+    val res = labels.select(col("id"), col("lab").as("cluster")).persist()
+    res.count(): Unit
+    if (prev != null) prev.unpersist(): Unit
+    res
+  }
+
+  /** Gate: an adversarially DEEP graph — chains of 51 consecutive doc_ids
+    * (edges i→i+1 while i mod 100 < 50). Plain one-hop propagation needs
+    * 50 rounds here; the jump loop converges in ~⌈log₂50⌉+2. The oracle is
+    * the chain structure's closed form: every node's component is its
+    * chain's base — no recursive SQL needed, so the gate checks BOTH the
+    * algorithm and its convergence on exactly the graph shape the shallow
+    * variant is worst at.
+    */
+  def ccDeepChain(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir).select(col("doc_id"))
+    val edges = d.filter(col("doc_id") % 100 < 50)
+      .select(col("doc_id").as("src"), (col("doc_id") + 1).as("dst"))
+    ccPointerJump(edges).select(col("id").as("doc_id"), col("cluster"))
+      .orderBy("doc_id")
+  }
+
+  val ccDeepChainSql: String = """
+    WITH chain AS (
+      SELECT doc_id FROM documents WHERE doc_id % 100 < 50
+      UNION
+      SELECT doc_id + 1 FROM documents WHERE doc_id % 100 < 50)
+    SELECT doc_id, (doc_id // 100) * 100 AS cluster
+    FROM chain ORDER BY doc_id"""
+
   // --------------------------------------------------------------- k-means
 
   /** Quantization scale: coarse enough that Σq², per-cluster Σq and q·Σq
@@ -703,6 +781,7 @@ object Clustering {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_clusters" -> (dedupClusters(_, _)),
+    "cc_deep_chain" -> (ccDeepChain _),
     "kmeans_embed" -> (kmeansEmbed(_, _)),
     "kmeans_pp" -> (kmeansPp(_, _)),
     "kmeans_parallel" -> (kmeansParallel(_, _)),
@@ -714,6 +793,7 @@ object Clustering {
 
   val oracles: Map[String, String] = Map(
     "dedup_clusters" -> dedupClustersSql,
+    "cc_deep_chain" -> ccDeepChainSql,
     "kmeans_embed" -> kmeansEmbedSql,
     "kmeans_pp" -> kmeansPpSql,
     "kmeans_parallel" -> kmeansParallelSql,

@@ -157,8 +157,15 @@ object Dedup {
 
   // the verified near-dup pairs, memoized above: both the dedup gate query
   // and the composed corpus_clean consume this frame
-  private def minhashLshPairs(s: SparkSession, dir: String,
-                              threshold: Double): DataFrame = {
+  /** LSH band candidates `(id_a, id_b)` BEFORE exact verification —
+    * threshold-independent, memoized; shared by the Jaccard verifier and
+    * the edit-distance verifier.
+    */
+  private[operators] def minhashCandidatesOf(s: SparkSession,
+                                             dir: String): DataFrame =
+    graft.Memo.cached(s, "minhash_cand", dir)(minhashCandidates(s, dir))
+
+  private def minhashCandidates(s: SparkSession, dir: String): DataFrame = {
     val sh = shinglesC(s, dir)
     // minhash_i(doc) = min over shingles of h1 + i·h2 (mod 2^32), the
     // Kirsch–Mitzenmacher construction over the two 32-bit halves of ONE
@@ -178,12 +185,18 @@ object Dedup {
     }
     val bands = mh.selectExpr("doc_id",
       s"stack(${NumHashes / BandRows}, ${bandExprs.mkString(", ")}) as (band, sig)")
-    val cand = bands.alias("a")
+    bands.alias("a")
       .join(bands.alias("b"),
         col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
+  }
+
+  private def minhashLshPairs(s: SparkSession, dir: String,
+                              threshold: Double): DataFrame = {
+    val sh = shinglesC(s, dir)
+    val cand = minhashCandidatesOf(s, dir)
     // verify candidates with exact Jaccard
     val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = sh.alias("a")
@@ -400,15 +413,58 @@ object Dedup {
     SELECT id_a, id_b, hamming FROM ham WHERE hamming <= 3
     ORDER BY id_a, id_b"""
 
+  // ------------------------------------------------------- edit distance
+
+  /** Prefix length for the edit-distance verifier: O(len²) DP cost is
+    * bounded per pair, the standard practical cap.
+    */
+  private val LevPrefix = 256
+  private val LevMax = 20
+
+  /** Edit-distance near-dup verification over the SAME LSH band candidates
+    * as the Jaccard path: `levenshtein` is an exact integer metric with
+    * identical semantics in Spark and DuckDB, so the gate needs no float
+    * rounding at all. Shingle-Jaccard misses transposition-heavy edits
+    * that edit distance catches (and vice versa — character noise that
+    * keeps shingles intact); running both verifiers over one candidate
+    * set is the standard belt-and-braces dedup recipe.
+    *
+    * Scale: candidates come from the banded equi-join (never all pairs);
+    * the DP cost is LevPrefix² per candidate pair, a constant.
+    */
+  def dedupLevenshtein(s: SparkSession, dir: String): DataFrame = {
+    val p = Tables.documents(s, dir)
+      .select(col("doc_id"), substring(col("text"), 1, LevPrefix).as("pfx"))
+    minhashCandidatesOf(s, dir)
+      .join(p.select(col("doc_id").as("id_a"), col("pfx").as("pa")), "id_a")
+      .join(p.select(col("doc_id").as("id_b"), col("pfx").as("pb")), "id_b")
+      .withColumn("dist", levenshtein(col("pa"), col("pb")))
+      .filter(col("dist") <= LevMax)
+      .select(col("id_a"), col("id_b"), col("dist").cast("bigint").as("dist"))
+      .orderBy("id_a", "id_b")
+  }
+
+  val dedupLevenshteinSql: String = s"""
+    WITH $minhashPairsCtesSql,
+    p AS (SELECT doc_id, substring(text, 1, $LevPrefix) AS pfx
+          FROM documents)
+    SELECT id_a, id_b,
+      CAST(levenshtein(a.pfx, b.pfx) AS BIGINT) AS dist
+    FROM cand JOIN p a ON id_a = a.doc_id JOIN p b ON id_b = b.doc_id
+    WHERE levenshtein(a.pfx, b.pfx) <= $LevMax
+    ORDER BY id_a, id_b"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> (dedupExact(_, _)),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard(_, _)),
     "dedup_minhash_lsh" -> (dedupMinhashLsh(_, _)),
+    "dedup_levenshtein" -> (dedupLevenshtein _),
     "dedup_simhash" -> (dedupSimhash(_, _)))
 
   val oracles: Map[String, String] = Map(
     "dedup_exact" -> dedupExactSql,
     "dedup_ngram_jaccard" -> dedupNgramJaccardSql,
     "dedup_minhash_lsh" -> dedupMinhashLshSql,
+    "dedup_levenshtein" -> dedupLevenshteinSql,
     "dedup_simhash" -> dedupSimhashSql)
 }

@@ -74,6 +74,30 @@ class ClusteringSpec extends SparkSpec {
     assert(within > 0.0, s"within-cluster mean cosine $within should be positive")
   }
 
+  test("pointer-jumping components agree with min-label propagation") {
+    // same pair graph, both algorithms: identical component labels
+    val edges = Dedup.dedupMinhashLsh(spark, sf)
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+    val jump = Clustering.ccPointerJump(edges).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Long]("cluster")).toMap
+    val prop = Clustering.dedupClusters(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster")).toMap
+    assert(jump == prop)
+  }
+
+  test("deep chains: jump loop collapses a 201-node chain") {
+    // one-hop propagation would need 200 rounds here; the jump loop's
+    // label reach doubles per round, so this finishes in ~log2(200)+2 —
+    // if the loop were one-hop this test would time out, not just fail
+    import spark.implicits._
+    val n = 200L
+    val edges = (0L until n).map(i => (i, i + 1)).toDF("src", "dst")
+    val labels = Clustering.ccPointerJump(edges).collect()
+    assert(labels.forall(_.getAs[Long]("cluster") == 0L),
+      "a single chain collapses to its minimum")
+    assert(labels.length == n + 1)
+  }
+
   /** Spark jobs launched by `f`, via an isolating job group (statusTracker
     * is fed asynchronously, so poll until the count is stable).
     */

@@ -178,6 +178,35 @@ class TextDedupSpec extends SparkSpec {
     assert(dropped.length == 2 && dropped.forall(!_.isNullAt(0)))
   }
 
+  test("dedup_levenshtein: pairs come from the LSH candidates, dist exact") {
+    val rows = operators.Dedup.dedupLevenshtein(spark, sf).collect()
+    assert(rows.nonEmpty, "the planted near-dups must surface")
+    val texts = Tables.documents(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    rows.foreach { r =>
+      val (a, b, d) = (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+        r.getAs[Long]("dist"))
+      assert(a < b)
+      assert(d >= 0 && d <= 20)
+      // recompute one-sided: JVM reference DP on the same 256-prefix
+      def lev(x: String, y: String): Int = {
+        val (s1, s2) = (x.take(256), y.take(256))
+        val dp = Array.tabulate(s2.length + 1)(identity)
+        for (i <- 1 to s1.length) {
+          var prev = dp(0); dp(0) = i
+          for (j <- 1 to s2.length) {
+            val t = dp(j)
+            dp(j) = math.min(math.min(dp(j) + 1, dp(j - 1) + 1),
+              prev + (if (s1(i - 1) == s2(j - 1)) 0 else 1))
+            prev = t
+          }
+        }
+        dp(s2.length)
+      }
+      assert(lev(texts(a), texts(b)) == d, s"pair ($a,$b)")
+    }
+  }
+
   test("jsonl roundtrip preserves the corpus exactly, shards by partition") {
     val docs = Tables.documents(spark, sf)
     val dir = s"${sys.props("java.io.tmpdir")}/graft-jsonl-spec"
