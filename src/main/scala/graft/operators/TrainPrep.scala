@@ -345,7 +345,47 @@ object TrainPrep {
         AS BIGINT) AS tok_density
     FROM p"""
 
+  // -------------------------------------------- temperature (√) sampling
+
+  /** Per-source admission budget: expected picks per source ≈
+    * `SqrtK`·√n_s, i.e. sampling rate ∝ n^(τ−1) at temperature τ = 1/2 —
+    * the √-scaling mixture multilingual training uses so head sources
+    * stop drowning tail sources.
+    */
+  private val SqrtK = 3.0
+
+  /** Temperature-balanced corpus sampling at τ = 1/2: admit a document
+    * with probability min(1, K/√n_source) from the deterministic md5
+    * stream. τ = 1/2 is chosen deliberately — the rate needs only `sqrt`,
+    * which IEEE 754 requires to be correctly rounded, so unlike a general
+    * `pow(n, τ−1)` (libm-dependent) the whole gate stays hash-exact.
+    *
+    * Scale: one (source)-keyed count aggregate broadcast back over a
+    * narrow scan; admission is a pure filter — documents never shuffle.
+    */
+  def corpusSqrtSample(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val counts = docs.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val u = expr(
+      "cast(conv(substring(md5(concat(cast(doc_id as string), ':t')), 1, 8), 16, 10) as bigint)")
+      .cast("double") / lit(4294967296.0)
+    docs.join(broadcast(counts), "source")
+      .filter(u < least(lit(1.0), lit(SqrtK) / sqrt(col("n").cast("double"))))
+      .select(col("doc_id"), col("source"))
+      .orderBy("doc_id")
+  }
+
+  val corpusSqrtSampleSql: String = s"""
+    WITH counts AS (SELECT source, count(*) AS n FROM documents GROUP BY 1)
+    SELECT doc_id, source
+    FROM documents JOIN counts USING (source)
+    WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':t'), 1, 8))::BIGINT
+            AS DOUBLE) / 4294967296.0
+      < least(1.0, $SqrtK / sqrt(CAST(n AS DOUBLE)))
+    ORDER BY doc_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_sqrt_sample" -> (corpusSqrtSample _),
     "doc_chunking" -> (docChunking _),
     "quality_funnel" -> (qualityFunnel _),
     "corpus_split" -> (corpusSplit _),
@@ -355,6 +395,7 @@ object TrainPrep {
     "text_bigram_lm" -> (textBigramLm _))
 
   val oracles: Map[String, String] = Map(
+    "corpus_sqrt_sample" -> corpusSqrtSampleSql,
     "doc_chunking" -> docChunkingSql,
     "quality_funnel" -> qualityFunnelSql,
     "corpus_split" -> corpusSplitSql,

@@ -340,4 +340,31 @@ class Round4OpsSpec extends SparkSpec {
     }
     assert(improved > 0, "at least one source improves")
   }
+
+  test("corpus_sqrt_sample: deterministic membership, sqrt-scaled rates") {
+    val picked = operators.TrainPrep.corpusSqrtSample(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("source"))
+    assert(picked.nonEmpty && picked.length < 500,
+      "the sampler must actually sample at this corpus size")
+    // membership is a pure function of doc_id (md5 draw vs K/sqrt(n))
+    val counts = Tables.documents(spark, sf).collect()
+      .groupBy(_.getAs[String]("source")).view.mapValues(_.length).toMap
+    def u(id: Long): Double = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$id:t".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 8), 16) / 4294967296.0
+    val pickedIds = picked.map(_._1).toSet
+    Tables.documents(spark, sf).collect().foreach { r =>
+      val (id, src) = (r.getAs[Long]("doc_id"), r.getAs[String]("source"))
+      val rate = math.min(1.0, 3.0 / math.sqrt(counts(src).toDouble))
+      assert(pickedIds.contains(id) == (u(id) < rate), s"doc $id")
+    }
+    // admitted fraction per source tracks K/sqrt(n) (loose binomial bound)
+    picked.groupBy(_._2).foreach { case (src, g) =>
+      val expect = math.min(1.0, 3.0 / math.sqrt(counts(src).toDouble)) *
+        counts(src)
+      assert(math.abs(g.length - expect) <= 4 * math.sqrt(expect) + 3,
+        s"source $src: got ${g.length}, expected ~$expect")
+    }
+  }
 }
