@@ -99,6 +99,22 @@ class PlanSpec extends SparkSpec {
     assert(audited == 1, s"audited collects changed ($audited) — re-review")
   }
 
+  test("hnsw search navigates by equi-join: frontier joins, no collects") {
+    val p = plan(operators.Hnsw.hnswSearch(spark, sf))
+    assert(p.contains("q_dot"), "scoring via the native expression")
+    assert(!p.contains("CollectLimit") && !p.contains("CartesianProduct"))
+    // per-layer steps are joins of the probe frontier with the edge lists
+    assert(count(p, "BroadcastHashJoin") + count(p, "SortMergeJoin") >= 3,
+      "one frontier join per layer expected")
+  }
+
+  test("pagerank iterations are joins + partial aggregates, never collects") {
+    val p = plan(operators.GraphOps.graphPagerank(spark, sf))
+    assert(!p.contains("CollectLimit") && !p.contains("CartesianProduct"))
+    assert(count(p, "HashAggregate") >= 2,
+      "per-target contribution sums must map-side combine")
+  }
+
   test("PQ ANN runs on broadcast codebooks/tables with q_dot in-plan") {
     val p = plan(operators.Similarity.annPq(spark, sf))
     assert(p.contains("q_dot"), "subspace distances via the native expression")
