@@ -259,6 +259,110 @@ object Multimodal {
     CROSS JOIN generate_series(0, ${ImgH / 2 - 1}) AS y(i)
     GROUP BY d.doc_id ORDER BY d.doc_id"""
 
+  // ------------------------------------------------------------ audio (WAV)
+
+  /** Synthetic audio geometry: 16-bit mono PCM. */
+  val AudRate = 8000f
+  val AudSamples = 256
+
+  /** Deterministic 16-bit sample generator — pure integer arithmetic in
+    * (doc_id, i), SQL-recomputable like the image pixels.
+    */
+  @inline private def sampleAt(id: Long, i: Int): Int =
+    (((id * 7 + i * 13) % 65536) - 32768).toInt
+
+  /** Documents with a REAL WAV payload: the generated PCM samples encoded
+    * through the JDK's `javax.sound.sampled` WAV writer on the executors.
+    * PCM in a WAV container is lossless, so decode ∘ encode = identity on
+    * the samples.
+    */
+  def withAudioPayload(s: SparkSession, dir: String): DataFrame =
+    graft.Memo.cached(s, "mm_audio_payload", dir) {
+      import s.implicits._
+      Tables.documents(s, dir).select("doc_id").as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val pcm = new Array[Byte](AudSamples * 2)
+            var i = 0
+            while (i < AudSamples) {
+              val v = sampleAt(id, i)
+              pcm(2 * i) = (v & 0xff).toByte         // little-endian
+              pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+              i += 1
+            }
+            val fmt = new javax.sound.sampled.AudioFormat(AudRate, 16, 1,
+              true, false)
+            val ais = new javax.sound.sampled.AudioInputStream(
+              new java.io.ByteArrayInputStream(pcm), fmt, AudSamples.toLong)
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.sound.sampled.AudioSystem.write(ais,
+              javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+            (id, bos.toByteArray)
+          }
+        }
+        .toDF("doc_id", "payload")
+    }
+
+  /** REAL audio decode: `javax.sound.sampled.AudioSystem` parses the WAV
+    * container and hands back format + PCM frames, inside the same batched
+    * `mapPartitions` shape as the image decoder. Emits the container
+    * metadata and the exact integer sample sum (recomputed by the SQL
+    * oracle from the generator arithmetic) plus an md5 over the PCM bytes
+    * (spec-pinned).
+    */
+  def decodeAudio(s: SparkSession, dir: String,
+                  batchSize: Int = 64): DataFrame = {
+    import s.implicits._
+    withAudioPayload(s, dir)
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          // <- a vectorized audio decoder would take `batch` in one call
+          batch.iterator.map { case (id, bytes) =>
+            val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+              new java.io.ByteArrayInputStream(bytes))
+            val fmt = ais.getFormat
+            val pcm = ais.readAllBytes()
+            var sum = 0L
+            var i = 0
+            while (i + 1 < pcm.length) {
+              sum += ((pcm(i) & 0xff) | (pcm(i + 1).toInt << 8)).toShort
+              i += 2
+            }
+            (id, fmt.getSampleRate.toInt, fmt.getChannels,
+              fmt.getSampleSizeInBits, pcm.length / 2, sum, md5hex(pcm))
+          }
+        }
+      }
+      .toDF("doc_id", "rate", "channels", "bits", "n_samples",
+        "sample_sum", "pcm_md5")
+  }
+
+  /** JVM-local expected PCM bytes (little-endian), for the spec's digest
+    * pin.
+    */
+  def pcmBytes(id: Long): Array[Byte] = {
+    val pcm = new Array[Byte](AudSamples * 2)
+    var i = 0
+    while (i < AudSamples) {
+      val v = sampleAt(id, i)
+      pcm(2 * i) = (v & 0xff).toByte
+      pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+      i += 1
+    }
+    pcm
+  }
+
+  val decodeAudioSql: String = s"""
+    SELECT d.doc_id,
+      CAST(${AudRate.toInt} AS INT) AS rate, CAST(1 AS INT) AS channels,
+      CAST(16 AS INT) AS bits, CAST($AudSamples AS INT) AS n_samples,
+      CAST(SUM((d.doc_id * 7 + i.i * 13) % 65536 - 32768) AS BIGINT)
+        AS sample_sum
+    FROM documents d
+    CROSS JOIN generate_series(0, ${AudSamples - 1}) AS i(i)
+    GROUP BY d.doc_id ORDER BY d.doc_id"""
+
   private val FrameBytes = 16
   private val FrameEvery = 4
 
@@ -307,11 +411,17 @@ object Multimodal {
     // while geometry + pixel sum are fully oracle-gated
     "multimodal_decode" -> ((s, dir) => decodeImages(s, dir).toDF()
       .select("doc_id", "width", "height", "channels", "pix_sum")
+      .orderBy("doc_id")),
+    // real javax.sound.sampled WAV decode; pcm_md5 spec-pinned, the rest
+    // oracle-gated (PCM is lossless)
+    "multimodal_audio" -> ((s, dir) => decodeAudio(s, dir)
+      .select("doc_id", "rate", "channels", "bits", "n_samples", "sample_sum")
       .orderBy("doc_id")))
 
   val oracles: Map[String, String] = Map(
     "multimodal_meta" -> multimodalMetaSql,
     "multimodal_resize" -> resizeSql,
     "multimodal_frames" -> frameSampleSql,
-    "multimodal_decode" -> decodeSql)
+    "multimodal_decode" -> decodeSql,
+    "multimodal_audio" -> decodeAudioSql)
 }

@@ -84,6 +84,22 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("decodeAudio: real WAV codec roundtrip, PCM digest pinned") {
+    val rows = Multimodal.decodeAudio(spark, sf).collect()
+    assert(rows.length == 500)
+    rows.foreach { r =>
+      assert(r.getAs[Int]("rate") == 8000 && r.getAs[Int]("channels") == 1)
+      assert(r.getAs[Int]("bits") == 16)
+      assert(r.getAs[Int]("n_samples") == Multimodal.AudSamples)
+      // WAV PCM is lossless: decoded bytes must be EXACTLY the generator's
+      val expect = Multimodal.pcmBytes(r.getAs[Long]("doc_id"))
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(expect).map("%02x".format(_)).mkString
+      assert(r.getAs[String]("pcm_md5") == md,
+        s"doc ${r.getAs[Long]("doc_id")}: decoded samples differ")
+    }
+  }
+
   test("resize and frame-sample plumbing match the payload geometry") {
     val rs = Multimodal.resizeImages(spark, sf).collect()
     assert(rs.length == 500)
