@@ -363,6 +363,58 @@ object Multimodal {
     CROSS JOIN generate_series(0, ${AudSamples - 1}) AS i(i)
     GROUP BY d.doc_id ORDER BY d.doc_id"""
 
+  /** REAL audio resample: decode the WAV, drop every other sample
+    * (deterministic decimation — no interpolation filter, so output sample
+    * i = input sample 2i exactly), re-encode at half the rate through the
+    * same JDK writer. The decimated sample sum is oracle-recomputed from
+    * the generator at even indices.
+    */
+  def resampleAudio(s: SparkSession, dir: String,
+                    batchSize: Int = 64): DataFrame = {
+    import s.implicits._
+    withAudioPayload(s, dir)
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          batch.iterator.map { case (id, bytes) =>
+            val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+              new java.io.ByteArrayInputStream(bytes))
+            val pcm = ais.readAllBytes()
+            val n = pcm.length / 2
+            val out = new Array[Byte]((n + 1) / 2 * 2)
+            var sum = 0L
+            var i = 0
+            while (2 * i < n) {
+              val lo = pcm(4 * i); val hi = pcm(4 * i + 1)
+              out(2 * i) = lo; out(2 * i + 1) = hi
+              sum += ((lo & 0xff) | (hi.toInt << 8)).toShort
+              i += 1
+            }
+            val fmt = new javax.sound.sampled.AudioFormat(AudRate / 2, 16, 1,
+              true, false)
+            val ais2 = new javax.sound.sampled.AudioInputStream(
+              new java.io.ByteArrayInputStream(out), fmt, (out.length / 2).toLong)
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.sound.sampled.AudioSystem.write(ais2,
+              javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+            (id, out.length / 2, (AudRate / 2).toInt, sum)
+          }
+        }
+      }
+      .toDF("doc_id", "out_samples", "out_rate", "out_sample_sum")
+      .orderBy("doc_id")
+  }
+
+  val resampleAudioSql: String = s"""
+    SELECT d.doc_id,
+      CAST(${AudSamples / 2} AS INT) AS out_samples,
+      CAST(${AudRate.toInt / 2} AS INT) AS out_rate,
+      CAST(SUM((d.doc_id * 7 + i.i * 2 * 13) % 65536 - 32768) AS BIGINT)
+        AS out_sample_sum
+    FROM documents d
+    CROSS JOIN generate_series(0, ${AudSamples / 2 - 1}) AS i(i)
+    GROUP BY d.doc_id ORDER BY d.doc_id"""
+
   private val FrameBytes = 16
   private val FrameEvery = 4
 
@@ -416,12 +468,14 @@ object Multimodal {
     // oracle-gated (PCM is lossless)
     "multimodal_audio" -> ((s, dir) => decodeAudio(s, dir)
       .select("doc_id", "rate", "channels", "bits", "n_samples", "sample_sum")
-      .orderBy("doc_id")))
+      .orderBy("doc_id")),
+    "multimodal_resample" -> (resampleAudio(_, _)))
 
   val oracles: Map[String, String] = Map(
     "multimodal_meta" -> multimodalMetaSql,
     "multimodal_resize" -> resizeSql,
     "multimodal_frames" -> frameSampleSql,
     "multimodal_decode" -> decodeSql,
-    "multimodal_audio" -> decodeAudioSql)
+    "multimodal_audio" -> decodeAudioSql,
+    "multimodal_resample" -> resampleAudioSql)
 }

@@ -98,6 +98,19 @@ class SimilaritySpec extends SparkSpec {
       assert(r.getAs[String]("pcm_md5") == md,
         s"doc ${r.getAs[Long]("doc_id")}: decoded samples differ")
     }
+    // decimation: out sample i == in sample 2i, half count, half rate
+    val rs = Multimodal.resampleAudio(spark, sf).collect()
+    assert(rs.length == 500)
+    rs.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      assert(r.getAs[Int]("out_samples") == Multimodal.AudSamples / 2)
+      assert(r.getAs[Int]("out_rate") == 4000)
+      val full = Multimodal.pcmBytes(id)
+      var expect = 0L
+      for (i <- 0 until Multimodal.AudSamples / 2)
+        expect += (((full(4 * i) & 0xff) | (full(4 * i + 1).toInt << 8)).toShort: Long)
+      assert(r.getAs[Long]("out_sample_sum") == expect, s"doc $id")
+    }
   }
 
   test("resize and frame-sample plumbing match the payload geometry") {
