@@ -384,8 +384,103 @@ object TrainPrep {
       < least(1.0, $SqrtK / sqrt(CAST(n AS DOUBLE)))
     ORDER BY doc_id"""
 
+  // ------------------------------------------------- shuffle + sharding
+
+  private val NShards = 8
+
+  /** Deterministic training-order shuffle + sharding: global order is the
+    * md5 of the doc id (a fixed pseudo-random permutation — re-runs and
+    * engine upgrades produce the SAME order), shard = hash mod
+    * [[NShards]], position = rank within the shard. Emitting (shard,
+    * position) makes the training-order contract explicit instead of
+    * relying on file listing order.
+    *
+    * Scale: one shard-keyed shuffle; the per-shard position window sorts
+    * within shards only — no global sort, and shards are the write
+    * parallelism.
+    */
+  def corpusShuffle(s: SparkSession, dir: String): DataFrame = {
+    val h = expr(
+      "cast(conv(substring(md5(concat(cast(doc_id as string), ':sh')), 1, 8), 16, 10) as bigint)")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("h"), col("doc_id"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), h.as("h"))
+      .withColumn("shard", col("h") % NShards)
+      .withColumn("position", row_number().over(w).cast("long"))
+      .select(col("shard"), col("position"), col("doc_id"))
+      .orderBy("shard", "position")
+  }
+
+  val corpusShuffleSql: String = s"""
+    WITH h AS (
+      SELECT doc_id,
+        ('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':sh'), 1, 8))::BIGINT AS h
+      FROM documents)
+    SELECT h % $NShards AS shard,
+      CAST(row_number() OVER (PARTITION BY h % $NShards
+        ORDER BY h, doc_id) AS BIGINT) AS position,
+      doc_id
+    FROM h ORDER BY shard, position"""
+
+  // --------------------------------------------- length-grouped batching
+
+  private val BatchDocs = 16
+
+  /** Length-grouped batching: sort each split's documents by token-ish
+    * length, cut into fixed-size batches of [[BatchDocs]] — neighbours in
+    * a batch have similar lengths, so per-batch padding (max−mean length)
+    * collapses versus random batching. Emits per-batch size stats; the
+    * padding ratio is the audited quantity.
+    *
+    * Scale: one split-keyed shuffle; the length sort is within-split;
+    * batch stats are a map-side-combining aggregate over the batch id.
+    */
+  def batchByLength(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("split")).orderBy(col("n_chars"), col("doc_id"))
+    Tables.documents(s, dir)
+      .select(
+        when(bucketCol < 8, "train").when(bucketCol === 8, "val")
+          .otherwise("test").as("split"),
+        col("doc_id"), col("n_chars"))
+      .withColumn("batch",
+        ((row_number().over(w) - 1) / BatchDocs).cast("long"))
+      .groupBy(col("split"), col("batch"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("n_chars")).as("min_len"),
+        max(col("n_chars")).as("max_len"),
+        sum(col("n_chars")).as("sum_len"))
+      .withColumn("pad_frac", round(
+        (col("max_len") * col("n_docs") - col("sum_len")).cast("double") /
+          (col("max_len") * col("n_docs")).cast("double"), 6))
+      .orderBy("split", "batch")
+  }
+
+  val batchByLengthSql: String = s"""
+    WITH d AS (
+      SELECT CASE WHEN $BucketSql < 8 THEN 'train'
+                  WHEN $BucketSql = 8 THEN 'val'
+                  ELSE 'test' END AS split,
+        doc_id, n_chars
+      FROM documents),
+    b AS (
+      SELECT split, doc_id, n_chars,
+        (row_number() OVER (PARTITION BY split
+           ORDER BY n_chars, doc_id) - 1) // $BatchDocs AS batch
+      FROM d)
+    SELECT split, CAST(batch AS BIGINT) AS batch, count(*) AS n_docs,
+      CAST(min(n_chars) AS BIGINT) AS min_len,
+      CAST(max(n_chars) AS BIGINT) AS max_len,
+      CAST(sum(n_chars) AS BIGINT) AS sum_len,
+      round(CAST(max(n_chars) * count(*) - sum(n_chars) AS DOUBLE)
+        / CAST(max(n_chars) * count(*) AS DOUBLE), 6) AS pad_frac
+    FROM b GROUP BY split, batch ORDER BY split, batch"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "corpus_sqrt_sample" -> (corpusSqrtSample _),
+    "corpus_shuffle" -> (corpusShuffle _),
+    "batch_by_length" -> (batchByLength _),
     "doc_chunking" -> (docChunking _),
     "quality_funnel" -> (qualityFunnel _),
     "corpus_split" -> (corpusSplit _),
@@ -396,6 +491,8 @@ object TrainPrep {
 
   val oracles: Map[String, String] = Map(
     "corpus_sqrt_sample" -> corpusSqrtSampleSql,
+    "corpus_shuffle" -> corpusShuffleSql,
+    "batch_by_length" -> batchByLengthSql,
     "doc_chunking" -> docChunkingSql,
     "quality_funnel" -> qualityFunnelSql,
     "corpus_split" -> corpusSplitSql,

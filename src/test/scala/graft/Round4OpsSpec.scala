@@ -367,4 +367,36 @@ class Round4OpsSpec extends SparkSpec {
         s"source $src: got ${g.length}, expected ~$expect")
     }
   }
+
+  test("corpus_shuffle: a permutation, balanced shards, dense positions") {
+    val rows = operators.TrainPrep.corpusShuffle(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("doc_id")).distinct.length == rows.length)
+    assert(rows.length == Tables.documents(spark, sf).count())
+    rows.groupBy(_.getAs[Long]("shard")).foreach { case (sh, g) =>
+      val pos = g.map(_.getAs[Long]("position")).sorted
+      assert(pos.toSeq == (1L to g.length), s"shard $sh positions not dense")
+      // md5 sharding balances: no shard dominates
+      assert(g.length < rows.length / 2, s"shard $sh holds ${g.length}")
+    }
+  }
+
+  test("batch_by_length: length-sorted batches pad less than random order") {
+    val batches = operators.TrainPrep.batchByLength(spark, sf).collect()
+    assert(batches.nonEmpty)
+    batches.foreach { b =>
+      assert(b.getAs[Long]("min_len") <= b.getAs[Long]("max_len"))
+      assert(b.getAs[Double]("pad_frac") >= 0.0 &&
+        b.getAs[Double]("pad_frac") < 1.0)
+    }
+    // the audited claim: mean padding under length grouping beats the
+    // whole-corpus padding bound (what a single random batch would pay)
+    val docs = Tables.documents(spark, sf).collect()
+      .map(_.getAs[Long]("n_chars"))
+    val randomPad =
+      (docs.max.toDouble * docs.length - docs.sum) /
+        (docs.max.toDouble * docs.length)
+    val meanPad = batches.map(_.getAs[Double]("pad_frac")).sum / batches.length
+    assert(meanPad < randomPad,
+      s"length grouping should cut padding: $meanPad vs $randomPad")
+  }
 }
