@@ -3,6 +3,7 @@ package graft.operators
 import graft.Tables
 import graft.functions.GraftFunctions
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Distributed clustering operators: connected-components over the near-dup
@@ -779,8 +780,148 @@ object Clustering {
     assignCellsFrom(s, dir, c0)
   }
 
+  // ------------------------------------------- IVF on the trained codebook
+
+  private val IvfNProbe = 2
+
+  /** IVF search over the k-means||-trained codebook — §7's "k-means|| as
+    * the default IVF codebook trainer" landed: the coarse quantizer is the
+    * [[PpK]]-seed set the production seeder picks (oversample → cell-weight
+    * → weighted maxmin), inverted lists are the nearest-seed assignment,
+    * and each probe scans only its [[IvfNProbe]] nearest cells. Plan shape
+    * is `Similarity.annIvf`'s — centroids broadcast, assignment one
+    * map-side-combining `min_by` per vector, the rank window confined to
+    * the probe set — with the trained codebook replacing the modulus
+    * sample, so cell populations track the data distribution instead of
+    * vec_id arithmetic. The oracle replays the ENTIRE chain in SQL:
+    * oversampling rounds, weighting, seed selection, cell assignment and
+    * the probed top-k.
+    */
+  def annIvfKmpll(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val qn = qnOf(s, dir)
+    val seedIds = kmeansParallelSeeds(s, dir).select("vec_id")
+    val cents = qn.join(broadcast(seedIds), "vec_id")
+      .select(col("vec_id").as("cid"), col("q").as("cq"), col("n2").as("cn2"))
+    val asg = qn.join(broadcast(cents))
+      .withColumn("d2",
+        col("n2") - lit(2L) * expr("q_dot(q, cq)") + col("cn2"))
+    val cells = asg.groupBy(col("vec_id"))
+      .agg(min_by(col("cid"), struct(col("d2"), col("cid"))).as("cell"),
+        first(col("q")).as("q"), first(col("n2")).as("n2"))
+    val pw = Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("cid"))
+    val probeCells = asg.filter(col("vec_id") % 50 === 0)
+      .withColumn("rn", row_number().over(pw))
+      .filter(col("rn") <= IvfNProbe)
+      .select(col("vec_id").as("probe_id"), col("cid").as("pcell"),
+        col("q").as("pq"), col("n2").as("pn2"))
+    Similarity.topkTail(
+      cells.join(broadcast(probeCells),
+        col("pcell") === col("cell") && col("probe_id") =!= col("vec_id")), k)
+  }
+
+  val annIvfKmpllSql: String = {
+    val k = 5
+    val seedIds = (0 until PpK).map(i => s"SELECT vec_id FROM q$i")
+      .mkString(" UNION ALL ")
+    s"""
+    WITH $KQnSql,
+    $kmeansPllCtesSql,
+    $kmeansPllSeedCtesSql,
+    icents AS MATERIALIZED (
+      SELECT vec_id AS cid, q AS cq, n2 AS cn2 FROM qn
+      WHERE vec_id IN ($seedIds)),
+    iasg AS MATERIALIZED (
+      SELECT vec_id, cid,
+        row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+      FROM (
+        SELECT qn.vec_id, icents.cid,
+          qn.n2 - 2 * CAST(list_sum(list_transform(generate_series(1, len(q)),
+            i -> q[i] * cq[i])) AS BIGINT) + icents.cn2 AS d2
+        FROM qn, icents)),
+    icells AS (SELECT vec_id, cid AS cell FROM iasg WHERE rn = 1),
+    iprobes AS (SELECT vec_id, cid AS cell FROM iasg
+                WHERE vec_id % 50 = 0 AND rn <= $IvfNProbe),
+    ipairs AS (
+      SELECT x.vec_id AS probe_id, y.vec_id AS vec_id, x.n2 AS na, y.n2 AS nb,
+        CAST(list_sum(list_transform(generate_series(1, len(x.q)),
+          i -> x.q[i] * y.q[i])) AS BIGINT) AS dot
+      FROM qn x
+      JOIN iprobes pc ON pc.vec_id = x.vec_id
+      JOIN icells cy ON cy.cell = pc.cell
+      JOIN qn y ON y.vec_id = cy.vec_id AND y.vec_id <> x.vec_id),
+    iscored AS (
+      SELECT probe_id, vec_id, ${Similarity.PairCosSql} AS cos_raw,
+        row_number() OVER (PARTITION BY probe_id
+          ORDER BY ${Similarity.PairCosSql} DESC, vec_id) AS rank
+      FROM ipairs)
+    SELECT probe_id, CAST(rank AS INT) AS rank, vec_id,
+           round(cos_raw, 6) AS cos
+    FROM iscored WHERE rank <= $k ORDER BY probe_id, rank"""
+  }
+
+  // ------------------------------------------------- covariance (whitening)
+
+  private val CovD = 8
+  private val CovPairs: Seq[(Int, Int)] =
+    for (i <- 1 to CovD; j <- i to CovD) yield (i, j)
+
+  /** Exact covariance of the first [[CovD]] embedding dimensions — the
+    * statistic a whitening / PCA stage of an embedding pipeline consumes.
+    * All moments (n, per-dim Σq, per-pair Σq·q) are exact BIGINTs from ONE
+    * map-side-combining aggregation over the corpus scan (no shuffle wider
+    * than a single row); the covariance `(n·Σxy − Σx·Σy) / n²` is then a
+    * fixed IEEE expression over those integers, identical in both engines.
+    * At 100 TB the full d² moment matrix is d(d+1)/2 extra agg columns on
+    * the same single pass — never a second scan.
+    */
+  def embedCovariance(s: SparkSession, dir: String): DataFrame = {
+    val qn = qnOf(s, dir)
+    val moments: Seq[org.apache.spark.sql.Column] =
+      (1 to CovD).map(i => sum(element_at(col("q"), i)).as(s"s$i")) ++
+        CovPairs.map { case (i, j) =>
+          sum(element_at(col("q"), i) * element_at(col("q"), j))
+            .as(s"p${i}_$j")
+        }
+    val st = qn.agg(count(lit(1)).as("n"), moments: _*)
+    val n = col("n").cast("double")
+    val rows = CovPairs.map { case (i, j) =>
+      struct(lit(i).as("i"), lit(j).as("j"),
+        round((col(s"p${i}_$j").cast("double") * n -
+          col(s"s$i").cast("double") * col(s"s$j").cast("double")) / (n * n),
+          6).as("cov"))
+    }
+    st.select(explode(array(rows: _*)).as("e"))
+      .select(col("e.i").as("i"), col("e.j").as("j"), col("e.cov").as("cov"))
+      .orderBy("i", "j")
+  }
+
+  val embedCovarianceSql: String = {
+    val sums = (1 to CovD)
+      .map(i => s"CAST(sum(q[$i]) AS BIGINT) AS s$i").mkString(",\n      ")
+    val prods = CovPairs
+      .map { case (i, j) =>
+        s"CAST(sum(q[$i] * q[$j]) AS BIGINT) AS p${i}_$j"
+      }
+      .mkString(",\n      ")
+    val outs = CovPairs.map { case (i, j) =>
+      s"""SELECT $i AS i, $j AS j,
+        round((CAST(p${i}_$j AS DOUBLE) * CAST(n AS DOUBLE) -
+          CAST(s$i AS DOUBLE) * CAST(s$j AS DOUBLE)) /
+          (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 6) AS cov FROM st"""
+    }.mkString(" UNION ALL ")
+    s"""
+    WITH $KQnSql,
+    st AS (SELECT count(*) AS n,
+      $sums,
+      $prods
+      FROM qn)
+    $outs ORDER BY i, j"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_clusters" -> (dedupClusters(_, _)),
+    "ann_ivf_kmpll" -> (annIvfKmpll(_, _)),
+    "embed_covariance" -> (embedCovariance(_, _)),
     "cc_deep_chain" -> (ccDeepChain _),
     "kmeans_embed" -> (kmeansEmbed(_, _)),
     "kmeans_pp" -> (kmeansPp(_, _)),
@@ -793,6 +934,8 @@ object Clustering {
 
   val oracles: Map[String, String] = Map(
     "dedup_clusters" -> dedupClustersSql,
+    "ann_ivf_kmpll" -> annIvfKmpllSql,
+    "embed_covariance" -> embedCovarianceSql,
     "cc_deep_chain" -> ccDeepChainSql,
     "kmeans_embed" -> kmeansEmbedSql,
     "kmeans_pp" -> kmeansPpSql,

@@ -40,7 +40,7 @@ object CorpusFilters {
   private def grams(docs: DataFrame, n: Int): DataFrame = {
     val ws = split(norm, " ")
     docs.select(col("doc_id"), ws.as("ws"))
-      .filter(size(col("ws")) >= 3)
+      .filter(size(col("ws")) >= math.max(3, n))
       .withColumn("i", explode(sequence(lit(1), size(col("ws")) - (n - 1))))
       .select(col("doc_id"),
         concat_ws(" ", (0 until n).map(k =>
@@ -53,7 +53,7 @@ object CorpusFilters {
           SELECT doc_id, ws, unnest(generate_series(1, len(ws) - ${n - 1})) AS i
           FROM (SELECT doc_id, string_split($normSql, ' ') AS ws
                 FROM documents)
-          WHERE len(ws) >= 3))"""
+          WHERE len(ws) >= ${math.max(3, n)}))"""
   }
 
   /** Per-document repetition signals: total bigram slots, the top bigram's
@@ -105,6 +105,72 @@ object CorpusFilters {
     FROM bstat JOIN tstat USING (doc_id)
     ORDER BY doc_id"""
 
+  // ------------------------------------------------------------ boilerplate
+
+  /** A word [[BoilerN]]-gram present in ≥ [[BoilerDf]] distinct documents
+    * counts as corpus boilerplate (headers, footers, license blurbs — the
+    * signal RefinedWeb-style line-dedup keys on; word n-grams are the
+    * line-free analog for corpora whose text carries no newlines). The df
+    * threshold is an absolute count here because the harness corpus is
+    * fixed-size; at production scale it becomes a per-mille of corpus
+    * cardinality (the df pass already computes the denominator).
+    */
+  private val BoilerN = 3
+  private val BoilerDf = 5
+
+  /** Cross-document boilerplate audit: per document, the number of n-gram
+    * slots, how many are occupied by corpus-boilerplate grams, and the
+    * boilerplate fraction.
+    *
+    * Scale: pass 1 derives each gram's document frequency via
+    * (doc, gram)-distinct then a gram-keyed count — both map-side-combining
+    * aggregations over the exploded gram stream, shuffle-keyed by gram so
+    * no document concentrates anywhere; pass 2 re-joins the stream against
+    * the df-filtered boilerplate set, which shrinks with the threshold
+    * (broadcastable in practice — AQE decides from its measured size).
+    * Documents too short for a 5-gram re-enter through the left join with
+    * zero slots rather than silently dropping.
+    */
+  def corpusBoilerplate(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val g = grams(docs, BoilerN)
+    val boiler = g.select("doc_id", "g").distinct()
+      .groupBy("g").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= BoilerDf)
+      .select(col("g").as("bg"))
+    val perDoc = g.join(boiler, col("g") === col("bg"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"), count(col("bg")).as("n_boiler"))
+    docs.select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_boiler"), lit(0L)).as("n_boiler"),
+        round(when(coalesce(col("n_grams"), lit(0L)) === 0, lit(0.0))
+          .otherwise(col("n_boiler").cast("double") /
+            col("n_grams").cast("double")), 6).as("boiler_frac"))
+      .orderBy("doc_id")
+  }
+
+  val corpusBoilerplateSql: String = s"""
+    WITH boiler AS (
+      SELECT g FROM (
+        SELECT g, count(DISTINCT doc_id) AS df FROM ${gramsSql(BoilerN)} t
+        GROUP BY g)
+      WHERE df >= $BoilerDf),
+    pd AS (
+      SELECT t.doc_id, count(*) AS n_grams, count(b.g) AS n_boiler
+      FROM ${gramsSql(BoilerN)} t LEFT JOIN boiler b ON t.g = b.g
+      GROUP BY t.doc_id)
+    SELECT d.doc_id,
+      coalesce(pd.n_grams, 0) AS n_grams,
+      coalesce(pd.n_boiler, 0) AS n_boiler,
+      round(CASE WHEN coalesce(pd.n_grams, 0) = 0 THEN 0.0
+            ELSE CAST(pd.n_boiler AS DOUBLE) / CAST(pd.n_grams AS DOUBLE) END,
+        6) AS boiler_frac
+    FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id
+    ORDER BY d.doc_id"""
+
   // -------------------------------------------------------- decontamination
 
   /** Documents whose id ≡ 0 (mod 101) stand in for the evaluation set. */
@@ -147,9 +213,11 @@ object CorpusFilters {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_repetition" -> (textRepetition(_, _)),
+    "corpus_boilerplate" -> (corpusBoilerplate(_, _)),
     "decontaminate" -> (decontaminate(_, _)))
 
   val oracles: Map[String, String] = Map(
     "text_repetition" -> textRepetitionSql,
+    "corpus_boilerplate" -> corpusBoilerplateSql,
     "decontaminate" -> decontaminateSql)
 }

@@ -330,8 +330,59 @@ object MergeScenarios {
     FROM merged m JOIN customer ON o_custkey = c_custkey
     ORDER BY o_orderkey"""
 
+  /** Increment-key validation (`bde_TableKeyIsValid`
+    * `sql/02-bde_control_functions.sql.in:2839`; `_bde_GetValidIncrementKey`
+    * `:1538` nulls the key and refuses incremental mode when it fails): the
+    * reference accepts only a single NOT NULL integer/bigint column under a
+    * plain unique index. Parquet has no index catalog, so the audit runs on
+    * the data itself — each candidate column must be integer-typed,
+    * null-free and fully distinct. One corpus scan: the candidates are
+    * exploded into a (column, value) stream and all three statistics come
+    * from one aggregation keyed by column name (distinct-count is exact, as
+    * the reference's uniqueness requirement demands; at 100 TB the shuffle
+    * key is (column, value), so no column concentrates on one task).
+    */
+  private val KeyCandidates = Seq("o_orderkey", "o_uniq", "o_custkey",
+    "o_orderstatus")
+  private val IntCandidates = Seq("o_orderkey", "o_uniq", "o_custkey")
+
+  def validIncKey(s: SparkSession, dir: String): DataFrame = {
+    val c = curC(s, dir)
+    val kv = c.select(explode(array(KeyCandidates.map(n =>
+        struct(lit(n).as("key_column"), col(n).cast("string").as("v"))): _*))
+        .as("kv"))
+      .select(col("kv.key_column").as("key_column"), col("kv.v").as("v"))
+    kv.groupBy("key_column")
+      .agg(count(lit(1)).as("n_rows"),
+        (count(lit(1)) - count(col("v"))).as("n_null"),
+        countDistinct(col("v")).as("n_distinct"))
+      .withColumn("int_type", col("key_column").isin(IntCandidates: _*))
+      .withColumn("is_valid",
+        col("int_type") && col("n_null") === 0 &&
+          col("n_distinct") === col("n_rows"))
+      .orderBy("key_column")
+  }
+
+  val validIncKeySql: String = {
+    val ints = IntCandidates.map("'" + _ + "'").mkString(", ")
+    s"""$Ctes,
+    kv AS (
+      SELECT 'o_orderkey' AS key_column, CAST(o_orderkey AS VARCHAR) AS v FROM cur
+      UNION ALL SELECT 'o_uniq', CAST(o_uniq AS VARCHAR) FROM cur
+      UNION ALL SELECT 'o_custkey', CAST(o_custkey AS VARCHAR) FROM cur
+      UNION ALL SELECT 'o_orderstatus', o_orderstatus FROM cur)
+    SELECT key_column, count(*) AS n_rows,
+      count(*) - count(v) AS n_null,
+      count(DISTINCT v) AS n_distinct,
+      key_column IN ($ints) AS int_type,
+      key_column IN ($ints) AND count(*) = count(v)
+        AND count(DISTINCT v) = count(*) AS is_valid
+    FROM kv GROUP BY key_column ORDER BY key_column"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "table_diff" -> (tableDiff _),
+    "valid_inc_key" -> (validIncKey _),
     "incremental_join" -> (incrementalJoin _),
     "apply_changeset" -> (applyChangeset _),
     "apply_bookkeeping" -> (applyBookkeeping _),
@@ -343,6 +394,7 @@ object MergeScenarios {
 
   val oracles: Map[String, String] = Map(
     "table_diff" -> tableDiffSql,
+    "valid_inc_key" -> validIncKeySql,
     "incremental_join" -> incrementalJoinSql,
     "apply_changeset" -> applyChangesetSql,
     "apply_bookkeeping" -> applyBookkeepingSql,

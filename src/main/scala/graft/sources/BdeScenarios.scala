@@ -179,15 +179,44 @@ object BdeScenarios {
         || ')' AS wkt_fixed
     FROM g ORDER BY o_orderkey"""
 
+  /** Per-table statement generation through [[SqlTemplate]]
+    * (`bde_ExpandTemplate` `sql/02-bde_control_functions.sql.in:2090`; the
+    * reference expands one template per maintained table, e.g. the
+    * `_bde_CreateIncDeletes` insert at `:1695`): one statement per nation
+    * row, every `%i%` marker — including a repeated one — substituted by
+    * the same sequential REPLACE chain the reference runs. Pure codegen
+    * string work on the executors; nothing collects.
+    */
+  private val StmtTemplate =
+    "INSERT INTO %1%_hist SELECT * FROM %1% WHERE n_regionkey = %2% -- ds %3%"
+
+  def templateExpand(s: SparkSession, dir: String): DataFrame =
+    Tables.nation(s, dir).select(
+      col("n_nationkey"),
+      SqlTemplate.expandCol(lit(StmtTemplate),
+        Seq(lower(col("n_name")), col("n_regionkey").cast("string"),
+          lit("20260101000000"))).as("sql_text"))
+      .orderBy("n_nationkey")
+
+  val templateExpandSql: String = s"""
+    SELECT n_nationkey,
+      replace(replace(replace('$StmtTemplate',
+        '%1%', lower(n_name)),
+        '%2%', CAST(n_regionkey AS VARCHAR)),
+        '%3%', '20260101000000') AS sql_text
+    FROM nation ORDER BY n_nationkey"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "bde_read" -> (bdeRead _),
     "bde_select_columns" -> (bdeSelectColumns _),
     "bde_datasets" -> (bdeDatasets _),
-    "bde_spatial_fixup" -> (bdeSpatialFixup _))
+    "bde_spatial_fixup" -> (bdeSpatialFixup _),
+    "template_expand" -> (templateExpand _))
 
   val oracles: Map[String, String] = Map(
     "bde_read" -> bdeReadSql,
     "bde_select_columns" -> bdeSelectColumnsSql,
     "bde_datasets" -> bdeDatasetsSql,
-    "bde_spatial_fixup" -> bdeSpatialFixupSql)
+    "bde_spatial_fixup" -> bdeSpatialFixupSql,
+    "template_expand" -> templateExpandSql)
 }

@@ -1,0 +1,73 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{lit, replace}
+
+/** Positional SQL templating — the reference's `bde_ExpandTemplate` /
+  * `bde_ExecuteTemplate` (`sql/02-bde_control_functions.sql.in:2090,2114`):
+  * `%1%`, `%2%`, … are substituted by sequential REPLACE in parameter
+  * order, and execution returns the statement's row count (the reference's
+  * `GET DIAGNOSTICS ROW_COUNT`). The sequential-replace semantics are
+  * preserved exactly — a parameter value that itself contains a later
+  * `%i%` marker gets re-substituted by that later iteration, as in the
+  * reference — because registered hook templates (see [[Upload]]) were
+  * written against that behavior.
+  */
+object SqlTemplate {
+
+  /** Driver-side expansion for statement templates. */
+  def expand(template: String, params: Seq[String]): String =
+    params.zipWithIndex.foldLeft(template) { case (t, (p, i)) =>
+      t.replace(s"%${i + 1}%", p)
+    }
+
+  /** Column-side expansion: the same sequential REPLACE chain as a codegen
+    * expression, for expanding one template against a column of per-row
+    * parameters (per-table statement generation stays on the executors;
+    * nothing is collected).
+    */
+  def expandCol(template: Column, params: Seq[Column]): Column =
+    params.zipWithIndex.foldLeft(template) { case (t, (p, i)) =>
+      replace(t, lit(s"%${i + 1}%"), p)
+    }
+
+  /** Expand and execute against the session catalog, returning the result
+    * row count. Callers register the frames the statement reads as temp
+    * views first (the reference's hooks read the just-loaded tables the
+    * same way); [[withViews]] scopes that.
+    */
+  def execute(s: SparkSession, template: String,
+              params: Seq[String]): Long =
+    s.sql(expand(template, params)).count()
+
+  /** Run `body` with `views` registered as temp views, dropping them
+    * after — the execution scope a templated hook sees.
+    */
+  def withViews[A](s: SparkSession, views: Map[String, DataFrame])
+                  (body: => A): A = {
+    views.foreach { case (n, df) => df.createOrReplaceTempView(n) }
+    try body
+    finally views.keys.foreach(s.catalog.dropTempView(_))
+  }
+
+  /** A post-load hook that executes a SQL template over the apply's
+    * frames: `current` / `previous` / `incoming` / `actions` are in scope
+    * as temp views (absent ones for a level-0 apply are skipped), and the
+    * parameters derive from the event (table name, dataset, level). The
+    * per-apply row count lands in `counts` keyed by (table, dataset) — the
+    * reference logs the same count per hook execution.
+    */
+  def templateHook(spark: SparkSession, template: String,
+                   counts: scala.collection.mutable.Map[(String, String), Long])
+      : Upload.PostApplyHook = { ev =>
+    val views = Map("current" -> Some(ev.current),
+        "previous" -> ev.previous, "incoming" -> ev.incoming,
+        "actions" -> ev.actions)
+      .collect { case (n, Some(df)) => n -> df }
+    val n = withViews(spark, views) {
+      execute(spark, template,
+        Seq(ev.table, ev.dataset, ev.level.toString))
+    }
+    counts((ev.table, ev.dataset)) = n
+  }
+}

@@ -1,0 +1,73 @@
+package graft
+
+import graft.operators.{Clustering, CorpusFilters, MergeScenarios}
+import org.apache.spark.sql.functions._
+
+/** Round-5 tail additions: increment-key validation (`bde_TableKeyIsValid`),
+  * IVF over the k-means|| codebook, and the cross-document boilerplate
+  * audit.
+  */
+class Round5TailSpec extends SparkSpec {
+
+  test("valid_inc_key accepts unique integer columns and rejects the rest") {
+    val out = MergeScenarios.validIncKey(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getBoolean(4), r.getBoolean(5), r.getLong(1), r.getLong(2),
+          r.getLong(3)))
+      .toMap
+    assert(out.keySet == Set("o_orderkey", "o_uniq", "o_custkey",
+      "o_orderstatus"))
+    // primary key and the synthetic unique column: integer, null-free,
+    // fully distinct — valid increment keys
+    assert(out("o_orderkey")._2 && out("o_uniq")._2)
+    // foreign key: integer but not distinct (many orders per customer)
+    val (custInt, custValid, custRows, _, custDistinct) = out("o_custkey")
+    assert(custInt && !custValid && custDistinct < custRows)
+    // status: not integer-typed, so never a valid key regardless of data
+    assert(!out("o_orderstatus")._1 && !out("o_orderstatus")._2)
+    // null-free audit is exact (the scenario has no nulls at all)
+    assert(out.values.forall(_._4 == 0L))
+  }
+
+  test("ann_ivf_kmpll returns a full ranked top-k per probe") {
+    val df = Clustering.annIvfKmpll(spark, sf)
+    val rows = df.collect()
+    val nProbes = Tables.embeddings(spark, sf)
+      .filter(col("vec_id") % 50 === 0).count()
+    assert(rows.length == nProbes * 5, "k results per probe")
+    val byProbe = rows.groupBy(_.getLong(0))
+    byProbe.values.foreach { rs =>
+      assert(rs.map(_.getInt(1)).sorted.sameElements(1 to 5))
+      val cs = rs.sortBy(_.getInt(1)).map(_.getDouble(3))
+      assert(cs.zip(cs.tail).forall { case (a, b) => a >= b },
+        "cosine non-increasing in rank")
+      assert(cs.forall(c => c >= -1.0001 && c <= 1.0001))
+    }
+    // no probe ever pairs with itself
+    assert(rows.forall(r => r.getLong(0) != r.getLong(2)))
+  }
+
+  test("ann_ivf_kmpll plans broadcasts, no cartesian product") {
+    val p = Clustering.annIvfKmpll(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), "IVF probe must stay cell-keyed")
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 1,
+      "centroids and probe cells ride broadcast joins")
+  }
+
+  test("corpus_boilerplate is bounded, complete and non-vacuous") {
+    val rows = CorpusFilters.corpusBoilerplate(spark, sf).collect()
+    val nDocs = Tables.documents(spark, sf).count()
+    assert(rows.length == nDocs, "short docs re-enter with zero slots")
+    rows.foreach { r =>
+      val (nGrams, nBoiler, frac) =
+        (r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(nBoiler >= 0 && nBoiler <= nGrams)
+      assert(frac >= 0.0 && frac <= 1.0)
+      assert(nGrams > 0 || frac == 0.0)
+    }
+    // the audit must actually flag something on the harness corpus —
+    // a trivially-zero column would make the gate vacuous
+    assert(rows.map(_.getLong(2)).sum > 0, "boilerplate set non-empty")
+  }
+}
