@@ -101,12 +101,14 @@ object Clustering {
     res
   }
 
-  /** Oracle: transitive closure by recursive CTE — min reachable id is the
-    * component label (the graph is undirected: both edge directions are in
-    * `edges`).
+  /** Oracle CTE chain: transitive closure by recursive CTE — min reachable
+    * id is the component label (the graph is undirected: both edge
+    * directions are in `edges`). Ends in `comp(doc_id, cluster)` and
+    * `sizes(cluster, csize)`; shared with the keep-best canonical
+    * selection.
     */
-  val dedupClustersSql: String = s"""
-    WITH RECURSIVE ${Dedup.minhashPairsCtesSql},
+  private[operators] val dedupClustersCtesSql: String = s"""
+    ${Dedup.minhashPairsCtesSql},
     edges AS (
       SELECT id_a AS src, id_b AS dst FROM mh_pairs
       UNION SELECT id_b, id_a FROM mh_pairs),
@@ -115,9 +117,47 @@ object Clustering {
       UNION
       SELECT e.src, r.lab FROM edges e JOIN reach r ON r.id = e.dst),
     comp AS (SELECT id AS doc_id, min(lab) AS cluster FROM reach GROUP BY id),
-    sizes AS (SELECT cluster, count(*) AS csize FROM comp GROUP BY cluster)
+    sizes AS (SELECT cluster, count(*) AS csize FROM comp GROUP BY cluster)"""
+
+  val dedupClustersSql: String = s"""
+    WITH RECURSIVE $dedupClustersCtesSql
     SELECT doc_id, cluster, csize FROM comp JOIN sizes USING (cluster)
     ORDER BY doc_id"""
+
+  /** Canonical selection over the near-dup clusters — the step a dedup
+    * pipeline actually ships: per cluster, KEEP the highest-quality member
+    * (ties broken toward the smallest doc_id) instead of the arbitrary
+    * min-id representative. Composes the propagation components with the
+    * [[TextOps]] quality composite; the winner comes from one
+    * map-side-combining `max_by` per cluster — no window over the corpus,
+    * no driver-side state. At 100 TB the clusters frame is the (small)
+    * duplicate subset; quality joins in on doc_id, the natural partition
+    * key of both sides.
+    */
+  def dedupKeepBest(s: SparkSession, dir: String): DataFrame = {
+    val cl = dedupClusters(s, dir)
+    val q = TextOps.qualityDf(s, dir)
+    cl.join(q, "doc_id")
+      .groupBy(col("cluster"))
+      .agg(
+        max_by(col("doc_id"),
+          struct(col("quality"), (-col("doc_id")).as("nd"))).as("keep_id"),
+        max(col("quality")).as("keep_quality"),
+        first(col("csize")).as("csize"))
+      .orderBy("cluster")
+  }
+
+  val dedupKeepBestSql: String = s"""
+    WITH RECURSIVE $dedupClustersCtesSql,
+    ${TextOps.docQualityCteSql},
+    ranked AS (
+      SELECT comp.cluster, comp.doc_id, dq.quality,
+        row_number() OVER (PARTITION BY comp.cluster
+          ORDER BY dq.quality DESC, comp.doc_id) AS rn
+      FROM comp JOIN dq USING (doc_id))
+    SELECT cluster, doc_id AS keep_id, quality AS keep_quality, csize
+    FROM ranked JOIN sizes USING (cluster)
+    WHERE rn = 1 ORDER BY cluster"""
 
   // ------------------------------------------- pointer-jumping components
 
@@ -920,6 +960,7 @@ object Clustering {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_clusters" -> (dedupClusters(_, _)),
+    "dedup_keep_best" -> (dedupKeepBest _),
     "ann_ivf_kmpll" -> (annIvfKmpll(_, _)),
     "embed_covariance" -> (embedCovariance(_, _)),
     "cc_deep_chain" -> (ccDeepChain _),
@@ -934,6 +975,7 @@ object Clustering {
 
   val oracles: Map[String, String] = Map(
     "dedup_clusters" -> dedupClustersSql,
+    "dedup_keep_best" -> dedupKeepBestSql,
     "ann_ivf_kmpll" -> annIvfKmpllSql,
     "embed_covariance" -> embedCovarianceSql,
     "cc_deep_chain" -> ccDeepChainSql,

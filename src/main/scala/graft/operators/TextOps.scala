@@ -87,6 +87,35 @@ object TextOps {
     FROM d ORDER BY doc_id"""
   }
 
+  /** Just `(doc_id, quality)` — the [[textQuality]] composite (same
+    * formula, kept in sync) as a joinable frame for downstream canonical
+    * selection ([[Clustering]]'s keep-best dedup).
+    */
+  private[operators] def qualityDf(s: SparkSession, dir: String): DataFrame = {
+    val nWords = size(words)
+    val punctRatio =
+      length(regexp_replace(lower(col("text")), "[a-z0-9\\s]", ""))
+        .cast("double") / length(col("text"))
+    val stopRatio = hits(Stoplists.en).cast("double") / nWords
+    Tables.documents(s, dir).select(col("doc_id"),
+      round(least(lit(1.0), nWords.cast("double") / 100.0)
+        * (lit(1.0) - punctRatio) * (lit(0.5) + lit(0.5) * stopRatio), 6)
+        .as("quality"))
+  }
+
+  /** Oracle twin of [[qualityDf]]: CTE `dq(doc_id, quality)`. */
+  private[operators] val docQualityCteSql: String = {
+    val stop = hitsSql(Stoplists.en)
+    s"""dq AS (
+      SELECT doc_id,
+        round(least(1.0, CAST(len(ws) AS DOUBLE) / 100.0)
+          * (1.0 - CAST(length(regexp_replace(lower(text), '[a-z0-9\\s]', '', 'g'))
+              AS DOUBLE) / length(text))
+          * (0.5 + 0.5 * (CAST($stop AS DOUBLE) / len(ws))), 6) AS quality
+      FROM (SELECT doc_id, text, string_split($normSql, ' ') AS ws
+            FROM documents))"""
+  }
+
   // ----------------------------------------------------------------- tokens
 
   /** Token counting two ways: whitespace words and a BPE-ish regex lex

@@ -55,6 +55,27 @@ class Round5TailSpec extends SparkSpec {
       "centroids and probe cells ride broadcast joins")
   }
 
+  test("dedup_keep_best keeps the top-quality member of every cluster") {
+    val clusters = Clustering.dedupClusters(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val quality = operators.TextOps.textQuality(spark, sf)
+      .select("doc_id", "quality")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val best = Clustering.dedupKeepBest(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getLong(3))))
+      .toMap
+    assert(best.keySet == clusters.map(_._2).toSet, "one row per cluster")
+    clusters.groupBy(_._2).foreach { case (c, members) =>
+      val (keepId, keepQ, csize) = best(c)
+      assert(members.exists(_._1 == keepId), "keeper is a member")
+      assert(csize == members.length)
+      val top = members.map(m => (quality(m._1), -m._1))
+        .max(Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.Long))
+      assert(keepId == -top._2 && keepQ == top._1,
+        s"cluster $c keeps max quality with min-id tie-break")
+    }
+  }
+
   test("corpus_boilerplate is bounded, complete and non-vacuous") {
     val rows = CorpusFilters.corpusBoilerplate(spark, sf).collect()
     val nDocs = Tables.documents(spark, sf).count()
