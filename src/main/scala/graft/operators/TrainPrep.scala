@@ -423,6 +423,50 @@ object TrainPrep {
       doc_id
     FROM h ORDER BY shard, position"""
 
+  // --------------------------------------------- stratified fixed-k sample
+
+  private val StratK = 10
+
+  /** Stratified fixed-quota sampling: exactly [[StratK]] documents per
+    * source stratum (fewer when the stratum is smaller), chosen by a
+    * deterministic md5 rank — the "equal representation" counterpart of
+    * the probability samplers ([[corpusSqrtSample]] flattens a skewed mix
+    * but keeps size proportional to √n; this pins the per-stratum size
+    * exactly, e.g. for eval-set construction). Stable under corpus
+    * growth: a document's rank never changes, so adding data can only
+    * displace ranks at the boundary.
+    *
+    * Scale: one stratum-keyed shuffle; the rank window sorts within
+    * strata only and Spark trims it map-side (WindowGroupLimit pushes
+    * `rn <= k` below the shuffle), so no stratum's full membership ever
+    * materializes on one task.
+    */
+  def corpusStratifiedK(s: SparkSession, dir: String): DataFrame = {
+    val rk = expr(
+      "substring(md5(concat(cast(doc_id as string), ':strat')), 1, 16)")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("rk"), col("doc_id"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), rk.as("rk"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= StratK)
+      .select(col("source"), col("rn"), col("doc_id"))
+      .orderBy("source", "rn")
+  }
+
+  val corpusStratifiedKSql: String = s"""
+    WITH r AS (
+      SELECT doc_id, source,
+        substring(md5(CAST(doc_id AS VARCHAR) || ':strat'), 1, 16) AS rk
+      FROM documents),
+    ranked AS (
+      SELECT source, doc_id,
+        CAST(row_number() OVER (PARTITION BY source ORDER BY rk, doc_id)
+          AS BIGINT) AS rn
+      FROM r)
+    SELECT source, rn, doc_id FROM ranked
+    WHERE rn <= $StratK ORDER BY source, rn"""
+
   // --------------------------------------------- length-grouped batching
 
   private val BatchDocs = 16
@@ -479,6 +523,7 @@ object TrainPrep {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "corpus_sqrt_sample" -> (corpusSqrtSample _),
+    "corpus_stratified_k" -> (corpusStratifiedK _),
     "corpus_shuffle" -> (corpusShuffle _),
     "batch_by_length" -> (batchByLength _),
     "doc_chunking" -> (docChunking _),
@@ -491,6 +536,7 @@ object TrainPrep {
 
   val oracles: Map[String, String] = Map(
     "corpus_sqrt_sample" -> corpusSqrtSampleSql,
+    "corpus_stratified_k" -> corpusStratifiedKSql,
     "corpus_shuffle" -> corpusShuffleSql,
     "batch_by_length" -> batchByLengthSql,
     "doc_chunking" -> docChunkingSql,

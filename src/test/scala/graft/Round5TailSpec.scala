@@ -76,6 +76,27 @@ class Round5TailSpec extends SparkSpec {
     }
   }
 
+  test("corpus_stratified_k draws an exact per-stratum quota, trimmed map-side") {
+    val df = operators.TrainPrep.corpusStratifiedK(spark, sf)
+    val rows = df.collect()
+    val strata = Tables.documents(spark, sf)
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = rows.groupBy(_.getString(0)).view.mapValues(_.length).toMap
+    strata.foreach { case (src, n) =>
+      assert(got(src) == math.min(n, 10L), s"quota for $src")
+    }
+    // quota members are distinct docs with dense ranks 1..k
+    rows.groupBy(_.getString(0)).values.foreach { rs =>
+      assert(rs.map(_.getLong(2)).distinct.length == rs.length)
+      assert(rs.map(_.getLong(1)).sorted.sameElements(1L to rs.length))
+    }
+    // the rank trim runs below the shuffle too (partial WindowGroupLimit)
+    val plan = df.queryExecution.executedPlan.toString
+    assert("WindowGroupLimit".r.findAllIn(plan).length >= 2,
+      "partial + final window group limit expected")
+  }
+
   test("corpus_boilerplate is bounded, complete and non-vacuous") {
     val rows = CorpusFilters.corpusBoilerplate(spark, sf).collect()
     val nDocs = Tables.documents(spark, sf).count()
