@@ -455,7 +455,107 @@ object Multimodal {
     FROM f WHERE frame_idx % $FrameEvery = 0
     ORDER BY doc_id, frame_idx"""
 
+  // ------------------------------------------------------- perceptual hash
+
+  /** Average-hash (aHash) image near-dup detection over the REAL decode
+    * path: each PNG is decoded with `javax.imageio`, its 24×16 pixels
+    * reduced to an 8×8 grid of exact 3×2-block luma sums, and bit k set
+    * iff `blockSum·64 > totalSum` (strict integer compare — no float, no
+    * mean rounding). The 64 bits ship as two BIGINT halves (bit 63 never
+    * touches the sign). Images whose id ≡ 0 (mod 9) get an exact byte-copy
+    * planted under id+100000, so hash groups of size ≥ 2 must appear and
+    * the gate is non-vacuous.
+    *
+    * Scale: the hash is computed inside the same batched `mapPartitions`
+    * as the decoder — one pass over the payload bytes, no pixel rows ever
+    * materialize in the plan; the dedup groupBy shuffles 16 bytes per
+    * image. The oracle re-derives every pixel from the generator
+    * arithmetic and must land on identical halves (PNG losslessness end
+    * to end).
+    */
+  def phashImages(s: SparkSession, dir: String,
+                  batchSize: Int = 64): DataFrame = {
+    import s.implicits._
+    val base = withImagePayload(s, dir)
+    val planted = base.filter(col("doc_id") % 9 === 0)
+      .select((col("doc_id") + 100000L).as("doc_id"), col("payload"))
+    val hashed = base.unionByName(planted)
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.grouped(batchSize).flatMap { batch =>
+          batch.iterator.map { case (id, bytes) =>
+            val img = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(bytes))
+            val (w, h) = (img.getWidth, img.getHeight)
+            val (bw, bh) = (w / 8, h / 8)
+            val bsum = new Array[Long](64)
+            var total = 0L
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val p = img.getRGB(x, y)
+                val lum = ((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)
+                bsum((y / bh) * 8 + (x / bw)) += lum
+                total += lum
+                x += 1
+              }
+              y += 1
+            }
+            var hi = 0L
+            var lo = 0L
+            var k = 0
+            while (k < 64) {
+              if (bsum(k) * 64L > total) {
+                if (k < 32) lo |= 1L << k else hi |= 1L << (k - 32)
+              }
+              k += 1
+            }
+            (id, hi, lo)
+          }
+        }
+      }
+      .toDF("doc_id", "hash_hi", "hash_lo")
+    hashed.groupBy(col("hash_hi"), col("hash_lo"))
+      .agg(count(lit(1)).as("n_images"), min(col("doc_id")).as("rep_id"))
+      .orderBy("hash_hi", "hash_lo", "rep_id")
+  }
+
+  val phashSql: String = s"""
+    WITH ids AS (
+      SELECT doc_id, doc_id AS gen_id FROM documents
+      UNION ALL
+      SELECT doc_id + 100000, doc_id FROM documents WHERE doc_id % 9 = 0),
+    px AS (
+      SELECT ids.doc_id, (y.i // ${ImgH / 8}) * 8 + (x.i // ${ImgW / 8}) AS k,
+        (gen_id * 31 + x.i * 7 + y.i * 13) % 256
+        + (gen_id * 17 + x.i * 11 + y.i * 3) % 256
+        + (gen_id * 5 + x.i * 13 + y.i * 29) % 256 AS lum
+      FROM ids
+      CROSS JOIN generate_series(0, ${ImgW - 1}) AS x(i)
+      CROSS JOIN generate_series(0, ${ImgH - 1}) AS y(i)),
+    bs AS (SELECT doc_id, k, CAST(sum(lum) AS BIGINT) AS bsum
+           FROM px GROUP BY 1, 2),
+    tot AS (SELECT doc_id, CAST(sum(bsum) AS BIGINT) AS total
+            FROM bs GROUP BY 1),
+    bits AS (
+      SELECT bs.doc_id, k,
+        CASE WHEN bsum * 64 > total THEN 1 ELSE 0 END AS bit
+      FROM bs JOIN tot USING (doc_id)),
+    hashes AS (
+      SELECT doc_id,
+        CAST(sum(CASE WHEN k >= 32 AND bit = 1
+          THEN (CAST(1 AS BIGINT) << (k - 32)) ELSE 0 END) AS BIGINT)
+          AS hash_hi,
+        CAST(sum(CASE WHEN k < 32 AND bit = 1
+          THEN (CAST(1 AS BIGINT) << k) ELSE 0 END) AS BIGINT) AS hash_lo
+      FROM bits GROUP BY doc_id)
+    SELECT hash_hi, hash_lo, count(*) AS n_images, min(doc_id) AS rep_id
+    FROM hashes GROUP BY 1, 2 ORDER BY hash_hi, hash_lo, rep_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "multimodal_phash" -> (phashImages(_, _)),
     "multimodal_meta" -> (multimodalMeta _),
     "multimodal_resize" -> (resizeImages(_, _)),
     "multimodal_frames" -> (frameSample _),
@@ -472,6 +572,7 @@ object Multimodal {
     "multimodal_resample" -> (resampleAudio(_, _)))
 
   val oracles: Map[String, String] = Map(
+    "multimodal_phash" -> phashSql,
     "multimodal_meta" -> multimodalMetaSql,
     "multimodal_resize" -> resizeSql,
     "multimodal_frames" -> frameSampleSql,

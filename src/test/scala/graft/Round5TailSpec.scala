@@ -97,6 +97,21 @@ class Round5TailSpec extends SparkSpec {
       "partial + final window group limit expected")
   }
 
+  test("multimodal_phash groups planted byte-copies with their originals") {
+    val rows = operators.Multimodal.phashImages(spark, sf).collect()
+    val nDocs = Tables.documents(spark, sf).count()
+    val nPlanted = Tables.documents(spark, sf)
+      .filter(col("doc_id") % 9 === 0).count()
+    assert(rows.map(_.getLong(2)).sum == nDocs + nPlanted,
+      "every image lands in exactly one hash group")
+    // a planted copy (id+100000) decodes to its base's pixels, so it can
+    // NEVER be a group representative (the base id is smaller and must
+    // share the hash)
+    assert(rows.forall(_.getLong(3) < 100000L), "no planted id is a rep")
+    assert(rows.exists(_.getLong(2) >= 2), "dup groups exist")
+    assert(rows.length < nDocs + nPlanted, "hashing actually groups")
+  }
+
   test("corpus_boilerplate is bounded, complete and non-vacuous") {
     val rows = CorpusFilters.corpusBoilerplate(spark, sf).collect()
     val nDocs = Tables.documents(spark, sf).count()
