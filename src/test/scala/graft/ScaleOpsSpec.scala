@@ -74,6 +74,45 @@ class ScaleOpsSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("AQE splits a skewed join partition at runtime") {
+    // SURVEY §4: salting handles PLANNED skew; AQE's skew-join handles the
+    // skew you didn't predict — prove the runtime re-plan actually fires
+    val saved = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.enabled")
+      .map(k => k -> spark.conf.getOption(k))
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", -1)
+      // tiny thresholds so the harness-sized hot key counts as skewed
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.0")
+      spark.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "1KB")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1KB")
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      // ~87% of a 16x-amplified lineitem lands on key 0
+      val big = Tables.lineitem(spark, sf)
+        .crossJoin(spark.range(16).toDF("rep"))
+        .select(when(col("l_orderkey") % 8 < 7, 0L)
+          .otherwise(col("l_orderkey")).as("k"), col("l_quantity"))
+      val dim = spark.range(0, 50000, 1, 4).toDF("k")
+        .withColumn("label", concat(lit("g"), col("k") % 5))
+      val j = big.join(dim, "k")
+      // materialize THIS execution (count() would plan a separate one and
+      // leave j's adaptive plan unexecuted)
+      assert(j.collect().length > 0)
+      val plan = j.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      assert(plan.contains("skew=true"),
+        s"AQE skew handling expected in final plan:\n${plan.take(1200)}")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("BDE level-0 + level-5 file flow end to end") {
     val tmp = s"${sys.props("java.io.tmpdir")}/graft-bde-e2e"
     val k = col("o_orderkey")
