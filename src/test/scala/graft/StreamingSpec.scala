@@ -229,6 +229,39 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("watermark drops events arriving beyond the lateness bound") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val events = input.toDF().toDF("ts", "event_type", "value")
+    val query = WindowCounts.streamingCounts(events)
+      .writeStream.format("memory").queryName("late_drop")
+      .outputMode(OutputMode.Update).start()
+    try {
+      def ts(s: String) = java.sql.Timestamp.valueOf(s)
+      input.addData((ts("2024-01-01 10:05:00"), "a", 1.0),
+        (ts("2024-01-01 20:00:00"), "b", 1.0))
+      // after this batch the 2h watermark sits at 18:00
+      query.processAllAvailable()
+      input.addData(
+        (ts("2024-01-01 10:10:00"), "a", 5.0), // beyond the bound → dropped
+        (ts("2024-01-01 20:05:00"), "b", 1.0)) // on time → counted
+      query.processAllAvailable()
+      val perWin = spark.table("late_drop")
+        .groupBy("win_start", "event_type")
+        .agg(max("n").as("n"), max("sum_value").as("sv"))
+        .collect()
+        .map(r => (r.getAs[java.sql.Timestamp]("win_start").toString,
+          r.getString(1)) -> ((r.getAs[Long]("n"), r.getAs[Double]("sv"))))
+        .toMap
+      // the hour-10 window never saw the late event: count and sum frozen
+      assert(perWin(("2024-01-01 10:00:00.0", "a")) == ((1L, 1.0)),
+        "late event must be dropped, not aggregated")
+      assert(perWin(("2024-01-01 20:00:00.0", "b"))._1 == 2L,
+        "on-time events keep flowing")
+    } finally query.stop()
+  }
+
   test("stream top-k: counting layer streams, rank layer matches batch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
