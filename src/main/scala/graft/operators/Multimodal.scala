@@ -473,54 +473,62 @@ object Multimodal {
     * arithmetic and must land on identical halves (PNG losslessness end
     * to end).
     */
-  def phashImages(s: SparkSession, dir: String,
-                  batchSize: Int = 64): DataFrame = {
-    import s.implicits._
-    val base = withImagePayload(s, dir)
-    val planted = base.filter(col("doc_id") % 9 === 0)
-      .select((col("doc_id") + 100000L).as("doc_id"), col("payload"))
-    val hashed = base.unionByName(planted)
-      .as[(Long, Array[Byte])]
-      .mapPartitions { it =>
-        javax.imageio.ImageIO.setUseCache(false)
-        it.grouped(batchSize).flatMap { batch =>
-          batch.iterator.map { case (id, bytes) =>
-            val img = javax.imageio.ImageIO.read(
-              new java.io.ByteArrayInputStream(bytes))
-            val (w, h) = (img.getWidth, img.getHeight)
-            val (bw, bh) = (w / 8, h / 8)
-            val bsum = new Array[Long](64)
-            var total = 0L
-            var y = 0
-            while (y < h) {
-              var x = 0
-              while (x < w) {
-                val p = img.getRGB(x, y)
-                val lum = ((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)
-                bsum((y / bh) * 8 + (x / bw)) += lum
-                total += lum
-                x += 1
+  /** Per-image aHash halves `(doc_id, hash_hi, hash_lo)` — shared by the
+    * dup-group gate and the banded hamming pair search; memoized because
+    * both gates decode the same payload frame.
+    */
+  private[graft] def phashesOf(s: SparkSession, dir: String,
+                                   batchSize: Int = 64): DataFrame =
+    graft.Memo.cached(s, "mm_phashes", dir) {
+      import s.implicits._
+      val base = withImagePayload(s, dir)
+      val planted = base.filter(col("doc_id") % 9 === 0)
+        .select((col("doc_id") + 100000L).as("doc_id"), col("payload"))
+      base.unionByName(planted)
+        .as[(Long, Array[Byte])]
+        .mapPartitions { it =>
+          javax.imageio.ImageIO.setUseCache(false)
+          it.grouped(batchSize).flatMap { batch =>
+            batch.iterator.map { case (id, bytes) =>
+              val img = javax.imageio.ImageIO.read(
+                new java.io.ByteArrayInputStream(bytes))
+              val (w, h) = (img.getWidth, img.getHeight)
+              val (bw, bh) = (w / 8, h / 8)
+              val bsum = new Array[Long](64)
+              var total = 0L
+              var y = 0
+              while (y < h) {
+                var x = 0
+                while (x < w) {
+                  val p = img.getRGB(x, y)
+                  val lum = ((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)
+                  bsum((y / bh) * 8 + (x / bw)) += lum
+                  total += lum
+                  x += 1
+                }
+                y += 1
               }
-              y += 1
-            }
-            var hi = 0L
-            var lo = 0L
-            var k = 0
-            while (k < 64) {
-              if (bsum(k) * 64L > total) {
-                if (k < 32) lo |= 1L << k else hi |= 1L << (k - 32)
+              var hi = 0L
+              var lo = 0L
+              var k = 0
+              while (k < 64) {
+                if (bsum(k) * 64L > total) {
+                  if (k < 32) lo |= 1L << k else hi |= 1L << (k - 32)
+                }
+                k += 1
               }
-              k += 1
+              (id, hi, lo)
             }
-            (id, hi, lo)
           }
         }
-      }
-      .toDF("doc_id", "hash_hi", "hash_lo")
-    hashed.groupBy(col("hash_hi"), col("hash_lo"))
+        .toDF("doc_id", "hash_hi", "hash_lo")
+    }
+
+  def phashImages(s: SparkSession, dir: String): DataFrame =
+    phashesOf(s, dir)
+      .groupBy(col("hash_hi"), col("hash_lo"))
       .agg(count(lit(1)).as("n_images"), min(col("doc_id")).as("rep_id"))
       .orderBy("hash_hi", "hash_lo", "rep_id")
-  }
 
   val phashSql: String = s"""
     WITH ids AS (
@@ -554,8 +562,96 @@ object Multimodal {
     SELECT hash_hi, hash_lo, count(*) AS n_images, min(doc_id) AS rep_id
     FROM hashes GROUP BY 1, 2 ORDER BY hash_hi, hash_lo, rep_id"""
 
+  private val PhashMaxHamming = 3
+
+  /** Banded hamming near-dup pair search over the aHash table: the 64-bit
+    * hash splits into four 16-bit bands, candidate pairs share at least one
+    * band (equi-join — by pigeonhole, any pair within hamming ≤ 3 MUST
+    * agree on one of the 4 bands, so the blocking is lossless for this
+    * radius), and the exact hamming distance
+    * `bit_count(hi⊕hi) + bit_count(lo⊕lo)` filters candidates. The planted
+    * byte-copies surface as hamming-0 pairs.
+    *
+    * Scale: identical shape to the text LSH band join — band-keyed
+    * shuffle, per-band candidate lists, popcount verify in codegen; never
+    * an all-pairs comparison.
+    */
+  def phashPairs(s: SparkSession, dir: String): DataFrame = {
+    val hs = phashesOf(s, dir)
+    val bands = hs.select(col("doc_id"), col("hash_hi"), col("hash_lo"),
+      explode(array(
+        struct(lit(0).as("band"), (col("hash_lo") bitwiseAND 65535L).as("bv")),
+        struct(lit(1).as("band"),
+          (shiftright(col("hash_lo"), 16) bitwiseAND 65535L).as("bv")),
+        struct(lit(2).as("band"), (col("hash_hi") bitwiseAND 65535L).as("bv")),
+        struct(lit(3).as("band"),
+          (shiftright(col("hash_hi"), 16) bitwiseAND 65535L).as("bv"))))
+        .as("b"))
+      .select(col("doc_id"), col("hash_hi"), col("hash_lo"),
+        col("b.band").as("band"), col("b.bv").as("bv"))
+    val a = bands.select(col("doc_id").as("id_a"), col("hash_hi").as("hi_a"),
+      col("hash_lo").as("lo_a"), col("band"), col("bv"))
+    val b = bands.select(col("doc_id").as("id_b"), col("hash_hi").as("hi_b"),
+      col("hash_lo").as("lo_b"), col("band"), col("bv"))
+    a.join(b, Seq("band", "bv"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (expr("bit_count(hi_a ^ hi_b)") + expr("bit_count(lo_a ^ lo_b)"))
+          .cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= PhashMaxHamming)
+      .orderBy("id_a", "id_b")
+  }
+
+  val phashPairsSql: String = s"""
+    WITH ids AS (
+      SELECT doc_id, doc_id AS gen_id FROM documents
+      UNION ALL
+      SELECT doc_id + 100000, doc_id FROM documents WHERE doc_id % 9 = 0),
+    px AS (
+      SELECT ids.doc_id, (y.i // ${ImgH / 8}) * 8 + (x.i // ${ImgW / 8}) AS k,
+        (gen_id * 31 + x.i * 7 + y.i * 13) % 256
+        + (gen_id * 17 + x.i * 11 + y.i * 3) % 256
+        + (gen_id * 5 + x.i * 13 + y.i * 29) % 256 AS lum
+      FROM ids
+      CROSS JOIN generate_series(0, ${ImgW - 1}) AS x(i)
+      CROSS JOIN generate_series(0, ${ImgH - 1}) AS y(i)),
+    bs AS (SELECT doc_id, k, CAST(sum(lum) AS BIGINT) AS bsum
+           FROM px GROUP BY 1, 2),
+    tot AS (SELECT doc_id, CAST(sum(bsum) AS BIGINT) AS total
+            FROM bs GROUP BY 1),
+    bits AS (
+      SELECT bs.doc_id, k,
+        CASE WHEN bsum * 64 > total THEN 1 ELSE 0 END AS bit
+      FROM bs JOIN tot USING (doc_id)),
+    hashes AS (
+      SELECT doc_id,
+        CAST(sum(CASE WHEN k >= 32 AND bit = 1
+          THEN (CAST(1 AS BIGINT) << (k - 32)) ELSE 0 END) AS BIGINT)
+          AS hash_hi,
+        CAST(sum(CASE WHEN k < 32 AND bit = 1
+          THEN (CAST(1 AS BIGINT) << k) ELSE 0 END) AS BIGINT) AS hash_lo
+      FROM bits GROUP BY doc_id),
+    bands AS (
+      SELECT doc_id, hash_hi, hash_lo, u.band,
+        CASE u.band
+          WHEN 0 THEN hash_lo & 65535
+          WHEN 1 THEN (hash_lo >> 16) & 65535
+          WHEN 2 THEN hash_hi & 65535
+          ELSE (hash_hi >> 16) & 65535 END AS bv
+      FROM hashes, UNNEST(generate_series(0, 3)) AS u(band)),
+    cand AS (
+      SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b,
+        CAST(bit_count(xor(x.hash_hi, y.hash_hi))
+          + bit_count(xor(x.hash_lo, y.hash_lo)) AS BIGINT) AS hamming
+      FROM bands x JOIN bands y
+        ON x.band = y.band AND x.bv = y.bv AND x.doc_id < y.doc_id)
+    SELECT id_a, id_b, hamming FROM cand
+    WHERE hamming <= $PhashMaxHamming ORDER BY id_a, id_b"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "multimodal_phash" -> (phashImages(_, _)),
+    "multimodal_phash_pairs" -> (phashPairs _),
     "multimodal_meta" -> (multimodalMeta _),
     "multimodal_resize" -> (resizeImages(_, _)),
     "multimodal_frames" -> (frameSample _),
@@ -573,6 +669,7 @@ object Multimodal {
 
   val oracles: Map[String, String] = Map(
     "multimodal_phash" -> phashSql,
+    "multimodal_phash_pairs" -> phashPairsSql,
     "multimodal_meta" -> multimodalMetaSql,
     "multimodal_resize" -> resizeSql,
     "multimodal_frames" -> frameSampleSql,

@@ -112,6 +112,30 @@ class Round5TailSpec extends SparkSpec {
     assert(rows.length < nDocs + nPlanted, "hashing actually groups")
   }
 
+  test("multimodal_phash_pairs: banded blocking is lossless within the radius") {
+    val hs = operators.Multimodal.phashesOf(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val got = operators.Multimodal.phashPairs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // brute-force all pairs within hamming <= 3 over the collected hashes
+    val want = (for {
+      i <- hs.indices.iterator
+      j <- (i + 1) until hs.length
+      d = java.lang.Long.bitCount(hs(i)._2 ^ hs(j)._2) +
+        java.lang.Long.bitCount(hs(i)._3 ^ hs(j)._3)
+      if d <= 3
+    } yield {
+      val (x, y) = (hs(i)._1 min hs(j)._1, hs(i)._1 max hs(j)._1)
+      (x, y) -> d.toLong
+    }).toMap
+    assert(got == want, "band join must find EXACTLY the in-radius pairs")
+    // every planted byte-copy surfaces as a hamming-0 pair
+    val planted = hs.map(_._1).filter(id => id < 100000 && id % 9 == 0)
+    planted.foreach { b =>
+      assert(got.get((b, b + 100000)).contains(0L), s"planted pair of $b")
+    }
+  }
+
   test("corpus_boilerplate is bounded, complete and non-vacuous") {
     val rows = CorpusFilters.corpusBoilerplate(spark, sf).collect()
     val nDocs = Tables.documents(spark, sf).count()
