@@ -546,6 +546,41 @@ object Similarity {
            round(cos_raw, 6) AS cos
     FROM scored WHERE rank <= $k ORDER BY probe_id, rank"""
 
+  // ------------------------------------------------------- recall audit
+
+  /** Recall\@k of the LSH path against the exact brute-force top-k — the
+    * measurement an ANN deployment watches when tuning tables/planes (the
+    * recall knob): per probe, how many of the true top-k the bucketed
+    * search returned. Composes the two existing plans (both share the
+    * memoized quantized frame); the audit join is per-(probe, candidate)
+    * keyed, output one row per probe. At scale this runs over a probe
+    * SAMPLE — the exact side is the expensive one, and the sample size
+    * bounds it.
+    */
+  def annRecall(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val exact = annTopk(s, dir, k).select(col("probe_id"), col("vec_id"))
+    val approx = annLsh(s, dir, k)
+      .select(col("probe_id").as("p2"), col("vec_id").as("v2"))
+    exact.join(approx,
+        col("probe_id") === col("p2") && col("vec_id") === col("v2"), "left")
+      .groupBy(col("probe_id"))
+      .agg(count(col("v2")).as("hits"), count(lit(1)).as("k"))
+      .select(col("probe_id"), col("hits"), col("k"),
+        round(col("hits").cast("double") / col("k").cast("double"), 6)
+          .as("recall"))
+      .orderBy("probe_id")
+  }
+
+  def annRecallSql(k: Int = 5): String = s"""
+    WITH ex AS (${annTopkSql(k)}),
+    ap AS (${annLshSql(k)})
+    SELECT ex.probe_id, count(ap.vec_id) AS hits, count(*) AS k,
+      round(CAST(count(ap.vec_id) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+        AS recall
+    FROM ex LEFT JOIN ap
+      ON ex.probe_id = ap.probe_id AND ex.vec_id = ap.vec_id
+    GROUP BY ex.probe_id ORDER BY ex.probe_id"""
+
   // --------------------------------------------- product quantization (ANN)
 
   private val PqM = 8   // subspaces
@@ -947,6 +982,7 @@ object Similarity {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_embedding" -> (dedupEmbedding(_, _)),
     "ann_topk" -> (annTopk(_, _)),
+    "ann_recall" -> (annRecall(_, _)),
     "ann_lsh" -> (annLsh(_, _)),
     "ann_lsh_multi" -> (annLshMulti(_, _)),
     "ann_ivf" -> (annIvf(_, _)),
@@ -962,6 +998,7 @@ object Similarity {
   val oracles: Map[String, String] = Map(
     "dedup_embedding" -> dedupEmbeddingSql,
     "ann_topk" -> annTopkSql(),
+    "ann_recall" -> annRecallSql(),
     "ann_lsh" -> annLshSql(),
     "ann_lsh_multi" -> annLshMultiSql(),
     "ann_ivf" -> annIvfSql(),

@@ -136,6 +136,26 @@ class Round5TailSpec extends SparkSpec {
     }
   }
 
+  test("ann_recall equals overlap of the LSH result with exact ground truth") {
+    val exact = operators.Similarity.annTopk(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val approx = operators.Similarity.annLsh(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val audit = operators.Similarity.annRecall(spark, sf).collect()
+    assert(audit.map(_.getLong(0)).toSet == exact.keySet,
+      "one audit row per probe")
+    audit.foreach { r =>
+      val (p, hits, k, recall) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+      val want = exact(p).intersect(approx.getOrElse(p, Set.empty)).size
+      assert(hits == want && k == exact(p).size)
+      assert(recall >= 0.0 && recall <= 1.0)
+      assert(math.abs(recall - hits.toDouble / k) < 1e-9)
+    }
+  }
+
   test("corpus_boilerplate is bounded, complete and non-vacuous") {
     val rows = CorpusFilters.corpusBoilerplate(spark, sf).collect()
     val nDocs = Tables.documents(spark, sf).count()
