@@ -242,6 +242,78 @@ object TrainPrep {
       round(CAST(c12 AS DOUBLE) / CAST(c1 AS DOUBLE), 6) AS p
     FROM ranked WHERE rn = 1 ORDER BY w1"""
 
+  // ------------------------------------------------------- LM coverage
+
+  /** A bigram is "in the LM" when the corpus saw it ≥ [[LmCovMin]] times;
+    * docs bucket head / middle / tail by the fraction of their bigram
+    * slots the LM covers.
+    */
+  private val LmCovMin = 30
+  private val LmHead = 0.7
+  private val LmMiddle = 0.5
+
+  /** CCNet-shaped LM bucketing with an exact statistic: per document, the
+    * fraction of bigram slots covered by the corpus bigram LM, bucketed
+    * head/middle/tail. CCNet buckets by LM *perplexity*; coverage is the
+    * rational-arithmetic stand-in that keeps the gate hash-exact (log/exp
+    * differ by ulps across libms — the BM25 lesson) while ranking docs by
+    * the same "how expected is this text" signal.
+    *
+    * Scale: pass 1 builds the LM — (bigram)-keyed counts, threshold-
+    * filtered so the surviving table is vocabulary-sized and broadcasts;
+    * pass 2 re-probes the bigram stream against it (broadcast semi-probe,
+    * no corpus shuffle) and aggregates per doc. Bucketing happens on the
+    * ROUNDED coverage in both engines so boundary docs can't split on
+    * representation.
+    */
+  def lmCoverage(s: SparkSession, dir: String): DataFrame = {
+    val ws = split(norm, " ")
+    val g = Tables.documents(s, dir)
+      .select(col("doc_id"), ws.as("ws"))
+      .filter(size(col("ws")) >= 2)
+      .withColumn("i", explode(sequence(lit(1), size(col("ws")) - 1)))
+      .select(col("doc_id"), element_at(col("ws"), col("i")).as("w1"),
+        element_at(col("ws"), col("i") + 1).as("w2"))
+    val lm = g.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c12"))
+      .filter(col("c12") >= LmCovMin)
+      .select(col("w1"), col("w2"), lit(1L).as("hit"))
+    g.join(broadcast(lm), Seq("w1", "w2"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), count(col("hit")).as("n_in_lm"))
+      .withColumn("coverage",
+        round(col("n_in_lm").cast("double") / col("n_bigrams").cast("double"),
+          6))
+      .withColumn("bucket",
+        when(col("coverage") >= LmHead, "head")
+          .when(col("coverage") >= LmMiddle, "middle")
+          .otherwise("tail"))
+      .orderBy("doc_id")
+  }
+
+  val lmCoverageSql: String = s"""
+    WITH g AS (
+      SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2 FROM (
+        SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 1)) AS i
+        FROM (SELECT doc_id, string_split($normSql, ' ') AS ws FROM documents)
+        WHERE len(ws) >= 2)),
+    lm AS (
+      SELECT w1, w2 FROM g GROUP BY w1, w2 HAVING count(*) >= $LmCovMin),
+    pd AS (
+      SELECT g.doc_id, count(*) AS n_bigrams, count(lm.w1) AS n_in_lm
+      FROM g LEFT JOIN lm ON g.w1 = lm.w1 AND g.w2 = lm.w2
+      GROUP BY g.doc_id),
+    cov AS (
+      SELECT doc_id, n_bigrams, n_in_lm,
+        round(CAST(n_in_lm AS DOUBLE) / CAST(n_bigrams AS DOUBLE), 6)
+          AS coverage
+      FROM pd)
+    SELECT doc_id, n_bigrams, n_in_lm, coverage,
+      CASE WHEN coverage >= $LmHead THEN 'head'
+           WHEN coverage >= $LmMiddle THEN 'middle'
+           ELSE 'tail' END AS bucket
+    FROM cov ORDER BY doc_id"""
+
   // ------------------------------------------------------------ chunking
 
   /** Chunk size / stride in tokens (overlap = ChunkLen − ChunkStride). */
@@ -532,6 +604,7 @@ object TrainPrep {
     "vocab_build" -> (vocabBuild _),
     "oov_rate" -> (oovRate _),
     "tfidf_topk" -> (tfidfTopk _),
+    "lm_coverage" -> (lmCoverage _),
     "text_bigram_lm" -> (textBigramLm _))
 
   val oracles: Map[String, String] = Map(
@@ -545,5 +618,6 @@ object TrainPrep {
     "vocab_build" -> vocabBuildSql,
     "oov_rate" -> oovRateSql,
     "tfidf_topk" -> tfidfTopkSql,
+    "lm_coverage" -> lmCoverageSql,
     "text_bigram_lm" -> textBigramLmSql)
 }

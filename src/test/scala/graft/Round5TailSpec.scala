@@ -156,6 +156,22 @@ class Round5TailSpec extends SparkSpec {
     }
   }
 
+  test("lm_coverage buckets docs by exact bigram-LM coverage") {
+    val rows = operators.TrainPrep.lmCoverage(spark, sf).collect()
+    val nDocs = Tables.documents(spark, sf).count()
+    assert(rows.length == nDocs)
+    rows.foreach { r =>
+      val (n, in, cov, bucket) =
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getString(4))
+      assert(in <= n && cov >= 0.0 && cov <= 1.0)
+      val want = if (cov >= 0.7) "head" else if (cov >= 0.5) "middle" else "tail"
+      assert(bucket == want)
+    }
+    // the buckets actually separate the harness corpus
+    val buckets = rows.map(_.getString(4)).distinct.toSet
+    assert(buckets.size >= 2, s"expected spread across buckets, got $buckets")
+  }
+
   test("corpus_boilerplate is bounded, complete and non-vacuous") {
     val rows = CorpusFilters.corpusBoilerplate(spark, sf).collect()
     val nDocs = Tables.documents(spark, sf).count()
