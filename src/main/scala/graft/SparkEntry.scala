@@ -35,6 +35,7 @@ object SparkEntry {
       operators.VersionedScenarios.queries ++
       sources.BdeScenarios.queries ++
       sources.UploadScenarios.queries ++
+      sources.ResumeScenarios.queries ++
       sources.JsonlCorpus.queries ++
       sources.OrcCorpus.queries ++
       sources.CsvCorpus.queries ++
@@ -69,6 +70,7 @@ object SparkEntry {
       operators.VersionedScenarios.oracles ++
       sources.BdeScenarios.oracles ++
       sources.UploadScenarios.oracles ++
+      sources.ResumeScenarios.oracles ++
       sources.JsonlCorpus.oracles ++
       sources.OrcCorpus.oracles ++
       sources.CsvCorpus.oracles ++

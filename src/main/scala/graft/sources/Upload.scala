@@ -18,6 +18,14 @@ case class UploadedTable(
     bookkeeping: DataFrame,
     countChecks: DataFrame)
 
+/** Persisted upload state a later run resumes from: the published current
+  * table plus the name of the last dataset it reflects — the minimum the
+  * reference keeps between runs (the live table + `bde_LastUploadStats`'s
+  * last-dataset bookkeeping) so `GetLevel5Updates` (`BdeUpload.pm:653`)
+  * can apply only datasets newer than the stored state.
+  */
+final case class UploadSeed(current: DataFrame, lastDataset: String)
+
 /** Everything one apply knew, handed to registered post-load hooks — the
   * Spark-side seam for the reference's registered SQL functions
   * (`bde_ApplyPostLevel0Functions` / `bde_ApplyPostUploadFunctions` run
@@ -74,6 +82,43 @@ object Upload {
     */
   type PostApplyHook = ApplyEvent => Unit
 
+  private val MetaFile = "_LAST_DATASET"
+
+  /** Publish one table's post-run state through [[ManifestStore]] so a
+    * later run can [[seedFrom]] it: the table parquet under `data/` plus a
+    * tiny last-dataset marker, both inside the staged version directory —
+    * neither is visible until the manifest rename commits. This is the
+    * persistence the reference gets from PostgreSQL for free (the live
+    * table survives between runs); on a lake store it is an explicit
+    * publish, and the atomic pointer makes a crashed run invisible.
+    */
+  def publishState(table: DataFrame, lastDataset: String,
+                   storeRoot: String): String = {
+    val s = table.sparkSession
+    ManifestStore.publishWith(s, storeRoot) { dir =>
+      table.write.mode("overwrite").parquet(s"$dir/data")
+      val fs = new Path(dir)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      val out = fs.create(new Path(dir, MetaFile), true)
+      try out.write(s"$lastDataset\n".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    }
+  }
+
+  /** Resolve the newest published state under `storeRoot` as an
+    * [[UploadSeed]] — the read side of [[publishState]].
+    */
+  def seedFrom(s: SparkSession, storeRoot: String): UploadSeed = {
+    val (_, dir) = ManifestStore.currentVersion(s, storeRoot).getOrElse(
+      sys.error(s"Upload.seedFrom: nothing published under $storeRoot"))
+    val fs = new Path(dir).getFileSystem(s.sparkContext.hadoopConfiguration)
+    val in = fs.open(new Path(dir, MetaFile))
+    val last =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+      finally in.close()
+    UploadSeed(s.read.parquet(s"$dir/data"), last)
+  }
+
   /** Run the upload loop for every data table in `tables` (the parsed
     * registry). Returns per-table results keyed by table name.
     *
@@ -85,18 +130,31 @@ object Upload {
     *    `bde_ApplyPostLevel0Functions`);
     *  - `postUpload` — once per table after its last apply (the reference's
     *    `bde_ApplyPostUploadFunctions`).
+    *
+    * `seeds` resumes a table from previously published state (the
+    * reference's normal daily mode: level-5 updates against the PREVIOUSLY
+    * UPLOADED table — `GetLevel5Updates`, `BdeUpload.pm:653`;
+    * `bde_ApplyLevel5Update` reads the live table,
+    * `sql/02-bde_control_functions.sql.in:1576`). A seeded table applies
+    * only datasets newer than the seed's last dataset; a level-0 newer
+    * than the seed supersedes it (the reference always prefers the newest
+    * full snapshot). `l5_only` tables REQUIRE a seed — they have no
+    * level-0 era to replay. The seed itself is not an apply of this run:
+    * no hook fires for it and no bookkeeping row is recorded (run #1
+    * already recorded its applies).
     */
   def run(spark: SparkSession, repoRoot: String, tables: Seq[BdeTableDef],
           policy: BdeErrorPolicy = BdeErrorPolicy(),
           postApply: Seq[PostApplyHook] = Nil,
           postLevel0: Seq[PostApplyHook] = Nil,
-          postUpload: Seq[PostApplyHook] = Nil): Map[String, UploadedTable] = {
+          postUpload: Seq[PostApplyHook] = Nil,
+          seeds: Map[String, UploadSeed] = Map.empty): Map[String, UploadedTable] = {
     val conf = spark.sparkContext.hadoopConfiguration
     val datasets = BdeRepository.datasets(repoRoot, conf)
     val changeDef = tables.find(_.levels.contains("C"))
     tables.filterNot(_.levels.contains("C"))
       .map(t => t.name -> runTable(spark, datasets, t, changeDef, policy,
-        postApply, postLevel0, postUpload))
+        postApply, postLevel0, postUpload, seeds.get(t.name)))
       .toMap
   }
 
@@ -113,41 +171,60 @@ object Upload {
                        policy: BdeErrorPolicy,
                        postApply: Seq[PostApplyHook] = Nil,
                        postLevel0: Seq[PostApplyHook] = Nil,
-                       postUpload: Seq[PostApplyHook] = Nil): UploadedTable = {
-    // an l5_only table has no level-0 to start from: the reference errors
-    // ("no previous upload") unless prior state exists — here that means
-    // seeding the run with a persisted table, which this loop doesn't do
-    if (!t.levels.contains("0"))
-      throw new IllegalStateException(
-        s"table ${t.name} is l5_only: incremental loads need a previously " +
-          "uploaded table (persist the level-0 era result and seed with it)")
-    val l0 = datasets
-      .filter(d => d.level == 0 && filesFor(d, t).nonEmpty)
-      .lastOption
-      .getOrElse(throw new IllegalStateException(
-        s"no level-0 dataset carries files for table ${t.name}"))
+                       postUpload: Seq[PostApplyHook] = Nil,
+                       seed: Option[UploadSeed] = None): UploadedTable = {
+    // a level-0 newer than the seed supersedes it — the reference always
+    // loads the newest full snapshot when one exists (GetLevel0Updates
+    // picks it before GetLevel5Updates runs, `BdeUpload.pm:612`)
+    val l0opt =
+      if (!t.levels.contains("0")) None
+      else datasets
+        .filter(d => d.level == 0 && filesFor(d, t).nonEmpty)
+        .filter(d => seed.forall(_.lastDataset < d.name))
+        .lastOption
+    val (startCur, startDs, startLevel) = l0opt match {
+      case Some(l0) =>
+        (BdeReader.read(spark, filesFor(l0, t), None, policy), l0.name, 0)
+      case None =>
+        // an l5_only table has no level-0 to start from: the reference
+        // errors ("no previous upload") unless prior state exists — here
+        // that means a seed published by the previous run
+        val sd = seed.getOrElse(throw new IllegalStateException(
+          if (!t.levels.contains("0"))
+            s"table ${t.name} is l5_only: incremental loads need a " +
+              "previously uploaded table (publish the prior run's state " +
+              "via Upload.publishState and pass it in seeds)"
+          else s"no level-0 dataset carries files for table ${t.name}"))
+        (sd.current, sd.lastDataset, 5)
+    }
     var later5 = datasets.filter(d =>
-      d.level == 5 && d.name > l0.name && t.levels.contains("5") &&
+      d.level == 5 && d.name > startDs && t.levels.contains("5") &&
         filesFor(d, t).nonEmpty)
     // level5_is_full tables treat each L5 file as a complete snapshot, so
     // only the newest matters (GetLevel5Updates keeps just the last)
     if (t.level5IsFull) later5 = later5.takeRight(1)
 
-    var cur = BdeReader.read(spark, filesFor(l0, t), None, policy).cache()
+    var cur = startCur.cache()
     val key = t.keyColumn.getOrElse(cur.columns.head)
     val keyType = cur.schema(key).dataType
 
     var rev = 1
     var snapshots = List(rev -> cur)
-    // a fresh level-0 load is all inserts (reference records it as such)
-    var book = Merge.bookkeeping(
-      cur.select(lit("I").as(Merge.Action)), l0.name, t.name)
+    // a fresh level-0 load is all inserts (reference records it as such);
+    // a seed's applies were recorded by the run that published it, so a
+    // seeded run's bookkeeping starts empty (zero-row if nothing applies)
+    var book: DataFrame =
+      if (startLevel == 0)
+        Merge.bookkeeping(cur.select(lit("I").as(Merge.Action)), startDs, t.name)
+      else null
     val l0n = cur.count()
-    var checks = checksRow(spark, s"${t.name}@${l0.name}", l0n, l0n)
+    val startCheck =
+      if (startLevel == 0) s"${t.name}@$startDs" else s"${t.name}@seed:$startDs"
+    var checks = checksRow(spark, startCheck, l0n, l0n)
     var before = l0n
 
-    var lastEvent = ApplyEvent(t.name, l0.name, 0, None, None, None, cur)
-    (postApply ++ postLevel0).foreach(_(lastEvent))
+    var lastEvent = ApplyEvent(t.name, startDs, startLevel, None, None, None, cur)
+    if (startLevel == 0) (postApply ++ postLevel0).foreach(_(lastEvent))
 
     later5.foreach { ds =>
       val incoming = BdeReader.read(spark, filesFor(ds, t),
@@ -172,7 +249,7 @@ object Upload {
       cur = merged.cache()
       rev += 1
       snapshots = snapshots :+ (rev -> cur)
-      book = book.unionByName(bk)
+      book = if (book == null) bk else book.unionByName(bk)
       val after = cur.count()
       checks = checks.unionByName(
         checksRow(spark, s"${t.name}@${ds.name}", before, after))
@@ -186,6 +263,11 @@ object Upload {
     val graded = Merge.rowCountChecks(checks,
       warnTol = t.rowTolWarning.getOrElse(1.0),
       errTol = t.rowTolError.getOrElse(1.0))
+    // a seeded run with zero new datasets still reports a (zeroed)
+    // bookkeeping frame so the result shape is uniform
+    if (book == null)
+      book = Merge.bookkeeping(
+        cur.limit(0).select(lit("I").as(Merge.Action)), startDs, t.name)
     UploadedTable(cur, Versioned.build(snapshots, key), book, graded)
   }
 }

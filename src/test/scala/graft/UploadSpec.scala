@@ -158,6 +158,100 @@ class UploadSpec extends SparkSpec {
     assert(e.getMessage.contains("l5_only"))
   }
 
+  // ------------------------------------------- persisted-state resume
+
+  private def putD2(root: String): Unit = {
+    put(s"$root/level_5/20240103000000/xaud.crs",
+      """TABLE cbe_data
+        |COLUMN id integer NOT NULL
+        |COLUMN tablename varchar NOT NULL
+        |COLUMN tablekeyvalue integer NOT NULL
+        |COLUMN action char NOT NULL
+        |COLUMN timestamp datetime NOT NULL
+        |{CRS-DATA}
+        |1|orders|8|I|2024-01-03 00:00:01|
+        |2|orders|3|U|2024-01-03 00:00:01|
+        |3|orders|1|D|2024-01-03 00:00:01|
+        |""")
+    put(s"$root/level_5/20240103000000/ord.crs",
+      """TABLE orders
+        |COLUMN id bigint NOT NULL
+        |COLUMN v varchar NULL
+        |COLUMN price double NULL
+        |{CRS-DATA}
+        |8|h|80.0|
+        |3|c|31.0|
+        |""")
+  }
+
+  test("seeded resume run matches the single uninterrupted run") {
+    // full run: D0 + D1 + D2 in one process
+    val rootFull = mkRepo(); putD2(rootFull)
+    val full = Upload.run(spark, rootFull, BdeConfig.parseTables(Config))
+    // run #1: D0 + D1 only, publish its state
+    val rootA = mkRepo()
+    val store = Files.createTempDirectory("graft-resume-store").toString
+    val r1 = Upload.run(spark, rootA, BdeConfig.parseTables(Config))
+    Upload.publishState(r1("orders").current, "20240102000000", store)
+    // run #2: a repo holding ONLY the later D2, table registered l5_only
+    val rootB = Files.createTempDirectory("graft-resume-b").toString
+    putD2(rootB)
+    val seed = Upload.seedFrom(spark, store)
+    assert(seed.lastDataset == "20240102000000")
+    val cfg2 = BdeConfig.parseTables("""
+      TABLE l5_change_table               files xaud
+      TABLE orders  l5_only  key=id      files ord
+    """)
+    val r2 = Upload.run(spark, rootB, cfg2, seeds = Map("orders" -> seed))
+    val got = r2("orders").current.collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getDouble(2))).toMap
+    val want = full("orders").current.collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getDouble(2))).toMap
+    assert(got == want)
+    // run #2's bookkeeping covers exactly the one new dataset
+    val bk = r2("orders").bookkeeping.collect()
+      .map(r => r.getAs[String]("dataset") ->
+        (r.getAs[Long]("n_insert"), r.getAs[Long]("n_update"),
+          r.getAs[Long]("n_null_update"), r.getAs[Long]("n_delete"))).toMap
+    assert(bk == Map("20240103000000" -> ((1L, 1L, 0L, 1L))))
+    // versioned history: rev 1 = the seed, diff 1→2 = the D2 changes
+    val d = operators.Versioned.diff(r2("orders").versioned, 1, 2, "id")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(d == Map(8L -> "I", 3L -> "U", 1L -> "D"))
+  }
+
+  test("a level-0 newer than the seed supersedes it") {
+    val root = mkRepo()
+    val unseeded = Upload.run(spark, root, BdeConfig.parseTables(Config))
+    // a stale seed (pre-D0 timestamp, deliberately wrong content) must be
+    // ignored: the newest level-0 snapshot wins, as in GetLevel0Updates
+    import spark.implicits._
+    val bogus = Seq((99L, "z", 0.0)).toDF("id", "v", "price")
+    val seeded = Upload.run(spark, root, BdeConfig.parseTables(Config),
+      seeds = Map("orders" -> UploadSeed(bogus, "20231231000000")))
+    assert(seeded("orders").current.collect().map(_.getLong(0)).sorted.toSeq ==
+      unseeded("orders").current.collect().map(_.getLong(0)).sorted.toSeq)
+  }
+
+  test("seeded run with no newer datasets returns the seed, zero bookkeeping") {
+    val rootB = Files.createTempDirectory("graft-resume-empty").toString
+    putD2(rootB)
+    import spark.implicits._
+    val seedDf = Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("id", "v", "price")
+    val cfg2 = BdeConfig.parseTables("""
+      TABLE l5_change_table               files xaud
+      TABLE orders  l5_only  key=id      files ord
+    """)
+    // seed is AT the only available dataset — nothing newer to apply
+    val r = Upload.run(spark, rootB, cfg2,
+      seeds = Map("orders" -> UploadSeed(seedDf, "20240103000000")))
+    assert(r("orders").current.collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(1L, 2L))
+    val bk = r("orders").bookkeeping.collect()
+    assert(bk.length == 1 && bk.head.getAs[Long]("n_insert") == 0L &&
+      bk.head.getAs[Long]("n_delete") == 0L)
+  }
+
   test("job lock: single writer, stale locks broken, withLock releases") {
     val dir = Files.createTempDirectory("graft-lock").toString
     assert(JobLock.acquire(dir, "job-a", ttlMs = 60000))
