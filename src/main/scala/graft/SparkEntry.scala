@@ -33,6 +33,7 @@ object SparkEntry {
       operators.GraphOps.queries ++
       operators.Multimodal.queries ++
       operators.VersionedScenarios.queries ++
+      operators.DatasetRevScenarios.queries ++
       sources.BdeScenarios.queries ++
       sources.UploadScenarios.queries ++
       sources.ResumeScenarios.queries ++
@@ -68,6 +69,7 @@ object SparkEntry {
       operators.GraphOps.oracles ++
       operators.Multimodal.oracles ++
       operators.VersionedScenarios.oracles ++
+      operators.DatasetRevScenarios.oracles ++
       sources.BdeScenarios.oracles ++
       sources.UploadScenarios.oracles ++
       sources.ResumeScenarios.oracles ++

@@ -77,6 +77,34 @@ class VersionedSpec extends SparkSpec {
     }
   }
 
+  test("dataset bracketing: every table reconstructs consistently at every dataset") {
+    import graft.operators.DatasetRev
+    val (da, db, dc) = ("20240101000000", "20240102000000", "20240103000000")
+    val revOf = DatasetRev.revisionMap(Seq(dc, da, db)) // order-insensitive
+    assert(revOf == Map(da -> 1, db -> 2, dc -> 3))
+    // table A changes in all three datasets; table B skips the middle one
+    val a1 = df(Seq(1L -> "a", 2L -> "x"), 1)
+    val a2 = df(Seq(1L -> "a", 2L -> "y"), 2)
+    val a3 = df(Seq(1L -> "b", 2L -> "y", 3L -> "n"), 3)
+    val b1 = df(Seq(10L -> "p", 11L -> "q"), 1)
+    val b3 = df(Seq(10L -> "p2"), 3)
+    val storeA = DatasetRev.buildBracketed(
+      Seq(da -> a1, db -> a2, dc -> a3), revOf, "id")
+    val storeB = DatasetRev.buildBracketed(Seq(da -> b1, dc -> b3), revOf, "id")
+    def at(store: org.apache.spark.sql.DataFrame, d: String) =
+      DatasetRev.atDataset(store, revOf, d).collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toSet
+    // as of each dataset, BOTH tables answer from the same revision number:
+    // A shows its per-dataset applies, B spans the dataset it skipped
+    assert(at(storeA, da) == Set(1L -> "a", 2L -> "x"))
+    assert(at(storeA, db) == Set(1L -> "a", 2L -> "y"))
+    assert(at(storeA, dc) == Set(1L -> "b", 2L -> "y", 3L -> "n"))
+    assert(at(storeB, da) == Set(10L -> "p", 11L -> "q"))
+    assert(at(storeB, db) == Set(10L -> "p", 11L -> "q"),
+      "a table untouched by a dataset must span its revision unchanged")
+    assert(at(storeB, dc) == Set(10L -> "p2"))
+  }
+
   test("vacuum keeps every revision at or after retention reconstructable") {
     val store = Versioned.build(
       Seq(1 -> VersionedScenarios.r1(spark, sf),
