@@ -128,8 +128,8 @@ object CorpusFilters {
     * no document concentrates anywhere; pass 2 re-joins the stream against
     * the df-filtered boilerplate set, which shrinks with the threshold
     * (broadcastable in practice — AQE decides from its measured size).
-    * Documents too short for a 5-gram re-enter through the left join with
-    * zero slots rather than silently dropping.
+    * Documents too short for a [[BoilerN]]-gram re-enter through the left
+    * join with zero slots rather than silently dropping.
     */
   def corpusBoilerplate(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)

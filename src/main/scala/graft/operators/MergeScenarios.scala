@@ -344,10 +344,21 @@ object MergeScenarios {
     */
   private val KeyCandidates = Seq("o_orderkey", "o_uniq", "o_custkey",
     "o_orderstatus")
+  // the oracle's EXPECTED integer columns; the Spark side derives the same
+  // set from the live schema (below), as the reference reads the catalog
   private val IntCandidates = Seq("o_orderkey", "o_uniq", "o_custkey")
 
   def validIncKey(s: SparkSession, dir: String): DataFrame = {
     val c = curC(s, dir)
+    // int_type from the actual DataFrame schema — the analog of the
+    // reference reading pg_attribute/format_type — so the type leg of the
+    // audit observes the real table; the SQL oracle pins the expected set
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    val intCols = c.schema.fields.collect {
+      case f if KeyCandidates.contains(f.name) &&
+        Seq(ByteType, ShortType, IntegerType, LongType).contains(f.dataType) =>
+        f.name
+    }.toSeq
     val kv = c.select(explode(array(KeyCandidates.map(n =>
         struct(lit(n).as("key_column"), col(n).cast("string").as("v"))): _*))
         .as("kv"))
@@ -356,7 +367,7 @@ object MergeScenarios {
       .agg(count(lit(1)).as("n_rows"),
         (count(lit(1)) - count(col("v"))).as("n_null"),
         countDistinct(col("v")).as("n_distinct"))
-      .withColumn("int_type", col("key_column").isin(IntCandidates: _*))
+      .withColumn("int_type", col("key_column").isin(intCols: _*))
       .withColumn("is_valid",
         col("int_type") && col("n_null") === 0 &&
           col("n_distinct") === col("n_rows"))

@@ -502,7 +502,9 @@ object Multimodal {
                 while (x < w) {
                   val p = img.getRGB(x, y)
                   val lum = ((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)
-                  bsum((y / bh) * 8 + (x / bw)) += lum
+                  // clamp: for w or h not a multiple of 8 the trailing
+                  // pixels fold into block 7 instead of indexing past it
+                  bsum(math.min(7, y / bh) * 8 + math.min(7, x / bw)) += lum
                   total += lum
                   x += 1
                 }

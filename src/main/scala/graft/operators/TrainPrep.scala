@@ -505,8 +505,9 @@ object TrainPrep {
     * the probability samplers ([[corpusSqrtSample]] flattens a skewed mix
     * but keeps size proportional to √n; this pins the per-stratum size
     * exactly, e.g. for eval-set construction). Stable under corpus
-    * growth: a document's rank never changes, so adding data can only
-    * displace ranks at the boundary.
+    * growth: the md5 sort key is stable per document (ranks themselves
+    * shift when new documents sort earlier), so only documents near the
+    * quota boundary can enter or leave the sample.
     *
     * Scale: one stratum-keyed shuffle; the rank window sorts within
     * strata only and Spark trims it map-side (WindowGroupLimit pushes

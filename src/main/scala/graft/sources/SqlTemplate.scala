@@ -35,10 +35,42 @@ object SqlTemplate {
     * row count. Callers register the frames the statement reads as temp
     * views first (the reference's hooks read the just-loaded tables the
     * same way); [[withViews]] scopes that.
+    *
+    * QUERY-ONLY contract, enforced: the returned count is the result-set
+    * size of a SELECT. The reference's `GET DIAGNOSTICS ROW_COUNT` also
+    * covers DML, but Spark command DataFrames carry no affected-row count,
+    * so executing an INSERT/UPDATE/DELETE/DDL here would silently return a
+    * meaningless value — we reject the statement at parse time instead.
+    * Mutation in graft hooks goes through the typed seams
+    * ([[Upload.PostApplyHook]] frames, [[ParquetSink]]), not SQL DML.
     */
   def execute(s: SparkSession, template: String,
-              params: Seq[String]): Long =
-    s.sql(expand(template, params)).count()
+              params: Seq[String]): Long = {
+    val sql = expand(template, params)
+    val plan = s.sessionState.sqlParser.parsePlan(sql)
+    val kind = plan.getClass.getSimpleName
+    val isDml =
+      plan.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Command] ||
+        Set("InsertIntoStatement", "DeleteFromTable", "UpdateTable",
+          "MergeIntoTable").contains(kind)
+    require(!isDml,
+      s"SqlTemplate.execute is query-only ($kind is a command/DML " +
+        "statement): Spark reports no affected-row count for DML, so the " +
+        "reference's ROW_COUNT contract cannot be honored — use the typed " +
+        "hook seams for mutation")
+    s.sql(sql).count()
+  }
+
+  /** The reference's `bde_ExecuteSqlArray`
+    * (`sql/02-bde_control_functions.sql.in:2451`): hooks register ARRAYS of
+    * templated statements, executed in order against the same parameters.
+    * Returns the per-statement row counts; a failure in statement i aborts
+    * the remainder (the reference raises through `bde_ExecuteTemplate` the
+    * same way).
+    */
+  def executeAll(s: SparkSession, templates: Seq[String],
+                 params: Seq[String]): Seq[Long] =
+    templates.map(execute(s, _, params))
 
   /** Run `body` with `views` registered as temp views, dropping them
     * after — the execution scope a templated hook sees.
@@ -69,5 +101,26 @@ object SqlTemplate {
         Seq(ev.table, ev.dataset, ev.level.toString))
     }
     counts((ev.table, ev.dataset)) = n
+  }
+
+  /** Array form of [[templateHook]] — the reference registers hook bodies
+    * as statement ARRAYS (`bde_ExecuteSqlArray`); each statement's count is
+    * recorded under its position, as the reference logs one count per
+    * executed statement.
+    */
+  def templateArrayHook(spark: SparkSession, templates: Seq[String],
+      counts: scala.collection.mutable.Map[(String, String, Int), Long])
+      : Upload.PostApplyHook = { ev =>
+    val views = Map("current" -> Some(ev.current),
+        "previous" -> ev.previous, "incoming" -> ev.incoming,
+        "actions" -> ev.actions)
+      .collect { case (n, Some(df)) => n -> df }
+    val ns = withViews(spark, views) {
+      executeAll(spark, templates,
+        Seq(ev.table, ev.dataset, ev.level.toString))
+    }
+    ns.zipWithIndex.foreach { case (n, i) =>
+      counts((ev.table, ev.dataset, i)) = n
+    }
   }
 }

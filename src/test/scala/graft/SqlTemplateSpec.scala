@@ -127,6 +127,49 @@ class SqlTemplateSpec extends SparkSpec {
     assert(counts(("orders", "20240102000000")) == finalN)
   }
 
+  test("execute rejects DML/DDL — the ROW_COUNT contract is query-only") {
+    val orders = Tables.orders(spark, sf)
+    SqlTemplate.withViews(spark, Map("cur_orders" -> orders)) {
+      Seq(
+        "INSERT INTO %1% VALUES (1)",
+        "DELETE FROM %1% WHERE o_orderkey = 1",
+        "UPDATE %1% SET o_orderkey = 2 WHERE o_orderkey = 1",
+        "DROP TABLE %1%",
+        "CREATE TABLE t_nope (x INT)").foreach { t =>
+        val e = intercept[IllegalArgumentException] {
+          SqlTemplate.execute(spark, t, Seq("cur_orders"))
+        }
+        assert(e.getMessage.contains("query-only"), s"template: $t")
+      }
+    }
+    // and nothing was created or dropped by the rejected statements
+    assert(!spark.catalog.tableExists("t_nope"))
+  }
+
+  test("executeAll runs a statement array in order with per-statement counts") {
+    // the reference's bde_ExecuteSqlArray (sql/02:2451): one hook, an
+    // ARRAY of templated statements, one logged count each
+    val root = UploadSpecHarness.mkRepo(spark)
+    val counts = scala.collection.mutable.Map[(String, String, Int), Long]()
+    val hook = SqlTemplate.templateArrayHook(spark, Seq(
+      "SELECT * FROM current -- %1% %2% %3%",
+      "SELECT * FROM current WHERE id % 2 = 0",
+      "SELECT count(*) FROM current"), counts)
+    val result = Upload.run(spark, root,
+      BdeConfig.parseTables(UploadSpecHarness.Config), postApply = Seq(hook))
+    // each apply recorded exactly 3 counts, one per statement position
+    val datasets = counts.keySet.map(_._2)
+    assert(datasets == Set("20240101000000", "20240102000000"))
+    datasets.foreach { d =>
+      assert(counts.keySet.filter(_._2 == d).map(_._3) == Set(0, 1, 2), d)
+    }
+    val cur = result("orders").current
+    assert(counts(("orders", "20240102000000", 0)) == cur.count())
+    assert(counts(("orders", "20240102000000", 1)) ==
+      cur.filter(col("id") % 2 === 0).count())
+    assert(counts(("orders", "20240102000000", 2)) == 1L)
+  }
+
   test("embed_covariance matches a local recomputation and is symmetric-complete") {
     val out = Clustering.embedCovariance(spark, sf).collect()
       .map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
