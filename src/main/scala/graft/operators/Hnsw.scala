@@ -267,15 +267,67 @@ object Hnsw {
   val hnswSearchSql: String = searchSql(1)
   val hnswSearchBeamSql: String = searchSql(Ef)
 
+  /** Recall\@[[K]] of the navigable search against the exact brute-force
+    * top-[[K]] — the measurement that justifies the `ef` knob: per probe,
+    * how many of the true top-k the greedy descent found vs the beam
+    * descent. The audit composes three existing plans (exact, greedy,
+    * beam — all sharing the memoized quantized frame and layer artifacts);
+    * each approximate side left-joins the exact set on the
+    * (probe, candidate) key and the hits come from one count per probe.
+    * At scale the probe set is a sample and the exact side is the bounded
+    * cost, as in [[Similarity.annRecall]].
+    */
+  def hnswRecall(s: SparkSession, dir: String): DataFrame = {
+    val exact = Similarity.annTopk(s, dir, K)
+      .select(col("probe_id"), col("vec_id"))
+    val greedy = hnswSearch(s, dir)
+      .select(col("probe_id").as("pg"), col("vec_id").as("vg"))
+    val beam = hnswSearchBeam(s, dir)
+      .select(col("probe_id").as("pb"), col("vec_id").as("vb"))
+    exact
+      .join(greedy,
+        col("probe_id") === col("pg") && col("vec_id") === col("vg"), "left")
+      .join(beam,
+        col("probe_id") === col("pb") && col("vec_id") === col("vb"), "left")
+      .groupBy(col("probe_id"))
+      .agg(count(col("vg")).as("hits_greedy"),
+        count(col("vb")).as("hits_beam"), count(lit(1)).as("k"))
+      .select(col("probe_id"), col("hits_greedy"), col("hits_beam"), col("k"),
+        round(col("hits_greedy").cast("double") / col("k").cast("double"), 6)
+          .as("recall_greedy"),
+        round(col("hits_beam").cast("double") / col("k").cast("double"), 6)
+          .as("recall_beam"))
+      .orderBy("probe_id")
+  }
+
+  val hnswRecallSql: String = s"""
+    WITH ex AS (${Similarity.annTopkSql(K)}),
+    gr AS ($hnswSearchSql),
+    bm AS ($hnswSearchBeamSql)
+    SELECT ex.probe_id,
+      count(gr.vec_id) AS hits_greedy,
+      count(bm.vec_id) AS hits_beam,
+      count(*) AS k,
+      round(CAST(count(gr.vec_id) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+        AS recall_greedy,
+      round(CAST(count(bm.vec_id) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+        AS recall_beam
+    FROM ex
+    LEFT JOIN gr ON ex.probe_id = gr.probe_id AND ex.vec_id = gr.vec_id
+    LEFT JOIN bm ON ex.probe_id = bm.probe_id AND ex.vec_id = bm.vec_id
+    GROUP BY ex.probe_id ORDER BY ex.probe_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "hnsw_layers" -> (hnswLayers _),
     "hnsw_graph" -> (hnswGraph _),
     "hnsw_search" -> (hnswSearch _),
-    "hnsw_search_beam" -> (hnswSearchBeam _))
+    "hnsw_search_beam" -> (hnswSearchBeam _),
+    "hnsw_recall" -> (hnswRecall _))
 
   val oracles: Map[String, String] = Map(
     "hnsw_layers" -> hnswLayersSql,
     "hnsw_graph" -> hnswGraphSql,
     "hnsw_search" -> hnswSearchSql,
-    "hnsw_search_beam" -> hnswSearchBeamSql)
+    "hnsw_search_beam" -> hnswSearchBeamSql,
+    "hnsw_recall" -> hnswRecallSql)
 }

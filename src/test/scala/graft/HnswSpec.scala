@@ -78,4 +78,25 @@ class HnswSpec extends SparkSpec {
       assert(beam(p) >= c, s"probe $p: beam ${beam(p)} < greedy $c")
     }
   }
+
+  test("hnsw_recall audits both descents against exact ground truth") {
+    val rows = Hnsw.hnswRecall(spark, sf).collect()
+    assert(rows.length == 10) // one row per probe
+    rows.foreach { r =>
+      val (hg, hb, k) = (r.getAs[Long]("hits_greedy"),
+        r.getAs[Long]("hits_beam"), r.getAs[Long]("k"))
+      assert(k == 3, s"probe ${r.getLong(0)}: k $k")
+      assert(hg >= 0 && hg <= k)
+      assert(hb >= 0 && hb <= k)
+      // recalls are round(h/k, 6)
+      assert(math.abs(r.getAs[Double]("recall_greedy") - hg.toDouble / k) < 1e-6)
+      assert(math.abs(r.getAs[Double]("recall_beam") - hb.toDouble / k) < 1e-6)
+      // the ef contract on this corpus: widening never loses recall
+      assert(hb >= hg,
+        s"probe ${r.getLong(0)}: beam recall $hb < greedy $hg")
+    }
+    // the audit is non-degenerate: some probe actually finds a true
+    // neighbour (all-zero recall would mean the navigation is broken)
+    assert(rows.exists(_.getAs[Long]("hits_beam") > 0L))
+  }
 }
