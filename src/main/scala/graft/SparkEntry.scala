@@ -30,6 +30,7 @@ object SparkEntry {
       operators.Dedup.queries ++
       operators.Similarity.queries ++
       operators.Hnsw.queries ++
+      operators.PqTrain.queries ++
       operators.GraphOps.queries ++
       operators.Multimodal.queries ++
       operators.VersionedScenarios.queries ++
@@ -66,6 +67,7 @@ object SparkEntry {
       operators.Dedup.oracles ++
       operators.Similarity.oracles ++
       operators.Hnsw.oracles ++
+      operators.PqTrain.oracles ++
       operators.GraphOps.oracles ++
       operators.Multimodal.oracles ++
       operators.VersionedScenarios.oracles ++

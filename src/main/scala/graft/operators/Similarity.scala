@@ -583,8 +583,8 @@ object Similarity {
 
   // --------------------------------------------- product quantization (ANN)
 
-  private val PqM = 8   // subspaces
-  private val PqSub = 8 // dims per subspace (PqM · PqSub = Dim)
+  private[operators] val PqM = 8   // subspaces
+  private[operators] val PqSub = 8 // dims per subspace (PqM · PqSub = Dim)
   private val PqK = 16  // codes per subspace codebook
 
   /** PQ-coded ANN with asymmetric distance computation: each vector is

@@ -85,7 +85,8 @@ class PlanSpec extends SparkSpec {
       "src/main/scala/graft/operators/Clustering.scala",
       "src/main/scala/graft/operators/CorpusFilters.scala",
       "src/main/scala/graft/operators/ZOrder.scala",
-      "src/main/scala/graft/operators/Hnsw.scala")) {
+      "src/main/scala/graft/operators/Hnsw.scala",
+      "src/main/scala/graft/operators/PqTrain.scala")) {
       val src = new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get(f)))
       src.linesIterator.zipWithIndex.foreach { case (line, i) =>
@@ -121,6 +122,15 @@ class PlanSpec extends SparkSpec {
     assert(count(p, "BroadcastHashJoin") >= 2,
       "codebook + probe-table joins must broadcast")
     assert(p.contains("WindowGroupLimit"), "map-side top-k expected")
+  }
+
+  test("trained-PQ ANN keeps the annPq plan shape over the trained book") {
+    val p = plan(operators.PqTrain.annPqKmpll(spark, sf))
+    assert(p.contains("q_dot"), "subspace distances via the native expression")
+    assert(count(p, "BroadcastHashJoin") >= 2,
+      "trained codebook + probe-table joins must broadcast")
+    assert(p.contains("WindowGroupLimit"), "map-side top-k expected")
+    assert(!p.contains("CartesianProduct"))
   }
 
   test("decontaminate broadcasts the eval side") {
