@@ -627,8 +627,16 @@ object Clustering {
     */
   private[graft] def kmeansParallelCandidates(
       s: SparkSession, dir: String, l: Double = PllL,
+      rounds: Int = PllRounds): DataFrame =
+    kmeansParallelCandidatesOver(qnOf(s, dir), l, rounds)
+
+  /** The same sampler over an arbitrary quantized corpus
+    * `(vec_id, q, n2)` — the seam the production-constants stress spec
+    * drives with a replicated corpus and codebook-scale ℓ.
+    */
+  private[graft] def kmeansParallelCandidatesOver(
+      qn: DataFrame, l: Double = PllL,
       rounds: Int = PllRounds): DataFrame = {
-    val qn = qnOf(s, dir)
     val first = qn.agg(min(col("vec_id"))).head().getLong(0)
     var cand = qn.filter(col("vec_id") === first)
       .select(col("vec_id").as("cid"), col("q").as("cq"),

@@ -81,9 +81,10 @@ object Hnsw {
     * persisted index artifacts.
     */
   private[operators] def layerEdges(s: SparkSession, dir: String,
-                                    l: Int): DataFrame =
-    if (l == 0) Similarity.knnGraphOf(s, dir, M)
-    else graft.Memo.cached(s, s"hnsw_layer_$l", dir) {
+                                    l: Int, m: Int = M): DataFrame =
+    if (l == 0) Similarity.knnGraphOf(s, dir, m)
+    else graft.Memo.cached(s,
+      if (m == M) s"hnsw_layer_$l" else s"hnsw_layer_${l}_m$m", dir) {
       val verts = levels(s, dir).filter(col("level") >= l).select("vec_id")
       val qn = Similarity.qdf(s, dir).join(verts, "vec_id")
       val buckets = qn.select(col("vec_id"),
@@ -100,7 +101,7 @@ object Hnsw {
         .join(qn.select(col("vec_id").as("probe_id"), col("q").as("pq"),
           col("n2").as("pn2")), "probe_id")
         .join(qn, "vec_id")
-      Similarity.topkTail(paired, M)
+      Similarity.topkTail(paired, m)
         .select(col("probe_id").as("src"), col("rank"),
           col("vec_id").as("nbr"), col("cos"))
     }
@@ -181,7 +182,15 @@ object Hnsw {
   def hnswSearchBeam(s: SparkSession, dir: String): DataFrame =
     navigate(s, dir, beam = Ef)
 
-  private def navigate(s: SparkSession, dir: String, beam: Int): DataFrame = {
+  /** Production-constants seam: the same descent at arbitrary beam (`ef`)
+    * and neighbour count (`M`) — driven by the stress spec at ef=64, M=16.
+    */
+  private[graft] def navigateWith(s: SparkSession, dir: String, beam: Int,
+                                  m: Int): DataFrame =
+    navigate(s, dir, beam, m)
+
+  private def navigate(s: SparkSession, dir: String, beam: Int,
+                       m: Int = M): DataFrame = {
     val qn = Similarity.qdf(s, dir)
     val entry = levels(s, dir)
       .orderBy(col("level").desc, col("vec_id")).limit(1)
@@ -201,7 +210,7 @@ object Hnsw {
     }
     var frontier = probes.crossJoin(broadcast(entry))
     (MaxLevel to 1 by -1).foreach { l =>
-      val g = layerEdges(s, dir, l).select(col("src"), col("nbr"))
+      val g = layerEdges(s, dir, l, m).select(col("src"), col("nbr"))
       val stepped = frontier
         .unionByName(frontier.join(g, frontier("cand") === g("src"))
           .select(col("probe_id"), col("pq"), col("pn2"),
@@ -210,7 +219,7 @@ object Hnsw {
       frontier = best(stepped, beam)
         .select(col("probe_id"), col("pq"), col("pn2"), col("cand"))
     }
-    val g0 = layerEdges(s, dir, 0).select(col("src"), col("nbr"))
+    val g0 = layerEdges(s, dir, 0, m).select(col("src"), col("nbr"))
     val expanded = frontier
       .unionByName(frontier.join(g0, frontier("cand") === g0("src"))
         .select(col("probe_id"), col("pq"), col("pn2"), col("nbr").as("cand")))

@@ -100,13 +100,14 @@ object Similarity {
     * constants (16×64 ints) folded into literal arrays — the projection is
     * `q_dot(q, <literal array>)`, evaluated executor-side in codegen.
     */
-  private lazy val planeWeights: Seq[Seq[Int]] =
-    (0 until DedupBands * BandPlanes).map { h =>
+  private val planeWeightCache =
+    new scala.collection.concurrent.TrieMap[Int, Seq[Int]]
+  private def planeWeights(h: Int): Seq[Int] =
+    planeWeightCache.getOrElseUpdate(h,
       (1 to Dim).map { i =>
         if (Integer.parseInt(md5hex(s"$h:$i").substring(0, 1), 16) % 2 == 0) 1
         else -1
-      }
-    }
+      })
 
   /** Projection of `q` onto plane `h` as a native-codegen dot product. */
   private def planeCol(h: Int): Column =
@@ -421,10 +422,11 @@ object Similarity {
     * Still an equi-join per table (shuffle key = (table, bucket)),
     * deduplicated before scoring so each surviving pair is scored once.
     */
-  def annLshMulti(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
+  def annLshMulti(s: SparkSession, dir: String, k: Int = 5,
+                  tables: Int = LshTables): DataFrame = {
     val qn = qdf(s, dir)
     val buckets = qn.select(col("vec_id"),
-      posexplode(array((0 until LshTables).map(tableBucketCol): _*))
+      posexplode(array((0 until tables).map(tableBucketCol): _*))
         .as(Seq("tbl", "bucket")))
     val probeB = buckets.filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("probe_id"), col("tbl").as("ptbl"),
@@ -821,7 +823,8 @@ object Similarity {
     */
   private[operators] def knnGraphOf(s: SparkSession, dir: String,
                                     k: Int = 3): DataFrame =
-    graft.Memo.cached(s, "knn_graph", dir) {
+    graft.Memo.cached(s,
+      if (k == 3) "knn_graph" else s"knn_graph_k$k", dir) {
       val qn = qdf(s, dir)
       val buckets = qn.select(col("vec_id"),
         posexplode(array((0 until LshTables).map(tableBucketCol): _*))
