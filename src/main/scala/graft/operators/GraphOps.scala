@@ -83,9 +83,55 @@ object GraphOps {
     FROM it$Iters ORDER BY vec_id"""
   }
 
+  /** Per-vertex triangle participation over the undirected kNN graph —
+    * the local clustering signal (dense semantic regions close their
+    * triangles; bridge documents don't). Classic two-join shape: orient
+    * every undirected edge small→large id, join wedges `a→b→c` (a<b<c by
+    * construction), close them against the oriented edge set. Both joins
+    * are vertex-keyed equi-joins over O(n·k) edge frames — never a
+    * cartesian — and the orientation bounds each wedge list by the
+    * smaller endpoint's out-degree (the standard degree-orientation
+    * optimization degenerates to id-orientation here because kNN degrees
+    * are capped at k by construction).
+    */
+  def graphTriangles(s: SparkSession, dir: String): DataFrame = {
+    val g = edgesOf(s, dir)
+    val und = g.unionByName(
+        g.select(col("nbr").as("src"), col("src").as("nbr")))
+      .distinct()
+    val e = und.filter(col("src") < col("nbr")) // canonical orientation
+    val wedges = e.select(col("src").as("a"), col("nbr").as("b"))
+      .join(e.select(col("src").as("b"), col("nbr").as("c")), "b")
+    val tris = wedges.join(
+      e.select(col("src").as("a"), col("nbr").as("c")), Seq("a", "c"))
+    tris.select(explode(array(col("a"), col("b"), col("c"))).as("vec_id"))
+      .groupBy(col("vec_id")).agg(count(lit(1)).as("n_tri"))
+      .orderBy("vec_id")
+  }
+
+  val graphTrianglesSql: String = s"""
+    WITH ${Similarity.knnCtesSql(3)},
+    und AS (
+      SELECT DISTINCT src, nbr FROM (
+        SELECT src, nbr FROM graph UNION ALL SELECT nbr, src FROM graph)),
+    te AS (SELECT src, nbr FROM und WHERE src < nbr),
+    tri AS (
+      SELECT w.a, w.b, w.c
+      FROM (SELECT e1.src AS a, e1.nbr AS b, e2.nbr AS c
+            FROM te e1 JOIN te e2 ON e1.nbr = e2.src) w
+      JOIN te e3 ON e3.src = w.a AND e3.nbr = w.c),
+    verts AS (
+      SELECT a AS vec_id FROM tri
+      UNION ALL SELECT b FROM tri
+      UNION ALL SELECT c FROM tri)
+    SELECT vec_id, count(*) AS n_tri
+    FROM verts GROUP BY vec_id ORDER BY vec_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "graph_pagerank" -> (graphPagerank _))
+    "graph_pagerank" -> (graphPagerank _),
+    "graph_triangles" -> (graphTriangles _))
 
   val oracles: Map[String, String] = Map(
-    "graph_pagerank" -> graphPagerankSql)
+    "graph_pagerank" -> graphPagerankSql,
+    "graph_triangles" -> graphTrianglesSql)
 }

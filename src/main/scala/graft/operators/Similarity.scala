@@ -559,11 +559,22 @@ object Similarity {
     * SAMPLE — the exact side is the expensive one, and the sample size
     * bounds it.
     */
-  def annRecall(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
+  def annRecall(s: SparkSession, dir: String, k: Int = 5): DataFrame =
+    recallAudit(s, dir, annLsh(s, dir, k), k)
+
+  def annRecallSql(k: Int = 5): String = recallAuditSql(annLshSql(k), k)
+
+  /** The recall audit as a reusable composition: any approximate index's
+    * `(probe_id, vec_id, …)` top-k left-joined against the exact top-k on
+    * the (probe, candidate) key, hits counted per probe. One audit shape
+    * for every index family — LSH ([[annRecall]]), IVF, PQ, and HNSW
+    * (`Hnsw.hnswRecall` composes the same shape over both descents).
+    */
+  private[operators] def recallAudit(s: SparkSession, dir: String,
+                                     approx: DataFrame,
+                                     k: Int = 5): DataFrame = {
     val exact = annTopk(s, dir, k).select(col("probe_id"), col("vec_id"))
-    val approx = annLsh(s, dir, k)
-      .select(col("probe_id").as("p2"), col("vec_id").as("v2"))
-    exact.join(approx,
+    exact.join(approx.select(col("probe_id").as("p2"), col("vec_id").as("v2")),
         col("probe_id") === col("p2") && col("vec_id") === col("v2"), "left")
       .groupBy(col("probe_id"))
       .agg(count(col("v2")).as("hits"), count(lit(1)).as("k"))
@@ -573,15 +584,35 @@ object Similarity {
       .orderBy("probe_id")
   }
 
-  def annRecallSql(k: Int = 5): String = s"""
+  private[operators] def recallAuditSql(approxSql: String,
+                                        k: Int = 5): String = s"""
     WITH ex AS (${annTopkSql(k)}),
-    ap AS (${annLshSql(k)})
+    ap AS ($approxSql)
     SELECT ex.probe_id, count(ap.vec_id) AS hits, count(*) AS k,
       round(CAST(count(ap.vec_id) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
         AS recall
     FROM ex LEFT JOIN ap
       ON ex.probe_id = ap.probe_id AND ex.vec_id = ap.vec_id
     GROUP BY ex.probe_id ORDER BY ex.probe_id"""
+
+  /** Recall\@k of the IVF path — the nprobe tuning statistic. */
+  def ivfRecall(s: SparkSession, dir: String, k: Int = 5): DataFrame =
+    recallAudit(s, dir, annIvf(s, dir, k), k)
+
+  // lazy: these embed SQL builders whose constants (PqM/PqSub/PqK, …) are
+  // declared LATER in this object — a strict val here would capture the
+  // pre-initialization zeros (Scala object vals initialize in declaration
+  // order)
+  lazy val ivfRecallSql: String = recallAuditSql(annIvfSql())
+
+  /** Recall\@k of the PQ path — the codebook-size/ADC tuning statistic
+    * (PQ distances are approximations, so its recall is the one an index
+    * chooses codebook bits by).
+    */
+  def pqRecall(s: SparkSession, dir: String, k: Int = 5): DataFrame =
+    recallAudit(s, dir, annPq(s, dir, k), k)
+
+  lazy val pqRecallSql: String = recallAuditSql(annPqSql())
 
   // --------------------------------------------- product quantization (ANN)
 
@@ -986,6 +1017,8 @@ object Similarity {
     "dedup_embedding" -> (dedupEmbedding(_, _)),
     "ann_topk" -> (annTopk(_, _)),
     "ann_recall" -> (annRecall(_, _)),
+    "ivf_recall" -> (ivfRecall(_, _)),
+    "pq_recall" -> (pqRecall(_, _)),
     "ann_lsh" -> (annLsh(_, _)),
     "ann_lsh_multi" -> (annLshMulti(_, _)),
     "ann_ivf" -> (annIvf(_, _)),
@@ -1002,6 +1035,8 @@ object Similarity {
     "dedup_embedding" -> dedupEmbeddingSql,
     "ann_topk" -> annTopkSql(),
     "ann_recall" -> annRecallSql(),
+    "ivf_recall" -> ivfRecallSql,
+    "pq_recall" -> pqRecallSql,
     "ann_lsh" -> annLshSql(),
     "ann_lsh_multi" -> annLshMultiSql(),
     "ann_ivf" -> annIvfSql(),

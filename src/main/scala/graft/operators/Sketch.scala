@@ -130,11 +130,116 @@ object Sketch {
     UNION ALL SELECT lang, k, est_distinct FROM merged
     ORDER BY lang"""
 
+  // ------------------------------------------------------------ HyperLogLog
+
+  /** Register count m = 2^6; bucket = low 6 hash bits. */
+  private val HllM = 64
+
+  /** HyperLogLog registers over the shingle domain — the OTHER mergeable
+    * cardinality sketch (Flajolet et al. 2007): per bucket, the maximum
+    * leading-zero rank of the 54-bit hash suffix. Registers merge by
+    * pairwise max, so per-partition/per-day register tables combine into
+    * any rollup without rescanning — same property as [[kmvByGroup]], with
+    * O(m) fixed memory instead of O(k) values.
+    *
+    * Deterministic end to end: the hash is the first 60 md5 bits (15 hex
+    * chars — stays below 2^63 in both engines), the rank is
+    * `55 − bitlength(suffix)` via `bin()` (minimal-width binary string in
+    * BOTH Spark and DuckDB), and the whole sketch is one
+    * map-side-combining max per bucket.
+    */
+  def hllRegisters(s: SparkSession, dir: String): DataFrame = {
+    val grams = Dedup.shinglesOf(s, dir).select("sh").distinct()
+    grams
+      .select(expr("cast(conv(substring(md5(sh), 1, 15), 16, 10) as bigint)")
+        .as("h"))
+      .select((col("h") % HllM).as("bucket"),
+        expr(s"h div $HllM").as("v"))
+      .select(col("bucket"),
+        when(col("v") === 0L, lit(55L))
+          .otherwise(lit(55L) - length(bin(col("v")))).as("rank"))
+      .groupBy(col("bucket")).agg(max(col("rank")).as("maxrank"))
+      .orderBy("bucket")
+  }
+
+  val hllRegistersSql: String = s"""
+    WITH ${Dedup.shinglesSql.trim},
+    d AS (SELECT DISTINCT sh FROM sh),
+    hs AS (SELECT ('0x' || substring(md5(sh), 1, 15))::BIGINT AS h FROM d),
+    ranked AS (
+      SELECT h % $HllM AS bucket,
+        CASE WHEN h // $HllM = 0 THEN 55
+             ELSE 55 - length(bin(h // $HllM)) END AS rank
+      FROM hs)
+    SELECT bucket, CAST(max(rank) AS BIGINT) AS maxrank
+    FROM ranked GROUP BY bucket ORDER BY bucket"""
+
+  /** HLL estimate from the registers next to the exact count: the raw
+    * harmonic-mean estimator α·m²/Σ2^(−M_j), with the indicator sum kept
+    * EXACT as Σ2^(55−M_j) in integer arithmetic (≤ 64·2^55 = 2^61, inside
+    * BIGINT) so both engines round the same value to double — no
+    * order-dependent float summation. The small-range `m·ln(m/V)`
+    * correction branch is deliberately not modeled: it needs libm `ln`
+    * (not bit-portable) and the shingle domain sits far above 2.5m.
+    * α for m = 64 is the published constant 0.709.
+    */
+  def hllEstimate(s: SparkSession, dir: String): DataFrame = {
+    val grams = Dedup.shinglesOf(s, dir).select("sh").distinct()
+    val regs = hllRegisters(s, dir)
+    // full m-bucket register file: unseen buckets carry rank 0
+    val full = s.range(HllM).toDF("bucket")
+      .join(regs, Seq("bucket"), "left")
+      .select(coalesce(col("maxrank"), lit(0L)).as("m"))
+    val z = full.agg(sum(expr("cast(pow(2.0, 55 - m) as bigint)")).as("zint"))
+    z.crossJoin(grams.agg(count(lit(1)).as("exact_distinct")))
+      .select(lit(HllM.toLong).as("m"),
+        round(lit(0.709) * lit(HllM.toDouble) * lit(HllM.toDouble) *
+          lit(36028797018963968.0) / col("zint").cast("double"), 4)
+          .as("est_distinct"),
+        col("exact_distinct"))
+      .withColumn("rel_err",
+        round(abs(col("est_distinct") - col("exact_distinct").cast("double"))
+          / col("exact_distinct").cast("double"), 4))
+  }
+
+  val hllEstimateSql: String = s"""
+    WITH ${Dedup.shinglesSql.trim},
+    d AS (SELECT DISTINCT sh FROM sh),
+    hs AS (SELECT ('0x' || substring(md5(sh), 1, 15))::BIGINT AS h FROM d),
+    ranked AS (
+      SELECT h % $HllM AS bucket,
+        CASE WHEN h // $HllM = 0 THEN 55
+             ELSE 55 - length(bin(h // $HllM)) END AS rank
+      FROM hs),
+    regs AS (SELECT bucket, max(rank) AS maxrank FROM ranked GROUP BY bucket),
+    fullr AS (
+      SELECT coalesce(maxrank, 0) AS m
+      FROM (SELECT unnest(generate_series(0, ${HllM - 1})) AS bucket) b
+      LEFT JOIN regs USING (bucket)),
+    z AS (SELECT CAST(sum(CAST(pow(2.0, 55 - m) AS BIGINT)) AS BIGINT)
+            AS zint FROM fullr),
+    ex AS (SELECT count(*) AS exact_distinct FROM d)
+    SELECT CAST($HllM AS BIGINT) AS m,
+      round(CAST(0.709 AS DOUBLE) * CAST(${HllM.toDouble} AS DOUBLE) *
+        CAST(${HllM.toDouble} AS DOUBLE) * 3.6028797018963968E16
+        / CAST(zint AS DOUBLE), 4) AS est_distinct,
+      exact_distinct,
+      round(abs(round(CAST(0.709 AS DOUBLE) * CAST(${HllM.toDouble} AS DOUBLE) *
+          CAST(${HllM.toDouble} AS DOUBLE) * 3.6028797018963968E16
+          / CAST(zint AS DOUBLE), 4)
+        - CAST(exact_distinct AS DOUBLE))
+        / CAST(exact_distinct AS DOUBLE), 4) AS rel_err
+    FROM z, ex"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "corpus_distinct_kmv" -> (corpusDistinctKmv(_, _)),
-    "kmv_by_group" -> (kmvByGroup(_, _)))
+    "kmv_by_group" -> (kmvByGroup(_, _)),
+    "hll_registers" -> (hllRegisters _),
+    "hll_estimate" -> (hllEstimate _))
 
   val oracles: Map[String, String] = Map(
     "corpus_distinct_kmv" -> corpusDistinctKmvSql(),
-    "kmv_by_group" -> kmvByGroupSql())
+    "kmv_by_group" -> kmvByGroupSql(),
+    "hll_registers" -> hllRegistersSql,
+    "hll_estimate" -> hllEstimateSql)
 }

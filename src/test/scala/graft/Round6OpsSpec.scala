@@ -1,0 +1,91 @@
+package graft
+
+import graft.operators.{GraphOps, Similarity, Sketch}
+import org.apache.spark.sql.functions._
+
+/** Round-6 operators: recall audits for IVF/PQ, HLL cardinality sketch,
+  * triangle counting.
+  */
+class Round6OpsSpec extends SparkSpec {
+
+  test("ivf/pq recall audits: bounded, k rows per probe, LSH-comparable") {
+    for (df <- Seq(Similarity.ivfRecall(spark, sf),
+      Similarity.pqRecall(spark, sf))) {
+      val rows = df.collect()
+      assert(rows.length == 10, "one row per probe")
+      rows.foreach { r =>
+        val (h, k) = (r.getAs[Long]("hits"), r.getAs[Long]("k"))
+        assert(k == 5)
+        assert(h >= 0 && h <= k)
+        assert(math.abs(r.getAs[Double]("recall") - h.toDouble / k) < 1e-6)
+      }
+    }
+    // IVF scans nprobe real cells; on this corpus its recall beats the
+    // 8-bit single-bucket LSH cut on average (regression pin, not theorem)
+    def mean(df: org.apache.spark.sql.DataFrame): Double =
+      df.agg(avg(col("recall"))).head().getDouble(0)
+    assert(mean(Similarity.ivfRecall(spark, sf)) >=
+      mean(Similarity.annRecall(spark, sf)) - 1e-9)
+  }
+
+  test("hll registers: 64 buckets, ranks in range, merge = pairwise max") {
+    val regs = Sketch.hllRegisters(spark, sf).collect()
+    assert(regs.length <= 64)
+    assert(regs.map(_.getAs[Long]("bucket")).distinct.length == regs.length)
+    regs.foreach { r =>
+      val rank = r.getAs[Long]("maxrank")
+      assert(rank >= 1 && rank <= 55, s"rank $rank out of range")
+    }
+    // mergeability: registers of two disjoint halves combine by max into
+    // the full-corpus registers — the property that lets per-partition
+    // sketches roll up without rescanning
+    val grams = graft.operators.Dedup.shinglesOf(spark, sf)
+      .select("sh").distinct()
+      .select(expr("cast(conv(substring(md5(sh), 1, 15), 16, 10) as bigint)")
+        .as("h"))
+      .select((col("h") % 64).as("bucket"), expr("h div 64").as("v"))
+      .select(col("bucket"), col("v"),
+        when(col("v") === 0L, lit(55L))
+          .otherwise(lit(55L) - length(bin(col("v")))).as("rank"))
+    def regOf(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      df.groupBy(col("bucket")).agg(max(col("rank")).as("m")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val left = regOf(grams.filter(col("v") % 2 === 0))
+    val right = regOf(grams.filter(col("v") % 2 === 1))
+    val whole = regOf(grams)
+    whole.foreach { case (b, m) =>
+      assert(math.max(left.getOrElse(b, 0L), right.getOrElse(b, 0L)) == m,
+        s"bucket $b: halves don't merge to the whole")
+    }
+  }
+
+  test("hll estimate lands within the m=64 error regime of the exact count") {
+    val r = Sketch.hllEstimate(spark, sf).head()
+    val est = r.getAs[Double]("est_distinct")
+    val exact = r.getAs[Long]("exact_distinct")
+    assert(exact > 160, "domain must sit above the 2.5m correction range")
+    // 1.04/sqrt(64) = 13% standard error; accept 4 sigma
+    assert(r.getAs[Double]("rel_err") < 0.52,
+      s"est $est vs exact $exact: rel_err ${r.getAs[Double]("rel_err")}")
+  }
+
+  test("graph_triangles matches a brute-force count on the collected graph") {
+    val rows = GraphOps.graphTriangles(spark, sf).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("n_tri")).toMap
+    // brute force on the (small) collected kNN edge list
+    val edges = Similarity.knnGraph(spark, sf).collect()
+      .map(r => (r.getAs[Long]("src"), r.getAs[Long]("nbr")))
+    val und = edges.flatMap { case (a, b) => Seq((a, b), (b, a)) }.toSet
+    val canon = und.filter { case (a, b) => a < b }.toSeq
+    val byA = canon.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    var expect = Map.empty[Long, Long].withDefaultValue(0L)
+    for ((a, b) <- canon; c <- byA.getOrElse(b, Set.empty)
+         if byA.getOrElse(a, Set.empty).contains(c)) {
+      expect = expect.updated(a, expect(a) + 1)
+        .updated(b, expect(b) + 1).updated(c, expect(c) + 1)
+    }
+    assert(rows == expect.toMap.filter(_._2 > 0),
+      s"${rows.size} vs ${expect.size} triangle-bearing vertices")
+    assert(rows.nonEmpty, "the kNN graph closes at least one triangle")
+  }
+}
