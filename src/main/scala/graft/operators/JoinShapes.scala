@@ -186,17 +186,113 @@ object JoinShapes {
       AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
     ORDER BY o_custkey"""
 
+  // ------------------------------------------------- Bloom-filter join prune
+
+  private val BloomM = 8192 // filter bits
+  private val BloomK = 3    // probes per key
+
+  /** Bloom-filter semi-join pruning with an exactness audit — the runtime
+    * row-filtering trick every warehouse ships (Spark's own
+    * `spark.sql.optimizer.runtime.bloomFilter.*` builds the same artifact
+    * implicitly): hash the (small) key side into an m-bit filter, probe
+    * the big side's join keys, and only rows passing all k probes reach
+    * the real join. The audit runs the exact semi-join next to the pruned
+    * one and reports the false-positive rate — the statistic that sizes m
+    * for a target prune ratio.
+    *
+    * Scale shape: the bit set is O(k·|keys|) positions — a broadcast dim;
+    * the big side probes via its DISTINCT key set (the per-key decision is
+    * key-functional, so the row-level filter is a semi-join against the
+    * passed keys, never a per-row recompute); nothing about the big side
+    * ever shuffles for the filter itself. Zero false negatives by
+    * construction: every true key's probes are in the filter.
+    */
+  def bloomPrune(s: SparkSession, dir: String): DataFrame = {
+    def posCol(c: String, i: Int) =
+      expr(s"cast(conv(substring(md5(concat(cast($c as string), ':$i')), " +
+        s"1, 8), 16, 10) as bigint) % $BloomM")
+    val keys = Tables.orders(s, dir).filter(col("o_orderkey") % 97 === 0)
+      .select(col("o_orderkey").as("k"))
+    val bits = keys.select(explode(
+        array((0 until BloomK).map(i => posCol("k", i)): _*)).as("p"))
+      .distinct()
+    val li = Tables.lineitem(s, dir)
+    val cand = li.select(col("l_orderkey").as("ck")).distinct()
+    val passed = cand.select(col("ck"), explode(
+        array((0 until BloomK).map(i => posCol("ck", i)): _*)).as("p"))
+      .join(broadcast(bits), "p")
+      .groupBy(col("ck")).agg(count(lit(1)).as("nhit"))
+      .filter(col("nhit") === BloomK).select("ck")
+    val exact = cand.join(keys, cand("ck") === keys("k"), "left_semi")
+    val rowsPassed = li.join(passed,
+      li("l_orderkey") === passed("ck"), "left_semi")
+    val rowsExact = li.join(keys, li("l_orderkey") === keys("k"), "left_semi")
+    keys.agg(count(lit(1)).as("n_keys"))
+      .crossJoin(bits.agg(count(lit(1)).as("bits_set")))
+      .crossJoin(cand.agg(count(lit(1)).as("n_cand_keys")))
+      .crossJoin(passed.agg(count(lit(1)).as("n_passed_keys")))
+      .crossJoin(exact.agg(count(lit(1)).as("n_exact_keys")))
+      .crossJoin(rowsPassed.agg(count(lit(1)).as("n_rows_passed")))
+      .crossJoin(rowsExact.agg(count(lit(1)).as("n_rows_exact")))
+      .select(col("n_keys"), col("bits_set"), col("n_cand_keys"),
+        col("n_passed_keys"), col("n_exact_keys"),
+        (col("n_passed_keys") - col("n_exact_keys")).as("n_fp_keys"),
+        col("n_rows_passed"), col("n_rows_exact"),
+        round((col("n_passed_keys") - col("n_exact_keys")).cast("double") /
+          (col("n_cand_keys") - col("n_exact_keys")).cast("double"), 6)
+          .as("fp_rate"))
+  }
+
+  val bloomPruneSql: String = s"""
+    WITH keys AS (
+      SELECT o_orderkey AS k FROM orders WHERE o_orderkey % 97 = 0),
+    probes AS (SELECT unnest(generate_series(0, ${BloomK - 1})) AS i),
+    bits AS (
+      SELECT DISTINCT
+        ('0x' || substring(md5(CAST(k AS VARCHAR) || ':' || i), 1, 8))::BIGINT
+          % $BloomM AS p
+      FROM keys, probes),
+    cand AS (SELECT DISTINCT l_orderkey AS ck FROM lineitem),
+    cpos AS (
+      SELECT ck,
+        ('0x' || substring(md5(CAST(ck AS VARCHAR) || ':' || i), 1, 8))::BIGINT
+          % $BloomM AS p
+      FROM cand, probes),
+    passed AS (
+      SELECT ck FROM cpos JOIN bits USING (p)
+      GROUP BY ck HAVING count(*) = $BloomK),
+    exact AS (SELECT ck FROM cand WHERE ck IN (SELECT k FROM keys)),
+    agg AS (
+      SELECT
+        (SELECT count(*) FROM keys) AS n_keys,
+        (SELECT count(*) FROM bits) AS bits_set,
+        (SELECT count(*) FROM cand) AS n_cand_keys,
+        (SELECT count(*) FROM passed) AS n_passed_keys,
+        (SELECT count(*) FROM exact) AS n_exact_keys,
+        (SELECT count(*) FROM lineitem
+         WHERE l_orderkey IN (SELECT ck FROM passed)) AS n_rows_passed,
+        (SELECT count(*) FROM lineitem
+         WHERE l_orderkey IN (SELECT k FROM keys)) AS n_rows_exact)
+    SELECT n_keys, bits_set, n_cand_keys, n_passed_keys, n_exact_keys,
+      n_passed_keys - n_exact_keys AS n_fp_keys,
+      n_rows_passed, n_rows_exact,
+      round(CAST(n_passed_keys - n_exact_keys AS DOUBLE) /
+        CAST(n_cand_keys - n_exact_keys AS DOUBLE), 6) AS fp_rate
+    FROM agg"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q4_semijoin" -> (q4Semijoin _),
     "q18_having" -> (q18Having _),
     "q22_anti" -> (q22Anti _),
     "q16_distinct" -> (q16Distinct _),
-    "orders_except" -> (ordersExcept _))
+    "orders_except" -> (ordersExcept _),
+    "bloom_prune" -> (bloomPrune _))
 
   val oracles: Map[String, String] = Map(
     "q4_semijoin" -> q4SemijoinSql,
     "q18_having" -> q18HavingSql,
     "q22_anti" -> q22AntiSql,
     "q16_distinct" -> q16DistinctSql,
-    "orders_except" -> ordersExceptSql)
+    "orders_except" -> ordersExceptSql,
+    "bloom_prune" -> bloomPruneSql)
 }

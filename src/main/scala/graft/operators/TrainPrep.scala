@@ -594,7 +594,71 @@ object TrainPrep {
         / CAST(max(n_chars) * count(*) AS DOUBLE), 6) AS pad_frac
     FROM b GROUP BY split, batch ORDER BY split, batch"""
 
+  // -------------------------------------------------------- priority sample
+
+  private val PriN = 100
+
+  /** Weighted sample WITHOUT replacement via priority sampling (Duffield,
+    * Lund & Thorup, JACM 2007): each document draws priority `w/u` (w =
+    * its length weight, u a deterministic md5 uniform in (0,1]); the
+    * sample is the [[PriN]] highest priorities and τ is the (n+1)-th —
+    * each sampled item's Horvitz-Thompson weight estimate is `max(w, τ)`,
+    * which sums to an unbiased estimate of Σw. This is the
+    * length-weighted counterpart of [[corpusSqrtSample]]'s per-source
+    * temperature mixing: it pins the SAMPLE SIZE exactly while keeping
+    * inclusion probability ∝ weight — the shape an epoch-budget sampler
+    * needs.
+    *
+    * Deterministic: u = (h+1)/2^32 from the md5 stream; the only float
+    * ops are one division per document and the max/round at output —
+    * correctly rounded and identically ordered in both engines, so the
+    * top-n cut and τ replay bit-exactly. At 100 TB the top-(n+1) is a
+    * TakeOrdered (per-partition heaps, n+1 rows to the driver plan), not
+    * a global sort.
+    */
+  def corpusPrioritySample(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), length(col("text")).cast("bigint").as("w"))
+      .withColumn("u",
+        (expr("cast(conv(substring(md5(concat(cast(doc_id as string), " +
+          "':pri')), 1, 8), 16, 10) as bigint)") + lit(1L)).cast("double") /
+          lit(4294967296.0))
+      .withColumn("q", col("w").cast("double") / col("u"))
+    // top-(n+1) via sort+limit = TakeOrdered (per-partition heaps, n+1
+    // rows total) — the global rank window then runs over the BOUNDED
+    // (n+1)-row frame, never the corpus
+    val top = docs.orderBy(col("q").desc, col("doc_id")).limit(PriN + 1)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("q").desc, col("doc_id"))
+    val ranked = top.withColumn("rn", row_number().over(w))
+    val tau = ranked.filter(col("rn") === PriN + 1)
+      .select(col("q").as("tau"))
+    ranked.filter(col("rn") <= PriN).crossJoin(broadcast(tau))
+      .select(col("doc_id"), col("w"), round(col("q"), 4).as("priority"),
+        round(col("tau"), 4).as("tau"),
+        round(greatest(col("w").cast("double"), col("tau")), 4).as("w_hat"))
+      .orderBy("doc_id")
+  }
+
+  val corpusPrioritySampleSql: String = s"""
+    WITH d AS (
+      SELECT doc_id, CAST(length(text) AS BIGINT) AS w,
+        CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':pri'),
+          1, 8))::BIGINT + 1 AS DOUBLE) / 4294967296.0 AS u
+      FROM documents),
+    q AS (SELECT doc_id, w, CAST(w AS DOUBLE) / u AS q FROM d),
+    ranked AS (
+      SELECT doc_id, w, q,
+        row_number() OVER (ORDER BY q DESC, doc_id) AS rn
+      FROM q),
+    tau AS (SELECT q AS tau FROM ranked WHERE rn = ${PriN + 1})
+    SELECT doc_id, w, round(q, 4) AS priority, round(tau, 4) AS tau,
+      round(CASE WHEN CAST(w AS DOUBLE) > tau THEN CAST(w AS DOUBLE)
+                 ELSE tau END, 4) AS w_hat
+    FROM ranked, tau WHERE rn <= $PriN ORDER BY doc_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_priority_sample" -> (corpusPrioritySample _),
     "corpus_sqrt_sample" -> (corpusSqrtSample _),
     "corpus_stratified_k" -> (corpusStratifiedK _),
     "corpus_shuffle" -> (corpusShuffle _),
@@ -609,6 +673,7 @@ object TrainPrep {
     "text_bigram_lm" -> (textBigramLm _))
 
   val oracles: Map[String, String] = Map(
+    "corpus_priority_sample" -> corpusPrioritySampleSql,
     "corpus_sqrt_sample" -> corpusSqrtSampleSql,
     "corpus_stratified_k" -> corpusStratifiedKSql,
     "corpus_shuffle" -> corpusShuffleSql,

@@ -69,6 +69,43 @@ class Round6OpsSpec extends SparkSpec {
       s"est $est vs exact $exact: rel_err ${r.getAs[Double]("rel_err")}")
   }
 
+  test("bloom_prune: zero false negatives, fp rate inside the sizing bound") {
+    val r = graft.operators.JoinShapes.bloomPrune(spark, sf).head()
+    val (nExact, nPassed) = (r.getAs[Long]("n_exact_keys"),
+      r.getAs[Long]("n_passed_keys"))
+    // every true key passes (no false negatives): passed ⊇ exact
+    assert(nPassed >= nExact)
+    assert(r.getAs[Long]("n_fp_keys") == nPassed - nExact)
+    assert(r.getAs[Long]("n_rows_passed") >= r.getAs[Long]("n_rows_exact"))
+    // with m=8192 bits, k=3 and ~150 keys, load factor is tiny: the
+    // theoretical fp ≈ (1-e^{-kn/m})^k < 0.1%; allow an order of margin
+    assert(r.getAs[Double]("fp_rate") < 0.01,
+      s"fp_rate ${r.getAs[Double]("fp_rate")}")
+    // and the filter genuinely prunes: passed keys are a small fraction
+    assert(nPassed.toDouble / r.getAs[Long]("n_cand_keys") < 0.1)
+  }
+
+  test("corpus_priority_sample: HT weight estimate is calibrated") {
+    val rows = graft.operators.TrainPrep.corpusPrioritySample(spark, sf)
+      .collect()
+    assert(rows.length == 100)
+    val tau = rows.head.getAs[Double]("tau")
+    rows.foreach { r =>
+      assert(r.getAs[Double]("tau") == tau, "tau is a single threshold")
+      assert(r.getAs[Double]("priority") >= tau - 1e-4,
+        "sampled priorities sit above the threshold")
+      assert(r.getAs[Double]("w_hat") >=
+        math.min(r.getAs[Long]("w").toDouble, tau) - 1e-9)
+    }
+    // unbiasedness in expectation: the HT sum should land near the true
+    // total length (loose bound — one deterministic draw, not an average)
+    val htSum = rows.map(_.getAs[Double]("w_hat")).sum
+    val total = Tables.documents(spark, sf)
+      .agg(sum(length(col("text")))).head().getLong(0).toDouble
+    assert(htSum > total * 0.5 && htSum < total * 2.0,
+      s"HT sum $htSum vs true total $total")
+  }
+
   test("graph_triangles matches a brute-force count on the collected graph") {
     val rows = GraphOps.graphTriangles(spark, sf).collect()
       .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("n_tri")).toMap
