@@ -165,19 +165,27 @@ object Dedup {
                                              dir: String): DataFrame =
     graft.Memo.cached(s, "minhash_cand", dir)(minhashCandidates(s, dir))
 
+  /** The memoized signature frame `(doc_id, m1..m16)`:
+    * minhash_i(doc) = min over shingles of h1 + i·h2 (mod 2^32), the
+    * Kirsch–Mitzenmacher construction over the two 32-bit halves of ONE
+    * md5 per shingle — all 16 minima in a single aggregation pass (16 agg
+    * columns beat a 16× explode, and one md5 beats sixteen). Shared by
+    * candidate generation and the [[minhashAccuracy]] audit.
+    */
+  private def minhashesOf(s: SparkSession, dir: String): DataFrame =
+    graft.Memo.cached(s, "minhash_sigs", dir) {
+      val sh = shinglesC(s, dir)
+      val withH = sh.selectExpr("doc_id",
+        "cast(conv(substring(md5(sh), 1, 8), 16, 10) as bigint) as h1",
+        "cast(conv(substring(md5(sh), 9, 8), 16, 10) as bigint) as h2")
+      withH.groupBy(col("doc_id"))
+        .agg(min(expr(s"(h1 + 1 * h2) % 4294967296")).as("m1"),
+          (2 to NumHashes).map(i =>
+            min(expr(s"(h1 + $i * h2) % 4294967296")).as(s"m$i")): _*)
+    }
+
   private def minhashCandidates(s: SparkSession, dir: String): DataFrame = {
-    val sh = shinglesC(s, dir)
-    // minhash_i(doc) = min over shingles of h1 + i·h2 (mod 2^32), the
-    // Kirsch–Mitzenmacher construction over the two 32-bit halves of ONE
-    // md5 per shingle — all 16 minima in a single aggregation pass (16 agg
-    // columns beat a 16× explode, and one md5 beats sixteen)
-    val withH = sh.selectExpr("doc_id",
-      "cast(conv(substring(md5(sh), 1, 8), 16, 10) as bigint) as h1",
-      "cast(conv(substring(md5(sh), 9, 8), 16, 10) as bigint) as h2")
-    val mh = withH.groupBy(col("doc_id"))
-      .agg(min(expr(s"(h1 + 1 * h2) % 4294967296")).as("m1"),
-        (2 to NumHashes).map(i =>
-          min(expr(s"(h1 + $i * h2) % 4294967296")).as(s"m$i")): _*)
+    val mh = minhashesOf(s, dir)
     // band value = md5 of the band's minima in hash order
     val bandExprs = (0 until NumHashes / BandRows).map { b =>
       val ms = (1 to BandRows).map(r => s"m${b * BandRows + r}")
@@ -255,6 +263,70 @@ object Dedup {
   val dedupMinhashLshSql: String = s"""
     WITH $minhashPairsCtesSql
     SELECT id_a, id_b, jaccard FROM mh_pairs ORDER BY id_a, id_b"""
+
+  /** MinHash estimator accuracy audit — for every LSH candidate pair, the
+    * signature-agreement similarity estimate (agreeing components / 16,
+    * the unbiased MinHash estimator of Jaccard) next to the EXACT shingle
+    * Jaccard, with the absolute error. This is the statistic that sizes
+    * the signature (more hashes → tighter estimate) and the banding
+    * (bands trade recall for candidate volume) — the dedup counterpart of
+    * the ANN recall audits. Composes the memoized signature and shingle
+    * frames; the only new work is one 16-term comparison per candidate
+    * pair and the exact-intersection join the verifier already does.
+    */
+  def minhashAccuracy(s: SparkSession, dir: String): DataFrame = {
+    val cand = minhashCandidatesOf(s, dir)
+    val mh = minhashesOf(s, dir)
+    val agreeExpr = (1 to NumHashes)
+      .map(i => when(col(s"x.m$i") === col(s"y.m$i"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    val ag = cand
+      .join(mh.alias("x"), col("id_a") === col("x.doc_id"))
+      .join(mh.alias("y"), col("id_b") === col("y.doc_id"))
+      .select(col("id_a"), col("id_b"), agreeExpr.as("agree"))
+    val sh = shinglesC(s, dir)
+    val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = sh.alias("a")
+      .join(cand, col("a.doc_id") === col("id_a"))
+      .join(sh.alias("b"),
+        col("b.doc_id") === col("id_b") && col("a.sh") === col("b.sh"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("c"))
+    ag.join(inter, Seq("id_a", "id_b"), "left")
+      .join(sz.alias("sx"), col("id_a") === col("sx.doc_id"))
+      .join(sz.alias("sy"), col("id_b") === col("sy.doc_id"))
+      .withColumn("c0", coalesce(col("c"), lit(0L)))
+      .withColumn("jraw", col("c0").cast("double") /
+        (col("sx.n") + col("sy.n") - col("c0")).cast("double"))
+      .withColumn("eraw", col("agree").cast("double") / lit(NumHashes.toDouble))
+      .select(col("id_a"), col("id_b"), col("agree"),
+        round(col("eraw"), 6).as("est_sim"),
+        round(col("jraw"), 6).as("jaccard"),
+        round(abs(col("eraw") - col("jraw")), 6).as("abs_err"))
+      .orderBy("id_a", "id_b")
+  }
+
+  val minhashAccuracySql: String = s"""
+    WITH $minhashPairsCtesSql,
+    agree AS (
+      SELECT id_a, id_b,
+        ${(1 to NumHashes).map(i =>
+          s"CASE WHEN x.m$i = y.m$i THEN 1 ELSE 0 END").mkString(" + ")}
+          AS agree
+      FROM cand JOIN mh x ON id_a = x.doc_id JOIN mh y ON id_b = y.doc_id),
+    jac AS (
+      SELECT id_a, id_b,
+        CAST(coalesce(c, 0) AS DOUBLE) /
+          CAST(x.n + y.n - coalesce(c, 0) AS DOUBLE) AS jraw
+      FROM cand
+      LEFT JOIN inter USING (id_a, id_b)
+      JOIN sz x ON id_a = x.doc_id JOIN sz y ON id_b = y.doc_id)
+    SELECT a.id_a, a.id_b, CAST(agree AS BIGINT) AS agree,
+      round(CAST(agree AS DOUBLE) / ${NumHashes.toDouble}, 6) AS est_sim,
+      round(jraw, 6) AS jaccard,
+      round(abs(CAST(agree AS DOUBLE) / ${NumHashes.toDouble} - jraw), 6)
+        AS abs_err
+    FROM agree a JOIN jac USING (id_a, id_b)
+    ORDER BY id_a, id_b"""
 
   // ---------------------------------------------------------------- SimHash
 
@@ -459,12 +531,14 @@ object Dedup {
     "dedup_ngram_jaccard" -> (dedupNgramJaccard(_, _)),
     "dedup_minhash_lsh" -> (dedupMinhashLsh(_, _)),
     "dedup_levenshtein" -> (dedupLevenshtein _),
-    "dedup_simhash" -> (dedupSimhash(_, _)))
+    "dedup_simhash" -> (dedupSimhash(_, _)),
+    "minhash_accuracy" -> (minhashAccuracy _))
 
   val oracles: Map[String, String] = Map(
     "dedup_exact" -> dedupExactSql,
     "dedup_ngram_jaccard" -> dedupNgramJaccardSql,
     "dedup_minhash_lsh" -> dedupMinhashLshSql,
     "dedup_levenshtein" -> dedupLevenshteinSql,
-    "dedup_simhash" -> dedupSimhashSql)
+    "dedup_simhash" -> dedupSimhashSql,
+    "minhash_accuracy" -> minhashAccuracySql)
 }

@@ -118,11 +118,109 @@ object ZOrder {
     FROM t WHERE o_orderkey % 37 = 0
     ORDER BY o_orderkey"""
 
+  // ----------------------------------------------------------- Hilbert curve
+
+  private val HBits = 8 // bits per dimension (grid 256×256)
+
+  /** Unrolled Hilbert xy→d state machine (the classic quadrant-rotation
+    * iteration): one step per bit from the top, each step adds the
+    * quadrant's contribution s²·(3·rx ⊕ ry) and rotates/flips the
+    * coordinates into the sub-square. The XOR over bits is written as the
+    * branch-free arithmetic `3·rx + ry·(1−2·rx)` so both engines evaluate
+    * identical integer expressions (DuckDB's `^` is exponentiation, not
+    * XOR). Properties (bijectivity over the grid and unit-step adjacency
+    * of consecutive indexes — what makes Hilbert strictly better than
+    * Z-order for range locality) are spec-proved over a full small grid.
+    */
+  private def hilbertSteps(bits: Int): Seq[Long] =
+    (bits - 1 to 0 by -1).map(k => 1L << k)
+
+  /** Spark: fold the step chain over (x, y, h) columns. */
+  private[graft] def withHilbert(df: DataFrame, xCol: String,
+                                     yCol: String, bits: Int): DataFrame = {
+    val init = df.withColumn("hx", col(xCol).cast("bigint"))
+      .withColumn("hy", col(yCol).cast("bigint"))
+      .withColumn("hval", lit(0L))
+    hilbertSteps(bits).foldLeft(init) { (d, sv) =>
+      d.withColumn("rx", expr(s"CASE WHEN (hx & $sv) > 0 THEN 1L ELSE 0L END"))
+        .withColumn("ry", expr(s"CASE WHEN (hy & $sv) > 0 THEN 1L ELSE 0L END"))
+        .withColumn("hval",
+          expr(s"hval + $sv * $sv * (3 * rx + ry * (1 - 2 * rx))"))
+        .withColumn("nx", expr(
+          s"CASE WHEN ry = 0 THEN (CASE WHEN rx = 1 THEN $sv - 1 - hy ELSE hy END) ELSE hx END"))
+        .withColumn("ny", expr(
+          s"CASE WHEN ry = 0 THEN (CASE WHEN rx = 1 THEN $sv - 1 - hx ELSE hx END) ELSE hy END"))
+        .withColumn("hx", col("nx")).withColumn("hy", col("ny"))
+        .drop("nx", "ny")
+    }.drop("rx", "ry", "hx", "hy")
+  }
+
+  /** DuckDB: the same chain as one CTE per step. `src` must provide
+    * columns (`key`, `hx`, `hy`). Ends in `hstep0(key, hx, hy, hval)`.
+    */
+  private def hilbertSql(bits: Int): String =
+    hilbertSteps(bits).zipWithIndex.map { case (sv, i) =>
+      val prev = if (i == 0) "hsrc" else s"hstep${bits - i}"
+      s"""
+    hstep${bits - 1 - i} AS (
+      SELECT key,
+        CASE WHEN ((hy & $sv) > 0) OR NOT ((hx & $sv) > 0) THEN
+          (CASE WHEN (hy & $sv) > 0 THEN hx ELSE hy END)
+        ELSE $sv - 1 - hy END AS hx,
+        CASE WHEN (hy & $sv) > 0 THEN hy
+             WHEN (hx & $sv) > 0 THEN $sv - 1 - hx
+             ELSE hx END AS hy,
+        hval + $sv * $sv *
+          (3 * (CASE WHEN (hx & $sv) > 0 THEN 1 ELSE 0 END)
+           + (CASE WHEN (hy & $sv) > 0 THEN 1 ELSE 0 END)
+             * (1 - 2 * (CASE WHEN (hx & $sv) > 0 THEN 1 ELSE 0 END)))
+          AS hval
+      FROM $prev)"""
+    }.mkString(",")
+
+  /** Gate: Hilbert indexes of the sampled (customer, order-day) grid —
+    * the locality-preserving alternative to [[zorderLayout]] (Hilbert has
+    * no Z-order "seams": consecutive indexes are always grid neighbours,
+    * so every file in a range-partitioned layout covers one connected
+    * region — tighter min/max footers on both dimensions).
+    */
+  def hilbertLayout(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.orders(s, dir)
+      .withColumn("ck", col("o_custkey") % 256)
+      .withColumn("dy",
+        datediff(to_date(col("o_orderdate")), lit("1992-01-01").cast("date"))
+          .cast("bigint") % 256)
+    withHilbert(base, "ck", "dy", HBits)
+      .filter(col("o_orderkey") % 37 === 0)
+      .select(col("o_orderkey"), col("ck"), col("dy"), col("hval"))
+      .orderBy("o_orderkey")
+  }
+
+  val hilbertLayoutSql: String = s"""
+    WITH hsrc AS (
+      SELECT o_orderkey AS key, o_custkey % 256 AS hx,
+        date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) % 256
+          AS hy,
+        CAST(0 AS BIGINT) AS hval
+      FROM orders),
+    ${hilbertSql(HBits)},
+    base AS (
+      SELECT o_orderkey, o_custkey % 256 AS ck,
+        date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) % 256
+          AS dy
+      FROM orders)
+    SELECT b.o_orderkey, b.ck, b.dy, h.hval
+    FROM base b JOIN hstep0 h ON b.o_orderkey = h.key
+    WHERE b.o_orderkey % 37 = 0
+    ORDER BY b.o_orderkey"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "zorder_layout" -> (zorderLayout(_, _)),
-    "zorder3_layout" -> (zorder3Layout(_, _)))
+    "zorder3_layout" -> (zorder3Layout(_, _)),
+    "hilbert_layout" -> (hilbertLayout _))
 
   val oracles: Map[String, String] = Map(
     "zorder_layout" -> zorderLayoutSql,
-    "zorder3_layout" -> zorder3LayoutSql)
+    "zorder3_layout" -> zorder3LayoutSql,
+    "hilbert_layout" -> hilbertLayoutSql)
 }

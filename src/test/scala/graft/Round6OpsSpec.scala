@@ -106,6 +106,27 @@ class Round6OpsSpec extends SparkSpec {
       s"HT sum $htSum vs true total $total")
   }
 
+  test("hilbert index: bijective over the grid, consecutive cells adjacent") {
+    // the property that MAKES it a Hilbert curve: d -> (x,y) is a
+    // bijection and consecutive indexes are always unit grid steps (no
+    // Z-order seams). Proven over the full 16x16 grid with the same
+    // column pipeline the gate uses at 8 bits.
+    import spark.implicits._
+    val grid = (for (x <- 0 until 16; y <- 0 until 16) yield (x, y))
+      .toDF("x", "y")
+    val hv = graft.operators.ZOrder.withHilbert(grid, "x", "y", 4)
+      .select("x", "y", "hval").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+    assert(hv.map(_._3).sorted.toSeq == (0L until 256L),
+      "hval is a bijection onto 0..255")
+    val byD = hv.map { case (x, y, d) => d -> (x, y) }.toMap
+    (0L until 255L).foreach { d =>
+      val (x1, y1) = byD(d); val (x2, y2) = byD(d + 1)
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) == 1,
+        s"step $d -> ${d + 1}: ($x1,$y1) -> ($x2,$y2) is not a unit move")
+    }
+  }
+
   test("graph_triangles matches a brute-force count on the collected graph") {
     val rows = GraphOps.graphTriangles(spark, sf).collect()
       .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("n_tri")).toMap
