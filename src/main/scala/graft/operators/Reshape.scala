@@ -102,13 +102,71 @@ object Reshape {
     FROM customer
     ORDER BY c_mktsegment, c_custkey"""
 
+  /** RFM segmentation (recency / frequency / monetary), the classic
+    * customer-scoring reshape: per customer, days since last order
+    * (against the fixed corpus horizon), order count, and exact-decimal
+    * spend; each scored into within-segment quintiles (recent/often/big
+    * = 1). Windows are PARTITIONED by market segment — the same
+    * no-global-sort discipline as [[customerPctRank]] — and the output is
+    * the (segment, r, f, m) cell census, bounded at 5³ rows per segment
+    * however many customers exist. Ties in every quintile sort break on
+    * the customer key, so the cell boundaries replay exactly.
+    */
+  def customerRfm(s: SparkSession, dir: String): DataFrame = {
+    val horizon = lit("1998-12-31").cast("date")
+    val rfm = Tables.orders(s, dir)
+      .groupBy(col("o_custkey"))
+      .agg(datediff(horizon, max(to_date(col("o_orderdate"))))
+          .cast("bigint").as("recency"),
+        count(lit(1)).as("frequency"),
+        Exact.sumDec(col("o_totalprice")).as("monetary"))
+      .join(Tables.customer(s, dir),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment").as("segment"), col("o_custkey").as("ck"),
+        col("recency"), col("frequency"), col("monetary"))
+    def q(c: String, asc: Boolean) = ntile(5).over(
+      Window.partitionBy(col("segment")).orderBy(
+        (if (asc) col(c).asc else col(c).desc), col("ck")))
+    rfm
+      .withColumn("r", q("recency", asc = true).cast("bigint"))
+      .withColumn("f", q("frequency", asc = false).cast("bigint"))
+      .withColumn("m", q("monetary", asc = false).cast("bigint"))
+      .groupBy(col("segment"), col("r"), col("f"), col("m"))
+      .agg(count(lit(1)).as("n_customers"),
+        Exact.sumDec(col("monetary")).cast("double").as("cell_spend"))
+      .orderBy("segment", "r", "f", "m")
+  }
+
+  val customerRfmSql: String = s"""
+    WITH rfm AS (
+      SELECT c_mktsegment AS segment, o_custkey AS ck,
+        date_diff('day', max(CAST(o_orderdate AS DATE)), DATE '1998-12-31')
+          AS recency,
+        count(*) AS frequency,
+        SUM(CAST(o_totalprice AS DECIMAL(30,10))) AS monetary
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY 1, 2),
+    scored AS (
+      SELECT segment, ck, monetary,
+        ntile(5) OVER (PARTITION BY segment ORDER BY recency, ck) AS r,
+        ntile(5) OVER (PARTITION BY segment ORDER BY frequency DESC, ck) AS f,
+        ntile(5) OVER (PARTITION BY segment ORDER BY monetary DESC, ck) AS m
+      FROM rfm)
+    SELECT segment, CAST(r AS BIGINT) AS r, CAST(f AS BIGINT) AS f,
+      CAST(m AS BIGINT) AS m, count(*) AS n_customers,
+      CAST(CAST(SUM(monetary) AS VARCHAR) AS DOUBLE) AS cell_spend
+    FROM scored GROUP BY 1, 2, 3, 4
+    ORDER BY segment, r, f, m"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "lineitem_unpivot" -> (lineitemUnpivot _),
     "events_gapfill" -> (eventsGapfill _),
-    "customer_pct_rank" -> (customerPctRank _))
+    "customer_pct_rank" -> (customerPctRank _),
+    "customer_rfm" -> (customerRfm _))
 
   val oracles: Map[String, String] = Map(
     "lineitem_unpivot" -> lineitemUnpivotSql,
     "events_gapfill" -> eventsGapfillSql,
-    "customer_pct_rank" -> customerPctRankSql)
+    "customer_pct_rank" -> customerPctRankSql,
+    "customer_rfm" -> customerRfmSql)
 }

@@ -214,13 +214,92 @@ object ZOrder {
     WHERE b.o_orderkey % 37 = 0
     ORDER BY b.o_orderkey"""
 
+  // -------------------------------------------------------- locality audit
+
+  /** Bucket width — deliberately NOT a power of two: aligned power-of-four
+    * buckets are complete quadrants on BOTH curves (identical perfect
+    * boxes), but real file boundaries come from row counts, not index
+    * alignment; an unaligned width makes buckets straddle quadrant seams,
+    * which is exactly where Z-order jumps across the grid and Hilbert
+    * doesn't.
+    */
+  private val LocBucket = 1000L
+
+  /** Layout locality audit: range-partition BOTH curves' indexes into 64
+    * equal buckets (what `repartitionByRange` + one file per partition
+    * produces) and measure each bucket's bounding box over the two source
+    * dimensions — `(max−min+1)` per dimension, summed. Smaller boxes mean
+    * tighter parquet min/max footers and better pruning; Hilbert's
+    * unit-step adjacency keeps every bucket a connected region, while
+    * Z-order's seams periodically jump across the grid, inflating the
+    * box. The gate emits both layouts' average and worst boxes from the
+    * same rows — the measured justification for choosing Hilbert, not a
+    * design argument. Two map-side aggregations; nothing scales with more
+    * than the bucket count.
+    */
+  def layoutLocality(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.orders(s, dir)
+      .withColumn("ck", col("o_custkey") % 256)
+      .withColumn("dy",
+        datediff(to_date(col("o_orderdate")), lit("1992-01-01").cast("date"))
+          .cast("bigint") % 256)
+    val hv = withHilbert(base, "ck", "dy", HBits)
+      .withColumn("zval", expr(interleaveNExpr(Seq("ck", "dy"), HBits)))
+    def stats(idx: String, name: String) = hv
+      .groupBy(expr(s"$idx div $LocBucket").as("b"))
+      .agg((max(col("ck")) - min(col("ck")) + 1 +
+        (max(col("dy")) - min(col("dy")) + 1)).as("ext"))
+      .agg(count(lit(1)).as("n_buckets"),
+        round(avg(col("ext")), 4).as("avg_extent"),
+        max(col("ext")).as("max_extent"))
+      .select(lit(name).as("layout"), col("n_buckets"), col("avg_extent"),
+        col("max_extent"))
+    stats("hval", "hilbert").unionByName(stats("zval", "zorder"))
+      .orderBy("layout")
+  }
+
+  val layoutLocalitySql: String = s"""
+    WITH hsrc AS (
+      SELECT o_orderkey AS key, o_custkey % 256 AS hx,
+        date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) % 256
+          AS hy,
+        CAST(0 AS BIGINT) AS hval
+      FROM orders),
+    ${hilbertSql(HBits)},
+    base AS (
+      SELECT o_orderkey, o_custkey % 256 AS ck,
+        date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) % 256
+          AS dy
+      FROM orders),
+    rows_ AS (
+      SELECT b.ck, b.dy, h.hval,
+        ${interleaveNSql(Seq("ck", "dy"), HBits)} AS zval
+      FROM base b JOIN hstep0 h ON b.o_orderkey = h.key),
+    hb AS (
+      SELECT hval // $LocBucket AS b,
+        (max(ck) - min(ck) + 1) + (max(dy) - min(dy) + 1) AS ext
+      FROM rows_ GROUP BY 1),
+    zb AS (
+      SELECT zval // $LocBucket AS b,
+        (max(ck) - min(ck) + 1) + (max(dy) - min(dy) + 1) AS ext
+      FROM rows_ GROUP BY 1),
+    outp AS (
+      SELECT 'hilbert' AS layout, count(*) AS n_buckets,
+        round(avg(ext), 4) AS avg_extent, max(ext) AS max_extent FROM hb
+      UNION ALL
+      SELECT 'zorder', count(*), round(avg(ext), 4), max(ext) FROM zb)
+    SELECT layout, n_buckets, avg_extent, max_extent
+    FROM outp ORDER BY layout"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "zorder_layout" -> (zorderLayout(_, _)),
     "zorder3_layout" -> (zorder3Layout(_, _)),
-    "hilbert_layout" -> (hilbertLayout _))
+    "hilbert_layout" -> (hilbertLayout _),
+    "layout_locality" -> (layoutLocality _))
 
   val oracles: Map[String, String] = Map(
     "zorder_layout" -> zorderLayoutSql,
     "zorder3_layout" -> zorder3LayoutSql,
-    "hilbert_layout" -> hilbertLayoutSql)
+    "hilbert_layout" -> hilbertLayoutSql,
+    "layout_locality" -> layoutLocalitySql)
 }

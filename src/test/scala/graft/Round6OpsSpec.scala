@@ -127,6 +127,37 @@ class Round6OpsSpec extends SparkSpec {
     }
   }
 
+  test("layout_locality: hilbert buckets are tighter than zorder's") {
+    val rows = graft.operators.ZOrder.layoutLocality(spark, sf).collect()
+      .map(r => r.getAs[String]("layout") ->
+        (r.getAs[Double]("avg_extent"), r.getAs[Long]("max_extent"))).toMap
+    val (hAvg, hMax) = rows("hilbert")
+    val (zAvg, zMax) = rows("zorder")
+    // the measured claim behind choosing hilbert for range layouts:
+    // unit-step adjacency keeps every unaligned bucket a connected region
+    assert(hAvg < zAvg, s"avg extent: hilbert $hAvg vs zorder $zAvg")
+    assert(hMax < zMax, s"max extent: hilbert $hMax vs zorder $zMax")
+  }
+
+  test("customer_rfm: quintile census is complete and bounded") {
+    val rows = graft.operators.Reshape.customerRfm(spark, sf).collect()
+    val segs = rows.map(_.getAs[String]("segment")).distinct
+    assert(segs.length == 5, "five market segments")
+    rows.foreach { r =>
+      Seq("r", "f", "m").foreach { c =>
+        val v = r.getAs[Long](c)
+        assert(v >= 1 && v <= 5, s"$c quintile $v out of range")
+      }
+      assert(r.getAs[Long]("n_customers") > 0)
+    }
+    // census covers every ordering customer exactly once
+    val total = rows.map(_.getAs[Long]("n_customers")).sum
+    val expect = Tables.orders(spark, sf).select("o_custkey").distinct()
+      .join(Tables.customer(spark, sf).select(col("c_custkey").as("o_custkey")),
+        "o_custkey").count()
+    assert(total == expect, s"census $total vs ordering customers $expect")
+  }
+
   test("graph_triangles matches a brute-force count on the collected graph") {
     val rows = GraphOps.graphTriangles(spark, sf).collect()
       .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("n_tri")).toMap
