@@ -87,12 +87,14 @@ object DatasetRevScenarios {
 
   private def stores(s: SparkSession, dir: String): (DataFrame, DataFrame, Map[String, Int]) = {
     val revOf = DatasetRev.revisionMap(Seq(DA, DB, DC))
-    val ord = graft.Memo.cached(s, "dsrev_orders", dir)(
-      DatasetRev.buildBracketed(
-        Seq(DA -> VersionedScenarios.r1(s, dir),
-            DB -> VersionedScenarios.r2(s, dir),
-            DC -> VersionedScenarios.r3(s, dir)),
-        revOf, "o_orderkey"))
+    // orders changes in ALL three datasets, so its bracketed store carries
+    // revisions 1..3 — bit-identical to the shared `versioned_store`
+    // artifact (incremental append ≡ batch build, both gates hash the same
+    // oracle); reuse it rather than building the same store twice per
+    // session. The bracketing-specific content — the SHARED revision map
+    // and a table whose applies SKIP a revision — lives in the customer
+    // store below, which [[DatasetRev.buildBracketed]] constructs.
+    val ord = VersionedScenarios.store(s, dir)
     val cust = graft.Memo.cached(s, "dsrev_customer", dir)(
       DatasetRev.buildBracketed(
         Seq(DA -> c1(s, dir), DC -> c3(s, dir)), revOf, "c_custkey"))

@@ -170,7 +170,10 @@ object VersionedScenarios {
 
   // built+cached once per (session, dir): versioned_table, table_at_revision
   // and version_diff all read the same store, as production reads would
-  private def store(s: SparkSession, dir: String): DataFrame =
+  // (and DatasetRevScenarios brackets the same artifact under its shared
+  // revision map — append-built and batch-built stores are bit-identical,
+  // both gates hash the same oracle)
+  private[operators] def store(s: SparkSession, dir: String): DataFrame =
     graft.Memo.cached(s, "versioned_store", dir) {
       Versioned.build(
         Seq(1 -> r1(s, dir), 2 -> r2(s, dir), 3 -> r3(s, dir)), "o_orderkey")
