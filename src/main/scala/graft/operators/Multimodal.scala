@@ -605,8 +605,12 @@ object Multimodal {
       .orderBy("id_a", "id_b")
   }
 
-  val phashPairsSql: String = s"""
-    WITH ids AS (
+  /** The pair-search CTE chain (generator pixels → aHash → bands →
+    * verified candidates `cand(id_a, id_b, hamming)`), shared by the pair
+    * gate and the clusters gate.
+    */
+  private val phashPairCtesSql: String = s"""
+    ids AS (
       SELECT doc_id, doc_id AS gen_id FROM documents
       UNION ALL
       SELECT doc_id + 100000, doc_id FROM documents WHERE doc_id % 9 = 0),
@@ -647,13 +651,51 @@ object Multimodal {
         CAST(bit_count(xor(x.hash_hi, y.hash_hi))
           + bit_count(xor(x.hash_lo, y.hash_lo)) AS BIGINT) AS hamming
       FROM bands x JOIN bands y
-        ON x.band = y.band AND x.bv = y.bv AND x.doc_id < y.doc_id)
+        ON x.band = y.band AND x.bv = y.bv AND x.doc_id < y.doc_id)"""
+
+  val phashPairsSql: String = s"""
+    WITH $phashPairCtesSql
     SELECT id_a, id_b, hamming FROM cand
     WHERE hamming <= $PhashMaxHamming ORDER BY id_a, id_b"""
+
+  /** Image near-dup CLUSTERS: connected components over the verified
+    * hamming pairs — what an image-dedup pipeline ships once near-dups
+    * chain a→b→c. Reuses the generic pointer-jumping component loop
+    * ([[Clustering.ccPointerJump]]: O(log diameter) rounds, scalar-only
+    * driver feedback) over the banded pair edges; the oracle replays the
+    * whole chain — pixels → hashes → banded pairs → transitive closure.
+    */
+  def phashClusters(s: SparkSession, dir: String): DataFrame = {
+    val pairs = phashPairs(s, dir)
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+    val labels = Clustering.ccPointerJump(pairs)
+    val sizes = labels.groupBy(col("cluster"))
+      .agg(count(lit(1)).as("csize"))
+    labels.join(sizes, "cluster")
+      .select(col("id").as("doc_id"), col("cluster"), col("csize"))
+      .orderBy("doc_id")
+  }
+
+  val phashClustersSql: String = s"""
+    WITH RECURSIVE $phashPairCtesSql,
+    pedges AS (
+      SELECT id_a AS src, id_b AS dst FROM cand
+      WHERE hamming <= $PhashMaxHamming
+      UNION
+      SELECT id_b, id_a FROM cand WHERE hamming <= $PhashMaxHamming),
+    reach(id, lab) AS (
+      SELECT src, src FROM pedges
+      UNION
+      SELECT e.src, r.lab FROM pedges e JOIN reach r ON r.id = e.dst),
+    comp AS (SELECT id AS doc_id, min(lab) AS cluster FROM reach GROUP BY id),
+    sizes AS (SELECT cluster, count(*) AS csize FROM comp GROUP BY cluster)
+    SELECT doc_id, cluster, csize FROM comp JOIN sizes USING (cluster)
+    ORDER BY doc_id"""
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "multimodal_phash" -> (phashImages(_, _)),
     "multimodal_phash_pairs" -> (phashPairs _),
+    "phash_clusters" -> (phashClusters _),
     "multimodal_meta" -> (multimodalMeta _),
     "multimodal_resize" -> (resizeImages(_, _)),
     "multimodal_frames" -> (frameSample _),
@@ -672,6 +714,7 @@ object Multimodal {
   val oracles: Map[String, String] = Map(
     "multimodal_phash" -> phashSql,
     "multimodal_phash_pairs" -> phashPairsSql,
+    "phash_clusters" -> phashClustersSql,
     "multimodal_meta" -> multimodalMetaSql,
     "multimodal_resize" -> resizeSql,
     "multimodal_frames" -> frameSampleSql,

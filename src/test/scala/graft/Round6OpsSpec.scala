@@ -158,6 +158,28 @@ class Round6OpsSpec extends SparkSpec {
     assert(total == expect, s"census $total vs ordering customers $expect")
   }
 
+  test("phash_clusters: components close over the hamming pairs") {
+    val pairs = graft.operators.Multimodal.phashPairs(spark, sf).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")))
+    val cl = graft.operators.Multimodal.phashClusters(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("cluster"), r.getAs[Long]("csize"))).toMap
+    // paired images always share a cluster; every clustered doc is in a pair
+    pairs.foreach { case (a, b) =>
+      assert(cl(a)._1 == cl(b)._1, s"pair ($a,$b) split across clusters")
+    }
+    assert(cl.keySet == pairs.flatMap(p => Seq(p._1, p._2)).toSet)
+    // the planted byte-copies (doc_id + 100000) sit with their source
+    cl.keys.filter(_ >= 100000L).foreach { planted =>
+      assert(cl(planted)._1 == cl(planted - 100000L)._1,
+        s"planted copy $planted not clustered with its source")
+    }
+    // cluster sizes are consistent
+    cl.values.groupBy(_._1).foreach { case (c, ms) =>
+      assert(ms.head._2 == ms.size, s"cluster $c size mismatch")
+    }
+  }
+
   test("graph_triangles matches a brute-force count on the collected graph") {
     val rows = GraphOps.graphTriangles(spark, sf).collect()
       .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("n_tri")).toMap
