@@ -133,6 +133,29 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("round-6 operators keep the scale disciplines") {
+    // bloom_prune: the bit set is a broadcast dim; the big side never
+    // shuffles for the filter
+    val bp = plan(operators.JoinShapes.bloomPrune(spark, sf))
+    assert(count(bp, "BroadcastHashJoin") >= 1, "bit set must broadcast")
+    assert(!bp.contains("CartesianProduct"))
+    // graph_triangles: wedge-close is equi-joins + partial aggregates
+    val tr = plan(operators.GraphOps.graphTriangles(spark, sf))
+    assert(!tr.contains("CartesianProduct"))
+    assert(count(tr, "HashAggregate") >= 2, "triangle census map-side combines")
+    // corpus_priority_sample: the top-(n+1) cut is a TakeOrdered, never a
+    // corpus-wide unpartitioned rank window
+    val ps = plan(operators.TrainPrep.corpusPrioritySample(spark, sf))
+    assert(ps.contains("TakeOrderedAndProject"),
+      "priority cut must be per-partition heaps")
+    // hll registers: one map-side-combining max per bucket
+    val hr = plan(operators.Sketch.hllRegisters(spark, sf))
+    assert(count(hr, "HashAggregate") >= 2, "register max map-side combines")
+    // layout audit: pure column state machines + two tiny aggregations
+    val ll = plan(operators.ZOrder.layoutLocality(spark, sf))
+    assert(!ll.contains("CartesianProduct") && !ll.contains("CollectLimit"))
+  }
+
   test("decontaminate broadcasts the eval side") {
     val p = plan(operators.CorpusFilters.decontaminate(spark, sf))
     assert(count(p, "BroadcastHashJoin") >= 1,
