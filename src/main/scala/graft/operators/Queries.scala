@@ -528,11 +528,14 @@ object Queries {
       COUNT(*) AS n, ${Exact.sqlSum("o_totalprice")} AS sum_price
     FROM orders GROUP BY 1, 2 ORDER BY bucket"""
 
-  /** Customer spend deciles within each market segment: NTILE over a
-    * segment-partitioned window (no global sort — the global-NTILE variant
-    * would single-partition at 100 TB; per-segment is the scale-correct
-    * framing and the business question anyway). Spend is an exact decimal,
-    * so the decile ordering (spend desc, custkey) is total and
+  /** Customer spend deciles within each market segment. There are only ~5
+    * segments, so a segment-partitioned NTILE window would hash the whole
+    * customer aggregate to ~5 reducers; instead the decile comes from a
+    * [[DistRank.rowNumber]] two-phase rank (balanced range slices) fed
+    * through [[DistRank.ntileFromRank]] — NTILE(10) reconstructed
+    * bit-exactly from (rank, segment count) with no stratum-partitioned
+    * window anywhere in the plan. Spend is an exact decimal, so the
+    * decile ordering (spend desc, custkey) is total and
     * engine-independent.
     */
   def customerDeciles(s: SparkSession, dir: String): DataFrame = {
@@ -543,9 +546,11 @@ object Queries {
         col("o_custkey") === col("c_custkey"))
       .select(col("c_mktsegment").as("segment"),
         col("o_custkey").as("custkey"), col("spend_dec"))
-    val w = Window.partitionBy(col("segment"))
-      .orderBy(col("spend_dec").desc, col("custkey"))
-    seg.withColumn("decile", ntile(10).over(w))
+    val ranked = DistRank.rowNumber(seg, "segment",
+      Seq(col("spend_dec").desc, col("custkey")), "__rn")
+    val counts = seg.groupBy(col("segment")).agg(count(lit(1)).as("__n"))
+    ranked.join(broadcast(counts), "segment")
+      .withColumn("decile", DistRank.ntileFromRank(10, col("__rn"), col("__n")))
       .groupBy(col("segment"), col("decile"))
       .agg(count(lit(1)).as("n"), sum(col("spend_dec")).as("sum_dec"))
       .select(col("segment"), col("decile").cast("long").as("decile"),

@@ -1,8 +1,7 @@
 package graft.operators
 
 import graft.{Exact, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Table reshaping and series-completion operators: unpivot (the inverse
@@ -81,17 +80,32 @@ object Reshape {
     ORDER BY g.event_type, g.hr"""
 
   /** Relative standing of every customer inside their market segment:
-    * `percent_rank` over balance. The window is segment-partitioned (no
-    * global sort; each segment ranks independently after one key-wise
-    * shuffle). Hash-safe across engines because percent_rank is the single
-    * correctly-rounded division (rank−1)/(n−1) of exact integers — both
-    * engines produce the identical double bit pattern, no rounding needed.
+    * `percent_rank` over balance. TPC-H has FIVE market segments, so a
+    * segment-partitioned window would hash every customer to ~5 reducers —
+    * the scale-killer the r6 verdict flagged. Instead the rank comes from
+    * [[DistRank.rowNumber]] (range-sliced two-phase rank, every reducer
+    * sees a balanced slice), tie groups collapse to SQL RANK semantics by
+    * a min-over-equal-keys join (high-cardinality key, balanced), and
+    * percent_rank is reconstructed as the same single correctly-rounded
+    * division (rank−1)/(n−1) of exact integers the window function
+    * performs — identical double bit pattern, no rounding needed.
     */
   def customerPctRank(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("c_mktsegment")).orderBy(col("c_acctbal"))
-    Tables.customer(s, dir)
+    val cust = Tables.customer(s, dir)
+      .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+    val rn = DistRank.rowNumber(cust, "c_mktsegment",
+      Seq(col("c_acctbal"), col("c_custkey")), "__rn")
+    val rankOfTies = rn.groupBy(col("c_mktsegment"), col("c_acctbal"))
+      .agg(min(col("__rn")).as("__rank"))
+    val counts = cust.groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("__n"))
+    rn.join(rankOfTies, Seq("c_mktsegment", "c_acctbal"))
+      .join(broadcast(counts), "c_mktsegment")
       .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"),
-        percent_rank().over(w).as("bal_pct_rank"))
+        when(col("__n") === 1, lit(0.0))
+          .otherwise((col("__rank") - 1).cast("double") /
+            (col("__n") - 1).cast("double"))
+          .as("bal_pct_rank"))
       .orderBy("c_mktsegment", "c_custkey")
   }
 
@@ -106,9 +120,12 @@ object Reshape {
     * customer-scoring reshape: per customer, days since last order
     * (against the fixed corpus horizon), order count, and exact-decimal
     * spend; each scored into within-segment quintiles (recent/often/big
-    * = 1). Windows are PARTITIONED by market segment — the same
-    * no-global-sort discipline as [[customerPctRank]] — and the output is
-    * the (segment, r, f, m) cell census, bounded at 5³ rows per segment
+    * = 1). The quintiles are NOT ntile windows — a segment-partitioned
+    * window single-tasks each of the 5 segments at scale — but three
+    * [[DistRank.rowNumber]] two-phase ranks (one per metric's total
+    * order) fed through [[DistRank.ntileFromRank]], which reconstructs
+    * NTILE(5) bit-exactly from (rank, segment count). Output is the
+    * (segment, r, f, m) cell census, bounded at 5³ rows per segment
     * however many customers exist. Ties in every quintile sort break on
     * the customer key, so the cell boundaries replay exactly.
     */
@@ -124,13 +141,18 @@ object Reshape {
         col("o_custkey") === col("c_custkey"))
       .select(col("c_mktsegment").as("segment"), col("o_custkey").as("ck"),
         col("recency"), col("frequency"), col("monetary"))
-    def q(c: String, asc: Boolean) = ntile(5).over(
-      Window.partitionBy(col("segment")).orderBy(
-        (if (asc) col(c).asc else col(c).desc), col("ck")))
-    rfm
-      .withColumn("r", q("recency", asc = true).cast("bigint"))
-      .withColumn("f", q("frequency", asc = false).cast("bigint"))
-      .withColumn("m", q("monetary", asc = false).cast("bigint"))
+    val ranked = Seq[(String, Seq[Column])](
+      ("__rr", Seq(col("recency").asc, col("ck"))),
+      ("__fr", Seq(col("frequency").desc, col("ck"))),
+      ("__mr", Seq(col("monetary").desc, col("ck"))))
+      .foldLeft(rfm) { case (df, (out, order)) =>
+        DistRank.rowNumber(df, "segment", order, out)
+      }
+    val counts = rfm.groupBy(col("segment")).agg(count(lit(1)).as("__n"))
+    ranked.join(broadcast(counts), "segment")
+      .withColumn("r", DistRank.ntileFromRank(5, col("__rr"), col("__n")))
+      .withColumn("f", DistRank.ntileFromRank(5, col("__fr"), col("__n")))
+      .withColumn("m", DistRank.ntileFromRank(5, col("__mr"), col("__n")))
       .groupBy(col("segment"), col("r"), col("f"), col("m"))
       .agg(count(lit(1)).as("n_customers"),
         Exact.sumDec(col("monetary")).cast("double").as("cell_spend"))

@@ -368,18 +368,20 @@ object TextOps {
 
   /** Quota-binned sequence packing: documents are assigned to fixed
     * token-budget training sequences by cumulative token count within each
-    * language stratum (a deterministic, shuffle-once approximation of
-    * greedy packing; the window partitions by stratum, so no global
-    * ordering bottleneck).
+    * language stratum (a deterministic approximation of greedy packing).
+    * The corpus has only a handful of languages, so a lang-partitioned
+    * running-sum window would funnel each language's entire corpus through
+    * one reducer; [[DistRank.runningSum]] computes the identical inclusive
+    * cumulative sum with balanced range slices + broadcast slice offsets
+    * instead — no stratum-partitioned window in the plan.
     */
   def packSequences(s: SparkSession, dir: String,
                     budget: Int = 2048): DataFrame = {
-    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
-    Tables.documents(s, dir)
+    val docs = Tables.documents(s, dir)
       .select(col("doc_id"), col("lang"),
         size(split(norm, " ")).as("n_tokens"))
-      .withColumn("cum", sum(col("n_tokens"))
-        .over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    DistRank.runningSum(docs, "lang", Seq(col("doc_id")),
+        col("n_tokens"), "cum")
       .select(col("doc_id"), col("lang"), col("n_tokens"),
         floor((col("cum") - col("n_tokens")) / budget).as("seq_id"))
       .orderBy("lang", "doc_id")
@@ -453,19 +455,22 @@ object TextOps {
     * 3×, odd 1× here; production plugs in a weight table). A document's
     * `mix_pos` = its per-source rank divided by the source weight — the
     * water-filling position — so sorting by `mix_pos` interleaves sources
-    * at the configured ratio without any global window: the only window is
-    * partitioned by source, and `mix_pos` itself is the global sort key
+    * at the configured ratio. The per-source rank comes from
+    * [[DistRank.rowNumber]] (two-phase distributed rank over balanced
+    * range slices), not a source-partitioned window — sources number in
+    * the single digits, so a window keyed on them alone would single-task
+    * each source's rank at scale. `mix_pos` itself is the global sort key
     * consumers range-partition on. Reproducible across runs and engines
     * (no RNG).
     */
   def corpusMix(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
     val weight = when(expr("cast(substring(source, 4) as int) % 2 = 0"), 3.0)
       .otherwise(1.0)
-    Tables.documents(s, dir)
-      .select(col("doc_id"), col("source"))
-      .withColumn("rn", row_number().over(w))
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("source"))
+    DistRank.rowNumber(docs, "source", Seq(col("doc_id")), "__rn")
+      .withColumn("rn", col("__rn").cast("int"))
       .withColumn("mix_pos", round(col("rn").cast("double") / weight, 6))
+      .select(col("doc_id"), col("source"), col("rn"), col("mix_pos"))
       .orderBy("mix_pos", "source", "doc_id")
   }
 

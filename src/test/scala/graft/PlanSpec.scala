@@ -156,6 +156,35 @@ class PlanSpec extends SparkSpec {
     assert(!ll.contains("CartesianProduct") && !ll.contains("CollectLimit"))
   }
 
+  test("round-7: no rank window partitioned on a bare low-cardinality stratum") {
+    // the r6 scale finding: ntile/percent_rank/row_number windows whose
+    // partition key has ~5 values (market segment, lang, source) funnel the
+    // whole table through ~5 reducers at 100×. The five rewritten queries
+    // must plan NO ntile/percent_rank at all, and every remaining
+    // rank/running-sum window must be partitioned on (stratum, __rp) — the
+    // range-slice id — never the stratum alone.
+    val rewritten: Seq[(String, DataFrame)] = Seq(
+      "customer_rfm" -> operators.Reshape.customerRfm(spark, sf),
+      "customer_deciles" -> operators.Queries.customerDeciles(spark, sf),
+      "customer_pct_rank" -> operators.Reshape.customerPctRank(spark, sf),
+      "pack_sequences" -> operators.TextOps.packSequences(spark, sf),
+      "corpus_mix" -> operators.TextOps.corpusMix(spark, sf))
+    for ((name, df) <- rewritten) {
+      val p = plan(df)
+      assert(!p.contains("ntile("), s"$name still plans an ntile window")
+      assert(!p.contains("percent_rank("),
+        s"$name still plans a percent_rank window")
+      val specs =
+        "windowspecdefinition\\(([^)]*)".r.findAllMatchIn(p).toSeq
+      assert(specs.nonEmpty == p.contains("Window"),
+        s"$name plan/window-spec mismatch")
+      specs.foreach { m =>
+        assert(m.group(1).contains("__rp"),
+          s"$name has a window partitioned on a bare stratum: ${m.group(1)}")
+      }
+    }
+  }
+
   test("decontaminate broadcasts the eval side") {
     val p = plan(operators.CorpusFilters.decontaminate(spark, sf))
     assert(count(p, "BroadcastHashJoin") >= 1,

@@ -21,6 +21,57 @@ class ScaleOpsSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("pointer-jump: a fully-converged hot label spreads across reducers") {
+    // r6 verdict: the jump join keyed on the label concentrates a giant
+    // component's rows on ONE reducer at 100× (absorbed by AQE skew-split,
+    // but the shape was wrong). The salted path must bound every
+    // post-shuffle partition structurally — adversarial case: ALL nodes
+    // already share one label and that label's pointer just changed.
+    val n = 20000
+    val salt = 16
+    val labels = spark.range(n).toDF("id")
+      .withColumn("lab", lit(0L)).withColumn("chg", lit(true))
+    val ptr = spark.range(1).select(lit(0L).as("lab"), lit(0L).as("lab2"))
+    val saved = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.coalescePartitions.enabled",
+      "spark.sql.shuffle.partitions")
+      .map(k => k -> spark.conf.get(k))
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", -1) // force shuffle
+    // keep the kB-sized test shuffle from coalescing to one partition —
+    // at scale each post-shuffle partition is advisory-sized anyway
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    // reducer count ≥ salt so the spread is visible (the 4-core test
+    // session would fold 16 salts onto 4 reducers)
+    spark.conf.set("spark.sql.shuffle.partitions", "16")
+    try {
+      val joined = operators.Clustering.applyJump(
+        labels, ptr, useBroadcast = false, salt = salt)
+      val sizes = joined.rdd
+        .mapPartitions(it => Iterator(it.size)).collect().filter(_ > 0)
+      // unsalted, all n rows hash to one partition; salted, no partition
+      // may exceed a small multiple of n/salt (hash collisions can land
+      // two salt values on one reducer)
+      assert(sizes.sum == n)
+      assert(sizes.max <= 3 * n / salt,
+        s"hot label not spread: partition sizes ${sizes.sorted.reverse.take(5).mkString(",")}")
+    } finally saved.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
+
+  test("pointer-jump converges on an adversarial one-component graph") {
+    // one chain spanning every node: diameter = n-1, the worst case for
+    // one-hop propagation — the jump loop must still produce a single
+    // component (and do so in O(log n) rounds, or this test would crawl)
+    val n = 4096L
+    val edges = spark.range(n - 1).select(col("id").as("src"),
+      (col("id") + 1).as("dst"))
+    val comp = operators.Clustering.ccPointerJump(edges)
+    val labs = comp.agg(countDistinct(col("cluster")),
+      min(col("cluster")), count(lit(1))).first()
+    assert(labs.getLong(0) == 1L, "must converge to one component")
+    assert(labs.getLong(1) == 0L, "label must be the component minimum")
+    assert(labs.getLong(2) == n)
+  }
+
   test("versioned store partitioned by revision prunes at-revision reads") {
     val path = s"${sys.props("java.io.tmpdir")}/graft-verstore"
     val store = Versioned.build(
