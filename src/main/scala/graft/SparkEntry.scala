@@ -19,6 +19,7 @@ object SparkEntry {
       operators.AsOf.queries ++
       operators.RangeJoin.queries ++
       operators.Sketch.queries ++
+      operators.Quantile.queries ++
       operators.Skew.queries ++
       operators.MergeScenarios.queries ++
       operators.Clustering.queries ++
@@ -56,6 +57,7 @@ object SparkEntry {
       operators.AsOf.oracles ++
       operators.RangeJoin.oracles ++
       operators.Sketch.oracles ++
+      operators.Quantile.oracles ++
       operators.Skew.oracles ++
       operators.MergeScenarios.oracles ++
       operators.Clustering.oracles ++

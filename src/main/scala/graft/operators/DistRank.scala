@@ -10,48 +10,95 @@ import org.apache.spark.sql.functions._
   * source). A window partitioned on a ~5-value key hashes the entire
   * table to ~5 reducers and sorts each stratum in a single task — fine at
   * sf0.1, hours of spill at 100 TB. The classic fix is the two-phase
-  * distributed rank:
+  * distributed rank: slice each stratum's total order into balanced
+  * contiguous ranges, rank locally per slice, and add broadcast slice
+  * offsets.
   *
-  *  1. `repartitionByRange` on (stratum, orderKeys) — the range
-  *     partitioner spreads every stratum across MANY partitions, each
-  *     holding a contiguous slice of the stratum's total order;
-  *  2. a window partitioned by (stratum, rangePartitionId) computes the
-  *     LOCAL rank / running sum — every window group is one balanced
-  *     range slice, so no reducer ever sees more than ~1/P of a stratum;
-  *  3. per-(stratum, slice) totals — a bounded P×|strata| metadata frame —
-  *     are turned into slice OFFSETS by a tiny triangular self-join
-  *     (sum of totals of all earlier slices in the same stratum), and the
-  *     offsets broadcast back onto the slices: global = offset + local.
+  * The slice id is a PURE FUNCTION OF THE ROW'S DATA, never of physical
+  * placement: per stratum, slice boundaries are picked from a
+  * deterministic md5-sampled subset of the sort keys (a bounded first
+  * pass), broadcast as a sorted array, and each row's slice is the count
+  * of boundaries ≤ its sort key. `repartitionByRange` +
+  * `spark_partition_id()` — the obvious formulation — is NOT sound here:
+  * the range partitioner derives its bounds from a nondeterministically
+  * seeded sample, so the two plan branches that must agree on the slice
+  * id (the offsets aggregate and the ranked rows) can observe DIFFERENT
+  * bounds when the exchange isn't reused, silently corrupting ranks.
+  * Measured, not hypothetical: at 4 shuffle partitions the
+  * partition-id formulation produced 432/423/387-row results across
+  * reruns of the same RFM census.
   *
-  * Everything stays declarative DataFrame ops (codegen'd windows +
-  * broadcast hash join); no driver collect, no mapPartitions. The rank
-  * values depend only on the data's total order, not on where the range
-  * boundaries fall, so results are bit-identical to the single-window
-  * formulation at any partition count.
+  * Steps:
+  *  1. sample rows whose md5(hashKey) ≡ 0 (mod 64); per stratum, collect
+  *     and sort their sort keys (bounded: n/64 keys per stratum, one
+  *     aggregation), and pick ≤ P−1 evenly-spaced boundaries;
+  *  2. broadcast the boundary arrays (one row per stratum) and stamp each
+  *     row's slice `__rp` = #boundaries ≤ its key — deterministic,
+  *     branch-consistent, balanced to sampling accuracy;
+  *  3. a window partitioned by (stratum, __rp) computes the LOCAL rank /
+  *     running sum — every window group is one contiguous slice of the
+  *     stratum's order, so no reducer sees more than ~1/P of a stratum;
+  *  4. per-(stratum, slice) totals — a bounded P×|strata| metadata frame —
+  *     become slice OFFSETS by a tiny triangular self-join, broadcast
+  *     back: global = offset + local.
+  *
+  * Everything stays declarative DataFrame ops; no driver collect, no
+  * mapPartitions, no physical-placement dependence. Rank values depend
+  * only on the data's total order, so results are bit-identical to the
+  * single-window formulation at any partition count. Orders must be
+  * ASCENDING over the given columns with a unique tiebreaker last;
+  * descending dimensions negate (exact for the integer/decimal metrics
+  * ranked here). At extreme scale the boundary sample composes with
+  * [[Quantile.summarize]] instead of a flat mod-64 cut; the mod is the
+  * knob.
   *
   * Ref: the same two-phase global-order scheme Spark itself uses inside
-  * `zipWithIndex`/`RangePartitioner` (core/src/main/scala/org/apache/
-  * spark/rdd/ZippedWithIndexRDD.scala) lifted to stratified DataFrames.
+  * `zipWithIndex` (core/src/main/scala/org/apache/spark/rdd/
+  * ZippedWithIndexRDD.scala) lifted to stratified DataFrames with
+  * data-deterministic slicing.
   */
 object DistRank {
 
-  /** Explicit partition count: passing it to `repartitionByRange` marks
-    * the partitioning user-specified, which keeps AQE from re-coalescing
-    * the exchange — the stamped partition id must mean the same range
-    * slice in every branch that reads it.
-    */
+  /** 1-in-SampleMod md5 sample drives the boundary pick. */
+  private val SampleMod = 64
+
   private def partitions(df: DataFrame): Int =
     df.sparkSession.sessionState.conf.numShufflePartitions
 
-  /** Range-slice the frame on (stratum, order), stamp the slice id, and
-    * derive each slice's offset = sum of `total` over earlier slices of
-    * the same stratum. Returns (sliced frame, broadcastable offsets).
+  /** Stamp the deterministic slice id `__rp` and the packed sort key
+    * `__sk` (struct over `order`, compared lexicographically).
+    */
+  private def withSlice(df: DataFrame, stratum: String, order: Seq[Column],
+                        hashKey: String): DataFrame = {
+    val p = partitions(df)
+    val keyed = df.withColumn("__sk", struct(order: _*))
+    if (p <= 1) return keyed.withColumn("__rp", lit(0))
+    val sample = keyed
+      .filter(expr(s"pmod(cast(conv(substring(md5(concat(cast($hashKey " +
+        s"as string), ':slice')), 1, 8), 16, 10) as bigint), $SampleMod)")
+        === 0)
+      .select(col(stratum), col("__sk"))
+    // sort_array makes the boundary pick independent of collect order
+    val bnds = sample.groupBy(col(stratum))
+      .agg(sort_array(collect_list(col("__sk"))).as("__arr"))
+      .select(col(stratum).as("__s0"),
+        expr(s"transform(sequence(1, ${p - 1}), j -> element_at(__arr, " +
+          s"cast(greatest(1L, (j * size(__arr)) div $p) as int)))")
+          .as("__bnds"))
+    keyed.join(broadcast(bnds), col(stratum) <=> col("__s0"), "left")
+      .withColumn("__rp",
+        when(col("__bnds").isNull, lit(0))
+          .otherwise(expr("size(filter(__bnds, b -> b <= __sk))")))
+      .drop("__s0", "__bnds")
+  }
+
+  /** Slice the frame, stamp `__rp`, and derive each slice's offset = sum
+    * of `total` over earlier slices of the same stratum. Returns (sliced
+    * frame, broadcastable offsets).
     */
   private def sliced(df: DataFrame, stratum: String, order: Seq[Column],
-                     total: Column): (DataFrame, DataFrame) = {
-    val keyed = df
-      .repartitionByRange(partitions(df), (col(stratum) +: order): _*)
-      .withColumn("__rp", spark_partition_id())
+                     hashKey: String, total: Column): (DataFrame, DataFrame) = {
+    val keyed = withSlice(df, stratum, order, hashKey)
     val totals = keyed.groupBy(col(stratum), col("__rp")).agg(total.as("__t"))
     val earlier = totals.select(col(stratum).as("__s2"),
       col("__rp").as("__p2"), col("__t").as("__t2"))
@@ -71,27 +118,30 @@ object DistRank {
       .join(broadcast(offsets),
         col(stratum) <=> col("__s") && col("__rp") === col("__p"))
       .withColumn(out, col("__off") + col("__loc"))
-      .drop("__rp", "__loc", "__s", "__p", "__off")
+      .drop("__rp", "__loc", "__s", "__p", "__off", "__sk")
 
-  /** 1-based row number of every row within its stratum under `order`
-    * (which must be a total order — add a unique tiebreaker). Long-typed.
+  /** 1-based row number of every row within its stratum under ASCENDING
+    * `order` (which must be a total order — add a unique tiebreaker;
+    * express descending dimensions by negation). `hashKey` names a
+    * unique, non-null column the boundary sample hashes. Long-typed.
     */
   def rowNumber(df: DataFrame, stratum: String, order: Seq[Column],
-                out: String): DataFrame = {
+                hashKey: String, out: String): DataFrame = {
     val (keyed, offsets) =
-      sliced(df, stratum, order, count(lit(1)).cast("long"))
-    val w = Window.partitionBy(col(stratum), col("__rp")).orderBy(order: _*)
+      sliced(df, stratum, order, hashKey, count(lit(1)).cast("long"))
+    val w = Window.partitionBy(col(stratum), col("__rp")).orderBy(col("__sk"))
     finish(keyed, offsets, stratum, row_number().over(w).cast("long"), out)
   }
 
-  /** Inclusive running sum of `value` within each stratum under `order`.
-    * Long-typed (exact; use for counts/token budgets, not floats).
+  /** Inclusive running sum of `value` within each stratum under ASCENDING
+    * `order`. Long-typed (exact; use for counts/token budgets, not
+    * floats).
     */
   def runningSum(df: DataFrame, stratum: String, order: Seq[Column],
-                 value: Column, out: String): DataFrame = {
+                 hashKey: String, value: Column, out: String): DataFrame = {
     val (keyed, offsets) =
-      sliced(df, stratum, order, sum(value).cast("long"))
-    val w = Window.partitionBy(col(stratum), col("__rp")).orderBy(order: _*)
+      sliced(df, stratum, order, hashKey, sum(value).cast("long"))
+    val w = Window.partitionBy(col(stratum), col("__rp")).orderBy(col("__sk"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     finish(keyed, offsets, stratum, sum(value).over(w).cast("long"), out)
   }

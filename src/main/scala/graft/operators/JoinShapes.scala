@@ -207,10 +207,48 @@ object JoinShapes {
     * ever shuffles for the filter itself. Zero false negatives by
     * construction: every true key's probes are in the filter.
     */
+  private def posSql(c: String, i: Int): String =
+    s"(cast(conv(substring(md5(concat(cast($c as string), ':$i')), " +
+      s"1, 8), 16, 10) as bigint) % $BloomM)"
+
+  /** The filter as ONE broadcastable row: `bloom` maps 64-bit word index →
+    * OR of the set bits in that word (≤ m/64 entries — 8192 bits pack into
+    * ≤128 map entries). Built by a tiny word-keyed `bit_or` aggregation
+    * over the key side's probe positions; the big side never participates.
+    */
+  private[operators] def bloomMask(keys: DataFrame, c: String): DataFrame =
+    keys.select(explode(array((0 until BloomK).map(i =>
+        expr(posSql(c, i))): _*)).as("p"))
+      .select(expr("p div 64").as("w"),
+        expr("shiftleft(cast(1 as bigint), cast(p % 64 as int))").as("m"))
+      .groupBy(col("w")).agg(expr("bit_or(m)").as("mask"))
+      .agg(map_from_entries(collect_list(struct(col("w"), col("mask"))))
+        .as("bloom"))
+
+  /** All-probes-set row predicate over the packed mask column `bloom`. */
+  private def probeSql(c: String): String =
+    (0 until BloomK).map { i =>
+      val p = posSql(c, i)
+      s"((shiftright(coalesce(element_at(bloom, $p div 64), " +
+        s"cast(0 as bigint)), cast($p % 64 as int)) & 1) = 1)"
+    }.mkString(" AND ")
+
+  /** The production pruning path: rows of `big` whose `keyCol` passes all
+    * k probes against the packed broadcast bitmask — a per-row bit-test
+    * expression (what Spark's own runtime bloom filter injects as
+    * `might_contain`), NOT a key-set semi-join. The probe side does zero
+    * shuffle work for the filter: one broadcast of the 1-row mask and a
+    * codegen'd predicate in the scan's filter. Zero false negatives by
+    * construction; false positives are the audited fp rate.
+    */
+  def bloomPruneRows(big: DataFrame, keyCol: String,
+                     keys: DataFrame, keysCol: String): DataFrame =
+    big.crossJoin(broadcast(bloomMask(keys, keysCol)))
+      .filter(expr(probeSql(keyCol)))
+      .drop("bloom")
+
   def bloomPrune(s: SparkSession, dir: String): DataFrame = {
-    def posCol(c: String, i: Int) =
-      expr(s"cast(conv(substring(md5(concat(cast($c as string), ':$i')), " +
-        s"1, 8), 16, 10) as bigint) % $BloomM")
+    def posCol(c: String, i: Int) = expr(posSql(c, i))
     val keys = Tables.orders(s, dir).filter(col("o_orderkey") % 97 === 0)
       .select(col("o_orderkey").as("k"))
     val bits = keys.select(explode(
@@ -224,8 +262,10 @@ object JoinShapes {
       .groupBy(col("ck")).agg(count(lit(1)).as("nhit"))
       .filter(col("nhit") === BloomK).select("ck")
     val exact = cand.join(keys, cand("ck") === keys("k"), "left_semi")
-    val rowsPassed = li.join(passed,
-      li("l_orderkey") === passed("ck"), "left_semi")
+    // rows through the ROW-LEVEL path — same pass/fail decision per key as
+    // the key-set audit above (a key passes iff all k probe bits are set),
+    // but with the at-scale plan: no distinct, no shuffle on the fact side
+    val rowsPassed = bloomPruneRows(li, "l_orderkey", keys, "k")
     val rowsExact = li.join(keys, li("l_orderkey") === keys("k"), "left_semi")
     keys.agg(count(lit(1)).as("n_keys"))
       .crossJoin(bits.agg(count(lit(1)).as("bits_set")))
@@ -238,8 +278,12 @@ object JoinShapes {
         col("n_passed_keys"), col("n_exact_keys"),
         (col("n_passed_keys") - col("n_exact_keys")).as("n_fp_keys"),
         col("n_rows_passed"), col("n_rows_exact"),
-        round((col("n_passed_keys") - col("n_exact_keys")).cast("double") /
-          (col("n_cand_keys") - col("n_exact_keys")).cast("double"), 6)
+        // guard: every candidate being a true key leaves no negatives to
+        // measure a false-positive rate over — report 0.0, not NULL/NaN
+        when(col("n_cand_keys") === col("n_exact_keys"), lit(0.0))
+          .otherwise(
+            round((col("n_passed_keys") - col("n_exact_keys")).cast("double") /
+              (col("n_cand_keys") - col("n_exact_keys")).cast("double"), 6))
           .as("fp_rate"))
   }
 
@@ -276,8 +320,9 @@ object JoinShapes {
     SELECT n_keys, bits_set, n_cand_keys, n_passed_keys, n_exact_keys,
       n_passed_keys - n_exact_keys AS n_fp_keys,
       n_rows_passed, n_rows_exact,
-      round(CAST(n_passed_keys - n_exact_keys AS DOUBLE) /
-        CAST(n_cand_keys - n_exact_keys AS DOUBLE), 6) AS fp_rate
+      CASE WHEN n_cand_keys = n_exact_keys THEN 0.0
+           ELSE round(CAST(n_passed_keys - n_exact_keys AS DOUBLE) /
+             CAST(n_cand_keys - n_exact_keys AS DOUBLE), 6) END AS fp_rate
     FROM agg"""
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

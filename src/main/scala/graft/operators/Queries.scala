@@ -546,8 +546,10 @@ object Queries {
         col("o_custkey") === col("c_custkey"))
       .select(col("c_mktsegment").as("segment"),
         col("o_custkey").as("custkey"), col("spend_dec"))
+    // spend ranks descending — exact decimal negation keeps DistRank's
+    // ascending total order
     val ranked = DistRank.rowNumber(seg, "segment",
-      Seq(col("spend_dec").desc, col("custkey")), "__rn")
+      Seq(-col("spend_dec"), col("custkey")), "custkey", "__rn")
     val counts = seg.groupBy(col("segment")).agg(count(lit(1)).as("__n"))
     ranked.join(broadcast(counts), "segment")
       .withColumn("decile", DistRank.ntileFromRank(10, col("__rn"), col("__n")))

@@ -94,7 +94,7 @@ object Reshape {
     val cust = Tables.customer(s, dir)
       .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
     val rn = DistRank.rowNumber(cust, "c_mktsegment",
-      Seq(col("c_acctbal"), col("c_custkey")), "__rn")
+      Seq(col("c_acctbal"), col("c_custkey")), "c_custkey", "__rn")
     val rankOfTies = rn.groupBy(col("c_mktsegment"), col("c_acctbal"))
       .agg(min(col("__rn")).as("__rank"))
     val counts = cust.groupBy(col("c_mktsegment"))
@@ -141,12 +141,14 @@ object Reshape {
         col("o_custkey") === col("c_custkey"))
       .select(col("c_mktsegment").as("segment"), col("o_custkey").as("ck"),
         col("recency"), col("frequency"), col("monetary"))
+    // DistRank orders ascend; the frequency/monetary quintiles rank
+    // descending, expressed by exact negation (bigint count / decimal sum)
     val ranked = Seq[(String, Seq[Column])](
-      ("__rr", Seq(col("recency").asc, col("ck"))),
-      ("__fr", Seq(col("frequency").desc, col("ck"))),
-      ("__mr", Seq(col("monetary").desc, col("ck"))))
+      ("__rr", Seq(col("recency"), col("ck"))),
+      ("__fr", Seq(-col("frequency"), col("ck"))),
+      ("__mr", Seq(-col("monetary"), col("ck"))))
       .foldLeft(rfm) { case (df, (out, order)) =>
-        DistRank.rowNumber(df, "segment", order, out)
+        DistRank.rowNumber(df, "segment", order, "ck", out)
       }
     val counts = rfm.groupBy(col("segment")).agg(count(lit(1)).as("__n"))
     ranked.join(broadcast(counts), "segment")

@@ -148,7 +148,12 @@ object Sketch {
     * BOTH Spark and DuckDB), and the whole sketch is one
     * map-side-combining max per bucket.
     */
-  def hllRegisters(s: SparkSession, dir: String): DataFrame = {
+  /** The per-item observations the register file maxes over: (bucket,
+    * rank) per distinct shingle — shared with the STREAMING register
+    * maintainer ([[graft.streaming.StreamHll]]), whose state evolves by
+    * the same max.
+    */
+  private[graft] def hllObs(s: SparkSession, dir: String): DataFrame = {
     val grams = Dedup.shinglesOf(s, dir).select("sh").distinct()
     grams
       .select(expr("cast(conv(substring(md5(sh), 1, 15), 16, 10) as bigint)")
@@ -158,9 +163,12 @@ object Sketch {
       .select(col("bucket"),
         when(col("v") === 0L, lit(55L))
           .otherwise(lit(55L) - length(bin(col("v")))).as("rank"))
+  }
+
+  def hllRegisters(s: SparkSession, dir: String): DataFrame =
+    hllObs(s, dir)
       .groupBy(col("bucket")).agg(max(col("rank")).as("maxrank"))
       .orderBy("bucket")
-  }
 
   val hllRegistersSql: String = s"""
     WITH ${Dedup.shinglesSql.trim},

@@ -380,7 +380,7 @@ object TextOps {
     val docs = Tables.documents(s, dir)
       .select(col("doc_id"), col("lang"),
         size(split(norm, " ")).as("n_tokens"))
-    DistRank.runningSum(docs, "lang", Seq(col("doc_id")),
+    DistRank.runningSum(docs, "lang", Seq(col("doc_id")), "doc_id",
         col("n_tokens"), "cum")
       .select(col("doc_id"), col("lang"), col("n_tokens"),
         floor((col("cum") - col("n_tokens")) / budget).as("seq_id"))
@@ -467,7 +467,7 @@ object TextOps {
     val weight = when(expr("cast(substring(source, 4) as int) % 2 = 0"), 3.0)
       .otherwise(1.0)
     val docs = Tables.documents(s, dir).select(col("doc_id"), col("source"))
-    DistRank.rowNumber(docs, "source", Seq(col("doc_id")), "__rn")
+    DistRank.rowNumber(docs, "source", Seq(col("doc_id")), "doc_id", "__rn")
       .withColumn("rn", col("__rn").cast("int"))
       .withColumn("mix_pos", round(col("rn").cast("double") / weight, 6))
       .select(col("doc_id"), col("source"), col("rn"), col("mix_pos"))

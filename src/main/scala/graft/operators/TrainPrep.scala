@@ -628,15 +628,23 @@ object TrainPrep {
     // rows total) — the global rank window then runs over the BOUNDED
     // (n+1)-row frame, never the corpus
     val top = docs.orderBy(col("q").desc, col("doc_id")).limit(PriN + 1)
+    // the literal partition key marks the single-partition rank over the
+    // BOUNDED (n+1)-row frame as intentional (and silences Spark's
+    // "No Partition Defined" alert operators page on)
     val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("q").desc, col("doc_id"))
+      .partitionBy(lit(0)).orderBy(col("q").desc, col("doc_id"))
     val ranked = top.withColumn("rn", row_number().over(w))
     val tau = ranked.filter(col("rn") === PriN + 1)
       .select(col("q").as("tau"))
-    ranked.filter(col("rn") <= PriN).crossJoin(broadcast(tau))
+    // τ left-joins in (coalesced to 0): a corpus of ≤ n documents has no
+    // rank-(n+1) priority — the whole population is the sample and every
+    // HT estimate is its exact weight, the priority-sampling convention
+    ranked.filter(col("rn") <= PriN)
+      .join(broadcast(tau), lit(true), "left")
       .select(col("doc_id"), col("w"), round(col("q"), 4).as("priority"),
-        round(col("tau"), 4).as("tau"),
-        round(greatest(col("w").cast("double"), col("tau")), 4).as("w_hat"))
+        round(coalesce(col("tau"), lit(0.0)), 4).as("tau"),
+        round(greatest(col("w").cast("double"),
+          coalesce(col("tau"), lit(0.0))), 4).as("w_hat"))
       .orderBy("doc_id")
   }
 
@@ -652,10 +660,12 @@ object TrainPrep {
         row_number() OVER (ORDER BY q DESC, doc_id) AS rn
       FROM q),
     tau AS (SELECT q AS tau FROM ranked WHERE rn = ${PriN + 1})
-    SELECT doc_id, w, round(q, 4) AS priority, round(tau, 4) AS tau,
-      round(CASE WHEN CAST(w AS DOUBLE) > tau THEN CAST(w AS DOUBLE)
-                 ELSE tau END, 4) AS w_hat
-    FROM ranked, tau WHERE rn <= $PriN ORDER BY doc_id"""
+    SELECT doc_id, w, round(q, 4) AS priority,
+      round(coalesce(tau, 0.0), 4) AS tau,
+      round(CASE WHEN CAST(w AS DOUBLE) > coalesce(tau, 0.0)
+                 THEN CAST(w AS DOUBLE)
+                 ELSE coalesce(tau, 0.0) END, 4) AS w_hat
+    FROM ranked LEFT JOIN tau ON TRUE WHERE rn <= $PriN ORDER BY doc_id"""
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "corpus_priority_sample" -> (corpusPrioritySample _),

@@ -77,7 +77,7 @@ object ZOrder {
     * dimension the code needs `bits·ndims ≤ 63` — 3×16 fits a BIGINT. Still
     * a pure column expression (bits·ndims shift/mask terms, codegen'd).
     */
-  private[operators] def interleaveNExpr(cols: Seq[String], bits: Int = Bits): String =
+  private[graft] def interleaveNExpr(cols: Seq[String], bits: Int = Bits): String =
     (for { i <- 0 until bits; (c, j) <- cols.zipWithIndex } yield
       s"shiftleft(shiftright($c, $i) & 1, ${i * cols.length + j})")
       .mkString(" + ")
@@ -196,6 +196,26 @@ object ZOrder {
       .orderBy("o_orderkey")
   }
 
+  /** The Hilbert layout WRITER — the file-producing counterpart of
+    * [[zOrderedLayout]] that [[layoutLocality]]'s measurement argues for:
+    * range-partition on the Hilbert index and sort within partitions, so
+    * each output file covers one contiguous `hval` interval — and because
+    * consecutive Hilbert indexes are always grid neighbours, one CONNECTED
+    * region of the (customer, order-day) grid: tighter parquet min/max
+    * footers on both dimensions than the same files under Z-order (whose
+    * seams jump across the grid). `n` is the target file count.
+    */
+  def hilbertOrderedLayout(orders: DataFrame, n: Int): DataFrame = {
+    val base = orders
+      .withColumn("ck", col("o_custkey") % 256)
+      .withColumn("dy",
+        datediff(to_date(col("o_orderdate")), lit("1992-01-01").cast("date"))
+          .cast("bigint") % 256)
+    withHilbert(base, "ck", "dy", HBits)
+      .repartitionByRange(n, col("hval"))
+      .sortWithinPartitions(col("hval"))
+  }
+
   val hilbertLayoutSql: String = s"""
     WITH hsrc AS (
       SELECT o_orderkey AS key, o_custkey % 256 AS hx,
@@ -245,16 +265,26 @@ object ZOrder {
           .cast("bigint") % 256)
     val hv = withHilbert(base, "ck", "dy", HBits)
       .withColumn("zval", expr(interleaveNExpr(Seq("ck", "dy"), HBits)))
-    def stats(idx: String, name: String) = hv
-      .groupBy(expr(s"$idx div $LocBucket").as("b"))
+    // ONE scan: the fold/interleave chain evaluates once per row, each row
+    // fans out into its (layout, bucket) pair for both curves, and a single
+    // two-level aggregation produces both layouts' extents — the
+    // build-twice/scan-twice shape this replaced evaluated the Hilbert
+    // state machine once per layout
+    hv.select(explode(array(
+        struct(lit("hilbert").as("layout"),
+          expr(s"hval div $LocBucket").as("b"), col("ck"), col("dy")),
+        struct(lit("zorder").as("layout"),
+          expr(s"zval div $LocBucket").as("b"), col("ck"), col("dy"))))
+        .as("r"))
+      .select(col("r.layout").as("layout"), col("r.b").as("b"),
+        col("r.ck").as("ck"), col("r.dy").as("dy"))
+      .groupBy(col("layout"), col("b"))
       .agg((max(col("ck")) - min(col("ck")) + 1 +
         (max(col("dy")) - min(col("dy")) + 1)).as("ext"))
+      .groupBy(col("layout"))
       .agg(count(lit(1)).as("n_buckets"),
         round(avg(col("ext")), 4).as("avg_extent"),
         max(col("ext")).as("max_extent"))
-      .select(lit(name).as("layout"), col("n_buckets"), col("avg_extent"),
-        col("max_extent"))
-    stats("hval", "hilbert").unionByName(stats("zval", "zorder"))
       .orderBy("layout")
   }
 

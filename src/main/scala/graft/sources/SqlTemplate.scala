@@ -48,12 +48,19 @@ object SqlTemplate {
               params: Seq[String]): Long = {
     val sql = expand(template, params)
     val plan = s.sessionState.sqlParser.parsePlan(sql)
-    val kind = plan.getClass.getSimpleName
-    val isDml =
-      plan.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Command] ||
-        Set("InsertIntoStatement", "DeleteFromTable", "UpdateTable",
-          "MergeIntoTable").contains(kind)
-    require(!isDml,
+    // scan the WHOLE parsed tree, not just the root: INSERT OVERWRITE
+    // DIRECTORY parses to InsertIntoDir — a UnaryNode, not a Command — and
+    // a root-only type check would let that filesystem mutation through
+    val mutatingKinds = Set("InsertIntoStatement", "InsertIntoDir",
+      "DeleteFromTable", "UpdateTable", "MergeIntoTable")
+    val offending = plan.collectFirst {
+      case c: org.apache.spark.sql.catalyst.plans.logical.Command =>
+        c.getClass.getSimpleName
+      case n if mutatingKinds.contains(n.getClass.getSimpleName) =>
+        n.getClass.getSimpleName
+    }
+    val kind = offending.getOrElse("")
+    require(offending.isEmpty,
       s"SqlTemplate.execute is query-only ($kind is a command/DML " +
         "statement): Spark reports no affected-row count for DML, so the " +
         "reference's ROW_COUNT contract cannot be honored — use the typed " +

@@ -153,6 +153,19 @@ object StreamScenarios {
     SELECT event_type, COUNT(*) AS n, ${Exact.sqlSum("value")} AS sum_value
     FROM events GROUP BY event_type ORDER BY event_type"""
 
+  /** Batch-mode run of the streaming HLL register maintainer over the
+    * same hashed observations as the batch sketch — checked by the SAME
+    * oracle SQL as `hll_registers`, proving the stateful register-max path
+    * agrees with the one-shot aggregation (the spec drives the cross-batch
+    * evolution with a MemoryStream).
+    */
+  def streamHllMaintain(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    StreamHll.registers(
+        graft.operators.Sketch.hllObs(s, dir).as[HllObs])
+      .toDF().orderBy("bucket")
+  }
+
   /** Batch-mode run of the streaming top-k plan: watermarked hourly counts
     * (the incremental layer) + per-window rank (the read-time layer).
     */
@@ -185,9 +198,11 @@ object StreamScenarios {
     "stream_dedup" -> (streamDedup _),
     "stream_agg_maintain" -> (streamAggMaintain _),
     "stream_topk" -> (streamTopk _),
-    "stream_interval_join" -> (streamIntervalJoin _))
+    "stream_interval_join" -> (streamIntervalJoin _),
+    "stream_hll_maintain" -> (streamHllMaintain _))
 
   val oracles: Map[String, String] = Map(
+    "stream_hll_maintain" -> graft.operators.Sketch.hllRegistersSql,
     "stream_changeset" -> streamChangesetSql,
     "stream_sessionize" -> graft.operators.Queries.eventsSessionizeSql,
     "stream_window_counts" -> streamWindowCountsSql,

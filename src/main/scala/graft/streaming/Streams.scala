@@ -288,6 +288,47 @@ object IntervalJoin {
   }
 }
 
+/** One hashed observation for the HLL register file: the bucket (low hash
+  * bits) and the leading-zero rank of the hash suffix — computed upstream
+  * by the same column expressions as the batch sketch
+  * ([[graft.operators.Sketch.hllObs]]).
+  */
+case class HllObs(bucket: Long, rank: Long)
+
+/** One maintained register: the running max rank for a bucket. */
+case class HllRegister(bucket: Long, maxrank: Long)
+
+/** Streaming HyperLogLog maintenance: the register file kept up to date
+  * across micro-batches — the stateful twin of the batch `hll_registers`
+  * sketch, closing the same batch/stream pair the aggregate
+  * ([[CdcToVersioned]]/`stream_agg_maintain`) and top-k families have.
+  *
+  * State is ONE long per bucket (the register), keyed by bucket across the
+  * state store; each micro-batch folds its observations into the running
+  * max and re-emits the touched registers (Update mode). Register max is
+  * commutative/associative/idempotent, so replays and out-of-order
+  * arrivals cannot corrupt the estimate — the property that makes HLL the
+  * standard streaming cardinality sketch. Querying at any time reads m=64
+  * register rows; per-day register files merge by the same pairwise max.
+  */
+object StreamHll {
+
+  def registers(obs: Dataset[HllObs]): Dataset[HllRegister] = {
+    import obs.sparkSession.implicits._
+    obs
+      .groupByKey(_.bucket)
+      .flatMapGroupsWithState[HllRegister, HllRegister](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (bucket: Long, rows: Iterator[HllObs], state: GroupState[HllRegister]) =>
+          var mx = state.getOption.map(_.maxrank).getOrElse(0L)
+          rows.foreach { r => if (r.rank > mx) mx = r.rank }
+          val next = HllRegister(bucket, mx)
+          state.update(next)
+          Iterator(next)
+      }
+  }
+}
+
 /** Streaming exact-dedup: drop events whose id was already seen, with the
   * watermark bounding how long ids stay in the state store (the streaming
   * twin of `Dedup.dedupExact`'s content-hash grouping — at-least-once

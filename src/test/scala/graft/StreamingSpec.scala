@@ -262,6 +262,44 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("HLL registers evolve by max across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.{HllObs, StreamHll}
+    val input = MemoryStream[HllObs]
+    val query = StreamHll.registers(input.toDS())
+      .writeStream.format("memory").queryName("hll_state")
+      .outputMode(OutputMode.Update).start()
+    try {
+      input.addData(HllObs(0, 3), HllObs(0, 7), HllObs(5, 2))
+      query.processAllAvailable()
+      def regs(): Map[Long, Long] = spark.table("hll_state").collect()
+        .groupBy(_.getAs[Long]("bucket"))
+        .map { case (b, g) => b -> g.map(_.getAs[Long]("maxrank")).max }
+      assert(regs() == Map(0L -> 7L, 5L -> 2L))
+      // batch 2: a lower rank for bucket 0 must NOT regress the register
+      // (idempotent max — replays and out-of-order arrivals are safe);
+      // bucket 5 advances; bucket 9 appears
+      input.addData(HllObs(0, 4), HllObs(5, 11), HllObs(9, 1))
+      query.processAllAvailable()
+      assert(regs() == Map(0L -> 7L, 5L -> 11L, 9L -> 1L))
+      // exact replay of batch 2 changes nothing
+      input.addData(HllObs(0, 4), HllObs(5, 11), HllObs(9, 1))
+      query.processAllAvailable()
+      assert(regs() == Map(0L -> 7L, 5L -> 11L, 9L -> 1L))
+    } finally query.stop()
+  }
+
+  test("streaming HLL batch gate equals the one-shot register sketch") {
+    // the same stateful function, run over the bounded observation frame,
+    // must reproduce hll_registers exactly (what the DuckDB gate checks)
+    val streamed = graft.streaming.StreamScenarios
+      .streamHllMaintain(spark, sf).collect()
+    val batch = graft.operators.Sketch.hllRegisters(spark, sf).collect()
+    assert(streamed.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      batch.map(r => (r.getLong(0), r.getLong(1))).toSeq)
+  }
+
   test("stream top-k: counting layer streams, rank layer matches batch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
