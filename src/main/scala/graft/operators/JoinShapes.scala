@@ -225,6 +225,37 @@ object JoinShapes {
       .agg(map_from_entries(collect_list(struct(col("w"), col("mask"))))
         .as("bloom"))
 
+  /** Per-key set-bit observations for the STREAMING mask maintainer
+    * ([[graft.streaming.StreamBloom]]): (32-bit word index, bit mask) per
+    * probe of the gate's key set. 32-bit words keep every mask value
+    * positive, so the OR algebra is portable through DuckDB's BIGINT
+    * `bit_or` without sign games.
+    */
+  private[graft] def bloomObs(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir).filter(col("o_orderkey") % 97 === 0)
+      .select(col("o_orderkey").as("k"))
+      .select(explode(array((0 until BloomK).map(i =>
+        expr(posSql("k", i))): _*)).as("p"))
+      .select(expr("p div 32").as("w"),
+        expr("shiftleft(cast(1 as bigint), cast(p % 32 as int))").as("m"))
+
+  /** Oracle for the streaming mask gate: the same word → OR-of-bits table
+    * built directly in SQL.
+    */
+  val streamBloomSql: String = s"""
+    WITH keys AS (
+      SELECT o_orderkey AS k FROM orders WHERE o_orderkey % 97 = 0),
+    probes AS (SELECT unnest(generate_series(0, ${BloomK - 1})) AS i),
+    pos AS (
+      SELECT
+        ('0x' || substring(md5(CAST(k AS VARCHAR) || ':' || i), 1, 8))::BIGINT
+          % $BloomM AS p
+      FROM keys, probes)
+    SELECT p // 32 AS w,
+      CAST(bit_or(CAST(1 AS BIGINT) << CAST(p % 32 AS INT)) AS BIGINT)
+        AS mask
+    FROM pos GROUP BY 1 ORDER BY w"""
+
   /** All-probes-set row predicate over the packed mask column `bloom`. */
   private def probeSql(c: String): String =
     (0 until BloomK).map { i =>

@@ -52,16 +52,13 @@ object Quantile {
           shards)
   }
 
-  /** S-point weighted summary per shard: rows (shard, v, k, stride, w).
-    * `key` must uniquely identify rows (the sort tiebreak). Mergeable by
-    * plain union with summaries of DISJOINT data (relabel shards first if
-    * they collide); total weight = row count, Σ distinct (shard, stride)
-    * bounds the rank error.
+  /** The summary construction over an already-keyed frame (shard, v, k) —
+    * shared with the STREAMING summary maintainer
+    * ([[graft.streaming.StreamQuantile]]), whose single-batch compaction
+    * reproduces these exact picks.
     */
-  def summarize(df: DataFrame, v: String, key: Seq[String],
-                shards: Int = Shards, samples: Int = Samples): DataFrame = {
-    val base = keyed(df.select((col(v).as("v") +: key.map(col)): _*),
-      key, shards)
+  private[graft] def summarizeKeyed(base: DataFrame,
+                                    samples: Int = Samples): DataFrame = {
     val wRank = Window.partitionBy(col("shard")).orderBy(col("v"), col("k"))
     val wAll = Window.partitionBy(col("shard"))
     base
@@ -74,6 +71,19 @@ object Quantile {
           .otherwise(col("rn") % col("stride")))
       .select(col("shard"), col("v"), col("k"), col("stride"), col("w"))
   }
+
+  /** S-point weighted summary per shard: rows (shard, v, k, stride, w).
+    * `key` must uniquely identify rows (the sort tiebreak). Mergeable by
+    * plain union with summaries of DISJOINT data (relabel shards first if
+    * they collide); total weight = row count, Σ distinct (shard, stride)
+    * bounds the rank error.
+    */
+  def summarize(df: DataFrame, v: String, key: Seq[String],
+                shards: Int = Shards, samples: Int = Samples): DataFrame =
+    summarizeKeyed(
+      keyed(df.select((col(v).as("v") +: key.map(col)): _*), key, shards)
+        .select(col("shard"), col("v"), col("k")),
+      samples)
 
   /** Quarter-quantiles (q4/4 for q4 ∈ quarters) from a summary: one row per
     * quarter with the summary's pick, the target rank, total weight and the
@@ -100,18 +110,27 @@ object Quantile {
         col("err_bound"))
   }
 
-  /** Gate: quarter-quantiles of the lineitem price in cents via the
-    * sketch, with the pick's exact rank window (strictly-below / at-or-
-    * below counts) measured against the target — the DuckDB oracle replays
-    * shard hash → per-shard order statistics → merged walk bit-for-bit.
-    */
-  def qQuantilesSketch(s: SparkSession, dir: String): DataFrame = {
-    val li = Tables.lineitem(s, dir)
+  /** The gate's value frame: lineitem price in cents + the unique key. */
+  private[graft] def lineitemBase(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
       .select(expr("cast(round(l_extendedprice * 100) as bigint)").as("v"),
         col("l_orderkey"), col("l_linenumber"))
-    val summary = summarize(li, "v", Seq("l_orderkey", "l_linenumber"))
+
+  /** The gate's keyed observations (shard, v, k) — the frame both the
+    * batch summary and the streaming maintainer consume.
+    */
+  private[graft] def lineitemObs(s: SparkSession, dir: String): DataFrame =
+    keyed(lineitemBase(s, dir), Seq("l_orderkey", "l_linenumber"), Shards)
+      .select(col("shard"), col("v"), col("k"))
+
+  /** The gate tail shared with the streaming twin: picks from the summary,
+    * then each pick's exact rank window (strictly-below / at-or-below
+    * counts) measured over the value frame against the target.
+    */
+  private[graft] def sketchReport(values: DataFrame,
+                                  summary: DataFrame): DataFrame = {
     val picks = quantiles(summary, Seq(1, 2, 3))
-    li.select(col("v").as("bv"))
+    values.select(col("v").as("bv"))
       .join(broadcast(picks), lit(true))
       .groupBy(col("q4"), col("n"), col("target_rank"), col("approx_v"),
         col("err_bound"))
@@ -124,6 +143,14 @@ object Quantile {
         col("err_bound"))
       .orderBy("q4")
   }
+
+  /** Gate: quarter-quantiles of the lineitem price in cents via the
+    * sketch, with the pick's exact rank window (strictly-below / at-or-
+    * below counts) measured against the target — the DuckDB oracle replays
+    * shard hash → per-shard order statistics → merged walk bit-for-bit.
+    */
+  def qQuantilesSketch(s: SparkSession, dir: String): DataFrame =
+    sketchReport(lineitemBase(s, dir), summarizeKeyed(lineitemObs(s, dir)))
 
   val qQuantilesSketchSql: String = s"""
     WITH base AS (

@@ -69,8 +69,12 @@ object Sketch {
     * is IDENTICAL to the direct global sketch (each group contributes its
     * k smallest, so the global k smallest survive the union).
     */
-  def kmvByGroup(s: SparkSession, dir: String, k: Int = 64): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+  /** The per-item observations the grouped KMV minimizes over: one (lang,
+    * h) row per distinct (language, shingle) pair — shared with the
+    * STREAMING minima maintainer ([[graft.streaming.StreamKmv]]), whose
+    * state evolves by the same take-k-smallest.
+    */
+  private[graft] def kmvObs(s: SparkSession, dir: String): DataFrame = {
     // domain: distinct 3-gram shingles per language — large enough that the
     // (k−1)/h_k estimation branch genuinely fires (the word vocabulary
     // would fall in the exact n<k branch)
@@ -78,15 +82,21 @@ object Sketch {
       .join(Tables.documents(s, dir).select("doc_id", "lang"), "doc_id")
       .select(col("lang"), col("sh").as("w"))
       .distinct()
-    val hs = wl.select(col("lang"), expr(h01("w")).as("h"))
-    val rn = row_number().over(Window.partitionBy(col("lang")).orderBy(col("h")))
-    val mins = hs.withColumn("rn", rn).filter(col("rn") <= k).drop("rn")
+    wl.select(col("lang"), expr(h01("w")).as("h"))
+  }
+
+  /** Read-time estimate layer shared by [[kmvByGroup]] and the streaming
+    * gate: per-group estimates from the k-minima rows plus the `ALL` row
+    * built by MERGING the sketches (union minima, re-take the k smallest).
+    */
+  private[graft] def kmvEstimates(mins: DataFrame, k: Int): DataFrame = {
     def est(n: org.apache.spark.sql.Column, hk: org.apache.spark.sql.Column) =
       round(when(n < k, n.cast("double"))
         .otherwise(lit((k - 1).toDouble) / hk), 2)
     val perLang = mins.groupBy(col("lang"))
       .agg(max(col("h")).as("hk"), count(lit(1)).as("n"))
-      .select(col("lang"), lit(k).as("k"), est(col("n"), col("hk")).as("est_distinct"))
+      .select(col("lang"), lit(k).as("k"),
+        est(col("n"), col("hk")).as("est_distinct"))
     // merge = k smallest of the unioned minima: TakeOrdered (per-partition
     // heaps), never a single-partition window — the input is bounded at
     // k·n_groups rows but the plan shape should not rely on that
@@ -96,6 +106,14 @@ object Sketch {
       .select(lit("ALL").as("lang"), lit(k).as("k"),
         est(col("n"), col("hk")).as("est_distinct"))
     perLang.unionByName(merged).orderBy("lang")
+  }
+
+  def kmvByGroup(s: SparkSession, dir: String, k: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hs = kmvObs(s, dir)
+    val rn = row_number().over(Window.partitionBy(col("lang")).orderBy(col("h")))
+    val mins = hs.withColumn("rn", rn).filter(col("rn") <= k).drop("rn")
+    kmvEstimates(mins, k)
   }
 
   def kmvByGroupSql(k: Int = 64): String = s"""

@@ -166,6 +166,55 @@ object StreamScenarios {
       .toDF().orderBy("bucket")
   }
 
+  /** Batch-mode run of the streaming KMV minima maintainer over the same
+    * hashed observations as the batch sketch, with `kmv_by_group`'s OWN
+    * read-time estimate layer (per-group + merged `ALL`) on top of the
+    * maintained state — checked by the SAME oracle SQL, proving the
+    * stateful take-k-smallest path agrees with the one-shot sketch (the
+    * spec drives the cross-batch evolution with a MemoryStream).
+    */
+  def streamKmvMaintain(s: SparkSession, dir: String, k: Int = 64): DataFrame = {
+    import s.implicits._
+    val state = StreamKmv.minima(
+      graft.operators.Sketch.kmvObs(s, dir).as[KmvObs], k).toDF()
+    graft.operators.Sketch.kmvEstimates(
+      state.select(col("lang"), explode(col("minima")).as("h")), k)
+  }
+
+  /** Batch-mode run of the streaming quantile-summary maintainer over the
+    * same keyed observations as the batch sketch, with the sketch gate's
+    * OWN pick + rank-window report on top of the maintained state —
+    * checked by the SAME oracle SQL as `q_quantiles_sketch`, proving the
+    * stateful compaction reproduces the batch construction bit-for-bit in
+    * a single batch (the spec drives multi-batch evolution and the error
+    * bound with a MemoryStream).
+    */
+  def streamQuantileMaintain(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val state = StreamQuantile.summaries(
+      graft.operators.Quantile.lineitemObs(s, dir).as[QuantObs]).toDF()
+    val summary = state
+      // an uncompacted shard's points are exact (weight 1 each): its
+      // stride is the batch construction's ⌈n_s/S⌉ = 1 for that case
+      .select(col("shard"), greatest(col("stride_sum"), lit(1L)).as("stride"),
+        explode(col("points")).as("pt"))
+      .select(col("shard"), col("pt.v").as("v"), col("pt.k").as("k"),
+        col("stride"), col("pt.w").as("w"))
+    graft.operators.Quantile.sketchReport(
+      graft.operators.Quantile.lineitemBase(s, dir), summary)
+  }
+
+  /** Batch-mode run of the streaming Bloom mask maintainer over the same
+    * set-bit observations as the batch filter — the word → OR-of-bits
+    * table, checked by a direct DuckDB replay of the position hashes.
+    */
+  def streamBloomMaintain(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    StreamBloom.mask(
+        graft.operators.JoinShapes.bloomObs(s, dir).as[BloomObs])
+      .toDF().orderBy("w")
+  }
+
   /** Batch-mode run of the streaming top-k plan: watermarked hourly counts
     * (the incremental layer) + per-window rank (the read-time layer).
     */
@@ -199,10 +248,17 @@ object StreamScenarios {
     "stream_agg_maintain" -> (streamAggMaintain _),
     "stream_topk" -> (streamTopk _),
     "stream_interval_join" -> (streamIntervalJoin _),
-    "stream_hll_maintain" -> (streamHllMaintain _))
+    "stream_hll_maintain" -> (streamHllMaintain _),
+    "stream_kmv_maintain" -> ((s, d) => streamKmvMaintain(s, d)),
+    "stream_quantile_maintain" -> (streamQuantileMaintain _),
+    "stream_bloom_maintain" -> (streamBloomMaintain _))
 
   val oracles: Map[String, String] = Map(
     "stream_hll_maintain" -> graft.operators.Sketch.hllRegistersSql,
+    "stream_kmv_maintain" -> graft.operators.Sketch.kmvByGroupSql(),
+    "stream_quantile_maintain" ->
+      graft.operators.Quantile.qQuantilesSketchSql,
+    "stream_bloom_maintain" -> graft.operators.JoinShapes.streamBloomSql,
     "stream_changeset" -> streamChangesetSql,
     "stream_sessionize" -> graft.operators.Queries.eventsSessionizeSql,
     "stream_window_counts" -> streamWindowCountsSql,

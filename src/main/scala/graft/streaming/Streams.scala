@@ -329,6 +329,163 @@ object StreamHll {
   }
 }
 
+/** One hashed observation for a grouped KMV sketch: the group key and the
+  * value's [0,1) hash — computed upstream by the same column expressions
+  * as the batch sketch ([[graft.operators.Sketch.kmvObs]]).
+  */
+case class KmvObs(lang: String, h: Double)
+
+/** One maintained sketch: a group's current k smallest hashes, ascending. */
+case class KmvState(lang: String, minima: Seq[Double])
+
+/** Streaming KMV maintenance: each group's k-minimum-values set kept up to
+  * date across micro-batches — the stateful twin of the batch
+  * `kmv_by_group` sketch, completing the batch/stream pair for BOTH
+  * round-6 cardinality sketches (HLL registers: [[StreamHll]]).
+  *
+  * State is the bounded ascending minima list (≤ k doubles per group);
+  * each micro-batch unions its observations in, dedups, and re-takes the k
+  * smallest — the same merge the batch sketch uses across partitions.
+  * Take-k-smallest is commutative/associative/idempotent, so replays and
+  * out-of-order arrivals cannot corrupt the sketch. Estimates read
+  * (k−1)/h_k off the maintained state at any time without touching the
+  * data again; per-group sketches merge into any rollup the same way.
+  */
+object StreamKmv {
+
+  def minima(obs: Dataset[KmvObs], k: Int = 64): Dataset[KmvState] = {
+    import obs.sparkSession.implicits._
+    obs
+      .groupByKey(_.lang)
+      .flatMapGroupsWithState[KmvState, KmvState](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (lang: String, rows: Iterator[KmvObs], state: GroupState[KmvState]) =>
+          // bounded fold: a ≤k-element ordered set, O(log k) per row —
+          // the batch iterator never materializes
+          val set = scala.collection.mutable.TreeSet.empty[Double]
+          state.getOption.foreach(s => set ++= s.minima)
+          rows.foreach { r =>
+            if (set.size < k) set += r.h
+            else if (r.h < set.lastKey && !set.contains(r.h)) {
+              set += r.h; set -= set.lastKey
+            }
+          }
+          val next = KmvState(lang, set.toSeq)
+          state.update(next)
+          Iterator(next)
+      }
+  }
+}
+
+/** One raw observation for a sharded quantile summary: the row's shard,
+  * value and unique tiebreak key — computed upstream by the same column
+  * expressions as the batch sketch
+  * ([[graft.operators.Quantile.lineitemObs]]).
+  */
+case class QuantObs(shard: Long, v: Long, k: String)
+
+/** One weighted summary point (value, tiebreak, weight). */
+case class QuantPoint(v: Long, k: String, w: Long)
+
+/** One maintained shard summary: its weighted points (ascending (v, k))
+  * and the accumulated rank-error bound (Σ compaction strides).
+  */
+case class QuantSummary(shard: Long, points: Seq[QuantPoint], stride_sum: Long)
+
+/** Streaming quantile-summary maintenance: each shard's bounded weighted
+  * summary kept up to date across micro-batches — the stateful twin of the
+  * batch `q_quantiles_sketch` construction, completing the stream side for
+  * ALL the engine's mergeable sketches (HLL, KMV, Bloom, quantile).
+  *
+  * Each micro-batch folds its weight-1 observations into the shard's
+  * sorted point list; past `samples` points the list COMPACTS by the same
+  * rule as the batch construction — keep the point where the cumulative
+  * weight crosses each multiple of stride = ⌈n/S⌉ (carrying the skipped
+  * weight) plus the maximum with the remainder — so a single-batch run
+  * reproduces [[graft.operators.Quantile.summarizeKeyed]]'s picks
+  * bit-for-bit (what the shared DuckDB oracle checks), and every
+  * compaction adds its stride to the summary's HONEST rank-error bound
+  * (weight is conserved exactly; only rank resolution degrades). State is
+  * ≤ S+1 points per shard however many rows stream past. Quantile
+  * summaries are NOT replay-idempotent (weights would double-count) —
+  * this maintainer assumes effectively-once input, e.g. downstream of
+  * [[StreamDedup]].
+  */
+object StreamQuantile {
+
+  def summaries(obs: Dataset[QuantObs], samples: Int = 64): Dataset[QuantSummary] = {
+    import obs.sparkSession.implicits._
+    obs
+      .groupByKey(_.shard)
+      .flatMapGroupsWithState[QuantSummary, QuantSummary](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (shard: Long, rows: Iterator[QuantObs], state: GroupState[QuantSummary]) =>
+          val prev = state.getOption
+          val all = (prev.map(_.points).getOrElse(Seq.empty).iterator ++
+            rows.map(r => QuantPoint(r.v, r.k, 1L)))
+            .toIndexedSeq.sortBy(p => (p.v, p.k))
+          val prevSum = prev.map(_.stride_sum).getOrElse(0L)
+          val next =
+            if (all.size <= samples) QuantSummary(shard, all, prevSum)
+            else {
+              val n = all.iterator.map(_.w).sum
+              val stride = (n + samples - 1) / samples
+              val kept = Vector.newBuilder[QuantPoint]
+              var cw = 0L
+              var lastKept = 0L
+              var i = 0
+              for (p <- all) {
+                cw += p.w
+                i += 1
+                if (cw / stride > lastKept / stride || i == all.size) {
+                  kept += QuantPoint(p.v, p.k, cw - lastKept)
+                  lastKept = cw
+                }
+              }
+              QuantSummary(shard, kept.result(), prevSum + stride)
+            }
+          state.update(next)
+          Iterator(next)
+      }
+  }
+}
+
+/** One set-bit observation for a packed Bloom mask: the 32-bit word index
+  * and the bit's mask within it — computed upstream by the same position
+  * hashes as the batch filter ([[graft.operators.JoinShapes.bloomObs]]).
+  */
+case class BloomObs(w: Long, m: Long)
+
+/** One maintained mask word: the running OR for a word index. */
+case class BloomWord(w: Long, mask: Long)
+
+/** Streaming Bloom-filter maintenance: the packed bitmask kept up to date
+  * across micro-batches — the stateful twin of the batch `bloom_prune`
+  * build. State is ONE long per touched 32-bit word; each micro-batch ORs
+  * its observations in. OR is commutative/associative/idempotent, so
+  * replays and out-of-order arrivals cannot corrupt the filter, and a
+  * reader can snapshot the word table at any time to prune a join — keys
+  * only ever ADD bits, so a snapshot is conservatively correct (zero
+  * false negatives for every key seen before the snapshot).
+  */
+object StreamBloom {
+
+  def mask(obs: Dataset[BloomObs]): Dataset[BloomWord] = {
+    import obs.sparkSession.implicits._
+    obs
+      .groupByKey(_.w)
+      .flatMapGroupsWithState[BloomWord, BloomWord](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (w: Long, rows: Iterator[BloomObs], state: GroupState[BloomWord]) =>
+          var mk = state.getOption.map(_.mask).getOrElse(0L)
+          rows.foreach { r => mk |= r.m }
+          val next = BloomWord(w, mk)
+          state.update(next)
+          Iterator(next)
+      }
+  }
+}
+
 /** Streaming exact-dedup: drop events whose id was already seen, with the
   * watermark bounding how long ids stay in the state store (the streaming
   * twin of `Dedup.dedupExact`'s content-hash grouping — at-least-once

@@ -1,6 +1,7 @@
 package graft
 
 import graft.streaming.{ChangeRecord, ChangesetStream, IntervalJoin, StreamTopK, WindowCounts}
+import org.apache.spark.sql.Row
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.OutputMode
@@ -288,6 +289,132 @@ class StreamingSpec extends SparkSpec {
       query.processAllAvailable()
       assert(regs() == Map(0L -> 7L, 5L -> 11L, 9L -> 1L))
     } finally query.stop()
+  }
+
+  test("KMV minima evolve by take-k-smallest across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.{KmvObs, StreamKmv}
+    val input = MemoryStream[KmvObs]
+    val query = StreamKmv.minima(input.toDS(), k = 3)
+      .writeStream.format("memory").queryName("kmv_state")
+      .outputMode(OutputMode.Update).start()
+    try {
+      def mins(): Map[String, Seq[Double]] = {
+        // Update mode appends a row per (group, batch): latest batch wins
+        val rows = spark.table("kmv_state").collect()
+        rows.zipWithIndex.groupBy(_._1.getAs[String]("lang"))
+          .map { case (l, g) =>
+            l -> g.maxBy(_._2)._1.getAs[Seq[Double]]("minima") }
+      }
+      input.addData(KmvObs("en", 0.5), KmvObs("en", 0.2), KmvObs("de", 0.9))
+      query.processAllAvailable()
+      assert(mins() == Map("en" -> Seq(0.2, 0.5), "de" -> Seq(0.9)))
+      // batch 2: 0.1 enters, 0.5 is evicted at k=3 (0.3 also enters);
+      // a replayed 0.2 is idempotent
+      input.addData(KmvObs("en", 0.1), KmvObs("en", 0.3), KmvObs("en", 0.2))
+      query.processAllAvailable()
+      assert(mins() == Map("en" -> Seq(0.1, 0.2, 0.3), "de" -> Seq(0.9)))
+      // exact replay of batch 2 changes nothing
+      input.addData(KmvObs("en", 0.1), KmvObs("en", 0.3), KmvObs("en", 0.2))
+      query.processAllAvailable()
+      assert(mins() == Map("en" -> Seq(0.1, 0.2, 0.3), "de" -> Seq(0.9)))
+    } finally query.stop()
+  }
+
+  test("streaming KMV batch gate equals the one-shot grouped sketch") {
+    val streamed = graft.streaming.StreamScenarios
+      .streamKmvMaintain(spark, sf).collect()
+    val batch = graft.operators.Sketch.kmvByGroup(spark, sf).collect()
+    assert(streamed.map(r => (r.getString(0), r.getInt(1), r.getDouble(2)))
+      .toSeq ==
+      batch.map(r => (r.getString(0), r.getInt(1), r.getDouble(2))).toSeq)
+  }
+
+  test("quantile summaries compact across micro-batches within the bound") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.{QuantObs, StreamQuantile}
+    val input = MemoryStream[QuantObs]
+    val query = StreamQuantile.summaries(input.toDS(), samples = 4)
+      .writeStream.format("memory").queryName("quant_state")
+      .outputMode(OutputMode.Update).start()
+    try {
+      def latest(): Map[Long, (Seq[(Long, Long)], Long)] = {
+        val rows = spark.table("quant_state").collect()
+        rows.zipWithIndex.groupBy(_._1.getAs[Long]("shard"))
+          .map { case (sh, g) =>
+            val r = g.maxBy(_._2)._1
+            sh -> (r.getAs[Seq[Row]]("points")
+                .map(p => (p.getAs[Long]("v"), p.getAs[Long]("w"))),
+              r.getAs[Long]("stride_sum"))
+          }
+      }
+      // batch 1: 4 points fit uncompacted (S = 4), weights exact
+      input.addData((1 to 4).map(i => QuantObs(0, i * 10L, f"k$i%03d")): _*)
+      query.processAllAvailable()
+      val (p1, b1) = latest()(0L)
+      assert(p1 == (1 to 4).map(i => (i * 10L, 1L)) && b1 == 0L)
+      // batch 2: 6 more rows force a compaction of n=10 at stride
+      // ceil(10/4)=3: kept cumulative-weight crossings + max, weight
+      // conserved exactly, bound advances by the stride
+      input.addData((5 to 10).map(i => QuantObs(0, i * 10L, f"k$i%03d")): _*)
+      query.processAllAvailable()
+      val (p2, b2) = latest()(0L)
+      assert(p2.map(_._2).sum == 10L, "total weight conserved")
+      assert(p2.size <= 5 && b2 == 3L)
+      assert(p2.map(_._1) == p2.map(_._1).sorted, "points stay ordered")
+      // every pick's true rank is within stride_sum of its cumulative weight
+      val exact = (1 to 10).map(_ * 10L)
+      p2.foldLeft(0L) { case (cw, (v, w)) =>
+        val rank = exact.count(_ <= v)
+        assert(math.abs(rank - (cw + w)) <= b2,
+          s"pick $v: rank $rank vs cw ${cw + w} beyond bound $b2")
+        cw + w
+      }
+    } finally query.stop()
+  }
+
+  test("streaming quantile batch gate equals the one-shot sketch") {
+    val streamed = graft.streaming.StreamScenarios
+      .streamQuantileMaintain(spark, sf).collect()
+    val batch = graft.operators.Quantile.qQuantilesSketch(spark, sf).collect()
+    assert(streamed.map(_.toSeq).toSeq == batch.map(_.toSeq).toSeq)
+  }
+
+  test("Bloom mask words evolve by OR across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.{BloomObs, StreamBloom}
+    val input = MemoryStream[BloomObs]
+    val query = StreamBloom.mask(input.toDS())
+      .writeStream.format("memory").queryName("bloom_state")
+      .outputMode(OutputMode.Update).start()
+    try {
+      def words(): Map[Long, Long] = spark.table("bloom_state").collect()
+        .groupBy(_.getAs[Long]("w"))
+        .map { case (w, g) => w -> g.map(_.getAs[Long]("mask"))
+          .reduce(_ | _) }
+      input.addData(BloomObs(0, 1L), BloomObs(0, 4L), BloomObs(7, 2L))
+      query.processAllAvailable()
+      assert(words() == Map(0L -> 5L, 7L -> 2L))
+      // replayed and new bits: OR is idempotent, word 7 gains a bit
+      input.addData(BloomObs(0, 4L), BloomObs(7, 8L))
+      query.processAllAvailable()
+      assert(words() == Map(0L -> 5L, 7L -> 10L))
+    } finally query.stop()
+  }
+
+  test("streaming Bloom batch gate equals the direct word table") {
+    val streamed = graft.streaming.StreamScenarios
+      .streamBloomMaintain(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val direct = graft.operators.JoinShapes.bloomObs(spark, sf)
+      .groupBy(org.apache.spark.sql.functions.col("w"))
+      .agg(org.apache.spark.sql.functions.expr("bit_or(m)").as("mask"))
+      .orderBy("w").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(streamed == direct)
   }
 
   test("streaming HLL batch gate equals the one-shot register sketch") {
