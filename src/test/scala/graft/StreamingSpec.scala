@@ -305,7 +305,11 @@ class StreamingSpec extends SparkSpec {
         val rows = spark.table("kmv_state").collect()
         rows.zipWithIndex.groupBy(_._1.getAs[String]("lang"))
           .map { case (l, g) =>
-            l -> g.maxBy(_._2)._1.getAs[Seq[Double]]("minima") }
+            // getSeq, not getAs[Seq[...]]: Spark hands back a
+            // mutable.ArraySeq and the erased cast to immutable Seq blows
+            // up only in some runtimes — getSeq + toSeq is always sound
+            val r = g.maxBy(_._2)._1
+            l -> r.getSeq[Double](r.fieldIndex("minima")).toSeq }
       }
       input.addData(KmvObs("en", 0.5), KmvObs("en", 0.2), KmvObs("de", 0.9))
       query.processAllAvailable()
@@ -345,7 +349,7 @@ class StreamingSpec extends SparkSpec {
         rows.zipWithIndex.groupBy(_._1.getAs[Long]("shard"))
           .map { case (sh, g) =>
             val r = g.maxBy(_._2)._1
-            sh -> (r.getAs[Seq[Row]]("points")
+            sh -> (r.getSeq[Row](r.fieldIndex("points")).toSeq
                 .map(p => (p.getAs[Long]("v"), p.getAs[Long]("w"))),
               r.getAs[Long]("stride_sum"))
           }
