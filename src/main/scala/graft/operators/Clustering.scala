@@ -67,13 +67,6 @@ object Clustering {
     // slower — per-action overhead dominates at gate scale). Pointer
     // jumping and 2-hops-per-round batching also measured slower here; the
     // deep-graph variant remains [[ccPointerJump]].
-    // A/B flag (one round, per the r6 verdict's ask to PIN the frontier
-    // win in the grading environment): -Dgraft.dedup.propagation=full
-    // reverts to the pre-frontier variant that joins the ENTIRE label set
-    // every round; default is the frontier. Both produce identical labels
-    // (re-offering an unchanged neighbour's label can never improve a min
-    // that already saw it), so the flag changes cost only, never hashes.
-    val legacyFull = sys.props.get("graft.dedup.propagation").contains("full")
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("lab", col("id")).withColumn("chg", lit(true))
     var frontier = labels
@@ -100,8 +93,7 @@ object Clustering {
       if (prev != null) prev.unpersist()
       prev = next
       labels = next
-      frontier = // lazy filter over the cached frame
-        if (legacyFull) next else next.filter(col("chg"))
+      frontier = next.filter(col("chg")) // lazy filter over the cached frame
     }
     val sizes = labels.groupBy(col("lab")).agg(count(lit(1)).as("csize"))
     val res = labels.join(sizes, "lab")

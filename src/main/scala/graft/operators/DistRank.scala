@@ -29,9 +29,11 @@ import org.apache.spark.sql.functions._
   * reruns of the same RFM census.
   *
   * Steps:
-  *  1. sample rows whose md5(hashKey) ≡ 0 (mod 64); per stratum, collect
-  *     and sort their sort keys (bounded: n/64 keys per stratum, one
-  *     aggregation), and pick ≤ P−1 evenly-spaced boundaries;
+  *  1. sample rows whose md5(hashKey) ≡ 0 (mod 64); compress the sampled
+  *     keys through a per-(stratum, shard) weighted quantile summary
+  *     ([[Quantile.summarizeKeyed]]) and pick ≤ P−1 boundaries by a
+  *     cumulative-weight walk — every aggregate bounded regardless of
+  *     stratum size;
   *  2. broadcast the boundary arrays (one row per stratum) and stamp each
   *     row's slice `__rp` = #boundaries ≤ its key — deterministic,
   *     branch-consistent, balanced to sampling accuracy;
@@ -48,9 +50,8 @@ import org.apache.spark.sql.functions._
   * single-window formulation at any partition count. Orders must be
   * ASCENDING over the given columns with a unique tiebreaker last;
   * descending dimensions negate (exact for the integer/decimal metrics
-  * ranked here). At extreme scale the boundary sample composes with
-  * [[Quantile.summarize]] instead of a flat mod-64 cut; the mod is the
-  * knob.
+  * ranked here). The 1-in-64 sample caps the summary pass's input; the
+  * summary caps everything after it.
   *
   * Ref: the same two-phase global-order scheme Spark itself uses inside
   * `zipWithIndex` (core/src/main/scala/org/apache/spark/rdd/
@@ -62,29 +63,67 @@ object DistRank {
   /** 1-in-SampleMod md5 sample drives the boundary pick. */
   private val SampleMod = 64
 
+  /** The sampled keys never collect flat: they compress through
+    * [[Quantile.summarizeKeyed]] over this many md5 shards per stratum at
+    * this many order statistics per shard, so the frame the boundary walk
+    * touches is ≤ SummaryShards·(SummarySamples+1) rows per stratum no
+    * matter how large the stratum is.
+    */
+  private val SummaryShards = 32
+  private val SummarySamples = 64
+
   private def partitions(df: DataFrame): Int =
     df.sparkSession.sessionState.conf.numShufflePartitions
 
   /** Stamp the deterministic slice id `__rp` and the packed sort key
     * `__sk` (struct over `order`, compared lexicographically).
+    *
+    * Boundary pick (the bounded composition the scaladoc above promises):
+    * 1-in-64 md5 sample → per-(stratum, shard) weighted quantile summary
+    * ([[Quantile.summarizeKeyed]] — each shard sorts its sampled keys once
+    * and keeps every ⌈n_s/S⌉-th order statistic with its gap weight) →
+    * per-stratum cumulative-weight walk picks boundary j as the first
+    * summary point whose cumulative weight reaches j/P of the stratum's
+    * sampled weight. Every aggregate along the way is bounded: the summary
+    * by construction, the walk by the summary's size, and the final
+    * collect_list by P−1 boundary rows per stratum. (The previous
+    * formulation collect_list'ed EVERY sampled key of a stratum into one
+    * aggregation buffer — ~10^10 keys at 100 TB, the exact OOM this
+    * operator exists to avoid.)
     */
   private def withSlice(df: DataFrame, stratum: String, order: Seq[Column],
                         hashKey: String): DataFrame = {
     val p = partitions(df)
     val keyed = df.withColumn("__sk", struct(order: _*))
     if (p <= 1) return keyed.withColumn("__rp", lit(0))
+    val h = s"md5(concat(cast($hashKey as string), ':slice'))"
     val sample = keyed
-      .filter(expr(s"pmod(cast(conv(substring(md5(concat(cast($hashKey " +
-        s"as string), ':slice')), 1, 8), 16, 10) as bigint), $SampleMod)")
-        === 0)
-      .select(col(stratum), col("__sk"))
-    // sort_array makes the boundary pick independent of collect order
-    val bnds = sample.groupBy(col(stratum))
-      .agg(sort_array(collect_list(col("__sk"))).as("__arr"))
-      .select(col(stratum).as("__s0"),
-        expr(s"transform(sequence(1, ${p - 1}), j -> element_at(__arr, " +
-          s"cast(greatest(1L, (j * size(__arr)) div $p) as int)))")
-          .as("__bnds"))
+      .filter(expr(s"pmod(cast(conv(substring($h, 1, 8), 16, 10) " +
+        s"as bigint), $SampleMod)") === 0)
+      .select(col(stratum),
+        expr(s"pmod(cast(conv(substring($h, 9, 8), 16, 10) as bigint), " +
+          s"$SummaryShards)").as("shard"),
+        col("__sk").as("v"),
+        expr(s"cast($hashKey as string)").as("k"))
+    val summary =
+      Quantile.summarizeKeyed(sample, SummarySamples, Seq(stratum, "shard"))
+    val wCum = Window.partitionBy(col(stratum)).orderBy(col("v"), col("k"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = summary.withColumn("cw", sum(col("w")).over(wCum))
+      .select(col(stratum).as("__sc"), col("v"), col("cw"))
+    val targets = summary.groupBy(col(stratum)).agg(sum(col("w")).as("__n"))
+      .select(col(stratum), col("__n"),
+        explode(expr(s"sequence(1, ${p - 1})")).as("__j"))
+      .withColumn("__tr", expr(s"greatest(1L, (__j * __n) div $p)"))
+    val bnds = targets
+      .join(cum, col(stratum) <=> col("__sc") && col("cw") >= col("__tr"))
+      .groupBy(col(stratum), col("__j"))
+      .agg(min_by(col("v"), col("cw")).as("__b"))
+      // ≤ P−1 boundary rows per stratum fold into the broadcast array —
+      // the only collect_list in the path, bounded by construction
+      .groupBy(col(stratum))
+      .agg(sort_array(collect_list(col("__b"))).as("__bnds"))
+      .select(col(stratum).as("__s0"), col("__bnds"))
     keyed.join(broadcast(bnds), col(stratum) <=> col("__s0"), "left")
       .withColumn("__rp",
         when(col("__bnds").isNull, lit(0))

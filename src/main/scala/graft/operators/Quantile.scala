@@ -52,15 +52,19 @@ object Quantile {
           shards)
   }
 
-  /** The summary construction over an already-keyed frame (shard, v, k) —
-    * shared with the STREAMING summary maintainer
+  /** The summary construction over an already-keyed frame (shardCols…, v,
+    * k) — shared with the STREAMING summary maintainer
     * ([[graft.streaming.StreamQuantile]]), whose single-batch compaction
-    * reproduces these exact picks.
+    * reproduces these exact picks, and with [[DistRank]]'s boundary pick,
+    * which summarizes per (stratum, shard).
     */
   private[graft] def summarizeKeyed(base: DataFrame,
-                                    samples: Int = Samples): DataFrame = {
-    val wRank = Window.partitionBy(col("shard")).orderBy(col("v"), col("k"))
-    val wAll = Window.partitionBy(col("shard"))
+                                    samples: Int = Samples,
+                                    shardCols: Seq[String] = Seq("shard"))
+      : DataFrame = {
+    val parts = shardCols.map(col)
+    val wRank = Window.partitionBy(parts: _*).orderBy(col("v"), col("k"))
+    val wAll = Window.partitionBy(parts: _*)
     base
       .withColumn("rn", row_number().over(wRank).cast("long"))
       .withColumn("ns", count(lit(1)).over(wAll))
@@ -69,7 +73,7 @@ object Quantile {
       .withColumn("w",
         when(col("rn") % col("stride") === 0, col("stride"))
           .otherwise(col("rn") % col("stride")))
-      .select(col("shard"), col("v"), col("k"), col("stride"), col("w"))
+      .select(parts ++ Seq(col("v"), col("k"), col("stride"), col("w")): _*)
   }
 
   /** S-point weighted summary per shard: rows (shard, v, k, stride, w).

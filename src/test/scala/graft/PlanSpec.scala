@@ -179,9 +179,38 @@ class PlanSpec extends SparkSpec {
       assert(specs.nonEmpty == p.contains("Window"),
         s"$name plan/window-spec mismatch")
       specs.foreach { m =>
-        assert(m.group(1).contains("__rp"),
-          s"$name has a window partitioned on a bare stratum: ${m.group(1)}")
+        val s = m.group(1)
+        // acceptable windows: rank/running-sum over (stratum, __rp) — the
+        // range-slice id — or the two BOUNDED boundary-pick passes: the
+        // per-(stratum, shard) summary construction (32-way md5 shard over
+        // the 1-in-64 sample) and the cumulative-weight walk over the
+        // ≤ Shards·(S+1)-row summary (orders by its v, k columns)
+        assert(s.contains("__rp") || s.contains("shard#") ||
+          (s.contains(" v#") || s.startsWith("v#")) && s.contains(" k#"),
+          s"$name has a window partitioned on a bare stratum: $s")
       }
+    }
+  }
+
+  test("DistRank never collect_lists an unbounded sample") {
+    // the r8 finding: the old boundary pick collect_list'ed EVERY
+    // 1-in-64-sampled sort key of a stratum into one aggregation buffer —
+    // ~10^10 keys at 100 TB. The summarized pick may collect_list ONLY the
+    // ≤P−1 boundary rows (`__b`); a collect_list over any other column in
+    // these plans is that regression coming back.
+    val consumers: Seq[(String, DataFrame)] = Seq(
+      "customer_rfm" -> operators.Reshape.customerRfm(spark, sf),
+      "customer_deciles" -> operators.Queries.customerDeciles(spark, sf),
+      "customer_pct_rank" -> operators.Reshape.customerPctRank(spark, sf),
+      "pack_sequences" -> operators.TextOps.packSequences(spark, sf),
+      "corpus_mix" -> operators.TextOps.corpusMix(spark, sf))
+    for ((name, df) <- consumers) {
+      val p = plan(df)
+      val cols = "collect_list\\((\\w+)".r.findAllMatchIn(p)
+        .map(_.group(1)).toSeq
+      assert(cols.nonEmpty, s"$name: bounded boundary fold expected in plan")
+      cols.foreach(c => assert(c == "__b",
+        s"$name collect_lists a non-boundary column: $c"))
     }
   }
 
