@@ -29,6 +29,7 @@ object SparkEntry {
       operators.TrainPrep.queries ++
       operators.CorpusFilters.queries ++
       operators.Dedup.queries ++
+      operators.SubstringDedup.queries ++
       operators.Similarity.queries ++
       operators.Hnsw.queries ++
       operators.PqTrain.queries ++
@@ -67,6 +68,7 @@ object SparkEntry {
       operators.TrainPrep.oracles ++
       operators.CorpusFilters.oracles ++
       operators.Dedup.oracles ++
+      operators.SubstringDedup.oracles ++
       operators.Similarity.oracles ++
       operators.Hnsw.oracles ++
       operators.PqTrain.oracles ++
