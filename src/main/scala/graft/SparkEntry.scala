@@ -30,6 +30,7 @@ object SparkEntry {
       operators.CorpusFilters.queries ++
       operators.Dedup.queries ++
       operators.SubstringDedup.queries ++
+      operators.Bpe.queries ++
       operators.Similarity.queries ++
       operators.Hnsw.queries ++
       operators.PqTrain.queries ++
@@ -69,6 +70,7 @@ object SparkEntry {
       operators.CorpusFilters.oracles ++
       operators.Dedup.oracles ++
       operators.SubstringDedup.oracles ++
+      operators.Bpe.oracles ++
       operators.Similarity.oracles ++
       operators.Hnsw.oracles ++
       operators.PqTrain.oracles ++

@@ -376,10 +376,19 @@ object TextOps {
     * instead — no stratum-partitioned window in the plan.
     */
   def packSequences(s: SparkSession, dir: String,
-                    budget: Int = 2048): DataFrame = {
-    val docs = Tables.documents(s, dir)
-      .select(col("doc_id"), col("lang"),
-        size(split(norm, " ")).as("n_tokens"))
+                    budget: Int = 2048,
+                    tokenCounts: Option[DataFrame] = None): DataFrame = {
+    // tokenCounts: optional trained-tokenizer counts (doc_id, n_tokens) —
+    // e.g. [[Bpe.tokenizeBpe]]'s n_bpe_tokens — replacing the regex
+    // estimate; the default path is unchanged (gate hash identical)
+    val docs = tokenCounts match {
+      case Some(tc) => Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"))
+        .join(tc.select(col("doc_id"), col("n_tokens")), "doc_id")
+      case None => Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"),
+          size(split(norm, " ")).as("n_tokens"))
+    }
     DistRank.runningSum(docs, "lang", Seq(col("doc_id")), "doc_id",
         col("n_tokens"), "cum")
       .select(col("doc_id"), col("lang"), col("n_tokens"),
