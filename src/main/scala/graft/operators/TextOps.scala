@@ -413,28 +413,47 @@ object TextOps {
 
   private val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
   private val UrlRe = "https?://[^\\s]+"
+  private val PhoneRe = "\\+[0-9]{1,3}-[0-9]{1,3}-[0-9]{3}-[0-9]{1,6}"
+  private val IpRe = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+  private val IdRe = "[a-z]{2}[0-9]{6,8}"
 
   /** PII detection + scrubbing — the redaction pass every training-corpus
-    * pipeline runs before tokenization. Counts and redacts email/URL
-    * matches per document with codegen'd regex expressions (one narrow
-    * scan, no shuffle; patterns restricted to constructs Java regex and
-    * RE2 interpret identically so the oracle matches). The scenario plants
-    * deterministic PII in every 7th document — both engines construct the
-    * same augmented text — so the scrub provably fires; the redacted text
-    * is emitted as its md5 (the full text would bloat the gate output).
+    * pipeline runs before tokenization. Counts and redacts email / URL /
+    * phone / IPv4 / ID-number matches per document with codegen'd regex
+    * expressions (one narrow scan, no shuffle; patterns restricted to
+    * constructs Java regex and RE2 interpret identically so the oracle
+    * matches — bounded quantifiers, no backreferences or lookaround). The
+    * scenario plants deterministic PII per pattern class on coprime
+    * moduli (email+URL every 7th doc, phone 5th, ID 9th, IPv4 11th) —
+    * both engines construct the same augmented text — so each scrub class
+    * provably fires alone and in combination; the redacted text is
+    * emitted as its md5 (the full text would bloat the gate output).
     */
   def textPii(s: SparkSession, dir: String): DataFrame = {
-    val aug = when(col("doc_id") % 7 === 0,
-      concat(col("text"), lit(" contact user"), col("doc_id"),
-        lit("@example.com via http://ex.com/doc/"), col("doc_id")))
+    val id = col("doc_id")
+    val a0 = when(id % 7 === 0,
+      concat(col("text"), lit(" contact user"), id,
+        lit("@example.com via http://ex.com/doc/"), id))
       .otherwise(col("text"))
-    val low = lower(aug)
-    val redacted = regexp_replace(
-      regexp_replace(low, EmailRe, "<EMAIL>"), UrlRe, "<URL>")
+    val a1 = when(id % 5 === 0,
+      concat(a0, lit(" call +64-21-555-"), id.cast("string"))).otherwise(a0)
+    val a2 = when(id % 9 === 0,
+      concat(a1, lit(" ref qz"), lpad(id.cast("string"), 6, "0")))
+      .otherwise(a1)
+    val a3 = when(id % 11 === 0,
+      concat(a2, lit(" from 192.168."), (id % 256).cast("string"),
+        lit("."), (id % 100).cast("string"))).otherwise(a2)
+    val low = lower(a3)
+    val redacted = Seq(EmailRe -> "<EMAIL>", UrlRe -> "<URL>",
+      PhoneRe -> "<PHONE>", IpRe -> "<IP>", IdRe -> "<ID>")
+      .foldLeft(low) { case (c, (re, tag)) => regexp_replace(c, re, tag) }
     Tables.documents(s, dir)
       .select(col("doc_id"),
         size(regexp_extract_all(low, lit(EmailRe), lit(0))).as("n_emails"),
         size(regexp_extract_all(low, lit(UrlRe), lit(0))).as("n_urls"),
+        size(regexp_extract_all(low, lit(PhoneRe), lit(0))).as("n_phones"),
+        size(regexp_extract_all(low, lit(IpRe), lit(0))).as("n_ips"),
+        size(regexp_extract_all(low, lit(IdRe), lit(0))).as("n_ids"),
         md5(redacted).as("redacted_hash"))
       .orderBy("doc_id")
   }
@@ -442,20 +461,43 @@ object TextOps {
   val textPiiSql: String = s"""
     WITH a AS (
       SELECT doc_id,
-        lower(CASE WHEN doc_id % 7 = 0
+        CASE WHEN doc_id % 7 = 0
           THEN text || ' contact user' || doc_id
                || '@example.com via http://ex.com/doc/' || doc_id
-          ELSE text END) AS low
-      FROM documents)
+          ELSE text END AS a0
+      FROM documents),
+    b AS (SELECT doc_id,
+            CASE WHEN doc_id % 5 = 0
+              THEN a0 || ' call +64-21-555-' || CAST(doc_id AS VARCHAR)
+              ELSE a0 END AS a1
+          FROM a),
+    c AS (SELECT doc_id,
+            CASE WHEN doc_id % 9 = 0
+              THEN a1 || ' ref qz' || lpad(CAST(doc_id AS VARCHAR), 6, '0')
+              ELSE a1 END AS a2
+          FROM b),
+    d AS (SELECT doc_id,
+            lower(CASE WHEN doc_id % 11 = 0
+              THEN a2 || ' from 192.168.' || CAST(doc_id % 256 AS VARCHAR)
+                   || '.' || CAST(doc_id % 100 AS VARCHAR)
+              ELSE a2 END) AS low
+          FROM c)
     SELECT doc_id,
       len(regexp_extract_all(low, '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}'))
         AS n_emails,
       len(regexp_extract_all(low, 'https?://[^\\s]+')) AS n_urls,
-      md5(regexp_replace(
-        regexp_replace(low, '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}',
-          '<EMAIL>', 'g'),
-        'https?://[^\\s]+', '<URL>', 'g')) AS redacted_hash
-    FROM a ORDER BY doc_id"""
+      len(regexp_extract_all(low, '\\+[0-9]{1,3}-[0-9]{1,3}-[0-9]{3}-[0-9]{1,6}'))
+        AS n_phones,
+      len(regexp_extract_all(low, '([0-9]{1,3}\\.){3}[0-9]{1,3}')) AS n_ips,
+      len(regexp_extract_all(low, '[a-z]{2}[0-9]{6,8}')) AS n_ids,
+      md5(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        regexp_replace(low,
+          '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}', '<EMAIL>', 'g'),
+          'https?://[^\\s]+', '<URL>', 'g'),
+          '\\+[0-9]{1,3}-[0-9]{1,3}-[0-9]{3}-[0-9]{1,6}', '<PHONE>', 'g'),
+          '([0-9]{1,3}\\.){3}[0-9]{1,3}', '<IP>', 'g'),
+          '[a-z]{2}[0-9]{6,8}', '<ID>', 'g')) AS redacted_hash
+    FROM d ORDER BY doc_id"""
 
   // ----------------------------------------------------------------- mixing
 

@@ -81,12 +81,21 @@ class TextDedupSpec extends SparkSpec {
 
   test("text_pii: planted PII detected and scrubbed, clean docs untouched") {
     val rows = operators.TextOps.textPii(spark, sf).collect()
-    val (planted, clean) = rows.partition(_.getLong(0) % 7 == 0)
-    assert(planted.nonEmpty)
-    assert(planted.forall(r =>
-      r.getAs[Int]("n_emails") >= 1 && r.getAs[Int]("n_urls") >= 1))
-    assert(clean.forall(r =>
-      r.getAs[Int]("n_emails") == 0 && r.getAs[Int]("n_urls") == 0))
+    // each pattern class fires exactly on its planted modulus
+    val classes = Seq[(Long, String)](
+      7L -> "n_emails", 7L -> "n_urls", 5L -> "n_phones",
+      9L -> "n_ids", 11L -> "n_ips")
+    for ((m, c) <- classes) {
+      val (planted, clean) = rows.partition(_.getLong(0) % m == 0)
+      assert(planted.nonEmpty)
+      assert(planted.forall(_.getAs[Int](c) >= 1), s"$c must fire on %$m")
+      assert(clean.forall(_.getAs[Int](c) == 0), s"$c fired off-plant")
+    }
+    // a doc on several moduli (e.g. 315 = 5*7*9) carries every class at once
+    rows.filter(_.getLong(0) % 315 == 0).foreach { r =>
+      assert(r.getAs[Int]("n_emails") >= 1 && r.getAs[Int]("n_phones") >= 1
+        && r.getAs[Int]("n_ids") >= 1)
+    }
   }
 
   test("kmv sketch: estimate within 30% of exact, exact under k distinct") {
