@@ -118,6 +118,23 @@ object Bpe {
     mergesCache((s, dir))
   }
 
+  /** In-plan segmentation of an ARBITRARY word column with a trained merge
+    * list — the out-of-vocabulary path: character split, then the merges
+    * fold as nested padded replaces in rank order (the identical semantics
+    * training used). Tokenizing text the trainer never saw needs no
+    * lookup table — the expression IS the tokenizer.
+    */
+  private[graft] def segmentExpr(word: org.apache.spark.sql.Column,
+                                 merges: Seq[String]): org.apache.spark.sql.Column = {
+    val chars = concat_ws(" ", regexp_extract_all(word, lit("."), lit(0)))
+    merges.foldLeft(chars) { (c, pair) =>
+      val Array(a, b) = pair.split(" ")
+      trim(org.apache.spark.sql.functions.replace(
+        concat(lit(" "), c, lit(" ")),
+        lit(s" $a $b "), lit(s" ${a + b} ")))
+    }
+  }
+
   // ------------------------------------------------------------------ gates
 
   /** The trained merge table in merge order: (merge_rank, pair,
@@ -133,15 +150,20 @@ object Bpe {
   }
 
   /** Per-document tokenization with the trained merges: word stream joins
-    * the segmentation table, per-doc token counts + an order-preserving
-    * md5 over the BPE token stream.
+    * the segmentation table; words OUTSIDE the training vocabulary fall
+    * back to [[segmentExpr]] (merges applied in-plan), so the tokenizer
+    * handles unseen text. Per-doc token counts + an order-preserving md5
+    * over the BPE token stream.
     */
   def tokenizeBpe(s: SparkSession, dir: String): DataFrame = {
     val segs = segsOf(s, dir).select(col("word"), col("seg"))
+    val merges = trainedMerges(s, dir).map(_._1)
     val dt = Tables.documents(s, dir)
       .select(col("doc_id"), posexplode(split(norm, " ")))
       .toDF("doc_id", "pos", "word")
-    dt.join(segs, "word")
+    dt.join(segs, Seq("word"), "left")
+      .withColumn("seg",
+        coalesce(col("seg"), segmentExpr(col("word"), merges)))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_words"),
         sum(size(split(col("seg"), " "))).cast("long").as("n_bpe_tokens"),

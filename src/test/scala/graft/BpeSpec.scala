@@ -59,6 +59,23 @@ class BpeSpec extends SparkSpec {
     assert(t1.forall(_.getAs[Long]("pair_count") > 0L))
   }
 
+  test("segmentExpr tokenizes UNSEEN words with the trained merges") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // train on ab/abc; apply to unseen words containing the learned units
+    val d = docs(1 -> "ab ab ab", 2 -> "abc")
+    val (merges, _) = Bpe.trainOn(d, 5) // [(a b), (ab c)]
+    val unseen = Seq("abab", "cab", "xyz").toDF("word")
+      .withColumn("seg", Bpe.segmentExpr(col("word"), merges.map(_._1)))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    // one left-to-right pass per merge rank, same as training: the first
+    // ' a b ' consumes the separator the second needs, so the second pair
+    // stays split (training would re-pick it in a later round)
+    assert(unseen("abab") == "ab a b", "single pass per merge rank")
+    assert(unseen("cab") == "c ab", "prefix char stays unmerged")
+    assert(unseen("xyz") == "x y z", "no merges apply")
+  }
+
   test("pack_sequences accepts trained-tokenizer counts") {
     import org.apache.spark.sql.functions.col
     val tc = Bpe.tokenizeBpe(spark, sf)
