@@ -124,6 +124,15 @@ object DistRank {
       .groupBy(col(stratum))
       .agg(sort_array(collect_list(col("__b"))).as("__bnds"))
       .select(col(stratum).as("__s0"), col("__bnds"))
+      // materialize the ≤|strata|-row boundary frame ONCE: the ranked
+      // frame is re-evaluated by several downstream branches (totals,
+      // offsets, finish) and by CHAINED rank passes (customer_rfm ranks
+      // three dimensions in a fold) — left lazy, the whole sample+summary
+      // chain recomputes per branch per pass, compounding multiplicatively
+      // (measured 56 s on customer_rfm; eager: the pick runs once and the
+      // branches see a literal local relation). Eager materialization also
+      // hard-guarantees both plan branches observe the SAME boundaries.
+      .localCheckpoint()
     keyed.join(broadcast(bnds), col(stratum) <=> col("__s0"), "left")
       .withColumn("__rp",
         when(col("__bnds").isNull, lit(0))

@@ -142,14 +142,20 @@ object Reshape {
       .select(col("c_mktsegment").as("segment"), col("o_custkey").as("ck"),
         col("recency"), col("frequency"), col("monetary"))
     // DistRank orders ascend; the frequency/monetary quintiles rank
-    // descending, expressed by exact negation (bigint count / decimal sum)
+    // descending, expressed by exact negation (bigint count / decimal sum).
+    // The three ranks are mutually INDEPENDENT (each orders the base rfm
+    // frame), so they run as three parallel passes joined back on the
+    // unique customer key — a fold would nest each pass's plan inside the
+    // next and re-evaluate the chain once per downstream branch
     val ranked = Seq[(String, Seq[Column])](
       ("__rr", Seq(col("recency"), col("ck"))),
       ("__fr", Seq(-col("frequency"), col("ck"))),
       ("__mr", Seq(-col("monetary"), col("ck"))))
-      .foldLeft(rfm) { case (df, (out, order)) =>
-        DistRank.rowNumber(df, "segment", order, "ck", out)
+      .map { case (out, order) =>
+        DistRank.rowNumber(rfm, "segment", order, "ck", out)
+          .select(col("ck"), col(out))
       }
+      .foldLeft(rfm) { (acc, r) => acc.join(r, Seq("ck")) }
     val counts = rfm.groupBy(col("segment")).agg(count(lit(1)).as("__n"))
     ranked.join(broadcast(counts), "segment")
       .withColumn("r", DistRank.ntileFromRank(5, col("__rr"), col("__n")))

@@ -195,9 +195,11 @@ class PlanSpec extends SparkSpec {
   test("DistRank never collect_lists an unbounded sample") {
     // the r8 finding: the old boundary pick collect_list'ed EVERY
     // 1-in-64-sampled sort key of a stratum into one aggregation buffer —
-    // ~10^10 keys at 100 TB. The summarized pick may collect_list ONLY the
-    // ≤P−1 boundary rows (`__b`); a collect_list over any other column in
-    // these plans is that regression coming back.
+    // ~10^10 keys at 100 TB. The summarized pick folds ONLY the ≤P−1
+    // boundary rows (`__b`), in an eagerly-materialized side job — so the
+    // consumer plans must contain NO collect_list at all (one appearing
+    // means the unbounded pick came back lazy), and the DistRank source's
+    // only collect_list must consume the bounded boundary column.
     val consumers: Seq[(String, DataFrame)] = Seq(
       "customer_rfm" -> operators.Reshape.customerRfm(spark, sf),
       "customer_deciles" -> operators.Queries.customerDeciles(spark, sf),
@@ -206,12 +208,15 @@ class PlanSpec extends SparkSpec {
       "corpus_mix" -> operators.TextOps.corpusMix(spark, sf))
     for ((name, df) <- consumers) {
       val p = plan(df)
-      val cols = "collect_list\\((\\w+)".r.findAllMatchIn(p)
-        .map(_.group(1)).toSeq
-      assert(cols.nonEmpty, s"$name: bounded boundary fold expected in plan")
-      cols.foreach(c => assert(c == "__b",
-        s"$name collect_lists a non-boundary column: $c"))
+      assert(!p.contains("collect_list"),
+        s"$name plans a lazy collect_list — the bounded eager pick is gone")
     }
+    val src = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("src/main/scala/graft/operators/DistRank.scala")))
+    val folds = "collect_list\\(col\\(\"(\\w+)\"\\)".r
+      .findAllMatchIn(src).map(_.group(1)).toSeq
+    assert(folds == Seq("__b"),
+      s"DistRank collect_list sites changed ($folds) — re-review bounds")
   }
 
   test("decontaminate broadcasts the eval side") {
