@@ -321,15 +321,117 @@ object ZOrder {
     SELECT layout, n_buckets, avg_extent, max_extent
     FROM outp ORDER BY layout"""
 
+  // --------------------------------------------------------- pruning audit
+
+  /** Probe bands: 16-value ranges tiling each source dimension. */
+  private val BandW = 16
+
+  /** Scan-pruning audit — the measurement [[layoutLocality]]'s box extents
+    * argue toward, made literal: range-partition both curves' indexes into
+    * the same unaligned buckets (the files a `repartitionByRange` writer
+    * produces), take each bucket's min/max on BOTH source dimensions (its
+    * parquet footer stats), and for a tiling set of range predicates count
+    * the files whose [min,max] intersects the predicate — the files a
+    * stats-pruning scan MUST read. Emits per (layout, dimension): query
+    * count and avg/max/min files read. Hilbert's connected buckets read
+    * fewer files than Z-order's seam-crossing ones on BOTH dimensions
+    * (spec-pinned). Everything aggregates to the bucket count first —
+    * the predicate join touches 66 stat rows × 32 probes, never data.
+    */
+  def layoutPruning(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.orders(s, dir)
+      .withColumn("ck", col("o_custkey") % 256)
+      .withColumn("dy",
+        datediff(to_date(col("o_orderdate")), lit("1992-01-01").cast("date"))
+          .cast("bigint") % 256)
+    val hv = withHilbert(base, "ck", "dy", HBits)
+      .withColumn("zval", expr(interleaveNExpr(Seq("ck", "dy"), HBits)))
+    val stats = hv.select(explode(array(
+        struct(lit("hilbert").as("layout"),
+          expr(s"hval div $LocBucket").as("b"), col("ck"), col("dy")),
+        struct(lit("zorder").as("layout"),
+          expr(s"zval div $LocBucket").as("b"), col("ck"), col("dy"))))
+        .as("r"))
+      .select(col("r.layout").as("layout"), col("r.b").as("b"),
+        col("r.ck").as("ck"), col("r.dy").as("dy"))
+      .groupBy(col("layout"), col("b"))
+      .agg(min(col("ck")).as("ck_lo"), max(col("ck")).as("ck_hi"),
+        min(col("dy")).as("dy_lo"), max(col("dy")).as("dy_hi"))
+    val qs = s.range(256 / BandW)
+      .select(explode(array(lit("ck"), lit("dy"))).as("dim"),
+        (col("id") * BandW).as("lo"), (col("id") * BandW + (BandW - 1)).as("hi"))
+    val mustRead = when(col("dim") === "ck",
+      col("ck_hi") >= col("lo") && col("ck_lo") <= col("hi"))
+      .otherwise(col("dy_hi") >= col("lo") && col("dy_lo") <= col("hi"))
+    stats.crossJoin(broadcast(qs))
+      .select(col("layout"), col("dim"), col("lo"),
+        when(mustRead, 1L).otherwise(0L).as("must_read"))
+      .groupBy(col("layout"), col("dim"), col("lo"))
+      .agg(sum(col("must_read")).as("files_read"))
+      .groupBy(col("layout"), col("dim"))
+      .agg(count(lit(1)).as("n_queries"),
+        round(avg(col("files_read")), 4).as("avg_files_read"),
+        max(col("files_read")).as("max_files_read"),
+        min(col("files_read")).as("min_files_read"))
+      .orderBy("layout", "dim")
+  }
+
+  val layoutPruningSql: String = s"""
+    WITH hsrc AS (
+      SELECT o_orderkey AS key, o_custkey % 256 AS hx,
+        date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) % 256
+          AS hy,
+        CAST(0 AS BIGINT) AS hval
+      FROM orders),
+    ${hilbertSql(HBits)},
+    base AS (
+      SELECT o_orderkey, o_custkey % 256 AS ck,
+        date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) % 256
+          AS dy
+      FROM orders),
+    rows_ AS (
+      SELECT b.ck, b.dy, h.hval,
+        ${interleaveNSql(Seq("ck", "dy"), HBits)} AS zval
+      FROM base b JOIN hstep0 h ON b.o_orderkey = h.key),
+    stats AS (
+      SELECT 'hilbert' AS layout, hval // $LocBucket AS b,
+        min(ck) AS ck_lo, max(ck) AS ck_hi,
+        min(dy) AS dy_lo, max(dy) AS dy_hi
+      FROM rows_ GROUP BY 2
+      UNION ALL
+      SELECT 'zorder', zval // $LocBucket, min(ck), max(ck), min(dy), max(dy)
+      FROM rows_ GROUP BY 2),
+    qs AS (
+      SELECT 'ck' AS dim, q * $BandW AS lo, q * $BandW + ${BandW - 1} AS hi
+      FROM (SELECT unnest(generate_series(0, ${256 / BandW - 1})) AS q)
+      UNION ALL
+      SELECT 'dy', q * $BandW, q * $BandW + ${BandW - 1}
+      FROM (SELECT unnest(generate_series(0, ${256 / BandW - 1})) AS q)),
+    perq AS (
+      SELECT s.layout, q.dim, q.lo,
+        CAST(sum(CASE WHEN q.dim = 'ck'
+          THEN CASE WHEN s.ck_hi >= q.lo AND s.ck_lo <= q.hi
+               THEN 1 ELSE 0 END
+          ELSE CASE WHEN s.dy_hi >= q.lo AND s.dy_lo <= q.hi
+               THEN 1 ELSE 0 END END) AS BIGINT) AS files_read
+      FROM stats s CROSS JOIN qs q GROUP BY 1, 2, 3)
+    SELECT layout, dim, count(*) AS n_queries,
+      round(avg(files_read), 4) AS avg_files_read,
+      CAST(max(files_read) AS BIGINT) AS max_files_read,
+      CAST(min(files_read) AS BIGINT) AS min_files_read
+    FROM perq GROUP BY 1, 2 ORDER BY layout, dim"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "zorder_layout" -> (zorderLayout(_, _)),
     "zorder3_layout" -> (zorder3Layout(_, _)),
     "hilbert_layout" -> (hilbertLayout _),
-    "layout_locality" -> (layoutLocality _))
+    "layout_locality" -> (layoutLocality _),
+    "layout_pruning" -> (layoutPruning _))
 
   val oracles: Map[String, String] = Map(
     "zorder_layout" -> zorderLayoutSql,
     "zorder3_layout" -> zorder3LayoutSql,
     "hilbert_layout" -> hilbertLayoutSql,
-    "layout_locality" -> layoutLocalitySql)
+    "layout_locality" -> layoutLocalitySql,
+    "layout_pruning" -> layoutPruningSql)
 }
