@@ -548,6 +548,96 @@ object Similarity {
            round(cos_raw, 6) AS cos
     FROM scored WHERE rank <= $k ORDER BY probe_id, rank"""
 
+  // --------------------------------------------- IVF append maintenance
+
+  /** Incremental IVF maintenance under appends — the operation a served
+    * index performs between retrains. The corpus splits into a BASE (the
+    * index as built: vec_id % 10 ≠ 0, centroids from the base's
+    * deterministic quantizer) and an APPEND batch (vec_id % 10 = 0). New
+    * vectors assign to the EXISTING cells by the same broadcast-centroid
+    * argmin the build used — the incremental cost scales with the BATCH,
+    * never the corpus (the base census here is recomputed only because the
+    * gate verifies it; a deployment reads it from the stored index). The
+    * drift audit answers the retrain-scheduling question: per cell, how
+    * many appended vectors would land in a DIFFERENT cell if the quantizer
+    * were rebuilt over base+appends — rising drift means the append
+    * distribution has shifted and the index needs retraining.
+    */
+  def ivfAppend(s: SparkSession, dir: String): DataFrame = {
+    val qn = qdf(s, dir)
+    def centsOf(vecs: DataFrame): DataFrame =
+      vecs.filter(col("vec_id") % CentroidMod === 0)
+        .select(col("vec_id").as("cid"), col("q").as("cq"),
+          col("n2").as("cn2"))
+    def cellsOf(vecs: DataFrame, cents: DataFrame): DataFrame =
+      vecs.join(broadcast(cents))
+        .withColumn("d2",
+          col("n2") - lit(2L) * expr("q_dot(q, cq)") + col("cn2"))
+        .groupBy(col("vec_id"))
+        .agg(min_by(col("cid"), struct(col("d2"), col("cid"))).as("cell"))
+    val base = qn.filter(col("vec_id") % 10 =!= 0)
+    val appends = qn.filter(col("vec_id") % 10 === 0)
+    val baseCents = centsOf(base)
+    val appCells = cellsOf(appends, baseCents) // the incremental step
+    val rebuilt = cellsOf(appends, centsOf(qn)) // what a retrain would say
+    val appCensus = appCells
+      .join(rebuilt.select(col("vec_id"), col("cell").as("rcell")), "vec_id")
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_appended"),
+        sum(when(col("rcell") =!= col("cell"), 1L).otherwise(0L))
+          .as("n_moved_on_rebuild"))
+    cellsOf(base, baseCents)
+      .groupBy(col("cell")).agg(count(lit(1)).as("n_base"))
+      .join(appCensus, Seq("cell"), "left")
+      .select(col("cell"), col("n_base"),
+        coalesce(col("n_appended"), lit(0L)).as("n_appended"),
+        coalesce(col("n_moved_on_rebuild"), lit(0L))
+          .as("n_moved_on_rebuild"))
+      .orderBy("cell")
+  }
+
+  val ivfAppendSql: String = s"""
+    WITH $QuantSql,
+    base AS (SELECT * FROM qn WHERE vec_id % 10 <> 0),
+    app AS (SELECT * FROM qn WHERE vec_id % 10 = 0),
+    bc AS (SELECT vec_id AS cid, q AS cq FROM base
+           WHERE vec_id % $CentroidMod = 0),
+    fc AS (SELECT vec_id AS cid, q AS cq FROM qn
+           WHERE vec_id % $CentroidMod = 0),
+    basg AS (
+      SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+        ORDER BY d2, cid) AS rn
+      FROM (SELECT base.vec_id, bc.cid,
+              CAST(list_sum(list_transform(generate_series(1, len(q)),
+                i -> (q[i] - cq[i]) * (q[i] - cq[i]))) AS BIGINT) AS d2
+            FROM base, bc)),
+    aasg AS (
+      SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+        ORDER BY d2, cid) AS rn
+      FROM (SELECT app.vec_id, bc.cid,
+              CAST(list_sum(list_transform(generate_series(1, len(q)),
+                i -> (q[i] - cq[i]) * (q[i] - cq[i]))) AS BIGINT) AS d2
+            FROM app, bc)),
+    rasg AS (
+      SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+        ORDER BY d2, cid) AS rn
+      FROM (SELECT app.vec_id, fc.cid,
+              CAST(list_sum(list_transform(generate_series(1, len(q)),
+                i -> (q[i] - cq[i]) * (q[i] - cq[i]))) AS BIGINT) AS d2
+            FROM app, fc)),
+    acensus AS (
+      SELECT a.cid AS cell, count(*) AS n_appended,
+        CAST(sum(CASE WHEN r.cid <> a.cid THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_moved_on_rebuild
+      FROM aasg a JOIN rasg r ON a.vec_id = r.vec_id
+      WHERE a.rn = 1 AND r.rn = 1 GROUP BY 1),
+    bcensus AS (
+      SELECT cid AS cell, count(*) AS n_base
+      FROM basg WHERE rn = 1 GROUP BY 1)
+    SELECT cell, n_base, coalesce(ac.n_appended, 0) AS n_appended,
+      coalesce(ac.n_moved_on_rebuild, 0) AS n_moved_on_rebuild
+    FROM bcensus LEFT JOIN acensus ac USING (cell) ORDER BY cell"""
+
   // ------------------------------------------------------- recall audit
 
   /** Recall\@k of the LSH path against the exact brute-force top-k — the
@@ -1029,7 +1119,8 @@ object Similarity {
     "ann_range" -> (annRange _),
     "embed_norm_stats" -> (embedNormStats _),
     "lsh_bucket_stats" -> (lshBucketStats _),
-    "embed_quantize" -> (embedQuantize(_, _)))
+    "embed_quantize" -> (embedQuantize(_, _)),
+    "ivf_append" -> (ivfAppend _))
 
   val oracles: Map[String, String] = Map(
     "dedup_embedding" -> dedupEmbeddingSql,
@@ -1047,5 +1138,6 @@ object Similarity {
     "ann_range" -> annRangeSql,
     "embed_norm_stats" -> embedNormStatsSql,
     "lsh_bucket_stats" -> lshBucketStatsSql,
-    "embed_quantize" -> embedQuantizeSql)
+    "embed_quantize" -> embedQuantizeSql,
+    "ivf_append" -> ivfAppendSql)
 }
