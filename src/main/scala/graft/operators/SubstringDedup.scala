@@ -150,6 +150,15 @@ object SubstringDedup {
       .select(col("doc_id"),
         explode(sequence(col("p"), col("p") + (k - 1))).as("t"))
       .distinct()
+    stripTail(docs, rem)
+  }
+
+  /** The strip tail over a computed removed-token frame (doc_id, t) —
+    * shared with the STREAMING gram-state maintainer
+    * ([[graft.streaming.StreamGrams]]), whose maintained per-gram
+    * (min_okey, doc_lo, doc_hi) state derives the identical frame.
+    */
+  private[graft] def stripTail(docs: DataFrame, rem: DataFrame): DataFrame = {
     val toks = tokens(docs)
       .withColumn("t", explode(sequence(lit(1), size(col("ws")))))
       .select(col("doc_id"), col("t"), element_at(col("ws"), col("t")).as("tok"))
@@ -165,6 +174,30 @@ object SubstringDedup {
         col("n_removed"), coalesce(col("clean_hash"), md5(lit("")))
           .as("clean_hash"))
       .orderBy("doc_id")
+  }
+
+  // ------------------------------------------------- streaming composition
+
+  /** The gate corpus's gram occurrences (doc_id, p, g) — the observation
+    * stream the streaming maintainer consumes.
+    */
+  private[graft] def gramObs(s: SparkSession, dir: String): DataFrame =
+    gramsOf(corpus(s, dir), K)
+
+  /** The strip gate recomputed from a MAINTAINED per-gram state frame
+    * (g, min_okey, doc_lo, doc_hi): dup ⇔ doc_lo ≠ doc_hi (≥ 2 distinct
+    * docs), keeper ⇔ okey = min_okey — the identical predicates the batch
+    * path derives, so the result checks against the SAME oracle.
+    */
+  private[graft] def stripFromState(s: SparkSession, dir: String,
+                                    st: DataFrame): DataFrame = {
+    val okey = col("doc_id").cast("long") * 1000000L + col("p")
+    val rem = gramObs(s, dir).join(st, "g")
+      .filter(col("doc_lo") =!= col("doc_hi") && okey =!= col("min_okey"))
+      .select(col("doc_id"),
+        explode(sequence(col("p"), col("p") + (K - 1))).as("t"))
+      .distinct()
+    stripTail(corpus(s, dir), rem)
   }
 
   // ------------------------------------------------------------------ gates

@@ -215,6 +215,23 @@ object StreamScenarios {
       .toDF().orderBy("w")
   }
 
+  /** Batch-mode run of the streaming gram-registry maintainer over the
+    * same gram occurrences as the batch substring dedup, with the strip
+    * transform recomputed from the MAINTAINED state — checked by the SAME
+    * oracle SQL as `dedup_substring_strip`, proving the stateful
+    * first-occurrence/cross-doc registry reproduces the batch grouping
+    * (the spec drives cross-batch evolution with a MemoryStream).
+    */
+  def streamSubstringMaintain(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.functions.col
+    val obs = graft.operators.SubstringDedup.gramObs(s, dir)
+      .select(col("g"), col("doc_id").cast("long").as("doc_id"), col("p"))
+      .as[GramObs]
+    graft.operators.SubstringDedup.stripFromState(
+      s, dir, StreamGrams.states(obs).toDF())
+  }
+
   /** Batch-mode run of the streaming top-k plan: watermarked hourly counts
     * (the incremental layer) + per-window rank (the read-time layer).
     */
@@ -251,7 +268,8 @@ object StreamScenarios {
     "stream_hll_maintain" -> (streamHllMaintain _),
     "stream_kmv_maintain" -> ((s, d) => streamKmvMaintain(s, d)),
     "stream_quantile_maintain" -> (streamQuantileMaintain _),
-    "stream_bloom_maintain" -> (streamBloomMaintain _))
+    "stream_bloom_maintain" -> (streamBloomMaintain _),
+    "stream_substring_maintain" -> (streamSubstringMaintain _))
 
   val oracles: Map[String, String] = Map(
     "stream_hll_maintain" -> graft.operators.Sketch.hllRegistersSql,
@@ -259,6 +277,8 @@ object StreamScenarios {
     "stream_quantile_maintain" ->
       graft.operators.Quantile.qQuantilesSketchSql,
     "stream_bloom_maintain" -> graft.operators.JoinShapes.streamBloomSql,
+    "stream_substring_maintain" ->
+      graft.operators.SubstringDedup.dedupSubstringStripSql,
     "stream_changeset" -> streamChangesetSql,
     "stream_sessionize" -> graft.operators.Queries.eventsSessionizeSql,
     "stream_window_counts" -> streamWindowCountsSql,

@@ -502,3 +502,51 @@ object StreamDedup {
         .dropDuplicatesWithinWatermark(idCols)
     else events.dropDuplicates(idCols)
 }
+
+/** One k-gram occurrence: the gram's md5, its document and 1-based token
+  * position — computed upstream by the same column expressions as the
+  * batch substring dedup ([[graft.operators.SubstringDedup]]).
+  */
+case class GramObs(g: String, doc_id: Long, p: Int)
+
+/** One maintained gram state: the global first-occurrence key
+  * (doc_id·10^6 + p) and the min/max document ids seen — `doc_lo ≠
+  * doc_hi` is exactly "appeared in ≥ 2 distinct documents".
+  */
+case class GramState(g: String, min_okey: Long, doc_lo: Long, doc_hi: Long)
+
+/** Streaming gram-registry maintenance for substring dedup: per gram, the
+  * first-occurrence key and the cross-document flag kept up to date as
+  * documents stream in — the stateful twin of
+  * [[graft.operators.SubstringDedup]]'s batch grouping. State is three
+  * longs per gram; min/max/min folds are commutative, associative and
+  * idempotent, so replays and out-of-order document arrivals cannot
+  * corrupt the registry. A snapshot at any time drives the SAME strip
+  * transform the batch path runs: every occurrence whose key is not the
+  * maintained minimum of a cross-document gram strips — new documents
+  * dedup against the whole history without re-scanning it.
+  */
+object StreamGrams {
+
+  def states(obs: Dataset[GramObs]): Dataset[GramState] = {
+    import obs.sparkSession.implicits._
+    obs
+      .groupByKey(_.g)
+      .flatMapGroupsWithState[GramState, GramState](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (g: String, rows: Iterator[GramObs], state: GroupState[GramState]) =>
+          var mk = state.getOption.map(_.min_okey).getOrElse(Long.MaxValue)
+          var lo = state.getOption.map(_.doc_lo).getOrElse(Long.MaxValue)
+          var hi = state.getOption.map(_.doc_hi).getOrElse(Long.MinValue)
+          rows.foreach { r =>
+            val ok = r.doc_id * 1000000L + r.p
+            if (ok < mk) mk = ok
+            if (r.doc_id < lo) lo = r.doc_id
+            if (r.doc_id > hi) hi = r.doc_id
+          }
+          val next = GramState(g, mk, lo, hi)
+          state.update(next)
+          Iterator(next)
+      }
+  }
+}

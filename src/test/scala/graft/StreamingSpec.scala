@@ -379,6 +379,48 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("gram registry evolves across micro-batches, replay-idempotent") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.{GramObs, StreamGrams}
+    val input = MemoryStream[GramObs]
+    val query = StreamGrams.states(input.toDS())
+      .writeStream.format("memory").queryName("gram_state")
+      .outputMode(OutputMode.Update).start()
+    try {
+      def latest(): Map[String, (Long, Long, Long)] = {
+        val rows = spark.table("gram_state").collect()
+        rows.zipWithIndex.groupBy(_._1.getAs[String]("g"))
+          .map { case (g, grp) =>
+            val r = grp.maxBy(_._2)._1
+            g -> (r.getAs[Long]("min_okey"), r.getAs[Long]("doc_lo"),
+              r.getAs[Long]("doc_hi"))
+          }
+      }
+      // batch 1: gram only in doc 7 — not yet cross-doc
+      input.addData(GramObs("g1", 7L, 3), GramObs("g1", 7L, 9))
+      query.processAllAvailable()
+      assert(latest()("g1") == ((7000003L, 7L, 7L)))
+      // batch 2: doc 2 arrives with an EARLIER key — becomes cross-doc
+      // and takes over first occurrence
+      input.addData(GramObs("g1", 2L, 5))
+      query.processAllAvailable()
+      assert(latest()("g1") == ((2000005L, 2L, 7L)))
+      // exact replay of batch 2 changes nothing (min/max idempotent)
+      input.addData(GramObs("g1", 2L, 5))
+      query.processAllAvailable()
+      assert(latest()("g1") == ((2000005L, 2L, 7L)))
+    } finally query.stop()
+  }
+
+  test("streaming substring batch gate equals the one-shot strip") {
+    val streamed = graft.streaming.StreamScenarios
+      .streamSubstringMaintain(spark, sf).collect()
+    val batch = graft.operators.SubstringDedup
+      .dedupSubstringStrip(spark, sf).collect()
+    assert(streamed.map(_.toSeq).toSeq == batch.map(_.toSeq).toSeq)
+  }
+
   test("streaming quantile batch gate equals the one-shot sketch") {
     val streamed = graft.streaming.StreamScenarios
       .streamQuantileMaintain(spark, sf).collect()
