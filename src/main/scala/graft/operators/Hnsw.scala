@@ -302,6 +302,110 @@ object Hnsw {
     FROM ($sel) ORDER BY level, side, src, rank"""
   }
 
+  /** Incremental HNSW DELETE + compaction — the other half of index
+    * maintenance ([[hnswInsert]] is the insert). A tombstoned vertex
+    * disappears from every layer; vertices whose adjacency pointed at it
+    * REPAIR their lists by re-ranking their surviving LSH bucket-mates at
+    * that layer — the same candidate join the build uses, restricted to
+    * the AFFECTED vertices, so compaction cost scales with the tombstone
+    * blast radius (affected × bucket occupancy), never the corpus. The
+    * gate emits the repaired adjacency rows: per (level, affected src)
+    * the new top-M with no tombstoned neighbour.
+    */
+  def hnswDelete(s: SparkSession, dir: String): DataFrame = {
+    val qn = Similarity.qdf(s, dir)
+    val lv = levels(s, dir)
+    def bucketsOf(frame: DataFrame): DataFrame = frame.select(col("vec_id"),
+      posexplode(array((0 until Similarity.LshTables)
+        .map(Similarity.tableBucketCol): _*)).as(Seq("tbl", "bucket")))
+    val out = (0 to MaxLevel).map { l =>
+      val lverts = lv.filter(col("level") >= l).select("vec_id")
+      val lQ = qn.join(lverts, "vec_id")
+      val bb = bucketsOf(lQ)
+      val cand = bb.alias("a").join(bb.alias("b"),
+          col("a.tbl") === col("b.tbl") &&
+            col("a.bucket") === col("b.bucket") &&
+            col("a.vec_id") =!= col("b.vec_id"))
+        .select(col("a.vec_id").as("probe_id"), col("b.vec_id").as("vec_id"))
+        .distinct()
+      def paired(c: DataFrame): DataFrame = c
+        .join(lQ.select(col("vec_id").as("probe_id"), col("q").as("pq"),
+          col("n2").as("pn2")), "probe_id")
+        .join(lQ, "vec_id")
+      // the stored adjacency; srcs that point at a tombstone must repair
+      val stored = Similarity.topkTail(paired(cand), M)
+      val affected = stored
+        .filter((col("vec_id") % 20 === 3) && !(col("probe_id") % 20 === 3))
+        .select(col("probe_id")).distinct()
+      val surviving = cand
+        .join(affected, "probe_id")
+        .filter(!(col("vec_id") % 20 === 3))
+      Similarity.topkTail(paired(surviving), M)
+        .select(lit(l.toLong).as("level"), col("probe_id").as("src"),
+          col("rank"), col("vec_id").as("nbr"), col("cos"))
+    }
+    out.reduce(_.unionByName(_)).orderBy("level", "src", "rank")
+  }
+
+  val hnswDeleteSql: String = {
+    val perLevel = (0 to MaxLevel).map { l =>
+      s"""
+    c$l AS (
+      SELECT DISTINCT a.vec_id AS src, b.vec_id AS nbr
+      FROM buckets a JOIN buckets b
+        ON a.tbl = b.tbl AND a.bucket = b.bucket
+      JOIN lvl la ON a.vec_id = la.vec_id
+      JOIN lvl lb ON b.vec_id = lb.vec_id
+      WHERE a.vec_id <> b.vec_id AND la.level >= $l AND lb.level >= $l),
+    st$l AS (
+      SELECT src, nbr FROM (
+        SELECT src, nbr,
+          row_number() OVER (PARTITION BY src
+            ORDER BY ${Similarity.PairCosSql} DESC, nbr) AS rank
+        FROM (
+          SELECT src, nbr, x.n2 AS na, y.n2 AS nb,
+            CAST(list_sum(list_transform(generate_series(1, len(x.q)),
+              i -> x.q[i] * y.q[i])) AS BIGINT) AS dot
+          FROM c$l JOIN qn x ON src = x.vec_id JOIN qn y ON nbr = y.vec_id))
+      WHERE rank <= $M),
+    af$l AS (
+      SELECT DISTINCT src FROM st$l
+      WHERE nbr % 20 = 3 AND src % 20 <> 3),
+    rep$l AS (
+      SELECT src, rank, nbr, cos_raw FROM (
+        SELECT src, nbr, ${Similarity.PairCosSql} AS cos_raw,
+          row_number() OVER (PARTITION BY src
+            ORDER BY ${Similarity.PairCosSql} DESC, nbr) AS rank
+        FROM (
+          SELECT c.src, c.nbr, x.n2 AS na, y.n2 AS nb,
+            CAST(list_sum(list_transform(generate_series(1, len(x.q)),
+              i -> x.q[i] * y.q[i])) AS BIGINT) AS dot
+          FROM c$l c JOIN af$l USING (src)
+          JOIN qn x ON c.src = x.vec_id JOIN qn y ON c.nbr = y.vec_id
+          WHERE c.nbr % 20 <> 3))
+      WHERE rank <= $M)"""
+    }.mkString(",")
+    val sel = (0 to MaxLevel)
+      .map(l => s"SELECT CAST($l AS BIGINT) AS level, src, rank, nbr, cos_raw FROM rep$l")
+      .mkString(" UNION ALL ")
+    s"""
+    WITH ${Similarity.QuantSql},
+    ${Similarity.projSql(Similarity.LshTables * Similarity.NumPlanes)},
+    buckets AS (
+      SELECT vec_id, h // ${Similarity.NumPlanes} AS tbl,
+        sum(CASE WHEN proj >= 0 THEN 1 ELSE 0 END
+          * (1 << (h % ${Similarity.NumPlanes}))) AS bucket
+      FROM proj GROUP BY 1, 2),
+    lvl AS (
+      SELECT vec_id,
+        CASE WHEN u % 16 = 0 THEN 2 WHEN u % 4 = 0 THEN 1 ELSE 0 END AS level
+      FROM (SELECT vec_id, $uSql AS u FROM qn)),
+    $perLevel
+    SELECT level, src, CAST(rank AS INT) AS rank, nbr,
+      round(cos_raw, 6) AS cos
+    FROM ($sel) ORDER BY level, src, rank"""
+  }
+
   /** Beam width of the widened search variant (the paper's `ef` knob):
     * the descent keeps the best [[Ef]] vertices per layer instead of 1, so
     * the layer-0 expansion sees [[Ef]]× the neighbourhoods — recall rises,
@@ -470,7 +574,8 @@ object Hnsw {
     "hnsw_search" -> (hnswSearch _),
     "hnsw_search_beam" -> (hnswSearchBeam _),
     "hnsw_recall" -> (hnswRecall _),
-    "hnsw_insert" -> (hnswInsert _))
+    "hnsw_insert" -> (hnswInsert _),
+    "hnsw_delete" -> (hnswDelete _))
 
   val oracles: Map[String, String] = Map(
     "hnsw_layers" -> hnswLayersSql,
@@ -478,5 +583,6 @@ object Hnsw {
     "hnsw_search" -> hnswSearchSql,
     "hnsw_search_beam" -> hnswSearchBeamSql,
     "hnsw_recall" -> hnswRecallSql,
-    "hnsw_insert" -> hnswInsertSql)
+    "hnsw_insert" -> hnswInsertSql,
+    "hnsw_delete" -> hnswDeleteSql)
 }

@@ -62,6 +62,31 @@ class Round9OpsSpec extends SparkSpec {
       newPairs.nonEmpty, "batch must produce insertions at layer 0")
   }
 
+  test("hnsw_delete: repaired lists never reference a tombstone") {
+    import org.apache.spark.sql.functions.col
+    val rows = graft.operators.Hnsw.hnswDelete(spark, sf).collect()
+    assert(rows.nonEmpty, "some vertex must point at a tombstone")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("nbr") % 20 != 3, "tombstones must be gone")
+      assert(r.getAs[Long]("src") % 20 != 3, "deleted srcs don't repair")
+      assert(r.getAs[Int]("rank") <= 3)
+    }
+    // every repaired src really was affected: its stored layer-0 list
+    // contained a tombstoned neighbour
+    val g0 = graft.operators.Hnsw.hnswGraph(spark, sf).collect()
+      .filter(_.getAs[Long]("level") == 0L)
+    val affected0 = g0.filter(r => r.getAs[Long]("nbr") % 20 == 3 &&
+      r.getAs[Long]("src") % 20 != 3).map(_.getAs[Long]("src")).toSet
+    val repaired0 = rows.filter(_.getAs[Long]("level") == 0L)
+      .map(_.getAs[Long]("src")).toSet
+    // a src whose every bucket-mate is tombstoned repairs to an EMPTY
+    // list and emits no rows, so repaired ⊆ affected (strict at sf0.001:
+    // 2 of 63 affected srcs have no survivors)
+    assert(affected0.nonEmpty && repaired0.nonEmpty &&
+      repaired0.subsetOf(affected0),
+      s"repaired ${repaired0.size} must be within affected ${affected0.size}")
+  }
+
   test("layout_pruning: hilbert reads fewer files than zorder on both dims") {
     val rows = graft.operators.ZOrder.layoutPruning(spark, sf).collect()
     assert(rows.length == 4, "two layouts x two dimensions")
