@@ -563,18 +563,23 @@ object Similarity {
     * were rebuilt over base+appends — rising drift means the append
     * distribution has shifted and the index needs retraining.
     */
+  private def ivfCentsOf(vecs: DataFrame): DataFrame =
+    vecs.filter(col("vec_id") % CentroidMod === 0)
+      .select(col("vec_id").as("cid"), col("q").as("cq"),
+        col("n2").as("cn2"))
+
+  private def ivfCellsOf(vecs: DataFrame, cents: DataFrame): DataFrame =
+    vecs.join(broadcast(cents))
+      .withColumn("d2",
+        col("n2") - lit(2L) * expr("q_dot(q, cq)") + col("cn2"))
+      .groupBy(col("vec_id"))
+      .agg(min_by(col("cid"), struct(col("d2"), col("cid"))).as("cell"))
+
   def ivfAppend(s: SparkSession, dir: String): DataFrame = {
     val qn = qdf(s, dir)
-    def centsOf(vecs: DataFrame): DataFrame =
-      vecs.filter(col("vec_id") % CentroidMod === 0)
-        .select(col("vec_id").as("cid"), col("q").as("cq"),
-          col("n2").as("cn2"))
+    def centsOf(vecs: DataFrame): DataFrame = ivfCentsOf(vecs)
     def cellsOf(vecs: DataFrame, cents: DataFrame): DataFrame =
-      vecs.join(broadcast(cents))
-        .withColumn("d2",
-          col("n2") - lit(2L) * expr("q_dot(q, cq)") + col("cn2"))
-        .groupBy(col("vec_id"))
-        .agg(min_by(col("cid"), struct(col("d2"), col("cid"))).as("cell"))
+      ivfCellsOf(vecs, cents)
     val base = qn.filter(col("vec_id") % 10 =!= 0)
     val appends = qn.filter(col("vec_id") % 10 === 0)
     val baseCents = centsOf(base)
@@ -595,6 +600,111 @@ object Similarity {
           .as("n_moved_on_rebuild"))
       .orderBy("cell")
   }
+
+  /** IVF cell-split compaction — what a deployment does when
+    * [[ivfAppend]]'s drift audit shows appends CONCENTRATING: the most
+    * appended-into cell (ties → smallest cell id) splits in two. Sub-
+    * centroid A is the cell's existing centroid; sub-centroid B is the
+    * member FARTHEST from A (max exact squared-L2, ties → smallest id) —
+    * the deterministic two-seed rule — and every member reassigns to the
+    * nearer of the two. All the "pick one row" steps are `limit(1)` over
+    * ordered bounded frames broadcast back into the plan — no driver
+    * collect — and the reassignment join touches only the split cell's
+    * members. Output: the split census, one row per sub-centroid with its
+    * base/appended member counts.
+    */
+  def ivfSplit(s: SparkSession, dir: String): DataFrame = {
+    val qn = qdf(s, dir)
+    val base = qn.filter(col("vec_id") % 10 =!= 0)
+    val appends = qn.filter(col("vec_id") % 10 === 0)
+    val baseCents = ivfCentsOf(base)
+    val baseCells = ivfCellsOf(base, baseCents)
+    val appCells = ivfCellsOf(appends, baseCents)
+    val target = appCells.groupBy(col("cell")).agg(count(lit(1)).as("na"))
+      .orderBy(col("na").desc, col("cell").asc).limit(1)
+      .select(col("cell"))
+    val members = baseCells.unionByName(appCells)
+      .join(broadcast(target), "cell")
+      .join(qn, "vec_id")
+    val aCent = qn.select(col("vec_id").as("acid"), col("q").as("aq"),
+        col("n2").as("an2"))
+      .join(broadcast(target.select(col("cell").as("acid"))), "acid")
+    val withA = members.join(broadcast(aCent))
+      .withColumn("d2a",
+        col("n2") - lit(2L) * expr("q_dot(q, aq)") + col("an2"))
+    val bCent = withA
+      .orderBy(col("d2a").desc, col("vec_id").asc).limit(1)
+      .select(col("vec_id").as("bcid"), col("q").as("bq"),
+        col("n2").as("bn2"))
+    withA.join(broadcast(bCent))
+      .withColumn("d2b",
+        col("n2") - lit(2L) * expr("q_dot(q, bq)") + col("bn2"))
+      .withColumn("sub_cid",
+        when(col("d2b") < col("d2a") ||
+          (col("d2b") === col("d2a") && col("bcid") < col("acid")),
+          col("bcid")).otherwise(col("acid")))
+      .groupBy(col("cell"), col("sub_cid"))
+      .agg(sum(when(col("vec_id") % 10 =!= 0, 1L).otherwise(0L))
+          .as("n_base_members"),
+        sum(when(col("vec_id") % 10 === 0, 1L).otherwise(0L))
+          .as("n_app_members"))
+      .orderBy("cell", "sub_cid")
+  }
+
+  val ivfSplitSql: String = s"""
+    WITH $QuantSql,
+    base AS (SELECT * FROM qn WHERE vec_id % 10 <> 0),
+    app AS (SELECT * FROM qn WHERE vec_id % 10 = 0),
+    bc AS (SELECT vec_id AS cid, q AS cq FROM base
+           WHERE vec_id % $CentroidMod = 0),
+    basg AS (
+      SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+        ORDER BY d2, cid) AS rn
+      FROM (SELECT base.vec_id, bc.cid,
+              CAST(list_sum(list_transform(generate_series(1, len(q)),
+                i -> (q[i] - cq[i]) * (q[i] - cq[i]))) AS BIGINT) AS d2
+            FROM base, bc)),
+    aasg AS (
+      SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+        ORDER BY d2, cid) AS rn
+      FROM (SELECT app.vec_id, bc.cid,
+              CAST(list_sum(list_transform(generate_series(1, len(q)),
+                i -> (q[i] - cq[i]) * (q[i] - cq[i]))) AS BIGINT) AS d2
+            FROM app, bc)),
+    target AS MATERIALIZED (
+      SELECT cid AS cell FROM aasg WHERE rn = 1
+      GROUP BY cid ORDER BY count(*) DESC, cid ASC LIMIT 1),
+    members AS (
+      SELECT m.vec_id, m.cell, qn.q, qn.n2
+      FROM (SELECT vec_id, cid AS cell FROM basg WHERE rn = 1
+            UNION ALL
+            SELECT vec_id, cid FROM aasg WHERE rn = 1) m
+      JOIN target USING (cell) JOIN qn ON m.vec_id = qn.vec_id),
+    witha AS (
+      SELECT m.vec_id, m.cell, m.q, m.n2,
+        CAST(list_sum(list_transform(generate_series(1, len(m.q)),
+          i -> (m.q[i] - a.q[i]) * (m.q[i] - a.q[i]))) AS BIGINT) AS d2a
+      FROM members m JOIN qn a ON a.vec_id = (SELECT cell FROM target)),
+    bcent AS MATERIALIZED (
+      SELECT vec_id AS bcid, q AS bq FROM witha
+      ORDER BY d2a DESC, vec_id ASC LIMIT 1),
+    assigned AS (
+      SELECT w.vec_id, w.cell,
+        CASE WHEN d2b < d2a OR (d2b = d2a AND
+               (SELECT bcid FROM bcent) < (SELECT cell FROM target))
+             THEN (SELECT bcid FROM bcent)
+             ELSE (SELECT cell FROM target) END AS sub_cid
+      FROM (
+        SELECT w.vec_id, w.cell, w.d2a,
+          CAST(list_sum(list_transform(generate_series(1, len(w.q)),
+            i -> (w.q[i] - b.bq[i]) * (w.q[i] - b.bq[i]))) AS BIGINT) AS d2b
+        FROM witha w, bcent b) w)
+    SELECT cell, sub_cid,
+      CAST(sum(CASE WHEN vec_id % 10 <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_base_members,
+      CAST(sum(CASE WHEN vec_id % 10 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_app_members
+    FROM assigned GROUP BY cell, sub_cid ORDER BY cell, sub_cid"""
 
   val ivfAppendSql: String = s"""
     WITH $QuantSql,
@@ -1120,7 +1230,8 @@ object Similarity {
     "embed_norm_stats" -> (embedNormStats _),
     "lsh_bucket_stats" -> (lshBucketStats _),
     "embed_quantize" -> (embedQuantize(_, _)),
-    "ivf_append" -> (ivfAppend _))
+    "ivf_append" -> (ivfAppend _),
+    "ivf_split" -> (ivfSplit _))
 
   val oracles: Map[String, String] = Map(
     "dedup_embedding" -> dedupEmbeddingSql,
@@ -1139,5 +1250,6 @@ object Similarity {
     "embed_norm_stats" -> embedNormStatsSql,
     "lsh_bucket_stats" -> lshBucketStatsSql,
     "embed_quantize" -> embedQuantizeSql,
-    "ivf_append" -> ivfAppendSql)
+    "ivf_append" -> ivfAppendSql,
+    "ivf_split" -> ivfSplitSql)
 }

@@ -62,6 +62,29 @@ class Round9OpsSpec extends SparkSpec {
       newPairs.nonEmpty, "batch must produce insertions at layer 0")
   }
 
+  test("ivf_split: the drifted cell splits into two complete sub-cells") {
+    import org.apache.spark.sql.functions.col
+    val rows = graft.operators.Similarity.ivfSplit(spark, sf).collect()
+    assert(rows.length == 2, "one split cell, two sub-centroids")
+    val cell = rows.head.getAs[Long]("cell")
+    assert(rows.forall(_.getAs[Long]("cell") == cell), "one cell splits")
+    // the split conserves the cell's population from the append census
+    val census = graft.operators.Similarity.ivfAppend(spark, sf).collect()
+      .find(_.getAs[Long]("cell") == cell).get
+    assert(rows.map(_.getAs[Long]("n_base_members")).sum ==
+      census.getAs[Long]("n_base"))
+    assert(rows.map(_.getAs[Long]("n_app_members")).sum ==
+      census.getAs[Long]("n_appended"))
+    // the drifted cell is the one with the most appends
+    val maxApp = graft.operators.Similarity.ivfAppend(spark, sf).collect()
+      .map(_.getAs[Long]("n_appended")).max
+    assert(census.getAs[Long]("n_appended") == maxApp)
+    // sub A keeps the original centroid id; both subs are non-empty
+    assert(rows.exists(_.getAs[Long]("sub_cid") == cell))
+    rows.foreach(r => assert(r.getAs[Long]("n_base_members") +
+      r.getAs[Long]("n_app_members") >= 1L))
+  }
+
   test("hnsw_delete: repaired lists never reference a tombstone") {
     import org.apache.spark.sql.functions.col
     val rows = graft.operators.Hnsw.hnswDelete(spark, sf).collect()
