@@ -601,6 +601,23 @@ object Similarity {
       .orderBy("cell")
   }
 
+  /** The per-vector observations the streaming cell census counts: one
+    * (cell, is_app) row per vector from the SAME nearest-base-centroid
+    * assignment as [[ivfAppend]] — shared with the STREAMING census
+    * maintainer ([[graft.streaming.StreamIvf]]), whose state evolves by
+    * the same per-cell counter adds.
+    */
+  private[graft] def ivfObs(s: SparkSession, dir: String): DataFrame = {
+    val qn = qdf(s, dir)
+    val base = qn.filter(col("vec_id") % 10 =!= 0)
+    val appends = qn.filter(col("vec_id") % 10 === 0)
+    val baseCents = ivfCentsOf(base)
+    ivfCellsOf(base, baseCents).withColumn("is_app", lit(0L))
+      .unionByName(
+        ivfCellsOf(appends, baseCents).withColumn("is_app", lit(1L)))
+      .select(col("cell"), col("is_app"))
+  }
+
   /** IVF cell-split compaction — what a deployment does when
     * [[ivfAppend]]'s drift audit shows appends CONCENTRATING: the most
     * appended-into cell (ties → smallest cell id) splits in two. Sub-
@@ -653,24 +670,7 @@ object Similarity {
 
   val ivfSplitSql: String = s"""
     WITH $QuantSql,
-    base AS (SELECT * FROM qn WHERE vec_id % 10 <> 0),
-    app AS (SELECT * FROM qn WHERE vec_id % 10 = 0),
-    bc AS (SELECT vec_id AS cid, q AS cq FROM base
-           WHERE vec_id % $CentroidMod = 0),
-    basg AS (
-      SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
-        ORDER BY d2, cid) AS rn
-      FROM (SELECT base.vec_id, bc.cid,
-              CAST(list_sum(list_transform(generate_series(1, len(q)),
-                i -> (q[i] - cq[i]) * (q[i] - cq[i]))) AS BIGINT) AS d2
-            FROM base, bc)),
-    aasg AS (
-      SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
-        ORDER BY d2, cid) AS rn
-      FROM (SELECT app.vec_id, bc.cid,
-              CAST(list_sum(list_transform(generate_series(1, len(q)),
-                i -> (q[i] - cq[i]) * (q[i] - cq[i]))) AS BIGINT) AS d2
-            FROM app, bc)),
+    $ivfAsgSql,
     target AS MATERIALIZED (
       SELECT cid AS cell FROM aasg WHERE rn = 1
       GROUP BY cid ORDER BY count(*) DESC, cid ASC LIMIT 1),
@@ -706,13 +706,16 @@ object Similarity {
         AS n_app_members
     FROM assigned GROUP BY cell, sub_cid ORDER BY cell, sub_cid"""
 
-  val ivfAppendSql: String = s"""
-    WITH $QuantSql,
+  /** Shared oracle CTEs: base/append split + nearest-base-centroid
+    * assignment of both populations (append after [[QuantSql]]); yields
+    * `basg`/`aasg` (rn = 1 rows are the assignments). Reused by the append
+    * census, the split and the STREAMING census maintainer's oracle.
+    */
+  // lazy: referenced by ivfSplitSql, which is declared above this block
+  private lazy val ivfAsgSql: String = s"""
     base AS (SELECT * FROM qn WHERE vec_id % 10 <> 0),
     app AS (SELECT * FROM qn WHERE vec_id % 10 = 0),
     bc AS (SELECT vec_id AS cid, q AS cq FROM base
-           WHERE vec_id % $CentroidMod = 0),
-    fc AS (SELECT vec_id AS cid, q AS cq FROM qn
            WHERE vec_id % $CentroidMod = 0),
     basg AS (
       SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
@@ -727,7 +730,27 @@ object Similarity {
       FROM (SELECT app.vec_id, bc.cid,
               CAST(list_sum(list_transform(generate_series(1, len(q)),
                 i -> (q[i] - cq[i]) * (q[i] - cq[i]))) AS BIGINT) AS d2
-            FROM app, bc)),
+            FROM app, bc))"""
+
+  /** The base/append cell census without the drift column — the statistic
+    * the STREAMING maintainer keeps; also the shared shape of
+    * [[ivfAppendSql]]'s first half.
+    */
+  val streamIvfCensusSql: String = s"""
+    WITH $QuantSql,
+    $ivfAsgSql,
+    bcensus AS (SELECT cid AS cell, count(*) AS n_base
+                FROM basg WHERE rn = 1 GROUP BY 1),
+    acensus AS (SELECT cid AS cell, count(*) AS n_appended
+                FROM aasg WHERE rn = 1 GROUP BY 1)
+    SELECT cell, n_base, coalesce(ac.n_appended, 0) AS n_appended
+    FROM bcensus LEFT JOIN acensus ac USING (cell) ORDER BY cell"""
+
+  val ivfAppendSql: String = s"""
+    WITH $QuantSql,
+    $ivfAsgSql,
+    fc AS (SELECT vec_id AS cid, q AS cq FROM qn
+           WHERE vec_id % $CentroidMod = 0),
     rasg AS (
       SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
         ORDER BY d2, cid) AS rn

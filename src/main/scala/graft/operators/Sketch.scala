@@ -257,15 +257,127 @@ object Sketch {
         / CAST(exact_distinct AS DOUBLE), 4) AS rel_err
     FROM z, ex"""
 
+  // ------------------------------------------------------- heavy hitters
+
+  /** Shard count, kept items per shard, reported items. */
+  private[graft] val HhShards = 8
+  private[graft] val HhM = 64
+  private val HhK = 20
+
+  /** The per-item observations the heavy-hitter sketch counts: one (shard,
+    * bg) row per word-bigram occurrence — shared with the STREAMING summary
+    * maintainer ([[graft.streaming.StreamTopkSketch]]), whose state evolves
+    * by the same merge-and-cut.
+    */
+  private[graft] def hhObs(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select((col("doc_id") % HhShards).as("shard"),
+        split(col("text"), " ").as("ws"))
+      // guard: sequence(1, 0) DESCENDS in Spark — single-word docs must
+      // contribute no bigram rows, as DuckDB's empty generate_series does
+      .filter(size(col("ws")) >= 2)
+      .select(col("shard"),
+        explode(expr(
+          "transform(sequence(1, size(ws) - 1), i -> concat(ws[i-1], ' ', ws[i]))"))
+          .as("bg"))
+
+  private val hhObsSql: String = s"""
+    t AS (SELECT doc_id % $HhShards AS shard, string_split(text, ' ') AS ws
+          FROM documents),
+    b AS (SELECT shard, ws[i] || ' ' || ws[i + 1] AS bg
+          FROM t, unnest(generate_series(1, len(ws) - 1)) AS u(i))"""
+
+  /** Read-time merge/report layer shared by [[topkSketch]] and the
+    * streaming gate: per-shard kept counts `(shard, bg, cnt)` + per-shard
+    * error terms `(shard, dmax)` → global top-k with the deterministic
+    * [lb, ub] bracket, exact count joined in as the self-audit column.
+    */
+  private[graft] def hhReport(s: SparkSession, dir: String,
+                              kept: DataFrame, dmax: DataFrame): DataFrame = {
+    val dtot = dmax.agg(sum(col("dmax")).as("d"))
+    val agg = kept.join(broadcast(dmax), "shard")
+      .groupBy(col("bg"))
+      .agg(sum(col("cnt")).as("lb"), sum(col("dmax")).as("covered"))
+    val topk = agg.crossJoin(broadcast(dtot))
+      .select(col("bg"), col("lb"),
+        (col("lb") + col("d") - col("covered")).as("ub"))
+      .orderBy(col("lb").desc, col("bg")).limit(HhK)
+    val exact = hhObs(s, dir).groupBy(col("bg"))
+      .agg(count(lit(1)).as("exact"))
+    // rank over the ≤ k-row reported frame (bounded by construction)
+    import org.apache.spark.sql.expressions.Window
+    topk.join(exact, "bg")
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("lb").desc, col("bg"))))
+      .select(col("rank"), col("bg"), col("lb"), col("exact"), col("ub"))
+      .orderBy("rank")
+  }
+
+  /** Mergeable heavy-hitters summary (the Misra-Gries / SpaceSaving family
+    * as analyzed in Agarwal et al., "Mergeable Summaries", PODS 2012):
+    * every shard keeps only its top-m items by exact local count plus ONE
+    * error term — the (m+1)-th count, an upper bound on anything it
+    * dropped — and the global report brackets every item's true count as
+    * lb = Σ kept counts ≤ true ≤ ub = lb + Σ error terms of the shards
+    * that did NOT report it. O(m) state per shard however many rows stream
+    * past; summaries merge by unioning kept lists and adding error terms,
+    * so per-partition / per-day summaries roll up without rescanning —
+    * the frequent-items counterpart of [[kmvByGroup]]'s merge property.
+    *
+    * The gate reports the global top-k by lb with the exact count joined
+    * in, making the guarantee auditable row by row (lb ≤ exact ≤ ub — the
+    * spec asserts it for EVERY item, not just the reported ones). The
+    * per-shard cut is a rank ≤ m+1 filter that Spark executes as a
+    * map-side WindowGroupLimit — no shard materializes on one task.
+    */
+  def topkSketch(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sc = hhObs(s, dir).groupBy(col("shard"), col("bg"))
+      .agg(count(lit(1)).as("cnt"))
+    val rk = row_number().over(
+      Window.partitionBy(col("shard")).orderBy(col("cnt").desc, col("bg")))
+    val summ = sc.withColumn("rk", rk).filter(col("rk") <= HhM + 1)
+    val kept = summ.filter(col("rk") <= HhM).select("shard", "bg", "cnt")
+    val dmax = summ.groupBy(col("shard"))
+      .agg(coalesce(max(when(col("rk") === HhM + 1, col("cnt"))), lit(0L))
+        .as("dmax"))
+    hhReport(s, dir, kept, dmax)
+  }
+
+  val topkSketchSql: String = s"""
+    WITH $hhObsSql,
+    sc AS (SELECT shard, bg, count(*) AS cnt FROM b GROUP BY 1, 2),
+    rk AS (SELECT shard, bg, cnt,
+             row_number() OVER (PARTITION BY shard
+               ORDER BY cnt DESC, bg) AS rk
+           FROM sc),
+    kept AS (SELECT shard, bg, cnt FROM rk WHERE rk <= $HhM),
+    dmax AS (SELECT shard,
+               coalesce(max(CASE WHEN rk = ${HhM + 1} THEN cnt END), 0) AS dmax
+             FROM rk GROUP BY shard),
+    dtot AS (SELECT CAST(sum(dmax) AS BIGINT) AS d FROM dmax),
+    agg AS (SELECT bg, CAST(sum(cnt) AS BIGINT) AS lb,
+              CAST(sum(dmax) AS BIGINT) AS covered
+            FROM kept JOIN dmax USING (shard) GROUP BY bg),
+    topk AS (SELECT bg, lb, lb + d - covered AS ub,
+               row_number() OVER (ORDER BY lb DESC, bg) AS rank
+             FROM agg, dtot),
+    ex AS (SELECT bg, count(*) AS exact FROM b GROUP BY bg)
+    SELECT CAST(rank AS INT) AS rank, bg, lb, exact, ub
+    FROM topk JOIN ex USING (bg)
+    WHERE rank <= $HhK ORDER BY rank"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "corpus_distinct_kmv" -> (corpusDistinctKmv(_, _)),
     "kmv_by_group" -> (kmvByGroup(_, _)),
     "hll_registers" -> (hllRegisters _),
-    "hll_estimate" -> (hllEstimate _))
+    "hll_estimate" -> (hllEstimate _),
+    "topk_sketch" -> (topkSketch _))
 
   val oracles: Map[String, String] = Map(
     "corpus_distinct_kmv" -> corpusDistinctKmvSql(),
     "kmv_by_group" -> kmvByGroupSql(),
     "hll_registers" -> hllRegistersSql,
-    "hll_estimate" -> hllEstimateSql)
+    "hll_estimate" -> hllEstimateSql,
+    "topk_sketch" -> topkSketchSql)
 }

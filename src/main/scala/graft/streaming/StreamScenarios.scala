@@ -232,6 +232,39 @@ object StreamScenarios {
       s, dir, StreamGrams.states(obs).toDF())
   }
 
+  /** Batch-mode run of the streaming heavy-hitter summary maintainer over
+    * the same bigram observations as the batch sketch, with the sketch
+    * gate's OWN merge/report layer (global top-k with the [lb, ub]
+    * bracket + exact audit column) on top of the maintained state —
+    * checked by the SAME oracle SQL as `topk_sketch`, proving the stateful
+    * merge-and-cut reproduces the batch construction bit-for-bit in a
+    * single batch (the spec drives multi-batch evolution and the error
+    * bound with a MemoryStream).
+    */
+  def streamTopkSketchMaintain(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val state = StreamTopkSketch.summaries(
+      graft.operators.Sketch.hhObs(s, dir).as[HhObs]).toDF()
+    val kept = state.select(col("shard"), explode(col("items")).as("it"))
+      .select(col("shard"), col("it.bg").as("bg"), col("it.cnt").as("cnt"))
+    val dmax = state.select(col("shard"), col("err").as("dmax"))
+    graft.operators.Sketch.hhReport(s, dir, kept, dmax)
+  }
+
+  /** Batch-mode run of the streaming IVF census maintainer over the same
+    * cell assignments as the batch append audit — per cell, base and
+    * appended member counts from the maintained two-counter state, checked
+    * by a DuckDB replay of the assignment + census (the drift-free half of
+    * `ivf_append`'s oracle). The spec drives cross-batch evolution with a
+    * MemoryStream.
+    */
+  def streamIvfMaintain(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    StreamIvf.census(
+        graft.operators.Similarity.ivfObs(s, dir).as[IvfObs])
+      .toDF().orderBy("cell")
+  }
+
   /** Batch-mode run of the streaming top-k plan: watermarked hourly counts
     * (the incremental layer) + per-window rank (the read-time layer).
     */
@@ -269,9 +302,14 @@ object StreamScenarios {
     "stream_kmv_maintain" -> ((s, d) => streamKmvMaintain(s, d)),
     "stream_quantile_maintain" -> (streamQuantileMaintain _),
     "stream_bloom_maintain" -> (streamBloomMaintain _),
-    "stream_substring_maintain" -> (streamSubstringMaintain _))
+    "stream_substring_maintain" -> (streamSubstringMaintain _),
+    "stream_topk_sketch" -> (streamTopkSketchMaintain _),
+    "stream_ivf_maintain" -> (streamIvfMaintain _))
 
   val oracles: Map[String, String] = Map(
+    "stream_topk_sketch" -> graft.operators.Sketch.topkSketchSql,
+    "stream_ivf_maintain" ->
+      graft.operators.Similarity.streamIvfCensusSql,
     "stream_hll_maintain" -> graft.operators.Sketch.hllRegistersSql,
     "stream_kmv_maintain" -> graft.operators.Sketch.kmvByGroupSql(),
     "stream_quantile_maintain" ->

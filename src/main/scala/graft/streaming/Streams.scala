@@ -550,3 +550,111 @@ object StreamGrams {
       }
   }
 }
+
+/** One bigram occurrence for the heavy-hitter summary: the shard and the
+  * item — computed upstream by the same column expressions as the batch
+  * sketch ([[graft.operators.Sketch.hhObs]]).
+  */
+case class HhObs(shard: Long, bg: String)
+
+/** One kept item of a shard's summary. */
+case class HhItem(bg: String, cnt: Long)
+
+/** One maintained shard summary: its ≤ m kept items (count-descending)
+  * and the accumulated error term (Σ over compactions of the largest
+  * count cut — an upper bound on any item's lost mass in this shard).
+  */
+case class HhSummary(shard: Long, items: Seq[HhItem], err: Long)
+
+/** Streaming heavy-hitter maintenance: each shard's Misra-Gries-family
+  * top-m summary kept up to date across micro-batches — the stateful twin
+  * of the batch `topk_sketch` construction, extending the batch/stream
+  * sketch pairs (HLL, KMV, Bloom, quantile, gram registry) to frequent
+  * items.
+  *
+  * Each micro-batch pre-counts its observations per item, folds them into
+  * the kept counts (an item absent from the kept list restarts at 0 — the
+  * deliberate Misra-Gries undercount), re-sorts by (count desc, item) and
+  * CUTS back to m; the cut's largest dropped count adds to the summary's
+  * HONEST error term, so `kept ≤ true ≤ kept + err` holds for every item
+  * across any number of batches (for a never-kept item the bracket is
+  * [0, err]). A single-batch run reproduces the batch sketch bit-for-bit
+  * (what the shared DuckDB oracle checks): one merge over the full counts,
+  * one cut, err = the (m+1)-th count. State is ≤ m items + one long per
+  * shard however many rows stream past. Counts are NOT replay-idempotent —
+  * this maintainer assumes effectively-once input, e.g. downstream of
+  * [[StreamDedup]].
+  */
+object StreamTopkSketch {
+
+  def summaries(obs: Dataset[HhObs], m: Int = graft.operators.Sketch.HhM)
+  : Dataset[HhSummary] = {
+    import obs.sparkSession.implicits._
+    obs
+      .groupByKey(_.shard)
+      .flatMapGroupsWithState[HhSummary, HhSummary](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (shard: Long, rows: Iterator[HhObs], state: GroupState[HhSummary]) =>
+          val prev = state.getOption
+          val counts = scala.collection.mutable.HashMap.empty[String, Long]
+          prev.foreach(_.items.foreach(i => counts(i.bg) = i.cnt))
+          rows.foreach { r =>
+            counts(r.bg) = counts.getOrElse(r.bg, 0L) + 1L
+          }
+          val sorted = counts.toIndexedSeq
+            .map { case (bg, c) => HhItem(bg, c) }
+            .sortBy(i => (-i.cnt, i.bg))
+          val prevErr = prev.map(_.err).getOrElse(0L)
+          val next =
+            if (sorted.size <= m) HhSummary(shard, sorted, prevErr)
+            else HhSummary(shard, sorted.take(m), prevErr + sorted(m).cnt)
+          state.update(next)
+          Iterator(next)
+      }
+  }
+}
+
+/** One cell-assignment observation for the IVF census: the vector's
+  * nearest-base-centroid cell and whether it arrived in an append batch —
+  * computed upstream by the same assignment expressions as the batch
+  * census ([[graft.operators.Similarity.ivfObs]]).
+  */
+case class IvfObs(cell: Long, is_app: Long)
+
+/** One maintained cell census row: base and appended member counts. */
+case class IvfCensus(cell: Long, n_base: Long, n_appended: Long)
+
+/** Streaming IVF census maintenance: each cell's (base, appended) member
+  * counts kept up to date as vectors stream in — the stateful layer a
+  * served IVF index consults between retrains. [[graft.operators.
+  * Similarity]]'s `ivf_append` drift audit and `ivf_split` compaction
+  * both key off this census; maintaining it incrementally means the
+  * retrain-scheduling and split decisions read O(cells) state instead of
+  * re-assigning the corpus.
+  *
+  * State is two longs per cell; counter adds are commutative and
+  * associative, so out-of-order arrivals cannot corrupt the census —
+  * but counts are NOT replay-idempotent, so this maintainer assumes
+  * effectively-once input (e.g. downstream of [[StreamDedup]]), same as
+  * the quantile and heavy-hitter maintainers.
+  */
+object StreamIvf {
+
+  def census(obs: Dataset[IvfObs]): Dataset[IvfCensus] = {
+    import obs.sparkSession.implicits._
+    obs
+      .groupByKey(_.cell)
+      .flatMapGroupsWithState[IvfCensus, IvfCensus](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (cell: Long, rows: Iterator[IvfObs], state: GroupState[IvfCensus]) =>
+          var nb = state.getOption.map(_.n_base).getOrElse(0L)
+          var na = state.getOption.map(_.n_appended).getOrElse(0L)
+          rows.foreach { r =>
+            if (r.is_app == 0L) nb += 1L else na += 1L
+          }
+          val next = IvfCensus(cell, nb, na)
+          state.update(next)
+          Iterator(next)
+      }
+  }
+}

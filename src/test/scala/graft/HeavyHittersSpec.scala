@@ -1,0 +1,122 @@
+package graft
+
+import graft.streaming.{HhObs, StreamTopkSketch}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+class HeavyHittersSpec extends SparkSpec {
+
+  test("topk_sketch: every reported item's bracket holds (lb <= exact <= ub)") {
+    val rows = operators.Sketch.topkSketch(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (lb, ex, ub) = (r.getAs[Long]("lb"), r.getAs[Long]("exact"),
+        r.getAs[Long]("ub"))
+      assert(lb <= ex && ex <= ub, s"bracket violated: $r")
+    }
+    // ranks are the 1..k prefix of the lb-descending order
+    assert(rows.map(_.getAs[Int]("rank")).toSeq == (1 to rows.length))
+    val lbs = rows.sortBy(_.getAs[Int]("rank")).map(_.getAs[Long]("lb"))
+    assert(lbs.zip(lbs.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("topk_sketch: the bracket holds for EVERY item, not just the top-k") {
+    // recompute the summary structure locally over the tiny sf and check
+    // the mergeable-summaries guarantee item by item: lb(i) = sum of kept
+    // counts <= true(i) <= lb(i) + sum of error terms of shards that did
+    // not keep i — for items no shard kept, the bracket is [0, sum(err)]
+    import org.apache.spark.sql.Row
+    val obs = operators.Sketch.hhObs(spark, sf).collect()
+      .map(r => (r.getAs[Long]("shard"), r.getAs[String]("bg")))
+    val m = operators.Sketch.HhM
+    val exact = obs.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val byShard = obs.groupBy(_._1)
+    val kept = scala.collection.mutable.Map.empty[(Long, String), Long]
+    val dmax = scala.collection.mutable.Map.empty[Long, Long]
+    for ((s, rows) <- byShard) {
+      val counts = rows.groupBy(_._2).view.mapValues(_.length.toLong).toSeq
+        .sortBy { case (bg, c) => (-c, bg) }
+      counts.take(m).foreach { case (bg, c) => kept((s, bg)) = c }
+      dmax(s) = if (counts.size > m) counts(m)._2 else 0L
+    }
+    val dtot = dmax.values.sum
+    for (bg <- exact.keys) {
+      val lb = byShard.keys.flatMap(s => kept.get((s, bg))).sum
+      val covered = byShard.keys
+        .filter(s => kept.contains((s, bg))).map(dmax).sum
+      val ub = lb + dtot - covered
+      assert(lb <= exact(bg) && exact(bg) <= ub,
+        s"bracket violated for $bg: [$lb, $ub] vs ${exact(bg)}")
+    }
+  }
+
+  test("topk_sketch: per-shard cut is a map-side WindowGroupLimit") {
+    val p = operators.Sketch.topkSketch(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("WindowGroupLimit"),
+      "the rank <= m+1 cut must reduce map-side before the shard exchange")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("streaming summary: cross-batch evolution keeps the honest bracket") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[HhObs]
+    // m = 2 so compaction genuinely fires on 4 distinct items
+    val query = StreamTopkSketch.summaries(input.toDS(), m = 2)
+      .writeStream.format("memory").queryName("hh_state")
+      .outputMode(OutputMode.Update).start()
+    try {
+      // batch 1: a=3, b=2, c=1 → kept (a,3)(b,2), err = 1 (c cut)
+      input.addData(
+        Seq.fill(3)(HhObs(0, "a")) ++ Seq.fill(2)(HhObs(0, "b")) ++
+          Seq(HhObs(0, "c")): _*)
+      query.processAllAvailable()
+      val s1 = spark.table("hh_state").collect()
+        .filter(_.getAs[Long]("shard") == 0L)
+        .maxBy(_.getAs[Seq[Any]]("items").toString)
+      assert(s1.getAs[Long]("err") == 1L)
+      // batch 2: c=3 (restarts from 0 — the MG undercount), d=1
+      input.addData(Seq.fill(3)(HhObs(0, "c")) :+ HhObs(0, "d"): _*)
+      query.processAllAvailable()
+      val rows = spark.table("hh_state").collect()
+      val last = rows.last
+      val items = last.getSeq[org.apache.spark.sql.Row](
+        last.fieldIndex("items"))
+        .map(r => r.getAs[String]("bg") -> r.getAs[Long]("cnt")).toMap
+      val err = last.getAs[Long]("err")
+      // true totals: a=3, b=2, c=4, d=1
+      val truth = Map("a" -> 3L, "b" -> 2L, "c" -> 4L, "d" -> 1L)
+      for ((bg, t) <- truth) {
+        val kept = items.getOrElse(bg, 0L)
+        assert(kept <= t, s"$bg kept count overshot: $kept > $t")
+        assert(t <= kept + err, s"$bg escaped the bracket: $t > $kept + $err")
+      }
+      // state stays bounded at m items
+      assert(items.size <= 2)
+    } finally query.stop()
+  }
+
+  test("streaming summary: single batch reproduces the batch cut exactly") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[HhObs]
+    val query = StreamTopkSketch.summaries(input.toDS(), m = 2)
+      .writeStream.format("memory").queryName("hh_one")
+      .outputMode(OutputMode.Update).start()
+    try {
+      input.addData(
+        Seq.fill(5)(HhObs(1, "x")) ++ Seq.fill(4)(HhObs(1, "y")) ++
+          Seq.fill(3)(HhObs(1, "z")) ++ Seq(HhObs(1, "w")): _*)
+      query.processAllAvailable()
+      val st = spark.table("hh_one").collect().last
+      val items = st.getSeq[org.apache.spark.sql.Row](st.fieldIndex("items"))
+        .map(r => (r.getAs[String]("bg"), r.getAs[Long]("cnt")))
+      // one merge over the full counts, one cut: top-2 by (count desc, item),
+      // err = the (m+1)-th count — the batch construction bit-for-bit
+      assert(items == Seq(("x", 5L), ("y", 4L)))
+      assert(st.getAs[Long]("err") == 3L)
+    } finally query.stop()
+  }
+}
