@@ -668,6 +668,68 @@ object Similarity {
       .orderBy("cell", "sub_cid")
   }
 
+  /** Multi-way IVF cell split — the k > 2 generalization of [[ivfSplit]]
+    * for a cell whose drift is too large for one bisecting cut: seeds are
+    * chosen by ITERATED farthest-point (k-means++-style maxmin without
+    * the random draw): seed 0 is the cell's existing centroid and each
+    * further seed is the member maximizing its distance to the NEAREST
+    * already-chosen seed (exact integer squared-L2, ties → smallest id),
+    * then every member reassigns to its nearest seed. Each pick is a
+    * bounded `limit(1)` over an ordered frame, eagerly localCheckpoint'ed
+    * (the DistRank/BPE lesson: a bounded-by-construction subtree still
+    * re-evaluates per branch if left lazy — k chained picks would
+    * otherwise compound) and broadcast back into the plan; the running
+    * min-distance frame carries one column and updates by `least`, so the
+    * whole seeding costs k−1 tiny jobs over the split cell's members
+    * only. Output: the split census, one row per sub-centroid.
+    */
+  def ivfSplitMulti(s: SparkSession, dir: String, k: Int = 4): DataFrame = {
+    val qn = qdf(s, dir)
+    val base = qn.filter(col("vec_id") % 10 =!= 0)
+    val appends = qn.filter(col("vec_id") % 10 === 0)
+    val baseCents = ivfCentsOf(base)
+    val baseCells = ivfCellsOf(base, baseCents)
+    val appCells = ivfCellsOf(appends, baseCents)
+    val target = appCells.groupBy(col("cell")).agg(count(lit(1)).as("na"))
+      .orderBy(col("na").desc, col("cell").asc).limit(1)
+      .select(col("cell"))
+    val members = baseCells.unionByName(appCells)
+      .join(broadcast(target), "cell")
+      .join(qn, "vec_id")
+      .localCheckpoint(true) // one bounded cell; every pick re-reads it
+    // squared L2 from the row's q/n2 to the joined seed's sq/sn2
+    def d2Seed: Column =
+      col("n2") - lit(2L) * expr("q_dot(q, sq)") + col("sn2")
+    var seeds = qn
+      .select(col("vec_id").as("sid"), col("q").as("sq"), col("n2").as("sn2"))
+      .join(broadcast(target.select(col("cell").as("sid"))), "sid")
+      .localCheckpoint(true)
+    var cur = members.join(broadcast(seeds))
+      .withColumn("mind2", d2Seed)
+      .select(col("vec_id"), col("cell"), col("q"), col("n2"), col("mind2"))
+    for (_ <- 1 until k) {
+      val next = cur.orderBy(col("mind2").desc, col("vec_id").asc).limit(1)
+        .select(col("vec_id").as("sid"), col("q").as("sq"),
+          col("n2").as("sn2"))
+        .localCheckpoint(true)
+      seeds = seeds.unionByName(next).localCheckpoint(true)
+      cur = cur.join(broadcast(next))
+        .withColumn("mind2", least(col("mind2"), d2Seed))
+        .select(col("vec_id"), col("cell"), col("q"), col("n2"), col("mind2"))
+        .localCheckpoint(true)
+    }
+    members.join(broadcast(seeds))
+      .withColumn("d2", d2Seed)
+      .groupBy(col("cell"), col("vec_id"))
+      .agg(min_by(col("sid"), struct(col("d2"), col("sid"))).as("sub_cid"))
+      .groupBy(col("cell"), col("sub_cid"))
+      .agg(sum(when(col("vec_id") % 10 =!= 0, 1L).otherwise(0L))
+          .as("n_base_members"),
+        sum(when(col("vec_id") % 10 === 0, 1L).otherwise(0L))
+          .as("n_app_members"))
+      .orderBy("cell", "sub_cid")
+  }
+
   val ivfSplitSql: String = s"""
     WITH $QuantSql,
     $ivfAsgSql,
@@ -731,6 +793,66 @@ object Similarity {
               CAST(list_sum(list_transform(generate_series(1, len(q)),
                 i -> (q[i] - cq[i]) * (q[i] - cq[i]))) AS BIGINT) AS d2
             FROM app, bc))"""
+
+  /** Oracle replay of [[ivfSplitMulti]] (k = 4): each farthest-point pick
+    * is a MATERIALIZED CTE (the same eager discipline the Spark side
+    * applies with localCheckpoint), the running min-distance folds with
+    * `least`, and the final assignment is the (d2, sid) argmin.
+    */
+  lazy val ivfSplitMultiSql: String = {
+    def d2(q: String, sq: String) =
+      s"CAST(list_sum(list_transform(generate_series(1, len($q)), " +
+        s"i -> ($q[i] - $sq[i]) * ($q[i] - $sq[i]))) AS BIGINT)"
+    s"""
+    WITH $QuantSql,
+    $ivfAsgSql,
+    target AS MATERIALIZED (
+      SELECT cid AS cell FROM aasg WHERE rn = 1
+      GROUP BY cid ORDER BY count(*) DESC, cid ASC LIMIT 1),
+    members AS MATERIALIZED (
+      SELECT m.vec_id, m.cell, qn.q, qn.n2
+      FROM (SELECT vec_id, cid AS cell FROM basg WHERE rn = 1
+            UNION ALL
+            SELECT vec_id, cid FROM aasg WHERE rn = 1) m
+      JOIN target USING (cell) JOIN qn ON m.vec_id = qn.vec_id),
+    s0 AS MATERIALIZED (
+      SELECT vec_id AS sid, q AS sq FROM qn
+      WHERE vec_id = (SELECT cell FROM target)),
+    d0 AS MATERIALIZED (
+      SELECT m.vec_id, m.cell, m.q, m.n2, ${d2("m.q", "s.sq")} AS mind2
+      FROM members m, s0 s),
+    s1 AS MATERIALIZED (
+      SELECT vec_id AS sid, q AS sq FROM d0
+      ORDER BY mind2 DESC, vec_id LIMIT 1),
+    d1 AS MATERIALIZED (
+      SELECT d.vec_id, d.cell, d.q, d.n2,
+        least(d.mind2, ${d2("d.q", "s.sq")}) AS mind2
+      FROM d0 d, s1 s),
+    s2 AS MATERIALIZED (
+      SELECT vec_id AS sid, q AS sq FROM d1
+      ORDER BY mind2 DESC, vec_id LIMIT 1),
+    d2_ AS MATERIALIZED (
+      SELECT d.vec_id, d.cell, d.q, d.n2,
+        least(d.mind2, ${d2("d.q", "s.sq")}) AS mind2
+      FROM d1 d, s2 s),
+    s3 AS MATERIALIZED (
+      SELECT vec_id AS sid, q AS sq FROM d2_
+      ORDER BY mind2 DESC, vec_id LIMIT 1),
+    seeds AS (
+      SELECT sid, sq FROM s0 UNION ALL SELECT sid, sq FROM s1
+      UNION ALL SELECT sid, sq FROM s2 UNION ALL SELECT sid, sq FROM s3),
+    asg AS (
+      SELECT vec_id, cell, sid,
+        row_number() OVER (PARTITION BY vec_id ORDER BY d2, sid) AS rn
+      FROM (SELECT m.vec_id, m.cell, s.sid, ${d2("m.q", "s.sq")} AS d2
+            FROM members m, seeds s))
+    SELECT cell, sid AS sub_cid,
+      CAST(sum(CASE WHEN vec_id % 10 <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_base_members,
+      CAST(sum(CASE WHEN vec_id % 10 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_app_members
+    FROM asg WHERE rn = 1 GROUP BY cell, sid ORDER BY cell, sub_cid"""
+  }
 
   /** The base/append cell census without the drift column — the statistic
     * the STREAMING maintainer keeps; also the shared shape of
@@ -1254,7 +1376,8 @@ object Similarity {
     "lsh_bucket_stats" -> (lshBucketStats _),
     "embed_quantize" -> (embedQuantize(_, _)),
     "ivf_append" -> (ivfAppend _),
-    "ivf_split" -> (ivfSplit _))
+    "ivf_split" -> (ivfSplit _),
+    "ivf_split_multi" -> ((s, d) => ivfSplitMulti(s, d)))
 
   val oracles: Map[String, String] = Map(
     "dedup_embedding" -> dedupEmbeddingSql,
@@ -1274,5 +1397,6 @@ object Similarity {
     "lsh_bucket_stats" -> lshBucketStatsSql,
     "embed_quantize" -> embedQuantizeSql,
     "ivf_append" -> ivfAppendSql,
-    "ivf_split" -> ivfSplitSql)
+    "ivf_split" -> ivfSplitSql,
+    "ivf_split_multi" -> ivfSplitMultiSql)
 }

@@ -110,6 +110,32 @@ class Round9OpsSpec extends SparkSpec {
       s"repaired ${repaired0.size} must be within affected ${affected0.size}")
   }
 
+  test("ivf_split_multi: four complete sub-cells by iterated farthest-point") {
+    import org.apache.spark.sql.functions.col
+    val rows = graft.operators.Similarity.ivfSplitMulti(spark, sf).collect()
+    val cell = rows.head.getAs[Long]("cell")
+    assert(rows.forall(_.getAs[Long]("cell") == cell), "one cell splits")
+    // every distinct seed is a member assigning to itself at distance 0,
+    // so with >= 4 distinct members all four sub-cells are non-empty
+    assert(rows.length == 4, s"expected 4 sub-cells, got ${rows.length}")
+    rows.foreach(r => assert(r.getAs[Long]("n_base_members") +
+      r.getAs[Long]("n_app_members") >= 1L))
+    // conservation vs the append census of the same cell
+    val census = graft.operators.Similarity.ivfAppend(spark, sf).collect()
+      .find(_.getAs[Long]("cell") == cell).get
+    assert(rows.map(_.getAs[Long]("n_base_members")).sum ==
+      census.getAs[Long]("n_base"))
+    assert(rows.map(_.getAs[Long]("n_app_members")).sum ==
+      census.getAs[Long]("n_appended"))
+    // the first two seeds follow the SAME deterministic rule as the
+    // two-way split, so its sub-centroids must reappear here
+    val two = graft.operators.Similarity.ivfSplit(spark, sf).collect()
+      .map(_.getAs[Long]("sub_cid")).toSet
+    val multi = rows.map(_.getAs[Long]("sub_cid")).toSet
+    assert(two.subsetOf(multi),
+      s"two-way seeds $two must be among the multi-way seeds $multi")
+  }
+
   test("layout_pruning: hilbert reads fewer files than zorder on both dims") {
     val rows = graft.operators.ZOrder.layoutPruning(spark, sf).collect()
     assert(rows.length == 4, "two layouts x two dimensions")
