@@ -32,6 +32,7 @@ object SparkEntry {
       operators.SubstringDedup.queries ++
       operators.Bpe.queries ++
       operators.Similarity.queries ++
+      operators.Retrieval.queries ++
       operators.Hnsw.queries ++
       operators.PqTrain.queries ++
       operators.GraphOps.queries ++
@@ -72,6 +73,7 @@ object SparkEntry {
       operators.SubstringDedup.oracles ++
       operators.Bpe.oracles ++
       operators.Similarity.oracles ++
+      operators.Retrieval.oracles ++
       operators.Hnsw.oracles ++
       operators.PqTrain.oracles ++
       operators.GraphOps.oracles ++
