@@ -30,6 +30,7 @@ object SparkEntry {
       operators.CorpusFilters.queries ++
       operators.Dedup.queries ++
       operators.SubstringDedup.queries ++
+      operators.SuffixArray.queries ++
       operators.Bpe.queries ++
       operators.Similarity.queries ++
       operators.Retrieval.queries ++
@@ -71,6 +72,7 @@ object SparkEntry {
       operators.CorpusFilters.oracles ++
       operators.Dedup.oracles ++
       operators.SubstringDedup.oracles ++
+      operators.SuffixArray.oracles ++
       operators.Bpe.oracles ++
       operators.Similarity.oracles ++
       operators.Retrieval.oracles ++

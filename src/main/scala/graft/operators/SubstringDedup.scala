@@ -61,7 +61,7 @@ object SubstringDedup {
     * with a unique tail so the planted doc is NOT a whole-document
     * duplicate (that's [[Dedup.dedupExact]]'s job).
     */
-  private def corpus(s: SparkSession, dir: String): DataFrame = {
+  private[operators] def corpus(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(s, dir)
     val planted = tokens(d)
       .filter(col("doc_id") % 13 === 0 &&
@@ -72,7 +72,7 @@ object SubstringDedup {
     d.select(col("doc_id"), col("text")).unionByName(planted)
   }
 
-  private val corpusSql: String = s"""
+  private[operators] val corpusSql: String = s"""
     w0 AS (SELECT doc_id, string_split($normSql, ' ') AS ws FROM documents),
     plant AS (
       SELECT doc_id + 200000 AS pid,

@@ -1,0 +1,92 @@
+package graft
+
+class SuffixArraySpec extends SparkSpec {
+
+  /** Local reference: every suffix (token list to the document end). */
+  private def suffixes(): Map[(Long, Int), Seq[String]] = {
+    val toks = operators.SuffixArray.toks(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("p"),
+        r.getAs[String]("tok")))
+    val byDoc = toks.groupBy(_._1)
+      .view.mapValues(_.sortBy(_._2).map(_._3).toIndexedSeq).toMap
+    toks.map { case (d, p, _) =>
+      (d, p) -> byDoc(d).drop(p - 1)
+    }.toMap
+  }
+
+  test("suffix_array: ranks realize the exact lexicographic suffix order") {
+    val sufs = suffixes()
+    val ranks = operators.SuffixArray.suffixArray(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("p")) ->
+        r.getAs[Long]("sa_rank")).toMap
+    assert(ranks.keySet == sufs.keySet)
+    // token-list comparison with shorter-prefix-first (the padded-
+    // terminator convention: a document end sorts before any token)
+    implicit val ord: Ordering[Seq[String]] = (a, b) => {
+      val c = a.zip(b).iterator.map { case (x, y) => x.compare(y) }
+        .find(_ != 0).getOrElse(0)
+      if (c != 0) c else a.length.compare(b.length)
+    }
+    // sort by the reference order once; consecutive checks carry the full
+    // order by transitivity (all-pairs would be quadratic in the corpus)
+    val keys = sufs.keys.toIndexedSeq.sortBy(sufs)(ord)
+    keys.sliding(2).foreach { w =>
+      if (w.length == 2) {
+        val (a, b) = (w(0), w(1))
+        if (ord.compare(sufs(a), sufs(b)) == 0)
+          assert(ranks(a) == ranks(b),
+            s"identical suffixes $a, $b must share a rank")
+        else assert(ranks(a) < ranks(b),
+          s"order violated between $a and $b")
+      }
+    }
+  }
+
+  test("suffix_array: ranks are dense from 1 to the distinct-suffix count") {
+    val rs = operators.SuffixArray.suffixArray(spark, sf).collect()
+      .map(_.getAs[Long]("sa_rank"))
+    val distinct = rs.distinct.sorted
+    assert(distinct.head == 1L)
+    assert(distinct.sameElements(1L to distinct.length.toLong))
+  }
+
+  test("suffix_maxmatch: resolutions nest and planted copies surface") {
+    val rows = operators.SuffixArray.suffixMaxmatch(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n16") <= r.getAs[Long]("n4"),
+        "a 16-token match is also a 4-token match")
+      assert(r.getAs[Long]("n64") <= r.getAs[Long]("n16"))
+      val expect = if (r.getAs[Long]("n64") > 0) 64L
+        else if (r.getAs[Long]("n16") > 0) 16L else 4L
+      assert(r.getAs[Long]("maxpow") == expect)
+    }
+    // the planted 20-token copies (doc_id + 200000) must report a
+    // cross-document match of at least 16 tokens, as must their sources
+    val planted = rows.filter(_.getAs[Long]("doc_id") >= 200000L)
+    assert(planted.nonEmpty, "planted copies must appear")
+    planted.foreach { r =>
+      assert(r.getAs[Long]("n16") >= 1L,
+        s"planted 20-token span must match at >= 16: $r")
+      val src = r.getAs[Long]("doc_id") - 200000L
+      val srcRow = rows.find(_.getAs[Long]("doc_id") == src)
+      assert(srcRow.exists(_.getAs[Long]("n16") >= 1L),
+        s"source doc $src of a planted copy must also match at >= 16")
+    }
+  }
+
+  test("suffix construction: no collect, no cartesian, bounded windows") {
+    val p = operators.SuffixArray.suffixMaxmatch(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"))
+    // the round tables are localCheckpointed scans here; the only windows
+    // in the BUILD ran inside DistRank over (stratum, __rp) slices
+    val src = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(
+        "src/main/scala/graft/operators/SuffixArray.scala")))
+    assert(!src.contains(".collect()"),
+      "the construction must stay fully distributed")
+    assert(src.contains("DistRank.rowNumber"),
+      "dense ranking must go through the two-phase rank")
+  }
+}
