@@ -14,12 +14,12 @@ import org.apache.spark.sql.functions._
   *
   * Construction, all declarative and shuffle-bounded:
   *
-  *  1. round 0 ranks each position by its token (dense rank of the token
-  *     vocabulary);
+  *  1. round 0 dense-ranks each position's raw 4-token window (padded
+  *     with '', which sorts below every token — document ends are their
+  *     own terminators, so suffixes never cross a document);
   *  2. round j joins each position's round-(j−1) rank with the ranks at
-  *     offsets 4^(j−1), 2·4^(j−1), 3·4^(j−1) (0 past the document end —
-  *     documents are their own terminators, so suffixes never cross a
-  *     document) and dense-ranks the quadruple. QUATERNARY doubling
+  *     offsets 4^j, 2·4^j, 3·4^j (0-padded past the end) and dense-ranks
+  *     the quadruple, covering 4^(j+1) tokens. QUATERNARY doubling
   *     (rank covers ×4 per round, the tuning Flick & Aluru call k-ary
   *     doubling) halves the round count of the classic binary scheme:
   *     the extra offset joins ride the same shuffle while the per-round
@@ -43,11 +43,12 @@ import org.apache.spark.sql.functions._
   */
 object SuffixArray {
 
-  /** 4^Rounds must reach past the longest document (≤ 256 tokens in the
-    * synthetic corpus at every sf; a longer corpus raises this and pays
-    * one more O(n) round per ×4).
+  /** Round j's rank covers 4^(j+1) tokens (round 0 ranks 4-token
+    * windows directly — see [[ranks]]); 4^(Rounds+1) must reach past the
+    * longest document (≤ 256 tokens in the synthetic corpus at every sf;
+    * a longer corpus raises this and pays one more O(n) round per ×4).
     */
-  private val Rounds = 4
+  private val Rounds = 3
 
   /** The same planted-copy corpus as the substring dedup gates, already
     * tokenized: (doc_id, p, tok).
@@ -93,33 +94,36 @@ object SuffixArray {
   }
 
   /** The round-j rank table (doc_id, p, r), memoized per (session, dir).
-    * Round j's rank orders positions by their first 4^j tokens.
+    * Round j's rank orders positions by their first 4^(j+1) tokens —
+    * round 0 dense-ranks the raw 4-token window directly (padded with
+    * `''`, which sorts below every non-empty token in BOTH engines —
+    * the same terminator-smaller convention as the 0-padded rank
+    * rounds), saving a whole doubling round over seeding from
+    * single-token ranks.
     */
   private[operators] def ranks(s: SparkSession, dir: String,
                                j: Int): DataFrame =
     Memo.cached(s, s"sa_q$j", dir) {
-      if (j == 0)
-        barrier(denseRank(toks(s, dir), Seq("tok"), "r")
-          .select(col("doc_id"), col("p"), col("r")))
-      else {
-        val prev = ranks(s, dir, j - 1)
-        val o = 1 << (2 * (j - 1)) // 4^(j-1)
-        var paired = prev
-        for (i <- 1 to 3) {
-          val bi = prev.select(col("doc_id"), (col("p") - i * o).as("p"),
-            col("r").as(s"r$i"))
-          paired = paired.join(bi, Seq("doc_id", "p"), "left")
-            .withColumn(s"r$i", coalesce(col(s"r$i"), lit(0L)))
-        }
-        // two consumers (boundary pick, rank join) read the pair frame;
-        // cache for the round, release once the barrier materialized
-        val shared = paired.cache()
-        val out = barrier(
-          denseRank(shared, Seq("r", "r1", "r2", "r3"), "rn")
-            .select(col("doc_id"), col("p"), col("rn").as("r")))
-        shared.unpersist(false)
-        out
+      val (base, keys, o) =
+        if (j == 0) (toks(s, dir), "tok" +: (1 to 3).map(i => s"t$i"), 1)
+        else (ranks(s, dir, j - 1).withColumnRenamed("r", "tok"),
+          "tok" +: (1 to 3).map(i => s"t$i"), 1 << (2 * j)) // 4^j
+      val pad: Any = if (j == 0) "" else 0L
+      var paired = base
+      for (i <- 1 to 3) {
+        val bi = base.select(col("doc_id"), (col("p") - i * o).as("p"),
+          col("tok").as(s"t$i"))
+        paired = paired.join(bi, Seq("doc_id", "p"), "left")
+          .withColumn(s"t$i", coalesce(col(s"t$i"), lit(pad)))
       }
+      // two consumers (boundary pick, rank join) read the pair frame;
+      // cache for the round, release once the barrier materialized
+      val shared = paired.cache()
+      val out = barrier(
+        denseRank(shared, keys, "rn")
+          .select(col("doc_id"), col("p"), col("rn").as("r")))
+      shared.unpersist(false)
+      out
     }
 
   /** Gate: the full suffix ranking — one row per token position with its
@@ -134,10 +138,15 @@ object SuffixArray {
   private def roundSql(j: Int): String =
     if (j == 0)
       """r0 AS MATERIALIZED (
-      SELECT doc_id, p, CAST(dense_rank() OVER (ORDER BY tok) AS BIGINT) AS r
-      FROM toks)"""
+      SELECT a.doc_id, a.p,
+        CAST(dense_rank() OVER (ORDER BY a.tok, coalesce(b.tok, ''),
+          coalesce(c.tok, ''), coalesce(d.tok, '')) AS BIGINT) AS r
+      FROM toks a
+      LEFT JOIN toks b ON b.doc_id = a.doc_id AND b.p = a.p + 1
+      LEFT JOIN toks c ON c.doc_id = a.doc_id AND c.p = a.p + 2
+      LEFT JOIN toks d ON d.doc_id = a.doc_id AND d.p = a.p + 3)"""
     else {
-      val o = 1 << (2 * (j - 1))
+      val o = 1 << (2 * j) // prev covers 4^j tokens
       s"""r$j AS MATERIALIZED (
       SELECT a.doc_id, a.p,
         CAST(dense_rank() OVER (ORDER BY a.r, coalesce(b.r, 0),
@@ -178,11 +187,11 @@ object SuffixArray {
         .select(col("r"))
       r.join(g, "r").select(col("doc_id"), col("p"))
     }
-    val a4 = matched(1).groupBy(col("doc_id"))
+    val a4 = matched(0).groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n4"))
-    val a16 = matched(2).groupBy(col("doc_id"))
+    val a16 = matched(1).groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n16"))
-    val a64 = matched(3).groupBy(col("doc_id"))
+    val a64 = matched(2).groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n64"))
     a4.join(a16, Seq("doc_id"), "left")
       .join(a64, Seq("doc_id"), "left")
@@ -202,12 +211,12 @@ object SuffixArray {
     m$j AS (SELECT t.doc_id, t.p FROM r$j t JOIN x$j USING (r))"""
     s"""
     WITH $preludeSql,
+    ${m(0).trim},
     ${m(1).trim},
     ${m(2).trim},
-    ${m(3).trim},
-    a4 AS (SELECT doc_id, count(*) AS n4 FROM m1 GROUP BY doc_id),
-    a16 AS (SELECT doc_id, count(*) AS n16 FROM m2 GROUP BY doc_id),
-    a64 AS (SELECT doc_id, count(*) AS n64 FROM m3 GROUP BY doc_id)
+    a4 AS (SELECT doc_id, count(*) AS n4 FROM m0 GROUP BY doc_id),
+    a16 AS (SELECT doc_id, count(*) AS n16 FROM m1 GROUP BY doc_id),
+    a64 AS (SELECT doc_id, count(*) AS n64 FROM m2 GROUP BY doc_id)
     SELECT a4.doc_id, n4, coalesce(n16, 0) AS n16, coalesce(n64, 0) AS n64,
       CAST(CASE WHEN coalesce(n64, 0) > 0 THEN 64
                 WHEN coalesce(n16, 0) > 0 THEN 16
@@ -216,11 +225,127 @@ object SuffixArray {
     ORDER BY doc_id"""
   }
 
+  /** Gate: EXACT maximal-match census (the statistic of Lee et al. 2022 —
+    * per position, the length of the longest prefix its suffix shares
+    * with ANY other suffix in the corpus), read off the finished ranking
+    * in one linear pass — no log-round LCP walk:
+    *
+    *  - positions with an identical twin (final rank group ≥ 2) match to
+    *    their full suffix length by definition;
+    *  - for the rest, the suffix-array property says the longest match is
+    *    achieved by a LEXICOGRAPHICALLY ADJACENT suffix — and because
+    *    final ranks are DENSE, the adjacent distinct suffix is simply
+    *    rank r±1. All members of a rank group are the same string, so ONE
+    *    representative LCP per adjacent rank pair covers every member:
+    *    group reps carry their suffix token slice, pair with rank r+1 by
+    *    equi-join, and the LCP is a single codegen'd zip_with/
+    *    array_position expression over the two slices (exact tokens — no
+    *    terminator padding, unlike [[suffixMaxmatch]]'s power-of-4
+    *    brackets).
+    *
+    * Per document: positions whose exact maximal match reaches 8/16/32
+    * tokens and the document's longest match. Cost beyond the shared
+    * ranking: two aggregates, one rep self-join keyed by rank, one
+    * stats join back — all O(corpus).
+    */
+  def suffixSpans(s: SparkSession, dir: String): DataFrame = {
+    import TextNorm.norm
+    val rf = ranks(s, dir, Rounds)
+    val ws = SubstringDedup.corpus(s, dir)
+      .select(col("doc_id"), split(norm, " ").as("ws"))
+    val grp = rf.groupBy(col("r"))
+      .agg(count(lit(1)).as("cnt"),
+        min(col("doc_id") * lit(1000000L) + col("p")).as("okey"))
+      .select(col("r"), col("cnt"),
+        expr("okey div 1000000").as("rd"), pmod(col("okey"), lit(1000000L)).as("rp"))
+    val reps = grp
+      .join(ws.select(col("doc_id").as("rd"), col("ws")), "rd")
+      .select(col("r"), col("cnt"),
+        expr("slice(ws, cast(rp as int), size(ws) - cast(rp as int) + 1)")
+          .as("sws"))
+    val nxt = reps.select((col("r") - 1).as("r"), col("sws").as("qws"))
+    val lcp = reps.join(nxt, "r")
+      .withColumn("L", least(size(col("sws")), size(col("qws"))))
+      .withColumn("fpos", expr(
+        "array_position(zip_with(slice(sws, 1, L), slice(qws, 1, L), (x, y) -> x = y), false)"))
+      .select(col("r"),
+        when(col("fpos") === 0, col("L").cast("long"))
+          .otherwise(col("fpos") - 1).as("lcp"))
+    val stats = grp.select(col("r"), col("cnt"))
+      .join(lcp.select(col("r"), col("lcp").as("lcp_next")), Seq("r"), "left")
+      .join(lcp.select((col("r") + 1).as("r"), col("lcp").as("lcp_prev")),
+        Seq("r"), "left")
+      .select(col("r"), col("cnt"),
+        greatest(coalesce(col("lcp_next"), lit(0L)),
+          coalesce(col("lcp_prev"), lit(0L))).as("maxnbr"))
+    val dl = ws.select(col("doc_id"), size(col("ws")).cast("long").as("dl"))
+    rf.join(stats, "r")
+      .join(broadcast(dl), "doc_id")
+      .withColumn("maxmatch",
+        when(col("cnt") >= 2, col("dl") - col("p") + 1)
+          .otherwise(col("maxnbr")))
+      .groupBy(col("doc_id"))
+      .agg(sum(when(col("maxmatch") >= 8, 1L).otherwise(0L)).as("n_ge8"),
+        sum(when(col("maxmatch") >= 16, 1L).otherwise(0L)).as("n_ge16"),
+        sum(when(col("maxmatch") >= 32, 1L).otherwise(0L)).as("n_ge32"),
+        max(col("maxmatch")).as("max_len"))
+      .orderBy("doc_id")
+  }
+
+  /** Oracle replay of [[suffixSpans]] — the LCP recomputed directly from
+    * the token lists (an independent formulation, not a mirror of the
+    * Spark plan).
+    */
+  val suffixSpansSql: String = s"""
+    WITH $preludeSql,
+    grp AS (SELECT r, count(*) AS cnt,
+              min(doc_id * 1000000 + p) AS okey
+            FROM r$Rounds GROUP BY r),
+    reps AS (SELECT r, cnt, okey // 1000000 AS rd,
+               CAST(okey % 1000000 AS INT) AS rp
+             FROM grp),
+    repws AS (SELECT r, cnt, a.ws[rp:len(a.ws)] AS sws
+              FROM reps JOIN alltok a ON a.doc_id = rd),
+    nbr AS (
+      SELECT a.r,
+        least(len(a.sws), len(b.sws)) AS L,
+        coalesce(list_position(
+          list_transform(generate_series(1, least(len(a.sws), len(b.sws))),
+            i -> a.sws[i] = b.sws[i]), false), 0) AS fpos
+      FROM repws a JOIN repws b ON b.r = a.r + 1),
+    lcp AS (SELECT r,
+              CAST(CASE WHEN fpos = 0 THEN L ELSE fpos - 1 END AS BIGINT)
+                AS lcp
+            FROM nbr),
+    stats AS (
+      SELECT g.r, g.cnt,
+        greatest(coalesce(n.lcp, 0), coalesce(p.lcp, 0)) AS maxnbr
+      FROM grp g LEFT JOIN lcp n ON n.r = g.r
+      LEFT JOIN lcp p ON p.r = g.r - 1),
+    dl AS (SELECT doc_id, len(ws) AS dl FROM alltok),
+    posm AS (
+      SELECT t.doc_id,
+        CAST(CASE WHEN s.cnt >= 2 THEN d.dl - t.p + 1
+                  ELSE s.maxnbr END AS BIGINT) AS maxmatch
+      FROM r$Rounds t JOIN stats s USING (r)
+      JOIN dl d ON d.doc_id = t.doc_id)
+    SELECT doc_id,
+      CAST(sum(CASE WHEN maxmatch >= 8 THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_ge8,
+      CAST(sum(CASE WHEN maxmatch >= 16 THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_ge16,
+      CAST(sum(CASE WHEN maxmatch >= 32 THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_ge32,
+      max(maxmatch) AS max_len
+    FROM posm GROUP BY doc_id ORDER BY doc_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "suffix_array" -> (suffixArray _),
-    "suffix_maxmatch" -> (suffixMaxmatch _))
+    "suffix_maxmatch" -> (suffixMaxmatch _),
+    "suffix_spans" -> (suffixSpans _))
 
   val oracles: Map[String, String] = Map(
     "suffix_array" -> suffixArraySql,
-    "suffix_maxmatch" -> suffixMaxmatchSql)
+    "suffix_maxmatch" -> suffixMaxmatchSql,
+    "suffix_spans" -> suffixSpansSql)
 }

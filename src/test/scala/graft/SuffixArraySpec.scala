@@ -75,6 +75,46 @@ class SuffixArraySpec extends SparkSpec {
     }
   }
 
+  test("suffix_spans: exact maximal matches equal a local reference") {
+    // independent reference: sort every suffix, exact LCP between sorted
+    // neighbours, maxmatch = max of the two (identical neighbours give
+    // the full suffix length) — the textbook statistic recomputed with
+    // none of the operator's machinery
+    val sufs = suffixes()
+    implicit val ord: Ordering[Seq[String]] = (a, b) => {
+      val c = a.zip(b).iterator.map { case (x, y) => x.compare(y) }
+        .find(_ != 0).getOrElse(0)
+      if (c != 0) c else a.length.compare(b.length)
+    }
+    def lcp(a: Seq[String], b: Seq[String]): Long =
+      a.zip(b).iterator.takeWhile { case (x, y) => x == y }.length.toLong
+    val keys = sufs.keys.toIndexedSeq.sortBy(sufs)(ord)
+    val want = scala.collection.mutable.Map.empty[Long, (Long, Long, Long, Long)]
+    for (i <- keys.indices) {
+      val k = keys(i)
+      val here = sufs(k)
+      val prev = if (i > 0) lcp(here, sufs(keys(i - 1))) else 0L
+      val next = if (i < keys.length - 1) lcp(here, sufs(keys(i + 1))) else 0L
+      val mm = math.max(prev, next)
+      val (n8, n16, n32, mx) = want.getOrElse(k._1, (0L, 0L, 0L, 0L))
+      want(k._1) = (n8 + (if (mm >= 8) 1 else 0), n16 + (if (mm >= 16) 1 else 0),
+        n32 + (if (mm >= 32) 1 else 0), math.max(mx, mm))
+    }
+    val got = operators.SuffixArray.suffixSpans(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_ge8"), r.getAs[Long]("n_ge16"),
+          r.getAs[Long]("n_ge32"), r.getAs[Long]("max_len"))).toMap
+    assert(got.keySet == want.keySet)
+    for ((d, w) <- want)
+      assert(got(d) == w, s"doc $d: got ${got(d)}, want $w")
+    // the planted 20-token copies must report their full span length
+    val planted = got.filter(_._1 >= 200000L)
+    assert(planted.nonEmpty)
+    planted.foreach { case (d, (_, _, _, mx)) =>
+      assert(mx >= 20L, s"planted doc $d max match $mx < the 20-token span")
+    }
+  }
+
   test("suffix construction: no collect, no cartesian, bounded windows") {
     val p = operators.SuffixArray.suffixMaxmatch(spark, sf)
       .queryExecution.executedPlan.toString
