@@ -367,17 +367,118 @@ object Sketch {
     FROM topk JOIN ex USING (bg)
     WHERE rank <= $HhK ORDER BY rank"""
 
+  // ------------------------------------------- join-size estimation (F2)
+
+  /** Join-size estimation from the mergeable heavy-hitter summary — the
+    * optimizer-grade statistic behind salting and posting-list caps: the
+    * self-join row count of an equi-join key equals the second frequency
+    * moment F2 = Σ f_k², and the Misra-Gries summary brackets it without
+    * a second scan. Domain here: the 3-gram shingle key of the dedup
+    * self-join ([[Dedup.shinglesOf]]) — F2 over shingle document
+    * frequencies IS `dedup_ngram_jaccard`'s candidate-pair count (both
+    * orders + self pairs), the number that decides whether hot shingles
+    * need salting.
+    *
+    * Brackets, all provable from the summary alone (spec-asserted
+    * against the exact values the gate also computes):
+    *  - every kept key: lb_k ≤ f_k ≤ ub_k (the `topk_sketch` bracket);
+    *  - every unkept key: f_k ≤ D (the summed error terms), and the
+    *    unkept mass is ≤ N − Σ lb_k;
+    *  - so F2 ∈ [Σ lb_k², Σ ub_k² + D·(N − Σ lb_k)] and the hottest
+    *    key ∈ [max lb_k, max(max ub_k, D)].
+    *
+    * One row out: the exact N / F2 / max frequency next to their sketch
+    * brackets. At 100 TB the exact columns drop and the brackets come
+    * from the maintained summary — this gate keeps them side by side so
+    * the bracket property is verified end to end.
+    */
+  def joinSizeSketch(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val obs = Dedup.shinglesOf(s, dir)
+      .select((col("doc_id") % HhShards).as("shard"), col("sh"))
+    val sc = obs.groupBy(col("shard"), col("sh"))
+      .agg(count(lit(1)).as("cnt"))
+    val rk = row_number().over(
+      Window.partitionBy(col("shard")).orderBy(col("cnt").desc, col("sh")))
+    val summ = sc.withColumn("rk", rk).filter(col("rk") <= HhM + 1)
+    val kept = summ.filter(col("rk") <= HhM).select("shard", "sh", "cnt")
+    val dmax = summ.groupBy(col("shard"))
+      .agg(coalesce(max(when(col("rk") === HhM + 1, col("cnt"))), lit(0L))
+        .as("dmax"))
+    val dtot = dmax.agg(sum(col("dmax")).as("d"))
+    val merged = kept.join(broadcast(dmax), "shard")
+      .groupBy(col("sh"))
+      .agg(sum(col("cnt")).as("lb"), sum(col("dmax")).as("covered"))
+      .crossJoin(broadcast(dtot))
+      .select(col("sh"), col("lb"),
+        (col("lb") + col("d") - col("covered")).as("ub"))
+    val bracket = merged.agg(
+      sum(col("lb") * col("lb")).as("f2_lb"),
+      sum(col("ub") * col("ub")).as("ub2"),
+      sum(col("lb")).as("lbmass"),
+      max(col("lb")).as("top1_lb"),
+      max(col("ub")).as("ubmax"))
+    val exact = obs.groupBy(col("sh")).agg(count(lit(1)).as("f"))
+      .agg(sum(col("f")).as("n_obs"),
+        sum(col("f") * col("f")).as("f2_exact"),
+        max(col("f")).as("top1_exact"))
+    exact.crossJoin(broadcast(bracket)).crossJoin(broadcast(dtot))
+      .select(col("n_obs"), col("f2_lb"), col("f2_exact"),
+        (col("ub2") + col("d") * (col("n_obs") - col("lbmass")))
+          .as("f2_ub"),
+        col("top1_lb"), col("top1_exact"),
+        greatest(col("ubmax"), col("d")).as("top1_ub"))
+  }
+
+  val joinSizeSketchSql: String = s"""
+    WITH ${Dedup.shinglesSql.trim},
+    obs AS (SELECT doc_id % $HhShards AS shard, sh FROM sh),
+    sc AS (SELECT shard, sh, count(*) AS cnt FROM obs GROUP BY 1, 2),
+    rk AS (SELECT shard, sh, cnt,
+             row_number() OVER (PARTITION BY shard
+               ORDER BY cnt DESC, sh) AS rk
+           FROM sc),
+    kept AS (SELECT shard, sh, cnt FROM rk WHERE rk <= $HhM),
+    dmax AS (SELECT shard,
+               coalesce(max(CASE WHEN rk = ${HhM + 1} THEN cnt END), 0)
+                 AS dmax
+             FROM rk GROUP BY shard),
+    dtot AS (SELECT CAST(sum(dmax) AS BIGINT) AS d FROM dmax),
+    merged AS (
+      SELECT sh, CAST(sum(cnt) AS BIGINT) AS lb,
+        CAST(sum(cnt) + d - sum(dmax) AS BIGINT) AS ub
+      FROM kept JOIN dmax USING (shard), dtot
+      GROUP BY sh, d),
+    bracket AS (
+      SELECT CAST(sum(lb * lb) AS BIGINT) AS f2_lb,
+        CAST(sum(ub * ub) AS BIGINT) AS ub2,
+        CAST(sum(lb) AS BIGINT) AS lbmass,
+        max(lb) AS top1_lb, max(ub) AS ubmax
+      FROM merged),
+    ex AS (
+      SELECT CAST(sum(f) AS BIGINT) AS n_obs,
+        CAST(sum(f * f) AS BIGINT) AS f2_exact,
+        max(f) AS top1_exact
+      FROM (SELECT sh, count(*) AS f FROM obs GROUP BY sh))
+    SELECT n_obs, f2_lb, f2_exact,
+      CAST(ub2 + d * (n_obs - lbmass) AS BIGINT) AS f2_ub,
+      top1_lb, top1_exact,
+      CAST(greatest(ubmax, d) AS BIGINT) AS top1_ub
+    FROM ex, bracket, dtot"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "corpus_distinct_kmv" -> (corpusDistinctKmv(_, _)),
     "kmv_by_group" -> (kmvByGroup(_, _)),
     "hll_registers" -> (hllRegisters _),
     "hll_estimate" -> (hllEstimate _),
-    "topk_sketch" -> (topkSketch _))
+    "topk_sketch" -> (topkSketch _),
+    "join_size_sketch" -> (joinSizeSketch _))
 
   val oracles: Map[String, String] = Map(
     "corpus_distinct_kmv" -> corpusDistinctKmvSql(),
     "kmv_by_group" -> kmvByGroupSql(),
     "hll_registers" -> hllRegistersSql,
     "hll_estimate" -> hllEstimateSql,
-    "topk_sketch" -> topkSketchSql)
+    "topk_sketch" -> topkSketchSql,
+    "join_size_sketch" -> joinSizeSketchSql)
 }

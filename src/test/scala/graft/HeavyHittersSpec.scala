@@ -59,6 +59,19 @@ class HeavyHittersSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("join_size_sketch: both brackets contain their exact statistics") {
+    val r = operators.Sketch.joinSizeSketch(spark, sf).collect().head
+    val (f2l, f2, f2u) = (r.getAs[Long]("f2_lb"), r.getAs[Long]("f2_exact"),
+      r.getAs[Long]("f2_ub"))
+    assert(f2l <= f2 && f2 <= f2u, s"F2 bracket violated: $r")
+    val (t1l, t1, t1u) = (r.getAs[Long]("top1_lb"),
+      r.getAs[Long]("top1_exact"), r.getAs[Long]("top1_ub"))
+    assert(t1l <= t1 && t1 <= t1u, s"top-1 bracket violated: $r")
+    // basic mass relations: every key appears at least once
+    assert(f2 >= r.getAs[Long]("n_obs"), "F2 >= N when all f >= 1")
+    assert(t1.toDouble * t1 <= f2, "max^2 <= sum of squares")
+  }
+
   test("streaming summary: cross-batch evolution keeps the honest bracket") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
