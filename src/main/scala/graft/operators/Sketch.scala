@@ -466,12 +466,98 @@ object Sketch {
       CAST(greatest(ubmax, d) AS BIGINT) AS top1_ub
     FROM ex, bracket, dtot"""
 
+  // ---------------------------------------------------------- Count-Min
+
+  /** Depth (hash rows), width (buckets per row), audited items. */
+  private[graft] val CmsD = 4
+  private[graft] val CmsW = 256
+  private val CmsK = 20
+
+  /** The (row, bucket) cell each observation lands in, as a SQL expression
+    * over a string column — identical md5 arithmetic on both engines.
+    */
+  private[graft] def cmsBucket(itemCol: String, rowCol: String): String =
+    s"cast(conv(substring(md5(concat(cast($rowCol as string), ':', " +
+      s"$itemCol)), 1, 8), 16, 10) as bigint) % $CmsW"
+
+  /** Count-Min sketch (Cormode & Muthukrishnan, J. Algorithms 2005): a
+    * d×w counter matrix — every observation increments one bucket per hash
+    * row, and a point query reads the MINIMUM of its d cells, an upper
+    * bound on the true count that is never an undercount. The fixed-size
+    * complement of [[topkSketch]]: the heavy-hitter summary answers "which
+    * items are frequent", the CMS answers "how frequent is THIS item" for
+    * any item, in d·w longs total however many distinct items exist.
+    *
+    * Build is one shuffle of d·N (item, row) pairs into d·w cells with
+    * map-side combine; cells MERGE by cell-wise addition (how per-day /
+    * per-partition sketches roll up — spec-proved), and the probe side
+    * joins the broadcast cell matrix, never the observations.
+    *
+    * The gate audits the point-query guarantee end to end: the top-k items
+    * by exact count, each with its CMS estimate next to the exact value
+    * (`exact <= est` row by row — the spec asserts it for EVERY item).
+    */
+  private[graft] def cmsCells(obs: DataFrame): DataFrame =
+    obs.select(col("bg"), explode(expr(s"sequence(0, ${CmsD - 1})")).as("j"))
+      .select(col("j"), expr(cmsBucket("bg", "j")).as("bucket"))
+      .groupBy(col("j"), col("bucket")).agg(count(lit(1)).as("cnt"))
+
+  /** Probe/report layer shared with the streaming gate: top-k items by
+    * exact count, each estimated as the min of its d cells from the
+    * broadcast matrix.
+    */
+  private[graft] def cmsReport(s: SparkSession, dir: String,
+                               cells: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val exact = hhObs(s, dir).groupBy(col("bg"))
+      .agg(count(lit(1)).as("exact"))
+    val topk = exact.orderBy(col("exact").desc, col("bg")).limit(CmsK)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("exact").desc, col("bg"))))
+    topk
+      .select(col("rank"), col("bg"), col("exact"),
+        explode(expr(s"sequence(0, ${CmsD - 1})")).as("j"))
+      .withColumn("bucket", expr(cmsBucket("bg", "j")))
+      .join(broadcast(cells), Seq("j", "bucket"))
+      .groupBy(col("rank"), col("bg"), col("exact"))
+      .agg(min(col("cnt")).as("est"))
+      .orderBy("rank")
+  }
+
+  def cmsSketch(s: SparkSession, dir: String): DataFrame =
+    cmsReport(s, dir, cmsCells(hhObs(s, dir).select(col("bg"))))
+
+  val cmsSketchSql: String = s"""
+    WITH $hhObsSql,
+    obs AS (SELECT bg FROM b),
+    cells AS (
+      SELECT j,
+        ('0x' || substring(md5(CAST(j AS VARCHAR) || ':' || bg), 1, 8))
+          ::BIGINT % $CmsW AS bucket,
+        count(*) AS cnt
+      FROM obs, unnest(generate_series(0, ${CmsD - 1})) AS t(j)
+      GROUP BY 1, 2),
+    ex AS (SELECT bg, count(*) AS exact FROM obs GROUP BY bg),
+    topk AS (
+      SELECT bg, exact,
+        row_number() OVER (ORDER BY exact DESC, bg) AS rank
+      FROM ex ORDER BY exact DESC, bg LIMIT $CmsK),
+    pr AS (
+      SELECT rank, bg, exact, j,
+        ('0x' || substring(md5(CAST(j AS VARCHAR) || ':' || bg), 1, 8))
+          ::BIGINT % $CmsW AS bucket
+      FROM topk, unnest(generate_series(0, ${CmsD - 1})) AS t(j))
+    SELECT CAST(rank AS INT) AS rank, bg, exact, min(cnt) AS est
+    FROM pr JOIN cells USING (j, bucket)
+    GROUP BY 1, 2, 3 ORDER BY rank"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "corpus_distinct_kmv" -> (corpusDistinctKmv(_, _)),
     "kmv_by_group" -> (kmvByGroup(_, _)),
     "hll_registers" -> (hllRegisters _),
     "hll_estimate" -> (hllEstimate _),
     "topk_sketch" -> (topkSketch _),
+    "cms_sketch" -> (cmsSketch _),
     "join_size_sketch" -> (joinSizeSketch _))
 
   val oracles: Map[String, String] = Map(
@@ -480,5 +566,6 @@ object Sketch {
     "hll_registers" -> hllRegistersSql,
     "hll_estimate" -> hllEstimateSql,
     "topk_sketch" -> topkSketchSql,
+    "cms_sketch" -> cmsSketchSql,
     "join_size_sketch" -> joinSizeSketchSql)
 }

@@ -251,6 +251,44 @@ object StreamScenarios {
     graft.operators.Sketch.hhReport(s, dir, kept, dmax)
   }
 
+  /** Batch-mode run of the count-inheriting (SpaceSaving-style) summary
+    * maintainer over the same observations as `topk_sketch`. A single
+    * batch from empty state carries every `err = 0` and `floor` = the
+    * (m+1)-th count, so mapping items to `(shard, bg, ub - err)` with the
+    * floor as the shard error term reproduces the batch construction
+    * bit-for-bit — the SAME DuckDB oracle gates both maintainers. The
+    * per-item brackets and the floor-vs-Σ tightness claim are spec-driven
+    * across batches ([[StreamTopkSpace]]).
+    */
+  def streamTopkSpaceMaintain(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val state = StreamTopkSpace.summaries(
+      graft.operators.Sketch.hhObs(s, dir).as[HhObs]).toDF()
+    val kept = state.select(col("shard"), explode(col("items")).as("it"))
+      .select(col("shard"), col("it.bg").as("bg"),
+        (col("it.ub") - col("it.err")).as("cnt"))
+    val dmax = state.select(col("shard"), col("floor").as("dmax"))
+    graft.operators.Sketch.hhReport(s, dir, kept, dmax)
+  }
+
+  /** Batch-mode run of the streaming Count-Min maintainer: the cell
+    * counters maintained over the flat cell ids of every observation, then
+    * the SAME point-query report (and DuckDB oracle) as the batch
+    * `cms_sketch`. Cross-batch counter evolution is spec-driven.
+    */
+  def streamCmsMaintain(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val S = graft.operators.Sketch
+    val obs = S.hhObs(s, dir)
+      .select(col("bg"), explode(expr(s"sequence(0, ${S.CmsD - 1})")).as("j"))
+      .select((col("j") * S.CmsW +
+        expr(S.cmsBucket("bg", "j"))).as("cell"))
+    val cells = StreamCms.cells(obs.as[CmsObs]).toDF()
+      .select((col("cell") / S.CmsW).cast("bigint").as("j"),
+        (col("cell") % S.CmsW).as("bucket"), col("cnt"))
+    S.cmsReport(s, dir, cells)
+  }
+
   /** Batch-mode run of the streaming IVF census maintainer over the same
     * cell assignments as the batch append audit — per cell, base and
     * appended member counts from the maintained two-counter state, checked
@@ -304,10 +342,14 @@ object StreamScenarios {
     "stream_bloom_maintain" -> (streamBloomMaintain _),
     "stream_substring_maintain" -> (streamSubstringMaintain _),
     "stream_topk_sketch" -> (streamTopkSketchMaintain _),
+    "stream_topk_space" -> (streamTopkSpaceMaintain _),
+    "stream_cms_maintain" -> (streamCmsMaintain _),
     "stream_ivf_maintain" -> (streamIvfMaintain _))
 
   val oracles: Map[String, String] = Map(
     "stream_topk_sketch" -> graft.operators.Sketch.topkSketchSql,
+    "stream_topk_space" -> graft.operators.Sketch.topkSketchSql,
+    "stream_cms_maintain" -> graft.operators.Sketch.cmsSketchSql,
     "stream_ivf_maintain" ->
       graft.operators.Similarity.streamIvfCensusSql,
     "stream_hll_maintain" -> graft.operators.Sketch.hllRegistersSql,

@@ -658,3 +658,113 @@ object StreamIvf {
       }
   }
 }
+
+/** One kept item of a SpaceSaving-style summary: its count upper bound and
+  * the error it inherited when it (re-)entered the kept set — per item,
+  * `ub - err <= true count <= ub`.
+  */
+case class SsItem(bg: String, ub: Long, err: Long)
+
+/** One maintained SpaceSaving shard summary: ≤ m kept items plus the
+  * eviction floor — the largest upper bound ever cut from this shard, an
+  * upper bound on the true count of ANY item currently absent from it.
+  */
+case class SsSummary(shard: Long, items: Seq[SsItem], floor: Long)
+
+/** Count-inheriting (SpaceSaving-style) heavy-hitter maintenance — the
+  * tighter-bracket sibling of [[StreamTopkSketch]] (Metwally et al.,
+  * "Efficient Computation of Frequent and Top-k Elements in Data Streams",
+  * ICDT 2005; mergeability per Agarwal et al., PODS 2012).
+  *
+  * Where the Misra-Gries maintainer restarts an evicted-then-returning item
+  * at 0 and accrues every cut into one per-shard error SUM, this maintainer
+  * keeps per-item error: an item entering the kept set INHERITS the shard's
+  * current eviction floor (`ub = floor + batch count`, `err = floor` — the
+  * most it could have accumulated while untracked), and the floor itself
+  * advances by MAX (the largest upper bound ever evicted), not by sum. Both
+  * invariants hold after every batch however items churn:
+  *
+  *  - kept item: `ub - err <= true <= ub` (err fixed at entry, batch counts
+  *    are exact while kept);
+  *  - absent item: `true <= floor` (it was either never seen, or left with
+  *    `ub <= floor`).
+  *
+  * Across many compactions `floor = max(cuts)` stays far below Misra-Gries'
+  * `err = Σ cuts`, so long-running summaries keep usable brackets (the spec
+  * pins `floor <= MG err` on a shared stream). A single batch from empty
+  * state reproduces the batch `topk_sketch` cut bit-for-bit with every
+  * `err = 0` and `floor` = the (m+1)-th count — what the shared DuckDB
+  * oracle checks. State is ≤ m (item, 2 longs) + one long per shard; like
+  * the other counting maintainers it assumes effectively-once input.
+  */
+object StreamTopkSpace {
+
+  def summaries(obs: Dataset[HhObs], m: Int = graft.operators.Sketch.HhM)
+  : Dataset[SsSummary] = {
+    import obs.sparkSession.implicits._
+    obs
+      .groupByKey(_.shard)
+      .flatMapGroupsWithState[SsSummary, SsSummary](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (shard: Long, rows: Iterator[HhObs], state: GroupState[SsSummary]) =>
+          val prev = state.getOption
+          val floor0 = prev.map(_.floor).getOrElse(0L)
+          val batch = scala.collection.mutable.HashMap.empty[String, Long]
+          rows.foreach(r => batch(r.bg) = batch.getOrElse(r.bg, 0L) + 1L)
+          val merged =
+            scala.collection.mutable.HashMap.empty[String, (Long, Long)]
+          prev.foreach(_.items.foreach(i => merged(i.bg) = (i.ub, i.err)))
+          batch.foreach { case (bg, c) =>
+            merged(bg) = merged.get(bg) match {
+              case Some((u, e)) => (u + c, e)
+              case None         => (floor0 + c, floor0)
+            }
+          }
+          val sorted = merged.toIndexedSeq
+            .map { case (bg, (u, e)) => SsItem(bg, u, e) }
+            .sortBy(i => (-i.ub, i.bg))
+          val (kept, cut) = sorted.splitAt(m)
+          val floor1 =
+            if (cut.isEmpty) floor0 else math.max(floor0, cut.head.ub)
+          val next = SsSummary(shard, kept, floor1)
+          state.update(next)
+          Iterator(next)
+      }
+  }
+}
+
+/** One Count-Min observation: the flat cell id (hash row · width + bucket)
+  * the item lands in — computed upstream by the same md5 bucket expression
+  * as the batch matrix ([[graft.operators.Sketch.cmsBucket]]).
+  */
+case class CmsObs(cell: Long)
+
+/** One maintained Count-Min cell: its flat id and counter. */
+case class CmsCell(cell: Long, cnt: Long)
+
+/** Streaming Count-Min maintenance: the d×w counter matrix kept up to date
+  * as observations stream in — one long of state per touched cell, counter
+  * adds commutative and associative so out-of-order arrival cannot corrupt
+  * a cell. A single batch from empty state reproduces the batch matrix
+  * exactly (the shared DuckDB oracle checks the point-query report over
+  * it); like the other counting maintainers it assumes effectively-once
+  * input. At 100 TB the matrix is the serving layer point-frequency reads
+  * hit between batch rebuilds — d·w longs however many items streamed.
+  */
+object StreamCms {
+
+  def cells(obs: Dataset[CmsObs]): Dataset[CmsCell] = {
+    import obs.sparkSession.implicits._
+    obs
+      .groupByKey(_.cell)
+      .flatMapGroupsWithState[CmsCell, CmsCell](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (cell: Long, rows: Iterator[CmsObs], state: GroupState[CmsCell]) =>
+          val add = rows.size.toLong
+          val next = CmsCell(cell,
+            state.getOption.map(_.cnt).getOrElse(0L) + add)
+          state.update(next)
+          Iterator(next)
+      }
+  }
+}

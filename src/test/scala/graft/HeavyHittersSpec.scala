@@ -1,6 +1,6 @@
 package graft
 
-import graft.streaming.{HhObs, StreamTopkSketch}
+import graft.streaming.{HhObs, StreamTopkSketch, StreamTopkSpace}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.OutputMode
@@ -131,5 +131,144 @@ class HeavyHittersSpec extends SparkSpec {
       assert(items == Seq(("x", 5L), ("y", 4L)))
       assert(st.getAs[Long]("err") == 3L)
     } finally query.stop()
+  }
+
+  test("space-saving summary: count inheritance keeps per-item brackets " +
+    "and a tighter floor than the Misra-Gries sum") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[HhObs]
+    val query = StreamTopkSpace.summaries(input.toDS(), m = 2)
+      .writeStream.format("memory").queryName("ss_state")
+      .outputMode(OutputMode.Update).start()
+    try {
+      // batch 1: a=3, b=2, c=1 → kept (a,3,0)(b,2,0), floor = 1 (c's ub)
+      input.addData(
+        Seq.fill(3)(HhObs(0, "a")) ++ Seq.fill(2)(HhObs(0, "b")) ++
+          Seq(HhObs(0, "c")): _*)
+      query.processAllAvailable()
+      val s1 = spark.table("ss_state").collect().last
+      assert(s1.getAs[Long]("floor") == 1L)
+      // batch 2: c=3 re-enters inheriting the floor (ub=1+3, err=1), d=1
+      // (ub=2, err=1); sorted c(4) a(3) b(2) d(2) → keep c,a; the largest
+      // cut ub is b's 2 → floor = 2 (Misra-Gries' err after the same two
+      // batches is 1 + 2 = 3 — the sum, strictly looser)
+      input.addData(Seq.fill(3)(HhObs(0, "c")) :+ HhObs(0, "d"): _*)
+      query.processAllAvailable()
+      val st = spark.table("ss_state").collect().last
+      val items = st.getSeq[org.apache.spark.sql.Row](st.fieldIndex("items"))
+        .map(r => r.getAs[String]("bg") ->
+          (r.getAs[Long]("ub"), r.getAs[Long]("err"))).toMap
+      val floor = st.getAs[Long]("floor")
+      assert(items == Map("c" -> ((4L, 1L)), "a" -> ((3L, 0L))))
+      assert(floor == 2L)
+      // true totals: a=3, b=2, c=4, d=1 — every invariant item by item
+      val truth = Map("a" -> 3L, "b" -> 2L, "c" -> 4L, "d" -> 1L)
+      for ((bg, t) <- truth) items.get(bg) match {
+        case Some((ub, err)) =>
+          assert(ub - err <= t && t <= ub, s"$bg bracket: [$ub-$err, $ub]")
+        case None =>
+          assert(t <= floor, s"absent $bg escaped the floor: $t > $floor")
+      }
+      // tighter than the Misra-Gries error sum over the same stream
+      assert(floor < 3L, "floor must advance by max, not sum")
+      assert(items.size <= 2)
+    } finally query.stop()
+  }
+
+  test("space-saving summary: single batch reproduces the batch cut " +
+    "with zero per-item error") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[HhObs]
+    val query = StreamTopkSpace.summaries(input.toDS(), m = 2)
+      .writeStream.format("memory").queryName("ss_one")
+      .outputMode(OutputMode.Update).start()
+    try {
+      input.addData(
+        Seq.fill(5)(HhObs(1, "x")) ++ Seq.fill(4)(HhObs(1, "y")) ++
+          Seq.fill(3)(HhObs(1, "z")) ++ Seq(HhObs(1, "w")): _*)
+      query.processAllAvailable()
+      val st = spark.table("ss_one").collect().last
+      val items = st.getSeq[org.apache.spark.sql.Row](st.fieldIndex("items"))
+        .map(r => (r.getAs[String]("bg"), r.getAs[Long]("ub"),
+          r.getAs[Long]("err")))
+      assert(items == Seq(("x", 5L, 0L), ("y", 4L, 0L)))
+      assert(st.getAs[Long]("floor") == 3L)
+    } finally query.stop()
+  }
+
+  test("cms_sketch: never an undercount, for EVERY item") {
+    import spark.implicits._
+    val S = operators.Sketch
+    val obs = S.hhObs(spark, sf).collect().map(_.getAs[String]("bg"))
+    val exact = obs.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    // local replay of the d x w matrix with the JVM's md5
+    def bucket(j: Int, bg: String): Int = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$j:$bg".getBytes("UTF-8"))
+      val hex = d.take(4).map("%02x".format(_)).mkString
+      (java.lang.Long.parseLong(hex, 16) % S.CmsW).toInt
+    }
+    val cells = scala.collection.mutable.Map.empty[(Int, Int), Long]
+      .withDefaultValue(0L)
+    for (bg <- obs; j <- 0 until S.CmsD)
+      cells((j, bucket(j, bg))) = cells((j, bucket(j, bg))) + 1L
+    for ((bg, t) <- exact) {
+      val est = (0 until S.CmsD).map(j => cells((j, bucket(j, bg)))).min
+      assert(est >= t, s"CMS undercounted $bg: $est < $t")
+    }
+    // and the gate's reported rows agree with the local replay
+    val rows = S.cmsSketch(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val bg = r.getAs[String]("bg")
+      assert(r.getAs[Long]("exact") == exact(bg))
+      val est = (0 until S.CmsD).map(j => cells((j, bucket(j, bg)))).min
+      assert(r.getAs[Long]("est") == est, s"gate/replay disagree on $bg")
+    }
+  }
+
+  test("cms_sketch: matrices merge by cell-wise addition") {
+    val S = operators.Sketch
+    val obs = S.hhObs(spark, sf)
+    val left = S.cmsCells(obs.filter(col("shard") % 2 === 0).select("bg"))
+    val right = S.cmsCells(obs.filter(col("shard") % 2 =!= 0).select("bg"))
+    val merged = left.unionByName(right)
+      .groupBy("j", "bucket").agg(sum("cnt").as("cnt"))
+    val whole = S.cmsCells(obs.select("bg"))
+    assert(merged.exceptAll(whole).isEmpty && whole.exceptAll(merged).isEmpty,
+      "merge of the halves must equal the one-pass matrix")
+  }
+
+  test("streaming CMS: counters add across batches; single batch = batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[streaming.CmsObs]
+    val query = streaming.StreamCms.cells(input.toDS())
+      .writeStream.format("memory").queryName("cms_state")
+      .outputMode(OutputMode.Update).start()
+    try {
+      input.addData(streaming.CmsObs(7), streaming.CmsObs(7),
+        streaming.CmsObs(300))
+      query.processAllAvailable()
+      input.addData(streaming.CmsObs(7), streaming.CmsObs(300),
+        streaming.CmsObs(300))
+      query.processAllAvailable()
+      val last = spark.table("cms_state").collect()
+        .groupBy(_.getAs[Long]("cell"))
+        .view.mapValues(_.map(_.getAs[Long]("cnt")).max).toMap
+      assert(last == Map(7L -> 3L, 300L -> 3L))
+    } finally query.stop()
+  }
+
+  test("stream_topk_space gate: brackets hold on the full observations") {
+    val rows = streaming.StreamScenarios
+      .streamTopkSpaceMaintain(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("lb") <= r.getAs[Long]("exact") &&
+        r.getAs[Long]("exact") <= r.getAs[Long]("ub"), s"bracket: $r")
+    }
   }
 }
