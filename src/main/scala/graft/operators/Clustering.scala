@@ -1017,7 +1017,334 @@ object Clustering {
     $outs ORDER BY i, j"""
   }
 
+  // -------------------------------------------------------- dedup cascade
+
+  /** The production dedup CASCADE: exact → MinHash-LSH near-dup →
+    * semantic, cheapest stage first, each stage seeing only the previous
+    * stage's survivors — with per-document attribution of WHICH stage
+    * removed it and by which lower-id partner. This is how the individual
+    * dedup operators actually compose in a pipeline (the cascade order is
+    * the cost order: a hash groupBy, then a banded bucket join, then
+    * cell-blocked cosine), and the attribution census is the statistic
+    * that tunes each stage's threshold at 100 TB.
+    *
+    * Removal rule at the near/semantic stages is pair-level (a document
+    * drops if a LOWER-id surviving partner exists — `by_id` the smallest
+    * such), matching [[dedupSemantic]]'s survivor convention; transitive-
+    * closure clustering stays the separate `dedup_clusters` gate. Exact
+    * duplicates are planted by the same every-7th re-key as `dedup_exact`
+    * so the stage genuinely fires; planted copies carry no embedding but
+    * are removed at stage 1 by construction. All stage filters are
+    * doc-id-keyed semi/anti joins over the MEMOIZED pair frames
+    * ([[Dedup.minhashPairsOf]], [[cellsOf]]) — the cascade adds no new
+    * shuffle shape beyond its member operators.
+    */
+  def dedupCascade(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.TextNorm.norm
+    val d = Tables.documents(s, dir)
+    val planted = d.filter(col("doc_id") % 7 === 0)
+      .withColumn("doc_id", col("doc_id") + 100000)
+    val ch = d.unionByName(planted)
+      .select(col("doc_id"), md5(norm).as("h"))
+    val k1 = ch.groupBy("h").agg(min("doc_id").as("keep_id"))
+    val ex = ch.join(k1, "h").select("doc_id", "keep_id")
+    val s1 = ex.filter(col("doc_id") === col("keep_id")).select("doc_id")
+    val pairs = Dedup.minhashPairsOf(s, dir).select("id_a", "id_b")
+    val nr = pairs
+      .join(s1.withColumnRenamed("doc_id", "id_a"), "id_a")
+      .join(s1.withColumnRenamed("doc_id", "id_b"), "id_b")
+      .groupBy(col("id_b")).agg(min("id_a").as("by_near"))
+      .withColumnRenamed("id_b", "nb_id")
+    val s2 = s1.join(nr, s1("doc_id") === nr("nb_id"), "left_anti")
+    val qn7 = Similarity.qdf(s, dir)
+    val m = cellsOf(s, dir).join(qn7, "vec_id")
+    val a = m.select(col("cluster"), col("vec_id").as("id_a"),
+      col("q").as("qa"), col("n2").as("na"))
+    val b = m.select(col("cluster"), col("vec_id").as("id_b"),
+      col("q").as("qb"), col("n2").as("nb"))
+    val cos = Similarity.cosCol(expr("q_dot(qa, qb)"), col("na"), col("nb"))
+    val spr = a.join(b, Seq("cluster"))
+      .filter(col("id_a") < col("id_b")).filter(cos >= SemThreshold)
+      .select(col("id_a"), col("id_b"))
+    val sr = spr
+      .join(s2.withColumnRenamed("doc_id", "id_a"), "id_a")
+      .join(s2.withColumnRenamed("doc_id", "id_b"), "id_b")
+      .groupBy(col("id_b")).agg(min("id_a").as("by_sem"))
+      .withColumnRenamed("id_b", "sb_id")
+    ex.join(nr, ex("doc_id") === nr("nb_id"), "left")
+      .join(sr, ex("doc_id") === sr("sb_id"), "left")
+      .select(ex("doc_id"),
+        when(col("keep_id") < ex("doc_id"), lit("exact"))
+          .when(col("nb_id").isNotNull, lit("near"))
+          .when(col("sb_id").isNotNull, lit("semantic"))
+          .otherwise(lit("kept")).as("stage"),
+        when(col("keep_id") < ex("doc_id"), col("keep_id"))
+          .when(col("nb_id").isNotNull, col("by_near"))
+          .when(col("sb_id").isNotNull, col("by_sem"))
+          .as("by_id"))
+      .orderBy("doc_id")
+  }
+
+  val dedupCascadeSql: String = s"""
+    WITH all_docs AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 100000, text FROM documents WHERE doc_id % 7 = 0),
+    ch AS (SELECT doc_id, md5(${graft.operators.TextNorm.normSql}) AS h
+           FROM all_docs),
+    k1 AS (SELECT h, min(doc_id) AS keep_id FROM ch GROUP BY h),
+    exx AS (SELECT doc_id, keep_id FROM ch JOIN k1 USING (h)),
+    s1 AS (SELECT doc_id FROM exx WHERE doc_id = keep_id),
+    ${Dedup.minhashPairsCtesSql.trim},
+    nr AS (
+      SELECT id_b AS nb_id, min(id_a) AS by_near FROM mh_pairs
+      WHERE id_a IN (SELECT doc_id FROM s1)
+        AND id_b IN (SELECT doc_id FROM s1)
+      GROUP BY id_b),
+    s2 AS (SELECT doc_id FROM s1
+           WHERE doc_id NOT IN (SELECT nb_id FROM nr)),
+    $kmeansCtesSql,
+    e7 AS (SELECT vec_id, ${Similarity.QvecSql} AS q FROM embeddings),
+    qn7 AS (SELECT vec_id, q,
+              CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS n2
+            FROM e7),
+    smm AS (SELECT k.vec_id, k.cluster, q, n2
+            FROM kcells k JOIN qn7 ON k.vec_id = qn7.vec_id),
+    spr AS (
+      SELECT id_a, id_b FROM (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+          a.n2 AS na, b.n2 AS nb,
+          CAST(list_sum(list_transform(generate_series(1, len(a.q)),
+            i -> a.q[i] * b.q[i])) AS BIGINT) AS dot
+        FROM smm a JOIN smm b
+          ON a.cluster = b.cluster AND a.vec_id < b.vec_id)
+      WHERE ${Similarity.PairCosSql} >= $SemThreshold),
+    sr AS (
+      SELECT id_b AS sb_id, min(id_a) AS by_sem FROM spr
+      WHERE id_a IN (SELECT doc_id FROM s2)
+        AND id_b IN (SELECT doc_id FROM s2)
+      GROUP BY id_b)
+    SELECT exx.doc_id,
+      CASE WHEN keep_id < exx.doc_id THEN 'exact'
+           WHEN nb_id IS NOT NULL THEN 'near'
+           WHEN sb_id IS NOT NULL THEN 'semantic'
+           ELSE 'kept' END AS stage,
+      CASE WHEN keep_id < exx.doc_id THEN keep_id
+           WHEN nb_id IS NOT NULL THEN by_near
+           WHEN sb_id IS NOT NULL THEN by_sem END AS by_id
+    FROM exx
+    LEFT JOIN nr ON exx.doc_id = nr.nb_id
+    LEFT JOIN sr ON exx.doc_id = sr.sb_id
+    ORDER BY exx.doc_id"""
+
+  // ----------------------------------------------- power-iteration PCA
+
+  private val PcaScale = 128
+
+  /** Fixed iteration count — the quality knob: direction error decays as
+    * (λ2/λ1)^rounds, so flat spectra (like the synthetic test embeddings,
+    * λ2/λ1 ≈ 0.93) converge in RAYLEIGH QUOTIENT long before they converge
+    * in direction (the spec pins R(v) ≥ 0.9·λ1 at these 12 rounds). Each
+    * round is one corpus scan + a dim-row shuffle, so rounds trade
+    * wall-clock for eigengap tolerance linearly.
+    */
+  private val PcaRounds = 12
+
+  /** Bit budget for the iterated direction vector: after every matvec the
+    * components downscale to < 2^PcaVBits, so the next round's partial
+    * sums Σ q_i·t stay inside BIGINT up to ~2^(63−18−PcaVBits) ≈ 8·10^9
+    * vectors at this quantization — shrink by one bit per corpus doubling
+    * beyond that.
+    */
+  private val PcaVBits = 12
+
+  private val PcaQExpr =
+    s"transform(embedding, x -> cast(floor(cast(x as double) * $PcaScale + 0.5) as bigint))"
+  private val PcaQSql =
+    s"list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * $PcaScale + 0.5) AS BIGINT))"
+
+  /** Top singular direction of the embedding matrix (uncentered PCA) by
+    * distributed power iteration, integer-exact end to end: round r
+    * computes w = (Σ q·qᵀ)·v as t = ⟨q, v⟩ per vector (a map-only corpus
+    * pass) followed by Σ q_i·t (a dim-keyed 64-row shuffle with map-side
+    * combine) — the Gram matrix is NEVER materialized, so the per-round
+    * communication is O(dim), the textbook cluster shape for dominant
+    * eigenvector extraction. The float hazard (order-dependent double
+    * sums, which are not replayable across engines) is avoided entirely:
+    * instead of normalizing, each round downscales w by a power of two
+    * chosen from its max bit length ([[PcaVBits]]), with floor division
+    * done by the portable `(x − ((x%p+p)%p)) / p` identity — every
+    * intermediate is an exact BIGINT on both engines. Rounds are fixed
+    * ([[PcaRounds]]) so the DuckDB oracle unrolls them as CTEs.
+    *
+    * Output: every vector's integer projection onto the converged
+    * direction (sign-canonicalized so the largest-magnitude component is
+    * positive) — the first whitening/sharding coordinate downstream
+    * embedding pipelines key on. The iterate frames are one row each and
+    * eagerly materialized per round (the lazy-subtree lesson,
+    * [[SuffixArray]]).
+    */
+  def embedPcaPower(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), expr(PcaQExpr).as("q"))
+    var v = e.orderBy("vec_id").limit(1)
+      .select(expr("transform(q, x -> cast(1 as bigint))").as("v"))
+      .localCheckpoint(true)
+    for (_ <- 1 to PcaRounds) {
+      val t = e.crossJoin(broadcast(v))
+        .select(col("vec_id"), col("q"), expr("q_dot(q, v)").as("t"))
+      val a = t.select(col("t"), posexplode(col("q")).as(Seq("i", "qi")))
+        .groupBy(col("i")).agg(sum(col("qi") * col("t")).as("w"))
+      v = a.groupBy()
+        .agg(transform(array_sort(collect_list(struct(col("i"), col("w")))),
+          x => x.getField("w")).as("w"))
+        .withColumn("p", expr("cast(power(2, greatest(0, " +
+          s"length(bin(array_max(transform(w, x -> abs(x))))) - $PcaVBits)) " +
+          "as bigint)"))
+        .select(expr(
+          "transform(w, x -> cast((x - ((x % p + p) % p)) / p as bigint))")
+          .as("v"))
+        .localCheckpoint(true)
+    }
+    val sg = v.select(posexplode(col("v")).as(Seq("i", "vi")))
+      .orderBy(abs(col("vi")).desc, col("i")).limit(1)
+      .select(when(col("vi") < 0, -1L).otherwise(1L).as("g"))
+    e.crossJoin(broadcast(v)).crossJoin(broadcast(sg))
+      .select(col("vec_id"), (col("g") * expr("q_dot(q, v)")).as("proj"))
+      .orderBy("vec_id")
+  }
+
+  val embedPcaPowerSql: String = {
+    val rounds = (1 to PcaRounds).map { r =>
+      val pv = if (r == 1) "v0" else s"v${r - 1}"
+      s"""
+    t$r AS (
+      SELECT vec_id, q,
+        CAST(list_sum(list_transform(generate_series(1, len(q)),
+          i -> q[i] * v[i])) AS BIGINT) AS t
+      FROM pe, $pv),
+    a$r AS (
+      SELECT i, CAST(sum(qi * t) AS BIGINT) AS w
+      FROM (SELECT t, unnest(q) AS qi,
+              unnest(generate_series(1, len(q))) AS i
+            FROM t$r)
+      GROUP BY i),
+    w$r AS MATERIALIZED (SELECT list(w ORDER BY i) AS w FROM a$r),
+    p$r AS (
+      SELECT CAST(power(2, greatest(0,
+        length(bin(list_max(list_transform(w, x -> abs(x))))) - $PcaVBits))
+        AS BIGINT) AS p
+      FROM w$r),
+    v$r AS MATERIALIZED (
+      SELECT list_transform(w,
+        x -> CAST((x - ((x % p + p) % p)) / p AS BIGINT)) AS v
+      FROM w$r, p$r)"""
+    }.mkString(",")
+    s"""
+    WITH pe AS MATERIALIZED (SELECT vec_id, $PcaQSql AS q FROM embeddings),
+    v0 AS MATERIALIZED (
+      SELECT list_transform(q, x -> CAST(1 AS BIGINT)) AS v
+      FROM (SELECT q FROM pe ORDER BY vec_id LIMIT 1)),
+    $rounds,
+    im AS (
+      SELECT vi, i FROM (
+        SELECT unnest(v) AS vi,
+          unnest(generate_series(1, len(v))) AS i
+        FROM v$PcaRounds)
+      ORDER BY abs(vi) DESC, i LIMIT 1),
+    sg AS (SELECT CASE WHEN vi < 0 THEN -1 ELSE 1 END AS g FROM im)
+    SELECT vec_id,
+      CAST(g * CAST(list_sum(list_transform(generate_series(1, len(q)),
+        i -> q[i] * v[i])) AS BIGINT) AS BIGINT) AS proj
+    FROM pe, v$PcaRounds, sg
+    ORDER BY vec_id"""
+  }
+
+  // --------------------------------------------------- prototype pruning
+
+  /** Prototype-distance data pruning (Sorscher et al., "Beyond neural
+    * scaling laws: beating power law scaling via data pruning", NeurIPS
+    * 2022): rank every vector within its cluster by distance to the
+    * cluster's mean prototype and flag the most prototypical quarter for
+    * pruning — in the data-rich regime the easy (near-prototype) examples
+    * carry the least marginal signal, so they prune first. The
+    * keep-the-hard-examples complement of [[dedupSemantic]] (which drops
+    * near-DUPLICATES; this drops near-REDUNDANT-with-the-prototype mass),
+    * sharing the same memoized [[cellsOf]] assignment.
+    *
+    * Exactness: the member-to-own-prototype comparison multiplies through
+    * by c² — `score = n2·c² − 2·c·dot(q, s) + s2` with s the exact
+    * component sums — so ranking needs no division and no floats
+    * (n2 ≤ 64·KScale², so the product stays far inside BIGINT for any
+    * plausible cluster size; beyond ~10⁴ members rescale). The prune cut
+    * `rank ≤ ⌈c/4⌉` is the pure-integer test `4·rank ≤ c + 3`.
+    *
+    * Scale shape: prototype sums are the trainer's own (cluster, dim)-keyed
+    * shuffle of K·dim rows; the rank window partitions by cluster (K grows
+    * with the corpus, cell size stays bounded — never a low-cardinality
+    * window); the K-row prototype frame joins back by broadcast.
+    */
+  def docPruneProto(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val qn = qnOf(s, dir)
+    val m = cellsOf(s, dir).join(qn, "vec_id")
+    val px = m.select(col("cluster"), posexplode(col("q")).as(Seq("i", "qv")))
+    val sums = px.groupBy(col("cluster"), col("i")).agg(sum(col("qv")).as("sv"))
+    val proto = sums.groupBy(col("cluster"))
+      .agg(transform(array_sort(collect_list(struct(col("i"), col("sv")))),
+        x => x.getField("sv")).as("sq"))
+      .join(m.groupBy(col("cluster")).agg(count(lit(1)).as("c")), "cluster")
+      .withColumn("s2", expr("q_dot(sq, sq)"))
+    val scored = m.join(broadcast(proto), "cluster")
+      .withColumn("score",
+        col("n2") * col("c") * col("c")
+          - lit(2L) * col("c") * expr("q_dot(q, sq)") + col("s2"))
+    val w = Window.partitionBy(col("cluster"))
+      .orderBy(col("score"), col("vec_id"))
+    scored.withColumn("proto_rank", row_number().over(w))
+      .select(col("vec_id"), col("cluster"), col("score"), col("proto_rank"),
+        when(col("proto_rank") * 4 <= col("c") + 3, 1L).otherwise(0L)
+          .as("pruned"))
+      .orderBy("vec_id")
+  }
+
+  val docPruneProtoSql: String = s"""
+    WITH $kmeansCtesSql,
+    m AS (SELECT k.vec_id, k.cluster, q, n2
+          FROM kcells k JOIN qn USING (vec_id)),
+    ppx AS (SELECT cluster, unnest(q) AS qv,
+              unnest(generate_series(0, len(q) - 1)) AS i
+            FROM m),
+    psums AS (SELECT cluster, i, CAST(sum(qv) AS BIGINT) AS sv
+              FROM ppx GROUP BY 1, 2),
+    pcnt AS (SELECT cluster, count(*) AS c FROM m GROUP BY 1),
+    pc AS (SELECT cluster, list(sv ORDER BY i) AS sq, c
+           FROM psums JOIN pcnt USING (cluster) GROUP BY cluster, c),
+    pcn AS (SELECT cluster, sq, c,
+              CAST(list_sum(list_transform(sq, x -> x * x)) AS BIGINT) AS s2
+            FROM pc),
+    sc AS (
+      SELECT m.vec_id, m.cluster, pcn.c,
+        m.n2 * pcn.c * pcn.c
+          - 2 * pcn.c * CAST(list_sum(list_transform(
+              generate_series(1, len(q)), i -> q[i] * sq[i])) AS BIGINT)
+          + pcn.s2 AS score
+      FROM m JOIN pcn USING (cluster)),
+    rk AS (
+      SELECT vec_id, cluster, score, c,
+        row_number() OVER (PARTITION BY cluster
+          ORDER BY score, vec_id) AS proto_rank
+      FROM sc)
+    SELECT vec_id, cluster, score, CAST(proto_rank AS INT) AS proto_rank,
+      CAST(CASE WHEN proto_rank * 4 <= c + 3 THEN 1 ELSE 0 END AS BIGINT)
+        AS pruned
+    FROM rk ORDER BY vec_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "doc_prune_proto" -> (docPruneProto(_, _)),
+    "dedup_cascade" -> (dedupCascade(_, _)),
+    "embed_pca_power" -> (embedPcaPower(_, _)),
     "dedup_clusters" -> (dedupClusters(_, _)),
     "dedup_keep_best" -> (dedupKeepBest _),
     "ann_ivf_kmpll" -> (annIvfKmpll(_, _)),
@@ -1033,6 +1360,9 @@ object Clustering {
     "dedup_semantic" -> (dedupSemantic(_, _)))
 
   val oracles: Map[String, String] = Map(
+    "doc_prune_proto" -> docPruneProtoSql,
+    "dedup_cascade" -> dedupCascadeSql,
+    "embed_pca_power" -> embedPcaPowerSql,
     "dedup_clusters" -> dedupClustersSql,
     "dedup_keep_best" -> dedupKeepBestSql,
     "ann_ivf_kmpll" -> annIvfKmpllSql,

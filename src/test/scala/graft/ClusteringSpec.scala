@@ -184,4 +184,146 @@ class ClusteringSpec extends SparkSpec {
       assert(lowest.getAs[Long]("keep") == 1L, s"cluster $c")
     }
   }
+
+  test("doc_prune_proto: the most prototypical quarter per cluster prunes") {
+    val rows = Clustering.docPruneProto(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // exactly one row per corpus vector
+    assert(rows.map(_.getAs[Long]("vec_id")).distinct.length == rows.length)
+    val byCluster = rows.groupBy(_.getAs[Long]("cluster"))
+    byCluster.foreach { case (c, members) =>
+      val n = members.length
+      val pruned = members.filter(_.getAs[Long]("pruned") == 1L)
+      assert(pruned.length == (n + 3) / 4,
+        s"cluster $c: ${pruned.length} pruned of $n")
+      // ranks are a 1..n permutation ordered by (score, vec_id)
+      val byRank = members.sortBy(_.getAs[Int]("proto_rank"))
+      assert(byRank.map(_.getAs[Int]("proto_rank")).toSeq == (1 to n))
+      val keys = byRank.map(r =>
+        (r.getAs[Long]("score"), r.getAs[Long]("vec_id")))
+      assert(keys.zip(keys.tail).forall { case (a, b) =>
+        a._1 < b._1 || (a._1 == b._1 && a._2 < b._2) })
+      // pruned set = the lowest-score prefix: every pruned score <= kept
+      val kept = members.filter(_.getAs[Long]("pruned") == 0L)
+      if (pruned.nonEmpty && kept.nonEmpty)
+        assert(pruned.map(_.getAs[Long]("score")).max <=
+          kept.map(_.getAs[Long]("score")).min)
+    }
+  }
+
+  test("doc_prune_proto: scores are the c^2-scaled squared distances " +
+    "(cluster total matches the SSE identity)") {
+    // sum over members of (n2*c^2 - 2c*dot(q,s) + s2) = c^2*sum(n2) - c*s2
+    val rows = Clustering.docPruneProto(spark, sf)
+      .select("vec_id", "cluster", "score").collect()
+    val qn = graft.Tables.embeddings(spark, sf)
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> cast(floor(cast(x as double) * 10000 + 0.5) as bigint))").as("q"))
+      .collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getSeq[Long](r.fieldIndex("q")).toArray).toMap
+    rows.groupBy(_.getAs[Long]("cluster")).foreach { case (_, members) =>
+      val qs = members.map(m => qn(m.getAs[Long]("vec_id")))
+      val c = members.length.toLong
+      val dim = qs.head.length
+      val s = Array.tabulate(dim)(i => qs.map(_(i)).sum)
+      val s2 = s.map(x => x * x).sum
+      val sumN2 = qs.map(_.map(x => x * x).sum).sum
+      val expect = c * c * sumN2 - c * s2
+      assert(members.map(_.getAs[Long]("score")).sum == expect)
+    }
+  }
+
+  test("embed_pca_power: the gate replays bit-for-bit locally and the " +
+    "Rayleigh quotient converges to the dominant eigenvalue") {
+    // local replay of the exact integer algorithm
+    val q = graft.Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getSeq[Float](r.fieldIndex("embedding"))
+          .map(x => math.floor(x.toDouble * 128 + 0.5).toLong).toArray)
+      .sortBy(_._1)
+    val dim = q.head._2.length
+    var v = Array.fill(dim)(1L)
+    def floordiv(x: Long, p: Long): Long = (x - ((x % p + p) % p)) / p
+    for (_ <- 1 to 12) {
+      val w = Array.fill(dim)(0L)
+      for ((_, qi) <- q) {
+        var t = 0L
+        var i = 0
+        while (i < dim) { t += qi(i) * v(i); i += 1 }
+        i = 0
+        while (i < dim) { w(i) += qi(i) * t; i += 1 }
+      }
+      val maxabs = w.map(math.abs).max
+      val s = math.max(0, java.lang.Long.toBinaryString(maxabs).length - 12)
+      val p2 = 1L << s
+      v = w.map(floordiv(_, p2))
+    }
+    val imax = v.indices.minBy(i => (-math.abs(v(i)), i))
+    val g = if (v(imax) < 0) -1L else 1L
+    val expect = q.map { case (id, qi) =>
+      id -> g * qi.zip(v).map { case (a, b) => a * b }.sum
+    }.toMap
+    val rows = Clustering.embedPcaPower(spark, sf).collect()
+    assert(rows.length == q.length)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("proj") == expect(r.getAs[Long]("vec_id")),
+        s"projection mismatch at vec ${r.getAs[Long]("vec_id")}")
+    }
+    // convergence: the Rayleigh quotient of the integer iterate must land
+    // within 10% of the dominant eigenvalue (direction itself needs an
+    // eigengap these flat synthetic embeddings don't have — λ2/λ1 ≈ 0.93)
+    val gram = Array.ofDim[Double](dim, dim)
+    for ((_, qi) <- q; i <- 0 until dim; j <- 0 until dim)
+      gram(i)(j) += qi(i).toDouble * qi(j).toDouble
+    def rayleigh(x: Array[Double]): Double = {
+      val gx = Array.tabulate(dim)(i =>
+        (0 until dim).map(j => gram(i)(j) * x(j)).sum)
+      x.zip(gx).map { case (a, b) => a * b }.sum /
+        x.map(a => a * a).sum
+    }
+    var u = Array.fill(dim)(1.0)
+    for (_ <- 1 to 300) {
+      val w = Array.tabulate(dim)(i =>
+        (0 until dim).map(j => gram(i)(j) * u(j)).sum)
+      val n = math.sqrt(w.map(x => x * x).sum)
+      u = w.map(_ / n)
+    }
+    val l1 = rayleigh(u)
+    val rv = rayleigh(v.map(_.toDouble))
+    assert(rv >= 0.9 * l1, s"Rayleigh quotient did not converge: $rv vs $l1")
+    assert(rv > rayleigh(Array.fill(dim)(1.0)),
+      "iteration must improve on the start vector")
+  }
+
+  test("dedup_cascade: stages fire in cost order with honest attribution") {
+    val rows = Clustering.dedupCascade(spark, sf).collect()
+    val n = graft.Tables.documents(spark, sf).count()
+    assert(rows.length == n + rows.count(_.getAs[Long]("doc_id") >= 100000))
+    val byId = rows.map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // every planted copy is removed at the exact stage by a base doc
+    rows.filter(_.getAs[Long]("doc_id") >= 100000).foreach { r =>
+      assert(r.getAs[String]("stage") == "exact", s"planted not exact: $r")
+      assert(r.getAs[Long]("by_id") < 100000)
+    }
+    // removed docs point at a lower-id partner; kept docs at nothing
+    rows.foreach { r =>
+      if (r.getAs[String]("stage") == "kept") assert(r.isNullAt(2))
+      else assert(r.getAs[Long]("by_id") < r.getAs[Long]("doc_id"))
+    }
+    // near-removals are real verified pairs whose partner SURVIVED exact
+    val pairs = operators.Dedup.dedupMinhashLsh(spark, sf)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    rows.filter(_.getAs[String]("stage") == "near").foreach { r =>
+      val (id, by) = (r.getAs[Long]("doc_id"), r.getAs[Long]("by_id"))
+      assert(pairs.contains((by, id)), s"near pair ($by,$id) not verified")
+      assert(byId(by).getAs[String]("stage") != "exact",
+        "near partner must have survived stage 1")
+    }
+    // the cascade genuinely fires beyond stage 1 on this corpus
+    assert(rows.exists(_.getAs[String]("stage") == "near") ||
+      rows.exists(_.getAs[String]("stage") == "semantic"))
+  }
 }
