@@ -526,7 +526,101 @@ object Dedup {
     WHERE levenshtein(a.pfx, b.pfx) <= $LevMax
     ORDER BY id_a, id_b"""
 
+  // ------------------------------------------------------ incremental dedup
+
+  /** Batch membership predicate for the incremental gate: every 5th doc
+    * plays the "today's crawl" batch, the rest the persisted base corpus.
+    */
+  private val BatchMod = 5
+
+  /** Incremental near-dedup — the operation a production pipeline runs
+    * DAILY: dedup an arriving batch against the already-deduped base
+    * corpus (whose MinHash signatures and band buckets are a persisted
+    * index, not a recompute) and within itself, WITHOUT re-comparing
+    * base-to-base. Per batch document: `dup_of_base` if any verified
+    * (Jaccard ≥ 0.8) base partner exists — the existing corpus always
+    * wins, regardless of id order — else `dup_in_batch` if a lower-id
+    * batch partner exists, else `new`. `partner` is the smallest
+    * qualifying id of the firing class.
+    *
+    * Scale shape: the gate composes the MEMOIZED verified pair frame
+    * (shared with the other near-dup gates) and filters to pairs
+    * touching the batch; at 100 TB the same classification runs off a
+    * restricted candidate join — batch bands probing the base's
+    * PERSISTED band buckets plus batch-batch buckets, so probe volume
+    * is batch × bucket occupancy and base-base candidates are never
+    * generated. The streaming signature maintainer
+    * ([[graft.streaming.StreamMinhash]]) keeps the index current
+    * between runs.
+    */
+  def dedupIncremental(s: SparkSession, dir: String): DataFrame = {
+    def isBatch(c: org.apache.spark.sql.Column) = c % BatchMod === BatchMod - 1
+    val pairs = minhashPairsOf(s, dir).select("id_a", "id_b")
+    val part = pairs.select(col("id_a").as("x"), col("id_b").as("p"))
+      .unionByName(pairs.select(col("id_b").as("x"), col("id_a").as("p")))
+      .filter(isBatch(col("x")))
+    val basep = part.filter(!isBatch(col("p")))
+      .groupBy("x").agg(min("p").as("base_partner"))
+    val batchp = part.filter(isBatch(col("p")) && col("p") < col("x"))
+      .groupBy("x").agg(min("p").as("batch_partner"))
+    Tables.documents(s, dir).select("doc_id")
+      .filter(isBatch(col("doc_id")))
+      .join(basep, col("doc_id") === basep("x"), "left").drop(basep("x"))
+      .join(batchp, col("doc_id") === batchp("x"), "left").drop(batchp("x"))
+      .select(col("doc_id"),
+        when(col("base_partner").isNotNull, lit("dup_of_base"))
+          .when(col("batch_partner").isNotNull, lit("dup_in_batch"))
+          .otherwise(lit("new")).as("status"),
+        coalesce(col("base_partner"), col("batch_partner")).as("partner"))
+      .orderBy("doc_id")
+  }
+
+  val dedupIncrementalSql: String = s"""
+    WITH $minhashPairsCtesSql,
+    prt AS (
+      SELECT id_b AS x, id_a AS p FROM mh_pairs
+      UNION ALL
+      SELECT id_a AS x, id_b AS p FROM mh_pairs),
+    bp AS (SELECT x, min(p) AS base_partner FROM prt
+           WHERE x % $BatchMod = ${BatchMod - 1}
+             AND p % $BatchMod <> ${BatchMod - 1}
+           GROUP BY x),
+    tp AS (SELECT x, min(p) AS batch_partner FROM prt
+           WHERE x % $BatchMod = ${BatchMod - 1}
+             AND p % $BatchMod = ${BatchMod - 1} AND p < x
+           GROUP BY x)
+    SELECT d.doc_id,
+      CASE WHEN base_partner IS NOT NULL THEN 'dup_of_base'
+           WHEN batch_partner IS NOT NULL THEN 'dup_in_batch'
+           ELSE 'new' END AS status,
+      coalesce(base_partner, batch_partner) AS partner
+    FROM documents d
+    LEFT JOIN bp ON d.doc_id = bp.x
+    LEFT JOIN tp ON d.doc_id = tp.x
+    WHERE d.doc_id % $BatchMod = ${BatchMod - 1}
+    ORDER BY doc_id"""
+
+  /** Per-shingle hash observations `(doc_id, h1, h2)` — the input of the
+    * streaming signature maintainer, identical arithmetic to
+    * [[minhashesOf]].
+    */
+  private[graft] def minhashObs(s: SparkSession, dir: String): DataFrame =
+    shinglesC(s, dir).selectExpr("doc_id",
+      "cast(conv(substring(md5(sh), 1, 8), 16, 10) as bigint) as h1",
+      "cast(conv(substring(md5(sh), 9, 8), 16, 10) as bigint) as h2")
+
+  private[graft] val numHashes: Int = NumHashes
+
+  /** Oracle for the streaming signature gate: the signature frame CTEs up
+    * to `mh`, read back as (doc_id, m1..m16).
+    */
+  val minhashSigsSql: String = s"""
+    WITH $minhashPairsCtesSql
+    SELECT doc_id, ${(1 to NumHashes).map(i => s"m$i").mkString(", ")}
+    FROM mh ORDER BY doc_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_incremental" -> (dedupIncremental _),
     "dedup_exact" -> (dedupExact(_, _)),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard(_, _)),
     "dedup_minhash_lsh" -> (dedupMinhashLsh(_, _)),
@@ -535,6 +629,7 @@ object Dedup {
     "minhash_accuracy" -> (minhashAccuracy _))
 
   val oracles: Map[String, String] = Map(
+    "dedup_incremental" -> dedupIncrementalSql,
     "dedup_exact" -> dedupExactSql,
     "dedup_ngram_jaccard" -> dedupNgramJaccardSql,
     "dedup_minhash_lsh" -> dedupMinhashLshSql,

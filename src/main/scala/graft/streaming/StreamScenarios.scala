@@ -271,6 +271,23 @@ object StreamScenarios {
     graft.operators.Sketch.hhReport(s, dir, kept, dmax)
   }
 
+  /** Batch-mode run of the streaming MinHash signature maintainer over
+    * the corpus's per-shingle hash observations — (doc_id, m1..m16) from
+    * the maintained minima, gated against the batch signature frame's
+    * CTEs. Cross-batch min-fold evolution and replay idempotence are
+    * spec-driven.
+    */
+  def streamMinhashMaintain(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val D = graft.operators.Dedup
+    val sigs = StreamMinhash.signatures(D.minhashObs(s, dir).as[MhObs])
+      .toDF()
+    sigs.select(col("doc_id") +:
+      (1 to D.numHashes).map(i =>
+        element_at(col("sigs"), i).as(s"m$i")): _*)
+      .orderBy("doc_id")
+  }
+
   /** Batch-mode run of the streaming Count-Min maintainer: the cell
     * counters maintained over the flat cell ids of every observation, then
     * the SAME point-query report (and DuckDB oracle) as the batch
@@ -344,12 +361,14 @@ object StreamScenarios {
     "stream_topk_sketch" -> (streamTopkSketchMaintain _),
     "stream_topk_space" -> (streamTopkSpaceMaintain _),
     "stream_cms_maintain" -> (streamCmsMaintain _),
+    "stream_minhash_maintain" -> (streamMinhashMaintain _),
     "stream_ivf_maintain" -> (streamIvfMaintain _))
 
   val oracles: Map[String, String] = Map(
     "stream_topk_sketch" -> graft.operators.Sketch.topkSketchSql,
     "stream_topk_space" -> graft.operators.Sketch.topkSketchSql,
     "stream_cms_maintain" -> graft.operators.Sketch.cmsSketchSql,
+    "stream_minhash_maintain" -> graft.operators.Dedup.minhashSigsSql,
     "stream_ivf_maintain" ->
       graft.operators.Similarity.streamIvfCensusSql,
     "stream_hll_maintain" -> graft.operators.Sketch.hllRegistersSql,

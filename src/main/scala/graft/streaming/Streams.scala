@@ -768,3 +768,53 @@ object StreamCms {
       }
   }
 }
+
+/** One per-shingle hash observation for the signature maintainer: the two
+  * 32-bit md5 halves the Kirsch–Mitzenmacher construction combines —
+  * computed upstream by the same expressions as the batch signature frame
+  * ([[graft.operators.Dedup.minhashObs]]).
+  */
+case class MhObs(doc_id: Long, h1: Long, h2: Long)
+
+/** One maintained document signature: the 16 running minima. */
+case class MhSig(doc_id: Long, sigs: Seq[Long])
+
+/** Streaming MinHash signature maintenance: every document's 16-hash
+  * signature kept up to date as shingles stream in — the state layer that
+  * keeps [[graft.operators.Dedup.dedupIncremental]]'s base index current
+  * between batch runs. min-folds are commutative, associative and
+  * idempotent, so unlike the counting maintainers this state is safe under
+  * replay AND out-of-order delivery (an at-least-once source cannot
+  * corrupt a minimum). State is 16 longs per document; a single batch from
+  * empty state reproduces the batch signature frame bit-for-bit (what the
+  * shared DuckDB oracle checks).
+  */
+object StreamMinhash {
+
+  def signatures(obs: Dataset[MhObs],
+                 n: Int = graft.operators.Dedup.numHashes)
+  : Dataset[MhSig] = {
+    import obs.sparkSession.implicits._
+    val MaxH = 4294967296L
+    obs
+      .groupByKey(_.doc_id)
+      .flatMapGroupsWithState[MhSig, MhSig](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (doc: Long, rows: Iterator[MhObs], state: GroupState[MhSig]) =>
+          val sigs = state.getOption
+            .map(_.sigs.toArray)
+            .getOrElse(Array.fill(n)(Long.MaxValue))
+          rows.foreach { r =>
+            var i = 1
+            while (i <= n) {
+              val h = (r.h1 + i * r.h2) % MaxH
+              if (h < sigs(i - 1)) sigs(i - 1) = h
+              i += 1
+            }
+          }
+          val next = MhSig(doc, sigs.toSeq)
+          state.update(next)
+          Iterator(next)
+      }
+  }
+}

@@ -226,4 +226,69 @@ class TextDedupSpec extends SparkSpec {
       .count(f => f.getName.startsWith("part-") && f.getName.contains(".json"))
     assert(shards == 3, "one shard per upstream partition")
   }
+
+  test("dedup_incremental: classification agrees with the verified pairs") {
+    val pairs = Dedup.dedupMinhashLsh(spark, sf)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    def isBatch(x: Long) = x % 5 == 4
+    val partners = pairs.flatMap { case (a, b) => Seq(b -> a, a -> b) }
+      .filter { case (x, _) => isBatch(x) }
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val rows = operators.Dedup.dedupIncremental(spark, sf).collect()
+    // exactly the batch docs, each classified once
+    val n = graft.Tables.documents(spark, sf)
+      .filter("doc_id % 5 = 4").count()
+    assert(rows.length == n)
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val ps = partners.getOrElse(id, Array.empty[Long])
+      val base = ps.filter(!isBatch(_))
+      val lower = ps.filter(p => isBatch(p) && p < id)
+      r.getAs[String]("status") match {
+        case "dup_of_base" =>
+          assert(base.nonEmpty && r.getAs[Long]("partner") == base.min)
+        case "dup_in_batch" =>
+          assert(base.isEmpty && lower.nonEmpty &&
+            r.getAs[Long]("partner") == lower.min)
+        case "new" =>
+          assert(base.isEmpty && lower.isEmpty && r.isNullAt(2))
+        case other => fail(s"unknown status $other")
+      }
+    }
+    // the corpus genuinely exercises at least one dup class
+    assert(rows.exists(_.getAs[String]("status") != "new"))
+  }
+
+  test("streaming minhash: min-folds evolve across batches and are " +
+    "replay-idempotent") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.{MhObs, StreamMinhash}
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    val input = MemoryStream[MhObs]
+    val query = StreamMinhash.signatures(input.toDS(), n = 2)
+      .writeStream.format("memory").queryName("mh_state")
+      .outputMode(OutputMode.Update).start()
+    try {
+      // batch 1: one shingle with (h1, h2) = (100, 7)
+      // m1 = (100 + 7) % 2^32 = 107, m2 = (100 + 14) % 2^32 = 114
+      input.addData(MhObs(1, 100, 7))
+      query.processAllAvailable()
+      def sigs(): Seq[Long] = {
+        val r = spark.table("mh_state").collect().last
+        r.getSeq[Long](r.fieldIndex("sigs"))
+      }
+      assert(sigs() == Seq(107L, 114L))
+      // batch 2: a shingle with smaller m2 only — minima fold per-hash
+      input.addData(MhObs(1, 108, 1))
+      query.processAllAvailable()
+      assert(sigs() == Seq(107L, 110L))
+      // replay the same observation — minima unchanged (idempotent)
+      input.addData(MhObs(1, 108, 1))
+      query.processAllAvailable()
+      assert(sigs() == Seq(107L, 110L))
+    } finally query.stop()
+  }
 }
