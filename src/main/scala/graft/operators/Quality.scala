@@ -104,9 +104,104 @@ object Quality {
       CASE WHEN n_violations = 0 THEN 'ok' ELSE 'fail' END AS status
     FROM checks ORDER BY check_name"""
 
+  // ----------------------------------------------------- table profiling
+
+  /** The profiled columns of `lineitem` and how their min/max stringify
+    * deterministically on both engines: `dec` casts through DECIMAL(18,2)
+    * (the data is exact cents, so the decimal round-trip is lossless and
+    * sidesteps double→string formatting differences), everything else
+    * casts directly.
+    */
+  private val ProfCols: Seq[(String, String)] = Seq(
+    "l_orderkey" -> "int", "l_partkey" -> "int", "l_suppkey" -> "int",
+    "l_linenumber" -> "int", "l_quantity" -> "dec",
+    "l_extendedprice" -> "dec", "l_discount" -> "dec", "l_tax" -> "dec",
+    "l_returnflag" -> "str", "l_linestatus" -> "str", "l_shipdate" -> "ts")
+
+  /** ANALYZE-style per-column profile of the fact table — the statistics
+    * collection pass a catalog/optimizer runs before planning 100-TB
+    * queries (and the raw inputs to [[dqCheck]]-style rules): per column,
+    * row count, non-null count, EXACT distinct count, and min/max (as
+    * portable strings). Two scale-honest plan shapes, no per-column jobs:
+    *
+    *  - count/min/max for ALL columns ride ONE full-scan aggregate (a
+    *    single 1-row map-side-combined pass, however many columns);
+    *  - exact distincts stack the table into (column, value) rows and
+    *    dedup with a two-level shuffle — (column, value) then column —
+    *    so a hot column cannot skew a reducer, and swapping the exact
+    *    dedup for [[Sketch]]'s KMV/HLL per group is a one-line change
+    *    when exactness stops being worth the shuffle.
+    *
+    * min/max are computed on the TYPED column (never on the string form,
+    * which would order lexicographically) and stringified after.
+    */
+  def tableProfile(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    def strOf(c: org.apache.spark.sql.Column, kind: String) = kind match {
+      case "dec" => c.cast("decimal(18,2)").cast("string")
+      case _     => c.cast("string")
+    }
+    val aggCols = ProfCols.flatMap { case (c, k) =>
+      Seq(count(col(c)).as(s"nn_$c"),
+        strOf(min(col(c)), k).as(s"mn_$c"),
+        strOf(max(col(c)), k).as(s"mx_$c"))
+    }
+    val w = li.agg(count(lit(1)).as("n_rows"), aggCols: _*)
+    val stacked = w.select(col("n_rows"),
+      expr(s"stack(${ProfCols.size}, " +
+        ProfCols.map { case (c, _) => s"'$c', nn_$c, mn_$c, mx_$c" }
+          .mkString(", ") +
+        ") as (cname, n_nonnull, min_s, max_s)"))
+    val vals = li.select(ProfCols.map { case (c, k) =>
+      strOf(col(c), k).as(c) }: _*)
+      .select(expr(s"stack(${ProfCols.size}, " +
+        ProfCols.map { case (c, _) => s"'$c', $c" }.mkString(", ") +
+        ") as (cname, v)"))
+    val nd = vals.filter(col("v").isNotNull).distinct()
+      .groupBy("cname").agg(count(lit(1)).as("n_distinct"))
+    stacked.join(nd, "cname")
+      .select(col("cname"), col("n_rows"), col("n_nonnull"),
+        col("n_distinct"), col("min_s"), col("max_s"))
+      .orderBy("cname")
+  }
+
+  val tableProfileSql: String = {
+    def strOf(x: String, kind: String) = kind match {
+      case "dec" => s"CAST(CAST($x AS DECIMAL(18,2)) AS VARCHAR)"
+      case _     => s"CAST($x AS VARCHAR)"
+    }
+    val w = ProfCols.flatMap { case (c, k) =>
+      Seq(s"count($c) AS nn_$c",
+        s"${strOf(s"min($c)", k)} AS mn_$c",
+        s"${strOf(s"max($c)", k)} AS mx_$c")
+    }.mkString(",\n      ")
+    val st = ProfCols.map { case (c, _) =>
+      s"SELECT '$c' AS cname, nn_$c AS n_nonnull, mn_$c AS min_s, " +
+        s"mx_$c AS max_s, n_rows FROM w"
+    }.mkString("\n      UNION ALL ")
+    val nd = ProfCols.map { case (c, k) =>
+      s"SELECT '$c' AS cname, " +
+        s"count(DISTINCT ${strOf(c, k)}) AS n_distinct FROM lineitem"
+    }.mkString("\n      UNION ALL ")
+    s"""
+    WITH w AS (
+      SELECT count(*) AS n_rows,
+      $w
+      FROM lineitem),
+    st AS (
+      $st),
+    nd AS (
+      $nd)
+    SELECT cname, n_rows, n_nonnull, n_distinct, min_s, max_s
+    FROM st JOIN nd USING (cname)
+    ORDER BY cname"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "dq_check" -> (dqCheck(_, _)))
+    "dq_check" -> (dqCheck(_, _)),
+    "table_profile" -> (tableProfile(_, _)))
 
   val oracles: Map[String, String] = Map(
-    "dq_check" -> dqCheckSql)
+    "dq_check" -> dqCheckSql,
+    "table_profile" -> tableProfileSql)
 }

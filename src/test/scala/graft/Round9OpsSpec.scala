@@ -157,4 +157,31 @@ class Round9OpsSpec extends SparkSpec {
         r.getAs[Long]("min_files_read"))
     }
   }
+
+  test("table_profile: one row per column with consistent exact stats") {
+    import org.apache.spark.sql.functions.{col, countDistinct}
+    val rows = graft.operators.Quality.tableProfile(spark, sf).collect()
+    assert(rows.length == 11)
+    val li = Tables.lineitem(spark, sf)
+    val n = li.count()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_rows") == n)
+      assert(r.getAs[Long]("n_nonnull") <= n)
+      assert(r.getAs[Long]("n_distinct") <= r.getAs[Long]("n_nonnull"))
+      assert(r.getAs[String]("min_s") != null)
+    }
+    val byCol = rows.map(r => r.getAs[String]("cname") -> r).toMap
+    // exact distincts agree with a direct computation
+    assert(byCol("l_returnflag").getAs[Long]("n_distinct") ==
+      li.select(countDistinct(col("l_returnflag"))).head.getLong(0))
+    assert(byCol("l_orderkey").getAs[Long]("n_distinct") ==
+      li.select(countDistinct(col("l_orderkey"))).head.getLong(0))
+    // min/max computed on the TYPED column, not its string form
+    val q = byCol("l_quantity")
+    assert(q.getAs[String]("min_s").toDouble <=
+      q.getAs[String]("max_s").toDouble)
+    val qmin = li.agg(org.apache.spark.sql.functions.min(col("l_quantity")))
+      .head.getDouble(0)
+    assert(q.getAs[String]("min_s").toDouble == qmin)
+  }
 }
