@@ -258,6 +258,93 @@ object TextOps {
            min(md5(substring(t, i, 8))) AS fp
     FROM pos GROUP BY doc_id, block ORDER BY doc_id, block"""
 
+  // ------------------------------------------------------------ winnowing
+
+  /** Word k-gram size and window width of [[docWinnow]]. */
+  private val WinK = 4
+  private val WinW = 4
+
+  /** TRUE winnowing fingerprint selection (Schleimer, Wilkerson & Aiken,
+    * SIGMOD 2003): hash every word [[WinK]]-gram, slide a [[WinW]]-wide
+    * window over the hash sequence and select each window's minimum
+    * (rightmost on ties — the canonical rule). Unlike [[docFingerprint]]'s
+    * fixed block tiling (whose minima shift when a copy starts at a
+    * different block offset), the overlapping windows give the GUARANTEE:
+    * any shared run of ≥ k+w−1 = ${4 + 4 - 1} words between two documents
+    * shares at least one selected fingerprint, at an expected index size
+    * of 2/(w+1) of the gram count — the standard local-algorithm
+    * trade between a full gram index and tiled sampling.
+    *
+    * Emits the per-document census (gram count, selected-fingerprint
+    * count, and the number of OTHER documents sharing a fingerprint).
+    * Scale shape: the window-min rank partitions by (doc, window) — tiny
+    * partitions whose count grows with the corpus; the partner census is
+    * a fingerprint-keyed equi-join over the 2/(w+1)-thinned selection,
+    * exactly the index winnowing exists to shrink.
+    */
+  def docWinnow(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+      .select(col("doc_id"), split(norm, " ").as("ws"))
+      .withColumn("n", size(col("ws")) - (WinK - 1))
+    val grams = d.filter(col("n") >= 1)
+      .select(col("doc_id"), col("n"), explode(expr("sequence(1, n)")).as("p"),
+        col("ws"))
+      .select(col("doc_id"), col("n"), col("p"),
+        expr(s"cast(conv(substring(md5(concat_ws(' ', slice(ws, p, $WinK)))" +
+          ", 1, 8), 16, 10) as bigint)").as("h"))
+    val wins = grams.select(col("doc_id"), col("p"), col("h"),
+      explode(expr(s"sequence(greatest(1, p - ${WinW - 1}), " +
+        s"least(p, greatest(1, n - ${WinW - 1})))")).as("j"))
+    val rn = row_number().over(
+      Window.partitionBy("doc_id", "j").orderBy(col("h").asc, col("p").desc))
+    val sel = wins.withColumn("rn", rn).filter(col("rn") === 1)
+      .select("doc_id", "p", "h").distinct()
+    val fp = sel.groupBy("doc_id").agg(count(lit(1)).as("n_fp"))
+    val sh2 = sel.select("doc_id", "h").distinct()
+    val partners = sh2.alias("a")
+      .join(sh2.select(col("doc_id").as("od"), col("h")).alias("b"), Seq("h"))
+      .filter(col("doc_id") =!= col("od"))
+      .groupBy("doc_id").agg(countDistinct(col("od")).as("n_partners"))
+    d.select(col("doc_id"),
+        greatest(col("n"), lit(0)).cast("bigint").as("n_grams"))
+      .join(fp, Seq("doc_id"), "left")
+      .join(partners, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("n_fp"), lit(0L)).as("n_fp"),
+        coalesce(col("n_partners"), lit(0L)).as("n_partners"))
+      .orderBy("doc_id")
+  }
+
+  val docWinnowSql: String = s"""
+    WITH dwn AS (SELECT doc_id, string_split($normSql, ' ') AS ws
+                 FROM documents),
+    dn AS (SELECT doc_id, ws, len(ws) - ${WinK - 1} AS n FROM dwn),
+    g AS (SELECT doc_id, n, unnest(generate_series(1, n)) AS p, ws
+          FROM dn WHERE n >= 1),
+    gh AS (SELECT doc_id, n, p,
+             ('0x' || substring(md5(${(0 until WinK).map(o =>
+               s"ws[p + $o]").mkString(" || ' ' || ")}), 1, 8))::BIGINT AS h
+           FROM g),
+    wins AS (SELECT doc_id, p, h,
+               unnest(generate_series(greatest(1, p - ${WinW - 1}),
+                 least(p, greatest(1, n - ${WinW - 1})))) AS j
+             FROM gh),
+    selr AS (SELECT doc_id, p, h,
+               row_number() OVER (PARTITION BY doc_id, j
+                 ORDER BY h, p DESC) AS rn
+             FROM wins),
+    sel AS (SELECT DISTINCT doc_id, p, h FROM selr WHERE rn = 1),
+    fp AS (SELECT doc_id, count(*) AS n_fp FROM sel GROUP BY doc_id),
+    sh2 AS (SELECT DISTINCT doc_id, h FROM sel),
+    pt AS (SELECT a.doc_id, count(DISTINCT b.doc_id) AS n_partners
+           FROM sh2 a JOIN sh2 b ON a.h = b.h AND a.doc_id <> b.doc_id
+           GROUP BY a.doc_id)
+    SELECT dn.doc_id, CAST(greatest(n, 0) AS BIGINT) AS n_grams,
+      CAST(coalesce(n_fp, 0) AS BIGINT) AS n_fp,
+      CAST(coalesce(n_partners, 0) AS BIGINT) AS n_partners
+    FROM dn LEFT JOIN fp USING (doc_id) LEFT JOIN pt USING (doc_id)
+    ORDER BY dn.doc_id"""
+
   // ------------------------------------------------------------ containment
 
   /** Containment detection over the winnowing fingerprints: document pairs
@@ -698,6 +785,7 @@ object TextOps {
     "token_count" -> (tokenCount _),
     "text_langid" -> (textLangid _),
     "doc_fingerprint" -> (docFingerprint _),
+    "doc_winnow" -> (docWinnow _),
     "doc_containment" -> (docContainment(_, _)),
     "corpus_stats" -> (corpusStats _))
 
@@ -713,6 +801,7 @@ object TextOps {
     "token_count" -> tokenCountSql,
     "text_langid" -> textLangidSql,
     "doc_fingerprint" -> docFingerprintSql,
+    "doc_winnow" -> docWinnowSql,
     "doc_containment" -> docContainmentSql,
     "corpus_stats" -> corpusStatsSql)
 }

@@ -291,4 +291,57 @@ class TextDedupSpec extends SparkSpec {
       assert(sigs() == Seq(107L, 110L))
     } finally query.stop()
   }
+
+  test("doc_winnow: local replay matches and the winnowing guarantees hold") {
+    val docs = graft.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[String]("text").replaceAll("\\s+", " ").trim.toLowerCase)
+    def gramHash(words: Array[String], p: Int): Long = {
+      val g = words.slice(p, p + 4).mkString(" ")
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(g.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(4).map("%02x".format(_)).mkString, 16)
+    }
+    // local winnow: per window the (h asc, p desc)-first gram
+    val localSel = docs.map { case (id, t) =>
+      val ws = t.split(" ")
+      val n = ws.length - 3
+      val sel = scala.collection.mutable.Set.empty[(Int, Long)]
+      if (n >= 1) {
+        val hs = Array.tabulate(n)(i => gramHash(ws, i))
+        val maxJ = math.max(1, n - 3)
+        for (j <- 1 to maxJ) {
+          val win = (j to math.min(j + 3, n)).map(p => (hs(p - 1), -p))
+          val (h, negp) = win.min
+          sel += ((-negp, h))
+        }
+      }
+      id -> sel.toSet
+    }.toMap
+    val rows = TextOps.docWinnow(spark, sf).collect()
+    assert(rows.length == docs.length)
+    val fpOf = docs.map { case (id, _) =>
+      id -> localSel(id).map(_._2) }.toMap
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      assert(r.getAs[Long]("n_fp") == localSel(id).size.toLong,
+        s"fingerprint count mismatch for doc $id")
+      val partners = docs.count { case (od, _) =>
+        od != id && fpOf(od).intersect(fpOf(id)).nonEmpty }
+      assert(r.getAs[Long]("n_partners") == partners.toLong)
+      // density: at most one selection per window, at least one per
+      // w consecutive windows (every window has a selected gram)
+      assert(r.getAs[Long]("n_fp") <=
+        math.max(1, r.getAs[Long]("n_grams") - 3).max(0))
+      if (r.getAs[Long]("n_grams") >= 1) assert(r.getAs[Long]("n_fp") >= 1)
+    }
+    // selection gap guarantee: consecutive selected positions differ by <= w
+    localSel.values.foreach { sel =>
+      val ps = sel.map(_._1).toSeq.sorted
+      ps.zip(ps.drop(1)).foreach { case (a, b) =>
+        assert(b - a <= 4, "a window with no selected gram exists")
+      }
+    }
+  }
 }
