@@ -286,6 +286,140 @@ object Similarity {
            round(cos_raw, 6) AS cos
     FROM scored WHERE rank <= $k ORDER BY probe_id, rank"""
 
+  // ---------------------------------------------------- filtered search
+
+  /** Labeled quantized corpus: [[qdf]] with the metadata filter column
+    * joined back in — the production analog is the same materialized
+    * projection carrying its filterable attributes.
+    */
+  private def qlf(s: SparkSession, dir: String): DataFrame =
+    qdf(s, dir)
+      .join(Tables.embeddings(s, dir).select("vec_id", "label"), "vec_id")
+
+  private val QlSql = s"""
+    ql AS (SELECT qn.vec_id, qn.q, qn.n2, e2.label
+           FROM qn JOIN (SELECT vec_id, label FROM embeddings) e2
+           USING (vec_id))"""
+
+  /** FILTERED vector search — the metadata-constrained top-k every vector
+    * store serves ("nearest neighbours WHERE label = X"): each probe ranks
+    * only candidates sharing its label. This is SINGLE-STAGE filtering —
+    * the predicate rides the candidate join itself, so selective filters
+    * SHRINK the work — rather than post-filtering an unconstrained top-k,
+    * which silently returns < k rows (or the wrong k) whenever the filter
+    * is selective. Exact baseline: broadcast probes (a filtered plan, no
+    * collect), label-equality join against the corpus scan.
+    */
+  def annTopkFiltered(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val qn = qlf(s, dir)
+    val probes = probesOf(qn).select(col("vec_id").as("probe_id"),
+      col("q").as("pq"), col("n2").as("pn2"), col("label").as("plabel"))
+    topkTail(qn.join(broadcast(probes),
+      col("plabel") === col("label") && col("probe_id") =!= col("vec_id")), k)
+  }
+
+  def annTopkFilteredSql(k: Int = 5): String = s"""
+    WITH $QuantSql,
+    $QlSql,
+    pairs AS (
+      SELECT x.vec_id AS probe_id, y.vec_id AS vec_id,
+             x.n2 AS na, y.n2 AS nb,
+        CAST(list_sum(list_transform(generate_series(1, len(x.q)),
+          i -> x.q[i] * y.q[i])) AS BIGINT) AS dot
+      FROM ql x JOIN ql y ON x.vec_id % 50 = 0 AND x.label = y.label
+        AND x.vec_id <> y.vec_id),
+    scored AS (
+      SELECT probe_id, vec_id, $PairCosSql AS cos_raw,
+        row_number() OVER (PARTITION BY probe_id
+          ORDER BY $PairCosSql DESC, vec_id) AS rank
+      FROM pairs)
+    SELECT probe_id, CAST(rank AS INT) AS rank, vec_id,
+           round(cos_raw, 6) AS cos
+    FROM scored WHERE rank <= $k ORDER BY probe_id, rank"""
+
+  /** Plane count of the FILTERED index path. Deliberately coarser than
+    * the unfiltered [[NumPlanes]]: the metadata predicate already prunes
+    * the candidate set ~|labels|-fold, so the geometric index must prune
+    * LESS or the bucket ∩ label intersection empties and recall collapses
+    * (measured here: at 8 planes over the 10-label corpus the
+    * intersection averages < 1 candidate and recall is 0) — the standard
+    * filtered-search re-parameterization every vector store applies.
+    */
+  private val FilteredPlanes = 4
+
+  /** The LSH index path under the same filter: candidates must share the
+    * probe's BUCKET and its LABEL (the filter composes with the index by
+    * AND-ing onto the candidate join — the index prunes by geometry, the
+    * predicate by metadata, in the same shuffle).
+    */
+  private def annLshFiltered(s: SparkSession, dir: String,
+                             k: Int = 5): DataFrame = {
+    val qb = qlf(s, dir).withColumn("bucket", bucketCol(FilteredPlanes))
+    val probes = probesOf(qb).select(col("vec_id").as("probe_id"),
+      col("q").as("pq"), col("n2").as("pn2"), col("bucket").as("pbucket"),
+      col("label").as("plabel"))
+    topkTail(
+      qb.join(broadcast(probes),
+        col("pbucket") === col("bucket") && col("plabel") === col("label") &&
+          col("probe_id") =!= col("vec_id")),
+      k)
+  }
+
+  private def annLshFilteredSql(k: Int = 5): String = s"""
+    WITH $QuantSql,
+    $QlSql,
+    ${projSql(FilteredPlanes)},
+    fbuckets AS (
+      SELECT vec_id,
+        sum(CASE WHEN proj >= 0 THEN 1 ELSE 0 END * (1 << h)) AS bucket
+      FROM proj GROUP BY vec_id),
+    fqb AS (SELECT ql.vec_id, q, n2, label, bucket
+            FROM ql JOIN fbuckets USING (vec_id)),
+    fpairs AS (
+      SELECT x.vec_id AS probe_id, y.vec_id AS vec_id,
+             x.n2 AS na, y.n2 AS nb,
+        CAST(list_sum(list_transform(generate_series(1, len(x.q)),
+          i -> x.q[i] * y.q[i])) AS BIGINT) AS dot
+      FROM fqb x JOIN fqb y ON x.bucket = y.bucket AND x.label = y.label
+        AND x.vec_id % 50 = 0 AND x.vec_id <> y.vec_id),
+    fscored AS (
+      SELECT probe_id, vec_id, $PairCosSql AS cos_raw,
+        row_number() OVER (PARTITION BY probe_id
+          ORDER BY $PairCosSql DESC, vec_id) AS rank
+      FROM fpairs)
+    SELECT probe_id, vec_id
+    FROM fscored WHERE rank <= $k"""
+
+  /** Recall@k audit of the filtered LSH path against the exact filtered
+    * baseline — same audit shape as the unfiltered families. The per-probe
+    * denominator is min(k, label population − 1), which the exact side
+    * emits naturally.
+    */
+  def annFilteredRecall(s: SparkSession, dir: String,
+                        k: Int = 5): DataFrame = {
+    val exact = annTopkFiltered(s, dir, k).select(col("probe_id"), col("vec_id"))
+    val approx = annLshFiltered(s, dir, k)
+      .select(col("probe_id").as("p2"), col("vec_id").as("v2"))
+    exact.join(approx,
+        col("probe_id") === col("p2") && col("vec_id") === col("v2"), "left")
+      .groupBy(col("probe_id"))
+      .agg(count(col("v2")).as("hits"), count(lit(1)).as("k"))
+      .select(col("probe_id"), col("hits"), col("k"),
+        round(col("hits").cast("double") / col("k").cast("double"), 6)
+          .as("recall"))
+      .orderBy("probe_id")
+  }
+
+  def annFilteredRecallSql(k: Int = 5): String = s"""
+    WITH fex AS (${annTopkFilteredSql(k)}),
+    fap AS (${annLshFilteredSql(k)})
+    SELECT fex.probe_id, count(fap.vec_id) AS hits, count(*) AS k,
+      round(CAST(count(fap.vec_id) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+        AS recall
+    FROM fex LEFT JOIN fap
+      ON fex.probe_id = fap.probe_id AND fex.vec_id = fap.vec_id
+    GROUP BY fex.probe_id ORDER BY fex.probe_id"""
+
   // ------------------------------------------------------- range search
 
   /** Cosine threshold for the range query. */
@@ -1361,6 +1495,8 @@ object Similarity {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_embedding" -> (dedupEmbedding(_, _)),
     "ann_topk" -> (annTopk(_, _)),
+    "ann_topk_filtered" -> (annTopkFiltered(_, _)),
+    "ann_filtered_recall" -> (annFilteredRecall(_, _)),
     "ann_recall" -> (annRecall(_, _)),
     "ivf_recall" -> (ivfRecall(_, _)),
     "pq_recall" -> (pqRecall(_, _)),
@@ -1382,6 +1518,8 @@ object Similarity {
   val oracles: Map[String, String] = Map(
     "dedup_embedding" -> dedupEmbeddingSql,
     "ann_topk" -> annTopkSql(),
+    "ann_topk_filtered" -> annTopkFilteredSql(),
+    "ann_filtered_recall" -> annFilteredRecallSql(),
     "ann_recall" -> annRecallSql(),
     "ivf_recall" -> ivfRecallSql,
     "pq_recall" -> pqRecallSql,

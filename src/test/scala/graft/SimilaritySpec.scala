@@ -180,4 +180,46 @@ class SimilaritySpec extends SparkSpec {
     // only bucket-singletons may be absent
     assert(rows.map(_.getAs[Long]("src")).distinct.length > 400)
   }
+
+  test("ann_topk_filtered: every result shares the probe's label and " +
+    "single-stage filtering beats post-filtering the unfiltered top-k") {
+    import org.apache.spark.sql.functions.col
+    val labels = Tables.embeddings(spark, sf)
+      .select("vec_id", "label").collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("label")).toMap
+    val rows = Similarity.annTopkFiltered(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(labels(r.getAs[Long]("probe_id")) ==
+        labels(r.getAs[Long]("vec_id")), "filter violated")
+      assert(r.getAs[Long]("probe_id") != r.getAs[Long]("vec_id"))
+    }
+    // every probe gets its full k (label populations exceed k here)
+    val perProbe = rows.groupBy(_.getAs[Long]("probe_id"))
+    perProbe.values.foreach(g => assert(g.length == 5))
+    // post-filtering the UNFILTERED top-k returns fewer matches: the
+    // unfiltered list keeps wrong-label candidates, so its label-matching
+    // subset is strictly smaller than k for at least one probe
+    val unf = Similarity.annTopk(spark, sf).collect()
+    val postFiltered = unf.filter(r => labels(r.getAs[Long]("probe_id")) ==
+      labels(r.getAs[Long]("vec_id")))
+    val short = postFiltered.groupBy(_.getAs[Long]("probe_id"))
+      .exists(_._2.length < 5)
+    assert(short || perProbe.keySet.exists(p =>
+      !postFiltered.exists(_.getAs[Long]("probe_id") == p)),
+      "post-filtering should come up short somewhere on a 10-label corpus")
+  }
+
+  test("ann_filtered_recall: bracket [0,1], k-consistent, and the " +
+    "filtered index finds at least some exact hits") {
+    val rows = Similarity.annFilteredRecall(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (h, k) = (r.getAs[Long]("hits"), r.getAs[Long]("k"))
+      assert(h >= 0 && h <= k)
+      assert(r.getAs[Double]("recall") ==
+        math.rint(h.toDouble / k * 1e6) / 1e6)
+    }
+    assert(rows.map(_.getAs[Long]("hits")).sum > 0)
+  }
 }
