@@ -297,8 +297,13 @@ object TextOps {
         s"least(p, greatest(1, n - ${WinW - 1})))")).as("j"))
     val rn = row_number().over(
       Window.partitionBy("doc_id", "j").orderBy(col("h").asc, col("p").desc))
-    val sel = wins.withColumn("rn", rn).filter(col("rn") === 1)
-      .select("doc_id", "p", "h").distinct()
+    // memoized: the selection feeds three plan branches (census + both
+    // sides of the partner join) and Spark re-evaluates uncached subtrees
+    // per branch — measured as 3 full gram/window recomputes in .explain
+    val sel = graft.Memo.cached(s, "winnow_sel", dir) {
+      wins.withColumn("rn", rn).filter(col("rn") === 1)
+        .select("doc_id", "p", "h").distinct()
+    }
     val fp = sel.groupBy("doc_id").agg(count(lit(1)).as("n_fp"))
     val sh2 = sel.select("doc_id", "h").distinct()
     val partners = sh2.alias("a")
