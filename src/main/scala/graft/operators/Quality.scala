@@ -165,36 +165,75 @@ object Quality {
       .orderBy("cname")
   }
 
-  val tableProfileSql: String = {
-    def strOf(x: String, kind: String) = kind match {
-      case "dec" => s"CAST(CAST($x AS DECIMAL(18,2)) AS VARCHAR)"
-      case _     => s"CAST($x AS VARCHAR)"
-    }
+  private def sqlStrOf(x: String, kind: String) = kind match {
+    case "dec" => s"CAST(CAST($x AS DECIMAL(18,2)) AS VARCHAR)"
+    case _     => s"CAST($x AS VARCHAR)"
+  }
+
+  /** The one-pass wide-aggregate CTE + its unpivot, shared by the batch
+    * profile oracle and the streaming maintainer's oracle.
+    */
+  private val ProfStatsSql: String = {
     val w = ProfCols.flatMap { case (c, k) =>
       Seq(s"count($c) AS nn_$c",
-        s"${strOf(s"min($c)", k)} AS mn_$c",
-        s"${strOf(s"max($c)", k)} AS mx_$c")
+        s"${sqlStrOf(s"min($c)", k)} AS mn_$c",
+        s"${sqlStrOf(s"max($c)", k)} AS mx_$c")
     }.mkString(",\n      ")
     val st = ProfCols.map { case (c, _) =>
       s"SELECT '$c' AS cname, nn_$c AS n_nonnull, mn_$c AS min_s, " +
         s"mx_$c AS max_s, n_rows FROM w"
     }.mkString("\n      UNION ALL ")
-    val nd = ProfCols.map { case (c, k) =>
-      s"SELECT '$c' AS cname, " +
-        s"count(DISTINCT ${strOf(c, k)}) AS n_distinct FROM lineitem"
-    }.mkString("\n      UNION ALL ")
-    s"""
-    WITH w AS (
+    s"""w AS (
       SELECT count(*) AS n_rows,
       $w
       FROM lineitem),
     st AS (
-      $st),
+      $st)"""
+  }
+
+  val tableProfileSql: String = {
+    val nd = ProfCols.map { case (c, k) =>
+      s"SELECT '$c' AS cname, " +
+        s"count(DISTINCT ${sqlStrOf(c, k)}) AS n_distinct FROM lineitem"
+    }.mkString("\n      UNION ALL ")
+    s"""
+    WITH $ProfStatsSql,
     nd AS (
       $nd)
     SELECT cname, n_rows, n_nonnull, n_distinct, min_s, max_s
     FROM st JOIN nd USING (cname)
     ORDER BY cname"""
+  }
+
+  /** Oracle of the STREAMING profile maintainer: the monotone/additive
+    * half of the profile (no distinct counts — those are the sketch
+    * maintainers' job).
+    */
+  val profileStatsSql: String = s"""
+    WITH $ProfStatsSql
+    SELECT cname, n_nonnull, min_s, max_s FROM st ORDER BY cname"""
+
+  /** The per-row observations the streaming profile maintainer folds: one
+    * (cname, kind, num, str) row per (row, profiled column); numeric
+    * kinds carry the comparable double (exact for these magnitudes),
+    * string/timestamp kinds the canonical string (whose lexicographic
+    * order matches the typed order for both).
+    */
+  def profileObs(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val branches = ProfCols.map { case (c, k) =>
+      val num = k match {
+        case "int" | "dec" => col(c).cast("double")
+        case _             => lit(null).cast("double")
+      }
+      val str = k match {
+        case "dec" => col(c).cast("decimal(18,2)").cast("string")
+        case _     => col(c).cast("string")
+      }
+      struct(lit(c).as("cname"), lit(k).as("kind"),
+        num.as("num"), str.as("str"))
+    }
+    li.select(explode(array(branches: _*)).as("o")).select("o.*")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

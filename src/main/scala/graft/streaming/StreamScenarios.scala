@@ -271,6 +271,29 @@ object StreamScenarios {
     graft.operators.Sketch.hhReport(s, dir, kept, dmax)
   }
 
+  /** Batch-mode run of the streaming profile maintainer: per-column
+    * non-null counts and typed min/max from the maintained state,
+    * stringified by the SAME casts as the batch profile (numeric kinds
+    * from the numeric fold — never the lexicographic string fold) and
+    * gated against the monotone/additive half of `table_profile`'s
+    * oracle. Cross-batch fold evolution and min/max replay-idempotence
+    * are spec-driven.
+    */
+  def streamProfileMaintain(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val st = StreamProfile.states(
+      graft.operators.Quality.profileObs(s, dir).as[ProfObs]).toDF()
+    def sOf(num: String, str: String) =
+      when(col("kind") === "int", col(num).cast("bigint").cast("string"))
+        .when(col("kind") === "dec",
+          col(num).cast("decimal(18,2)").cast("string"))
+        .otherwise(col(str))
+    st.select(col("cname"), col("n_nonnull"),
+        sOf("min_num", "min_str").as("min_s"),
+        sOf("max_num", "max_str").as("max_s"))
+      .orderBy("cname")
+  }
+
   /** Batch-mode run of the streaming MinHash signature maintainer over
     * the corpus's per-shingle hash observations — (doc_id, m1..m16) from
     * the maintained minima, gated against the batch signature frame's
@@ -362,6 +385,7 @@ object StreamScenarios {
     "stream_topk_space" -> (streamTopkSpaceMaintain _),
     "stream_cms_maintain" -> (streamCmsMaintain _),
     "stream_minhash_maintain" -> (streamMinhashMaintain _),
+    "stream_profile_maintain" -> (streamProfileMaintain _),
     "stream_ivf_maintain" -> (streamIvfMaintain _))
 
   val oracles: Map[String, String] = Map(
@@ -369,6 +393,7 @@ object StreamScenarios {
     "stream_topk_space" -> graft.operators.Sketch.topkSketchSql,
     "stream_cms_maintain" -> graft.operators.Sketch.cmsSketchSql,
     "stream_minhash_maintain" -> graft.operators.Dedup.minhashSigsSql,
+    "stream_profile_maintain" -> graft.operators.Quality.profileStatsSql,
     "stream_ivf_maintain" ->
       graft.operators.Similarity.streamIvfCensusSql,
     "stream_hll_maintain" -> graft.operators.Sketch.hllRegistersSql,

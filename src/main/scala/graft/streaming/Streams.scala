@@ -818,3 +818,58 @@ object StreamMinhash {
       }
   }
 }
+
+/** One profiled-column observation: the column name, its comparison kind
+  * (`int`/`dec` compare on `num`, `str`/`ts` on `str`), and the value in
+  * both forms — produced upstream by the same casts as the batch profile
+  * ([[graft.operators.Quality.profileObs]]).
+  */
+case class ProfObs(cname: String, kind: String, num: Option[Double],
+                   str: Option[String])
+
+/** One maintained per-column profile: non-null count and the running
+  * min/max in both comparison forms.
+  */
+case class ProfState(cname: String, kind: String, n_nonnull: Long,
+                     min_num: Option[Double], max_num: Option[Double],
+                     min_str: Option[String], max_str: Option[String])
+
+/** Streaming maintenance of the monotone/additive half of the table
+  * profile ([[graft.operators.Quality.tableProfile]]): per column,
+  * non-null count and typed min/max kept current as rows stream in — the
+  * catalog statistics a 100-TB optimizer consults staying fresh under
+  * CDC instead of being recollected by full ANALYZE scans. min/max folds
+  * are idempotent (replay-safe); the count is not (effectively-once
+  * input assumed, like the other counting maintainers). Distinct counts
+  * are deliberately absent — that is exactly what the mergeable sketch
+  * maintainers (HLL/KMV) are for. State is O(1) per column.
+  */
+object StreamProfile {
+
+  def states(obs: Dataset[ProfObs]): Dataset[ProfState] = {
+    import obs.sparkSession.implicits._
+    obs
+      .groupByKey(o => (o.cname, o.kind))
+      .flatMapGroupsWithState[ProfState, ProfState](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        case ((cname, kind), rows, state) =>
+          var st = state.getOption.getOrElse(
+            ProfState(cname, kind, 0L, None, None, None, None))
+          rows.foreach { o =>
+            if (o.str.nonEmpty) {
+              val mn = (st.min_num.toSeq ++ o.num.toSeq)
+                .reduceOption((a: Double, b: Double) => math.min(a, b))
+              val mx = (st.max_num.toSeq ++ o.num.toSeq)
+                .reduceOption((a: Double, b: Double) => math.max(a, b))
+              val ms = (st.min_str.toSeq ++ o.str.toSeq)
+                .reduceOption((a, b) => if (a <= b) a else b)
+              val xs = (st.max_str.toSeq ++ o.str.toSeq)
+                .reduceOption((a, b) => if (a >= b) a else b)
+              st = ProfState(cname, kind, st.n_nonnull + 1, mn, mx, ms, xs)
+            }
+          }
+          state.update(st)
+          Iterator(st)
+      }
+  }
+}

@@ -499,4 +499,46 @@ class StreamingSpec extends SparkSpec {
         Seq((1, "a", 3L), (2, "b", 2L), (3, "c", 1L)))
     } finally query.stop()
   }
+
+  test("streaming profile: min/max fold across batches, replay leaves " +
+    "extremes unchanged") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.{ProfObs, StreamProfile}
+    val input = MemoryStream[ProfObs]
+    val query = StreamProfile.states(input.toDS())
+      .writeStream.format("memory").queryName("prof_state")
+      .outputMode(OutputMode.Update).start()
+    try {
+      input.addData(
+        ProfObs("price", "dec", Some(3.5), Some("3.50")),
+        ProfObs("price", "dec", Some(1.25), Some("1.25")),
+        ProfObs("flag", "str", None, Some("N")))
+      query.processAllAvailable()
+      input.addData(
+        ProfObs("price", "dec", Some(9.0), Some("9.00")),
+        ProfObs("flag", "str", None, Some("A")),
+        ProfObs("flag", "str", None, None)) // null: not counted, no fold
+      query.processAllAvailable()
+      val rows = spark.table("prof_state").collect()
+      def last(c: String) = rows.filter(_.getAs[String]("cname") == c)
+        .maxBy(_.getAs[Long]("n_nonnull"))
+      val price = last("price")
+      assert(price.getAs[Long]("n_nonnull") == 3L)
+      assert(price.getAs[Double]("min_num") == 1.25)
+      assert(price.getAs[Double]("max_num") == 9.0)
+      val flag = last("flag")
+      assert(flag.getAs[Long]("n_nonnull") == 2L)
+      assert(flag.getAs[String]("min_str") == "A")
+      assert(flag.getAs[String]("max_str") == "N")
+      // replaying an already-seen extreme changes no min/max
+      input.addData(ProfObs("price", "dec", Some(9.0), Some("9.00")))
+      query.processAllAvailable()
+      val p2 = spark.table("prof_state").collect()
+        .filter(_.getAs[String]("cname") == "price")
+        .maxBy(_.getAs[Long]("n_nonnull"))
+      assert(p2.getAs[Double]("min_num") == 1.25 &&
+        p2.getAs[Double]("max_num") == 9.0)
+    } finally query.stop()
+  }
 }
