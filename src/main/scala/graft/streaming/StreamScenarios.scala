@@ -271,6 +271,28 @@ object StreamScenarios {
     graft.operators.Sketch.hhReport(s, dir, kept, dmax)
   }
 
+  /** Batch-mode run of the streaming as-of join over the SAME stacked
+    * scenario as the batch gate (events as lefts, per-(customer, day)
+    * max-orderkey rows as rights) — gated against the identical DuckDB
+    * ASOF LEFT JOIN oracle. Cross-batch carry and the no-look-ahead rule
+    * are spec-driven.
+    */
+  def streamAsofMaintain(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.events(s, dir).select(col("user_id"),
+      date_trunc("second", col("ts")).as("t"), lit(1).as("side"),
+      col("event_id"), lit(null).cast("bigint").as("payload"))
+    val r = Tables.orders(s, dir)
+      .groupBy(col("o_custkey").as("user_id"), col("o_orderdate").as("t"))
+      .agg(max("o_orderkey").as("payload"))
+      .select(col("user_id"), col("t"), lit(0).as("side"),
+        lit(null).cast("bigint").as("event_id"), col("payload"))
+    StreamAsof.joined(e.unionByName(r).as[AsofObs]).toDF()
+      .select(col("event_id"), col("user_id"), col("tss"),
+        col("asof_orderkey"))
+      .orderBy("event_id")
+  }
+
   /** Batch-mode run of the streaming profile maintainer: per-column
     * non-null counts and typed min/max from the maintained state,
     * stringified by the SAME casts as the batch profile (numeric kinds
@@ -386,6 +408,7 @@ object StreamScenarios {
     "stream_cms_maintain" -> (streamCmsMaintain _),
     "stream_minhash_maintain" -> (streamMinhashMaintain _),
     "stream_profile_maintain" -> (streamProfileMaintain _),
+    "stream_asof" -> (streamAsofMaintain _),
     "stream_ivf_maintain" -> (streamIvfMaintain _))
 
   val oracles: Map[String, String] = Map(
@@ -394,6 +417,7 @@ object StreamScenarios {
     "stream_cms_maintain" -> graft.operators.Sketch.cmsSketchSql,
     "stream_minhash_maintain" -> graft.operators.Dedup.minhashSigsSql,
     "stream_profile_maintain" -> graft.operators.Quality.profileStatsSql,
+    "stream_asof" -> graft.operators.AsOf.asofJoinSql,
     "stream_ivf_maintain" ->
       graft.operators.Similarity.streamIvfCensusSql,
     "stream_hll_maintain" -> graft.operators.Sketch.hllRegistersSql,

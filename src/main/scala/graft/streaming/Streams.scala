@@ -873,3 +873,60 @@ object StreamProfile {
       }
   }
 }
+
+/** One merged as-of observation: left (side 1, an event carrying its id)
+  * or right (side 0, a payload row) — stacked upstream exactly like the
+  * batch union-window recipe ([[graft.operators.AsOf.asofJoin]]).
+  */
+case class AsofObs(user_id: Long, t: java.sql.Timestamp, side: Int,
+                   event_id: Option[Long], payload: Option[Long])
+
+/** Per-key as-of state: the newest right row seen (epoch millis + its
+  * payload — which may be legitimately null, hence the nested Option).
+  */
+case class AsofCarry(t: Long, payload: Option[Long])
+
+/** One joined output row, schema-identical to the batch as-of gate. */
+case class AsofOut(event_id: Long, user_id: Long,
+                   tss: java.sql.Timestamp, asof_orderkey: Option[Long])
+
+/** Streaming as-of (point-in-time) join — the feature-store serve path:
+  * per key, the newest right row at-or-before each arriving left row. A
+  * single batch over bounded input sorts each key's rows by (t, side)
+  * with rights first at equal times and replays the exact batch as-of
+  * semantics (the shared DuckDB ASOF JOIN oracle checks this). Across
+  * micro-batches the state is ONE (t, payload) per key — the newest
+  * right — so the join is exact whenever rows arrive time-ordered per
+  * key (the post-watermark discipline); a left older than the carried
+  * right emits NULL rather than a future payload (no look-ahead
+  * leakage), which is the standard serve-time approximation — exact
+  * late-left replay would require buffering right history, which is the
+  * batch operator's job.
+  */
+object StreamAsof {
+
+  def joined(obs: Dataset[AsofObs]): Dataset[AsofOut] = {
+    import obs.sparkSession.implicits._
+    obs
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[AsofCarry, AsofOut](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (key: Long, rows: Iterator[AsofObs], state: GroupState[AsofCarry]) =>
+          val sorted = rows.toSeq
+            .sortBy(o => (o.t.getTime, o.side, o.event_id.getOrElse(0L)))
+          var carry = state.getOption
+          val out = Seq.newBuilder[AsofOut]
+          sorted.foreach { o =>
+            if (o.side == 0) {
+              if (carry.forall(_.t <= o.t.getTime))
+                carry = Some(AsofCarry(o.t.getTime, o.payload))
+            } else {
+              val c = carry.filter(_.t <= o.t.getTime)
+              out += AsofOut(o.event_id.get, key, o.t, c.flatMap(_.payload))
+            }
+          }
+          carry.foreach(state.update)
+          out.result().iterator
+      }
+  }
+}

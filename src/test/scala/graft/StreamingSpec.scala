@@ -541,4 +541,48 @@ class StreamingSpec extends SparkSpec {
         p2.getAs[Double]("max_num") == 9.0)
     } finally query.stop()
   }
+
+  test("streaming as-of: carry evolves across batches, no look-ahead") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.{AsofObs, StreamAsof}
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000)
+    val input = MemoryStream[AsofObs]
+    val query = StreamAsof.joined(input.toDS())
+      .writeStream.format("memory").queryName("asof_out")
+      .outputMode(OutputMode.Update).start()
+    try {
+      // batch 1: left before any right -> null; right(10)@t3; left@t4 -> 10
+      input.addData(
+        AsofObs(7, ts(1), 1, Some(100), None),
+        AsofObs(7, ts(3), 0, None, Some(10L)),
+        AsofObs(7, ts(4), 1, Some(101), None))
+      query.processAllAvailable()
+      // batch 2: carry persists; newer right supersedes within its batch;
+      // a left at the right's own time sees it (inclusive semantics)
+      input.addData(
+        AsofObs(7, ts(5), 1, Some(102), None),
+        AsofObs(7, ts(6), 0, None, Some(20L)),
+        AsofObs(7, ts(6), 1, Some(103), None))
+      query.processAllAvailable()
+      val got = spark.table("asof_out").collect()
+        .map(r => r.getAs[Long]("event_id") ->
+          Option(r.getAs[Any]("asof_orderkey"))).toMap
+      assert(got(100L).isEmpty, "left before any right must get null")
+      assert(got(101L).contains(10L))
+      assert(got(102L).contains(10L), "carry must survive the batch gap")
+      assert(got(103L).contains(20L), "right sorts before left at equal t")
+    } finally query.stop()
+  }
+
+  test("streaming as-of in batch mode equals the batch as-of gate") {
+    val a = streaming.StreamScenarios.streamAsofMaintain(spark, sf).collect()
+    val b = operators.AsOf.asofJoinQuery(spark, sf).collect()
+    assert(a.length == b.length)
+    a.zip(b).foreach { case (x, y) =>
+      assert(x.getAs[Long]("event_id") == y.getAs[Long]("event_id"))
+      assert(Option(x.getAs[Any]("asof_orderkey")) ==
+        Option(y.getAs[Any]("asof_orderkey")), s"mismatch at $x vs $y")
+    }
+  }
 }
