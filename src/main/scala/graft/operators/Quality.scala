@@ -213,11 +213,20 @@ object Quality {
     WITH $ProfStatsSql
     SELECT cname, n_nonnull, min_s, max_s FROM st ORDER BY cname"""
 
+  /** Shard count of the streaming profile state: min/max/count are
+    * algebraic, so each column's state splits across shards that fold in
+    * parallel and MERGE at read time — without this every row of the
+    * table would funnel through one state partition per column (11 keys
+    * total — measured as the slowest query in the whole bench before
+    * sharding).
+    */
+  val ProfShards = 32
+
   /** The per-row observations the streaming profile maintainer folds: one
-    * (cname, kind, num, str) row per (row, profiled column); numeric
-    * kinds carry the comparable double (exact for these magnitudes),
-    * string/timestamp kinds the canonical string (whose lexicographic
-    * order matches the typed order for both).
+    * (shard, cname, kind, num, str) row per (row, profiled column);
+    * numeric kinds carry the comparable double (exact for these
+    * magnitudes), string/timestamp kinds the canonical string (whose
+    * lexicographic order matches the typed order for both).
     */
   def profileObs(s: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(s, dir)
@@ -233,7 +242,10 @@ object Quality {
       struct(lit(c).as("cname"), lit(k).as("kind"),
         num.as("num"), str.as("str"))
     }
-    li.select(explode(array(branches: _*)).as("o")).select("o.*")
+    li.select((col("l_orderkey") % ProfShards).as("shard"),
+        explode(array(branches: _*)).as("o"))
+      .select(col("shard"), col("o.cname"), col("o.kind"),
+        col("o.num"), col("o.str"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

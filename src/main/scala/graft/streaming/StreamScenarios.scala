@@ -305,12 +305,17 @@ object StreamScenarios {
     import s.implicits._
     val st = StreamProfile.states(
       graft.operators.Quality.profileObs(s, dir).as[ProfObs]).toDF()
+    // read-time merge of the per-shard states: counts add, extremes fold
+    val merged = st.groupBy(col("cname"), col("kind"))
+      .agg(sum(col("n_nonnull")).as("n_nonnull"),
+        min(col("min_num")).as("min_num"), max(col("max_num")).as("max_num"),
+        min(col("min_str")).as("min_str"), max(col("max_str")).as("max_str"))
     def sOf(num: String, str: String) =
       when(col("kind") === "int", col(num).cast("bigint").cast("string"))
         .when(col("kind") === "dec",
           col(num).cast("decimal(18,2)").cast("string"))
         .otherwise(col(str))
-    st.select(col("cname"), col("n_nonnull"),
+    merged.select(col("cname"), col("n_nonnull"),
         sOf("min_num", "min_str").as("min_s"),
         sOf("max_num", "max_str").as("max_s"))
       .orderBy("cname")

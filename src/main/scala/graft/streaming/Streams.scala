@@ -824,13 +824,14 @@ object StreamMinhash {
   * both forms — produced upstream by the same casts as the batch profile
   * ([[graft.operators.Quality.profileObs]]).
   */
-case class ProfObs(cname: String, kind: String, num: Option[Double],
-                   str: Option[String])
+case class ProfObs(shard: Long, cname: String, kind: String,
+                   num: Option[Double], str: Option[String])
 
 /** One maintained per-column profile: non-null count and the running
   * min/max in both comparison forms.
   */
-case class ProfState(cname: String, kind: String, n_nonnull: Long,
+case class ProfState(shard: Long, cname: String, kind: String,
+                     n_nonnull: Long,
                      min_num: Option[Double], max_num: Option[Double],
                      min_str: Option[String], max_str: Option[String])
 
@@ -842,19 +843,22 @@ case class ProfState(cname: String, kind: String, n_nonnull: Long,
   * are idempotent (replay-safe); the count is not (effectively-once
   * input assumed, like the other counting maintainers). Distinct counts
   * are deliberately absent — that is exactly what the mergeable sketch
-  * maintainers (HLL/KMV) are for. State is O(1) per column.
+  * maintainers (HLL/KMV) are for. State is O(1) per (column, shard) —
+  * [[graft.operators.Quality.ProfShards]] shards per column fold in
+  * parallel and merge at read time, so a table's rows never funnel
+  * through one state partition per column.
   */
 object StreamProfile {
 
   def states(obs: Dataset[ProfObs]): Dataset[ProfState] = {
     import obs.sparkSession.implicits._
     obs
-      .groupByKey(o => (o.cname, o.kind))
+      .groupByKey(o => (o.shard, o.cname, o.kind))
       .flatMapGroupsWithState[ProfState, ProfState](
         OutputMode.Update, GroupStateTimeout.NoTimeout) {
-        case ((cname, kind), rows, state) =>
+        case ((shard, cname, kind), rows, state) =>
           var st = state.getOption.getOrElse(
-            ProfState(cname, kind, 0L, None, None, None, None))
+            ProfState(shard, cname, kind, 0L, None, None, None, None))
           rows.foreach { o =>
             if (o.str.nonEmpty) {
               val mn = (st.min_num.toSeq ++ o.num.toSeq)
@@ -865,7 +869,8 @@ object StreamProfile {
                 .reduceOption((a, b) => if (a <= b) a else b)
               val xs = (st.max_str.toSeq ++ o.str.toSeq)
                 .reduceOption((a, b) => if (a >= b) a else b)
-              st = ProfState(cname, kind, st.n_nonnull + 1, mn, mx, ms, xs)
+              st = ProfState(shard, cname, kind, st.n_nonnull + 1,
+                mn, mx, ms, xs)
             }
           }
           state.update(st)

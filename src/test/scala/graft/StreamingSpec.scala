@@ -511,14 +511,14 @@ class StreamingSpec extends SparkSpec {
       .outputMode(OutputMode.Update).start()
     try {
       input.addData(
-        ProfObs("price", "dec", Some(3.5), Some("3.50")),
-        ProfObs("price", "dec", Some(1.25), Some("1.25")),
-        ProfObs("flag", "str", None, Some("N")))
+        ProfObs(0, "price", "dec", Some(3.5), Some("3.50")),
+        ProfObs(0, "price", "dec", Some(1.25), Some("1.25")),
+        ProfObs(0, "flag", "str", None, Some("N")))
       query.processAllAvailable()
       input.addData(
-        ProfObs("price", "dec", Some(9.0), Some("9.00")),
-        ProfObs("flag", "str", None, Some("A")),
-        ProfObs("flag", "str", None, None)) // null: not counted, no fold
+        ProfObs(0, "price", "dec", Some(9.0), Some("9.00")),
+        ProfObs(0, "flag", "str", None, Some("A")),
+        ProfObs(0, "flag", "str", None, None)) // null: not counted, no fold
       query.processAllAvailable()
       val rows = spark.table("prof_state").collect()
       def last(c: String) = rows.filter(_.getAs[String]("cname") == c)
@@ -532,7 +532,7 @@ class StreamingSpec extends SparkSpec {
       assert(flag.getAs[String]("min_str") == "A")
       assert(flag.getAs[String]("max_str") == "N")
       // replaying an already-seen extreme changes no min/max
-      input.addData(ProfObs("price", "dec", Some(9.0), Some("9.00")))
+      input.addData(ProfObs(0, "price", "dec", Some(9.0), Some("9.00")))
       query.processAllAvailable()
       val p2 = spark.table("prof_state").collect()
         .filter(_.getAs[String]("cname") == "price")
