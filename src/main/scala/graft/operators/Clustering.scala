@@ -1184,18 +1184,19 @@ object Clustering {
     * eagerly materialized per round (the lazy-subtree lesson,
     * [[SuffixArray]]).
     */
-  def embedPcaPower(s: SparkSession, dir: String): DataFrame = {
-    GraftFunctions.register(s)
-    val e = Tables.embeddings(s, dir)
-      .select(col("vec_id"), expr(PcaQExpr).as("q"))
+  /** One power-iteration run over an integer embedding frame `(vec_id,
+    * q)`: [[PcaRounds]] rounds of matvec + bit-budget downscale, returning
+    * the one-row converged-direction frame. Shared by the top-direction
+    * gate, the deflated second-direction gate and the two-level-scaling
+    * variant (which swaps the round body via `round`).
+    */
+  private def pcaPowerLoop(e: DataFrame)(
+      round: (DataFrame, DataFrame) => DataFrame): DataFrame = {
     var v = e.orderBy("vec_id").limit(1)
       .select(expr("transform(q, x -> cast(1 as bigint))").as("v"))
       .localCheckpoint(true)
     for (_ <- 1 to PcaRounds) {
-      val t = e.crossJoin(broadcast(v))
-        .select(col("vec_id"), col("q"), expr("q_dot(q, v)").as("t"))
-      val a = t.select(col("t"), posexplode(col("q")).as(Seq("i", "qi")))
-        .groupBy(col("i")).agg(sum(col("qi") * col("t")).as("w"))
+      val a = round(e, v)
       v = a.groupBy()
         .agg(transform(array_sort(collect_list(struct(col("i"), col("w")))),
           x => x.getField("w")).as("w"))
@@ -1207,59 +1208,266 @@ object Clustering {
           .as("v"))
         .localCheckpoint(true)
     }
-    val sg = v.select(posexplode(col("v")).as(Seq("i", "vi")))
+    v
+  }
+
+  /** The single-level matvec round: w_i = Σ q_i·⟨q, v⟩ as one corpus pass
+    * + one dim-keyed shuffle with map-side combine.
+    */
+  private def pcaRoundSingle(e: DataFrame, v: DataFrame): DataFrame =
+    e.crossJoin(broadcast(v))
+      .select(col("vec_id"), col("q"), expr("q_dot(q, v)").as("t"))
+      .select(col("t"), posexplode(col("q")).as(Seq("i", "qi")))
+      .groupBy(col("i")).agg(sum(col("qi") * col("t")).as("w"))
+
+  /** Sign canonicalization: +1 if the largest-magnitude component of the
+    * converged direction is positive (first index on ties), else −1.
+    */
+  private def pcaSign(v: DataFrame): DataFrame =
+    v.select(posexplode(col("v")).as(Seq("i", "vi")))
       .orderBy(abs(col("vi")).desc, col("i")).limit(1)
       .select(when(col("vi") < 0, -1L).otherwise(1L).as("g"))
+
+  def embedPcaPower(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), expr(PcaQExpr).as("q"))
+    val v = pcaPowerLoop(e)(pcaRoundSingle)
+    val sg = pcaSign(v)
     e.crossJoin(broadcast(v)).crossJoin(broadcast(sg))
       .select(col("vec_id"), (col("g") * expr("q_dot(q, v)")).as("proj"))
       .orderBy("vec_id")
   }
 
-  val embedPcaPowerSql: String = {
-    val rounds = (1 to PcaRounds).map { r =>
-      val pv = if (r == 1) "v0" else s"v${r - 1}"
-      s"""
-    t$r AS (
-      SELECT vec_id, q,
-        CAST(list_sum(list_transform(generate_series(1, len(q)),
-          i -> q[i] * v[i])) AS BIGINT) AS t
-      FROM pe, $pv),
-    a$r AS (
+  /** The unrolled-CTE oracle chain of one power-iteration run reading the
+    * source CTE `src`: round CTEs named `<x>t/a/w/p/v<r>` off the initial
+    * direction `<x>v0` (which the caller supplies), one of the two round
+    * bodies (single-level or two-level partial-sum scaling).
+    */
+  private def pcaRoundsSql(src: String, x: String,
+                           twoLevel: Boolean): String =
+    (1 to PcaRounds).map { r =>
+      val pv = if (r == 1) s"${x}v0" else s"${x}v${r - 1}"
+      val body = if (!twoLevel) s"""
+    ${x}a$r AS (
       SELECT i, CAST(sum(qi * t) AS BIGINT) AS w
       FROM (SELECT t, unnest(q) AS qi,
               unnest(generate_series(1, len(q))) AS i
-            FROM t$r)
-      GROUP BY i),
-    w$r AS MATERIALIZED (SELECT list(w ORDER BY i) AS w FROM a$r),
-    p$r AS (
+            FROM ${x}t$r)
+      GROUP BY i)"""
+      else s"""
+    ${x}s$r AS (
+      SELECT i, sh, CAST(sum(qi * t) AS BIGINT) AS ws
+      FROM (SELECT t, vec_id % $PcaShards AS sh, unnest(q) AS qi,
+              unnest(generate_series(1, len(q))) AS i
+            FROM ${x}t$r)
+      GROUP BY i, sh),
+    ${x}pp$r AS (
+      SELECT CAST(power(2, greatest(0,
+        length(bin(max(abs(ws)))) - $PcaPartBits)) AS BIGINT) AS pp
+      FROM ${x}s$r),
+    ${x}a$r AS (
+      SELECT i, CAST(sum(
+          CAST((ws - ((ws % pp + pp) % pp)) / pp AS BIGINT)) AS BIGINT) AS w
+      FROM ${x}s$r, ${x}pp$r
+      GROUP BY i)"""
+      s"""
+    ${x}t$r AS (
+      SELECT vec_id, q,
+        CAST(list_sum(list_transform(generate_series(1, len(q)),
+          i -> q[i] * v[i])) AS BIGINT) AS t
+      FROM $src, $pv),$body,
+    ${x}w$r AS MATERIALIZED (SELECT list(w ORDER BY i) AS w FROM ${x}a$r),
+    ${x}p$r AS (
       SELECT CAST(power(2, greatest(0,
         length(bin(list_max(list_transform(w, x -> abs(x))))) - $PcaVBits))
         AS BIGINT) AS p
-      FROM w$r),
-    v$r AS MATERIALIZED (
+      FROM ${x}w$r),
+    ${x}v$r AS MATERIALIZED (
       SELECT list_transform(w,
         x -> CAST((x - ((x % p + p) % p)) / p AS BIGINT)) AS v
-      FROM w$r, p$r)"""
+      FROM ${x}w$r, ${x}p$r)"""
     }.mkString(",")
-    s"""
+
+  /** Sign + projection tail of the oracle chain: project `src`'s q onto
+    * the converged `<x>v<PcaRounds>` with the canonical sign, as `outCol`.
+    */
+  private def pcaTailSql(src: String, x: String, outCol: String): String = s"""
+    ${x}im AS (
+      SELECT vi, i FROM (
+        SELECT unnest(v) AS vi,
+          unnest(generate_series(1, len(v))) AS i
+        FROM ${x}v$PcaRounds)
+      ORDER BY abs(vi) DESC, i LIMIT 1),
+    ${x}sg AS (SELECT CASE WHEN vi < 0 THEN -1 ELSE 1 END AS g FROM ${x}im)
+    SELECT vec_id,
+      CAST(g * CAST(list_sum(list_transform(generate_series(1, len(q)),
+        i -> q[i] * v[i])) AS BIGINT) AS BIGINT) AS $outCol
+    FROM $src, ${x}v$PcaRounds, ${x}sg
+    ORDER BY vec_id"""
+
+  val embedPcaPowerSql: String = s"""
     WITH pe AS MATERIALIZED (SELECT vec_id, $PcaQSql AS q FROM embeddings),
     v0 AS MATERIALIZED (
       SELECT list_transform(q, x -> CAST(1 AS BIGINT)) AS v
       FROM (SELECT q FROM pe ORDER BY vec_id LIMIT 1)),
-    $rounds,
-    im AS (
-      SELECT vi, i FROM (
-        SELECT unnest(v) AS vi,
-          unnest(generate_series(1, len(v))) AS i
-        FROM v$PcaRounds)
-      ORDER BY abs(vi) DESC, i LIMIT 1),
-    sg AS (SELECT CASE WHEN vi < 0 THEN -1 ELSE 1 END AS g FROM im)
-    SELECT vec_id,
-      CAST(g * CAST(list_sum(list_transform(generate_series(1, len(q)),
-        i -> q[i] * v[i])) AS BIGINT) AS BIGINT) AS proj
-    FROM pe, v$PcaRounds, sg
-    ORDER BY vec_id"""
+    ${pcaRoundsSql("pe", "", twoLevel = false)},
+    ${pcaTailSql("pe", "", "proj")}"""
+
+  // ------------------------------------------- deflated second component
+
+  /** Bit budget of the deflated integer embeddings: matches the ≤ 2^18
+    * component budget the round-safety math of [[PcaVBits]] assumes for
+    * the source vectors, so the deflated run inherits the same corpus
+    * capacity.
+    */
+  private val PcaDeflBits = 18
+
+  /** Second principal direction by DEFLATION (Hotelling): remove the
+    * converged top direction from every vector, then power-iterate the
+    * deflated corpus. The projection/normalization division that makes
+    * textbook deflation float-hazardous is avoided by SCALED deflation —
+    * q' = q·⟨v₁,v₁⟩ − ⟨q,v₁⟩·v₁ is an exact integer multiple of the
+    * orthogonal component (⟨q', v₁⟩ = 0 identically), so no division
+    * happens at all; a single corpus-max bit-length downscale brings q'
+    * back inside the [[PcaDeflBits]] budget with the same floor-division
+    * identity both engines share. Output: every vector's integer
+    * projection onto the second direction IN THE DEFLATED SPACE — the
+    * second whitening coordinate. Overflow audit: |q|≤2^18, |v₁|<2^12 ⇒
+    * ⟨v₁,v₁⟩ < 2^30, |q_i·⟨v₁,v₁⟩| < 2^48 and |⟨q,v₁⟩·v₁_i| < 2^48, so
+    * q' < 2^49 pre-downscale — inside BIGINT with 14 bits to spare.
+    */
+  def embedPcaDeflate(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), expr(PcaQExpr).as("q"))
+    val v1 = pcaPowerLoop(e)(pcaRoundSingle)
+    val nv = v1.select(expr("q_dot(v, v)").as("nv"))
+    val qd = e.crossJoin(broadcast(v1)).crossJoin(broadcast(nv))
+      .select(col("vec_id"), col("q"), col("v"), col("nv"),
+        expr("q_dot(q, v)").as("t"))
+      .select(col("vec_id"),
+        expr("zip_with(q, v, (a, b) -> a * nv - t * b)").as("w"))
+    val pd = qd.select(explode(col("w")).as("wi"))
+      .agg(max(abs(col("wi"))).as("m"))
+      .select(expr("cast(power(2, greatest(0, " +
+        s"length(bin(m)) - $PcaDeflBits)) as bigint)").as("p"))
+    // memoized: the deflated corpus feeds all 12 rounds plus the final
+    // projection — recomputing it per round would re-run the deflation
+    // aggregate (a full corpus pass) 13×
+    val e2 = graft.Memo.cached(s, "pca_defl_e2", dir) {
+      qd.crossJoin(broadcast(pd))
+        .select(col("vec_id"), expr(
+          "transform(w, x -> cast((x - ((x % p + p) % p)) / p as bigint))")
+          .as("q"))
+    }
+    val v2 = pcaPowerLoop(e2)(pcaRoundSingle)
+    val sg = pcaSign(v2)
+    e2.crossJoin(broadcast(v2)).crossJoin(broadcast(sg))
+      .select(col("vec_id"), (col("g") * expr("q_dot(q, v)")).as("proj2"))
+      .orderBy("vec_id")
   }
+
+  val embedPcaDeflateSql: String = s"""
+    WITH pe AS MATERIALIZED (SELECT vec_id, $PcaQSql AS q FROM embeddings),
+    v0 AS MATERIALIZED (
+      SELECT list_transform(q, x -> CAST(1 AS BIGINT)) AS v
+      FROM (SELECT q FROM pe ORDER BY vec_id LIMIT 1)),
+    ${pcaRoundsSql("pe", "", twoLevel = false)},
+    nv AS (SELECT CAST(list_sum(list_transform(v, x -> x * x)) AS BIGINT)
+             AS nv FROM v$PcaRounds),
+    qt AS (
+      SELECT vec_id, q, v,
+        CAST(list_sum(list_transform(generate_series(1, len(q)),
+          i -> q[i] * v[i])) AS BIGINT) AS t
+      FROM pe, v$PcaRounds),
+    qd AS MATERIALIZED (
+      SELECT vec_id, list_transform(generate_series(1, len(q)),
+        i -> q[i] * nv - t * v[i]) AS w
+      FROM qt, nv),
+    pdb AS (
+      SELECT CAST(power(2, greatest(0,
+        length(bin(max(abs(wi)))) - $PcaDeflBits)) AS BIGINT) AS p
+      FROM (SELECT unnest(w) AS wi FROM qd)),
+    pe2 AS MATERIALIZED (
+      SELECT vec_id, list_transform(w,
+        x -> CAST((x - ((x % p + p) % p)) / p AS BIGINT)) AS q
+      FROM qd, pdb),
+    dv0 AS MATERIALIZED (
+      SELECT list_transform(q, x -> CAST(1 AS BIGINT)) AS v
+      FROM (SELECT q FROM pe2 ORDER BY vec_id LIMIT 1)),
+    ${pcaRoundsSql("pe2", "d", twoLevel = false)},
+    ${pcaTailSql("pe2", "d", "proj2")}"""
+
+  // ------------------------------------- two-level partial-sum scaling
+
+  /** Shard count of the two-level gate (the testable stand-in for
+    * per-partition pre-aggregation on a cluster — vec_id-keyed so both
+    * engines replay the same grouping).
+    */
+  private val PcaShards = 4
+
+  /** Bit budget of a shard's partial sum before the cross-shard add:
+    * chosen LOW enough (2^24 — measured partials run 28–30 bits at sf
+    * 0.001–0.1) that the downscale demonstrably fires at test scale; the
+    * quantization it costs is invisible (error per component ≤ S·2^cut ≈
+    * 2^8 against w ~ 2^30, and w is cut to [[PcaVBits]] bits right
+    * after). At 100 TB the budget is the capacity knob: the cross-shard
+    * add is bounded by S·2^PcaPartBits regardless of shard row counts,
+    * so size it to 63 − log₂(S).
+    */
+  private val PcaPartBits = 24
+
+  /** Two-level variant of the matvec round: per-shard partial sums of
+    * q_i·t are downscaled to [[PcaPartBits]] bits BEFORE the cross-shard
+    * add. This removes the single-level capacity wall — with component
+    * budget 2^B and direction budget 2^[[PcaVBits]] a single-level sum
+    * overflows past ~2^(63−B−[[PcaVBits]]−log₂dim·2) rows TOTAL, while
+    * here each SHARD holds that many rows and capacity scales with the
+    * shard count (= partitions on a cluster). Costs one extra tiny
+    * shuffle round (dim·S rows) and a corpus-independent quantization
+    * error bounded by N_shards·2^(bits−[[PcaPartBits]]) per component.
+    */
+  private def pcaRoundTwoLevel(e: DataFrame, v: DataFrame): DataFrame = {
+    val part = e.crossJoin(broadcast(v))
+      .select(col("vec_id"), col("q"), expr("q_dot(q, v)").as("t"))
+      .select((col("vec_id") % PcaShards).as("sh"), col("t"),
+        posexplode(col("q")).as(Seq("i", "qi")))
+      .groupBy(col("i"), col("sh")).agg(sum(col("qi") * col("t")).as("ws"))
+    val pp = part.agg(max(abs(col("ws"))).as("m"))
+      .select(expr("cast(power(2, greatest(0, " +
+        s"length(bin(m)) - $PcaPartBits)) as bigint)").as("pp"))
+    part.crossJoin(broadcast(pp))
+      .select(col("i"),
+        expr("cast((ws - ((ws % pp + pp) % pp)) / pp as bigint)").as("wc"))
+      .groupBy(col("i")).agg(sum(col("wc")).as("w"))
+  }
+
+  /** Top singular direction with two-level partial-sum scaling — the
+    * beyond-8·10⁹-vector path of [[embedPcaPower]] (§7 r10 candidate).
+    * Same output contract as `embed_pca_power` (integer projections,
+    * canonical sign); the hash differs only through the per-round
+    * partial-sum quantization, and the spec pins the direction cosine
+    * between the two variants.
+    */
+  def embedPcaTwoLevel(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), expr(PcaQExpr).as("q"))
+    val v = pcaPowerLoop(e)(pcaRoundTwoLevel)
+    val sg = pcaSign(v)
+    e.crossJoin(broadcast(v)).crossJoin(broadcast(sg))
+      .select(col("vec_id"), (col("g") * expr("q_dot(q, v)")).as("proj"))
+      .orderBy("vec_id")
+  }
+
+  val embedPcaTwoLevelSql: String = s"""
+    WITH pe AS MATERIALIZED (SELECT vec_id, $PcaQSql AS q FROM embeddings),
+    v0 AS MATERIALIZED (
+      SELECT list_transform(q, x -> CAST(1 AS BIGINT)) AS v
+      FROM (SELECT q FROM pe ORDER BY vec_id LIMIT 1)),
+    ${pcaRoundsSql("pe", "", twoLevel = true)},
+    ${pcaTailSql("pe", "", "proj")}"""
 
   // --------------------------------------------------- prototype pruning
 
@@ -1345,6 +1553,8 @@ object Clustering {
     "doc_prune_proto" -> (docPruneProto(_, _)),
     "dedup_cascade" -> (dedupCascade(_, _)),
     "embed_pca_power" -> (embedPcaPower(_, _)),
+    "embed_pca_deflate" -> (embedPcaDeflate(_, _)),
+    "embed_pca_twolevel" -> (embedPcaTwoLevel(_, _)),
     "dedup_clusters" -> (dedupClusters(_, _)),
     "dedup_keep_best" -> (dedupKeepBest _),
     "ann_ivf_kmpll" -> (annIvfKmpll(_, _)),
@@ -1363,6 +1573,8 @@ object Clustering {
     "doc_prune_proto" -> docPruneProtoSql,
     "dedup_cascade" -> dedupCascadeSql,
     "embed_pca_power" -> embedPcaPowerSql,
+    "embed_pca_deflate" -> embedPcaDeflateSql,
+    "embed_pca_twolevel" -> embedPcaTwoLevelSql,
     "dedup_clusters" -> dedupClustersSql,
     "dedup_keep_best" -> dedupKeepBestSql,
     "ann_ivf_kmpll" -> annIvfKmpllSql,

@@ -600,6 +600,81 @@ object Dedup {
     WHERE d.doc_id % $BatchMod = ${BatchMod - 1}
     ORDER BY doc_id"""
 
+  /** Shared-fingerprint threshold of the winnow-indexed incremental gate:
+    * two independent selected fingerprints in common — one shared ≥ 7-word
+    * run is guaranteed per fingerprint, so the bar is two distinct
+    * overlapping regions (or one long one), which kills single-gram
+    * coincidences without an extra verify join.
+    */
+  private val WinnowMinShared = 2
+
+  /** Winnow-indexed incremental dedup — the same daily batch-vs-base
+    * classification as [[dedupIncremental]], but the persisted index is
+    * the winnowing fingerprint selection ([[TextOps.winnowSel]]) instead
+    * of MinHash signatures + band buckets (§7 r10 candidate). At equal
+    * guarantee the winnow index is SMALLER: expected 2/(w+1) of the gram
+    * count ≈ 0.4·n_words/doc single values, versus 16 signature longs
+    * PLUS band buckets per doc for MinHash — and probing is one equi-join
+    * on the fingerprint value with a count-distinct ≥
+    * [[WinnowMinShared]] cut, no banding or verify pass. The trade: the
+    * threshold is a shared-RUN bar (any ≥ k+w−1 = 7-word copy fires),
+    * not a Jaccard bar — winnow catches partial containment MinHash's
+    * whole-document similarity misses, and conversely scattered
+    * small-overlap pairs below 7 words never fire.
+    *
+    * Scale shape: batch fingerprints probe the base's persisted
+    * fingerprint postings by equi-join; base-base pairs are never
+    * generated (the `x` side is filtered to the batch before the join).
+    */
+  def dedupIncrementalWinnow(s: SparkSession, dir: String): DataFrame = {
+    def isBatch(c: Column) = c % BatchMod === BatchMod - 1
+    val sh = TextOps.winnowSel(s, dir).select("doc_id", "h").distinct()
+    val pr = sh.alias("a")
+      .filter(isBatch(col("a.doc_id")))
+      .join(sh.alias("b"), col("a.h") === col("b.h") &&
+        col("a.doc_id") =!= col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("x"), col("b.doc_id").as("p"))
+      .agg(count(lit(1)).as("n_sh"))
+      .filter(col("n_sh") >= WinnowMinShared)
+    val basep = pr.filter(!isBatch(col("p")))
+      .groupBy("x").agg(min("p").as("base_partner"))
+    val batchp = pr.filter(isBatch(col("p")) && col("p") < col("x"))
+      .groupBy("x").agg(min("p").as("batch_partner"))
+    Tables.documents(s, dir).select("doc_id")
+      .filter(isBatch(col("doc_id")))
+      .join(basep, col("doc_id") === basep("x"), "left").drop(basep("x"))
+      .join(batchp, col("doc_id") === batchp("x"), "left").drop(batchp("x"))
+      .select(col("doc_id"),
+        when(col("base_partner").isNotNull, lit("dup_of_base"))
+          .when(col("batch_partner").isNotNull, lit("dup_in_batch"))
+          .otherwise(lit("new")).as("status"),
+        coalesce(col("base_partner"), col("batch_partner")).as("partner"))
+      .orderBy("doc_id")
+  }
+
+  val dedupIncrementalWinnowSql: String = s"""
+    WITH ${TextOps.winnowSelCtesSql},
+    sh AS (SELECT DISTINCT doc_id, h FROM sel),
+    pr AS (SELECT a.doc_id AS x, b.doc_id AS p, count(*) AS n_sh
+           FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id <> b.doc_id
+           WHERE a.doc_id % $BatchMod = ${BatchMod - 1}
+           GROUP BY 1, 2
+           HAVING count(*) >= $WinnowMinShared),
+    bp AS (SELECT x, min(p) AS base_partner FROM pr
+           WHERE p % $BatchMod <> ${BatchMod - 1} GROUP BY x),
+    tp AS (SELECT x, min(p) AS batch_partner FROM pr
+           WHERE p % $BatchMod = ${BatchMod - 1} AND p < x GROUP BY x)
+    SELECT d.doc_id,
+      CASE WHEN base_partner IS NOT NULL THEN 'dup_of_base'
+           WHEN batch_partner IS NOT NULL THEN 'dup_in_batch'
+           ELSE 'new' END AS status,
+      coalesce(base_partner, batch_partner) AS partner
+    FROM documents d
+    LEFT JOIN bp ON d.doc_id = bp.x
+    LEFT JOIN tp ON d.doc_id = tp.x
+    WHERE d.doc_id % $BatchMod = ${BatchMod - 1}
+    ORDER BY doc_id"""
+
   /** Per-shingle hash observations `(doc_id, h1, h2)` — the input of the
     * streaming signature maintainer, identical arithmetic to
     * [[minhashesOf]].
@@ -621,6 +696,7 @@ object Dedup {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_incremental" -> (dedupIncremental _),
+    "dedup_incremental_winnow" -> (dedupIncrementalWinnow _),
     "dedup_exact" -> (dedupExact(_, _)),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard(_, _)),
     "dedup_minhash_lsh" -> (dedupMinhashLsh(_, _)),
@@ -630,6 +706,7 @@ object Dedup {
 
   val oracles: Map[String, String] = Map(
     "dedup_incremental" -> dedupIncrementalSql,
+    "dedup_incremental_winnow" -> dedupIncrementalWinnowSql,
     "dedup_exact" -> dedupExactSql,
     "dedup_ngram_jaccard" -> dedupNgramJaccardSql,
     "dedup_minhash_lsh" -> dedupMinhashLshSql,

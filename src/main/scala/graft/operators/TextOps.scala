@@ -282,7 +282,11 @@ object TextOps {
     * a fingerprint-keyed equi-join over the 2/(w+1)-thinned selection,
     * exactly the index winnowing exists to shrink.
     */
-  def docWinnow(s: SparkSession, dir: String): DataFrame = {
+  /** The memoized winnowing selection frame `(doc_id, p, h)` — shared by
+    * [[docWinnow]]'s three plan branches and the winnow-indexed
+    * incremental dedup ([[Dedup.dedupIncrementalWinnow]]).
+    */
+  private[operators] def winnowSel(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(s, dir)
       .select(col("doc_id"), split(norm, " ").as("ws"))
       .withColumn("n", size(col("ws")) - (WinK - 1))
@@ -300,10 +304,40 @@ object TextOps {
     // memoized: the selection feeds three plan branches (census + both
     // sides of the partner join) and Spark re-evaluates uncached subtrees
     // per branch — measured as 3 full gram/window recomputes in .explain
-    val sel = graft.Memo.cached(s, "winnow_sel", dir) {
+    graft.Memo.cached(s, "winnow_sel", dir) {
       wins.withColumn("rn", rn).filter(col("rn") === 1)
         .select("doc_id", "p", "h").distinct()
     }
+  }
+
+  /** The winnow CTE chain up to `sel` — shared oracle text of
+    * [[docWinnowSql]] and the winnow-indexed incremental dedup oracle.
+    */
+  private[operators] val winnowSelCtesSql: String = s"""
+    dwn AS (SELECT doc_id, string_split($normSql, ' ') AS ws
+                 FROM documents),
+    dn AS (SELECT doc_id, ws, len(ws) - ${WinK - 1} AS n FROM dwn),
+    g AS (SELECT doc_id, n, unnest(generate_series(1, n)) AS p, ws
+          FROM dn WHERE n >= 1),
+    gh AS (SELECT doc_id, n, p,
+             ('0x' || substring(md5(${(0 until WinK).map(o =>
+               s"ws[p + $o]").mkString(" || ' ' || ")}), 1, 8))::BIGINT AS h
+           FROM g),
+    wins AS (SELECT doc_id, p, h,
+               unnest(generate_series(greatest(1, p - ${WinW - 1}),
+                 least(p, greatest(1, n - ${WinW - 1})))) AS j
+             FROM gh),
+    selr AS (SELECT doc_id, p, h,
+               row_number() OVER (PARTITION BY doc_id, j
+                 ORDER BY h, p DESC) AS rn
+             FROM wins),
+    sel AS (SELECT DISTINCT doc_id, p, h FROM selr WHERE rn = 1)"""
+
+  def docWinnow(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+      .select(col("doc_id"), split(norm, " ").as("ws"))
+      .withColumn("n", size(col("ws")) - (WinK - 1))
+    val sel = winnowSel(s, dir)
     val fp = sel.groupBy("doc_id").agg(count(lit(1)).as("n_fp"))
     val sh2 = sel.select("doc_id", "h").distinct()
     val partners = sh2.alias("a")

@@ -344,4 +344,57 @@ class TextDedupSpec extends SparkSpec {
       }
     }
   }
+
+  test("dedup_incremental_winnow: classification replays locally off the " +
+    "winnow fingerprint index") {
+    val docs = graft.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[String]("text").replaceAll("\\s+", " ").trim.toLowerCase)
+    def gramHash(words: Array[String], p: Int): Long = {
+      val g = words.slice(p, p + 4).mkString(" ")
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(g.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(4).map("%02x".format(_)).mkString, 16)
+    }
+    val fpOf = docs.map { case (id, t) =>
+      val ws = t.split(" ")
+      val n = ws.length - 3
+      val sel = scala.collection.mutable.Set.empty[Long]
+      if (n >= 1) {
+        val hs = Array.tabulate(n)(i => gramHash(ws, i))
+        for (j <- 1 to math.max(1, n - 3)) {
+          val (h, _) = (j to math.min(j + 3, n)).map(p => (hs(p - 1), -p)).min
+          sel += h
+        }
+      }
+      id -> sel.toSet
+    }.toMap
+    def isBatch(id: Long) = id % 5 == 4
+    val expect = docs.map(_._1).filter(isBatch).sorted.map { id =>
+      val sharers = docs.map(_._1).filter(o => o != id &&
+        fpOf(o).intersect(fpOf(id)).size >= 2)
+      val base = sharers.filter(!isBatch(_)).sorted.headOption
+      val batch = sharers.filter(o => isBatch(o) && o < id).sorted.headOption
+      val status =
+        if (base.isDefined) "dup_of_base"
+        else if (batch.isDefined) "dup_in_batch" else "new"
+      id -> ((status, base.orElse(batch)))
+    }.toMap
+    val rows = Dedup.dedupIncrementalWinnow(spark, sf).collect()
+    assert(rows.length == expect.size, "one row per batch document")
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val (st, pt) = expect(id)
+      assert(r.getAs[String]("status") == st, s"status of doc $id")
+      assert(Option(r.getAs[java.lang.Long]("partner")).map(_.toLong) == pt,
+        s"partner of doc $id")
+    }
+    // the batch side never generates base-base comparisons, and the index
+    // being probed is the 2/(w+1)-thinned winnow selection, so at least
+    // one near-dup must actually fire at this scale for the gate to mean
+    // anything
+    assert(rows.exists(_.getAs[String]("status") != "new"),
+      "no duplicate fired — the scenario lost its planted near-dups")
+  }
 }
