@@ -28,6 +28,7 @@ object SparkEntry {
       operators.TextOps.queries ++
       operators.TrainPrep.queries ++
       operators.CorpusFilters.queries ++
+      operators.Filtering.queries ++
       operators.Dedup.queries ++
       operators.SubstringDedup.queries ++
       operators.SuffixArray.queries ++
@@ -70,6 +71,7 @@ object SparkEntry {
       operators.TextOps.oracles ++
       operators.TrainPrep.oracles ++
       operators.CorpusFilters.oracles ++
+      operators.Filtering.oracles ++
       operators.Dedup.oracles ++
       operators.SubstringDedup.oracles ++
       operators.SuffixArray.oracles ++

@@ -1,0 +1,418 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.GraftFunctions
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Model-based corpus filtering — the classifier/importance/perplexity
+  * stages every production LLM data pipeline runs after heuristic quality
+  * scoring (CCNet's LM filter; GPT-3/LLaMA's linear quality classifier;
+  * DSIR's hashed-n-gram importance resampling):
+  *
+  *  - `perceptron_train` / `perceptron_score`: a distributed batch
+  *    perceptron over hashed token buckets — the fasttext-shaped linear
+  *    filter, trained in fixed full-batch rounds (order-independent
+  *    integer updates, so the DuckDB oracle replays training exactly).
+  *  - `dsir_select`: Data Selection via Importance Resampling (Xie et
+  *    al., NeurIPS 2023) — hashed unigram importance weights
+  *    log(p_target/p_raw) in fixed-point log2, positive-weight docs
+  *    selected.
+  *  - `doc_ppl`: per-document add-one bigram cross-entropy in fixed-point
+  *    log2 against the corpus LM, flagged above the corpus mean — the
+  *    CCNet perplexity-filter shape.
+  *
+  * Everything is integer-exact: log2 is the 1/1024-step fixed-point
+  * interpolation [[llog2]] (identical floor arithmetic on both engines),
+  * counts are BIGINTs, and no float ever enters a comparison.
+  *
+  * Scale shapes: token hashing is a map over the scan; bucket statistics
+  * are tiny (64/256-row) aggregates broadcast back; perceptron rounds are
+  * one corpus pass + one dim-keyed 65-row shuffle each (the PCA matvec
+  * shape); doc_ppl joins doc bigrams to the LM on the bigram key — an
+  * equi-join whose skew AQE handles. No global sorts: selection
+  * thresholds are sign tests or one-row corpus means, never percentile
+  * windows.
+  */
+object Filtering {
+
+  import TextNorm.{norm, normSql}
+
+  /** Fixed-point log2 at 1/[[Log2K]] resolution with a SECOND-order
+    * octave correction: for x ≥ 1 with bl = bit length and fractional
+    * part fr = ⌊x·K/2^(bl−1)⌋ − K ∈ [0, K),
+    *
+    *   llog2(x) = (bl−1)·K + fr + ⌊fr·(K−fr)·357 / K²⌋
+    *
+    * — the minimax parabola log2(1+f) ≈ f + 0.349·f·(1−f) in integer
+    * arithmetic. The correction matters: first-order interpolation is
+    * off by up to 0.086 bits per call, which (measured) swamps the
+    * per-token signal every llog2 consumer here aggregates; second
+    * order is within 0.0095 bits of true log2 (spec-pinned), tracking
+    * float-exact scoring while staying pure integer floor arithmetic —
+    * Spark and DuckDB agree bit-for-bit, and the double-typed `/` is
+    * exact because every numerator is < 2^52 (arguments < 2^41).
+    */
+  private val Log2K = 1024
+
+  private def llog2(e: String): String = {
+    val bl = s"length(bin($e))"
+    val p = s"cast(power(2, $bl - 1) as bigint)"
+    val fr = s"(cast((($e * $Log2K) - (($e * $Log2K) % $p)) / $p as bigint)" +
+      s" - $Log2K)"
+    val cor = s"($fr * ($Log2K - $fr) * 357)"
+    s"(($bl - 1) * $Log2K + $fr + " +
+      s"cast(($cor - ($cor % ${Log2K * Log2K})) / ${Log2K * Log2K} as bigint))"
+  }
+
+  // --------------------------------------------------- batch perceptron
+
+  /** Hashed feature buckets (+ index 0 = bias). */
+  private val ClfBuckets = 64
+
+  /** Fixed training rounds — unrolled in the oracle like the PCA/BPE
+    * loops. The preconditioned 1/r-decayed updates reach a stable ~0.95
+    * training accuracy by round 12 at both test SFs (measured); 16 gives
+    * margin.
+    */
+  private val ClfRounds = 16
+
+  /** Fixed-point step scale of the update g·K / (s2·r). */
+  private val ClfK = 4096
+
+  /** The teaching label: the [[TextOps]] heuristic quality composite
+    * above a fixed 0.3 bar (≈ balanced classes on the test corpus) — the
+    * production distillation pattern: train a cheap hashed-bucket linear
+    * filter to reproduce an expensive labeler (here the length/punct/
+    * stopword heuristic; a curated-vs-crawl seed set slots in
+    * identically). A fixed constant, not a quantile, so both engines
+    * derive the label without a percentile pass.
+    */
+  private val ClfQualityBar = 0.3
+
+  /** Dense per-document feature vectors `(doc_id, y, x[65])`: hashed token
+    * counts with x[0] = 1 (bias). Memoized — feeds every training round
+    * plus the scoring pass.
+    */
+  private def clfFeats(s: SparkSession, dir: String): DataFrame =
+    graft.Memo.cached(s, "clf_feats", dir) {
+      val lab = TextOps.qualityDf(s, dir)
+        .select(col("doc_id"),
+          when(col("quality") > ClfQualityBar, 1L).otherwise(-1L).as("y"))
+      val sparse = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(split(norm, " ")).as("w"))
+        .select(col("doc_id"),
+          (expr("cast(conv(substring(md5(w), 1, 8), 16, 10) as bigint)")
+            % ClfBuckets + 1).cast("int").as("f"))
+        .groupBy("doc_id", "f").agg(count(lit(1)).as("c"))
+        .unionByName(Tables.documents(s, dir)
+          .select(col("doc_id"), lit(0).as("f"), lit(1L).as("c")))
+      sparse.groupBy("doc_id")
+        .agg(map_from_arrays(collect_list(col("f")), collect_list(col("c")))
+          .as("m"))
+        .join(lab, "doc_id")
+        .select(col("doc_id"), col("y"),
+          expr(s"transform(sequence(0, $ClfBuckets), " +
+            "i -> coalesce(element_at(m, i), cast(0 as bigint)))").as("x"))
+    }
+
+  /** Per-feature second moments `(i, s2v)` — the diagonal preconditioner,
+    * computed once. Without it the full-batch perceptron oscillates
+    * (count features dwarf the bias; measured 0.44 accuracy after 6 raw
+    * rounds vs 0.95 preconditioned): dividing the gradient by Σ_docs
+    * x_f² equalizes per-feature step sizes, the integer AdaGrad-diagonal
+    * shape.
+    */
+  private def clfPrecond(s: SparkSession, dir: String): DataFrame =
+    graft.Memo.cached(s, "clf_s2", dir) {
+      clfFeats(s, dir)
+        .select(posexplode(col("x")).as(Seq("i", "xi")))
+        .groupBy("i").agg(greatest(sum(col("xi") * col("xi")), lit(1L))
+          .as("s2v"))
+    }
+
+  /** The trained weight rows `(i, wv)` after [[ClfRounds]] full-batch
+    * rounds: every round scores the whole corpus against the broadcast
+    * weights (one map-only pass), sums the misclassified documents'
+    * y·x into a 65-row gradient (dim-keyed shuffle with map-side
+    * combine) and steps w += ⌊g·K / (s2·r)⌋ — preconditioned,
+    * 1/r-decayed, order-independent integer subgradient descent on the
+    * perceptron loss, which is what makes distributed training
+    * bit-exact: no sequential mistake-driven updates, no float learning
+    * rates. |w| stays ≤ R·K (every |g_f| ≤ s2_f for integer counts), so
+    * margins are bounded at any corpus size without a downscale.
+    */
+  private def clfWeights(s: SparkSession, dir: String): DataFrame =
+    graft.Memo.cached(s, "clf_weights", dir) {
+      GraftFunctions.register(s)
+      val feats = clfFeats(s, dir)
+      val s2 = clfPrecond(s, dir)
+      var w = s.range(0, ClfBuckets + 1)
+        .select(col("id").cast("int").as("i"), lit(0L).as("wv"))
+        .localCheckpoint(true)
+      for (r <- 1 to ClfRounds) {
+        val wArr = w.groupBy()
+          .agg(transform(array_sort(collect_list(struct(col("i"), col("wv")))),
+            x => x.getField("wv")).as("wa"))
+        val grad = feats.crossJoin(broadcast(wArr))
+          .select(col("y"), col("x"), expr("q_dot(x, wa)").as("sc"))
+          .filter(col("y") * col("sc") <= 0)
+          .select(col("y"), posexplode(col("x")).as(Seq("i", "xi")))
+          .groupBy("i").agg(sum(col("y") * col("xi")).as("g"))
+        w = w.join(grad, Seq("i"), "left").join(s2, Seq("i"))
+          .select(col("i"), (col("wv") + expr(
+            s"cast(((coalesce(g, 0) * $ClfK) - ((coalesce(g, 0) * $ClfK) " +
+              s"% (s2v * $r) + (s2v * $r)) % (s2v * $r)) / (s2v * $r) " +
+              "as bigint)")).as("wv"))
+          .localCheckpoint(true)
+      }
+      w
+    }
+
+  /** Gate: the trained weight vector (65 rows, bias at i = 0). */
+  def perceptronTrain(s: SparkSession, dir: String): DataFrame =
+    clfWeights(s, dir).orderBy("i")
+
+  /** Gate: per-document margin under the trained weights, the sign
+    * prediction, and whether it matches the teaching label.
+    */
+  def perceptronScore(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    val wArr = clfWeights(s, dir).groupBy()
+      .agg(transform(array_sort(collect_list(struct(col("i"), col("wv")))),
+        x => x.getField("wv")).as("wa"))
+    clfFeats(s, dir).crossJoin(broadcast(wArr))
+      .select(col("doc_id"), col("y").as("label"),
+        expr("q_dot(x, wa)").as("score"))
+      .withColumn("pred", when(col("score") > 0, 1L).otherwise(-1L))
+      .withColumn("correct",
+        when(col("label") * col("score") > 0, 1L).otherwise(0L))
+      .orderBy("doc_id")
+  }
+
+  /** Shared oracle CTE chain: features + the unrolled training rounds,
+    * ending at `w[ClfRounds]`.
+    */
+  private val clfCtesSql: String = {
+    val rounds = (1 to ClfRounds).map { r =>
+      s"""
+    m$r AS (
+      SELECT doc_id, y, CAST(sum(c * wv) AS BIGINT) AS s
+      FROM clf_feats JOIN w${r - 1} USING (f) GROUP BY 1, 2),
+    g$r AS (
+      SELECT f, CAST(sum(y * c) AS BIGINT) AS g
+      FROM clf_feats
+      JOIN (SELECT doc_id FROM m$r WHERE y * s <= 0) USING (doc_id)
+      GROUP BY f),
+    w$r AS MATERIALIZED (
+      SELECT w.f, wv + CAST(((coalesce(g, 0) * $ClfK)
+          - ((coalesce(g, 0) * $ClfK) % (s2v * $r) + (s2v * $r))
+            % (s2v * $r)) / (s2v * $r) AS BIGINT) AS wv
+      FROM w${r - 1} w LEFT JOIN g$r USING (f) JOIN clf_s2 USING (f))"""
+    }.mkString(",")
+    s"""
+    ${TextOps.docQualityCteSql},
+    clf_lab AS (SELECT doc_id,
+                  CASE WHEN quality > $ClfQualityBar THEN 1 ELSE -1 END AS y
+                FROM dq),
+    clf_tok AS (SELECT doc_id, unnest(string_split($normSql, ' ')) AS w
+                FROM documents),
+    clf_feats AS MATERIALIZED (
+      SELECT doc_id, y, f, c FROM (
+        SELECT doc_id,
+          CAST(('0x' || substring(md5(w), 1, 8))::BIGINT % $ClfBuckets + 1
+            AS INT) AS f,
+          count(*) AS c
+        FROM clf_tok GROUP BY 1, 2
+        UNION ALL
+        SELECT doc_id, 0, 1 FROM documents) sp
+      JOIN clf_lab USING (doc_id)),
+    w0 AS (SELECT CAST(unnest(generate_series(0, $ClfBuckets)) AS INT) AS f,
+             CAST(0 AS BIGINT) AS wv),
+    clf_s2 AS MATERIALIZED (
+      SELECT f, greatest(coalesce(s2, 0), 1) AS s2v
+      FROM w0 LEFT JOIN (
+        SELECT f, CAST(sum(c * c) AS BIGINT) AS s2
+        FROM clf_feats GROUP BY f) USING (f)),$rounds"""
+  }
+
+  val perceptronTrainSql: String = s"""
+    WITH $clfCtesSql
+    SELECT f AS i, wv FROM w$ClfRounds ORDER BY i"""
+
+  val perceptronScoreSql: String = s"""
+    WITH $clfCtesSql,
+    fin AS (
+      SELECT doc_id, y, CAST(sum(c * wv) AS BIGINT) AS s
+      FROM clf_feats JOIN w$ClfRounds USING (f) GROUP BY 1, 2)
+    SELECT doc_id, CAST(y AS BIGINT) AS label, s AS score,
+      CAST(CASE WHEN s > 0 THEN 1 ELSE -1 END AS BIGINT) AS pred,
+      CAST(CASE WHEN y * s > 0 THEN 1 ELSE 0 END AS BIGINT) AS correct
+    FROM fin ORDER BY doc_id"""
+
+  // ------------------------------------------------------ DSIR selection
+
+  /** Hashed unigram buckets of the importance model. */
+  private val DsirBuckets = 256
+
+  /** DSIR importance selection: per document, the fixed-point log
+    * importance weight Σ_f c_f·(llog2(t_f) − llog2(T) − llog2(s_f) +
+    * llog2(S)) of its hashed-unigram counts under the add-one-smoothed
+    * target vs raw (all docs) bucket distributions — the target sample
+    * being the heuristic-quality documents ([[ClfQualityBar]]), DSIR's
+    * canonical trusted-seed shape. Because the per-token weight mean is
+    * strictly negative for EVERY document (−KL of the doc's empirical
+    * distribution against the corpus — float-exact scoring shows the
+    * same), a raw lw > 0 bar selects nothing and raw lw ranks invert
+    * with length; so the emitted decision is the LENGTH-NORMALIZED
+    * weight `lw_tok` = ⌊lw·K / n_tokens⌋ against the corpus mean (an
+    * integer cross-multiplication with a one-row aggregate). Measured:
+    * target-resembling docs select at 1.4× the rate of the rest — the
+    * ceiling exact float log-likelihoods reach on this corpus. Bucket
+    * stats are a [[DsirBuckets]]-row broadcast; no global sort.
+    */
+  def dsirSelect(s: SparkSession, dir: String): DataFrame = {
+    val lab = TextOps.qualityDf(s, dir)
+      .select(col("doc_id"), (col("quality") > ClfQualityBar).as("is_t"))
+    val tok = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(split(norm, " ")).as("w"))
+      .select(col("doc_id"),
+        (expr("cast(conv(substring(md5(w), 1, 8), 16, 10) as bigint)")
+          % DsirBuckets).as("f"))
+      .join(lab, "doc_id")
+    val buckets = tok.groupBy("f").agg(
+      (count(lit(1)) + 1).as("sf"),
+      (sum(when(col("is_t"), 1L).otherwise(0L)) + 1).as("tf"))
+    val tot = buckets.agg(sum(col("sf")).as("sS"), sum(col("tf")).as("tT"))
+    val dt = buckets.crossJoin(broadcast(tot))
+      .select(col("f"), (expr(llog2("tf")) - expr(llog2("tT"))
+        - expr(llog2("sf")) + expr(llog2("sS"))).as("d"))
+    val perDoc = tok.join(broadcast(dt), Seq("f"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum(col("d")).as("lw"))
+      .withColumn("lw_tok", expr(s"cast(((lw * $Log2K) - (((lw * $Log2K) " +
+        "% n_tokens + n_tokens) % n_tokens)) / n_tokens as bigint)"))
+    val mean = perDoc.agg(count(lit(1)).as("nd"), sum(col("lw_tok")).as("sl"))
+    perDoc.crossJoin(broadcast(mean))
+      .select(col("doc_id"), col("n_tokens"), col("lw"), col("lw_tok"),
+        when(col("lw_tok") * col("nd") > col("sl"), 1L).otherwise(0L)
+          .as("selected"))
+      .orderBy("doc_id")
+  }
+
+  val dsirSelectSql: String = s"""
+    WITH ${TextOps.docQualityCteSql},
+    dlab AS (SELECT doc_id, quality > $ClfQualityBar AS is_t FROM dq),
+    dtok AS (SELECT doc_id, is_t, f FROM (
+               SELECT doc_id,
+                 ('0x' || substring(md5(unnest(string_split($normSql, ' '))),
+                   1, 8))::BIGINT % $DsirBuckets AS f
+               FROM documents) tk
+             JOIN dlab USING (doc_id)),
+    buckets AS (
+      SELECT f, count(*) + 1 AS sf,
+        CAST(sum(CASE WHEN is_t THEN 1 ELSE 0 END) + 1 AS BIGINT) AS tf
+      FROM dtok GROUP BY f),
+    tot AS (SELECT CAST(sum(sf) AS BIGINT) AS sS,
+              CAST(sum(tf) AS BIGINT) AS tT FROM buckets),
+    dt AS (SELECT f, ${llog2("tf")} - ${llog2("tT")}
+                      - ${llog2("sf")} + ${llog2("sS")} AS d
+           FROM buckets, tot),
+    dper AS (
+      SELECT doc_id, count(*) AS n_tokens, CAST(sum(d) AS BIGINT) AS lw
+      FROM dtok JOIN dt USING (f) GROUP BY doc_id),
+    dpt AS (
+      SELECT doc_id, n_tokens, lw,
+        CAST(((lw * $Log2K) - (((lw * $Log2K) % n_tokens + n_tokens)
+          % n_tokens)) / n_tokens AS BIGINT) AS lw_tok
+      FROM dper),
+    dmn AS (SELECT count(*) AS nd, CAST(sum(lw_tok) AS BIGINT) AS sl
+            FROM dpt)
+    SELECT doc_id, n_tokens, lw, lw_tok,
+      CAST(CASE WHEN lw_tok * nd > sl THEN 1 ELSE 0 END AS BIGINT)
+        AS selected
+    FROM dpt, dmn ORDER BY doc_id"""
+
+  // ------------------------------------------------- perplexity filter
+
+  /** Per-document add-one bigram cross-entropy against the corpus LM, in
+    * fixed-point log2: nll = Σ_bigrams (llog2(c1 + V) − llog2(c12 + 1))
+    * over the document's bigram occurrences (V = vocabulary size), and
+    * the per-bigram average by exact floor division. Documents whose
+    * average exceeds the corpus mean (an integer cross-multiplication
+    * against a one-row aggregate — no percentile window) are flagged,
+    * the CCNet high-perplexity tail. Only documents with ≥ 1 bigram
+    * appear. The scoring join is doc-bigrams ⋈ LM on the bigram key —
+    * both sides corpus-sized, the one genuinely big join here, with
+    * map-side combine on the (doc, bigram) group.
+    */
+  def docPpl(s: SparkSession, dir: String): DataFrame = {
+    val ws = split(norm, " ")
+    val grams = Tables.documents(s, dir)
+      .select(col("doc_id"), ws.as("ws"))
+      .filter(size(col("ws")) >= 2)
+      .withColumn("i", explode(sequence(lit(1), size(col("ws")) - 1)))
+      .select(col("doc_id"), element_at(col("ws"), col("i")).as("w1"),
+        element_at(col("ws"), col("i") + 1).as("w2"))
+      .groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("cd"))
+    val pairs = grams.groupBy("w1", "w2").agg(sum(col("cd")).as("c12"))
+    val ctx = pairs.groupBy("w1").agg(sum(col("c12")).as("c1"))
+    val vocab = Tables.documents(s, dir)
+      .select(explode(split(norm, " ")).as("w"))
+      .agg(countDistinct(col("w")).as("v"))
+    val lm = pairs.join(ctx, "w1").crossJoin(broadcast(vocab))
+      .select(col("w1"), col("w2"),
+        (expr(llog2("(c1 + v)")) - expr(llog2("(c12 + 1)"))).as("nb"))
+    val perDoc = grams.join(lm, Seq("w1", "w2"))
+      .groupBy("doc_id")
+      .agg(sum(col("cd")).as("n_bigrams"), sum(col("cd") * col("nb")).as("nll"))
+      .withColumn("avg_nll",
+        expr("cast((nll - (nll % n_bigrams)) / n_bigrams as bigint)"))
+    val mean = perDoc.agg(count(lit(1)).as("nd"), sum(col("avg_nll")).as("sa"))
+    perDoc.crossJoin(broadcast(mean))
+      .select(col("doc_id"), col("n_bigrams"), col("nll"), col("avg_nll"),
+        when(col("avg_nll") * col("nd") > col("sa"), 1L).otherwise(0L)
+          .as("flagged"))
+      .orderBy("doc_id")
+  }
+
+  val docPplSql: String = s"""
+    WITH dn AS (SELECT doc_id, string_split($normSql, ' ') AS ws
+                FROM documents),
+    g AS (SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2 FROM (
+            SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 1)) AS i
+            FROM dn WHERE len(ws) >= 2)),
+    grams AS (SELECT doc_id, w1, w2, count(*) AS cd FROM g GROUP BY 1, 2, 3),
+    pairs AS (SELECT w1, w2, CAST(sum(cd) AS BIGINT) AS c12
+              FROM grams GROUP BY 1, 2),
+    ctx AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM pairs GROUP BY 1),
+    vocab AS (SELECT count(DISTINCT w) AS v
+              FROM (SELECT unnest(ws) AS w FROM dn)),
+    lm AS (SELECT w1, w2,
+             ${llog2("(c1 + v)")} - ${llog2("(c12 + 1)")} AS nb
+           FROM pairs JOIN ctx USING (w1), vocab),
+    per_doc AS (
+      SELECT doc_id, CAST(sum(cd) AS BIGINT) AS n_bigrams,
+        CAST(sum(cd * nb) AS BIGINT) AS nll
+      FROM grams JOIN lm USING (w1, w2) GROUP BY doc_id),
+    pd AS (SELECT doc_id, n_bigrams, nll,
+             CAST((nll - (nll % n_bigrams)) / n_bigrams AS BIGINT) AS avg_nll
+           FROM per_doc),
+    mn AS (SELECT count(*) AS nd, CAST(sum(avg_nll) AS BIGINT) AS sa FROM pd)
+    SELECT doc_id, n_bigrams, nll, avg_nll,
+      CAST(CASE WHEN avg_nll * nd > sa THEN 1 ELSE 0 END AS BIGINT)
+        AS flagged
+    FROM pd, mn ORDER BY doc_id"""
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "perceptron_train" -> (perceptronTrain _),
+    "perceptron_score" -> (perceptronScore _),
+    "dsir_select" -> (dsirSelect _),
+    "doc_ppl" -> (docPpl _))
+
+  val oracles: Map[String, String] = Map(
+    "perceptron_train" -> perceptronTrainSql,
+    "perceptron_score" -> perceptronScoreSql,
+    "dsir_select" -> dsirSelectSql,
+    "doc_ppl" -> docPplSql)
+}

@@ -1,0 +1,201 @@
+package graft
+
+import graft.operators.{Filtering, Stoplists}
+
+/** Local bit-for-bit replays of the model-based filtering gates: the
+  * fixed-point log2, the preconditioned batch perceptron, DSIR
+  * importance selection and the bigram perplexity filter.
+  */
+class FilteringSpec extends SparkSpec {
+
+  private def md5bucket(w: String, b: Int): Int = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(w.getBytes("UTF-8"))
+    (java.lang.Long.parseLong(d.take(4).map("%02x".format(_)).mkString, 16)
+      % b).toInt
+  }
+
+  private def fdiv(a: Long, p: Long): Long = (a - ((a % p + p) % p)) / p
+
+  private def llog2(x: Long): Long = {
+    require(x >= 1)
+    val bl = 64 - java.lang.Long.numberOfLeadingZeros(x)
+    val p = 1L << (bl - 1)
+    val fr = (x * 1024 - (x * 1024) % p) / p - 1024
+    val cor = fr * (1024 - fr) * 357
+    (bl - 1) * 1024 + fr + (cor - cor % (1024L * 1024)) / (1024L * 1024)
+  }
+
+  test("fixed-point log2: within 0.0095 bits of true log2 over 1..100000") {
+    var worst = 0.0
+    for (x <- 1L to 100000L) {
+      val err = math.abs(llog2(x) / 1024.0 - math.log(x.toDouble) / math.log(2))
+      worst = math.max(worst, err)
+    }
+    assert(worst <= 0.0095, s"llog2 max error $worst bits")
+    // monotone within the probed range (selection bars compare sums of it)
+    var prev = Long.MinValue
+    for (x <- 1L to 10000L) {
+      val v = llog2(x)
+      assert(v >= prev, s"llog2 not monotone at $x")
+      prev = v
+    }
+  }
+
+  /** Documents with the normalized text and the heuristic-quality label,
+    * replicated locally (same formula as TextOps.qualityDf, including the
+    * 6-digit HALF_UP round).
+    */
+  private def labelledDocs(): Array[(Long, String, Long)] =
+    Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map { r =>
+        val id = r.getAs[Long]("doc_id")
+        val text = r.getAs[String]("text")
+        val norm = text.replaceAll("\\s+", " ").trim.toLowerCase
+        val ws = norm.split(" ", -1)
+        val n = ws.length
+        val punct = text.toLowerCase.count(c =>
+          !(c >= 'a' && c <= 'z') && !(c >= '0' && c <= '9') &&
+            !c.isWhitespace)
+        val stop = ws.count(Stoplists.en.contains)
+        val q0 = math.min(1.0, n.toDouble / 100.0) *
+          (1.0 - punct.toDouble / text.length) *
+          (0.5 + 0.5 * stop.toDouble / n)
+        val q = BigDecimal(q0)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        (id, norm, if (q > 0.3) 1L else -1L)
+      }.sortBy(_._1)
+
+  test("perceptron: preconditioned decayed training replays bit-for-bit " +
+    "and distills the quality heuristic above 0.9 accuracy") {
+    val docs = labelledDocs()
+    val B = 64
+    val X = docs.map { case (_, t, _) =>
+      val x = Array.fill(B + 1)(0L); x(0) = 1
+      t.split(" ", -1).foreach(w => x(md5bucket(w, B) + 1) += 1)
+      x
+    }
+    val y = docs.map(_._3)
+    val s2 = Array.tabulate(B + 1)(i =>
+      math.max(X.map(x => x(i) * x(i)).sum, 1L))
+    var w = Array.fill(B + 1)(0L)
+    for (r <- 1 to 16) {
+      val g = Array.fill(B + 1)(0L)
+      for (d <- docs.indices) {
+        val s = X(d).zip(w).map { case (a, b) => a * b }.sum
+        if (y(d) * s <= 0)
+          for (i <- 0 to B) g(i) += y(d) * X(d)(i)
+      }
+      w = Array.tabulate(B + 1)(i => w(i) + fdiv(g(i) * 4096, s2(i) * r))
+    }
+    val trained = operators.Filtering.perceptronTrain(spark, sf).collect()
+    assert(trained.length == B + 1)
+    trained.foreach(r =>
+      assert(r.getAs[Long]("wv") == w(r.getAs[Int]("i")),
+        s"weight mismatch at ${r.getAs[Int]("i")}"))
+    val scores = Filtering.perceptronScore(spark, sf).collect()
+    assert(scores.length == docs.length)
+    val byId = docs.zipWithIndex.map { case ((id, _, _), d) => id -> d }.toMap
+    var correct = 0
+    scores.foreach { r =>
+      val d = byId(r.getAs[Long]("doc_id"))
+      val s = X(d).zip(w).map { case (a, b) => a * b }.sum
+      assert(r.getAs[Long]("score") == s)
+      assert(r.getAs[Long]("label") == y(d))
+      assert(r.getAs[Long]("pred") == (if (s > 0) 1L else -1L))
+      val c = if (y(d) * s > 0) 1L else 0L
+      assert(r.getAs[Long]("correct") == c)
+      correct += c.toInt
+    }
+    val acc = correct.toDouble / docs.length
+    val majority = math.max(y.count(_ == 1L), y.count(_ == -1L)).toDouble /
+      docs.length
+    assert(acc >= 0.9, s"training accuracy $acc below 0.9")
+    assert(acc > majority, s"accuracy $acc no better than majority $majority")
+  }
+
+  test("dsir_select: importance weights replay bit-for-bit and selection " +
+    "enriches for target-resembling documents") {
+    val docs = labelledDocs()
+    val B = 256
+    val toks = docs.map { case (_, t, y) =>
+      (y == 1L, t.split(" ", -1).map(md5bucket(_, B)))
+    }
+    // smoothing applies to OBSERVED buckets only (the gate's bucket frame
+    // is a groupBy over the token stream)
+    val tf = scala.collection.mutable.Map.empty[Int, Long]
+    val sfc = scala.collection.mutable.Map.empty[Int, Long]
+    toks.foreach { case (isT, fs) =>
+      fs.foreach { f =>
+        sfc(f) = sfc.getOrElse(f, 1L) + 1
+        tf(f) = tf.getOrElse(f, 1L) + (if (isT) 1L else 0L)
+      }
+    }
+    val tT = tf.values.sum
+    val sS = sfc.values.sum
+    val d = Array.tabulate(B)(f =>
+      if (!sfc.contains(f)) 0L
+      else llog2(tf(f)) - llog2(tT) - llog2(sfc(f)) + llog2(sS))
+    val lw = toks.map { case (_, fs) => fs.map(d(_)).sum }
+    val lwTok = docs.indices.map(i =>
+      fdiv(lw(i) * 1024, toks(i)._2.length.toLong)).toArray
+    val nd = docs.length.toLong
+    val sl = lwTok.sum
+    val rows = Filtering.dsirSelect(spark, sf).collect()
+    assert(rows.length == docs.length)
+    val byId = docs.zipWithIndex.map { case ((id, _, _), i) => id -> i }.toMap
+    rows.foreach { r =>
+      val i = byId(r.getAs[Long]("doc_id"))
+      assert(r.getAs[Long]("n_tokens") == toks(i)._2.length.toLong)
+      assert(r.getAs[Long]("lw") == lw(i), s"lw mismatch doc ${docs(i)._1}")
+      assert(r.getAs[Long]("lw_tok") == lwTok(i))
+      assert(r.getAs[Long]("selected") ==
+        (if (lwTok(i) * nd > sl) 1L else 0L))
+    }
+    // the selection must point the right way: target-resembling documents
+    // (the quality seed class) select at a strictly higher rate
+    val selRate = { (p: Boolean) =>
+      val idx = docs.indices.filter(i => toks(i)._1 == p)
+      idx.count(i => lwTok(i) * nd > sl).toDouble / idx.size
+    }
+    assert(selRate(true) > selRate(false),
+      s"no enrichment: target ${selRate(true)} vs raw ${selRate(false)}")
+  }
+
+  test("doc_ppl: bigram cross-entropy replays bit-for-bit and flags the " +
+    "above-mean tail") {
+    val docs = labelledDocs()
+    val bigrams = scala.collection.mutable.Map.empty[(String, String), Long]
+    val vocab = scala.collection.mutable.Set.empty[String]
+    val docGrams = docs.map { case (id, t, _) =>
+      val ws = t.split(" ", -1)
+      vocab ++= ws
+      val gs = ws.dropRight(1).zip(ws.drop(1))
+      gs.foreach(g => bigrams(g) = bigrams.getOrElse(g, 0L) + 1)
+      id -> gs
+    }
+    val c1 = bigrams.groupBy(_._1._1).map { case (w1, m) => w1 -> m.values.sum }
+    val v = vocab.size.toLong
+    val expect = docGrams.filter(_._2.nonEmpty).map { case (id, gs) =>
+      val nll = gs.map(g =>
+        llog2(c1(g._1) + v) - llog2(bigrams(g) + 1)).sum
+      id -> ((gs.length.toLong, nll, fdiv(nll, gs.length.toLong)))
+    }.toMap
+    val ndocs = expect.size.toLong
+    val sa = expect.values.map(_._3).sum
+    val rows = Filtering.docPpl(spark, sf).collect()
+    assert(rows.length == expect.size)
+    rows.foreach { r =>
+      val (n, nll, avg) = expect(r.getAs[Long]("doc_id"))
+      assert(r.getAs[Long]("n_bigrams") == n)
+      assert(r.getAs[Long]("nll") == nll,
+        s"nll mismatch doc ${r.getAs[Long]("doc_id")}")
+      assert(r.getAs[Long]("avg_nll") == avg)
+      assert(r.getAs[Long]("flagged") ==
+        (if (avg * ndocs > sa) 1L else 0L))
+    }
+    // both sides of the bar are populated (the filter separates a tail)
+    assert(rows.exists(_.getAs[Long]("flagged") == 1L))
+    assert(rows.exists(_.getAs[Long]("flagged") == 0L))
+  }
+}
