@@ -1337,13 +1337,14 @@ object Clustering {
     * ⟨v₁,v₁⟩ < 2^30, |q_i·⟨v₁,v₁⟩| < 2^48 and |⟨q,v₁⟩·v₁_i| < 2^48, so
     * q' < 2^49 pre-downscale — inside BIGINT with 14 bits to spare.
     */
-  def embedPcaDeflate(s: SparkSession, dir: String): DataFrame = {
-    GraftFunctions.register(s)
-    val e = Tables.embeddings(s, dir)
-      .select(col("vec_id"), expr(PcaQExpr).as("q"))
-    val v1 = pcaPowerLoop(e)(pcaRoundSingle)
-    val nv = v1.select(expr("q_dot(v, v)").as("nv"))
-    val qd = e.crossJoin(broadcast(v1)).crossJoin(broadcast(nv))
+  /** One scaled-deflation step: remove direction `v` from every vector of
+    * `e` (q' = q·⟨v,v⟩ − ⟨q,v⟩·v — exactly orthogonal, division-free),
+    * then one corpus-max bit-length downscale back inside the
+    * [[PcaDeflBits]] budget.
+    */
+  private def pcaDeflateStep(e: DataFrame, v: DataFrame): DataFrame = {
+    val nv = v.select(expr("q_dot(v, v)").as("nv"))
+    val qd = e.crossJoin(broadcast(v)).crossJoin(broadcast(nv))
       .select(col("vec_id"), col("q"), col("v"), col("nv"),
         expr("q_dot(q, v)").as("t"))
       .select(col("vec_id"),
@@ -1352,15 +1353,28 @@ object Clustering {
       .agg(max(abs(col("wi"))).as("m"))
       .select(expr("cast(power(2, greatest(0, " +
         s"length(bin(m)) - $PcaDeflBits)) as bigint)").as("p"))
-    // memoized: the deflated corpus feeds all 12 rounds plus the final
-    // projection — recomputing it per round would re-run the deflation
-    // aggregate (a full corpus pass) 13×
-    val e2 = graft.Memo.cached(s, "pca_defl_e2", dir) {
-      qd.crossJoin(broadcast(pd))
-        .select(col("vec_id"), expr(
-          "transform(w, x -> cast((x - ((x % p + p) % p)) / p as bigint))")
-          .as("q"))
+    qd.crossJoin(broadcast(pd))
+      .select(col("vec_id"), expr(
+        "transform(w, x -> cast((x - ((x % p + p) % p)) / p as bigint))")
+        .as("q"))
+  }
+
+  /** The memoized once-deflated corpus: feeds all 12 second-run rounds
+    * plus the final projection (and the third-component gate) —
+    * recomputing it per round would re-run the deflation aggregate (a
+    * full corpus pass) 13×.
+    */
+  private def pcaDeflatedCorpus(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), expr(PcaQExpr).as("q"))
+    graft.Memo.cached(s, "pca_defl_e2", dir) {
+      pcaDeflateStep(e, pcaPowerLoop(e)(pcaRoundSingle))
     }
+  }
+
+  def embedPcaDeflate(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    val e2 = pcaDeflatedCorpus(s, dir)
     val v2 = pcaPowerLoop(e2)(pcaRoundSingle)
     val sg = pcaSign(v2)
     e2.crossJoin(broadcast(v2)).crossJoin(broadcast(sg))
@@ -1368,36 +1382,76 @@ object Clustering {
       .orderBy("vec_id")
   }
 
-  val embedPcaDeflateSql: String = s"""
-    WITH pe AS MATERIALIZED (SELECT vec_id, $PcaQSql AS q FROM embeddings),
-    v0 AS MATERIALIZED (
-      SELECT list_transform(q, x -> CAST(1 AS BIGINT)) AS v
-      FROM (SELECT q FROM pe ORDER BY vec_id LIMIT 1)),
-    ${pcaRoundsSql("pe", "", twoLevel = false)},
-    nv AS (SELECT CAST(list_sum(list_transform(v, x -> x * x)) AS BIGINT)
-             AS nv FROM v$PcaRounds),
-    qt AS (
+  /** Third principal direction: iterate the deflation (q'' deflates the
+    * once-deflated corpus by ITS top direction v₂), then power-iterate
+    * again — Hotelling deflation composed twice, every step the same
+    * integer-exact machinery. Output: projections onto the third
+    * direction in the twice-deflated space.
+    */
+  def embedPcaThird(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    val e2 = pcaDeflatedCorpus(s, dir)
+    val e3 = graft.Memo.cached(s, "pca_defl_e3", dir) {
+      pcaDeflateStep(e2, pcaPowerLoop(e2)(pcaRoundSingle))
+    }
+    val v3 = pcaPowerLoop(e3)(pcaRoundSingle)
+    val sg = pcaSign(v3)
+    e3.crossJoin(broadcast(v3)).crossJoin(broadcast(sg))
+      .select(col("vec_id"), (col("g") * expr("q_dot(q, v)")).as("proj3"))
+      .orderBy("vec_id")
+  }
+
+  /** Oracle chain of one deflation step: deflate `src` by `vsrc`'s
+    * direction into the MATERIALIZED corpus CTE `out` (internal CTEs
+    * prefixed `px`).
+    */
+  private def pcaDeflSql(src: String, vsrc: String, px: String,
+                         out: String): String = s"""
+    ${px}nv AS (SELECT CAST(list_sum(list_transform(v, x -> x * x))
+                  AS BIGINT) AS nv FROM $vsrc),
+    ${px}qt AS (
       SELECT vec_id, q, v,
         CAST(list_sum(list_transform(generate_series(1, len(q)),
           i -> q[i] * v[i])) AS BIGINT) AS t
-      FROM pe, v$PcaRounds),
-    qd AS MATERIALIZED (
+      FROM $src, $vsrc),
+    ${px}qd AS MATERIALIZED (
       SELECT vec_id, list_transform(generate_series(1, len(q)),
         i -> q[i] * nv - t * v[i]) AS w
-      FROM qt, nv),
-    pdb AS (
+      FROM ${px}qt, ${px}nv),
+    ${px}pdb AS (
       SELECT CAST(power(2, greatest(0,
         length(bin(max(abs(wi)))) - $PcaDeflBits)) AS BIGINT) AS p
-      FROM (SELECT unnest(w) AS wi FROM qd)),
-    pe2 AS MATERIALIZED (
+      FROM (SELECT unnest(w) AS wi FROM ${px}qd)),
+    $out AS MATERIALIZED (
       SELECT vec_id, list_transform(w,
         x -> CAST((x - ((x % p + p) % p)) / p AS BIGINT)) AS q
-      FROM qd, pdb),
-    dv0 AS MATERIALIZED (
+      FROM ${px}qd, ${px}pdb)"""
+
+  private def pcaInitSql(src: String, px: String): String = s"""
+    ${px}v0 AS MATERIALIZED (
       SELECT list_transform(q, x -> CAST(1 AS BIGINT)) AS v
-      FROM (SELECT q FROM pe2 ORDER BY vec_id LIMIT 1)),
+      FROM (SELECT q FROM $src ORDER BY vec_id LIMIT 1))"""
+
+  val embedPcaDeflateSql: String = s"""
+    WITH pe AS MATERIALIZED (SELECT vec_id, $PcaQSql AS q FROM embeddings),
+    ${pcaInitSql("pe", "")},
+    ${pcaRoundsSql("pe", "", twoLevel = false)},
+    ${pcaDeflSql("pe", s"v$PcaRounds", "", "pe2")},
+    ${pcaInitSql("pe2", "d")},
     ${pcaRoundsSql("pe2", "d", twoLevel = false)},
     ${pcaTailSql("pe2", "d", "proj2")}"""
+
+  val embedPcaThirdSql: String = s"""
+    WITH pe AS MATERIALIZED (SELECT vec_id, $PcaQSql AS q FROM embeddings),
+    ${pcaInitSql("pe", "")},
+    ${pcaRoundsSql("pe", "", twoLevel = false)},
+    ${pcaDeflSql("pe", s"v$PcaRounds", "", "pe2")},
+    ${pcaInitSql("pe2", "d")},
+    ${pcaRoundsSql("pe2", "d", twoLevel = false)},
+    ${pcaDeflSql("pe2", s"dv$PcaRounds", "d", "pe3")},
+    ${pcaInitSql("pe3", "e")},
+    ${pcaRoundsSql("pe3", "e", twoLevel = false)},
+    ${pcaTailSql("pe3", "e", "proj3")}"""
 
   // ------------------------------------- two-level partial-sum scaling
 
@@ -1554,6 +1608,7 @@ object Clustering {
     "dedup_cascade" -> (dedupCascade(_, _)),
     "embed_pca_power" -> (embedPcaPower(_, _)),
     "embed_pca_deflate" -> (embedPcaDeflate(_, _)),
+    "embed_pca_third" -> (embedPcaThird(_, _)),
     "embed_pca_twolevel" -> (embedPcaTwoLevel(_, _)),
     "dedup_clusters" -> (dedupClusters(_, _)),
     "dedup_keep_best" -> (dedupKeepBest _),
@@ -1574,6 +1629,7 @@ object Clustering {
     "dedup_cascade" -> dedupCascadeSql,
     "embed_pca_power" -> embedPcaPowerSql,
     "embed_pca_deflate" -> embedPcaDeflateSql,
+    "embed_pca_third" -> embedPcaThirdSql,
     "embed_pca_twolevel" -> embedPcaTwoLevelSql,
     "dedup_clusters" -> dedupClustersSql,
     "dedup_keep_best" -> dedupKeepBestSql,

@@ -198,6 +198,68 @@ object Similarity {
     FROM pairs WHERE $PairCosSql >= 0.45
     ORDER BY id_a, id_b"""
 
+  /** Eval-set membership of the semantic decontamination gate (every
+    * 5th vector plays the held-out benchmark sample).
+    */
+  private val SemEvalMod = 5
+
+  /** Embedding-space decontamination — the semantic complement of the
+    * n-gram [[CorpusFilters.decontaminate]]: flag corpus vectors whose
+    * embedding is near-identical (cosine ≥ threshold) to ANY held-out
+    * eval vector — paraphrased/reformatted benchmark leakage that shares
+    * no 8-gram. Candidates come from the SAME banded sign-LSH buckets as
+    * `dedup_embedding`, with the eval side filtered BEFORE the join, so
+    * probe volume is eval-size × bucket occupancy — corpus×corpus pairs
+    * are never generated, the asymmetric analog of the batch-probes-base
+    * incremental dedup shape.
+    */
+  def decontaminateSemantic(s: SparkSession, dir: String,
+                            threshold: Double = 0.4): DataFrame = {
+    val qn = qdf(s, dir)
+    val sigs = (0 until DedupBands).map(bandSigCol)
+    val bands = qn.select(col("vec_id"),
+      posexplode(array(sigs: _*)).as(Seq("band", "sig")))
+    val cand = bands.filter(col("vec_id") % SemEvalMod =!= 0).alias("a")
+      .join(bands.filter(col("vec_id") % SemEvalMod === 0).alias("b"),
+        col("a.band") === col("b.band") && col("a.sig") === col("b.sig"))
+      .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("eval_id"))
+      .distinct()
+    val scored = cand
+      .join(qn.select(col("vec_id"), col("q").as("qa"), col("n2").as("na")),
+        "vec_id")
+      .join(qn.select(col("vec_id").as("eval_id"), col("q").as("qb"),
+        col("n2").as("nb")), "eval_id")
+      .withColumn("dot", expr("q_dot(qa, qb)"))
+    val cos = cosCol(col("dot"), col("na"), col("nb"))
+    scored.filter(cos >= threshold)
+      .groupBy("vec_id")
+      .agg(count(lit(1)).as("n_eval_hits"), max(round(cos, 6)).as("max_cos"))
+      .orderBy("vec_id")
+  }
+
+  val decontaminateSemanticSql: String = s"""
+    WITH $QuantSql,
+    ${projSql(DedupBands * BandPlanes)},
+    bands AS (
+      SELECT vec_id, h // $BandPlanes AS band,
+        sum(CASE WHEN proj >= 0 THEN 1 ELSE 0 END * (1 << (h % $BandPlanes)))
+          AS sig
+      FROM proj GROUP BY 1, 2),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS vec_id, b.vec_id AS eval_id
+      FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig
+      WHERE a.vec_id % $SemEvalMod <> 0 AND b.vec_id % $SemEvalMod = 0),
+    pairs AS (
+      SELECT cand.vec_id, eval_id, x.n2 AS na, y.n2 AS nb,
+        CAST(list_sum(list_transform(generate_series(1, len(x.q)),
+          i -> x.q[i] * y.q[i])) AS BIGINT) AS dot
+      FROM cand JOIN qn x ON cand.vec_id = x.vec_id
+                JOIN qn y ON eval_id = y.vec_id)
+    SELECT vec_id, count(*) AS n_eval_hits,
+      max(round($PairCosSql, 6)) AS max_cos
+    FROM pairs WHERE $PairCosSql >= 0.4
+    GROUP BY vec_id ORDER BY vec_id"""
+
   // ----------------------------------------------------------- top-k (ANN)
 
   /** Shared tail: score (probe, candidate) rows with q_dot and keep the
@@ -1494,6 +1556,7 @@ object Similarity {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_embedding" -> (dedupEmbedding(_, _)),
+    "decontaminate_semantic" -> (decontaminateSemantic(_, _)),
     "ann_topk" -> (annTopk(_, _)),
     "ann_topk_filtered" -> (annTopkFiltered(_, _)),
     "ann_filtered_recall" -> (annFilteredRecall(_, _)),
@@ -1517,6 +1580,7 @@ object Similarity {
 
   val oracles: Map[String, String] = Map(
     "dedup_embedding" -> dedupEmbeddingSql,
+    "decontaminate_semantic" -> decontaminateSemanticSql,
     "ann_topk" -> annTopkSql(),
     "ann_topk_filtered" -> annTopkFilteredSql(),
     "ann_filtered_recall" -> annFilteredRecallSql(),

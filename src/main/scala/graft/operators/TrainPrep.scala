@@ -199,19 +199,27 @@ object TrainPrep {
     * `events_markov`. Bigrams come from a per-document lead window (no
     * self-join, document boundaries respected).
     */
-  def textBigramLm(s: SparkSession, dir: String): DataFrame = {
-    // in-row bigram extraction (explode over positions, element_at pairs):
-    // a narrow map over the scan — no per-document window shuffle. The
-    // size guard matters: Spark's sequence(1, n) DESCENDS for n < 1.
+  /** Per-occurrence bigram observations `(w1, w2)` — in-row extraction
+    * (explode over positions, element_at pairs): a narrow map over the
+    * scan, no per-document window shuffle. The size guard matters:
+    * Spark's sequence(1, n) DESCENDS for n < 1. Shared with the
+    * streaming LM-count maintainer.
+    */
+  private[graft] def lmObs(s: SparkSession, dir: String): DataFrame = {
     val ws = split(norm, " ")
-    val grams = Tables.documents(s, dir)
+    Tables.documents(s, dir)
       .select(col("doc_id"), ws.as("ws"))
       .filter(size(col("ws")) >= 2)
       .withColumn("i", explode(sequence(lit(1), size(col("ws")) - 1)))
       .select(element_at(col("ws"), col("i")).as("w1"),
         element_at(col("ws"), col("i") + 1).as("w2"))
-    val pairs = grams.groupBy(col("w1"), col("w2"))
-      .agg(count(lit(1)).as("c12"))
+  }
+
+  /** The LM report over a bigram-count frame `(w1, w2, c12)`: per-context
+    * totals, the min-count cut and each context's argmax continuation —
+    * shared by the batch gate and the streaming maintainer's read side.
+    */
+  private[graft] def lmReport(pairs: DataFrame): DataFrame = {
     val ctx = pairs.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
     val rk = org.apache.spark.sql.expressions.Window
       .partitionBy(col("w1")).orderBy(col("c12").desc, col("w2"))
@@ -224,6 +232,10 @@ object TrainPrep {
           .as("p"))
       .orderBy("w1")
   }
+
+  def textBigramLm(s: SparkSession, dir: String): DataFrame =
+    lmReport(lmObs(s, dir).groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c12")))
 
   val textBigramLmSql: String = s"""
     WITH g AS (

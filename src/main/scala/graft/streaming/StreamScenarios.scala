@@ -327,6 +327,18 @@ object StreamScenarios {
     * CTEs. Cross-batch min-fold evolution and replay idempotence are
     * spec-driven.
     */
+  /** Batch-mode run of the streaming bigram-LM count maintainer: the
+    * maintained counts fed through the SAME context report (and DuckDB
+    * oracle) as the batch `text_bigram_lm`. Cross-batch counter evolution
+    * is spec-driven.
+    */
+  def streamLmMaintain(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val T = graft.operators.TrainPrep
+    val counts = StreamLm.counts(T.lmObs(s, dir).as[LmObs]).toDF()
+    T.lmReport(counts.select(col("w1"), col("w2"), col("c12")))
+  }
+
   def streamMinhashMaintain(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val D = graft.operators.Dedup
@@ -412,6 +424,7 @@ object StreamScenarios {
     "stream_topk_space" -> (streamTopkSpaceMaintain _),
     "stream_cms_maintain" -> (streamCmsMaintain _),
     "stream_minhash_maintain" -> (streamMinhashMaintain _),
+    "stream_lm_maintain" -> (streamLmMaintain _),
     "stream_profile_maintain" -> (streamProfileMaintain _),
     "stream_asof" -> (streamAsofMaintain _),
     "stream_ivf_maintain" -> (streamIvfMaintain _))
@@ -421,6 +434,7 @@ object StreamScenarios {
     "stream_topk_space" -> graft.operators.Sketch.topkSketchSql,
     "stream_cms_maintain" -> graft.operators.Sketch.cmsSketchSql,
     "stream_minhash_maintain" -> graft.operators.Dedup.minhashSigsSql,
+    "stream_lm_maintain" -> graft.operators.TrainPrep.textBigramLmSql,
     "stream_profile_maintain" -> graft.operators.Quality.profileStatsSql,
     "stream_asof" -> graft.operators.AsOf.asofJoinSql,
     "stream_ivf_maintain" ->

@@ -769,6 +769,46 @@ object StreamCms {
   }
 }
 
+/** One per-occurrence bigram observation for the LM-count maintainer —
+  * extracted upstream by the same expressions as the batch LM
+  * ([[graft.operators.TrainPrep.lmObs]]).
+  */
+case class LmObs(w1: String, w2: String)
+
+/** One maintained bigram count. */
+case class LmCount(w1: String, w2: String, c12: Long)
+
+/** Streaming bigram-LM count maintenance: the (w1, w2) counts behind the
+  * corpus language model kept up to date as documents stream in — the
+  * state layer that keeps perplexity scoring ([[graft.operators
+  * .Filtering.docPpl]]) and the context report (`text_bigram_lm`) fresh
+  * between batch retrains instead of re-scanning the corpus. One long of
+  * state per distinct bigram; counter adds are commutative and
+  * associative, so out-of-order arrival cannot corrupt a count (like the
+  * other counting maintainers it assumes effectively-once input). A
+  * single batch from empty state reproduces the batch count frame
+  * exactly — the gate feeds the maintained counts through the SAME
+  * report (and DuckDB oracle) as the batch gate.
+  */
+object StreamLm {
+
+  def counts(obs: Dataset[LmObs]): Dataset[LmCount] = {
+    import obs.sparkSession.implicits._
+    obs
+      .groupByKey(o => (o.w1, o.w2))
+      .flatMapGroupsWithState[LmCount, LmCount](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (k: (String, String), rows: Iterator[LmObs],
+         state: GroupState[LmCount]) =>
+          val add = rows.size.toLong
+          val next = LmCount(k._1, k._2,
+            state.getOption.map(_.c12).getOrElse(0L) + add)
+          state.update(next)
+          Iterator(next)
+      }
+  }
+}
+
 /** One per-shingle hash observation for the signature maintainer: the two
   * 32-bit md5 halves the Kirsch–Mitzenmacher construction combines —
   * computed upstream by the same expressions as the batch signature frame

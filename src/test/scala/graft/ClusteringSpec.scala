@@ -417,6 +417,47 @@ class ClusteringSpec extends SparkSpec {
       s"second direction not orthogonal to the first: cos=$cos12")
   }
 
+  /** Local replay of one scaled-deflation step. */
+  private def pcaLocalDeflate(q: Array[(Long, Array[Long])],
+                              v: Array[Long]): Array[(Long, Array[Long])] = {
+    val nv = v.map(x => x * x).sum
+    val w = q.map { case (id, qi) =>
+      val t = qi.zip(v).map { case (a, b) => a * b }.sum
+      id -> qi.indices.map(i => qi(i) * nv - t * v(i)).toArray
+    }
+    val m = w.flatMap(_._2.map(math.abs)).max
+    val pd = 1L << math.max(0, bits(m) - 18)
+    w.map { case (id, wi) => id -> wi.map(fdiv(_, pd)) }
+  }
+
+  test("embed_pca_third: twice-deflated power run replays bit-for-bit " +
+    "and the third direction is new") {
+    val q = pcaQ()
+    val (v1, _) = pcaLocalLoop(q)
+    val q2 = pcaLocalDeflate(q, v1)
+    val (v2, _) = pcaLocalLoop(q2)
+    val q3 = pcaLocalDeflate(q2, v2)
+    val (v3, _) = pcaLocalLoop(q3)
+    val g = pcaSignOf(v3)
+    val expect = q3.map { case (id, qi) =>
+      id -> g * qi.zip(v3).map { case (a, b) => a * b }.sum
+    }.toMap
+    val rows = Clustering.embedPcaThird(spark, sf).collect()
+    assert(rows.length == q.length)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("proj3") == expect(r.getAs[Long]("vec_id")),
+        s"proj3 mismatch at vec ${r.getAs[Long]("vec_id")}")
+    }
+    def cos(a: Array[Long], b: Array[Long]): Double =
+      a.zip(b).map { case (x, y) => x.toDouble * y }.sum /
+        math.sqrt(a.map(x => x.toDouble * x).sum *
+          b.map(x => x.toDouble * x).sum)
+    assert(math.abs(cos(v3, v2)) < 0.01,
+      s"third direction not orthogonal to second: ${cos(v3, v2)}")
+    assert(math.abs(cos(v3, v1)) < 0.02,
+      s"third direction not orthogonal to first: ${cos(v3, v1)}")
+  }
+
   test("embed_pca_twolevel: two-level partial-sum scaling replays " +
     "bit-for-bit, the cut fires at this scale, and the direction agrees") {
     val q = pcaQ()

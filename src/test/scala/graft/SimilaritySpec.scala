@@ -57,6 +57,35 @@ class SimilaritySpec extends SparkSpec {
     assert(rows.forall(_.getAs[Double]("cos") >= 0.45))
   }
 
+  test("decontaminate_semantic: flags corpus vectors near eval vectors, " +
+    "a subset of the brute-force pair set") {
+    val rows = Similarity.decontaminateSemantic(spark, sf).collect()
+    assert(rows.nonEmpty, "no contamination fired at this scale")
+    // brute-force cosine over the same quantization (superset of the
+    // LSH-candidate path)
+    val q = graft.Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getSeq[Float](r.fieldIndex("embedding"))
+          .map(x => math.floor(x.toDouble * 1e7 + 0.5).toLong).toArray)
+    val n2 = q.map { case (id, v) => id -> v.map(x => x * x).sum }.toMap
+    val qm = q.toMap
+    def cos(a: Long, b: Long): Double =
+      qm(a).zip(qm(b)).map { case (x, y) => x * y }.sum.toDouble /
+        (math.sqrt(n2(a).toDouble) * math.sqrt(n2(b).toDouble))
+    val evals = q.map(_._1).filter(_ % 5 == 0)
+    rows.foreach { r =>
+      val id = r.getAs[Long]("vec_id")
+      assert(id % 5 != 0, s"eval vector $id flagged as corpus")
+      assert(r.getAs[Double]("max_cos") >= 0.4)
+      val brute = evals.map(e => cos(id, e)).filter(_ >= 0.4)
+      assert(r.getAs[Long]("n_eval_hits") <= brute.length,
+        s"vec $id claims more hits than brute force finds")
+      assert(r.getAs[Double]("max_cos") <= brute.max + 1e-6,
+        s"vec $id max_cos above the brute-force max")
+    }
+  }
+
   test("multimodal_meta: kinds cycle by doc_id, sizes = magic + utf8 body") {
     val rows = Multimodal.multimodalMeta(spark, sf).collect()
     assert(rows.length == 500)

@@ -585,4 +585,39 @@ class StreamingSpec extends SparkSpec {
         Option(y.getAs[Any]("asof_orderkey")), s"mismatch at $x vs $y")
     }
   }
+
+  test("streaming LM counts: bigram counters add across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.{LmObs, StreamLm}
+    val input = MemoryStream[LmObs]
+    val query = StreamLm.counts(input.toDS())
+      .writeStream.format("memory").queryName("lm_state")
+      .outputMode(OutputMode.Update).start()
+    try {
+      input.addData(LmObs("the", "table"), LmObs("the", "table"),
+        LmObs("big", "join"))
+      query.processAllAvailable()
+      input.addData(LmObs("the", "table"), LmObs("big", "scan"))
+      query.processAllAvailable()
+      val last = spark.table("lm_state").collect()
+        .groupBy(r => (r.getAs[String]("w1"), r.getAs[String]("w2")))
+        .view.mapValues(_.map(_.getAs[Long]("c12")).max).toMap
+      assert(last == Map(("the", "table") -> 3L, ("big", "join") -> 1L,
+        ("big", "scan") -> 1L))
+    } finally query.stop()
+  }
+
+  test("streaming LM in batch mode equals the batch bigram-LM gate") {
+    val a = streaming.StreamScenarios.streamLmMaintain(spark, sf).collect()
+    val b = operators.TrainPrep.textBigramLm(spark, sf).collect()
+    assert(a.length == b.length && a.nonEmpty)
+    a.zip(b).foreach { case (x, y) =>
+      assert(x.getAs[String]("w1") == y.getAs[String]("w1"))
+      assert(x.getAs[String]("w2") == y.getAs[String]("w2"))
+      assert(x.getAs[Long]("c12") == y.getAs[Long]("c12"))
+      assert(x.getAs[Long]("c1") == y.getAs[Long]("c1"))
+      assert(x.getAs[Double]("p") == y.getAs[Double]("p"))
+    }
+  }
 }
