@@ -222,15 +222,20 @@ object Quality {
     */
   val ProfShards = 32
 
-  /** The per-row observations the streaming profile maintainer folds: one
-    * (shard, cname, kind, num, str) row per (row, profiled column);
-    * numeric kinds carry the comparable double (exact for these
-    * magnitudes), string/timestamp kinds the canonical string (whose
-    * lexicographic order matches the typed order for both).
+  /** Per-(shard, column) PARTIAL profiles of one batch — the vectorized
+    * map-side-combined pre-aggregation the streaming profile maintainer
+    * folds ([[graft.streaming.StreamProfile]]); in production this is the
+    * per-micro-batch `foreachBatch` aggregate. Shape matters: all 11
+    * columns' five aggregates ride ONE per-shard pass over the UNEXPLODED
+    * table and the 32 result rows are stacked to (shard, column) rows
+    * afterwards — the explode-then-group formulation sorts rows×columns
+    * observation rows for the string-buffer SortAggregate (measured 15 s
+    * at sf0.1 vs ~2 s for this shape). `count(str)` counts non-null
+    * cells (both value forms are null exactly together).
     */
-  def profileObs(s: SparkSession, dir: String): DataFrame = {
+  def profilePartials(s: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(s, dir)
-    val branches = ProfCols.map { case (c, k) =>
+    val aggs = ProfCols.flatMap { case (c, k) =>
       val num = k match {
         case "int" | "dec" => col(c).cast("double")
         case _             => lit(null).cast("double")
@@ -239,13 +244,17 @@ object Quality {
         case "dec" => col(c).cast("decimal(18,2)").cast("string")
         case _     => col(c).cast("string")
       }
-      struct(lit(c).as("cname"), lit(k).as("kind"),
-        num.as("num"), str.as("str"))
+      Seq(count(str).as(s"nn_$c"),
+        min(num).as(s"mnn_$c"), max(num).as(s"mxn_$c"),
+        min(str).as(s"mns_$c"), max(str).as(s"mxs_$c"))
     }
-    li.select((col("l_orderkey") % ProfShards).as("shard"),
-        explode(array(branches: _*)).as("o"))
-      .select(col("shard"), col("o.cname"), col("o.kind"),
-        col("o.num"), col("o.str"))
+    li.groupBy((col("l_orderkey") % ProfShards).as("shard"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("shard"), expr(s"stack(${ProfCols.size}, " +
+        ProfCols.map { case (c, k) =>
+          s"'$c', '$k', nn_$c, mnn_$c, mxn_$c, mns_$c, mxs_$c"
+        }.mkString(", ") +
+        ") as (cname, kind, n_nonnull, min_num, max_num, min_str, max_str)"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

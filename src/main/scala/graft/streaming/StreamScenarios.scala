@@ -304,7 +304,7 @@ object StreamScenarios {
   def streamProfileMaintain(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val st = StreamProfile.states(
-      graft.operators.Quality.profileObs(s, dir).as[ProfObs]).toDF()
+      graft.operators.Quality.profilePartials(s, dir).as[ProfPart]).toDF()
     // read-time merge of the per-shard states: counts add, extremes fold
     val merged = st.groupBy(col("cname"), col("kind"))
       .agg(sum(col("n_nonnull")).as("n_nonnull"),

@@ -859,13 +859,20 @@ object StreamMinhash {
   }
 }
 
-/** One profiled-column observation: the column name, its comparison kind
-  * (`int`/`dec` compare on `num`, `str`/`ts` on `str`), and the value in
-  * both forms — produced upstream by the same casts as the batch profile
-  * ([[graft.operators.Quality.profileObs]]).
+/** One per-batch PARTIAL profile of a (shard, column): non-null count and
+  * min/max in both comparison forms (`int`/`dec` compare on the `num`
+  * pair, `str`/`ts` on the `str` pair), computed upstream by a plain
+  * map-side-combined aggregation over the micro-batch (`foreachBatch` in
+  * production, [[graft.operators.Quality.profilePartials]] in the gate).
+  * The maintainer folds ONE row per (shard, column) per batch — feeding
+  * it raw cell observations instead shuffled rows × columns
+  * encoder-boxed objects through the state store (measured: 6.6M rows,
+  * 15 s at sf0.1, vs ~350 partial rows).
   */
-case class ProfObs(shard: Long, cname: String, kind: String,
-                   num: Option[Double], str: Option[String])
+case class ProfPart(shard: Long, cname: String, kind: String,
+                    n_nonnull: Long,
+                    min_num: Option[Double], max_num: Option[Double],
+                    min_str: Option[String], max_str: Option[String])
 
 /** One maintained per-column profile: non-null count and the running
   * min/max in both comparison forms.
@@ -879,39 +886,42 @@ case class ProfState(shard: Long, cname: String, kind: String,
   * profile ([[graft.operators.Quality.tableProfile]]): per column,
   * non-null count and typed min/max kept current as rows stream in — the
   * catalog statistics a 100-TB optimizer consults staying fresh under
-  * CDC instead of being recollected by full ANALYZE scans. min/max folds
-  * are idempotent (replay-safe); the count is not (effectively-once
-  * input assumed, like the other counting maintainers). Distinct counts
-  * are deliberately absent — that is exactly what the mergeable sketch
-  * maintainers (HLL/KMV) are for. State is O(1) per (column, shard) —
+  * CDC instead of being recollected by full ANALYZE scans. The input is
+  * per-batch PARTIALS ([[ProfPart]]) — profile states are mergeable, so
+  * the micro-batch pre-aggregates (vectorized, map-side-combined) and
+  * the state store folds partial-per-key rows, never the raw cells.
+  * min/max folds are idempotent (replay-safe); the count is not
+  * (effectively-once input assumed, like the other counting
+  * maintainers). Distinct counts are deliberately absent — that is
+  * exactly what the mergeable sketch maintainers (HLL/KMV) are for.
+  * State is O(1) per (column, shard) —
   * [[graft.operators.Quality.ProfShards]] shards per column fold in
   * parallel and merge at read time, so a table's rows never funnel
   * through one state partition per column.
   */
 object StreamProfile {
 
-  def states(obs: Dataset[ProfObs]): Dataset[ProfState] = {
-    import obs.sparkSession.implicits._
-    obs
-      .groupByKey(o => (o.shard, o.cname, o.kind))
+  private def foldMin[T](a: Option[T], b: Option[T])
+                        (implicit o: Ordering[T]): Option[T] =
+    (a.toSeq ++ b.toSeq).reduceOption((x: T, y: T) => o.min(x, y))
+
+  private def foldMax[T](a: Option[T], b: Option[T])
+                        (implicit o: Ordering[T]): Option[T] =
+    (a.toSeq ++ b.toSeq).reduceOption((x: T, y: T) => o.max(x, y))
+
+  def states(parts: Dataset[ProfPart]): Dataset[ProfState] = {
+    import parts.sparkSession.implicits._
+    parts
+      .groupByKey(p => (p.shard, p.cname, p.kind))
       .flatMapGroupsWithState[ProfState, ProfState](
         OutputMode.Update, GroupStateTimeout.NoTimeout) {
         case ((shard, cname, kind), rows, state) =>
           var st = state.getOption.getOrElse(
             ProfState(shard, cname, kind, 0L, None, None, None, None))
-          rows.foreach { o =>
-            if (o.str.nonEmpty) {
-              val mn = (st.min_num.toSeq ++ o.num.toSeq)
-                .reduceOption((a: Double, b: Double) => math.min(a, b))
-              val mx = (st.max_num.toSeq ++ o.num.toSeq)
-                .reduceOption((a: Double, b: Double) => math.max(a, b))
-              val ms = (st.min_str.toSeq ++ o.str.toSeq)
-                .reduceOption((a, b) => if (a <= b) a else b)
-              val xs = (st.max_str.toSeq ++ o.str.toSeq)
-                .reduceOption((a, b) => if (a >= b) a else b)
-              st = ProfState(shard, cname, kind, st.n_nonnull + 1,
-                mn, mx, ms, xs)
-            }
+          rows.foreach { p =>
+            st = ProfState(shard, cname, kind, st.n_nonnull + p.n_nonnull,
+              foldMin(st.min_num, p.min_num), foldMax(st.max_num, p.max_num),
+              foldMin(st.min_str, p.min_str), foldMax(st.max_str, p.max_str))
           }
           state.update(st)
           Iterator(st)

@@ -500,25 +500,30 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
-  test("streaming profile: min/max fold across batches, replay leaves " +
-    "extremes unchanged") {
+  test("streaming profile: per-batch partials fold across batches, " +
+    "replay leaves extremes unchanged") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
-    import graft.streaming.{ProfObs, StreamProfile}
-    val input = MemoryStream[ProfObs]
+    import graft.streaming.{ProfPart, StreamProfile}
+    val input = MemoryStream[ProfPart]
     val query = StreamProfile.states(input.toDS())
       .writeStream.format("memory").queryName("prof_state")
       .outputMode(OutputMode.Update).start()
     try {
+      // batch 1: the micro-batch pre-aggregate of two price cells + one
+      // flag cell
       input.addData(
-        ProfObs(0, "price", "dec", Some(3.5), Some("3.50")),
-        ProfObs(0, "price", "dec", Some(1.25), Some("1.25")),
-        ProfObs(0, "flag", "str", None, Some("N")))
+        ProfPart(0, "price", "dec", 2, Some(1.25), Some(3.5),
+          Some("1.25"), Some("3.50")),
+        ProfPart(0, "flag", "str", 1, None, None, Some("N"), Some("N")))
       query.processAllAvailable()
+      // batch 2: counts add, extremes fold; an all-null batch partial
+      // (n = 0, no extremes) folds as a no-op
       input.addData(
-        ProfObs(0, "price", "dec", Some(9.0), Some("9.00")),
-        ProfObs(0, "flag", "str", None, Some("A")),
-        ProfObs(0, "flag", "str", None, None)) // null: not counted, no fold
+        ProfPart(0, "price", "dec", 1, Some(9.0), Some(9.0),
+          Some("9.00"), Some("9.00")),
+        ProfPart(0, "flag", "str", 1, None, None, Some("A"), Some("A")),
+        ProfPart(0, "flag", "str", 0, None, None, None, None))
       query.processAllAvailable()
       val rows = spark.table("prof_state").collect()
       def last(c: String) = rows.filter(_.getAs[String]("cname") == c)
@@ -532,7 +537,8 @@ class StreamingSpec extends SparkSpec {
       assert(flag.getAs[String]("min_str") == "A")
       assert(flag.getAs[String]("max_str") == "N")
       // replaying an already-seen extreme changes no min/max
-      input.addData(ProfObs(0, "price", "dec", Some(9.0), Some("9.00")))
+      input.addData(ProfPart(0, "price", "dec", 1, Some(9.0), Some(9.0),
+        Some("9.00"), Some("9.00")))
       query.processAllAvailable()
       val p2 = spark.table("prof_state").collect()
         .filter(_.getAs[String]("cname") == "price")
