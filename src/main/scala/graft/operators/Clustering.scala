@@ -70,7 +70,6 @@ object Clustering {
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("lab", col("id")).withColumn("chg", lit(true))
     var frontier = labels
-    var prev: DataFrame = null
     var converged = false
     while (!converged) {
       // candidate improvements: neighbour labels of last round's changed
@@ -80,31 +79,35 @@ object Clustering {
         .join(frontier.select(col("id").as("dst"), col("lab")), "dst")
         .select(col("src").as("id"), col("lab").as("clab"))
         .groupBy(col("id")).agg(min(col("clab")).as("clab"))
+      // eager localCheckpoint, not persist: persist materializes the data
+      // but KEEPS the logical plan, so round r's frame carried r rounds of
+      // unrolled lineage — by convergence ~20k plan nodes that every
+      // consumer (and every later round) re-analyzed; measured 7 s of pure
+      // driver planning on dedup_keep_best with the data fully cached.
+      // The checkpoint truncates the plan to a LogicalRDD leaf each round
+      // (the [[SuffixArray]] re-wrap lesson).
       val next = labels.select(col("id"), col("lab"))
         .join(cand, Seq("id"), "left")
         .select(col("id"), least(col("lab"), col("clab")).as("lab"),
           (col("clab") < col("lab")).as("chg"))
-        .persist()
+        .localCheckpoint(true)
       // the convergence test doubles as the only driver feedback: a scalar
       // count of changed labels — no data ever reaches the driver
       val changed = next.agg(sum(when(col("chg"), 1L).otherwise(0L)))
         .head().getLong(0)
       converged = changed == 0L
-      if (prev != null) prev.unpersist()
-      prev = next
       labels = next
-      frontier = next.filter(col("chg")) // lazy filter over the cached frame
+      frontier = next.filter(col("chg")) // lazy filter over the round frame
     }
     val sizes = labels.groupBy(col("lab")).agg(count(lit(1)).as("csize"))
     val res = labels.join(sizes, "lab")
       .select(col("id").as("doc_id"), col("lab").as("cluster"), col("csize"))
       .orderBy("doc_id")
       .persist()
-    // materialize the result before releasing the last round's frame, so
-    // nothing recomputes the loop from lineage; Memo sees an
-    // already-persisted frame and will unpersist it on clear()
+    // materialize the result (its lineage is now just the last round's
+    // checkpointed leaf + one agg/join); Memo sees an already-persisted
+    // frame and will unpersist it on clear()
     res.count(): Unit
-    if (prev != null) prev.unpersist(): Unit
     res
   }
 
