@@ -271,15 +271,70 @@ object Filtering {
     * ceiling exact float log-likelihoods reach on this corpus. Bucket
     * stats are a [[DsirBuckets]]-row broadcast; no global sort.
     */
-  def dsirSelect(s: SparkSession, dir: String): DataFrame = {
+  /** Per-token hashed-bucket observations `(doc_id, f, is_t)` — shared by
+    * the batch selection and the streaming importance-model maintainer's
+    * partial builder.
+    */
+  private[graft] def dsirTok(s: SparkSession, dir: String): DataFrame = {
     val lab = TextOps.qualityDf(s, dir)
       .select(col("doc_id"), (col("quality") > ClfQualityBar).as("is_t"))
-    val tok = Tables.documents(s, dir)
+    Tables.documents(s, dir)
       .select(col("doc_id"), explode(split(norm, " ")).as("w"))
       .select(col("doc_id"),
         (expr("cast(conv(substring(md5(w), 1, 8), 16, 10) as bigint)")
           % DsirBuckets).as("f"))
       .join(lab, "doc_id")
+  }
+
+  /** Per-batch RAW bucket partials `(f, cnt, tcnt)` — the vectorized
+    * pre-aggregate the streaming maintainer folds (counts are mergeable;
+    * smoothing belongs to the read side, so partials carry raw counts).
+    */
+  private[graft] def dsirPartials(s: SparkSession, dir: String): DataFrame =
+    dsirTok(s, dir).groupBy("f").agg(
+      count(lit(1)).as("cnt"),
+      sum(when(col("is_t"), 1L).otherwise(0L)).as("tcnt"))
+
+  /** Read-time importance-model report over maintained raw counts
+    * `(f, cnt, tcnt)`: add-one smoothing, totals, and the fixed-point
+    * per-bucket log-ratio `d` — the broadcast side every DSIR scoring
+    * pass consumes.
+    */
+  private[graft] def dsirBucketReport(counts: DataFrame): DataFrame = {
+    val buckets = counts.select(col("f"), (col("cnt") + 1).as("sf"),
+      (col("tcnt") + 1).as("tf"))
+    val tot = buckets.agg(sum(col("sf")).as("sS"), sum(col("tf")).as("tT"))
+    buckets.crossJoin(broadcast(tot))
+      .select(col("f"), col("sf"), col("tf"),
+        (expr(llog2("tf")) - expr(llog2("tT"))
+          - expr(llog2("sf")) + expr(llog2("sS"))).as("d"))
+      .orderBy("f")
+  }
+
+  /** Oracle of the streaming importance-model gate: the bucket stats +
+    * log-ratio frame of [[dsirSelectSql]]'s chain, read back directly.
+    */
+  val dsirBucketsSql: String = s"""
+    WITH ${TextOps.docQualityCteSql},
+    dlab AS (SELECT doc_id, quality > $ClfQualityBar AS is_t FROM dq),
+    dtok AS (SELECT doc_id, is_t, f FROM (
+               SELECT doc_id,
+                 ('0x' || substring(md5(unnest(string_split($normSql, ' '))),
+                   1, 8))::BIGINT % $DsirBuckets AS f
+               FROM documents) tk
+             JOIN dlab USING (doc_id)),
+    buckets AS (
+      SELECT f, count(*) + 1 AS sf,
+        CAST(sum(CASE WHEN is_t THEN 1 ELSE 0 END) + 1 AS BIGINT) AS tf
+      FROM dtok GROUP BY f),
+    tot AS (SELECT CAST(sum(sf) AS BIGINT) AS sS,
+              CAST(sum(tf) AS BIGINT) AS tT FROM buckets)
+    SELECT f, sf, tf, ${llog2("tf")} - ${llog2("tT")}
+                        - ${llog2("sf")} + ${llog2("sS")} AS d
+    FROM buckets, tot ORDER BY f"""
+
+  def dsirSelect(s: SparkSession, dir: String): DataFrame = {
+    val tok = dsirTok(s, dir)
     val buckets = tok.groupBy("f").agg(
       (count(lit(1)) + 1).as("sf"),
       (sum(when(col("is_t"), 1L).otherwise(0L)) + 1).as("tf"))

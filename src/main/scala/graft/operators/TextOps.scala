@@ -662,6 +662,53 @@ object TextOps {
               THEN 3.0 ELSE 1.0 END), 6) AS mix_pos
     FROM w ORDER BY mix_pos, source, doc_id"""
 
+  /** Fixed-point position scale of the temperature-mixed schedule. */
+  private val MixTempK = 1048576L
+
+  /** TEMPERATURE-based source mixing (the UniMax / mT5 knob): each
+    * source's sampling rate is proportional to n_s^(1/2) — temperature
+    * τ = 2 — so low-resource sources are upweighted relative to their
+    * raw share without the fixed hand-tuned weights of [[corpusMix]].
+    * Deterministic and integer-exact: the rate divisor is
+    * isqrt(n_s) = ⌊√n_s⌋ (IEEE sqrt is correctly rounded, so the floor
+    * is identical on both engines for n < 2^52) and the schedule
+    * position of a source's rn-th document is ⌊rn·K / isqrt(n_s)⌋ —
+    * interleaving sources in sqrt-proportion. Per-source ranks ride the
+    * same two-phase [[DistRank]] as the other schedule builders; the
+    * source census is a broadcast one-row-per-source aggregate.
+    */
+  def corpusMixTemp(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("source"))
+    val census = docs.groupBy("source").agg(count(lit(1)).as("n_source"))
+      .withColumn("w",
+        expr("cast(floor(sqrt(cast(n_source as double))) as bigint)"))
+    DistRank.rowNumber(docs, "source", Seq(col("doc_id")), "doc_id", "__rn")
+      .withColumn("rn", col("__rn").cast("int"))
+      .join(broadcast(census), "source")
+      // bigint arithmetic: rn is INT for the output contract, but
+      // rn·K overflows 32 bits past rn ≈ 2047 (hit at the 10× probe)
+      .withColumn("pos_q", expr(s"cast(((cast(rn as bigint) * $MixTempK) - " +
+        s"((cast(rn as bigint) * $MixTempK) % w)) / w as bigint)"))
+      .select(col("doc_id"), col("source"), col("rn"), col("n_source"),
+        col("w"), col("pos_q"))
+      .orderBy("pos_q", "source", "doc_id")
+  }
+
+  val corpusMixTempSql: String = s"""
+    WITH r AS (
+      SELECT doc_id, source,
+        row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+      FROM documents),
+    census AS (
+      SELECT source, count(*) AS n_source,
+        CAST(floor(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT) AS w
+      FROM documents GROUP BY source)
+    SELECT doc_id, source, CAST(rn AS INT) AS rn, n_source, w,
+      CAST(((rn * $MixTempK) - ((rn * $MixTempK) % w)) / w AS BIGINT)
+        AS pos_q
+    FROM r JOIN census USING (source)
+    ORDER BY pos_q, source, doc_id"""
+
   // ---------------------------------------------------------- composed clean
 
   /** The composed cleaning pipeline: quality gate + near-dup removal in one
@@ -817,6 +864,7 @@ object TextOps {
     "text_normalize" -> (textNormalize _),
     "corpus_clean" -> (corpusClean(_, _)),
     "corpus_mix" -> (corpusMix _),
+    "corpus_mix_temp" -> (corpusMixTemp _),
     "corpus_sample" -> (corpusSample _),
     "text_pii" -> (textPii _),
     "pack_sequences" -> (packSequences(_, _)),
@@ -833,6 +881,7 @@ object TextOps {
     "text_normalize" -> textNormalizeSql,
     "corpus_clean" -> corpusCleanSql,
     "corpus_mix" -> corpusMixSql,
+    "corpus_mix_temp" -> corpusMixTempSql,
     "corpus_sample" -> corpusSampleSql,
     "text_pii" -> textPiiSql,
     "pack_sequences" -> packSequencesSql,

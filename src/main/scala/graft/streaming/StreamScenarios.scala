@@ -339,6 +339,18 @@ object StreamScenarios {
     T.lmReport(counts.select(col("w1"), col("w2"), col("c12")))
   }
 
+  /** Batch-mode run of the streaming DSIR importance-model maintainer:
+    * per-batch raw bucket partials folded into the count state, then the
+    * read-time smoothing + fixed-point log-ratio report — the SAME
+    * bucket frame (and oracle) the batch `dsir_select` consumes.
+    */
+  def streamDsirMaintain(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val F = graft.operators.Filtering
+    F.dsirBucketReport(
+      StreamDsir.counts(F.dsirPartials(s, dir).as[DsirPart]).toDF())
+  }
+
   def streamMinhashMaintain(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val D = graft.operators.Dedup
@@ -425,6 +437,7 @@ object StreamScenarios {
     "stream_cms_maintain" -> (streamCmsMaintain _),
     "stream_minhash_maintain" -> (streamMinhashMaintain _),
     "stream_lm_maintain" -> (streamLmMaintain _),
+    "stream_dsir_maintain" -> (streamDsirMaintain _),
     "stream_profile_maintain" -> (streamProfileMaintain _),
     "stream_asof" -> (streamAsofMaintain _),
     "stream_ivf_maintain" -> (streamIvfMaintain _))
@@ -435,6 +448,7 @@ object StreamScenarios {
     "stream_cms_maintain" -> graft.operators.Sketch.cmsSketchSql,
     "stream_minhash_maintain" -> graft.operators.Dedup.minhashSigsSql,
     "stream_lm_maintain" -> graft.operators.TrainPrep.textBigramLmSql,
+    "stream_dsir_maintain" -> graft.operators.Filtering.dsirBucketsSql,
     "stream_profile_maintain" -> graft.operators.Quality.profileStatsSql,
     "stream_asof" -> graft.operators.AsOf.asofJoinSql,
     "stream_ivf_maintain" ->

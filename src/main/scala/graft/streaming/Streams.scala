@@ -769,6 +769,48 @@ object StreamCms {
   }
 }
 
+/** One per-batch RAW bucket partial for the DSIR importance-model
+  * maintainer: token count and target-token count of one hashed bucket in
+  * one micro-batch — pre-aggregated upstream
+  * ([[graft.operators.Filtering.dsirPartials]]); smoothing stays on the
+  * read side so the folds are plain mergeable adds.
+  */
+case class DsirPart(f: Long, cnt: Long, tcnt: Long)
+
+/** One maintained bucket count pair. */
+case class DsirCount(f: Long, cnt: Long, tcnt: Long)
+
+/** Streaming maintenance of the DSIR importance model's bucket counts
+  * (target and raw token totals per hashed bucket) — the state layer that
+  * keeps importance-resampling selection current as the corpus and the
+  * quality seed stream in, instead of recounting both distributions per
+  * run. Fed per-batch PARTIALS (the [[StreamProfile]] lesson: mergeable
+  * state wants the micro-batch pre-aggregated, not rows×tokens of raw
+  * observations through the state store); adds are commutative and
+  * associative, effectively-once input assumed. A single batch from empty
+  * state reproduces the batch bucket frame exactly — the gate feeds the
+  * maintained counts through the read-time smoothing + fixed-point
+  * log-ratio report and shares the batch oracle.
+  */
+object StreamDsir {
+
+  def counts(parts: Dataset[DsirPart]): Dataset[DsirCount] = {
+    import parts.sparkSession.implicits._
+    parts
+      .groupByKey(_.f)
+      .flatMapGroupsWithState[DsirCount, DsirCount](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (f: Long, rows: Iterator[DsirPart], state: GroupState[DsirCount]) =>
+          var c = state.getOption.map(_.cnt).getOrElse(0L)
+          var t = state.getOption.map(_.tcnt).getOrElse(0L)
+          rows.foreach { p => c += p.cnt; t += p.tcnt }
+          val next = DsirCount(f, c, t)
+          state.update(next)
+          Iterator(next)
+      }
+  }
+}
+
 /** One per-occurrence bigram observation for the LM-count maintainer —
   * extracted upstream by the same expressions as the batch LM
   * ([[graft.operators.TrainPrep.lmObs]]).

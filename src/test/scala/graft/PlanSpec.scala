@@ -168,7 +168,8 @@ class PlanSpec extends SparkSpec {
       "customer_deciles" -> operators.Queries.customerDeciles(spark, sf),
       "customer_pct_rank" -> operators.Reshape.customerPctRank(spark, sf),
       "pack_sequences" -> operators.TextOps.packSequences(spark, sf),
-      "corpus_mix" -> operators.TextOps.corpusMix(spark, sf))
+      "corpus_mix" -> operators.TextOps.corpusMix(spark, sf),
+      "corpus_mix_temp" -> operators.TextOps.corpusMixTemp(spark, sf))
     for ((name, df) <- rewritten) {
       val p = plan(df)
       assert(!p.contains("ntile("), s"$name still plans an ntile window")
@@ -205,7 +206,8 @@ class PlanSpec extends SparkSpec {
       "customer_deciles" -> operators.Queries.customerDeciles(spark, sf),
       "customer_pct_rank" -> operators.Reshape.customerPctRank(spark, sf),
       "pack_sequences" -> operators.TextOps.packSequences(spark, sf),
-      "corpus_mix" -> operators.TextOps.corpusMix(spark, sf))
+      "corpus_mix" -> operators.TextOps.corpusMix(spark, sf),
+      "corpus_mix_temp" -> operators.TextOps.corpusMixTemp(spark, sf))
     for ((name, df) <- consumers) {
       val p = plan(df)
       assert(!p.contains("collect_list"),

@@ -614,6 +614,32 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming DSIR model: bucket count pairs add across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.{DsirPart, StreamDsir}
+    val input = MemoryStream[DsirPart]
+    val query = StreamDsir.counts(input.toDS())
+      .writeStream.format("memory").queryName("dsir_state")
+      .outputMode(OutputMode.Update).start()
+    try {
+      input.addData(DsirPart(3, 10, 4), DsirPart(7, 2, 0))
+      query.processAllAvailable()
+      input.addData(DsirPart(3, 5, 5), DsirPart(9, 1, 1))
+      query.processAllAvailable()
+      val last = spark.table("dsir_state").collect()
+        .groupBy(_.getAs[Long]("f"))
+        .view.mapValues(rs => rs.maxBy(_.getAs[Long]("cnt")))
+        .toMap
+      assert(last(3L).getAs[Long]("cnt") == 15L &&
+        last(3L).getAs[Long]("tcnt") == 9L)
+      assert(last(7L).getAs[Long]("cnt") == 2L &&
+        last(7L).getAs[Long]("tcnt") == 0L)
+      assert(last(9L).getAs[Long]("cnt") == 1L &&
+        last(9L).getAs[Long]("tcnt") == 1L)
+    } finally query.stop()
+  }
+
   test("streaming LM in batch mode equals the batch bigram-LM gate") {
     val a = streaming.StreamScenarios.streamLmMaintain(spark, sf).collect()
     val b = operators.TrainPrep.textBigramLm(spark, sf).collect()

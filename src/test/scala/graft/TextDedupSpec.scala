@@ -79,6 +79,49 @@ class TextDedupSpec extends SparkSpec {
     }
   }
 
+  test("corpus_mix_temp: schedule positions replay locally and sqrt-" +
+    "temperature upweights low-resource sources") {
+    val rows = operators.TextOps.corpusMixTemp(spark, sf).collect()
+    val docs = graft.Tables.documents(spark, sf)
+      .select("doc_id", "source").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source")))
+    assert(rows.length == docs.length)
+    // local replay: rank within source by doc_id, w = floor(sqrt(n)),
+    // pos = floor(rn * K / w)
+    val bySrc = docs.groupBy(_._2)
+    val expect = bySrc.toSeq.flatMap { case (_, ds) =>
+      val w = math.floor(math.sqrt(ds.length.toDouble)).toLong
+      ds.map(_._1).sorted.zipWithIndex.map { case (id, i) =>
+        id -> ((i + 1, ds.length.toLong, w, (i + 1) * 1048576L / w))
+      }
+    }.toMap
+    rows.foreach { r =>
+      val (rn, n, w, pos) = expect(r.getAs[Long]("doc_id"))
+      assert(r.getAs[Int]("rn") == rn)
+      assert(r.getAs[Long]("n_source") == n)
+      assert(r.getAs[Long]("w") == w)
+      assert(r.getAs[Long]("pos_q") == pos,
+        s"pos mismatch at doc ${r.getAs[Long]("doc_id")}")
+    }
+    // temperature semantics: in any schedule prefix, a source's share
+    // exceeds its raw share iff it is smaller than average — check the
+    // smallest vs the largest source over the first half
+    val sizes = bySrc.view.mapValues(_.length).toMap
+    val (smallest, largest) =
+      (sizes.minBy(x => (x._2, x._1))._1, sizes.maxBy(x => (x._2, x._1))._1)
+    val prefix = rows.sortBy(r => (r.getAs[Long]("pos_q"),
+      r.getAs[String]("source"), r.getAs[Long]("doc_id")))
+      .take(rows.length / 2)
+    def share(src: String, of: Array[org.apache.spark.sql.Row]) =
+      of.count(_.getAs[String]("source") == src).toDouble / of.length
+    val rawSmall = sizes(smallest).toDouble / docs.length
+    val rawLarge = sizes(largest).toDouble / docs.length
+    assert(share(smallest, prefix) > rawSmall,
+      "low-resource source not upweighted in the schedule prefix")
+    assert(share(largest, prefix) < rawLarge,
+      "high-resource source not downweighted in the schedule prefix")
+  }
+
   test("text_pii: planted PII detected and scrubbed, clean docs untouched") {
     val rows = operators.TextOps.textPii(spark, sf).collect()
     // each pattern class fires exactly on its planted modulus
