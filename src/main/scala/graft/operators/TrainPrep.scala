@@ -211,7 +211,7 @@ object TrainPrep {
       .select(col("doc_id"), ws.as("ws"))
       .filter(size(col("ws")) >= 2)
       .withColumn("i", explode(sequence(lit(1), size(col("ws")) - 1)))
-      .select(element_at(col("ws"), col("i")).as("w1"),
+      .select(col("doc_id"), element_at(col("ws"), col("i")).as("w1"),
         element_at(col("ws"), col("i") + 1).as("w2"))
   }
 

@@ -42,11 +42,11 @@ class FilteringSpec extends SparkSpec {
     }
   }
 
-  /** Documents with the normalized text and the heuristic-quality label,
-    * replicated locally (same formula as TextOps.qualityDf, including the
-    * 6-digit HALF_UP round).
+  /** Documents with the normalized text, the heuristic-quality label and
+    * the quality value, replicated locally (same formula as
+    * TextOps.qualityDf, including the 6-digit HALF_UP round).
     */
-  private def labelledDocs(): Array[(Long, String, Long)] =
+  private def labelledDocsQ(): Array[(Long, String, Long, Double)] =
     Tables.documents(spark, sf).select("doc_id", "text").collect()
       .map { r =>
         val id = r.getAs[Long]("doc_id")
@@ -63,8 +63,11 @@ class FilteringSpec extends SparkSpec {
           (0.5 + 0.5 * stop.toDouble / n)
         val q = BigDecimal(q0)
           .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-        (id, norm, if (q > 0.3) 1L else -1L)
+        (id, norm, if (q > 0.3) 1L else -1L, q)
       }.sortBy(_._1)
+
+  private def labelledDocs(): Array[(Long, String, Long)] =
+    labelledDocsQ().map { case (id, t, y, _) => (id, t, y) }
 
   test("perceptron: preconditioned decayed training replays bit-for-bit " +
     "and distills the quality heuristic above 0.9 accuracy") {
@@ -112,6 +115,122 @@ class FilteringSpec extends SparkSpec {
       docs.length
     assert(acc >= 0.9, s"training accuracy $acc below 0.9")
     assert(acc > majority, s"accuracy $acc no better than majority $majority")
+  }
+
+  test("perceptron_ordinal: PRank-style training replays bit-for-bit and " +
+    "beats one-vs-rest on the band structure") {
+    val docsQ = labelledDocsQ()
+    val docs = docsQ.map { case (id, t, y, _) => (id, t, y) }
+    val B = 64
+    val X = docs.map { case (_, t, _) =>
+      val x = Array.fill(B + 1)(0L); x(0) = 1
+      t.split(" ", -1).foreach(w => x(md5bucket(w, B) + 1) += 1)
+      x
+    }
+    // local tier labels (same fixed bars as the gate)
+    val tier = docsQ.map { case (_, _, _, q) =>
+      if (q <= 0.22) 0L else if (q <= 0.37) 1L else 2L
+    }
+    val s2 = Array.tabulate(B + 1)(i =>
+      math.max(X.map(x => x(i) * x(i)).sum, 1L))
+    val n = docs.length.toLong
+    var w = Array.fill(B + 1)(0L)
+    var th = Array(0L, 0L)
+    for (r <- 1 to 16) {
+      val gw = Array.fill(B + 1)(0L)
+      val gt = Array(0L, 0L)
+      for (d <- docs.indices) {
+        val s = X(d).zip(w).map { case (a, b) => a * b }.sum
+        for (t <- 0 to 1) {
+          val y = if (tier(d) > t) 1L else -1L
+          if (y * (s - th(t)) <= 0) {
+            for (i <- 0 to B) gw(i) += y * X(d)(i)
+            gt(t) -= y
+          }
+        }
+      }
+      w = Array.tabulate(B + 1)(i => w(i) + fdiv(gw(i) * 4096, s2(i) * 2 * r))
+      th = Array(th(0) + fdiv(gt(0) * 4096, n * r),
+        th(1) + fdiv(gt(1) * 4096, n * r)).sorted
+    }
+    val rows = operators.Filtering.perceptronOrdinal(spark, sf).collect()
+    assert(rows.length == docs.length)
+    val byId = docs.zipWithIndex.map { case ((id, _, _), d) => id -> d }.toMap
+    var correct = 0
+    var adjacent = 0
+    rows.foreach { r =>
+      val d = byId(r.getAs[Long]("doc_id"))
+      val s = X(d).zip(w).map { case (a, b) => a * b }.sum
+      val pred = (if (s > th(0)) 1L else 0L) + (if (s > th(1)) 1L else 0L)
+      assert(r.getAs[Long]("tier") == tier(d))
+      assert(r.getAs[Long]("score") == s,
+        s"score mismatch doc ${r.getAs[Long]("doc_id")}")
+      assert(r.getAs[Long]("pred") == pred)
+      assert(r.getAs[Long]("correct") == (if (pred == tier(d)) 1L else 0L))
+      if (pred == tier(d)) correct += 1
+      if (math.abs(pred - tier(d)) <= 1) adjacent += 1
+    }
+    val acc = correct.toDouble / docs.length
+    val majority = tier.groupBy(identity).values.map(_.length).max
+      .toDouble / docs.length
+    assert(acc >= 0.8, s"ordinal accuracy $acc below 0.8")
+    assert(acc > majority, s"accuracy $acc no better than majority")
+    // the ordinal structure must hold: predictions never skip a band
+    assert(adjacent == docs.length, "a prediction jumped two tiers")
+    assert(th(0) <= th(1), "thresholds out of order")
+  }
+
+  test("dsir_select_bigram: bigram features replay bit-for-bit and " +
+    "discriminate more sharply than unigrams") {
+    val docs = labelledDocs()
+    val B = 256
+    val toks = docs.map { case (_, t, y) =>
+      val ws = t.split(" ", -1)
+      (y == 1L, ws.dropRight(1).zip(ws.drop(1))
+        .map { case (a, b) => md5bucket(a + " " + b, B) })
+    }.filter(_._2.nonEmpty)
+    val tf = scala.collection.mutable.Map.empty[Int, Long]
+    val sfc = scala.collection.mutable.Map.empty[Int, Long]
+    toks.foreach { case (isT, fs) =>
+      fs.foreach { f =>
+        sfc(f) = sfc.getOrElse(f, 1L) + 1
+        tf(f) = tf.getOrElse(f, 1L) + (if (isT) 1L else 0L)
+      }
+    }
+    val tT = tf.values.sum
+    val sS = sfc.values.sum
+    val d = Array.tabulate(B)(f =>
+      if (!sfc.contains(f)) 0L
+      else llog2(tf(f)) - llog2(tT) - llog2(sfc(f)) + llog2(sS))
+    val lw = toks.map { case (_, fs) => fs.map(d(_)).sum }
+    val lwTok = toks.indices.map(i =>
+      fdiv(lw(i) * 1024, toks(i)._2.length.toLong)).toArray
+    val nd = toks.length.toLong
+    val sl = lwTok.sum
+    val rows = operators.Filtering.dsirSelectBigram(spark, sf).collect()
+    assert(rows.length == toks.length)
+    val ids = docs.filter(_._2.split(" ", -1).length >= 2).map(_._1)
+    val byId = ids.zipWithIndex.toMap
+    rows.foreach { r =>
+      val i = byId(r.getAs[Long]("doc_id"))
+      assert(r.getAs[Long]("n_tokens") == toks(i)._2.length.toLong)
+      assert(r.getAs[Long]("lw") == lw(i),
+        s"lw mismatch doc ${r.getAs[Long]("doc_id")}")
+      assert(r.getAs[Long]("lw_tok") == lwTok(i))
+      assert(r.getAs[Long]("selected") ==
+        (if (lwTok(i) * nd > sl) 1L else 0L))
+    }
+    val selRate = { (p: Boolean) =>
+      val idx = toks.indices.filter(i => toks(i)._1 == p)
+      idx.count(i => lwTok(i) * nd > sl).toDouble / idx.size
+    }
+    assert(selRate(true) > selRate(false),
+      s"no enrichment: ${selRate(true)} vs ${selRate(false)}")
+    // the bigram feature space separates at least 1.5x better than the
+    // unigram run's measured 1.4x (sf0.01: 0.83 vs 0.26 — 3.2x)
+    assert(selRate(true) >= 1.5 * selRate(false),
+      s"bigram features lost their edge: ${selRate(true)} vs " +
+        s"${selRate(false)}")
   }
 
   test("dsir_select: importance weights replay bit-for-bit and selection " +
