@@ -283,49 +283,69 @@ object Filtering {
     val feats = clfFeats(s, dir)
     val s2 = clfPrecond(s, dir)
     val nd = feats.agg(count(lit(1)).as("nd"))
-    var w = s.range(0, ClfBuckets + 1)
+    // unified 67-row state: i ∈ 0..64 = weights, 65 = θ₀, 66 = θ₁. One
+    // state frame means ONE corpus pass and one main checkpoint per
+    // round — the split weights/thresholds formulation evaluated the
+    // misclassification subtree once per gradient consumer (2 corpus
+    // passes + 2 checkpoints per round; measured ~2× this loop's cost).
+    // The arithmetic is IDENTICAL to the split form, so the unrolled
+    // oracle (which keeps the two-frame shape for readability) and the
+    // gate hash are unchanged.
+    var st = s.range(0, ClfBuckets + 3)
       .select(col("id").cast("int").as("i"), lit(0L).as("wv"))
       .localCheckpoint(true)
-    var th = nd.select(lit(0L).as("th0"), lit(0L).as("th1"))
-      .localCheckpoint(true)
     for (r <- 1 to ClfRounds) {
-      val wArr = w.groupBy()
+      // q_dot truncates to the shorter array, so the 67-long state array
+      // against the 65-long feature vector scores weights only
+      val stArr = st.groupBy()
         .agg(transform(array_sort(collect_list(struct(col("i"), col("wv")))),
-          x => x.getField("wv")).as("wa"))
-      val mis = feats.crossJoin(broadcast(wArr)).crossJoin(broadcast(th))
-        .select(col("tier"), col("x"), expr("q_dot(x, wa)").as("sc"),
-          col("th0"), col("th1"))
+          x => x.getField("wv")).as("sa"))
+      val grad = feats.crossJoin(broadcast(stArr))
+        .select(col("tier"), col("x"), expr("q_dot(x, sa)").as("sc"),
+          expr(s"element_at(sa, ${ClfBuckets + 2})").as("th0"),
+          expr(s"element_at(sa, ${ClfBuckets + 3})").as("th1"))
         .select(col("tier"), col("x"), col("sc"),
           explode(expr("array(0L, 1L)")).as("t"),
           col("th0"), col("th1"))
-        .select(col("x"),
+        .select(col("x"), col("t"),
           when(col("tier") > col("t"), 1L).otherwise(-1L).as("yt"),
           (col("sc") - when(col("t") === 0, col("th0"))
-            .otherwise(col("th1"))).as("m"), col("t"))
+            .otherwise(col("th1"))).as("m"))
         .filter(col("yt") * col("m") <= 0)
-      val gw = mis.select(col("yt"), posexplode(col("x")).as(Seq("i", "xi")))
-        .groupBy("i").agg(sum(col("yt") * col("xi")).as("g"))
-      val gt = mis.groupBy()
-        .agg(sum(when(col("t") === 0, -col("yt")).otherwise(0L)).as("g0"),
-          sum(when(col("t") === 1, -col("yt")).otherwise(0L)).as("g1"))
-      w = w.join(gw, Seq("i"), "left").join(s2, Seq("i"))
+        // one exploded row set carries BOTH gradients: the 65 weight
+        // contributions yt·x_i and the threshold row (65+t, −yt)
+        .select(explode(expr(s"concat(zip_with(x, sequence(0, $ClfBuckets)" +
+          ", (xi, fi) -> named_struct('i', cast(fi as int), 'gc', " +
+          "yt * xi)), " +
+          s"array(named_struct('i', cast(t + ${ClfBuckets + 1} as int), " +
+          "'gc', -yt)))")).as("e"))
+        .select(col("e.i").as("i"), col("e.gc").as("gc"))
+        .groupBy("i").agg(sum(col("gc")).as("g"))
+      val u = st.join(grad, Seq("i"), "left").join(s2, Seq("i"), "left")
+        .crossJoin(broadcast(nd))
+        .withColumn("dnm", when(col("i") <= ClfBuckets,
+          col("s2v") * (2L * r)).otherwise(col("nd") * r.toLong))
         .select(col("i"), (col("wv") + expr(
           s"cast(((coalesce(g, 0) * $ClfK) - ((coalesce(g, 0) * $ClfK) " +
-            s"% (s2v * ${2 * r}) + (s2v * ${2 * r})) % (s2v * ${2 * r})) " +
-            s"/ (s2v * ${2 * r}) as bigint)")).as("wv"))
-        .localCheckpoint(true)
-      th = th.crossJoin(broadcast(gt)).crossJoin(broadcast(nd))
-        .select(
-          expr(s"th0 + cast(((coalesce(g0, 0) * $ClfK) - " +
-            s"((coalesce(g0, 0) * $ClfK) % (nd * $r) + (nd * $r)) " +
-            s"% (nd * $r)) / (nd * $r) as bigint)").as("u0"),
-          expr(s"th1 + cast(((coalesce(g1, 0) * $ClfK) - " +
-            s"((coalesce(g1, 0) * $ClfK) % (nd * $r) + (nd * $r)) " +
-            s"% (nd * $r)) / (nd * $r) as bigint)").as("u1"))
-        .select(least(col("u0"), col("u1")).as("th0"),
-          greatest(col("u0"), col("u1")).as("th1"))
+            s"% dnm + dnm) % dnm) / dnm as bigint)"))
+          .as("wv"))
+      st = u.localCheckpoint(true)
+      // θ consistency (the PRank sort): a second, corpus-free checkpoint
+      // over the 67 materialized rows
+      val thAgg = st.filter(col("i") > ClfBuckets)
+        .agg(min(col("wv")).as("lo"), max(col("wv")).as("hi"))
+      st = st.crossJoin(broadcast(thAgg))
+        .select(col("i"),
+          when(col("i") === ClfBuckets + 1, col("lo"))
+            .when(col("i") === ClfBuckets + 2, col("hi"))
+            .otherwise(col("wv")).as("wv"))
         .localCheckpoint(true)
     }
+    val w = st.filter(col("i") <= ClfBuckets)
+    val th = st.filter(col("i") > ClfBuckets)
+      .groupBy().agg(
+        min(when(col("i") === ClfBuckets + 1, col("wv"))).as("th0"),
+        min(when(col("i") === ClfBuckets + 2, col("wv"))).as("th1"))
     (w, th)
   }
 
