@@ -620,6 +620,80 @@ object Filtering {
         AS selected
     FROM dpt, dmn ORDER BY doc_id"""
 
+  /** Per-DOMAIN importance reweighting (the DoReMi-lite signal table): for
+    * every source, the aggregate importance of its documents under the
+    * same quality-target model as [[dsirSelect]] — doc counts, token
+    * counts, summed log-weight, the per-token average (exact floor
+    * division) and whether the domain sits above the corpus per-token
+    * average. This is the table a mixer ([[TextOps.corpusMixTemp]]-style
+    * schedules) consumes to shift sampling mass toward target-resembling
+    * DOMAINS rather than individual documents. The boost decision
+    * compares the two fdiv'd averages directly — deterministic and safe
+    * at any corpus size, where the cross-multiplied alternative would
+    * overflow past ~2^44 tokens.
+    */
+  def dsirDomain(s: SparkSession, dir: String): DataFrame = {
+    val perDoc = dsirScore(dsirTok(s, dir))
+      .join(Tables.documents(s, dir).select("doc_id", "source"), "doc_id")
+    val perSrc = perDoc.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"),
+        sum(col("lw")).as("lw_sum"))
+      .withColumn("lw_tok_avg", expr(s"cast(((lw_sum * $Log2K) - " +
+        s"(((lw_sum * $Log2K) % n_tokens + n_tokens) % n_tokens)) " +
+        "/ n_tokens as bigint)"))
+    val tot = perSrc.agg(sum(col("lw_sum")).as("lwa"),
+        sum(col("n_tokens")).as("nta"))
+      .select(expr(s"cast(((lwa * $Log2K) - (((lwa * $Log2K) % nta + nta) " +
+        "% nta)) / nta as bigint)").as("avg_all"))
+    perSrc.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("lw_sum"),
+        col("lw_tok_avg"),
+        when(col("lw_tok_avg") > col("avg_all"), 1L).otherwise(0L)
+          .as("boosted"))
+      .orderBy("source")
+  }
+
+  val dsirDomainSql: String = s"""
+    WITH ${TextOps.docQualityCteSql},
+    dlab AS (SELECT doc_id, quality > $ClfQualityBar AS is_t FROM dq),
+    dtok AS (SELECT doc_id, is_t, f FROM (
+               SELECT doc_id,
+                 ('0x' || substring(md5(unnest(string_split($normSql, ' '))),
+                   1, 8))::BIGINT % $DsirBuckets AS f
+               FROM documents) tk
+             JOIN dlab USING (doc_id)),
+    buckets AS (
+      SELECT f, count(*) + 1 AS sf,
+        CAST(sum(CASE WHEN is_t THEN 1 ELSE 0 END) + 1 AS BIGINT) AS tf
+      FROM dtok GROUP BY f),
+    tot AS (SELECT CAST(sum(sf) AS BIGINT) AS sS,
+              CAST(sum(tf) AS BIGINT) AS tT FROM buckets),
+    dt AS (SELECT f, ${llog2("tf")} - ${llog2("tT")}
+                      - ${llog2("sf")} + ${llog2("sS")} AS d
+           FROM buckets, tot),
+    dper AS (
+      SELECT doc_id, count(*) AS n_tokens, CAST(sum(d) AS BIGINT) AS lw
+      FROM dtok JOIN dt USING (f) GROUP BY doc_id),
+    dsrc AS (
+      SELECT source, count(*) AS n_docs,
+        CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+        CAST(sum(lw) AS BIGINT) AS lw_sum
+      FROM dper JOIN documents USING (doc_id) GROUP BY source),
+    davg AS (
+      SELECT source, n_docs, n_tokens, lw_sum,
+        CAST(((lw_sum * $Log2K) - (((lw_sum * $Log2K) % n_tokens
+          + n_tokens) % n_tokens)) / n_tokens AS BIGINT) AS lw_tok_avg
+      FROM dsrc),
+    dall AS (
+      SELECT CAST(((lwa * $Log2K) - (((lwa * $Log2K) % nta + nta) % nta))
+          / nta AS BIGINT) AS avg_all
+      FROM (SELECT CAST(sum(lw_sum) AS BIGINT) AS lwa,
+              CAST(sum(n_tokens) AS BIGINT) AS nta FROM davg))
+    SELECT source, n_docs, n_tokens, lw_sum, lw_tok_avg,
+      CAST(CASE WHEN lw_tok_avg > avg_all THEN 1 ELSE 0 END AS BIGINT)
+        AS boosted
+    FROM davg, dall ORDER BY source"""
+
   // ------------------------------------------------- perplexity filter
 
   /** Per-document add-one bigram cross-entropy against the corpus LM, in
@@ -697,6 +771,7 @@ object Filtering {
     "perceptron_ordinal" -> (perceptronOrdinal _),
     "dsir_select" -> (dsirSelect _),
     "dsir_select_bigram" -> (dsirSelectBigram _),
+    "dsir_domain" -> (dsirDomain _),
     "doc_ppl" -> (docPpl _))
 
   val oracles: Map[String, String] = Map(
@@ -705,5 +780,6 @@ object Filtering {
     "perceptron_ordinal" -> perceptronOrdinalSql,
     "dsir_select" -> dsirSelectSql,
     "dsir_select_bigram" -> dsirSelectBigramSql,
+    "dsir_domain" -> dsirDomainSql,
     "doc_ppl" -> docPplSql)
 }

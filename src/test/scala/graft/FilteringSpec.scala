@@ -281,6 +281,54 @@ class FilteringSpec extends SparkSpec {
       s"no enrichment: target ${selRate(true)} vs raw ${selRate(false)}")
   }
 
+  test("dsir_domain: per-source aggregates replay bit-for-bit and the " +
+    "boost splits around the corpus average") {
+    val docs = labelledDocs()
+    val srcOf = Tables.documents(spark, sf)
+      .select("doc_id", "source").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("source")).toMap
+    val B = 256
+    val toks = docs.map { case (id, t, y) =>
+      (id, y == 1L, t.split(" ", -1).map(md5bucket(_, B)))
+    }
+    val tf = scala.collection.mutable.Map.empty[Int, Long]
+    val sfc = scala.collection.mutable.Map.empty[Int, Long]
+    toks.foreach { case (_, isT, fs) =>
+      fs.foreach { f =>
+        sfc(f) = sfc.getOrElse(f, 1L) + 1
+        tf(f) = tf.getOrElse(f, 1L) + (if (isT) 1L else 0L)
+      }
+    }
+    val tT = tf.values.sum
+    val sS = sfc.values.sum
+    val d = Array.tabulate(B)(f =>
+      if (!sfc.contains(f)) 0L
+      else llog2(tf(f)) - llog2(tT) - llog2(sfc(f)) + llog2(sS))
+    val perSrc = toks.groupBy(t => srcOf(t._1)).map { case (src, ts) =>
+      val lwSum = ts.map(_._3.map(d(_)).sum).sum
+      val nTok = ts.map(_._3.length.toLong).sum
+      src -> ((ts.length.toLong, nTok, lwSum, fdiv(lwSum * 1024, nTok)))
+    }
+    val lwAll = perSrc.values.map(_._3).sum
+    val ntAll = perSrc.values.map(_._2).sum
+    val avgAll = fdiv(lwAll * 1024, ntAll)
+    val rows = operators.Filtering.dsirDomain(spark, sf).collect()
+    assert(rows.length == perSrc.size)
+    rows.foreach { r =>
+      val (nd, nt, lw, avg) = perSrc(r.getAs[String]("source"))
+      assert(r.getAs[Long]("n_docs") == nd)
+      assert(r.getAs[Long]("n_tokens") == nt)
+      assert(r.getAs[Long]("lw_sum") == lw,
+        s"lw_sum mismatch for ${r.getAs[String]("source")}")
+      assert(r.getAs[Long]("lw_tok_avg") == avg)
+      assert(r.getAs[Long]("boosted") == (if (avg > avgAll) 1L else 0L))
+    }
+    // the signal is a REWEIGHTING: both boosted and non-boosted domains
+    // exist (a degenerate all-one-side table reweights nothing)
+    assert(rows.exists(_.getAs[Long]("boosted") == 1L))
+    assert(rows.exists(_.getAs[Long]("boosted") == 0L))
+  }
+
   test("doc_ppl: bigram cross-entropy replays bit-for-bit and flags the " +
     "above-mean tail") {
     val docs = labelledDocs()
