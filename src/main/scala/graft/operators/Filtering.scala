@@ -14,10 +14,15 @@ import org.apache.spark.sql.functions._
   *    perceptron over hashed token buckets — the fasttext-shaped linear
   *    filter, trained in fixed full-batch rounds (order-independent
   *    integer updates, so the DuckDB oracle replays training exactly).
-  *  - `dsir_select`: Data Selection via Importance Resampling (Xie et
-  *    al., NeurIPS 2023) — hashed unigram importance weights
-  *    log(p_target/p_raw) in fixed-point log2, positive-weight docs
-  *    selected.
+  *  - `perceptron_ordinal`: three quality tiers as one weight vector +
+  *    two learned thresholds (PRank) — ordinal bands, which one-vs-rest
+  *    linear classifiers cannot represent.
+  *  - `dsir_select` / `dsir_select_bigram`: Data Selection via
+  *    Importance Resampling (Xie et al., NeurIPS 2023) — hashed
+  *    unigram/bigram importance weights log(p_target/p_raw) in
+  *    fixed-point log2, length-normalized decision vs the corpus mean.
+  *  - `dsir_domain`: the per-SOURCE aggregate of the same weights — the
+  *    DoReMi-lite reweighting table a temperature mixer consumes.
   *  - `doc_ppl`: per-document add-one bigram cross-entropy in fixed-point
   *    log2 against the corpus LM, flagged above the corpus mean — the
   *    CCNet perplexity-filter shape.
