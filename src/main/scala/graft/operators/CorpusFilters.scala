@@ -211,12 +211,96 @@ object CorpusFilters {
     GROUP BY t.doc_id
     ORDER BY t.doc_id"""
 
+  // --------------------------------------------------------- HTML extract
+
+  /** HTML → text extraction — the crawl-processing stage (WET-record
+    * production) that precedes every other filter in a web-corpus
+    * pipeline: drop `<script>`/`<style>` blocks (content and all), strip
+    * the remaining tags, decode the core entities (`&lt; &gt; &quot;
+    * &amp;` — amp LAST, the standard order, so `&amp;lt;` decodes to the
+    * literal `&lt;`), collapse whitespace. Patterns stay inside the
+    * regex dialect Spark (java.util.regex) and DuckDB (RE2) share: lazy
+    * quantifiers and `(?s)`, NO backreferences (RE2 has none — script
+    * and style get separate patterns instead of a `</\\1>` trick).
+    *
+    * The gate wraps each document in a deterministic synthetic page
+    * (title + h1 + styled paragraph + a script with a `</p>` inside a
+    * string literal — the classic naive-stripper trap — plus planted
+    * entities), extracts, and emits size/tag-density stats with a
+    * per-document ROUNDTRIP flag against the exactly-known expected
+    * text. Scale shape: one narrow map over the scan, no shuffle, no
+    * state — the 100 TB version is the same expressions over real WARC
+    * payload columns.
+    */
+  def htmlExtract(s: SparkSession, dir: String): DataFrame = {
+    val page = concat(
+      lit("<html><head><title>doc "), col("doc_id"),
+      lit("</title><style>p{margin:0}</style></head><body><h1>doc "),
+      col("doc_id"),
+      lit("</h1><p class=\"t\">&lt;"), norm,
+      lit(" &amp; tail&gt;</p><script type=\"x\">if (a<b) { var s=\"</p>\"; }"),
+      lit("</script></body></html>"))
+    val noScript = regexp_replace(col("page"),
+      "(?s)<script[^>]*>.*?</script>", "")
+    val noStyle = regexp_replace(noScript, "(?s)<style[^>]*>.*?</style>", "")
+    val noTags = regexp_replace(noStyle, "<[^>]+>", " ")
+    val decoded = regexp_replace(regexp_replace(regexp_replace(
+      regexp_replace(noTags,
+        "&lt;", "<"), "&gt;", ">"), "&quot;", "\""), "&amp;", "&")
+    val clean = trim(regexp_replace(decoded, "\\s+", " "))
+    val expected = concat(lit("doc "), col("doc_id"), lit(" doc "),
+      col("doc_id"), lit(" <"), norm, lit(" & tail>"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"), page.as("page"))
+      .select(col("doc_id"),
+        length(col("page")).as("n_html_chars"),
+        length(clean).as("n_text_chars"),
+        round((length(col("page")) - length(clean)).cast("double")
+          / length(col("page")), 6).as("tag_ratio"),
+        when(clean === expected, 1L).otherwise(0L).as("roundtrip"))
+      .orderBy("doc_id")
+  }
+
+  val htmlExtractSql: String = s"""
+    WITH d AS (
+      SELECT doc_id, $normSql AS nt FROM documents),
+    pg AS (
+      SELECT doc_id, nt,
+        '<html><head><title>doc ' || doc_id ||
+        '</title><style>p{margin:0}</style></head><body><h1>doc ' ||
+        doc_id || '</h1><p class="t">&lt;' || nt ||
+        ' &amp; tail&gt;</p><script type="x">if (a<b) { var s="</p>"; }'
+        || '</script></body></html>' AS page
+      FROM d),
+    ex AS (
+      SELECT doc_id, nt, page,
+        trim(regexp_replace(
+          replace(replace(replace(replace(
+            regexp_replace(
+              regexp_replace(
+                regexp_replace(page, '(?s)<script[^>]*>.*?</script>', '',
+                  'g'),
+                '(?s)<style[^>]*>.*?</style>', '', 'g'),
+              '<[^>]+>', ' ', 'g'),
+            '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&amp;', '&'),
+          '\\s+', ' ', 'g')) AS clean
+      FROM pg)
+    SELECT doc_id, length(page) AS n_html_chars,
+      length(clean) AS n_text_chars,
+      round(CAST(length(page) - length(clean) AS DOUBLE) / length(page), 6)
+        AS tag_ratio,
+      CAST(CASE WHEN clean = 'doc ' || doc_id || ' doc ' || doc_id ||
+        ' <' || nt || ' & tail>' THEN 1 ELSE 0 END AS BIGINT) AS roundtrip
+    FROM ex ORDER BY doc_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "html_extract" -> (htmlExtract _),
     "text_repetition" -> (textRepetition(_, _)),
     "corpus_boilerplate" -> (corpusBoilerplate(_, _)),
     "decontaminate" -> (decontaminate(_, _)))
 
   val oracles: Map[String, String] = Map(
+    "html_extract" -> htmlExtractSql,
     "text_repetition" -> textRepetitionSql,
     "corpus_boilerplate" -> corpusBoilerplateSql,
     "decontaminate" -> decontaminateSql)

@@ -187,4 +187,47 @@ class Round5TailSpec extends SparkSpec {
     // a trivially-zero column would make the gate vacuous
     assert(rows.map(_.getLong(2)).sum > 0, "boilerplate set non-empty")
   }
+
+  test("html_extract: local replay matches, every document roundtrips, " +
+    "and the script trap defeats naive stripping") {
+    val docs = graft.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[String]("text").replaceAll("\\s+", " ").trim.toLowerCase)
+    def page(id: Long, nt: String): String =
+      s"""<html><head><title>doc $id</title><style>p{margin:0}</style>""" +
+        s"""</head><body><h1>doc $id</h1><p class="t">&lt;$nt &amp; """ +
+        """tail&gt;</p><script type="x">if (a<b) { var s="</p>"; }""" +
+        "</script></body></html>"
+    def extract(p: String): String = {
+      val noScript = p.replaceAll("(?s)<script[^>]*>.*?</script>", "")
+      val noStyle = noScript.replaceAll("(?s)<style[^>]*>.*?</style>", "")
+      val noTags = noStyle.replaceAll("<[^>]+>", " ")
+      val dec = noTags.replace("&lt;", "<").replace("&gt;", ">")
+        .replace("&quot;", "\"").replace("&amp;", "&")
+      dec.replaceAll("\\s+", " ").trim
+    }
+    val rows = operators.CorpusFilters.htmlExtract(spark, sf).collect()
+    assert(rows.length == docs.length)
+    val byId = docs.toMap
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val p = page(id, byId(id))
+      val clean = extract(p)
+      assert(r.getAs[Int]("n_html_chars") == p.length)
+      assert(r.getAs[Int]("n_text_chars") == clean.length,
+        s"text length mismatch doc $id")
+      assert(r.getAs[Long]("roundtrip") == 1L, s"doc $id failed roundtrip")
+      assert(clean == s"doc $id doc $id <${byId(id)} & tail>")
+    }
+    // the trap: tag-stripping WITHOUT removing script blocks first leaks
+    // script content — the `a<b` comparison reads as a tag open, so the
+    // stripper eats through the string literal and spills `if (a` and
+    // `"; }` into the "text" — proving the block-removal pass is
+    // load-bearing
+    val naive = page(7, "w1 w2").replaceAll("<[^>]+>", " ")
+    assert(naive.contains("if (a"), "trap did not trigger — test broken")
+    assert(!extract(page(7, "w1 w2")).contains("if (a"),
+      "script content leaked through the real extractor")
+  }
 }
