@@ -34,11 +34,11 @@ object GraphOps {
   private def edgesOf(s: SparkSession, dir: String): DataFrame =
     Similarity.knnGraphOf(s, dir).select(col("src"), col("nbr"))
 
-  /** Fixed-point PageRank after [[Iters]] synchronous iterations over the
-    * kNN graph; emits the integer rank and its float rendering.
+  /** The fixed-point PageRank loop over any `(src, nbr)` edge frame (key
+    * type free — vector ids for the kNN graph, site strings for the link
+    * graph). Returns `(v, pr)` with the integer rank.
     */
-  def graphPagerank(s: SparkSession, dir: String): DataFrame = {
-    val edges = edgesOf(s, dir)
+  private def pagerankOver(edges: DataFrame): DataFrame = {
     val nodes = edges.select(col("src").as("v"))
       .union(edges.select(col("nbr").as("v"))).distinct()
     val odeg = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
@@ -53,9 +53,85 @@ object GraphOps {
         .select(col("v"),
           (lit(BaseFp) + expr(s"(7 * coalesce(m, 0L)) div 8")).as("pr"))
     }
-    pr.select(col("v").as("vec_id"), col("pr").as("pr_fixed"),
+    pr
+  }
+
+  /** Fixed-point PageRank after [[Iters]] synchronous iterations over the
+    * kNN graph; emits the integer rank and its float rendering.
+    */
+  def graphPagerank(s: SparkSession, dir: String): DataFrame =
+    pagerankOver(edgesOf(s, dir))
+      .select(col("v").as("vec_id"), col("pr").as("pr_fixed"),
         round(col("pr").cast("double") / lit(Scale.toDouble), 6).as("pr"))
       .orderBy("vec_id")
+
+  /** Site-level crawl prioritization — the link-graph composition: every
+    * document's synthetic page (the [[CorpusFilters.htmlExtract]] family)
+    * carries three planted outlinks with a SKEWED coverage structure
+    * (targets doc_id mod 10 / 15 / 20, so low-numbered sites accumulate
+    * up to 3× the inlink mass), Spark EXTRACTS the links back out of the
+    * HTML by regex — while the DuckDB oracle derives the same edge set
+    * from the planting arithmetic, so any extraction slip breaks the
+    * hash — and the shared integer PageRank ranks the site graph.
+    * Self-links are dropped (standard crawl-graph hygiene); edges are
+    * distinct site pairs, so the graph is ≤ |sites|² however many pages
+    * link.
+    */
+  def siteRank(s: SparkSession, dir: String): DataFrame = {
+    val page = concat(
+      lit("<html><body><p>doc "), col("doc_id"), lit("</p>"),
+      lit("<a href=\"http://site"), col("doc_id") % 10,
+      lit(".example/p\">l1</a>"),
+      lit("<a href=\"http://site"), col("doc_id") % 15,
+      lit(".example/p\">l2</a>"),
+      lit("<a href=\"http://site"), col("doc_id") % 20,
+      lit(".example/p\">l3</a></body></html>"))
+    val edges = graft.Tables.documents(s, dir)
+      .select(col("doc_id"), page.as("pg"))
+      .select(concat(lit("site"), col("doc_id") % 20).as("src"),
+        explode(expr(
+          "regexp_extract_all(pg, 'href=\"http://(site[0-9]+)\\\\.', 1)"))
+          .as("nbr"))
+      .filter(col("src") =!= col("nbr"))
+      .distinct()
+    pagerankOver(edges)
+      .select(col("v").as("site"), col("pr").as("pr_fixed"),
+        round(col("pr").cast("double") / lit(Scale.toDouble), 6).as("pr"))
+      .orderBy("site")
+  }
+
+  val siteRankSql: String = {
+    val rounds = (1 to Iters).map { i =>
+      val prev = if (i == 1) "spr0" else s"sit${i - 1}"
+      s"""
+    sit$i AS MATERIALIZED (
+      SELECT n.v, CAST($BaseFp + (7 * COALESCE(s.m, 0)) // 8 AS BIGINT) AS pr
+      FROM snodes n LEFT JOIN (
+        SELECT g.nbr AS v, CAST(SUM(p.pr // o.d) AS BIGINT) AS m
+        FROM sedges g JOIN $prev p ON g.src = p.v
+        JOIN sodeg o ON g.src = o.src
+        GROUP BY 1) s ON n.v = s.v)"""
+    }.mkString(",")
+    s"""
+    WITH sraw AS (
+      SELECT 'site' || (doc_id % 20) AS src, 'site' || (doc_id % 10) AS d1,
+        'site' || (doc_id % 15) AS d2, 'site' || (doc_id % 20) AS d3
+      FROM documents),
+    sedges AS MATERIALIZED (
+      SELECT DISTINCT src, nbr FROM (
+        SELECT src, d1 AS nbr FROM sraw
+        UNION ALL SELECT src, d2 FROM sraw
+        UNION ALL SELECT src, d3 FROM sraw)
+      WHERE src <> nbr),
+    snodes AS MATERIALIZED (
+      SELECT DISTINCT v FROM (
+        SELECT src AS v FROM sedges UNION SELECT nbr FROM sedges)),
+    sodeg AS MATERIALIZED (SELECT src, count(*) AS d FROM sedges GROUP BY 1),
+    spr0 AS (SELECT v, CAST($Scale AS BIGINT) AS pr FROM snodes),
+    $rounds
+    SELECT v AS site, pr AS pr_fixed,
+      round(CAST(pr AS DOUBLE) / $Scale.0, 6) AS pr
+    FROM sit$Iters ORDER BY site"""
   }
 
   val graphPagerankSql: String = {
@@ -129,9 +205,11 @@ object GraphOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_pagerank" -> (graphPagerank _),
+    "site_rank" -> (siteRank _),
     "graph_triangles" -> (graphTriangles _))
 
   val oracles: Map[String, String] = Map(
     "graph_pagerank" -> graphPagerankSql,
+    "site_rank" -> siteRankSql,
     "graph_triangles" -> graphTrianglesSql)
 }

@@ -27,4 +27,47 @@ class GraphOpsSpec extends SparkSpec {
     assert(pr.values.forall(_ >= scale / 8))
     assert(pr.values.exists(_ > scale), "centrality concentrates somewhere")
   }
+
+  test("site_rank: extracted link graph replays the planting arithmetic " +
+    "and inlink-heavy sites outrank the tail") {
+    val ids = graft.Tables.documents(spark, sf)
+      .select("doc_id").collect().map(_.getLong(0))
+    // local edge construction straight from the planting arithmetic
+    val edges = ids.flatMap { d =>
+      val src = s"site${d % 20}"
+      Seq(s"site${d % 10}", s"site${d % 15}", s"site${d % 20}")
+        .filter(_ != src).map(src -> _)
+    }.distinct
+    // local integer PageRank replay
+    val scale = 1000000000000L
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    val odeg = edges.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    var pr = nodes.map(_ -> scale).toMap
+    for (_ <- 1 to 3) {
+      val m = scala.collection.mutable.Map.empty[String, Long]
+      edges.foreach { case (a, b) =>
+        m(b) = m.getOrElse(b, 0L) + Math.floorDiv(pr(a), odeg(a))
+      }
+      pr = nodes.map(v =>
+        v -> (scale / 8 + Math.floorDiv(7 * m.getOrElse(v, 0L), 8))).toMap
+    }
+    val rows = operators.GraphOps.siteRank(spark, sf).collect()
+    assert(rows.length == nodes.length)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("pr_fixed") == pr(r.getAs[String]("site")),
+        s"rank mismatch at ${r.getAs[String]("site")}")
+    }
+    // the planted skew must surface: sites 0–9 receive link mass from
+    // all three moduli, 15–19 only from the identity modulus — their
+    // mean ranks must order accordingly
+    def meanOf(p: String => Boolean): Double = {
+      val v = rows.filter(r => p(r.getAs[String]("site")))
+        .map(_.getAs[Long]("pr_fixed"))
+      v.sum.toDouble / v.length
+    }
+    val low = meanOf(s => s.stripPrefix("site").toInt <= 9)
+    val high = meanOf(s => s.stripPrefix("site").toInt >= 15)
+    assert(low > high,
+      s"inlink-heavy sites do not outrank the tail: $low vs $high")
+  }
 }
