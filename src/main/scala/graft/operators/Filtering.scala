@@ -266,6 +266,49 @@ object Filtering {
       CAST(CASE WHEN y * s > 0 THEN 1 ELSE 0 END AS BIGINT) AS correct
     FROM fin ORDER BY doc_id"""
 
+  /** Calibration audit of the trained binary filter (the reliability
+    * check every production score-thresholding step needs): documents
+    * bucketed by SIGNED MARGIN MAGNITUDE — bucket = sign(score) ·
+    * bit-length(|score|), a deterministic log-spaced binning with no
+    * quantile pass — with per-bucket counts and agreement rate against
+    * the teaching label. A well-behaved filter's agreement should rise
+    * with |margin| (spec-pinned: the widest-margin buckets beat the
+    * overall rate), telling the pipeline how much score headroom a
+    * stricter keep-threshold buys.
+    */
+  def clfCalibration(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    val wArr = clfWeights(s, dir).groupBy()
+      .agg(transform(array_sort(collect_list(struct(col("i"), col("wv")))),
+        x => x.getField("wv")).as("wa"))
+    clfFeats(s, dir).crossJoin(broadcast(wArr))
+      .select(col("doc_id"), col("y"), expr("q_dot(x, wa)").as("sc"))
+      .select(col("y"), col("sc"),
+        expr("case when sc = 0 then 0 else " +
+          "cast(sign(sc) as bigint) * length(bin(abs(sc))) end").as("bucket"),
+        when(col("y") * col("sc") > 0, 1L).otherwise(0L).as("ok"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"), sum(col("ok")).as("n_correct"))
+      .withColumn("agreement",
+        round(col("n_correct").cast("double") / col("n_docs"), 6))
+      .orderBy("bucket")
+  }
+
+  val clfCalibrationSql: String = s"""
+    WITH $clfCtesSql,
+    cfin AS (
+      SELECT doc_id, y, CAST(sum(c * wv) AS BIGINT) AS sc
+      FROM clf_feats JOIN w$ClfRounds USING (f) GROUP BY 1, 2),
+    cbk AS (
+      SELECT CASE WHEN sc = 0 THEN 0
+               ELSE CAST(sign(sc) AS BIGINT) * length(bin(abs(sc))) END
+          AS bucket,
+        CASE WHEN y * sc > 0 THEN 1 ELSE 0 END AS ok
+      FROM cfin)
+    SELECT bucket, count(*) AS n_docs, CAST(sum(ok) AS BIGINT) AS n_correct,
+      round(CAST(sum(ok) AS DOUBLE) / count(*), 6) AS agreement
+    FROM cbk GROUP BY bucket ORDER BY bucket"""
+
   // --------------------------------------------------- ordinal perceptron
 
   /** Ordinal three-tier classifier (the PRank shape — Crammer & Singer,
@@ -774,6 +817,7 @@ object Filtering {
     "perceptron_train" -> (perceptronTrain _),
     "perceptron_score" -> (perceptronScore _),
     "perceptron_ordinal" -> (perceptronOrdinal _),
+    "clf_calibration" -> (clfCalibration _),
     "dsir_select" -> (dsirSelect _),
     "dsir_select_bigram" -> (dsirSelectBigram _),
     "dsir_domain" -> (dsirDomain _),
@@ -783,6 +827,7 @@ object Filtering {
     "perceptron_train" -> perceptronTrainSql,
     "perceptron_score" -> perceptronScoreSql,
     "perceptron_ordinal" -> perceptronOrdinalSql,
+    "clf_calibration" -> clfCalibrationSql,
     "dsir_select" -> dsirSelectSql,
     "dsir_select_bigram" -> dsirSelectBigramSql,
     "dsir_domain" -> dsirDomainSql,

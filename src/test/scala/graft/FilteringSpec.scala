@@ -117,6 +117,59 @@ class FilteringSpec extends SparkSpec {
     assert(acc > majority, s"accuracy $acc no better than majority $majority")
   }
 
+  test("clf_calibration: buckets replay bit-for-bit and agreement rises " +
+    "with margin magnitude") {
+    val docs = labelledDocs()
+    val B = 64
+    val X = docs.map { case (_, t, _) =>
+      val x = Array.fill(B + 1)(0L); x(0) = 1
+      t.split(" ", -1).foreach(w => x(md5bucket(w, B) + 1) += 1)
+      x
+    }
+    val y = docs.map(_._3)
+    val s2 = Array.tabulate(B + 1)(i =>
+      math.max(X.map(x => x(i) * x(i)).sum, 1L))
+    var w = Array.fill(B + 1)(0L)
+    for (r <- 1 to 16) {
+      val g = Array.fill(B + 1)(0L)
+      for (d <- docs.indices) {
+        val s = X(d).zip(w).map { case (a, b) => a * b }.sum
+        if (y(d) * s <= 0) for (i <- 0 to B) g(i) += y(d) * X(d)(i)
+      }
+      w = Array.tabulate(B + 1)(i => w(i) + fdiv(g(i) * 4096, s2(i) * r))
+    }
+    def bucketOf(s: Long): Long =
+      if (s == 0) 0L
+      else math.signum(s) * (64 - java.lang.Long.numberOfLeadingZeros(
+        math.abs(s)))
+    val local = docs.indices.map { d =>
+      val s = X(d).zip(w).map { case (a, b) => a * b }.sum
+      (bucketOf(s), if (y(d) * s > 0) 1L else 0L)
+    }
+    val expect = local.groupBy(_._1).map { case (b, g) =>
+      b -> ((g.length.toLong, g.map(_._2).sum))
+    }
+    val rows = operators.Filtering.clfCalibration(spark, sf).collect()
+    assert(rows.length == expect.size)
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == docs.length)
+    rows.foreach { r =>
+      val (n, ok) = expect(r.getAs[Long]("bucket"))
+      assert(r.getAs[Long]("n_docs") == n,
+        s"n mismatch at bucket ${r.getAs[Long]("bucket")}")
+      assert(r.getAs[Long]("n_correct") == ok)
+    }
+    // the confidence property the audit exists to demonstrate: wide
+    // margins agree with the label far more often than narrow ones
+    def rate(p: Long => Boolean): Double = {
+      val g = rows.filter(r => p(math.abs(r.getAs[Long]("bucket"))))
+      g.map(_.getAs[Long]("n_correct")).sum.toDouble /
+        g.map(_.getAs[Long]("n_docs")).sum
+    }
+    assert(rate(_ >= 10) > rate(_ <= 8),
+      s"agreement not rising with margin: ${rate(_ >= 10)} vs " +
+        s"${rate(_ <= 8)}")
+  }
+
   test("perceptron_ordinal: PRank-style training replays bit-for-bit and " +
     "beats one-vs-rest on the band structure") {
     val docsQ = labelledDocsQ()
