@@ -43,12 +43,54 @@ import org.apache.spark.sql.functions._
   */
 object SuffixArray {
 
-  /** Round j's rank covers 4^(j+1) tokens (round 0 ranks 4-token
-    * windows directly — see [[ranks]]); 4^(Rounds+1) must reach past the
-    * longest document (≤ 256 tokens in the synthetic corpus at every sf;
-    * a longer corpus raises this and pays one more O(n) round per ×4).
+  /** Static round count for the DuckDB oracle chain: covers documents up
+    * to 4^(OracleRounds+1) = 4096 tokens. Rounds past convergence are
+    * IDENTITY on the rank table — once round R's rank is the full suffix
+    * rank, a rank group holds only identical (padded) suffixes, so each
+    * member's offset ranks are equal across the group and the quadruple
+    * dense rank sorts primarily by an already-total order, reproducing
+    * the input ranks value-for-value. The static SQL may therefore
+    * over-run the data-driven Scala chain ([[finalRounds]]) without
+    * changing a single value; the oracle stays a fixed string while the
+    * engine derives the exact count per corpus.
     */
-  private val Rounds = 3
+  private val OracleRounds = 5
+
+  /** Hard ceiling on the derived chain: 4^(MaxRounds+1) ≈ 4.4e12 tokens
+    * in ONE document. Past that something upstream is broken (a document
+    * store emitting multi-trillion-token rows); fail loudly instead of
+    * silently building a 20+-round join chain.
+    */
+  private val MaxRounds = 20
+
+  /** Rounds needed so the final rank covers the longest document: the
+    * smallest R with 4^(R+1) ≥ maxLen (round j's rank spans 4^(j+1)
+    * tokens — round 0 ranks raw 4-token windows). Replaces the former
+    * fixed `Rounds = 3`, whose 256-token cover silently merged DISTINCT
+    * suffixes of longer documents into one rank — a wrong dedup census
+    * with no error anywhere.
+    */
+  private[graft] def roundsFor(maxLen: Long): Int = {
+    var r = 0
+    var cover = 4L
+    while (cover < maxLen) { r += 1; cover *= 4 }
+    require(r <= MaxRounds,
+      s"a $maxLen-token document needs $r doubling rounds (cap $MaxRounds)")
+    r
+  }
+
+  /** Data-driven round count for the gate corpus: one max-token-count
+    * aggregate (memoized as a 1-row frame; the head() reads a cached
+    * scalar aggregate, not corpus data) fed through [[roundsFor]].
+    */
+  private[graft] def finalRounds(s: SparkSession, dir: String): Int = {
+    import TextNorm.norm
+    val maxLen = Memo.cached(s, "sa_maxlen", dir) {
+      SubstringDedup.corpus(s, dir)
+        .agg(max(size(split(norm, " "))).cast("long").as("ml"))
+    }.head().getLong(0)
+    roundsFor(maxLen)
+  }
 
   /** The same planted-copy corpus as the substring dedup gates, already
     * tokenized: (doc_id, p, tok).
@@ -104,34 +146,46 @@ object SuffixArray {
   private[operators] def ranks(s: SparkSession, dir: String,
                                j: Int): DataFrame =
     Memo.cached(s, s"sa_q$j", dir) {
-      val (base, keys, o) =
-        if (j == 0) (toks(s, dir), "tok" +: (1 to 3).map(i => s"t$i"), 1)
-        else (ranks(s, dir, j - 1).withColumnRenamed("r", "tok"),
-          "tok" +: (1 to 3).map(i => s"t$i"), 1 << (2 * j)) // 4^j
-      val pad: Any = if (j == 0) "" else 0L
-      var paired = base
-      for (i <- 1 to 3) {
-        val bi = base.select(col("doc_id"), (col("p") - i * o).as("p"),
-          col("tok").as(s"t$i"))
-        paired = paired.join(bi, Seq("doc_id", "p"), "left")
-          .withColumn(s"t$i", coalesce(col(s"t$i"), lit(pad)))
-      }
-      // two consumers (boundary pick, rank join) read the pair frame;
-      // cache for the round, release once the barrier materialized
-      val shared = paired.cache()
-      val out = barrier(
-        denseRank(shared, keys, "rn")
-          .select(col("doc_id"), col("p"), col("rn").as("r")))
-      shared.unpersist(false)
-      out
+      roundStep(if (j == 0) toks(s, dir) else ranks(s, dir, j - 1), j)
     }
+
+  /** One doubling round: takes the raw token frame (j = 0) or the
+    * round-(j−1) rank frame (j ≥ 1) and returns (doc_id, p, r).
+    */
+  private def roundStep(prev: DataFrame, j: Int): DataFrame = {
+    val base = if (j == 0) prev else prev.withColumnRenamed("r", "tok")
+    val keys = "tok" +: (1 to 3).map(i => s"t$i")
+    val o = if (j == 0) 1 else 1 << (2 * j) // 4^j
+    val pad: Any = if (j == 0) "" else 0L
+    var paired = base
+    for (i <- 1 to 3) {
+      val bi = base.select(col("doc_id"), (col("p") - i * o).as("p"),
+        col("tok").as(s"t$i"))
+      paired = paired.join(bi, Seq("doc_id", "p"), "left")
+        .withColumn(s"t$i", coalesce(col(s"t$i"), lit(pad)))
+    }
+    // two consumers (boundary pick, rank join) read the pair frame;
+    // cache for the round, release once the barrier materialized
+    val shared = paired.cache()
+    val out = barrier(
+      denseRank(shared, keys, "rn")
+        .select(col("doc_id"), col("p"), col("rn").as("r")))
+    shared.unpersist(false)
+    out
+  }
+
+  /** The full chain over an arbitrary pre-tokenized (doc_id, p, tok)
+    * frame — the spec's entry point for planted corpora (no memo).
+    */
+  private[graft] def ranksOfToks(toks: DataFrame, rounds: Int): DataFrame =
+    (0 to rounds).foldLeft(toks)((acc, j) => roundStep(acc, j))
 
   /** Gate: the full suffix ranking — one row per token position with its
     * final dense suffix rank (equal ranks ⇔ identical suffixes to the
     * document end).
     */
   def suffixArray(s: SparkSession, dir: String): DataFrame =
-    ranks(s, dir, Rounds)
+    ranks(s, dir, finalRounds(s, dir))
       .select(col("doc_id"), col("p"), col("r").as("sa_rank"))
       .orderBy("doc_id", "p")
 
@@ -162,11 +216,11 @@ object SuffixArray {
     pos AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws))) AS p
             FROM alltok),
     toks AS (SELECT doc_id, p, ws[p] AS tok FROM pos),
-    ${(0 to Rounds).map(roundSql).mkString(",\n    ")}"""
+    ${(0 to OracleRounds).map(roundSql).mkString(",\n    ")}"""
 
   val suffixArraySql: String = s"""
     WITH $preludeSql
-    SELECT doc_id, p, r AS sa_rank FROM r$Rounds ORDER BY doc_id, p"""
+    SELECT doc_id, p, r AS sa_rank FROM r$OracleRounds ORDER BY doc_id, p"""
 
   /** Gate: multi-resolution cross-document duplicated-prefix census. A
     * position has a cross-document match of length ≥ 4^j iff its round-j
@@ -250,7 +304,7 @@ object SuffixArray {
     */
   def suffixSpans(s: SparkSession, dir: String): DataFrame = {
     import TextNorm.norm
-    val rf = ranks(s, dir, Rounds)
+    val rf = ranks(s, dir, finalRounds(s, dir))
     val ws = SubstringDedup.corpus(s, dir)
       .select(col("doc_id"), split(norm, " ").as("ws"))
     val grp = rf.groupBy(col("r"))
@@ -300,12 +354,13 @@ object SuffixArray {
     WITH $preludeSql,
     grp AS (SELECT r, count(*) AS cnt,
               min(doc_id * 1000000 + p) AS okey
-            FROM r$Rounds GROUP BY r),
+            FROM r$OracleRounds GROUP BY r),
     reps AS (SELECT r, cnt, okey // 1000000 AS rd,
                CAST(okey % 1000000 AS INT) AS rp
              FROM grp),
     repws AS (SELECT r, cnt, a.ws[rp:len(a.ws)] AS sws
               FROM reps JOIN alltok a ON a.doc_id = rd),
+    -- (round table below is the static-OracleRounds final rank chain)
     nbr AS (
       SELECT a.r,
         least(len(a.sws), len(b.sws)) AS L,
@@ -327,7 +382,7 @@ object SuffixArray {
       SELECT t.doc_id,
         CAST(CASE WHEN s.cnt >= 2 THEN d.dl - t.p + 1
                   ELSE s.maxnbr END AS BIGINT) AS maxmatch
-      FROM r$Rounds t JOIN stats s USING (r)
+      FROM r$OracleRounds t JOIN stats s USING (r)
       JOIN dl d ON d.doc_id = t.doc_id)
     SELECT doc_id,
       CAST(sum(CASE WHEN maxmatch >= 8 THEN 1 ELSE 0 END) AS BIGINT)

@@ -115,6 +115,37 @@ class SuffixArraySpec extends SparkSpec {
     }
   }
 
+  test("suffix rounds derive from max document length (no 256-token cliff)") {
+    assert(operators.SuffixArray.roundsFor(1) == 0)
+    assert(operators.SuffixArray.roundsFor(4) == 0)
+    assert(operators.SuffixArray.roundsFor(5) == 1)
+    assert(operators.SuffixArray.roundsFor(256) == 3)
+    assert(operators.SuffixArray.roundsFor(257) == 4)
+    assert(operators.SuffixArray.roundsFor(1024) == 4)
+    // planted corpus: two 301-token documents identical through token 300,
+    // differing only at the last token — any fixed-256-cover chain ties
+    // their suffixes; the derived chain must separate every distinct pair
+    import spark.implicits._
+    def mk(d: Long, last: String) =
+      (1 to 300).map(p => (d, p, "a")) :+ ((d, 301, last))
+    val toks = (mk(1L, "x") ++ mk(2L, "y")).toDF("doc_id", "p", "tok")
+    def ranked(rounds: Int): Map[(Long, Int), Long] =
+      operators.SuffixArray.ranksOfToks(toks, rounds).collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("p")) ->
+          r.getAs[Long]("r")).toMap
+    val now = ranked(operators.SuffixArray.roundsFor(301)) // 4 rounds
+    assert(now.size == 602)
+    // every suffix here is distinct (cross-doc pairs diverge at x vs y;
+    // same-doc pairs differ in length) — so every rank must be distinct
+    assert(now.values.toSet.size == 602,
+      "distinct suffixes of a >256-token document must get distinct ranks")
+    // and the former fixed Rounds=3 chain DOES tie them — the silent
+    // cliff this change removes
+    val old = ranked(3)
+    assert(old((1L, 1)) == old((2L, 1)),
+      "3 rounds cover only 256 tokens; the planted pair must tie there")
+  }
+
   test("suffix construction: no collect, no cartesian, bounded windows") {
     val p = operators.SuffixArray.suffixMaxmatch(spark, sf)
       .queryExecution.executedPlan.toString
