@@ -281,6 +281,16 @@ object Sketch {
           "transform(sequence(1, size(ws) - 1), i -> concat(ws[i-1], ' ', ws[i]))"))
           .as("bg"))
 
+  /** Per-(shard, item) micro-batch partial counts for the streaming
+    * summary maintainers — the vectorized map-side-combined pre-reduce of
+    * [[hhObs]] (in production a `foreachBatch` aggregate per micro-batch),
+    * so the maintainers' state partitions receive one row per distinct
+    * item per batch instead of one per occurrence.
+    */
+  private[graft] def hhPartials(s: SparkSession, dir: String): DataFrame =
+    hhObs(s, dir).groupBy(col("shard"), col("bg"))
+      .agg(count(lit(1)).as("c"))
+
   private val hhObsSql: String = s"""
     t AS (SELECT doc_id % $HhShards AS shard, string_split(text, ' ') AS ws
           FROM documents),

@@ -215,6 +215,16 @@ object TrainPrep {
         element_at(col("ws"), col("i") + 1).as("w2"))
   }
 
+  /** Per-bigram micro-batch partial counts for the streaming LM-count
+    * maintainer — the vectorized pre-reduce of [[lmObs]] (in production a
+    * `foreachBatch` aggregate per micro-batch), so the maintainer's state
+    * store receives one row per distinct bigram per batch instead of one
+    * per occurrence.
+    */
+  private[graft] def lmPartials(s: SparkSession, dir: String): DataFrame =
+    lmObs(s, dir).groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c"))
+
   /** The LM report over a bigram-count frame `(w1, w2, c12)`: per-context
     * totals, the min-count cut and each context's argmax continuation —
     * shared by the batch gate and the streaming maintainer's read side.

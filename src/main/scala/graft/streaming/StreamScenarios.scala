@@ -233,7 +233,9 @@ object StreamScenarios {
   }
 
   /** Batch-mode run of the streaming heavy-hitter summary maintainer over
-    * the same bigram observations as the batch sketch, with the sketch
+    * per-batch partial counts of the same bigram observations as the
+    * batch sketch (the micro-batch pre-reduce production would do in
+    * `foreachBatch`), with the sketch
     * gate's OWN merge/report layer (global top-k with the [lb, ub]
     * bracket + exact audit column) on top of the maintained state —
     * checked by the SAME oracle SQL as `topk_sketch`, proving the stateful
@@ -244,7 +246,7 @@ object StreamScenarios {
   def streamTopkSketchMaintain(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val state = StreamTopkSketch.summaries(
-      graft.operators.Sketch.hhObs(s, dir).as[HhObs]).toDF()
+      graft.operators.Sketch.hhPartials(s, dir).as[HhPart]).toDF()
     val kept = state.select(col("shard"), explode(col("items")).as("it"))
       .select(col("shard"), col("it.bg").as("bg"), col("it.cnt").as("cnt"))
     val dmax = state.select(col("shard"), col("err").as("dmax"))
@@ -263,7 +265,7 @@ object StreamScenarios {
   def streamTopkSpaceMaintain(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val state = StreamTopkSpace.summaries(
-      graft.operators.Sketch.hhObs(s, dir).as[HhObs]).toDF()
+      graft.operators.Sketch.hhPartials(s, dir).as[HhPart]).toDF()
     val kept = state.select(col("shard"), explode(col("items")).as("it"))
       .select(col("shard"), col("it.bg").as("bg"),
         (col("it.ub") - col("it.err")).as("cnt"))
@@ -335,7 +337,7 @@ object StreamScenarios {
   def streamLmMaintain(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val T = graft.operators.TrainPrep
-    val counts = StreamLm.counts(T.lmObs(s, dir).as[LmObs]).toDF()
+    val counts = StreamLm.counts(T.lmPartials(s, dir).as[LmPart]).toDF()
     T.lmReport(counts.select(col("w1"), col("w2"), col("c12")))
   }
 
@@ -362,19 +364,22 @@ object StreamScenarios {
       .orderBy("doc_id")
   }
 
-  /** Batch-mode run of the streaming Count-Min maintainer: the cell
-    * counters maintained over the flat cell ids of every observation, then
-    * the SAME point-query report (and DuckDB oracle) as the batch
-    * `cms_sketch`. Cross-batch counter evolution is spec-driven.
+  /** Batch-mode run of the streaming Count-Min maintainer: per-cell
+    * landing counts pre-reduced over the flat cell ids of every
+    * observation (the micro-batch partial production would compute in
+    * `foreachBatch`), folded into the cell counters, then the SAME
+    * point-query report (and DuckDB oracle) as the batch `cms_sketch`.
+    * Cross-batch counter evolution is spec-driven.
     */
   def streamCmsMaintain(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val S = graft.operators.Sketch
-    val obs = S.hhObs(s, dir)
+    val parts = S.hhObs(s, dir)
       .select(col("bg"), explode(expr(s"sequence(0, ${S.CmsD - 1})")).as("j"))
       .select((col("j") * S.CmsW +
         expr(S.cmsBucket("bg", "j"))).as("cell"))
-    val cells = StreamCms.cells(obs.as[CmsObs]).toDF()
+      .groupBy(col("cell")).agg(count(lit(1)).as("c"))
+    val cells = StreamCms.cells(parts.as[CmsPart]).toDF()
       .select((col("cell") / S.CmsW).cast("bigint").as("j"),
         (col("cell") % S.CmsW).as("bucket"), col("cnt"))
     S.cmsReport(s, dir, cells)

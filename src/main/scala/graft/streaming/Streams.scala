@@ -551,11 +551,14 @@ object StreamGrams {
   }
 }
 
-/** One bigram occurrence for the heavy-hitter summary: the shard and the
-  * item — computed upstream by the same column expressions as the batch
-  * sketch ([[graft.operators.Sketch.hhObs]]).
+/** One per-batch PARTIAL for the heavy-hitter maintainers: an item's
+  * occurrence count within one micro-batch of one shard — pre-aggregated
+  * upstream over the same column expressions as the batch sketch
+  * (`foreachBatch` in production, [[graft.operators.Sketch.hhPartials]]
+  * in the gate), so the state store receives O(distinct items per batch)
+  * rows, never one per occurrence.
   */
-case class HhObs(shard: Long, bg: String)
+case class HhPart(shard: Long, bg: String, c: Long)
 
 /** One kept item of a shard's summary. */
 case class HhItem(bg: String, cnt: Long)
@@ -572,8 +575,14 @@ case class HhSummary(shard: Long, items: Seq[HhItem], err: Long)
   * sketch pairs (HLL, KMV, Bloom, quantile, gram registry) to frequent
   * items.
   *
-  * Each micro-batch pre-counts its observations per item, folds them into
-  * the kept counts (an item absent from the kept list restarts at 0 — the
+  * Fed per-batch PARTIALS ([[HhPart]] — one (item, count) row per item
+  * per micro-batch, pre-aggregated upstream by a vectorized
+  * map-side-combined count: `foreachBatch` in production,
+  * [[graft.operators.Sketch.hhPartials]] in the gate — the
+  * [[StreamProfile]] lesson: mergeable state wants the micro-batch
+  * pre-reduced, not one encoder-boxed row per OCCURRENCE shuffled into
+  * the shard's state partition). The fold merges them into the kept
+  * counts (an item absent from the kept list restarts at 0 — the
   * deliberate Misra-Gries undercount), re-sorts by (count desc, item) and
   * CUTS back to m; the cut's largest dropped count adds to the summary's
   * HONEST error term, so `kept ≤ true ≤ kept + err` holds for every item
@@ -587,19 +596,19 @@ case class HhSummary(shard: Long, items: Seq[HhItem], err: Long)
   */
 object StreamTopkSketch {
 
-  def summaries(obs: Dataset[HhObs], m: Int = graft.operators.Sketch.HhM)
+  def summaries(parts: Dataset[HhPart], m: Int = graft.operators.Sketch.HhM)
   : Dataset[HhSummary] = {
-    import obs.sparkSession.implicits._
-    obs
+    import parts.sparkSession.implicits._
+    parts
       .groupByKey(_.shard)
       .flatMapGroupsWithState[HhSummary, HhSummary](
         OutputMode.Update, GroupStateTimeout.NoTimeout) {
-        (shard: Long, rows: Iterator[HhObs], state: GroupState[HhSummary]) =>
+        (shard: Long, rows: Iterator[HhPart], state: GroupState[HhSummary]) =>
           val prev = state.getOption
           val counts = scala.collection.mutable.HashMap.empty[String, Long]
           prev.foreach(_.items.foreach(i => counts(i.bg) = i.cnt))
           rows.foreach { r =>
-            counts(r.bg) = counts.getOrElse(r.bg, 0L) + 1L
+            counts(r.bg) = counts.getOrElse(r.bg, 0L) + r.c
           }
           val sorted = counts.toIndexedSeq
             .map { case (bg, c) => HhItem(bg, c) }
@@ -694,23 +703,26 @@ case class SsSummary(shard: Long, items: Seq[SsItem], floor: Long)
   * pins `floor <= MG err` on a shared stream). A single batch from empty
   * state reproduces the batch `topk_sketch` cut bit-for-bit with every
   * `err = 0` and `floor` = the (m+1)-th count — what the shared DuckDB
-  * oracle checks. State is ≤ m (item, 2 longs) + one long per shard; like
-  * the other counting maintainers it assumes effectively-once input.
+  * oracle checks. Fed per-batch PARTIALS ([[HhPart]], pre-aggregated
+  * upstream) like its Misra-Gries sibling, so the shard's state partition
+  * sees O(distinct items per batch) rows, never one per occurrence. State
+  * is ≤ m (item, 2 longs) + one long per shard; like the other counting
+  * maintainers it assumes effectively-once input.
   */
 object StreamTopkSpace {
 
-  def summaries(obs: Dataset[HhObs], m: Int = graft.operators.Sketch.HhM)
+  def summaries(parts: Dataset[HhPart], m: Int = graft.operators.Sketch.HhM)
   : Dataset[SsSummary] = {
-    import obs.sparkSession.implicits._
-    obs
+    import parts.sparkSession.implicits._
+    parts
       .groupByKey(_.shard)
       .flatMapGroupsWithState[SsSummary, SsSummary](
         OutputMode.Update, GroupStateTimeout.NoTimeout) {
-        (shard: Long, rows: Iterator[HhObs], state: GroupState[SsSummary]) =>
+        (shard: Long, rows: Iterator[HhPart], state: GroupState[SsSummary]) =>
           val prev = state.getOption
           val floor0 = prev.map(_.floor).getOrElse(0L)
           val batch = scala.collection.mutable.HashMap.empty[String, Long]
-          rows.foreach(r => batch(r.bg) = batch.getOrElse(r.bg, 0L) + 1L)
+          rows.foreach(r => batch(r.bg) = batch.getOrElse(r.bg, 0L) + r.c)
           val merged =
             scala.collection.mutable.HashMap.empty[String, (Long, Long)]
           prev.foreach(_.items.foreach(i => merged(i.bg) = (i.ub, i.err)))
@@ -733,11 +745,14 @@ object StreamTopkSpace {
   }
 }
 
-/** One Count-Min observation: the flat cell id (hash row · width + bucket)
-  * the item lands in — computed upstream by the same md5 bucket expression
-  * as the batch matrix ([[graft.operators.Sketch.cmsBucket]]).
+/** One per-batch PARTIAL for the Count-Min maintainer: a flat cell id
+  * (hash row · width + bucket, the same md5 bucket expression as the
+  * batch matrix — [[graft.operators.Sketch.cmsBucket]]) and the number
+  * of landings it received within one micro-batch — pre-aggregated
+  * upstream, so the state store receives O(touched cells per batch)
+  * rows, never one per landing (d rows per item occurrence).
   */
-case class CmsObs(cell: Long)
+case class CmsPart(cell: Long, c: Long)
 
 /** One maintained Count-Min cell: its flat id and counter. */
 case class CmsCell(cell: Long, cnt: Long)
@@ -745,7 +760,10 @@ case class CmsCell(cell: Long, cnt: Long)
 /** Streaming Count-Min maintenance: the d×w counter matrix kept up to date
   * as observations stream in — one long of state per touched cell, counter
   * adds commutative and associative so out-of-order arrival cannot corrupt
-  * a cell. A single batch from empty state reproduces the batch matrix
+  * a cell. Fed per-batch PARTIALS ([[CmsPart]] — the [[StreamProfile]]
+  * lesson: the micro-batch pre-counts its cell landings vectorized;
+  * `foreachBatch` in production, a plain groupBy-count in the gate). A
+  * single batch from empty state reproduces the batch matrix
   * exactly (the shared DuckDB oracle checks the point-query report over
   * it); like the other counting maintainers it assumes effectively-once
   * input. At 100 TB the matrix is the serving layer point-frequency reads
@@ -753,14 +771,15 @@ case class CmsCell(cell: Long, cnt: Long)
   */
 object StreamCms {
 
-  def cells(obs: Dataset[CmsObs]): Dataset[CmsCell] = {
-    import obs.sparkSession.implicits._
-    obs
+  def cells(parts: Dataset[CmsPart]): Dataset[CmsCell] = {
+    import parts.sparkSession.implicits._
+    parts
       .groupByKey(_.cell)
       .flatMapGroupsWithState[CmsCell, CmsCell](
         OutputMode.Update, GroupStateTimeout.NoTimeout) {
-        (cell: Long, rows: Iterator[CmsObs], state: GroupState[CmsCell]) =>
-          val add = rows.size.toLong
+        (cell: Long, rows: Iterator[CmsPart], state: GroupState[CmsCell]) =>
+          var add = 0L
+          rows.foreach(add += _.c)
           val next = CmsCell(cell,
             state.getOption.map(_.cnt).getOrElse(0L) + add)
           state.update(next)
@@ -811,11 +830,13 @@ object StreamDsir {
   }
 }
 
-/** One per-occurrence bigram observation for the LM-count maintainer —
-  * extracted upstream by the same expressions as the batch LM
-  * ([[graft.operators.TrainPrep.lmObs]]).
+/** One per-batch PARTIAL bigram count for the LM-count maintainer — the
+  * bigram's occurrence count within one micro-batch, pre-aggregated
+  * upstream by a vectorized count over the same extraction expressions as
+  * the batch LM (`foreachBatch` in production,
+  * [[graft.operators.TrainPrep.lmPartials]] in the gate).
   */
-case class LmObs(w1: String, w2: String)
+case class LmPart(w1: String, w2: String, c: Long)
 
 /** One maintained bigram count. */
 case class LmCount(w1: String, w2: String, c12: Long)
@@ -824,8 +845,11 @@ case class LmCount(w1: String, w2: String, c12: Long)
   * corpus language model kept up to date as documents stream in — the
   * state layer that keeps perplexity scoring ([[graft.operators
   * .Filtering.docPpl]]) and the context report (`text_bigram_lm`) fresh
-  * between batch retrains instead of re-scanning the corpus. One long of
-  * state per distinct bigram; counter adds are commutative and
+  * between batch retrains instead of re-scanning the corpus. Fed
+  * per-batch PARTIALS ([[LmPart]] — the [[StreamProfile]] lesson:
+  * mergeable counter state wants the micro-batch pre-reduced, not one
+  * encoder-boxed row per bigram OCCURRENCE through the state store). One
+  * long of state per distinct bigram; counter adds are commutative and
   * associative, so out-of-order arrival cannot corrupt a count (like the
   * other counting maintainers it assumes effectively-once input). A
   * single batch from empty state reproduces the batch count frame
@@ -834,15 +858,16 @@ case class LmCount(w1: String, w2: String, c12: Long)
   */
 object StreamLm {
 
-  def counts(obs: Dataset[LmObs]): Dataset[LmCount] = {
-    import obs.sparkSession.implicits._
-    obs
+  def counts(parts: Dataset[LmPart]): Dataset[LmCount] = {
+    import parts.sparkSession.implicits._
+    parts
       .groupByKey(o => (o.w1, o.w2))
       .flatMapGroupsWithState[LmCount, LmCount](
         OutputMode.Update, GroupStateTimeout.NoTimeout) {
-        (k: (String, String), rows: Iterator[LmObs],
+        (k: (String, String), rows: Iterator[LmPart],
          state: GroupState[LmCount]) =>
-          val add = rows.size.toLong
+          var add = 0L
+          rows.foreach(add += _.c)
           val next = LmCount(k._1, k._2,
             state.getOption.map(_.c12).getOrElse(0L) + add)
           state.update(next)

@@ -1,6 +1,6 @@
 package graft
 
-import graft.streaming.{HhObs, StreamTopkSketch, StreamTopkSpace}
+import graft.streaming.{HhPart, StreamTopkSketch, StreamTopkSpace}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.OutputMode
@@ -75,23 +75,23 @@ class HeavyHittersSpec extends SparkSpec {
   test("streaming summary: cross-batch evolution keeps the honest bracket") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
-    val input = MemoryStream[HhObs]
-    // m = 2 so compaction genuinely fires on 4 distinct items
+    val input = MemoryStream[HhPart]
+    // m = 2 so compaction genuinely fires on 4 distinct items; batches
+    // arrive pre-reduced (item, count), as production's foreachBatch
+    // partial aggregation delivers them
     val query = StreamTopkSketch.summaries(input.toDS(), m = 2)
       .writeStream.format("memory").queryName("hh_state")
       .outputMode(OutputMode.Update).start()
     try {
       // batch 1: a=3, b=2, c=1 → kept (a,3)(b,2), err = 1 (c cut)
-      input.addData(
-        Seq.fill(3)(HhObs(0, "a")) ++ Seq.fill(2)(HhObs(0, "b")) ++
-          Seq(HhObs(0, "c")): _*)
+      input.addData(HhPart(0, "a", 3), HhPart(0, "b", 2), HhPart(0, "c", 1))
       query.processAllAvailable()
       val s1 = spark.table("hh_state").collect()
         .filter(_.getAs[Long]("shard") == 0L)
         .maxBy(_.getAs[Seq[Any]]("items").toString)
       assert(s1.getAs[Long]("err") == 1L)
       // batch 2: c=3 (restarts from 0 — the MG undercount), d=1
-      input.addData(Seq.fill(3)(HhObs(0, "c")) :+ HhObs(0, "d"): _*)
+      input.addData(HhPart(0, "c", 3), HhPart(0, "d", 1))
       query.processAllAvailable()
       val rows = spark.table("hh_state").collect()
       val last = rows.last
@@ -114,14 +114,13 @@ class HeavyHittersSpec extends SparkSpec {
   test("streaming summary: single batch reproduces the batch cut exactly") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
-    val input = MemoryStream[HhObs]
+    val input = MemoryStream[HhPart]
     val query = StreamTopkSketch.summaries(input.toDS(), m = 2)
       .writeStream.format("memory").queryName("hh_one")
       .outputMode(OutputMode.Update).start()
     try {
-      input.addData(
-        Seq.fill(5)(HhObs(1, "x")) ++ Seq.fill(4)(HhObs(1, "y")) ++
-          Seq.fill(3)(HhObs(1, "z")) ++ Seq(HhObs(1, "w")): _*)
+      input.addData(HhPart(1, "x", 5), HhPart(1, "y", 4),
+        HhPart(1, "z", 3), HhPart(1, "w", 1))
       query.processAllAvailable()
       val st = spark.table("hh_one").collect().last
       val items = st.getSeq[org.apache.spark.sql.Row](st.fieldIndex("items"))
@@ -137,15 +136,13 @@ class HeavyHittersSpec extends SparkSpec {
     "and a tighter floor than the Misra-Gries sum") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
-    val input = MemoryStream[HhObs]
+    val input = MemoryStream[HhPart]
     val query = StreamTopkSpace.summaries(input.toDS(), m = 2)
       .writeStream.format("memory").queryName("ss_state")
       .outputMode(OutputMode.Update).start()
     try {
       // batch 1: a=3, b=2, c=1 → kept (a,3,0)(b,2,0), floor = 1 (c's ub)
-      input.addData(
-        Seq.fill(3)(HhObs(0, "a")) ++ Seq.fill(2)(HhObs(0, "b")) ++
-          Seq(HhObs(0, "c")): _*)
+      input.addData(HhPart(0, "a", 3), HhPart(0, "b", 2), HhPart(0, "c", 1))
       query.processAllAvailable()
       val s1 = spark.table("ss_state").collect().last
       assert(s1.getAs[Long]("floor") == 1L)
@@ -153,7 +150,7 @@ class HeavyHittersSpec extends SparkSpec {
       // (ub=2, err=1); sorted c(4) a(3) b(2) d(2) → keep c,a; the largest
       // cut ub is b's 2 → floor = 2 (Misra-Gries' err after the same two
       // batches is 1 + 2 = 3 — the sum, strictly looser)
-      input.addData(Seq.fill(3)(HhObs(0, "c")) :+ HhObs(0, "d"): _*)
+      input.addData(HhPart(0, "c", 3), HhPart(0, "d", 1))
       query.processAllAvailable()
       val st = spark.table("ss_state").collect().last
       val items = st.getSeq[org.apache.spark.sql.Row](st.fieldIndex("items"))
@@ -180,14 +177,13 @@ class HeavyHittersSpec extends SparkSpec {
     "with zero per-item error") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
-    val input = MemoryStream[HhObs]
+    val input = MemoryStream[HhPart]
     val query = StreamTopkSpace.summaries(input.toDS(), m = 2)
       .writeStream.format("memory").queryName("ss_one")
       .outputMode(OutputMode.Update).start()
     try {
-      input.addData(
-        Seq.fill(5)(HhObs(1, "x")) ++ Seq.fill(4)(HhObs(1, "y")) ++
-          Seq.fill(3)(HhObs(1, "z")) ++ Seq(HhObs(1, "w")): _*)
+      input.addData(HhPart(1, "x", 5), HhPart(1, "y", 4),
+        HhPart(1, "z", 3), HhPart(1, "w", 1))
       query.processAllAvailable()
       val st = spark.table("ss_one").collect().last
       val items = st.getSeq[org.apache.spark.sql.Row](st.fieldIndex("items"))
@@ -244,16 +240,14 @@ class HeavyHittersSpec extends SparkSpec {
   test("streaming CMS: counters add across batches; single batch = batch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
-    val input = MemoryStream[streaming.CmsObs]
+    val input = MemoryStream[streaming.CmsPart]
     val query = streaming.StreamCms.cells(input.toDS())
       .writeStream.format("memory").queryName("cms_state")
       .outputMode(OutputMode.Update).start()
     try {
-      input.addData(streaming.CmsObs(7), streaming.CmsObs(7),
-        streaming.CmsObs(300))
+      input.addData(streaming.CmsPart(7, 2), streaming.CmsPart(300, 1))
       query.processAllAvailable()
-      input.addData(streaming.CmsObs(7), streaming.CmsObs(300),
-        streaming.CmsObs(300))
+      input.addData(streaming.CmsPart(7, 1), streaming.CmsPart(300, 2))
       query.processAllAvailable()
       val last = spark.table("cms_state").collect()
         .groupBy(_.getAs[Long]("cell"))

@@ -595,16 +595,17 @@ class StreamingSpec extends SparkSpec {
   test("streaming LM counts: bigram counters add across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
-    import graft.streaming.{LmObs, StreamLm}
-    val input = MemoryStream[LmObs]
+    import graft.streaming.{LmPart, StreamLm}
+    val input = MemoryStream[LmPart]
     val query = StreamLm.counts(input.toDS())
       .writeStream.format("memory").queryName("lm_state")
       .outputMode(OutputMode.Update).start()
     try {
-      input.addData(LmObs("the", "table"), LmObs("the", "table"),
-        LmObs("big", "join"))
+      // batches arrive pre-reduced (bigram, count), as production's
+      // foreachBatch partial aggregation delivers them
+      input.addData(LmPart("the", "table", 2), LmPart("big", "join", 1))
       query.processAllAvailable()
-      input.addData(LmObs("the", "table"), LmObs("big", "scan"))
+      input.addData(LmPart("the", "table", 1), LmPart("big", "scan", 1))
       query.processAllAvailable()
       val last = spark.table("lm_state").collect()
         .groupBy(r => (r.getAs[String]("w1"), r.getAs[String]("w2")))
