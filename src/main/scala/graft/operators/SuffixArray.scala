@@ -302,29 +302,63 @@ object SuffixArray {
     * ranking: two aggregates, one rep self-join keyed by rank, one
     * stats join back — all O(corpus).
     */
-  def suffixSpans(s: SparkSession, dir: String): DataFrame = {
-    import TextNorm.norm
-    val rf = ranks(s, dir, finalRounds(s, dir))
-    val ws = SubstringDedup.corpus(s, dir)
-      .select(col("doc_id"), split(norm, " ").as("ws"))
-    val grp = rf.groupBy(col("r"))
+  /** Rank-group table over a finished ranking: group size and the global
+    * first member (doc, position), decoded from the min okey.
+    */
+  private def grpOf(rf: DataFrame): DataFrame =
+    rf.groupBy(col("r"))
       .agg(count(lit(1)).as("cnt"),
         min(col("doc_id") * lit(1000000L) + col("p")).as("okey"))
       .select(col("r"), col("cnt"),
         expr("okey div 1000000").as("rd"), pmod(col("okey"), lit(1000000L)).as("rp"))
-    val reps = grp
+
+  /** One representative suffix token slice per rank group (all members
+    * are the same string, so one rep covers every member).
+    */
+  private def repsOf(grp: DataFrame, ws: DataFrame): DataFrame =
+    grp
       .join(ws.select(col("doc_id").as("rd"), col("ws")), "rd")
       .select(col("r"), col("cnt"),
         expr("slice(ws, cast(rp as int), size(ws) - cast(rp as int) + 1)")
           .as("sws"))
+
+  /** Exact LCP between each rank and rank+1 (dense ranks ⇒ the
+    * lexicographically adjacent distinct suffix), as one codegen'd
+    * zip_with/array_position expression over the two rep slices.
+    */
+  private def lcpOf(reps: DataFrame): DataFrame = {
     val nxt = reps.select((col("r") - 1).as("r"), col("sws").as("qws"))
-    val lcp = reps.join(nxt, "r")
+    reps.join(nxt, "r")
       .withColumn("L", least(size(col("sws")), size(col("qws"))))
       .withColumn("fpos", expr(
         "array_position(zip_with(slice(sws, 1, L), slice(qws, 1, L), (x, y) -> x = y), false)"))
       .select(col("r"),
         when(col("fpos") === 0, col("L").cast("long"))
           .otherwise(col("fpos") - 1).as("lcp"))
+  }
+
+  /** The (grp, reps, lcp) triple for the gate corpus, memoized — the
+    * spans census and the exact strip share them like production would
+    * share the built index.
+    */
+  private def gateLcp(s: SparkSession, dir: String)
+  : (DataFrame, DataFrame, DataFrame) = {
+    import TextNorm.norm
+    val rf = ranks(s, dir, finalRounds(s, dir))
+    val ws = SubstringDedup.corpus(s, dir)
+      .select(col("doc_id"), split(norm, " ").as("ws"))
+    val grp = Memo.cached(s, "sa_grp", dir)(grpOf(rf))
+    val reps = Memo.cached(s, "sa_reps", dir)(repsOf(grp, ws))
+    val lcp = Memo.cached(s, "sa_lcp", dir)(lcpOf(reps))
+    (grp, reps, lcp)
+  }
+
+  def suffixSpans(s: SparkSession, dir: String): DataFrame = {
+    import TextNorm.norm
+    val rf = ranks(s, dir, finalRounds(s, dir))
+    val ws = SubstringDedup.corpus(s, dir)
+      .select(col("doc_id"), split(norm, " ").as("ws"))
+    val (grp, _, lcp) = gateLcp(s, dir)
     val stats = grp.select(col("r"), col("cnt"))
       .join(lcp.select(col("r"), col("lcp").as("lcp_next")), Seq("r"), "left")
       .join(lcp.select((col("r") + 1).as("r"), col("lcp").as("lcp_prev")),
@@ -394,13 +428,183 @@ object SuffixArray {
       max(maxmatch) AS max_len
     FROM posm GROUP BY doc_id ORDER BY doc_id"""
 
+  /** Duplicated-span threshold for the EXACT strip — the same 8 tokens as
+    * the gram pipeline's K, so the two transforms differ only in
+    * resolution, never in policy.
+    */
+  private[graft] val StripL = 8
+
+  /** Gate: the EXACT-match removal transform of Lee et al. 2022 — strip
+    * every token inside a duplicated span of ≥ [[StripL]] tokens, keeping
+    * each span family's globally-first occurrence — read off the finished
+    * suffix ranking, where [[SubstringDedup.dedupSubstringStrip]] works at
+    * fixed-gram resolution and can only see duplication its k-gram → ≥ 2
+    * DISTINCT DOCUMENTS predicate exposes (it is blind to within-document
+    * repeats, the classic Gopher-repetition failure — the spec plants one
+    * and proves only this transform removes it).
+    *
+    * Construction on top of the shared (grp, lcp) tables:
+    *
+    *  1. L-CLASSES: two suffixes share their first L tokens iff every
+    *     adjacent-rank LCP between them is ≥ L (prefix agreement at fixed
+    *     length is transitive), so the classes are maximal runs of
+    *     consecutive ranks whose boundary LCP ≥ L — gaps-and-islands over
+    *     the SPARSE linked-boundary set (proportional to duplicated
+    *     content, not the corpus) via the two-phase [[DistRank]]
+    *     row_number, class id = the run's first rank. Rank groups with
+    *     cnt ≥ 2 and suffix length ≥ L are classes even in isolation.
+    *  2. A position is DUPLICATED iff its rank is classed (its exact
+    *     maximal match ≥ L); each class keeps its global first occurrence
+    *     (min (doc, position)); every other member marks tokens
+    *     [p, p+L−1] — inside its ≥ L match by construction, and the
+    *     interval UNION over a span's member positions covers the maximal
+    *     span exactly (a token d from the span end is covered by the
+    *     start at distance ≥ L before it), so removal is at EXACT span
+    *     resolution while each mark stays O(L).
+    *  3. The shared [[SubstringDedup.stripTail]] merges marks per
+    *     document and reassembles survivors — same output contract as
+    *     the gram-resolution strip.
+    *
+    * Scale: the class machinery is keyed by rank (high-cardinality) and
+    * sized by duplicated content; the only new global structure is the
+    * linked-boundary row_number, which DistRank slices and
+    * boundary-broadcasts like every other rank in the tree.
+    */
+  def dedupSuffixStrip(s: SparkSession, dir: String): DataFrame = {
+    val rf = ranks(s, dir, finalRounds(s, dir))
+    val (grp, reps, lcp) = gateLcp(s, dir)
+    stripCore(SubstringDedup.corpus(s, dir), rf, grp, reps, lcp, StripL)
+  }
+
+  /** The strip over an arbitrary corpus (doc_id, text) — the spec's entry
+    * point for planted within-document repeats (no memo; rounds derived
+    * from the corpus itself).
+    */
+  private[graft] def stripOfCorpus(docs: DataFrame, L: Int): DataFrame = {
+    import TextNorm.norm
+    val ws = docs.select(col("doc_id"), split(norm, " ").as("ws"))
+    val toks = ws
+      .select(col("doc_id"), posexplode(col("ws")).as(Seq("p0", "tok")))
+      .select(col("doc_id"), (col("p0") + 1).as("p"), col("tok"))
+    val maxLen = ws.agg(max(size(col("ws"))).cast("long")).head().getLong(0)
+    val rf = ranksOfToks(toks, roundsFor(maxLen))
+    val grp = grpOf(rf)
+    val reps = repsOf(grp, ws)
+    stripCore(docs, rf, grp, reps, lcpOf(reps), L)
+  }
+
+  private def stripCore(docs: DataFrame, rf: DataFrame, grp: DataFrame,
+                        reps: DataFrame, lcp: DataFrame, L: Int): DataFrame = {
+    // rank-level duplication is a GROUP property: identical suffixes have
+    // identical length, and the adjacent LCPs are per-rank by definition
+    val slen = reps.select(col("r"), size(col("sws")).cast("long").as("slen"))
+    val attrs = grp.select(col("r"), col("cnt"))
+      .join(slen, "r")
+      .join(lcp.select(col("r"), col("lcp").as("ln")), Seq("r"), "left")
+      .join(lcp.select((col("r") + 1).as("r"), col("lcp").as("lp")),
+        Seq("r"), "left")
+      .select(col("r"), col("cnt"), col("slen"),
+        coalesce(col("ln"), lit(0L)).as("ln"),
+        coalesce(col("lp"), lit(0L)).as("lp"))
+    val matched = attrs
+      .filter((col("cnt") >= 2 && col("slen") >= L) ||
+        col("ln") >= L || col("lp") >= L)
+      .select(col("r"))
+    // islands over the sparse linked boundaries (rank r ↔ r+1 share ≥ L)
+    val lb = lcp.filter(col("lcp") >= L)
+      .select(col("r"))
+      .withColumn("__all", lit(0L))
+      .withColumn("__hk", col("r").cast("string"))
+    val isl = DistRank.rowNumber(lb, "__all", Seq(col("r")), "__hk", "rn")
+      .select(col("r"), (col("r") - col("rn")).as("isl"))
+    val clsOf = isl.groupBy(col("isl")).agg(min(col("r")).as("cls"))
+    val members = isl.join(clsOf, "isl").select(col("r"), col("cls"))
+      .unionByName(isl.join(clsOf, "isl")
+        .select((col("r") + 1).as("r"), col("cls")))
+      .distinct()
+    val classed = matched.join(members, Seq("r"), "left")
+      .select(col("r"), coalesce(col("cls"), col("r")).as("cls"))
+    val okey = col("doc_id") * lit(1000000L) + col("p")
+    val pos = rf.join(classed, "r")
+      .select(col("doc_id"), col("p"), col("cls"), okey.as("okey"))
+    val firsts = pos.groupBy(col("cls")).agg(min(col("okey")).as("fkey"))
+    val rem = pos.join(firsts, "cls")
+      .filter(col("okey") =!= col("fkey"))
+      .select(col("doc_id"),
+        explode(sequence(col("p"), col("p") + (L - 1))).as("t"))
+      .distinct()
+    SubstringDedup.stripTail(docs, rem)
+  }
+
+  /** Oracle replay of [[dedupSuffixStrip]] — the L-classes recomputed as
+    * a running MAX over rank order (run start = the last boundary whose
+    * LCP to the previous rank falls under L), an independent formulation
+    * of the same islands.
+    */
+  val dedupSuffixStripSql: String = s"""
+    WITH $preludeSql,
+    grp AS (SELECT r, count(*) AS cnt,
+              min(doc_id * 1000000 + p) AS okey
+            FROM r$OracleRounds GROUP BY r),
+    reps AS (SELECT r, cnt, okey // 1000000 AS rd,
+               CAST(okey % 1000000 AS INT) AS rp
+             FROM grp),
+    repws AS (SELECT r, cnt, a.ws[rp:len(a.ws)] AS sws
+              FROM reps JOIN alltok a ON a.doc_id = rd),
+    nbr AS (
+      SELECT a.r,
+        least(len(a.sws), len(b.sws)) AS L,
+        coalesce(list_position(
+          list_transform(generate_series(1, least(len(a.sws), len(b.sws))),
+            i -> a.sws[i] = b.sws[i]), false), 0) AS fpos
+      FROM repws a JOIN repws b ON b.r = a.r + 1),
+    lcp AS (SELECT r,
+              CAST(CASE WHEN fpos = 0 THEN L ELSE fpos - 1 END AS BIGINT)
+                AS lcp
+            FROM nbr),
+    rk AS (SELECT g.r, g.cnt, len(w.sws) AS slen,
+             coalesce(n.lcp, 0) AS ln, coalesce(p.lcp, 0) AS lp
+           FROM grp g JOIN repws w ON w.r = g.r
+           LEFT JOIN lcp n ON n.r = g.r
+           LEFT JOIN lcp p ON p.r = g.r - 1),
+    cls0 AS (SELECT r, cnt, slen, ln, lp,
+               max(CASE WHEN lp < $StripL THEN r END)
+                 OVER (ORDER BY r ROWS UNBOUNDED PRECEDING) AS cls
+             FROM rk),
+    matched AS (SELECT r, cls FROM cls0
+                WHERE (cnt >= 2 AND slen >= $StripL)
+                   OR ln >= $StripL OR lp >= $StripL),
+    mpos AS (SELECT t.doc_id, t.p, m.cls FROM r$OracleRounds t
+             JOIN matched m USING (r)),
+    firsts AS (SELECT cls, min(doc_id * 1000000 + p) AS fkey
+               FROM mpos GROUP BY cls),
+    rem0 AS (SELECT doc_id,
+               unnest(generate_series(p, p + ${StripL - 1})) AS t
+             FROM mpos JOIN firsts USING (cls)
+             WHERE doc_id * 1000000 + p <> fkey),
+    rem AS (SELECT DISTINCT doc_id, t FROM rem0),
+    toks0 AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws))) AS t
+              FROM alltok),
+    tokst AS (SELECT doc_id, t, ws[t] AS tok FROM toks0),
+    kept AS (SELECT doc_id, t, tok FROM tokst k WHERE NOT EXISTS
+              (SELECT 1 FROM rem r WHERE r.doc_id = k.doc_id AND r.t = k.t)),
+    remc AS (SELECT doc_id, count(*) AS n_removed FROM rem GROUP BY doc_id),
+    keptagg AS (SELECT doc_id, count(*) AS n_kept,
+                  md5(string_agg(tok, ' ' ORDER BY t)) AS clean_hash
+                FROM kept GROUP BY doc_id)
+    SELECT r.doc_id, coalesce(k.n_kept, 0) AS n_kept, r.n_removed,
+      coalesce(k.clean_hash, md5('')) AS clean_hash
+    FROM remc r LEFT JOIN keptagg k USING (doc_id) ORDER BY doc_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "suffix_array" -> (suffixArray _),
     "suffix_maxmatch" -> (suffixMaxmatch _),
-    "suffix_spans" -> (suffixSpans _))
+    "suffix_spans" -> (suffixSpans _),
+    "dedup_suffix_strip" -> (dedupSuffixStrip _))
 
   val oracles: Map[String, String] = Map(
     "suffix_array" -> suffixArraySql,
     "suffix_maxmatch" -> suffixMaxmatchSql,
-    "suffix_spans" -> suffixSpansSql)
+    "suffix_spans" -> suffixSpansSql,
+    "dedup_suffix_strip" -> dedupSuffixStripSql)
 }

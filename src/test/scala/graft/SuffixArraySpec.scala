@@ -146,6 +146,35 @@ class SuffixArraySpec extends SparkSpec {
       "3 rounds cover only 256 tokens; the planted pair must tie there")
   }
 
+  test("dedup_suffix_strip: removes a planted within-document repeat " +
+    "that the gram-resolution strip cannot see") {
+    import spark.implicits._
+    // doc 1 repeats a 10-token span INSIDE itself (tokens 11-20 and
+    // 26-35); doc 2 is unrelated. The gram strip's duplicated-gram
+    // predicate needs >= 2 DISTINCT documents, so it removes nothing;
+    // the suffix strip must remove exactly the second occurrence.
+    val span = (1 to 10).map(i => s"s$i").mkString(" ")
+    val d1 = ((1 to 10).map(i => s"p$i") ++ span.split(" ") ++
+      (1 to 5).map(i => s"m$i") ++ span.split(" ") ++
+      (1 to 3).map(i => s"t$i")).mkString(" ")
+    val d2 = (1 to 12).map(i => s"u$i").mkString(" ")
+    val docs = Seq((1L, d1), (2L, d2)).toDF("doc_id", "text")
+    assert(operators.SubstringDedup.stripOf(docs, 8).collect().isEmpty,
+      "the fixed-k strip must MISS the within-document repeat")
+    val got = operators.SuffixArray.stripOfCorpus(docs, 8).collect()
+    assert(got.length == 1 && got.head.getAs[Long]("doc_id") == 1L)
+    assert(got.head.getAs[Long]("n_removed") == 10L,
+      s"exactly the 10-token second occurrence: ${got.head}")
+    assert(got.head.getAs[Long]("n_kept") == 28L)
+    // the cleaned text is the original minus tokens 26-35, first
+    // occurrence verbatim
+    val want = ((1 to 10).map(i => s"p$i") ++ span.split(" ") ++
+      (1 to 5).map(i => s"m$i") ++ (1 to 3).map(i => s"t$i")).mkString(" ")
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(want.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(got.head.getAs[String]("clean_hash") == md)
+  }
+
   test("suffix construction: no collect, no cartesian, bounded windows") {
     val p = operators.SuffixArray.suffixMaxmatch(spark, sf)
       .queryExecution.executedPlan.toString
