@@ -32,6 +32,7 @@ object SparkEntry {
       operators.Dedup.queries ++
       operators.SubstringDedup.queries ++
       operators.SuffixArray.queries ++
+      operators.LineDedup.queries ++
       operators.Bpe.queries ++
       operators.Similarity.queries ++
       operators.Retrieval.queries ++
@@ -75,6 +76,7 @@ object SparkEntry {
       operators.Dedup.oracles ++
       operators.SubstringDedup.oracles ++
       operators.SuffixArray.oracles ++
+      operators.LineDedup.oracles ++
       operators.Bpe.oracles ++
       operators.Similarity.oracles ++
       operators.Retrieval.oracles ++
