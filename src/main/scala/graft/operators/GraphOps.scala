@@ -77,30 +77,41 @@ object GraphOps {
     * distinct site pairs, so the graph is ≤ |sites|² however many pages
     * link.
     */
-  def siteRank(s: SparkSession, dir: String): DataFrame = {
-    val page = concat(
-      lit("<html><body><p>doc "), col("doc_id"), lit("</p>"),
-      lit("<a href=\"http://site"), col("doc_id") % 10,
-      lit(".example/p\">l1</a>"),
-      lit("<a href=\"http://site"), col("doc_id") % 15,
-      lit(".example/p\">l2</a>"),
-      lit("<a href=\"http://site"), col("doc_id") % 20,
-      lit(".example/p\">l3</a></body></html>"))
-    val edges = graft.Tables.documents(s, dir)
-      .select(col("doc_id"), page.as("pg"))
-      .select(concat(lit("site"), col("doc_id") % 20).as("src"),
-        explode(expr(
-          "regexp_extract_all(pg, 'href=\"http://(site[0-9]+)\\\\.', 1)"))
-          .as("nbr"))
-      .filter(col("src") =!= col("nbr"))
-      .distinct()
-    pagerankOver(edges)
-      .select(col("v").as("site"), col("pr").as("pr_fixed"),
+  /** The integer site-PR frame (site, pr), memoized — `site_rank` and the
+    * blocklist filter share it like production shares the crawl ranking.
+    */
+  private def sitePrOf(s: SparkSession, dir: String): DataFrame =
+    graft.Memo.cached(s, "site_pr", dir) {
+      val page = concat(
+        lit("<html><body><p>doc "), col("doc_id"), lit("</p>"),
+        lit("<a href=\"http://site"), col("doc_id") % 10,
+        lit(".example/p\">l1</a>"),
+        lit("<a href=\"http://site"), col("doc_id") % 15,
+        lit(".example/p\">l2</a>"),
+        lit("<a href=\"http://site"), col("doc_id") % 20,
+        lit(".example/p\">l3</a></body></html>"))
+      val edges = graft.Tables.documents(s, dir)
+        .select(col("doc_id"), page.as("pg"))
+        .select(concat(lit("site"), col("doc_id") % 20).as("src"),
+          explode(expr(
+            "regexp_extract_all(pg, 'href=\"http://(site[0-9]+)\\\\.', 1)"))
+            .as("nbr"))
+        .filter(col("src") =!= col("nbr"))
+        .distinct()
+      pagerankOver(edges).select(col("v").as("site"), col("pr"))
+    }
+
+  def siteRank(s: SparkSession, dir: String): DataFrame =
+    sitePrOf(s, dir)
+      .select(col("site"), col("pr").as("pr_fixed"),
         round(col("pr").cast("double") / lit(Scale.toDouble), 6).as("pr"))
       .orderBy("site")
-  }
 
-  val siteRankSql: String = {
+  /** The site-PR CTE prelude shared by [[siteRankSql]] and
+    * [[domainBlocklistSql]]: builds `spr(site, pr)` from the planting
+    * arithmetic.
+    */
+  private val sitePrCtes: String = {
     val rounds = (1 to Iters).map { i =>
       val prev = if (i == 1) "spr0" else s"sit${i - 1}"
       s"""
@@ -112,8 +123,7 @@ object GraphOps {
         JOIN sodeg o ON g.src = o.src
         GROUP BY 1) s ON n.v = s.v)"""
     }.mkString(",")
-    s"""
-    WITH sraw AS (
+    s"""sraw AS (
       SELECT 'site' || (doc_id % 20) AS src, 'site' || (doc_id % 10) AS d1,
         'site' || (doc_id % 15) AS d2, 'site' || (doc_id % 20) AS d3
       FROM documents),
@@ -128,11 +138,94 @@ object GraphOps {
         SELECT src AS v FROM sedges UNION SELECT nbr FROM sedges)),
     sodeg AS MATERIALIZED (SELECT src, count(*) AS d FROM sedges GROUP BY 1),
     spr0 AS (SELECT v, CAST($Scale AS BIGINT) AS pr FROM snodes),
-    $rounds
-    SELECT v AS site, pr AS pr_fixed,
-      round(CAST(pr AS DOUBLE) / $Scale.0, 6) AS pr
-    FROM sit$Iters ORDER BY site"""
+    $rounds,
+    spr AS (SELECT v AS site, pr FROM sit$Iters)"""
   }
+
+  val siteRankSql: String = s"""
+    WITH $sitePrCtes
+    SELECT site, pr AS pr_fixed,
+      round(CAST(pr AS DOUBLE) / $Scale.0, 6) AS pr
+    FROM spr ORDER BY site"""
+
+  /** Deny-listed crawl domains — the deterministic stand-in for the
+    * curated blocklist a production pipeline broadcasts (spam/SEO-farm
+    * domains); picked to straddle the rank buckets so the keep-rate
+    * audit has signal in every stratum.
+    */
+  private[graft] val Blocked = Seq("site3", "site7", "site12", "site18")
+
+  /** Gate: URL/domain blocklist filtering composed with the crawl
+    * ranking — the cheap deny-list stage that runs right after
+    * extraction in a crawl pipeline. Spark EXTRACTS each document's site
+    * from its synthetic canonical URL by regex while the oracle derives
+    * the same key from the planting arithmetic (an extraction slip
+    * breaks the hash); the deny list BROADCASTS against the document
+    * scan (the 100 TB side never shuffles — same shape as the line-strip
+    * exclusion), and the audit reports keep-rate by `site_rank` quartile
+    * (two-phase [[DistRank]] rank over the site-PR frame, never a bare
+    * global window), so a mis-tuned blocklist that guts high-rank
+    * strata shows immediately.
+    */
+  def domainBlocklist(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val page = concat(
+      lit("<html><head><link rel=\"canonical\" href=\"http://site"),
+      col("doc_id") % 20, lit(".example/d"), col("doc_id"),
+      lit("\"/></head><body>d</body></html>"))
+    val docs = graft.Tables.documents(s, dir)
+      .select(col("doc_id"), page.as("pg"))
+      .select(col("doc_id"),
+        regexp_extract(col("pg"),
+          "href=\"http://(site[0-9]+)\\.", 1).as("site"))
+    val deny = Blocked.toDF("site").withColumn("blocked", lit(1L))
+    val spr = sitePrOf(s, dir)
+    val n = spr.agg(count(lit(1)).as("__n"))
+    val rn = DistRank.rowNumber(
+      spr.withColumn("__all", lit(0L)).withColumn("np", -col("pr")),
+      "__all", Seq(col("np"), col("site")), "site", "rn")
+    val bkt = rn.crossJoin(broadcast(n))
+      .select(col("site"), expr("((rn - 1) * 4) div __n").as("bucket"))
+    docs
+      .join(broadcast(deny), Seq("site"), "left")
+      .select(col("site"), coalesce(col("blocked"), lit(0L)).as("blocked"))
+      .join(broadcast(bkt), "site")
+      .groupBy(col("bucket"))
+      .agg(countDistinct(col("site")).as("n_sites"),
+        countDistinct(when(col("blocked") === 1L, col("site")))
+          .as("n_blocked_sites"),
+        count(lit(1)).as("n_docs"),
+        sum(col("blocked")).as("n_blocked"))
+      .select(col("bucket"), col("n_sites"), col("n_blocked_sites"),
+        col("n_docs"), col("n_blocked"),
+        round((col("n_docs") - col("n_blocked")).cast("double")
+          / col("n_docs"), 6).as("keep_rate"))
+      .orderBy("bucket")
+  }
+
+  val domainBlocklistSql: String = s"""
+    WITH $sitePrCtes,
+    scnt AS (SELECT count(*) AS n FROM spr),
+    srn AS (SELECT site, row_number() OVER (ORDER BY pr DESC, site) AS rn
+            FROM spr),
+    sbkt AS (SELECT site, ((rn - 1) * 4) // n AS bucket FROM srn, scnt),
+    bdocs AS (SELECT doc_id, 'site' || (doc_id % 20) AS site
+              FROM documents),
+    bdeny AS (SELECT * FROM (VALUES
+      ${Blocked.map(b => s"('$b')").mkString(", ")}) d(site)),
+    bflag AS (SELECT b.doc_id, b.site,
+                CASE WHEN dn.site IS NULL THEN 0 ELSE 1 END AS blocked
+              FROM bdocs b LEFT JOIN bdeny dn ON dn.site = b.site)
+    SELECT k.bucket,
+      CAST(count(DISTINCT f.site) AS BIGINT) AS n_sites,
+      CAST(count(DISTINCT CASE WHEN f.blocked = 1 THEN f.site END)
+        AS BIGINT) AS n_blocked_sites,
+      count(*) AS n_docs,
+      CAST(sum(f.blocked) AS BIGINT) AS n_blocked,
+      round(CAST(count(*) - sum(f.blocked) AS DOUBLE) / count(*), 6)
+        AS keep_rate
+    FROM bflag f JOIN sbkt k USING (site)
+    GROUP BY k.bucket ORDER BY k.bucket"""
 
   val graphPagerankSql: String = {
     val rounds = (1 to Iters).map { i =>
@@ -206,10 +299,12 @@ object GraphOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_pagerank" -> (graphPagerank _),
     "site_rank" -> (siteRank _),
+    "domain_blocklist" -> (domainBlocklist _),
     "graph_triangles" -> (graphTriangles _))
 
   val oracles: Map[String, String] = Map(
     "graph_pagerank" -> graphPagerankSql,
     "site_rank" -> siteRankSql,
+    "domain_blocklist" -> domainBlocklistSql,
     "graph_triangles" -> graphTrianglesSql)
 }

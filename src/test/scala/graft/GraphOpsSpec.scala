@@ -1,6 +1,7 @@
 package graft
 
 import graft.operators.{GraphOps, Similarity}
+import org.apache.spark.sql.functions._
 
 class GraphOpsSpec extends SparkSpec {
 
@@ -69,5 +70,36 @@ class GraphOpsSpec extends SparkSpec {
     val high = meanOf(s => s.stripPrefix("site").toInt >= 15)
     assert(low > high,
       s"inlink-heavy sites do not outrank the tail: $low vs $high")
+  }
+  test("domain_blocklist: planted blocked domains excluded, buckets account") {
+    val docs = Tables.documents(spark, sf)
+    val total = docs.count()
+    val blockedDocs = docs.filter(
+      concat(lit("site"), col("doc_id") % 20)
+        .isin(operators.GraphOps.Blocked: _*)).count()
+    val rows = operators.GraphOps.domainBlocklist(spark, sf).collect()
+    // four rank-quartile buckets of five sites each
+    assert(rows.map(_.getAs[Long]("bucket")).toSeq == Seq(0L, 1L, 2L, 3L))
+    assert(rows.forall(_.getAs[Long]("n_sites") == 5L))
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == total)
+    // every deny-listed document is counted blocked, nowhere kept
+    assert(rows.map(_.getAs[Long]("n_blocked")).sum == blockedDocs)
+    assert(rows.map(_.getAs[Long]("n_blocked_sites")).sum ==
+      operators.GraphOps.Blocked.length)
+    rows.foreach { r =>
+      val want = math.rint((r.getAs[Long]("n_docs") -
+        r.getAs[Long]("n_blocked")).toDouble /
+        r.getAs[Long]("n_docs") * 1e6) / 1e6
+      assert(math.abs(r.getAs[Double]("keep_rate") - want) < 1e-9)
+    }
+  }
+
+  test("domain_blocklist: deny list and buckets broadcast, corpus never shuffles for them") {
+    val p = operators.GraphOps.domainBlocklist(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"))
+    // the doc-side joins (deny list, bucket map) must be broadcasts
+    assert(p.split("BroadcastHashJoin").length >= 3,
+      "deny-list and bucket joins must broadcast")
   }
 }
