@@ -33,6 +33,33 @@ object Bench {
       try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => }
     }
+    // Attribution: gates that BUILD a memoized training artifact run
+    // FIRST, in dependency order, so each artifact's construction cost
+    // lands on the gate NAMED for it instead of on whichever consumer
+    // happens to sort alphabetically earlier (r9 example:
+    // `clf_calibration`, a trivial bucketed aggregate, absorbed the
+    // 16-round perceptron training chain because it sorts before
+    // `perceptron_train`). The remainder keeps the stable alphabetical
+    // order; totals are unchanged — only which gate pays the shared
+    // build moves.
+    val artifactOwners = Seq(
+      "suffix_array",       // prefix-doubling rank tables (sa_q*)
+      "bpe_train",          // BPE merge table
+      "dedup_minhash_lsh",  // minhash signature/candidate frames
+      "kmeans_parallel",    // k-means|| centroids
+      "pq_cb_kmpll",        // grouped-k-means|| PQ codebooks
+      "perceptron_train",   // binary filter weight chain (clf_*)
+      "perceptron_ordinal", // ordinal (PRank) weight chain
+      "dsir_select",        // DSIR unigram importance model
+      "dsir_select_bigram", // DSIR bigram model
+      "dsir_domain",        // DSIR domain model
+      "doc_ppl",            // bigram LM counts
+      "site_rank")          // link-graph site-PR frame
+    val ordered = {
+      val all = SparkEntry.queries
+      artifactOwners.filter(all.contains).map(n => n -> all(n)) ++
+        all.toSeq.sortBy(_._1).filterNot(q => artifactOwners.contains(q._1))
+    }
     // Two timed passes, report per-query min: a transient load burst on a
     // shared box hits one contiguous time window, so the min across passes
     // separated in time is a far more stable steady-state estimate than a
@@ -44,8 +71,7 @@ object Bench {
     def timedPass(): Seq[(String, Double)] = {
       Memo.clear(spark)
       spark.catalog.clearCache()
-      // stable execution order (map iteration order is not)
-      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      ordered.map { case (name, fn) =>
         val t0 = System.nanoTime()
         val ok =
           try {

@@ -309,6 +309,196 @@ object Filtering {
       round(CAST(sum(ok) AS DOUBLE) / count(*), 6) AS agreement
     FROM cbk GROUP BY bucket ORDER BY bucket"""
 
+  // ------------------------------------------------- quadratic crosses
+
+  /** Rounds for the cross experiment. The cross weight itself lands in
+    * round 1 (it is the only feature with first-round gradient mass on
+    * the planted concept), but the bias must then walk the remaining
+    * quarters apart under 1/r decay — measured: 0.75 at 8 rounds, 1.00
+    * at 16 (the main filter's count).
+    */
+  private val CrossRounds = 16
+
+  /** Feature layout of the cross experiment: 0 = bias, 1/2 = the two
+    * planted marker indicators, 3–6 = hashed token-count buckets
+    * (distractors the trainer must down-weight), 7 = the a·b quadratic
+    * cross. The LINEAR chain trains the same 8-slot vector with slot 7
+    * zeroed — its gradient is identically 0 there, so the two chains
+    * differ in exactly one feature.
+    */
+  private val CrossDims = 7
+
+  /** Planted-XOR feature frame `(doc_id, y, xl, xc)`: marker tokens are
+    * appended INTO the text on the doc-id parity families and Spark
+    * re-extracts them with string predicates (the oracle derives the
+    * same bits from the planting arithmetic — an extraction slip breaks
+    * the hash); the label is the XOR of the two markers, the textbook
+    * concept NO linear model over (bias, a, b, counts) can express
+    * (the BEST linear rule on balanced XOR quarters is 0.75, and the
+    * symmetric full-batch trainer cannot even find that — a and b are
+    * individually uncorrelated with the label, so every linear gradient
+    * is ~0 and the measured linear accuracy sits at chance) while one
+    * hashed quadratic cross makes it linearly separable.
+    */
+  private def crossFeats(s: SparkSession, dir: String): DataFrame =
+    graft.Memo.cached(s, "cross_feats", dir) {
+      val marked = Tables.documents(s, dir)
+        .select(col("doc_id"), concat_ws(" ", norm,
+          when(col("doc_id") % 2 === 0, lit("qmarkeralpha")),
+          when(expr("(doc_id div 2) % 2 = 0"), lit("qmarkerbeta"))).as("t2"))
+        .select(col("doc_id"),
+          when(col("t2").contains("qmarkeralpha"), 1L).otherwise(0L).as("a"),
+          when(col("t2").contains("qmarkerbeta"), 1L).otherwise(0L).as("b"))
+        .withColumn("y",
+          when(col("a") + col("b") === 1, 1L).otherwise(-1L))
+      val buckets = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(split(norm, " ")).as("w"))
+        .select(col("doc_id"),
+          (expr("cast(conv(substring(md5(w), 1, 8), 16, 10) as bigint)")
+            % 4 + 3).cast("int").as("f"))
+        .groupBy("doc_id", "f").agg(count(lit(1)).as("c"))
+      val m = buckets.groupBy("doc_id")
+        .agg(map_from_arrays(collect_list(col("f")), collect_list(col("c")))
+          .as("m"))
+      val slot =
+        "case when i = 0 then cast(1 as bigint) when i = 1 then a " +
+          "when i = 2 then b when i = 7 then %s " +
+          "else coalesce(element_at(m, i), cast(0 as bigint)) end"
+      marked.join(m, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("y"),
+          expr(s"transform(sequence(0, $CrossDims), i -> ${slot.format("cast(0 as bigint)")})").as("xl"),
+          expr(s"transform(sequence(0, $CrossDims), i -> ${slot.format("a * b")})").as("xc"))
+    }
+
+  /** The SAME preconditioned 1/r-decayed integer subgradient loop as
+    * [[clfWeights]], over an arbitrary `(y, x)` frame.
+    */
+  private def crossTrain(feats: DataFrame): DataFrame = {
+    val s = feats.sparkSession
+    GraftFunctions.register(s)
+    val s2 = feats.select(posexplode(col("x")).as(Seq("i", "xi")))
+      .groupBy("i").agg(greatest(sum(col("xi") * col("xi")), lit(1L))
+        .as("s2v"))
+    var w = s.range(0, CrossDims + 1L)
+      .select(col("id").cast("int").as("i"), lit(0L).as("wv"))
+      .localCheckpoint(true)
+    for (r <- 1 to CrossRounds) {
+      val wArr = w.groupBy()
+        .agg(transform(array_sort(collect_list(struct(col("i"), col("wv")))),
+          x => x.getField("wv")).as("wa"))
+      val grad = feats.crossJoin(broadcast(wArr))
+        .select(col("y"), col("x"), expr("q_dot(x, wa)").as("sc"))
+        .filter(col("y") * col("sc") <= 0)
+        .select(col("y"), posexplode(col("x")).as(Seq("i", "xi")))
+        .groupBy("i").agg(sum(col("y") * col("xi")).as("g"))
+      w = w.join(grad, Seq("i"), "left").join(s2, Seq("i"))
+        .select(col("i"), (col("wv") + expr(
+          s"cast(((coalesce(g, 0) * $ClfK) - ((coalesce(g, 0) * $ClfK) " +
+            s"% (s2v * $r) + (s2v * $r)) % (s2v * $r)) / (s2v * $r) " +
+            "as bigint)")).as("wv"))
+        .localCheckpoint(true)
+    }
+    w
+  }
+
+  /** Gate: the measured linear-vs-crossed comparison on the planted
+    * non-linear band — one row per model with its training accuracy
+    * under the SAME loop, same rounds, same preconditioning; only the
+    * quadratic slot differs (VERDICT-r9 item 7). The oracle unrolls
+    * both chains round by round.
+    */
+  def perceptronCross(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    val feats = crossFeats(s, dir)
+    def run(xcol: String, model: String): DataFrame = {
+      val f = feats.select(col("doc_id"), col("y"), col(xcol).as("x"))
+      val wArr = crossTrain(f).groupBy()
+        .agg(transform(array_sort(collect_list(struct(col("i"), col("wv")))),
+          x => x.getField("wv")).as("wa"))
+      f.crossJoin(broadcast(wArr))
+        .select(col("y"), expr("q_dot(x, wa)").as("sc"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("y") * col("sc") > 0, 1L).otherwise(0L))
+            .as("n_correct"))
+        .select(lit(model).as("model"), col("n_docs"), col("n_correct"),
+          round(col("n_correct").cast("double") / col("n_docs"), 6).as("acc"))
+    }
+    run("xc", "crossed").unionByName(run("xl", "linear")).orderBy("model")
+  }
+
+  private def crossChainSql(tag: String, feats: String): String = {
+    val rounds = (1 to CrossRounds).map { r =>
+      s"""
+    ${tag}m$r AS (
+      SELECT doc_id, y, CAST(sum(c * wv) AS BIGINT) AS s
+      FROM $feats JOIN ${tag}w${r - 1} USING (f) GROUP BY 1, 2),
+    ${tag}g$r AS (
+      SELECT f, CAST(sum(y * c) AS BIGINT) AS g
+      FROM $feats
+      JOIN (SELECT doc_id FROM ${tag}m$r WHERE y * s <= 0) USING (doc_id)
+      GROUP BY f),
+    ${tag}w$r AS MATERIALIZED (
+      SELECT w.f, wv + CAST(((coalesce(g, 0) * $ClfK)
+          - ((coalesce(g, 0) * $ClfK) % (s2v * $r) + (s2v * $r))
+            % (s2v * $r)) / (s2v * $r) AS BIGINT) AS wv
+      FROM ${tag}w${r - 1} w LEFT JOIN ${tag}g$r USING (f)
+      JOIN ${tag}s2 USING (f))"""
+    }.mkString(",")
+    s"""
+    ${tag}w0 AS (SELECT CAST(unnest(generate_series(0, $CrossDims)) AS INT)
+                   AS f, CAST(0 AS BIGINT) AS wv),
+    ${tag}s2 AS MATERIALIZED (
+      SELECT f, greatest(coalesce(s2, 0), 1) AS s2v
+      FROM ${tag}w0 LEFT JOIN (
+        SELECT f, CAST(sum(c * c) AS BIGINT) AS s2
+        FROM $feats GROUP BY f) USING (f)),$rounds,
+    ${tag}fin AS (
+      SELECT doc_id, y, CAST(sum(c * wv) AS BIGINT) AS s
+      FROM $feats JOIN ${tag}w$CrossRounds USING (f) GROUP BY 1, 2)"""
+  }
+
+  val perceptronCrossSql: String = s"""
+    WITH xind AS (
+      SELECT doc_id,
+        CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS a,
+        CASE WHEN (doc_id // 2) % 2 = 0 THEN 1 ELSE 0 END AS b
+      FROM documents),
+    xlab AS (SELECT doc_id, a, b, a * b AS ab,
+               CASE WHEN a + b = 1 THEN 1 ELSE -1 END AS y
+             FROM xind),
+    xtok AS (SELECT doc_id, unnest(string_split($normSql, ' ')) AS w
+             FROM documents),
+    xbkt AS (SELECT doc_id,
+               CAST(('0x' || substring(md5(w), 1, 8))::BIGINT % 4 + 3
+                 AS INT) AS f,
+               count(*) AS c
+             FROM xtok GROUP BY 1, 2),
+    xfc AS MATERIALIZED (
+      SELECT q.doc_id, l.y, q.f, q.c FROM (
+        SELECT doc_id, 0 AS f, CAST(1 AS BIGINT) AS c FROM xlab
+        UNION ALL SELECT doc_id, 1, 1 FROM xlab WHERE a = 1
+        UNION ALL SELECT doc_id, 2, 1 FROM xlab WHERE b = 1
+        UNION ALL SELECT doc_id, f, c FROM xbkt
+        UNION ALL SELECT doc_id, 7, 1 FROM xlab WHERE ab = 1) q
+      JOIN xlab l ON l.doc_id = q.doc_id),
+    xfl AS MATERIALIZED (SELECT * FROM xfc WHERE f <> 7),
+    ${crossChainSql("xc", "xfc").trim},
+    ${crossChainSql("xl", "xfl").trim}
+    SELECT * FROM (
+      SELECT 'crossed' AS model, count(*) AS n_docs,
+        CAST(sum(CASE WHEN y * s > 0 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_correct,
+        round(CAST(sum(CASE WHEN y * s > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+          / count(*), 6) AS acc
+      FROM xcfin
+      UNION ALL
+      SELECT 'linear', count(*),
+        CAST(sum(CASE WHEN y * s > 0 THEN 1 ELSE 0 END) AS BIGINT),
+        round(CAST(sum(CASE WHEN y * s > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+          / count(*), 6)
+      FROM xlfin)
+    ORDER BY model"""
+
   // --------------------------------------------------- ordinal perceptron
 
   /** Ordinal three-tier classifier (the PRank shape — Crammer & Singer,
@@ -817,6 +1007,7 @@ object Filtering {
     "perceptron_train" -> (perceptronTrain _),
     "perceptron_score" -> (perceptronScore _),
     "perceptron_ordinal" -> (perceptronOrdinal _),
+    "perceptron_cross" -> (perceptronCross _),
     "clf_calibration" -> (clfCalibration _),
     "dsir_select" -> (dsirSelect _),
     "dsir_select_bigram" -> (dsirSelectBigram _),
@@ -827,6 +1018,7 @@ object Filtering {
     "perceptron_train" -> perceptronTrainSql,
     "perceptron_score" -> perceptronScoreSql,
     "perceptron_ordinal" -> perceptronOrdinalSql,
+    "perceptron_cross" -> perceptronCrossSql,
     "clf_calibration" -> clfCalibrationSql,
     "dsir_select" -> dsirSelectSql,
     "dsir_select_bigram" -> dsirSelectBigramSql,

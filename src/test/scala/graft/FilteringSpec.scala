@@ -418,4 +418,22 @@ class FilteringSpec extends SparkSpec {
     assert(rows.exists(_.getAs[Long]("flagged") == 1L))
     assert(rows.exists(_.getAs[Long]("flagged") == 0L))
   }
+  test("perceptron_cross: the quadratic cross learns the planted XOR " +
+    "band the linear model cannot") {
+    val rows = Filtering.perceptronCross(spark, sf).collect()
+      .map(r => r.getAs[String]("model") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_correct"),
+          r.getAs[Double]("acc"))).toMap
+    assert(rows.keySet == Set("linear", "crossed"))
+    val (nl, _, accL) = rows("linear")
+    val (nc, okC, accC) = rows("crossed")
+    assert(nl == nc, "both models score the same corpus")
+    // the crossed model separates the planted concept completely; the
+    // linear model sits at chance (a and b are individually
+    // uncorrelated with their XOR)
+    assert(accC >= 0.99, s"crossed must solve the planted band: $accC")
+    assert(okC == nc)
+    assert(accL <= 0.6, s"linear must fail the non-linear band: $accL")
+    assert(accC - accL >= 0.35, "the measured gain is the gate's point")
+  }
 }
