@@ -96,6 +96,12 @@ object Clustering {
       val changed = next.agg(sum(when(col("chg"), 1L).otherwise(0L)))
         .head().getLong(0)
       converged = changed == 0L
+      // the new round is materialized (the scalar action above) — release
+      // the SUPERSEDED round's checkpointed blocks eagerly. Left to GC +
+      // ContextCleaner, a slow-converging graph accumulates O(rounds × N)
+      // cached blocks (checkpointed frames support unpersist; on round
+      // 1's lazy initial frame this is a no-op).
+      labels.unpersist(false)
       labels = next
       frontier = next.filter(col("chg")) // lazy filter over the round frame
     }
@@ -106,8 +112,10 @@ object Clustering {
       .persist()
     // materialize the result (its lineage is now just the last round's
     // checkpointed leaf + one agg/join); Memo sees an already-persisted
-    // frame and will unpersist it on clear()
+    // frame and will unpersist it on clear() — and the final round's
+    // checkpoint is no longer needed once res holds its own blocks
     res.count(): Unit
+    labels.unpersist(false)
     res
   }
 

@@ -175,7 +175,7 @@ object Filtering {
         w = w.join(grad, Seq("i"), "left").join(s2, Seq("i"))
           .select(col("i"), (col("wv") + expr(
             s"cast(((coalesce(g, 0) * $ClfK) - ((coalesce(g, 0) * $ClfK) " +
-              s"% (s2v * $r) + (s2v * $r)) % (s2v * $r)) / (s2v * $r) " +
+              s"% (s2v * $r) + (s2v * $r)) % (s2v * $r)) div (s2v * $r) " +
               "as bigint)")).as("wv"))
           .localCheckpoint(true)
       }
@@ -220,7 +220,7 @@ object Filtering {
     w$r AS MATERIALIZED (
       SELECT w.f, wv + CAST(((coalesce(g, 0) * $ClfK)
           - ((coalesce(g, 0) * $ClfK) % (s2v * $r) + (s2v * $r))
-            % (s2v * $r)) / (s2v * $r) AS BIGINT) AS wv
+            % (s2v * $r)) // (s2v * $r) AS BIGINT) AS wv
       FROM w${r - 1} w LEFT JOIN g$r USING (f) JOIN clf_s2 USING (f))"""
     }.mkString(",")
     s"""
@@ -394,7 +394,7 @@ object Filtering {
       w = w.join(grad, Seq("i"), "left").join(s2, Seq("i"))
         .select(col("i"), (col("wv") + expr(
           s"cast(((coalesce(g, 0) * $ClfK) - ((coalesce(g, 0) * $ClfK) " +
-            s"% (s2v * $r) + (s2v * $r)) % (s2v * $r)) / (s2v * $r) " +
+            s"% (s2v * $r) + (s2v * $r)) % (s2v * $r)) div (s2v * $r) " +
             "as bigint)")).as("wv"))
         .localCheckpoint(true)
     }
@@ -440,7 +440,7 @@ object Filtering {
     ${tag}w$r AS MATERIALIZED (
       SELECT w.f, wv + CAST(((coalesce(g, 0) * $ClfK)
           - ((coalesce(g, 0) * $ClfK) % (s2v * $r) + (s2v * $r))
-            % (s2v * $r)) / (s2v * $r) AS BIGINT) AS wv
+            % (s2v * $r)) // (s2v * $r) AS BIGINT) AS wv
       FROM ${tag}w${r - 1} w LEFT JOIN ${tag}g$r USING (f)
       JOIN ${tag}s2 USING (f))"""
     }.mkString(",")
@@ -565,7 +565,7 @@ object Filtering {
           col("s2v") * (2L * r)).otherwise(col("nd") * r.toLong))
         .select(col("i"), (col("wv") + expr(
           s"cast(((coalesce(g, 0) * $ClfK) - ((coalesce(g, 0) * $ClfK) " +
-            s"% dnm + dnm) % dnm) / dnm as bigint)"))
+            s"% dnm + dnm) % dnm) div dnm as bigint)"))
           .as("wv"))
       st = u.localCheckpoint(true)
       // θ consistency (the PRank sort): a second, corpus-free checkpoint
@@ -612,7 +612,7 @@ object Filtering {
     val rounds = (1 to ClfRounds).map { r =>
       val d = s"(s2v * ${2 * r})"
       def fdv(g: String, p: String) =
-        s"CAST((($g * $ClfK) - (($g * $ClfK) % $p + $p) % $p) / $p AS BIGINT)"
+        s"CAST((($g * $ClfK) - (($g * $ClfK) % $p + $p) % $p) // $p AS BIGINT)"
       s"""
     om$r AS (
       SELECT doc_id, tier, CAST(sum(c * wv) AS BIGINT) AS s
@@ -757,7 +757,7 @@ object Filtering {
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tokens"), sum(col("d")).as("lw"))
       .withColumn("lw_tok", expr(s"cast(((lw * $Log2K) - (((lw * $Log2K) " +
-        "% n_tokens + n_tokens) % n_tokens)) / n_tokens as bigint)"))
+        "% n_tokens + n_tokens) % n_tokens)) div n_tokens as bigint)"))
     val mean = perDoc.agg(count(lit(1)).as("nd"), sum(col("lw_tok")).as("sl"))
     perDoc.crossJoin(broadcast(mean))
       .select(col("doc_id"), col("n_tokens"), col("lw"), col("lw_tok"),
@@ -816,7 +816,7 @@ object Filtering {
     dpt AS (
       SELECT doc_id, n_tokens, lw,
         CAST(((lw * $Log2K) - (((lw * $Log2K) % n_tokens + n_tokens)
-          % n_tokens)) / n_tokens AS BIGINT) AS lw_tok
+          % n_tokens)) // n_tokens AS BIGINT) AS lw_tok
       FROM dper),
     dmn AS (SELECT count(*) AS nd, CAST(sum(lw_tok) AS BIGINT) AS sl
             FROM dpt)
@@ -849,7 +849,7 @@ object Filtering {
     dpt AS (
       SELECT doc_id, n_tokens, lw,
         CAST(((lw * $Log2K) - (((lw * $Log2K) % n_tokens + n_tokens)
-          % n_tokens)) / n_tokens AS BIGINT) AS lw_tok
+          % n_tokens)) // n_tokens AS BIGINT) AS lw_tok
       FROM dper),
     dmn AS (SELECT count(*) AS nd, CAST(sum(lw_tok) AS BIGINT) AS sl
             FROM dpt)
@@ -878,11 +878,11 @@ object Filtering {
         sum(col("lw")).as("lw_sum"))
       .withColumn("lw_tok_avg", expr(s"cast(((lw_sum * $Log2K) - " +
         s"(((lw_sum * $Log2K) % n_tokens + n_tokens) % n_tokens)) " +
-        "/ n_tokens as bigint)"))
+        "div n_tokens as bigint)"))
     val tot = perSrc.agg(sum(col("lw_sum")).as("lwa"),
         sum(col("n_tokens")).as("nta"))
       .select(expr(s"cast(((lwa * $Log2K) - (((lwa * $Log2K) % nta + nta) " +
-        "% nta)) / nta as bigint)").as("avg_all"))
+        "% nta)) div nta as bigint)").as("avg_all"))
     perSrc.crossJoin(broadcast(tot))
       .select(col("source"), col("n_docs"), col("n_tokens"), col("lw_sum"),
         col("lw_tok_avg"),
@@ -920,11 +920,11 @@ object Filtering {
     davg AS (
       SELECT source, n_docs, n_tokens, lw_sum,
         CAST(((lw_sum * $Log2K) - (((lw_sum * $Log2K) % n_tokens
-          + n_tokens) % n_tokens)) / n_tokens AS BIGINT) AS lw_tok_avg
+          + n_tokens) % n_tokens)) // n_tokens AS BIGINT) AS lw_tok_avg
       FROM dsrc),
     dall AS (
       SELECT CAST(((lwa * $Log2K) - (((lwa * $Log2K) % nta + nta) % nta))
-          / nta AS BIGINT) AS avg_all
+          // nta AS BIGINT) AS avg_all
       FROM (SELECT CAST(sum(lw_sum) AS BIGINT) AS lwa,
               CAST(sum(n_tokens) AS BIGINT) AS nta FROM davg))
     SELECT source, n_docs, n_tokens, lw_sum, lw_tok_avg,
@@ -966,7 +966,7 @@ object Filtering {
       .groupBy("doc_id")
       .agg(sum(col("cd")).as("n_bigrams"), sum(col("cd") * col("nb")).as("nll"))
       .withColumn("avg_nll",
-        expr("cast((nll - (nll % n_bigrams)) / n_bigrams as bigint)"))
+        expr("cast((nll - (nll % n_bigrams)) div n_bigrams as bigint)"))
     val mean = perDoc.agg(count(lit(1)).as("nd"), sum(col("avg_nll")).as("sa"))
     perDoc.crossJoin(broadcast(mean))
       .select(col("doc_id"), col("n_bigrams"), col("nll"), col("avg_nll"),
@@ -995,7 +995,7 @@ object Filtering {
         CAST(sum(cd * nb) AS BIGINT) AS nll
       FROM grams JOIN lm USING (w1, w2) GROUP BY doc_id),
     pd AS (SELECT doc_id, n_bigrams, nll,
-             CAST((nll - (nll % n_bigrams)) / n_bigrams AS BIGINT) AS avg_nll
+             CAST((nll - (nll % n_bigrams)) // n_bigrams AS BIGINT) AS avg_nll
            FROM per_doc),
     mn AS (SELECT count(*) AS nd, CAST(sum(avg_nll) AS BIGINT) AS sa FROM pd)
     SELECT doc_id, n_bigrams, nll, avg_nll,

@@ -145,6 +145,22 @@ object Similarity {
 
   // ------------------------------------------------------ cosine near-dups
 
+  /** Eval-set membership of the semantic decontamination gate (every
+    * 5th vector plays the held-out benchmark sample).
+    */
+  private val SemEvalMod = 5
+
+  /** Cosine bar of the semantic decontamination gate — ONE constant
+    * interpolated into both the Column filter and the oracle SQL (a
+    * caller-tunable parameter silently diverged from the registered
+    * oracle; gate constants are shared, like SemEvalMod and DedupBands).
+    */
+  private val SemCosBar = 0.4
+
+  /** Cosine bar of the embedding near-dup gate — shared the same way. */
+  private val DupCosBar = 0.45
+
+
   /** Banded-LSH cosine near-dup detection (threshold 0.45): candidates are
     * pairs agreeing on all 4 sign bits of at least one of 4 bands (an
     * equi-join on `(band, sig)` — the shuffle key), then verified with the
@@ -153,8 +169,7 @@ object Similarity {
     * higher recall, more planes per band → smaller buckets), the same
     * tradeoff the MinHash-LSH text path exposes.
     */
-  def dedupEmbedding(s: SparkSession, dir: String,
-                     threshold: Double = 0.45): DataFrame = {
+  def dedupEmbedding(s: SparkSession, dir: String): DataFrame = {
     val qn = qdf(s, dir)
     val sigs = (0 until DedupBands).map(bandSigCol)
     val bands = qn.select(col("vec_id"),
@@ -172,7 +187,7 @@ object Similarity {
         col("n2").as("nb")), "id_b")
       .withColumn("dot", expr("q_dot(qa, qb)"))
     val cos = cosCol(col("dot"), col("na"), col("nb"))
-    scored.filter(cos >= threshold)
+    scored.filter(cos >= DupCosBar)
       .select(col("id_a"), col("id_b"), round(cos, 6).as("cos"))
       .orderBy("id_a", "id_b")
   }
@@ -195,13 +210,8 @@ object Similarity {
           i -> x.q[i] * y.q[i])) AS BIGINT) AS dot
       FROM cand JOIN qn x ON id_a = x.vec_id JOIN qn y ON id_b = y.vec_id)
     SELECT id_a, id_b, round($PairCosSql, 6) AS cos
-    FROM pairs WHERE $PairCosSql >= 0.45
+    FROM pairs WHERE $PairCosSql >= $DupCosBar
     ORDER BY id_a, id_b"""
-
-  /** Eval-set membership of the semantic decontamination gate (every
-    * 5th vector plays the held-out benchmark sample).
-    */
-  private val SemEvalMod = 5
 
   /** Embedding-space decontamination — the semantic complement of the
     * n-gram [[CorpusFilters.decontaminate]]: flag corpus vectors whose
@@ -213,8 +223,7 @@ object Similarity {
     * are never generated, the asymmetric analog of the batch-probes-base
     * incremental dedup shape.
     */
-  def decontaminateSemantic(s: SparkSession, dir: String,
-                            threshold: Double = 0.4): DataFrame = {
+  def decontaminateSemantic(s: SparkSession, dir: String): DataFrame = {
     val qn = qdf(s, dir)
     val sigs = (0 until DedupBands).map(bandSigCol)
     val bands = qn.select(col("vec_id"),
@@ -231,7 +240,7 @@ object Similarity {
         col("n2").as("nb")), "eval_id")
       .withColumn("dot", expr("q_dot(qa, qb)"))
     val cos = cosCol(col("dot"), col("na"), col("nb"))
-    scored.filter(cos >= threshold)
+    scored.filter(cos >= SemCosBar)
       .groupBy("vec_id")
       .agg(count(lit(1)).as("n_eval_hits"), max(round(cos, 6)).as("max_cos"))
       .orderBy("vec_id")
@@ -257,7 +266,7 @@ object Similarity {
                 JOIN qn y ON eval_id = y.vec_id)
     SELECT vec_id, count(*) AS n_eval_hits,
       max(round($PairCosSql, 6)) AS max_cos
-    FROM pairs WHERE $PairCosSql >= 0.4
+    FROM pairs WHERE $PairCosSql >= $SemCosBar
     GROUP BY vec_id ORDER BY vec_id"""
 
   // ----------------------------------------------------------- top-k (ANN)
@@ -1555,8 +1564,8 @@ object Similarity {
     FROM er ORDER BY vec_id"""
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "dedup_embedding" -> (dedupEmbedding(_, _)),
-    "decontaminate_semantic" -> (decontaminateSemantic(_, _)),
+    "dedup_embedding" -> (dedupEmbedding _),
+    "decontaminate_semantic" -> (decontaminateSemantic _),
     "ann_topk" -> (annTopk(_, _)),
     "ann_topk_filtered" -> (annTopkFiltered(_, _)),
     "ann_filtered_recall" -> (annFilteredRecall(_, _)),

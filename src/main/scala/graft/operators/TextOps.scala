@@ -683,12 +683,14 @@ object TextOps {
       .withColumn("w",
         expr("cast(floor(sqrt(cast(n_source as double))) as bigint)"))
     DistRank.rowNumber(docs, "source", Seq(col("doc_id")), "doc_id", "__rn")
-      .withColumn("rn", col("__rn").cast("int"))
+      // rn stays BIGINT end to end: an INT output contract would
+      // silently overflow past ~2.1B documents per source while the
+      // pos_q math (already widened) kept working — an undocumented
+      // capacity edge this column no longer has
+      .withColumn("rn", col("__rn"))
       .join(broadcast(census), "source")
-      // bigint arithmetic: rn is INT for the output contract, but
-      // rn·K overflows 32 bits past rn ≈ 2047 (hit at the 10× probe)
-      .withColumn("pos_q", expr(s"cast(((cast(rn as bigint) * $MixTempK) - " +
-        s"((cast(rn as bigint) * $MixTempK) % w)) / w as bigint)"))
+      .withColumn("pos_q", expr(s"cast(((rn * $MixTempK) - " +
+        s"((rn * $MixTempK) % w)) / w as bigint)"))
       .select(col("doc_id"), col("source"), col("rn"), col("n_source"),
         col("w"), col("pos_q"))
       .orderBy("pos_q", "source", "doc_id")
@@ -703,7 +705,7 @@ object TextOps {
       SELECT source, count(*) AS n_source,
         CAST(floor(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT) AS w
       FROM documents GROUP BY source)
-    SELECT doc_id, source, CAST(rn AS INT) AS rn, n_source, w,
+    SELECT doc_id, source, CAST(rn AS BIGINT) AS rn, n_source, w,
       CAST(((rn * $MixTempK) - ((rn * $MixTempK) % w)) / w AS BIGINT)
         AS pos_q
     FROM r JOIN census USING (source)
