@@ -73,9 +73,32 @@ object SuffixArray {
   private[graft] def roundsFor(maxLen: Long): Int = {
     var r = 0
     var cover = 4L
-    while (cover < maxLen) { r += 1; cover *= 4 }
-    require(r <= MaxRounds,
-      s"a $maxLen-token document needs $r doubling rounds (cap $MaxRounds)")
+    // bound checked INSIDE the loop: past ~2^62 the `cover *= 4` Long
+    // multiplication would overflow and the loop would never exit, so an
+    // after-the-loop require is unreachable exactly in the pathological
+    // case it guards
+    while (cover < maxLen) {
+      r += 1
+      require(r <= MaxRounds,
+        s"a $maxLen-token document needs > $MaxRounds doubling rounds " +
+          s"(cap $MaxRounds)")
+      cover *= 4
+    }
+    r
+  }
+
+  /** [[finalRounds]] guarded by the ORACLE ceiling: the registered DuckDB
+    * SQL unrolls exactly [[OracleRounds]] rounds (4096-token documents).
+    * A gate corpus with a longer document would make the oracle itself
+    * under-converge — surfacing as an opaque hash mismatch — so fail
+    * loudly here with the actual cause instead.
+    */
+  private def gateRounds(s: SparkSession, dir: String): Int = {
+    val r = finalRounds(s, dir)
+    require(r <= OracleRounds,
+      s"gate corpus needs $r doubling rounds but the registered DuckDB " +
+        s"oracle chain is pinned at OracleRounds=$OracleRounds (a " +
+        "4096-token ceiling); regenerate the oracle SQL with more rounds")
     r
   }
 
@@ -178,14 +201,26 @@ object SuffixArray {
     * frame — the spec's entry point for planted corpora (no memo).
     */
   private[graft] def ranksOfToks(toks: DataFrame, rounds: Int): DataFrame =
-    (0 to rounds).foldLeft(toks)((acc, j) => roundStep(acc, j))
+    roundChain(toks, rounds).last
+
+  /** The full chain, returning EVERY round table (index j = round j) —
+    * the spec/strip path's analogue of the memoized [[ranks]] ladder,
+    * which the round-table LCP descent ([[lcpOfRounds]]) walks back down.
+    */
+  private[graft] def roundChain(toks: DataFrame,
+                                rounds: Int): IndexedSeq[DataFrame] = {
+    val buf = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    var cur = toks
+    for (j <- 0 to rounds) { cur = roundStep(cur, j); buf += cur }
+    buf.toIndexedSeq
+  }
 
   /** Gate: the full suffix ranking — one row per token position with its
     * final dense suffix rank (equal ranks ⇔ identical suffixes to the
     * document end).
     */
   def suffixArray(s: SparkSession, dir: String): DataFrame =
-    ranks(s, dir, finalRounds(s, dir))
+    ranks(s, dir, gateRounds(s, dir))
       .select(col("doc_id"), col("p"), col("r").as("sa_rank"))
       .orderBy("doc_id", "p")
 
@@ -281,8 +316,7 @@ object SuffixArray {
 
   /** Gate: EXACT maximal-match census (the statistic of Lee et al. 2022 —
     * per position, the length of the longest prefix its suffix shares
-    * with ANY other suffix in the corpus), read off the finished ranking
-    * in one linear pass — no log-round LCP walk:
+    * with ANY other suffix in the corpus), read off the finished ranking:
     *
     *  - positions with an identical twin (final rank group ≥ 2) match to
     *    their full suffix length by definition;
@@ -290,17 +324,16 @@ object SuffixArray {
     *    achieved by a LEXICOGRAPHICALLY ADJACENT suffix — and because
     *    final ranks are DENSE, the adjacent distinct suffix is simply
     *    rank r±1. All members of a rank group are the same string, so ONE
-    *    representative LCP per adjacent rank pair covers every member:
-    *    group reps carry their suffix token slice, pair with rank r+1 by
-    *    equi-join, and the LCP is a single codegen'd zip_with/
-    *    array_position expression over the two slices (exact tokens — no
-    *    terminator padding, unlike [[suffixMaxmatch]]'s power-of-4
-    *    brackets).
+    *    representative LCP per adjacent rank pair covers every member —
+    *    computed by [[lcpOfRounds]]'s descent of the ALREADY-MEMOIZED
+    *    doubling-round tables (O(corpus · log maxlen), zero token
+    *    slices), not by materializing suffix slices (which would be
+    *    O(Σ len²) cells — ~2,000× the corpus for 4,096-token documents).
     *
     * Per document: positions whose exact maximal match reaches 8/16/32
     * tokens and the document's longest match. Cost beyond the shared
-    * ranking: two aggregates, one rep self-join keyed by rank, one
-    * stats join back — all O(corpus).
+    * ranking: two aggregates, the log-round descent, one stats join
+    * back — all O(corpus · log).
     */
   /** Rank-group table over a finished ranking: group size and the global
     * first member (doc, position), decoded from the min okey.
@@ -312,50 +345,117 @@ object SuffixArray {
       .select(col("r"), col("cnt"),
         expr("okey div 1000000").as("rd"), pmod(col("okey"), lit(1000000L)).as("rp"))
 
-  /** One representative suffix token slice per rank group (all members
-    * are the same string, so one rep covers every member).
+  /** Suffix length of each rank group's representative — doc length
+    * minus start position, no token slice. `ws` is one row per document
+    * (broadcastable); the join is keyed by the rep's document.
     */
-  private def repsOf(grp: DataFrame, ws: DataFrame): DataFrame =
+  private def slenOf(grp: DataFrame, ws: DataFrame): DataFrame =
     grp
-      .join(ws.select(col("doc_id").as("rd"), col("ws")), "rd")
-      .select(col("r"), col("cnt"),
-        expr("slice(ws, cast(rp as int), size(ws) - cast(rp as int) + 1)")
-          .as("sws"))
+      .join(broadcast(ws.select(col("doc_id").as("rd"),
+        size(col("ws")).cast("long").as("dl"))), "rd")
+      .select(col("r"), (col("dl") - col("rp") + 1).as("slen"))
 
-  /** Exact LCP between each rank and rank+1 (dense ranks ⇒ the
-    * lexicographically adjacent distinct suffix), as one codegen'd
-    * zip_with/array_position expression over the two rep slices.
+  /** One descent stage of the round-table LCP (see [[lcpOfRounds]]):
+    * given pairs (r, d1, p1, d2, p2, lcp) and a lookup table
+    * (doc_id, p, rr) whose `rr` equality certifies agreement of the next
+    * `c` tokens, probe both sides at offsets lcp, lcp+c, lcp+2c (six
+    * probe rows per pair — one equi-join against the table, one groupBy
+    * back) and extend lcp by c per nested match. Probing past a
+    * document's end finds no row → null → mismatch, which is exactly
+    * right: that suffix ended, the common prefix cannot extend.
     */
-  private def lcpOf(reps: DataFrame): DataFrame = {
-    val nxt = reps.select((col("r") - 1).as("r"), col("sws").as("qws"))
-    reps.join(nxt, "r")
-      .withColumn("L", least(size(col("sws")), size(col("qws"))))
-      .withColumn("fpos", expr(
-        "array_position(zip_with(slice(sws, 1, L), slice(qws, 1, L), (x, y) -> x = y), false)"))
-      .select(col("r"),
-        when(col("fpos") === 0, col("L").cast("long"))
-          .otherwise(col("fpos") - 1).as("lcp"))
+  private def descendStep(pairs: DataFrame, tbl: DataFrame,
+                          c: Long): DataFrame = {
+    val probe = (side: Int, k: Int) => {
+      val (d, p) = if (side == 1) ("d1", "p1") else ("d2", "p2")
+      struct(lit(side).as("side"), lit(k).as("k"),
+        col(d).as("doc_id"),
+        (col(p) + col("lcp") + lit(k * c)).cast("int").as("p"))
+    }
+    val probes = pairs.select(col("r"), col("d1"), col("p1"), col("d2"),
+        col("p2"), col("lcp"),
+        explode(array((0 to 2).flatMap(k =>
+          Seq(probe(1, k), probe(2, k))): _*)).as("pr"))
+      .select(col("r"), col("d1"), col("p1"), col("d2"), col("p2"),
+        col("lcp"), col("pr.side").as("side"), col("pr.k").as("k"),
+        col("pr.doc_id").as("doc_id"), col("pr.p").as("p"))
+    def at(side: Int, k: Int) =
+      max(when(col("side") === side && col("k") === k, col("rr")))
+    val inc =
+      when(col("a0") === col("b0"), lit(c) +
+        when(col("a1") === col("b1"), lit(c) +
+          when(col("a2") === col("b2"), lit(c)).otherwise(0L))
+          .otherwise(0L))
+        .otherwise(0L)
+    probes.join(tbl, Seq("doc_id", "p"), "left")
+      .groupBy(col("r"), col("d1"), col("p1"), col("d2"), col("p2"),
+        col("lcp"))
+      .agg(at(1, 0).as("a0"), at(2, 0).as("b0"),
+        at(1, 1).as("a1"), at(2, 1).as("b1"),
+        at(1, 2).as("a2"), at(2, 2).as("b2"))
+      .select(col("r"), col("d1"), col("p1"), col("d2"), col("p2"),
+        (col("lcp") + inc).as("lcp"))
   }
 
-  /** The (grp, reps, lcp) triple for the gate corpus, memoized — the
+  /** Exact LCP between each rank and rank+1 (dense ranks ⇒ the
+    * lexicographically adjacent distinct suffix) by DESCENDING the
+    * doubling-round rank tables — the standard doubling-structure LCP,
+    * O(corpus · log maxlen) with no token slices anywhere:
+    *
+    * round-j rank equality at offset q certifies the next 4^(j+1) tokens
+    * agree (padded-window equality: if either suffix ended inside the
+    * window the windows differ — '' matches only '' — and full equality
+    * of two ended remainders would make the whole suffixes identical,
+    * contradicting distinct final ranks; so equality always means a full
+    * 4^(j+1)-token extension). The invariant `remaining < 4·cover_j`
+    * holds entering each stage (adjacent FINAL ranks differ, so the
+    * remaining LCP starts < cover_R ≥ maxLen), hence at most three
+    * cover-sized extensions per stage — one probe join — and a final
+    * ≤ 3-token refinement against the raw token table finishes exact.
+    * Each stage [[barrier]]s so the R-stage chain stays flat for
+    * Catalyst.
+    */
+  private def lcpOfRounds(grp: DataFrame, rank: Int => DataFrame,
+                          rounds: Int, toks: DataFrame): DataFrame = {
+    val nxt = grp.select((col("r") - 1).as("r"),
+      col("rd").as("d2"), col("rp").as("p2"))
+    var pairs = grp
+      .select(col("r"), col("rd").as("d1"), col("rp").as("p1"))
+      .join(nxt, "r")
+      .withColumn("lcp", lit(0L))
+    for (j <- (rounds - 1) to 0 by -1) {
+      val c = 1L << (2 * (j + 1)) // 4^(j+1)
+      pairs = barrier(descendStep(pairs,
+        rank(j).select(col("doc_id"), col("p"), col("r").as("rr")), c))
+    }
+    descendStep(pairs,
+      toks.select(col("doc_id"), col("p"), col("tok").as("rr")), 1L)
+      .select(col("r"), col("lcp"))
+  }
+
+  /** The (grp, slen, lcp) triple for the gate corpus, memoized — the
     * spans census and the exact strip share them like production would
-    * share the built index.
+    * share the built index. The LCP descent walks the SAME memoized
+    * round tables the construction built; nothing quadratic is computed
+    * or cached.
     */
   private def gateLcp(s: SparkSession, dir: String)
   : (DataFrame, DataFrame, DataFrame) = {
     import TextNorm.norm
-    val rf = ranks(s, dir, finalRounds(s, dir))
+    val r = gateRounds(s, dir)
+    val rf = ranks(s, dir, r)
     val ws = SubstringDedup.corpus(s, dir)
       .select(col("doc_id"), split(norm, " ").as("ws"))
     val grp = Memo.cached(s, "sa_grp", dir)(grpOf(rf))
-    val reps = Memo.cached(s, "sa_reps", dir)(repsOf(grp, ws))
-    val lcp = Memo.cached(s, "sa_lcp", dir)(lcpOf(reps))
-    (grp, reps, lcp)
+    val slen = Memo.cached(s, "sa_slen", dir)(slenOf(grp, ws))
+    val lcp = Memo.cached(s, "sa_lcp", dir)(
+      lcpOfRounds(grp, j => ranks(s, dir, j), r, toks(s, dir)))
+    (grp, slen, lcp)
   }
 
   def suffixSpans(s: SparkSession, dir: String): DataFrame = {
     import TextNorm.norm
-    val rf = ranks(s, dir, finalRounds(s, dir))
+    val rf = ranks(s, dir, gateRounds(s, dir))
     val ws = SubstringDedup.corpus(s, dir)
       .select(col("doc_id"), split(norm, " ").as("ws"))
     val (grp, _, lcp) = gateLcp(s, dir)
@@ -471,9 +571,9 @@ object SuffixArray {
     * boundary-broadcasts like every other rank in the tree.
     */
   def dedupSuffixStrip(s: SparkSession, dir: String): DataFrame = {
-    val rf = ranks(s, dir, finalRounds(s, dir))
-    val (grp, reps, lcp) = gateLcp(s, dir)
-    stripCore(SubstringDedup.corpus(s, dir), rf, grp, reps, lcp, StripL)
+    val rf = ranks(s, dir, gateRounds(s, dir))
+    val (grp, slen, lcp) = gateLcp(s, dir)
+    stripCore(SubstringDedup.corpus(s, dir), rf, grp, slen, lcp, StripL)
   }
 
   /** The strip over an arbitrary corpus (doc_id, text) — the spec's entry
@@ -487,17 +587,18 @@ object SuffixArray {
       .select(col("doc_id"), posexplode(col("ws")).as(Seq("p0", "tok")))
       .select(col("doc_id"), (col("p0") + 1).as("p"), col("tok"))
     val maxLen = ws.agg(max(size(col("ws"))).cast("long")).head().getLong(0)
-    val rf = ranksOfToks(toks, roundsFor(maxLen))
+    val rounds = roundsFor(maxLen)
+    val chain = roundChain(toks, rounds)
+    val rf = chain.last
     val grp = grpOf(rf)
-    val reps = repsOf(grp, ws)
-    stripCore(docs, rf, grp, reps, lcpOf(reps), L)
+    stripCore(docs, rf, grp, slenOf(grp, ws),
+      lcpOfRounds(grp, chain, rounds, toks), L)
   }
 
   private def stripCore(docs: DataFrame, rf: DataFrame, grp: DataFrame,
-                        reps: DataFrame, lcp: DataFrame, L: Int): DataFrame = {
+                        slen: DataFrame, lcp: DataFrame, L: Int): DataFrame = {
     // rank-level duplication is a GROUP property: identical suffixes have
     // identical length, and the adjacent LCPs are per-rank by definition
-    val slen = reps.select(col("r"), size(col("sws")).cast("long").as("slen"))
     val attrs = grp.select(col("r"), col("cnt"))
       .join(slen, "r")
       .join(lcp.select(col("r"), col("lcp").as("ln")), Seq("r"), "left")

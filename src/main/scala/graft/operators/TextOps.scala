@@ -689,8 +689,10 @@ object TextOps {
       // capacity edge this column no longer has
       .withColumn("rn", col("__rn"))
       .join(broadcast(census), "source")
-      .withColumn("pos_q", expr(s"cast(((rn * $MixTempK) - " +
-        s"((rn * $MixTempK) % w)) / w as bigint)"))
+      // integer `div`, not double `/`: rn*K exceeds 2^53 at rn≈8.6e9
+      // docs/source, where an inexact divide + truncating-vs-rounding
+      // cast could diverge between engines; `div` has no such edge
+      .withColumn("pos_q", expr(s"(rn * $MixTempK) div w"))
       .select(col("doc_id"), col("source"), col("rn"), col("n_source"),
         col("w"), col("pos_q"))
       .orderBy("pos_q", "source", "doc_id")
@@ -706,8 +708,7 @@ object TextOps {
         CAST(floor(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT) AS w
       FROM documents GROUP BY source)
     SELECT doc_id, source, CAST(rn AS BIGINT) AS rn, n_source, w,
-      CAST(((rn * $MixTempK) - ((rn * $MixTempK) % w)) / w AS BIGINT)
-        AS pos_q
+      CAST((rn * $MixTempK) // w AS BIGINT) AS pos_q
     FROM r JOIN census USING (source)
     ORDER BY pos_q, source, doc_id"""
 

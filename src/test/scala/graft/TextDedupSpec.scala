@@ -92,12 +92,12 @@ class TextDedupSpec extends SparkSpec {
     val expect = bySrc.toSeq.flatMap { case (_, ds) =>
       val w = math.floor(math.sqrt(ds.length.toDouble)).toLong
       ds.map(_._1).sorted.zipWithIndex.map { case (id, i) =>
-        id -> ((i + 1, ds.length.toLong, w, (i + 1) * 1048576L / w))
+        id -> (((i + 1).toLong, ds.length.toLong, w, (i + 1) * 1048576L / w))
       }
     }.toMap
     rows.foreach { r =>
       val (rn, n, w, pos) = expect(r.getAs[Long]("doc_id"))
-      assert(r.getAs[Int]("rn") == rn)
+      assert(r.getAs[Long]("rn") == rn)
       assert(r.getAs[Long]("n_source") == n)
       assert(r.getAs[Long]("w") == w)
       assert(r.getAs[Long]("pos_q") == pos,
