@@ -34,11 +34,13 @@ object SparkEntry {
       operators.SuffixArray.queries ++
       operators.LineDedup.queries ++
       operators.Bpe.queries ++
+      operators.Unigram.queries ++
       operators.Similarity.queries ++
       operators.Retrieval.queries ++
       operators.Hnsw.queries ++
       operators.PqTrain.queries ++
       operators.GraphOps.queries ++
+      operators.UrlOps.queries ++
       operators.Multimodal.queries ++
       operators.VersionedScenarios.queries ++
       operators.DatasetRevScenarios.queries ++
@@ -78,11 +80,13 @@ object SparkEntry {
       operators.SuffixArray.oracles ++
       operators.LineDedup.oracles ++
       operators.Bpe.oracles ++
+      operators.Unigram.oracles ++
       operators.Similarity.oracles ++
       operators.Retrieval.oracles ++
       operators.Hnsw.oracles ++
       operators.PqTrain.oracles ++
       operators.GraphOps.oracles ++
+      operators.UrlOps.oracles ++
       operators.Multimodal.oracles ++
       operators.VersionedScenarios.oracles ++
       operators.DatasetRevScenarios.oracles ++

@@ -60,7 +60,7 @@ object Filtering {
     */
   private val Log2K = 1024
 
-  private def llog2(e: String): String = {
+  private[operators] def llog2(e: String): String = {
     val bl = s"length(bin($e))"
     val p = s"cast(power(2, $bl - 1) as bigint)"
     val fr = s"(cast((($e * $Log2K) - (($e * $Log2K) % $p)) / $p as bigint)" +

@@ -102,6 +102,20 @@ object LineDedup {
       .agg(countDistinct(col("doc_id")).as("n_docs"),
         count(lit(1)).as("n_occ"))
 
+  /** Per-batch partials for the streaming census maintainer
+    * ([[graft.streaming.StreamLineCensus]]): per line HASH (the state
+    * key — lines can be long; the state never stores line text), the
+    * batch's distinct-document and occurrence counts. One map-side-
+    * combining pass over the batch, the same pre-aggregation
+    * `foreachBatch` would run in production.
+    */
+  private[graft] def linePartials(s: SparkSession, dir: String): DataFrame =
+    occ(corpus(s, dir)).groupBy(md5(col("line")).as("lh"))
+      .agg(countDistinct(col("doc_id")).as("nd"), count(lit(1)).as("no"))
+
+  /** The census DfBar threshold, shared with the streaming gate. */
+  private[graft] val DfBarT = DfBar
+
   /** Gate: the boilerplate census — every line in ≥ [[DfBar]] distinct
     * documents, hashed (lines can be long), with document and occurrence
     * counts. The planted lines must surface with their family sizes.

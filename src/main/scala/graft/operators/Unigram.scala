@@ -1,0 +1,374 @@
+package graft.operators
+
+import graft.{Memo, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Distributed unigram-LM tokenizer training (the SentencePiece unigram
+  * algorithm, Kudo 2018) — the OTHER production tokenizer family next
+  * to [[Bpe]]: instead of growing a vocabulary by greedy pair merges,
+  * it seeds a large candidate-piece vocabulary and EM-prunes it, and
+  * tokenization is the Viterbi-best segmentation of each word under the
+  * piece likelihoods.
+  *
+  * Re-expressed for Spark's execution model, deterministic and
+  * integer-exact end to end:
+  *
+  *  1. ONE corpus pass aggregates to the (word, count) table (shared
+  *     shape with [[Bpe]]); all training cost from here scales with
+  *     the VOCABULARY times distinct words, never the corpus.
+  *  2. Seed vocabulary: every ≤ [[MaxPiece]]-char substring of every
+  *     word, count-weighted — one explode + map-side-combining
+  *     aggregation — pruned to the top [[SeedKeep]] multi-char pieces
+  *     (count DESC, piece ASC — a total order, so the cut is
+  *     deterministic) plus ALL single characters (coverage guarantee:
+  *     every word stays segmentable, so the DP below never needs a
+  *     fallback path).
+  *  3. Piece likelihoods as integer COSTS: cost(p) = llog2(Σcnt) −
+  *     llog2(cnt_p) — the [[Filtering.llog2]] second-order fixed-point
+  *     log2, identical floor arithmetic on both engines (−log2 of the
+  *     piece's relative frequency, in 1/1024 bits).
+  *  4. Viterbi-EM rounds ([[EmRounds]]): the E-step segments every
+  *     distinct word by a per-row dynamic program — the DP runs INSIDE
+  *     one codegen'd `aggregate` higher-order expression over the
+  *     word's positions (state = the prefix-cost array; each cell
+  *     minimizes over the ≤ [[MaxPiece]] predecessors through a
+  *     broadcast piece→cost map), followed by a second `aggregate`
+  *     that walks the backpointers out of the encoded cells. No UDF,
+  *     no per-word shuffle — segmentation is a narrow map over the
+  *     word table. Cost and backpointer share one BIGINT per cell
+  *     (cost·[[Enc]] + predecessor), so the argmin tie-break (smallest
+  *     predecessor = longest piece) is the SAME total order on both
+  *     engines. The M-step re-estimates piece usage (count-weighted
+  *     piece occurrences in the best segmentations — one explode +
+  *     aggregate), prunes to the top [[VocabKeep]] multi-char pieces
+  *     (usage DESC, piece ASC) plus all single chars, and add-one
+  *     smooths (usage + 1) so retained-but-unused singles keep a
+  *     finite cost.
+  *  5. Tokenization ([[tokenizeUnigram]]) joins the corpus word stream
+  *     against the FINAL segmentation table — the same lookup-join
+  *     shape as [[Bpe.tokenizeBpe]].
+  *
+  * The DuckDB oracle replays the ENTIRE training — seed census, every
+  * EM round's Viterbi DP (as a recursive CTE carrying the prefix-cost
+  * array — an independent formulation of the same DP), usage
+  * re-estimation, pruning, final segmentation — so the gate checks the
+  * algorithm, not just the output shape.
+  *
+  * Scale (100 TB): the corpus is touched exactly twice (word census,
+  * final tokenize join); EM rounds touch only the distinct-word table
+  * (high-cardinality key, map-side combine everywhere); the vocabulary
+  * rides a broadcast one-row map frame (≤ [[SeedKeep]] + alphabet
+  * entries). The per-row DP is O(len · [[MaxPiece]]) with no
+  * data-dependent allocation beyond the len-sized cost array.
+  */
+object Unigram {
+
+  import TextNorm.{norm, normSql}
+  import Filtering.llog2
+
+  /** Longest candidate piece, in characters. */
+  private val MaxPiece = 4
+
+  /** Multi-char seed pieces kept after the substring census. */
+  private val SeedKeep = 120
+
+  /** Multi-char pieces kept after each EM round's usage prune. */
+  private val VocabKeep = 80
+
+  /** Viterbi-EM rounds (each = one E-step + one M-step; the final
+    * segmentation is one extra E-step under the final vocabulary).
+    */
+  private val EmRounds = 2
+
+  /** Cost sentinel for substrings outside the vocabulary — large enough
+    * to never win, small enough that cost·[[Enc]] arithmetic stays far
+    * from Long overflow (dp ≤ len·BIG ≈ 2e11; ·256 ≈ 5e13).
+    */
+  private val Big = 1000000000L
+
+  /** Cost/backpointer cell encoding factor: cell = cost·Enc + prev.
+    * Requires word length < Enc — [[requireLens]] fails loudly first.
+    */
+  private val Enc = 256
+
+  /** Hard word-length ceiling (the [[Enc]] encoding bound with margin;
+    * a 200+-char "word" means the normalizer upstream is broken).
+    */
+  private val MaxWordLen = 200
+
+  /** The distinct-word table (word, cnt), memoized per (session, dir). */
+  private def words(s: SparkSession, dir: String): DataFrame =
+    Memo.cached(s, "ug_words", dir) {
+      Tables.documents(s, dir)
+        .select(explode(split(norm, " ")).as("word"))
+        .filter(col("word") =!= "")
+        .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+    }
+
+  /** Fail loudly on a word the cell encoding cannot carry. */
+  private def requireLens(s: SparkSession, dir: String): Unit = {
+    val ml = Memo.cached(s, "ug_maxlen", dir) {
+      words(s, dir).agg(max(length(col("word"))).cast("long").as("ml"))
+    }.head().getLong(0)
+    require(ml <= MaxWordLen,
+      s"a $ml-char word exceeds the $MaxWordLen-char unigram-DP ceiling " +
+        s"(cell encoding holds positions < $Enc)")
+  }
+
+  /** The ≤ [[MaxPiece]]-char substring census, count-weighted. */
+  private def census(s: SparkSession, dir: String): DataFrame =
+    Memo.cached(s, "ug_census", dir) {
+      words(s, dir)
+        .withColumn("j", explode(sequence(lit(1), length(col("word")))))
+        .withColumn("l", explode(sequence(lit(1),
+          least(lit(MaxPiece), length(col("word")) - col("j") + 1))))
+        .select(expr("substring(word, j, l)").as("piece"), col("cnt"))
+        .groupBy(col("piece")).agg(sum(col("cnt")).as("cnt"))
+    }
+
+  /** All single characters (the coverage floor every vocabulary keeps). */
+  private def singles(s: SparkSession, dir: String): DataFrame =
+    census(s, dir).filter(length(col("piece")) === 1)
+
+  /** Seed vocabulary: top multi-char pieces + all singles. */
+  private def seedVocab(s: SparkSession, dir: String): DataFrame = {
+    val c = census(s, dir)
+    c.filter(length(col("piece")) >= 2)
+      .orderBy(col("cnt").desc, col("piece").asc).limit(SeedKeep)
+      .unionByName(singles(s, dir))
+  }
+
+  /** The forward Viterbi DP as one `aggregate` expression: encoded
+    * prefix-cost cells (cost·Enc + backpointer), 1-based with cell 1 =
+    * position 0 (cost 0).
+    */
+  private val fwdSql: String = s"""
+    aggregate(
+      sequence(1, length(word)),
+      array(0L),
+      (acc, i) -> array_append(acc,
+        array_min(transform(
+          sequence(greatest(0, i - $MaxPiece), i - 1),
+          j -> ((element_at(acc, j + 1) div $Enc) +
+                coalesce(try_element_at(vm, substring(word, j + 1, i - j)),
+                         ${Big}L)) * $Enc + j))))"""
+
+  /** The backpointer walk as a second `aggregate`: from position len,
+    * prepend the piece (prev, pos] and jump to prev; iterations past
+    * position 0 are no-ops (every piece is ≥ 1 char, so len iterations
+    * always finish).
+    */
+  private val btSql: String = s"""
+    aggregate(
+      sequence(1, length(word)),
+      named_struct('pos', length(word), 'seg', ''),
+      (acc, x) -> if(acc.pos <= 0, acc,
+        named_struct(
+          'pos', cast(element_at(encs, acc.pos + 1) % $Enc as int),
+          'seg', concat(
+            substring(word, cast(element_at(encs, acc.pos + 1) % $Enc as int) + 1,
+              acc.pos - cast(element_at(encs, acc.pos + 1) % $Enc as int)),
+            if(acc.seg = '', '', ' '), acc.seg))),
+      acc -> acc.seg)"""
+
+  /** Viterbi-segment the word table under a (piece, cnt) vocabulary:
+    * costs from the fixed-point log-likelihoods, the vocabulary as one
+    * broadcast map row, the DP as the two codegen'd aggregates above.
+    * Returns (word, cnt, seg).
+    */
+  private[graft] def segment(wordsDf: DataFrame, vocab: DataFrame): DataFrame = {
+    val tot = vocab.agg(sum(col("cnt")).as("t"))
+    val costed = vocab.crossJoin(broadcast(tot))
+      .select(col("piece"),
+        (expr(llog2("t")) - expr(llog2("cnt"))).as("cost"))
+    val vm = costed.agg(map_from_entries(
+      collect_list(struct(col("piece"), col("cost")))).as("vm"))
+    wordsDf.crossJoin(broadcast(vm))
+      .withColumn("encs", expr(fwdSql.trim))
+      .withColumn("seg", expr(btSql.trim))
+      .select(col("word"), col("cnt"), col("seg"))
+  }
+
+  /** One M-step: piece usage under the round's segmentations, pruned
+    * and add-one smoothed into the next vocabulary.
+    */
+  private def nextVocab(segs: DataFrame, singlesDf: DataFrame): DataFrame = {
+    val use = segs
+      .select(col("cnt"), explode(split(col("seg"), " ")).as("piece"))
+      .groupBy(col("piece")).agg(sum(col("cnt")).as("usage"))
+    val multi = use.filter(length(col("piece")) >= 2)
+      .orderBy(col("usage").desc, col("piece").asc).limit(VocabKeep)
+      .select(col("piece"), (col("usage") + 1).as("cnt"))
+    val sing = singlesDf.select(col("piece"))
+      .join(use, Seq("piece"), "left")
+      .select(col("piece"), (coalesce(col("usage"), lit(0L)) + 1).as("cnt"))
+    multi.unionByName(sing)
+  }
+
+  /** The trained final vocabulary (piece, cnt), memoized. Each round's
+    * small vocab frame localCheckpoints (the BPE loop discipline) so
+    * the round chain never compounds plans.
+    */
+  private[graft] def finalVocab(s: SparkSession, dir: String): DataFrame =
+    Memo.cached(s, "ug_vocab", dir) {
+      requireLens(s, dir)
+      val w = words(s, dir)
+      val sg = singles(s, dir)
+      var vocab = seedVocab(s, dir).localCheckpoint()
+      for (_ <- 1 to EmRounds)
+        vocab = nextVocab(segment(w, vocab), sg).localCheckpoint()
+      vocab
+    }
+
+  /** The final segmentation table (word, cnt, seg), memoized — the last
+    * E-step, under the final vocabulary.
+    */
+  private[graft] def finalSegs(s: SparkSession, dir: String): DataFrame =
+    Memo.cached(s, "ug_segs", dir) {
+      segment(words(s, dir), finalVocab(s, dir))
+    }
+
+  // ------------------------------------------------------------------ gates
+
+  /** Gate: the trained vocabulary with its fixed-point costs —
+    * (piece, cnt, cost), cost under the final totals.
+    */
+  def unigramTrain(s: SparkSession, dir: String): DataFrame = {
+    val v = finalVocab(s, dir)
+    v.crossJoin(broadcast(v.agg(sum(col("cnt")).as("t"))))
+      .select(col("piece"), col("cnt"),
+        (expr(llog2("t")) - expr(llog2("cnt"))).as("cost"))
+      .orderBy(col("cnt").desc, col("piece").asc)
+  }
+
+  /** Gate: per-document tokenization under the trained unigram LM —
+    * word stream joins the final segmentation table; per-doc word and
+    * piece counts + an order-preserving md5 over the piece stream
+    * (the [[Bpe.tokenizeBpe]] contract, so the two tokenizer families
+    * are directly comparable).
+    */
+  def tokenizeUnigram(s: SparkSession, dir: String): DataFrame = {
+    val segs = finalSegs(s, dir).select(col("word"), col("seg"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), posexplode(split(norm, " ")))
+      .toDF("doc_id", "pos", "word")
+      .filter(col("word") =!= "")
+      .join(segs, "word")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(size(split(col("seg"), " "))).cast("long").as("n_pieces"),
+        md5(array_join(
+          transform(array_sort(collect_list(struct(col("pos"), col("seg")))),
+            x => x.getField("seg")), " ")).as("tok_hash"))
+      .orderBy("doc_id")
+  }
+
+  // ----------------------------------------------------------------- oracle
+
+  /** One EM round's CTEs: piece costs → map row → recursive forward DP
+    * → recursive backpointer walk → segmentations (round `r` reads
+    * vocabulary `v${r-1}`, writes `seg$r` and vocabulary `v$r`).
+    */
+  private def roundCtes(r: Int, mStep: Boolean): String = {
+    val v = s"v${r - 1}"
+    val m = s"""
+    cost$r AS (SELECT piece,
+        CAST(${llog2("t")} - ${llog2("cnt")} AS BIGINT) AS cost
+      FROM $v, (SELECT CAST(sum(cnt) AS BIGINT) AS t FROM $v)),
+    vm$r AS (SELECT MAP(list(piece ORDER BY piece),
+                        list(cost ORDER BY piece)) AS m FROM cost$r),
+    dp$r AS (
+      SELECT word, cnt, 0 AS i, [CAST(0 AS BIGINT)] AS encs FROM wf
+      UNION ALL
+      SELECT d.word, d.cnt, i + 1,
+        list_append(encs, list_min(list_transform(
+          generate_series(greatest(0, i + 1 - $MaxPiece), i),
+          j -> ((encs[j + 1] // $Enc) +
+                coalesce(vm$r.m[d.word[j + 1 : i + 1]][1], $Big)) * $Enc + j)))
+      FROM dp$r d, vm$r WHERE i < len(d.word)),
+    bt$r AS (
+      SELECT word, cnt, len(word) AS pos, '' AS seg, encs
+      FROM dp$r WHERE i = len(word)
+      UNION ALL
+      SELECT word, cnt, CAST(encs[pos + 1] % $Enc AS INT),
+        word[CAST(encs[pos + 1] % $Enc AS INT) + 1 : pos]
+          || CASE WHEN seg = '' THEN '' ELSE ' ' END || seg,
+        encs
+      FROM bt$r WHERE pos > 0),
+    seg$r AS (SELECT word, cnt, seg FROM bt$r WHERE pos = 0)"""
+    if (!mStep) m
+    else m + s""",
+    use$r AS (SELECT p AS piece, CAST(sum(cnt) AS BIGINT) AS usage
+      FROM (SELECT cnt, unnest(string_split(seg, ' ')) AS p FROM seg$r)
+      GROUP BY 1),
+    v$r AS (
+      SELECT piece, usage + 1 AS cnt FROM (
+        SELECT piece, usage FROM use$r WHERE len(piece) >= 2
+        ORDER BY usage DESC, piece ASC LIMIT $VocabKeep)
+      UNION ALL
+      SELECT s.piece, coalesce(u.usage, 0) + 1
+      FROM sing s LEFT JOIN use$r u USING (piece))"""
+  }
+
+  /** Shared training prelude: word census → seed vocabulary → EM
+    * rounds → final segmentation (round EmRounds+1, E-step only).
+    * Needs `WITH RECURSIVE` on the enclosing statement.
+    */
+  private val trainCtes: String = s"""
+    wf AS MATERIALIZED (
+      SELECT w AS word, CAST(count(*) AS BIGINT) AS cnt
+      FROM (SELECT unnest(string_split($normSql, ' ')) AS w
+            FROM documents)
+      WHERE w <> '' GROUP BY 1),
+    pc AS (SELECT word[j : j + l - 1] AS piece, CAST(sum(cnt) AS BIGINT)
+             AS cnt
+           FROM (SELECT word, cnt, j,
+                   unnest(generate_series(1,
+                     least($MaxPiece, len(word) - j + 1))) AS l
+                 FROM (SELECT word, cnt,
+                         unnest(generate_series(1, len(word))) AS j
+                       FROM wf))
+           GROUP BY 1),
+    sing AS (SELECT piece, cnt FROM pc WHERE len(piece) = 1),
+    v0 AS (
+      SELECT piece, cnt FROM (
+        SELECT piece, cnt FROM pc WHERE len(piece) >= 2
+        ORDER BY cnt DESC, piece ASC LIMIT $SeedKeep)
+      UNION ALL
+      SELECT piece, cnt FROM sing),
+    ${(1 to EmRounds).map(r => roundCtes(r, mStep = true)).mkString(",")},
+    ${roundCtes(EmRounds + 1, mStep = false)}"""
+
+  private val F = EmRounds + 1
+
+  val unigramTrainSql: String = s"""
+    WITH RECURSIVE $trainCtes
+    SELECT piece, cnt,
+      CAST(${llog2("t")} - ${llog2("cnt")} AS BIGINT) AS cost
+    FROM v$EmRounds,
+      (SELECT CAST(sum(cnt) AS BIGINT) AS t FROM v$EmRounds)
+    ORDER BY cnt DESC, piece ASC"""
+
+  val tokenizeUnigramSql: String = s"""
+    WITH RECURSIVE $trainCtes,
+    dw AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws))) AS pos
+           FROM (SELECT doc_id, string_split($normSql, ' ') AS ws
+                 FROM documents)),
+    dtok AS (SELECT doc_id, pos, ws[pos] AS word FROM dw
+             WHERE ws[pos] <> ''),
+    jn AS (SELECT d.doc_id, d.pos, t.seg
+           FROM dtok d JOIN seg$F t ON d.word = t.word)
+    SELECT doc_id, count(*) AS n_words,
+      CAST(sum(len(string_split(seg, ' '))) AS BIGINT) AS n_pieces,
+      md5(string_agg(seg, ' ' ORDER BY pos)) AS tok_hash
+    FROM jn GROUP BY doc_id ORDER BY doc_id"""
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "unigram_train" -> (unigramTrain _),
+    "tokenize_unigram" -> (tokenizeUnigram _))
+
+  val oracles: Map[String, String] = Map(
+    "unigram_train" -> unigramTrainSql,
+    "tokenize_unigram" -> tokenizeUnigramSql)
+}

@@ -392,6 +392,21 @@ object StreamScenarios {
     * `ivf_append`'s oracle). The spec drives cross-batch evolution with a
     * MemoryStream.
     */
+  /** Batch-mode run of the streaming line-census maintainer: per-batch
+    * (line hash, distinct-docs, occurrences) partials folded into the
+    * frequency state, then the SAME DfBar flag filter (and DuckDB
+    * oracle) as the batch `line_census`. Cross-batch counter evolution
+    * is spec-driven.
+    */
+  def streamLineMaintain(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val L = graft.operators.LineDedup
+    StreamLineCensus.counts(L.linePartials(s, dir).as[LinePart]).toDF()
+      .filter(col("n_docs") >= L.DfBarT)
+      .select(col("lh").as("line_hash"), col("n_docs"), col("n_occ"))
+      .orderBy(col("n_docs").desc, col("line_hash"))
+  }
+
   def streamIvfMaintain(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     StreamIvf.census(
@@ -445,7 +460,8 @@ object StreamScenarios {
     "stream_dsir_maintain" -> (streamDsirMaintain _),
     "stream_profile_maintain" -> (streamProfileMaintain _),
     "stream_asof" -> (streamAsofMaintain _),
-    "stream_ivf_maintain" -> (streamIvfMaintain _))
+    "stream_ivf_maintain" -> (streamIvfMaintain _),
+    "stream_line_maintain" -> (streamLineMaintain _))
 
   val oracles: Map[String, String] = Map(
     "stream_topk_sketch" -> graft.operators.Sketch.topkSketchSql,
@@ -458,6 +474,7 @@ object StreamScenarios {
     "stream_asof" -> graft.operators.AsOf.asofJoinSql,
     "stream_ivf_maintain" ->
       graft.operators.Similarity.streamIvfCensusSql,
+    "stream_line_maintain" -> graft.operators.LineDedup.lineCensusSql,
     "stream_hll_maintain" -> graft.operators.Sketch.hllRegistersSql,
     "stream_kmv_maintain" -> graft.operators.Sketch.kmvByGroupSql(),
     "stream_quantile_maintain" ->

@@ -1052,3 +1052,51 @@ object StreamAsof {
       }
   }
 }
+
+/** One per-batch PARTIAL for the line-frequency maintainer: a line hash
+  * with the micro-batch's distinct-document and occurrence counts —
+  * pre-aggregated upstream ([[graft.operators.LineDedup.linePartials]]
+  * in the gate; `foreachBatch` in production). Distinct-document adds
+  * stay mergeable because DOCUMENTS ARE BATCH-ATOMIC: a document's
+  * lines all arrive in the batch that carries the document, so
+  * per-batch distinct counts sum to the corpus distinct count — the
+  * same effectively-once input discipline the other counting
+  * maintainers assume.
+  */
+case class LinePart(lh: String, nd: Long, no: Long)
+
+/** One maintained line-frequency row. */
+case class LineCount(lh: String, n_docs: Long, n_occ: Long)
+
+/** Streaming maintenance of the line-level boilerplate census
+  * ([[graft.operators.LineDedup]]): per line hash, running
+  * distinct-document and occurrence counts — the state layer that keeps
+  * the boilerplate flag set current as a crawl streams in, instead of
+  * re-counting the corpus per batch. Fed per-batch partials from day
+  * one (the [[StreamProfile]] lesson); adds are commutative and
+  * associative, so out-of-order batch arrival cannot corrupt a line's
+  * counters. A single batch from empty state reproduces the batch
+  * census exactly — the gate filters the maintained state at the batch
+  * [[graft.operators.LineDedup]] DfBar and shares `line_census`'s
+  * DuckDB oracle. At 100 TB the state is one (hash, 2 longs) row per
+  * DISTINCT line — boilerplate-skewed, far smaller than the corpus —
+  * and the read side is the broadcast flag-set feed for the strip.
+  */
+object StreamLineCensus {
+
+  def counts(parts: Dataset[LinePart]): Dataset[LineCount] = {
+    import parts.sparkSession.implicits._
+    parts
+      .groupByKey(_.lh)
+      .flatMapGroupsWithState[LineCount, LineCount](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (lh: String, rows: Iterator[LinePart], state: GroupState[LineCount]) =>
+          var nd = state.getOption.map(_.n_docs).getOrElse(0L)
+          var no = state.getOption.map(_.n_occ).getOrElse(0L)
+          rows.foreach { p => nd += p.nd; no += p.no }
+          val next = LineCount(lh, nd, no)
+          state.update(next)
+          Iterator(next)
+      }
+  }
+}

@@ -641,6 +641,44 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming line census: distinct-doc and occurrence counts add " +
+    "across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.{LinePart, StreamLineCensus}
+    val input = MemoryStream[LinePart]
+    val query = StreamLineCensus.counts(input.toDS())
+      .writeStream.format("memory").queryName("line_state")
+      .outputMode(OutputMode.Update).start()
+    try {
+      // batch 1: boilerplate line h1 in 2 docs (3 occurrences), h2 once
+      input.addData(LinePart("h1", 2, 3), LinePart("h2", 1, 1))
+      query.processAllAvailable()
+      // batch 2: h1 again in 2 more docs, new line h3
+      input.addData(LinePart("h1", 2, 2), LinePart("h3", 1, 1))
+      query.processAllAvailable()
+      val last = spark.table("line_state").collect()
+        .groupBy(_.getAs[String]("lh"))
+        .view.mapValues(rs => rs.maxBy(_.getAs[Long]("n_docs"))).toMap
+      assert(last("h1").getAs[Long]("n_docs") == 4L &&
+        last("h1").getAs[Long]("n_occ") == 5L)
+      assert(last("h2").getAs[Long]("n_docs") == 1L)
+      assert(last("h3").getAs[Long]("n_occ") == 1L)
+    } finally query.stop()
+  }
+
+  test("streaming line census in batch mode equals the batch " +
+    "line_census gate") {
+    val a = streaming.StreamScenarios.streamLineMaintain(spark, sf).collect()
+    val b = operators.LineDedup.lineCensus(spark, sf).collect()
+    assert(a.length == b.length && a.nonEmpty)
+    a.zip(b).foreach { case (x, y) =>
+      assert(x.getAs[String]("line_hash") == y.getAs[String]("line_hash"))
+      assert(x.getAs[Long]("n_docs") == y.getAs[Long]("n_docs"))
+      assert(x.getAs[Long]("n_occ") == y.getAs[Long]("n_occ"))
+    }
+  }
+
   test("streaming LM in batch mode equals the batch bigram-LM gate") {
     val a = streaming.StreamScenarios.streamLmMaintain(spark, sf).collect()
     val b = operators.TrainPrep.textBigramLm(spark, sf).collect()
