@@ -54,7 +54,8 @@ object Bench {
       "dsir_select_bigram", // DSIR bigram model
       "dsir_domain",        // DSIR domain model
       "doc_ppl",            // bigram LM counts
-      "site_rank")          // link-graph site-PR frame
+      "site_rank",          // link-graph site-PR frame
+      "unigram_train")      // unigram-LM vocab + segmentation table (ug_*)
     val ordered = {
       val all = SparkEntry.queries
       artifactOwners.filter(all.contains).map(n => n -> all(n)) ++

@@ -417,16 +417,42 @@ object SuffixArray {
     */
   private def lcpOfRounds(grp: DataFrame, rank: Int => DataFrame,
                           rounds: Int, toks: DataFrame): DataFrame = {
+    // TOP CUT — skip stages that cannot move any pair. Ranks are DENSE,
+    // so round j's max rank IS its distinct-suffix count; two adjacent
+    // FINAL ranks agree at round j iff round j merges some distinct
+    // final suffixes, i.e. iff maxRank(j) < maxRank(final). maxRank is
+    // monotone in j, so the descent starts at the HIGHEST j that still
+    // merges — every higher stage's first probe would fail on every
+    // pair. One scalar aggregate per inspected round (memoized frames,
+    // cheapest-first from the top), and the entry invariant holds at
+    // the cut: no agreement at round jstart+1 ⇒ every lcp <
+    // 4^(jstart+2) = 4·cover_jstart. Real corpora duplicate spans far
+    // shorter than maxLen, so this removes most stages without
+    // touching a single value.
+    def maxRank(df: DataFrame): Long =
+      df.agg(max(col("r")).cast("long")).head().getLong(0)
+    val ndFinal = maxRank(rank(rounds))
+    var jstart = -1
+    var j = rounds - 1
+    while (j >= 0 && jstart < 0) {
+      if (maxRank(rank(j)) < ndFinal) jstart = j
+      j -= 1
+    }
     val nxt = grp.select((col("r") - 1).as("r"),
       col("rd").as("d2"), col("rp").as("p2"))
     var pairs = grp
       .select(col("r"), col("rd").as("d1"), col("rp").as("p1"))
       .join(nxt, "r")
       .withColumn("lcp", lit(0L))
-    for (j <- (rounds - 1) to 0 by -1) {
-      val c = 1L << (2 * (j + 1)) // 4^(j+1)
-      pairs = barrier(descendStep(pairs,
-        rank(j).select(col("doc_id"), col("p"), col("r").as("rr")), c))
+    // no per-stage barrier: each stage has exactly ONE consumer (the
+    // next stage), so the whole descent is one lazy linear plan — a
+    // single job over the already-checkpointed round-table leaves —
+    // instead of a materialization per stage. Stage count is bounded by
+    // the top cut, so the plan stays shallow.
+    for (jj <- jstart to 0 by -1) {
+      val c = 1L << (2 * (jj + 1)) // 4^(jj+1)
+      pairs = descendStep(pairs,
+        rank(jj).select(col("doc_id"), col("p"), col("r").as("rr")), c)
     }
     descendStep(pairs,
       toks.select(col("doc_id"), col("p"), col("tok").as("rr")), 1L)
