@@ -694,7 +694,48 @@ object Dedup {
     SELECT doc_id, ${(1 to NumHashes).map(i => s"m$i").mkString(", ")}
     FROM mh ORDER BY doc_id"""
 
+  /** Gate: train/val/test LEAKAGE audit — every verified near-dup pair
+    * annotated with both members' split assignments and a leak flag
+    * (splits differ ⇒ the same content sits on both sides of the
+    * boundary; an eval metric computed against it is contaminated).
+    * This is the audit a pipeline runs BETWEEN splitting and training:
+    * the split ([[TrainPrep.splitCol]] — the exact corpus_split
+    * definition, shared so there is one notion of membership) is
+    * hash-based, so near-dup FAMILIES straddle it with probability
+    * ≈ 1 − Σ f_s², and the flagged pairs are precisely the ones split
+    * leakage papers say to drop from eval (or re-assign by cluster).
+    *
+    * Scale: composes the MEMOIZED verified pair frame (the LSH path —
+    * candidates from band joins, never a cartesian) with two broadcast-
+    * free id-keyed split joins; cost beyond the shared pair build is
+    * O(pairs).
+    */
+  def splitLeakage(s: SparkSession, dir: String): DataFrame = {
+    val sp = Tables.documents(s, dir)
+      .select(col("doc_id"), TrainPrep.splitCol.as("split"))
+    minhashPairsOf(s, dir)
+      .join(sp.select(col("doc_id").as("id_a"), col("split").as("split_a")),
+        "id_a")
+      .join(sp.select(col("doc_id").as("id_b"), col("split").as("split_b")),
+        "id_b")
+      .select(col("id_a"), col("id_b"), col("jaccard"),
+        col("split_a"), col("split_b"),
+        (col("split_a") =!= col("split_b")).as("leak"))
+      .orderBy("id_a", "id_b")
+  }
+
+  val splitLeakageSql: String = s"""
+    WITH $minhashPairsCtesSql,
+    spl AS (SELECT doc_id, ${TrainPrep.SplitSql} AS split FROM documents)
+    SELECT id_a, id_b, jaccard, a.split AS split_a, b.split AS split_b,
+      a.split <> b.split AS leak
+    FROM mh_pairs
+    JOIN spl a ON a.doc_id = id_a
+    JOIN spl b ON b.doc_id = id_b
+    ORDER BY id_a, id_b"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "split_leakage" -> (splitLeakage _),
     "dedup_incremental" -> (dedupIncremental _),
     "dedup_incremental_winnow" -> (dedupIncrementalWinnow _),
     "dedup_exact" -> (dedupExact(_, _)),
@@ -705,6 +746,7 @@ object Dedup {
     "minhash_accuracy" -> (minhashAccuracy _))
 
   val oracles: Map[String, String] = Map(
+    "split_leakage" -> splitLeakageSql,
     "dedup_incremental" -> dedupIncrementalSql,
     "dedup_incremental_winnow" -> dedupIncrementalWinnowSql,
     "dedup_exact" -> dedupExactSql,

@@ -42,6 +42,19 @@ object TrainPrep {
   private val BucketSql =
     "('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10"
 
+  /** The split label of a doc_id, shared with the leakage audit
+    * ([[Dedup.splitLeakage]]) so "which split is this document in" has
+    * exactly one definition.
+    */
+  private[operators] def splitCol: org.apache.spark.sql.Column =
+    when(bucketCol < 8, "train").when(bucketCol === 8, "val")
+      .otherwise("test")
+
+  private[operators] val SplitSql: String =
+    s"""CASE WHEN $BucketSql < 8 THEN 'train'
+             WHEN $BucketSql = 8 THEN 'val'
+             ELSE 'test' END"""
+
   /** Deterministic 80/10/10 train/val/test split with per-split corpus
     * stats. Hash-based assignment (not row_number) so membership is a pure
     * function of the id: re-runs, repartitioning and corpus growth never
@@ -689,7 +702,161 @@ object TrainPrep {
                  ELSE coalesce(tau, 0.0) END, 4) AS w_hat
     FROM ranked LEFT JOIN tau ON TRUE WHERE rn <= $PriN ORDER BY doc_id"""
 
+  // ------------------------------------------------------ epoch allocation
+
+  /** Per-source epoch cap (the "don't repeat low-quality web text more
+    * than E times" knob): planted heterogeneously by source index so the
+    * waterfilling below exercises both branches at every scale factor.
+    */
+  private val EpochCapSql = "2 + (CAST(substring(source, 4) AS INT) % 4)"
+
+  /** Token budget as a multiple of the corpus: B = 3·T. */
+  private val BudgetFactor = 3
+
+  /** Gate: UniMax-style epoch allocation (Chung et al. 2023) — split a
+    * fixed training-token budget across sources as UNIFORMLY as
+    * possible subject to per-source epoch caps. Exact waterfilling in
+    * one closed form instead of the paper's iterative loop: with
+    * sources sorted by cap ascending (source name tie-break), source k
+    * is saturated iff cap_k·(S−k+1) < B − cumcap_{k−1}; the criterion
+    * is monotonically non-increasing in k (f(k+1)−f(k) =
+    * (S−k)(cap_k − cap_{k+1}) ≤ 0), so the saturated set is exactly
+    * the waterfill prefix — no loop, no driver feedback. Unsaturated
+    * sources each get ⌊R/m⌋ of the residual (the < m leftover tokens
+    * are deliberately unallocated — exact integer arithmetic beats a
+    * fractional split that could round differently per engine).
+    *
+    * Scale: ONE corpus pass builds the per-source census; everything
+    * after runs on the S-row census frame (windows over sources, not
+    * data — S is the number of SOURCES, a config-sized set).
+    */
+  def corpusEpochs(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cap_tokens").asc, col("source").asc)
+    val census = Tables.documents(s, dir)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split(norm, " "))).cast("long").as("n_tokens"))
+      .withColumn("e_cap", expr(EpochCapSql).cast("long"))
+      .withColumn("cap_tokens", col("e_cap") * col("n_tokens"))
+    val tot = census.agg(
+      (sum(col("n_tokens")) * BudgetFactor).as("budget"),
+      count(lit(1)).as("S"))
+    val ranked = census.crossJoin(broadcast(tot))
+      .withColumn("k", row_number().over(w))
+      .withColumn("cumcap", sum(col("cap_tokens")).over(w))
+      .withColumn("saturated",
+        col("cap_tokens") * (col("S") - col("k") + 1) <
+          col("budget") - (col("cumcap") - col("cap_tokens")))
+    val resid = ranked.agg(
+      sum(when(col("saturated"), col("cap_tokens")).otherwise(0L)).as("csat"),
+      sum(when(col("saturated"), 1L).otherwise(0L)).as("ksat"))
+    ranked.crossJoin(broadcast(resid))
+      .withColumn("alloc_tokens",
+        when(col("saturated"), col("cap_tokens"))
+          .otherwise(expr("(budget - csat) div (S - ksat)")))
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("e_cap"),
+        col("cap_tokens"), col("saturated"), col("alloc_tokens"),
+        round(col("alloc_tokens").cast("double") / col("n_tokens"), 6)
+          .as("epochs"))
+      .orderBy("source")
+  }
+
+  val corpusEpochsSql: String = s"""
+    WITH ec AS (
+      SELECT source, count(*) AS n_docs,
+        CAST(sum(len(string_split($normSql, ' '))) AS BIGINT) AS n_tokens,
+        CAST($EpochCapSql AS BIGINT) AS e_cap
+      FROM documents GROUP BY source),
+    ecap AS (SELECT *, e_cap * n_tokens AS cap_tokens FROM ec),
+    etot AS (SELECT CAST(sum(n_tokens) * $BudgetFactor AS BIGINT) AS budget,
+               count(*) AS S FROM ecap),
+    erk AS (
+      SELECT *, row_number() OVER (ORDER BY cap_tokens, source) AS k,
+        sum(cap_tokens) OVER (ORDER BY cap_tokens, source
+          ROWS UNBOUNDED PRECEDING) AS cumcap
+      FROM ecap, etot),
+    esat AS (
+      SELECT *, cap_tokens * (S - k + 1) <
+        budget - (cumcap - cap_tokens) AS saturated
+      FROM erk),
+    eres AS (SELECT CAST(sum(CASE WHEN saturated THEN cap_tokens
+                                  ELSE 0 END) AS BIGINT) AS csat,
+               CAST(sum(CASE WHEN saturated THEN 1 ELSE 0 END) AS BIGINT)
+                 AS ksat
+             FROM esat)
+    SELECT source, n_docs, n_tokens, e_cap, cap_tokens, saturated,
+      CAST(CASE WHEN saturated THEN cap_tokens
+                ELSE (budget - csat) // (S - ksat) END AS BIGINT)
+        AS alloc_tokens,
+      round(CAST(CASE WHEN saturated THEN cap_tokens
+                      ELSE (budget - csat) // (S - ksat) END AS DOUBLE)
+            / n_tokens, 6) AS epochs
+    FROM esat, eres ORDER BY source"""
+
+  // --------------------------------------------------- quality threshold sweep
+
+  /** Gate: the quality-vs-quantity tradeoff curve — for each threshold
+    * τ = k/10, how many documents and tokens survive `quality ≥ τ` and
+    * what the surviving mean quality is. The curve is what a pipeline
+    * owner reads to SET the quality gate (the knee where tokens
+    * collapse faster than quality rises). Thresholding compares
+    * 10^6-scaled integers (quality is round(·,6) by contract, so the
+    * scaled value is exact) — no float comparison anywhere — and the
+    * kept-mean is an integer fixed-point mean (sum div n). One pass
+    * over the per-doc quality frame with a 10-way conditional
+    * aggregate; the corpus is never re-scanned per threshold.
+    */
+  def qualityTradeoff(s: SparkSession, dir: String): DataFrame =
+    TextOps.textQuality(s, dir)
+      .select(col("n_words").cast("long").as("n_words"),
+        expr("cast(round(quality * 1000000) as bigint)").as("q6"))
+      .withColumn("k", explode(sequence(lit(0), lit(9))))
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("q6") >= col("k") * 100000L, 1L).otherwise(0L))
+          .as("n_docs_kept"),
+        sum(when(col("q6") >= col("k") * 100000L, col("n_words"))
+          .otherwise(0L)).as("n_tokens_kept"),
+        sum(when(col("q6") >= col("k") * 100000L, col("q6"))
+          .otherwise(0L)).as("sumq"))
+      .select(round(col("k").cast("double") / 10.0, 6).as("tau"),
+        col("n_docs_kept"),
+        col("n_tokens_kept"),
+        round(col("n_docs_kept").cast("double") / col("n_docs"), 6)
+          .as("frac_docs"),
+        when(col("n_docs_kept") > 0, expr("sumq div n_docs_kept"))
+          .otherwise(0L).as("mean_quality_q6"))
+      .orderBy("tau")
+
+  val qualityTradeoffSql: String = {
+    val q = TextOps.textQualitySql.trim.stripSuffix("ORDER BY doc_id")
+    s"""
+    WITH tq AS ($q),
+    tq6 AS (SELECT CAST(n_words AS BIGINT) AS n_words,
+              CAST(round(quality * 1000000) AS BIGINT) AS q6
+            FROM tq),
+    sweep AS (
+      SELECT k, count(*) AS n_docs,
+        CAST(sum(CASE WHEN q6 >= k * 100000 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_docs_kept,
+        CAST(sum(CASE WHEN q6 >= k * 100000 THEN n_words ELSE 0 END)
+          AS BIGINT) AS n_tokens_kept,
+        CAST(sum(CASE WHEN q6 >= k * 100000 THEN q6 ELSE 0 END) AS BIGINT)
+          AS sumq
+      FROM tq6, (SELECT unnest(generate_series(0, 9)) AS k)
+      GROUP BY k)
+    SELECT round(CAST(k AS DOUBLE) / 10.0, 6) AS tau, n_docs_kept,
+      n_tokens_kept,
+      round(CAST(n_docs_kept AS DOUBLE) / n_docs, 6) AS frac_docs,
+      CAST(coalesce(sumq // nullif(n_docs_kept, 0), 0) AS BIGINT)
+        AS mean_quality_q6
+    FROM sweep ORDER BY tau"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_epochs" -> (corpusEpochs _),
+    "quality_tradeoff" -> (qualityTradeoff _),
     "corpus_priority_sample" -> (corpusPrioritySample _),
     "corpus_sqrt_sample" -> (corpusSqrtSample _),
     "corpus_stratified_k" -> (corpusStratifiedK _),
@@ -705,6 +872,8 @@ object TrainPrep {
     "text_bigram_lm" -> (textBigramLm _))
 
   val oracles: Map[String, String] = Map(
+    "corpus_epochs" -> corpusEpochsSql,
+    "quality_tradeoff" -> qualityTradeoffSql,
     "corpus_priority_sample" -> corpusPrioritySampleSql,
     "corpus_sqrt_sample" -> corpusSqrtSampleSql,
     "corpus_stratified_k" -> corpusStratifiedKSql,

@@ -126,6 +126,19 @@ object UrlOps {
     WITH $preludeSql
     SELECT doc_id, url, canon_url FROM ucanon ORDER BY doc_id"""
 
+  /** Per-batch partials for the streaming canonical-URL registry
+    * ([[graft.streaming.StreamUrlDedup]]): per canonical URL, the
+    * batch's min doc_id, member count, and distinct surface forms —
+    * one map-side-combining pass, the pre-aggregation `foreachBatch`
+    * would run in production.
+    */
+  private[graft] def urlPartials(s: SparkSession, dir: String): DataFrame =
+    urls(s, dir)
+      .groupBy(col("canon_url").as("cu"))
+      .agg(min(col("doc_id")).as("min_doc"),
+        count(lit(1)).as("nd"),
+        collect_set(col("url")).as("surfaces"))
+
   /** Gate: exact URL-level dedup on the canonical key — one row per
     * canonical URL with its site, member count, DISTINCT surface-form
     * count, and the kept document (global-min doc_id — the crawl-order

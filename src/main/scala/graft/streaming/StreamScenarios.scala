@@ -407,6 +407,25 @@ object StreamScenarios {
       .orderBy(col("n_docs").desc, col("line_hash"))
   }
 
+  /** Batch-mode run of the streaming canonical-URL registry: per-batch
+    * (canonical, min-doc, count, surface-set) partials folded into the
+    * registry state, then the SAME per-canonical report (and DuckDB
+    * oracle) as the batch `dedup_url` — site re-derived from the kept
+    * doc's planting arithmetic (group-constant). Cross-batch evolution
+    * is spec-driven.
+    */
+  def streamUrlMaintain(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val U = graft.operators.UrlOps
+    StreamUrlDedup.states(U.urlPartials(s, dir).as[UrlPart]).toDF()
+      .select(col("cu").as("canon_url"),
+        concat(lit("site"), (col("min_doc") % 20).cast("string")).as("site"),
+        col("n_docs"),
+        size(col("surfaces")).cast("long").as("n_surfaces"),
+        col("min_doc").as("keep_doc"))
+      .orderBy("canon_url")
+  }
+
   def streamIvfMaintain(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     StreamIvf.census(
@@ -461,7 +480,8 @@ object StreamScenarios {
     "stream_profile_maintain" -> (streamProfileMaintain _),
     "stream_asof" -> (streamAsofMaintain _),
     "stream_ivf_maintain" -> (streamIvfMaintain _),
-    "stream_line_maintain" -> (streamLineMaintain _))
+    "stream_line_maintain" -> (streamLineMaintain _),
+    "stream_url_maintain" -> (streamUrlMaintain _))
 
   val oracles: Map[String, String] = Map(
     "stream_topk_sketch" -> graft.operators.Sketch.topkSketchSql,
@@ -475,6 +495,7 @@ object StreamScenarios {
     "stream_ivf_maintain" ->
       graft.operators.Similarity.streamIvfCensusSql,
     "stream_line_maintain" -> graft.operators.LineDedup.lineCensusSql,
+    "stream_url_maintain" -> graft.operators.UrlOps.dedupUrlSql,
     "stream_hll_maintain" -> graft.operators.Sketch.hllRegistersSql,
     "stream_kmv_maintain" -> graft.operators.Sketch.kmvByGroupSql(),
     "stream_quantile_maintain" ->

@@ -1100,3 +1100,55 @@ object StreamLineCensus {
       }
   }
 }
+
+/** One per-batch PARTIAL for the canonical-URL registry: a canonical
+  * URL with the batch's min doc_id, member count, and DISTINCT surface
+  * forms — pre-aggregated upstream
+  * ([[graft.operators.UrlOps.urlPartials]] in the gate; `foreachBatch`
+  * in production).
+  */
+case class UrlPart(cu: String, min_doc: Long, nd: Long,
+                   surfaces: Seq[String])
+
+/** One maintained canonical-URL row. */
+case class UrlState(cu: String, min_doc: Long, n_docs: Long,
+                    surfaces: Seq[String])
+
+/** Streaming canonical-URL dedup registry ([[graft.operators.UrlOps]]):
+  * per canonical URL, the crawl-order winner (running min doc_id),
+  * member count, and the distinct surface-form set — the state a
+  * crawler consults to drop page aliases AT FETCH TIME instead of
+  * re-deduplicating the corpus per batch. All three folds are
+  * mergeable (min, add, set-union kept sorted), so out-of-order batch
+  * arrival cannot corrupt an entry; a single batch from empty state
+  * reproduces the batch dedup exactly (shares `dedup_url`'s DuckDB
+  * oracle). State per canonical is O(distinct surfaces), structurally
+  * bounded by the normalization dimensions the canonicalizer collapses
+  * (case, default port, trailing slash, tracking-param variants) — a
+  * production deployment worried about adversarial surface floods
+  * would cap the set behind a KMV-style distinct estimate, the same
+  * trade the other sketch maintainers make explicit.
+  */
+object StreamUrlDedup {
+
+  def states(parts: Dataset[UrlPart]): Dataset[UrlState] = {
+    import parts.sparkSession.implicits._
+    parts
+      .groupByKey(_.cu)
+      .flatMapGroupsWithState[UrlState, UrlState](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (cu: String, rows: Iterator[UrlPart], state: GroupState[UrlState]) =>
+          var md = state.getOption.map(_.min_doc).getOrElse(Long.MaxValue)
+          var nd = state.getOption.map(_.n_docs).getOrElse(0L)
+          var sf = state.getOption.map(_.surfaces).getOrElse(Seq.empty)
+          rows.foreach { p =>
+            md = math.min(md, p.min_doc)
+            nd += p.nd
+            sf = (sf ++ p.surfaces).distinct
+          }
+          val next = UrlState(cu, md, nd, sf.sorted)
+          state.update(next)
+          Iterator(next)
+      }
+  }
+}

@@ -679,6 +679,49 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming URL registry: min-doc, counts and surface sets fold " +
+    "across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.{StreamUrlDedup, UrlPart}
+    val input = MemoryStream[UrlPart]
+    val query = StreamUrlDedup.states(input.toDS())
+      .writeStream.format("memory").queryName("url_state")
+      .outputMode(OutputMode.Update).start()
+    try {
+      input.addData(
+        UrlPart("https://a.example/x", 7, 2, Seq("HTTPS://A.EXAMPLE/x")),
+        UrlPart("https://a.example/y", 9, 1, Seq("https://a.example/y/")))
+      query.processAllAvailable()
+      // batch 2: an earlier crawl order for /x and one repeated surface
+      input.addData(UrlPart("https://a.example/x", 3, 2,
+        Seq("HTTPS://A.EXAMPLE/x", "https://a.example:443/x")))
+      query.processAllAvailable()
+      val last = spark.table("url_state").collect()
+        .groupBy(_.getAs[String]("cu"))
+        .view.mapValues(rs => rs.maxBy(_.getAs[Long]("n_docs"))).toMap
+      val x = last("https://a.example/x")
+      assert(x.getAs[Long]("min_doc") == 3L && x.getAs[Long]("n_docs") == 4L)
+      assert(x.getAs[scala.collection.Seq[String]]("surfaces").toSeq ==
+        Seq("HTTPS://A.EXAMPLE/x", "https://a.example:443/x"))
+      assert(last("https://a.example/y").getAs[Long]("n_docs") == 1L)
+    } finally query.stop()
+  }
+
+  test("streaming URL registry in batch mode equals the batch " +
+    "dedup_url gate") {
+    val a = streaming.StreamScenarios.streamUrlMaintain(spark, sf).collect()
+    val b = operators.UrlOps.dedupUrl(spark, sf).collect()
+    assert(a.length == b.length && a.nonEmpty)
+    a.zip(b).foreach { case (x, y) =>
+      assert(x.getAs[String]("canon_url") == y.getAs[String]("canon_url"))
+      assert(x.getAs[String]("site") == y.getAs[String]("site"))
+      assert(x.getAs[Long]("n_docs") == y.getAs[Long]("n_docs"))
+      assert(x.getAs[Long]("n_surfaces") == y.getAs[Long]("n_surfaces"))
+      assert(x.getAs[Long]("keep_doc") == y.getAs[Long]("keep_doc"))
+    }
+  }
+
   test("streaming LM in batch mode equals the batch bigram-LM gate") {
     val a = streaming.StreamScenarios.streamLmMaintain(spark, sf).collect()
     val b = operators.TrainPrep.textBigramLm(spark, sf).collect()

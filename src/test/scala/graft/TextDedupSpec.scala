@@ -440,4 +440,27 @@ class TextDedupSpec extends SparkSpec {
     assert(rows.exists(_.getAs[String]("status") != "new"),
       "no duplicate fired — the scenario lost its planted near-dups")
   }
+  test("split_leakage: every near-dup pair carries the corpus_split " +
+    "assignment of both sides, leak flag marks boundary crossings") {
+    val rows = Dedup.splitLeakage(spark, sf).collect()
+    val pairs = Dedup.dedupMinhashLsh(spark, sf).collect()
+    assert(rows.length == pairs.length && rows.nonEmpty)
+    // local replay of the hash-based split assignment
+    def split(id: Long): String = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .take(4).map("%02x".format(_)).mkString
+      (java.lang.Long.parseLong(h, 16) % 10) match {
+        case b if b < 8 => "train"
+        case 8 => "val"
+        case _ => "test"
+      }
+    }
+    rows.foreach { r =>
+      val (a, b) = (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))
+      assert(r.getAs[String]("split_a") == split(a))
+      assert(r.getAs[String]("split_b") == split(b))
+      assert(r.getAs[Boolean]("leak") == (split(a) != split(b)))
+    }
+  }
 }
