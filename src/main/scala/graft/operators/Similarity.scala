@@ -1563,7 +1563,54 @@ object Similarity {
       CAST(list_max(list_transform(err, x -> abs(x))) AS BIGINT) AS max_err
     FROM er ORDER BY vec_id"""
 
+  /** Gate: hard-negative mining for retrieval/embedder training — per
+    * probe, the positive (exact nearest neighbor) plus the top
+    * [[HardNegK]] HARD negatives: high-cosine neighbors that are NOT
+    * near-dups (cos < [[DupCosBar]] — the SAME bar `dedup_embedding`
+    * verifies with, so "not a duplicate" has exactly one definition).
+    * This is the (anchor, positive, negatives) triple miner every
+    * contrastive-training pipeline runs over its corpus; near-dup
+    * "negatives" would be false negatives and poison the loss, which is
+    * why the dedup bar composes here.
+    *
+    * Scale: rides the exact top-k frame (broadcast probe set over the
+    * corpus scan); the per-probe negative cut is a WindowGroupLimit
+    * keyed by probe — no new corpus pass, no new shuffle shape.
+    */
+  def hardNegatives(s: SparkSession, dir: String): DataFrame = {
+    val base = annTopk(s, dir, 10)
+    val pos = base.filter(col("rank") === 1)
+      .select(col("probe_id"), lit("positive").as("role"),
+        lit(1).as("pick"), col("vec_id"), col("cos"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    val negs = base.filter(col("rank") >= 2 && col("cos") < DupCosBar)
+      .withColumn("pick", row_number().over(w))
+      .filter(col("pick") <= HardNegK)
+      .select(col("probe_id"), lit("negative").as("role"), col("pick"),
+        col("vec_id"), col("cos"))
+    pos.unionByName(negs).orderBy("probe_id", "role", "pick")
+  }
+
+  /** Hard negatives kept per probe. */
+  private val HardNegK = 2
+
+  val hardNegativesSql: String = s"""
+    WITH base AS (${annTopkSql(10)}),
+    hpos AS (SELECT probe_id, 'positive' AS role, 1 AS pick, vec_id, cos
+             FROM base WHERE rank = 1),
+    hneg AS (SELECT probe_id, 'negative' AS role,
+               CAST(row_number() OVER (PARTITION BY probe_id
+                 ORDER BY cos DESC, vec_id) AS INT) AS pick,
+               vec_id, cos
+             FROM base WHERE rank >= 2 AND cos < $DupCosBar)
+    SELECT * FROM hpos
+    UNION ALL
+    SELECT * FROM hneg WHERE pick <= $HardNegK
+    ORDER BY probe_id, role, pick"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "hard_negatives" -> (hardNegatives _),
     "dedup_embedding" -> (dedupEmbedding _),
     "decontaminate_semantic" -> (decontaminateSemantic _),
     "ann_topk" -> (annTopk(_, _)),
@@ -1588,6 +1635,7 @@ object Similarity {
     "ivf_split_multi" -> ((s, d) => ivfSplitMulti(s, d)))
 
   val oracles: Map[String, String] = Map(
+    "hard_negatives" -> hardNegativesSql,
     "dedup_embedding" -> dedupEmbeddingSql,
     "decontaminate_semantic" -> decontaminateSemanticSql,
     "ann_topk" -> annTopkSql(),

@@ -807,7 +807,12 @@ object TrainPrep {
     * over the per-doc quality frame with a 10-way conditional
     * aggregate; the corpus is never re-scanned per threshold.
     */
-  def qualityTradeoff(s: SparkSession, dir: String): DataFrame =
+  /** The per-threshold partial counters (k, n_docs, n_docs_kept,
+    * n_tokens_kept, sumq) — ONE conditional-aggregate pass; every
+    * column is a mergeable add, which is exactly what the streaming
+    * maintainer ([[graft.streaming.StreamQualityCurve]]) folds.
+    */
+  private[graft] def qualityPartials(s: SparkSession, dir: String): DataFrame =
     TextOps.textQuality(s, dir)
       .select(col("n_words").cast("long").as("n_words"),
         expr("cast(round(quality * 1000000) as bigint)").as("q6"))
@@ -820,6 +825,10 @@ object TrainPrep {
           .otherwise(0L)).as("n_tokens_kept"),
         sum(when(col("q6") >= col("k") * 100000L, col("q6"))
           .otherwise(0L)).as("sumq"))
+
+  /** The read-time report over the (maintained or one-shot) counters. */
+  private[graft] def qualityReport(counters: DataFrame): DataFrame =
+    counters
       .select(round(col("k").cast("double") / 10.0, 6).as("tau"),
         col("n_docs_kept"),
         col("n_tokens_kept"),
@@ -828,6 +837,9 @@ object TrainPrep {
         when(col("n_docs_kept") > 0, expr("sumq div n_docs_kept"))
           .otherwise(0L).as("mean_quality_q6"))
       .orderBy("tau")
+
+  def qualityTradeoff(s: SparkSession, dir: String): DataFrame =
+    qualityReport(qualityPartials(s, dir))
 
   val qualityTradeoffSql: String = {
     val q = TextOps.textQualitySql.trim.stripSuffix("ORDER BY doc_id")

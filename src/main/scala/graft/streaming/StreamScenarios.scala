@@ -426,6 +426,19 @@ object StreamScenarios {
       .orderBy("canon_url")
   }
 
+  /** Batch-mode run of the streaming quality-curve maintainer:
+    * per-batch threshold-bucket counter partials folded into the 10-row
+    * state, then the SAME report (and DuckDB oracle) as the batch
+    * `quality_tradeoff`. Cross-batch counter evolution is spec-driven.
+    */
+  def streamQualityMaintain(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val T = graft.operators.TrainPrep
+    T.qualityReport(
+      StreamQualityCurve.counters(T.qualityPartials(s, dir).as[QtPart])
+        .toDF())
+  }
+
   def streamIvfMaintain(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     StreamIvf.census(
@@ -481,7 +494,8 @@ object StreamScenarios {
     "stream_asof" -> (streamAsofMaintain _),
     "stream_ivf_maintain" -> (streamIvfMaintain _),
     "stream_line_maintain" -> (streamLineMaintain _),
-    "stream_url_maintain" -> (streamUrlMaintain _))
+    "stream_url_maintain" -> (streamUrlMaintain _),
+    "stream_quality_maintain" -> (streamQualityMaintain _))
 
   val oracles: Map[String, String] = Map(
     "stream_topk_sketch" -> graft.operators.Sketch.topkSketchSql,
@@ -496,6 +510,8 @@ object StreamScenarios {
       graft.operators.Similarity.streamIvfCensusSql,
     "stream_line_maintain" -> graft.operators.LineDedup.lineCensusSql,
     "stream_url_maintain" -> graft.operators.UrlOps.dedupUrlSql,
+    "stream_quality_maintain" ->
+      graft.operators.TrainPrep.qualityTradeoffSql,
     "stream_hll_maintain" -> graft.operators.Sketch.hllRegistersSql,
     "stream_kmv_maintain" -> graft.operators.Sketch.kmvByGroupSql(),
     "stream_quantile_maintain" ->

@@ -1152,3 +1152,50 @@ object StreamUrlDedup {
       }
   }
 }
+
+/** One per-batch PARTIAL for the quality-curve maintainer: one
+  * threshold bucket's document/kept/token/quality-sum counters within
+  * one micro-batch — pre-aggregated upstream
+  * ([[graft.operators.TrainPrep.qualityPartials]] in the gate;
+  * `foreachBatch` in production).
+  */
+case class QtPart(k: Int, n_docs: Long, n_docs_kept: Long,
+                  n_tokens_kept: Long, sumq: Long)
+
+/** One maintained threshold bucket. */
+case class QtState(k: Int, n_docs: Long, n_docs_kept: Long,
+                   n_tokens_kept: Long, sumq: Long)
+
+/** Streaming maintenance of the quality-vs-quantity curve
+  * ([[graft.operators.TrainPrep.qualityTradeoff]]): ten threshold
+  * buckets of four counters each — the whole state is 10 rows however
+  * much corpus streamed, kept current so the pipeline owner's
+  * threshold decision reads O(1) state instead of re-scoring the
+  * corpus. All four folds are plain adds (the fixed-point quality sum
+  * included — the reason the mean stays integer-exact end to end);
+  * effectively-once input assumed like the other counting maintainers.
+  * A single batch from empty state reproduces the batch counters
+  * exactly, so the gate shares `quality_tradeoff`'s DuckDB oracle.
+  */
+object StreamQualityCurve {
+
+  def counters(parts: Dataset[QtPart]): Dataset[QtState] = {
+    import parts.sparkSession.implicits._
+    parts
+      .groupByKey(_.k)
+      .flatMapGroupsWithState[QtState, QtState](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (k: Int, rows: Iterator[QtPart], state: GroupState[QtState]) =>
+          var (nd, nk, nt, sq) = state.getOption
+            .map(s => (s.n_docs, s.n_docs_kept, s.n_tokens_kept, s.sumq))
+            .getOrElse((0L, 0L, 0L, 0L))
+          rows.foreach { p =>
+            nd += p.n_docs; nk += p.n_docs_kept
+            nt += p.n_tokens_kept; sq += p.sumq
+          }
+          val next = QtState(k, nd, nk, nt, sq)
+          state.update(next)
+          Iterator(next)
+      }
+  }
+}

@@ -251,4 +251,29 @@ class SimilaritySpec extends SparkSpec {
     }
     assert(rows.map(_.getAs[Long]("hits")).sum > 0)
   }
+  test("hard_negatives: positive is the exact nearest neighbor, " +
+    "negatives are the hardest non-duplicates") {
+    val rows = operators.Similarity.hardNegatives(spark, sf).collect()
+    val base = operators.Similarity.annTopk(spark, sf, 10).collect()
+    val byProbe = base.groupBy(_.getAs[Long]("probe_id"))
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[Long]("probe_id")).foreach { case (p, rs) =>
+      val top = byProbe(p).sortBy(_.getAs[Int]("rank"))
+      val pos = rs.filter(_.getAs[String]("role") == "positive")
+      assert(pos.length == 1)
+      assert(pos.head.getAs[Long]("vec_id") == top.head.getAs[Long]("vec_id"))
+      val negs = rs.filter(_.getAs[String]("role") == "negative")
+        .sortBy(_.getAs[Int]("pick"))
+      assert(negs.length <= 2)
+      // negatives: below the dup bar, ordered hardest-first, and exactly
+      // the top of the non-dup tail
+      val expect = top.drop(1)
+        .filter(_.getAs[Double]("cos") < 0.45)
+        .sortBy(r => (-r.getAs[Double]("cos"), r.getAs[Long]("vec_id")))
+        .take(2)
+      assert(negs.map(_.getAs[Long]("vec_id")).toSeq ==
+        expect.map(_.getAs[Long]("vec_id")).toSeq)
+      negs.foreach(n => assert(n.getAs[Double]("cos") < 0.45))
+    }
+  }
 }

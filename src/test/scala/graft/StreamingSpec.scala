@@ -722,6 +722,48 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming quality curve: threshold-bucket counters add across " +
+    "batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.{QtPart, StreamQualityCurve}
+    val input = MemoryStream[QtPart]
+    val query = StreamQualityCurve.counters(input.toDS())
+      .writeStream.format("memory").queryName("qt_state")
+      .outputMode(OutputMode.Update).start()
+    try {
+      input.addData(QtPart(0, 10, 10, 500, 4000000),
+        QtPart(5, 10, 4, 180, 2400000))
+      query.processAllAvailable()
+      input.addData(QtPart(5, 6, 2, 90, 1300000))
+      query.processAllAvailable()
+      val last = spark.table("qt_state").collect()
+        .groupBy(_.getAs[Int]("k"))
+        .view.mapValues(rs => rs.maxBy(_.getAs[Long]("n_docs"))).toMap
+      assert(last(5).getAs[Long]("n_docs") == 16L)
+      assert(last(5).getAs[Long]("n_docs_kept") == 6L)
+      assert(last(5).getAs[Long]("n_tokens_kept") == 270L)
+      assert(last(5).getAs[Long]("sumq") == 3700000L)
+      assert(last(0).getAs[Long]("n_docs") == 10L)
+    } finally query.stop()
+  }
+
+  test("streaming quality curve in batch mode equals the batch " +
+    "quality_tradeoff gate") {
+    val a = streaming.StreamScenarios.streamQualityMaintain(spark, sf)
+      .collect()
+    val b = operators.TrainPrep.qualityTradeoff(spark, sf).collect()
+    assert(a.length == b.length && a.nonEmpty)
+    a.zip(b).foreach { case (x, y) =>
+      assert(x.getAs[Double]("tau") == y.getAs[Double]("tau"))
+      assert(x.getAs[Long]("n_docs_kept") == y.getAs[Long]("n_docs_kept"))
+      assert(x.getAs[Long]("n_tokens_kept") == y.getAs[Long]("n_tokens_kept"))
+      assert(x.getAs[Double]("frac_docs") == y.getAs[Double]("frac_docs"))
+      assert(x.getAs[Long]("mean_quality_q6") ==
+        y.getAs[Long]("mean_quality_q6"))
+    }
+  }
+
   test("streaming LM in batch mode equals the batch bigram-LM gate") {
     val a = streaming.StreamScenarios.streamLmMaintain(spark, sf).collect()
     val b = operators.TrainPrep.textBigramLm(spark, sf).collect()
