@@ -692,7 +692,97 @@ object Multimodal {
     SELECT doc_id, cluster, csize FROM comp JOIN sizes USING (cluster)
     ORDER BY doc_id"""
 
+  // ---------------------------------------------------- interleaved records
+
+  /** Vision tokens one image occupies in the training sequence — the
+    * fixed patch-grid cost of the projector (e.g. 8×8 patches).
+    */
+  private val VisionTokens = 64
+
+  /** Gate: interleaved image-text training-record assembly (the
+    * LLaVA/Flamingo data shape): each document becomes a segment
+    * sequence — text runs split by image insertions — with exact token
+    * accounting (text tokens from the word stream, [[VisionTokens]]
+    * per image). Image placements are planted deterministically from
+    * the doc_id (every 3rd document carries up to two images at
+    * arithmetic positions; coincident positions collapse), so both
+    * engines derive the identical structure. The `structure` column is
+    * the canonical segment string ("T:12,I,T:30,I,T:5") the packer
+    * downstream consumes — a malformed split anywhere breaks the hash.
+    *
+    * Scale: pure per-row column expressions over the document scan
+    * (array build → sort → gap transform → join) — codegen, no UDF, no
+    * shuffle; the image payloads themselves stay opaque binaries in
+    * the multimodal store, only their PLACEMENT rides this plan.
+    */
+  def mmInterleave(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.TextNorm.norm
+    val nW = size(split(norm, " "))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), nW.as("n_words"))
+      .withColumn("ps",
+        when(col("doc_id") % 3 === 0, array_sort(array_distinct(array(
+          pmod(col("doc_id"), col("n_words") + 1),
+          pmod(col("doc_id") * 7, col("n_words") + 1)))))
+          .otherwise(array().cast("array<bigint>")))
+      .withColumn("gaps", expr(
+        """transform(sequence(0, size(ps)),
+           i -> (CASE WHEN i = size(ps) THEN n_words
+                      ELSE ps[i] END)
+              - (CASE WHEN i = 0 THEN 0L ELSE ps[i - 1] END))"""))
+      .withColumn("structure", expr(
+        """concat_ws(',', flatten(transform(gaps,
+           (g, i) -> CASE
+             WHEN g > 0 AND i < size(gaps) - 1
+               THEN array(concat('T:', g), 'I')
+             WHEN g > 0 THEN array(concat('T:', g))
+             WHEN i < size(gaps) - 1 THEN array('I')
+             ELSE array() END)))"""))
+      .select(col("doc_id"),
+        size(col("ps")).cast("long").as("n_images"),
+        col("n_words").cast("long").as("n_text_tokens"),
+        (size(col("ps")) * VisionTokens).cast("long").as("n_image_tokens"),
+        (col("n_words") + size(col("ps")) * VisionTokens).cast("long")
+          .as("n_total_tokens"),
+        col("structure"))
+      .orderBy("doc_id")
+  }
+
+  val mmInterleaveSql: String = {
+    import graft.operators.TextNorm.normSql
+    s"""
+    WITH mmw AS (
+      SELECT doc_id, len(string_split($normSql, ' ')) AS n_words
+      FROM documents),
+    mmp AS (
+      SELECT doc_id, n_words,
+        CASE WHEN doc_id % 3 = 0 THEN
+          list_sort(list_distinct([doc_id % (n_words + 1),
+                                   (doc_id * 7) % (n_words + 1)]))
+        ELSE [] END AS ps
+      FROM mmw),
+    mmg AS (
+      SELECT doc_id, n_words, ps,
+        list_transform(generate_series(0, len(ps)),
+          i -> (CASE WHEN i = len(ps) THEN n_words ELSE ps[i + 1] END)
+             - (CASE WHEN i = 0 THEN 0 ELSE ps[i] END)) AS gaps
+      FROM mmp)
+    SELECT doc_id,
+      CAST(len(ps) AS BIGINT) AS n_images,
+      CAST(n_words AS BIGINT) AS n_text_tokens,
+      CAST(len(ps) * $VisionTokens AS BIGINT) AS n_image_tokens,
+      CAST(n_words + len(ps) * $VisionTokens AS BIGINT) AS n_total_tokens,
+      array_to_string(flatten(list_transform(gaps,
+        (g, i) -> CASE
+          WHEN g > 0 AND i < len(gaps) THEN ['T:' || g, 'I']
+          WHEN g > 0 THEN ['T:' || g]
+          WHEN i < len(gaps) THEN ['I']
+          ELSE [] END)), ',') AS structure
+    FROM mmg ORDER BY doc_id"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_interleave" -> (mmInterleave _),
     "multimodal_phash" -> (phashImages(_, _)),
     "multimodal_phash_pairs" -> (phashPairs _),
     "phash_clusters" -> (phashClusters _),
@@ -712,6 +802,7 @@ object Multimodal {
     "multimodal_resample" -> (resampleAudio(_, _)))
 
   val oracles: Map[String, String] = Map(
+    "mm_interleave" -> mmInterleaveSql,
     "multimodal_phash" -> phashSql,
     "multimodal_phash_pairs" -> phashPairsSql,
     "phash_clusters" -> phashClustersSql,

@@ -535,6 +535,61 @@ object TextOps {
       CAST(floor((cum - n_tokens) / 2048) AS BIGINT) AS seq_id
     FROM c ORDER BY lang, doc_id"""
 
+  /** Gate: per packed sequence, the VARLEN ATTENTION layout — the
+    * (start:length) span of every document inside its bin, in pack
+    * order. This is the `cu_seqlens` input a flash-attention varlen
+    * kernel (or a block-diagonal mask builder) consumes: document
+    * boundaries inside a packed sequence must mask cross-document
+    * attention, and a pipeline that packs without emitting this table
+    * trains with context bleed. Derived purely from the running pack
+    * sum ([[packSequences]]' assignment — one shared definition):
+    * start = (cum − n_tokens) − seq_id·budget; the overflow document
+    * of each bin (packing is cumulative, not capacity-strict) shows as
+    * a span crossing the budget edge, and `n_tokens` per bin audits
+    * exactly that. One groupBy over the pack frame — no extra corpus
+    * pass.
+    */
+  def packAttentionSpans(s: SparkSession, dir: String,
+                         budget: Int = 2048): DataFrame =
+    DistRank.runningSum(
+        Tables.documents(s, dir).select(col("doc_id"), col("lang"),
+          size(split(norm, " ")).as("n_tokens")),
+        "lang", Seq(col("doc_id")), "doc_id", col("n_tokens"), "cum")
+      .withColumn("seq_id",
+        floor((col("cum") - col("n_tokens")) / budget))
+      .withColumn("start",
+        col("cum") - col("n_tokens") - col("seq_id") * budget)
+      .groupBy(col("lang"), col("seq_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).cast("long").as("n_tokens"),
+        max(col("n_tokens")).cast("long").as("max_span"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("start"), col("n_tokens")))),
+          x => concat(x.getField("start"), lit(":"), x.getField("n_tokens"))),
+          ",").as("spans"))
+      .orderBy("lang", "seq_id")
+
+  val packAttentionSpansSql: String = s"""
+    WITH t AS (
+      SELECT doc_id, lang, len(string_split($normSql, ' ')) AS n_tokens
+      FROM documents),
+    c AS (
+      SELECT doc_id, lang, n_tokens,
+        sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM t),
+    sp AS (
+      SELECT lang, CAST(floor((cum - n_tokens) / 2048) AS BIGINT) AS seq_id,
+        cum - n_tokens
+          - CAST(floor((cum - n_tokens) / 2048) AS BIGINT) * 2048 AS start,
+        n_tokens
+      FROM c)
+    SELECT lang, seq_id, count(*) AS n_docs,
+      CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+      CAST(max(n_tokens) AS BIGINT) AS max_span,
+      string_agg(start || ':' || n_tokens, ',' ORDER BY start) AS spans
+    FROM sp GROUP BY lang, seq_id ORDER BY lang, seq_id"""
+
   // -------------------------------------------------------------------- PII
 
   private val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
@@ -871,6 +926,7 @@ object TextOps {
     "corpus_sample" -> (corpusSample _),
     "text_pii" -> (textPii _),
     "pack_sequences" -> (packSequences(_, _)),
+    "pack_attention_spans" -> (packAttentionSpans(_, _)),
     "text_quality" -> (textQuality _),
     "token_count" -> (tokenCount _),
     "text_langid" -> (textLangid _),
@@ -888,6 +944,7 @@ object TextOps {
     "corpus_sample" -> corpusSampleSql,
     "text_pii" -> textPiiSql,
     "pack_sequences" -> packSequencesSql,
+    "pack_attention_spans" -> packAttentionSpansSql,
     "text_quality" -> textQualitySql,
     "token_count" -> tokenCountSql,
     "text_langid" -> textLangidSql,

@@ -83,4 +83,62 @@ class Round11OpsSpec extends SparkSpec {
       .map(_.getAs[Long]("mean_quality_q6"))
     assert(means.zip(means.tail).forall { case (a, b) => a <= b })
   }
+  test("mm_interleave: structure replays locally, token accounting exact") {
+    val rows = operators.Multimodal.mmInterleave(spark, sf).collect()
+    val docs = Tables.documents(spark, sf)
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.size(
+          org.apache.spark.sql.functions.split(
+            graft.operators.TextNorm.norm, " ")).as("nw"))
+      .collect().map(r => r.getLong(0) -> r.getAs[Int]("nw")).toMap
+    assert(rows.length == docs.size)
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val nw = docs(id).toLong
+      val ps = if (id % 3 == 0)
+        Seq(id % (nw + 1), (id * 7) % (nw + 1)).distinct.sorted
+      else Seq.empty[Long]
+      assert(r.getAs[Long]("n_images") == ps.length)
+      assert(r.getAs[Long]("n_text_tokens") == nw)
+      assert(r.getAs[Long]("n_total_tokens") == nw + 64L * ps.length)
+      // local segment-string replay
+      val bounds = 0L +: ps :+ nw
+      val parts = bounds.sliding(2).zipWithIndex.flatMap { case (Seq(a, b), i) =>
+        val t = if (b - a > 0) Seq(s"T:${b - a}") else Nil
+        val img = if (i < ps.length) Seq("I") else Nil
+        t ++ img
+      }.toSeq
+      assert(r.getAs[String]("structure") == parts.mkString(","),
+        s"structure mismatch at doc $id")
+    }
+    // both shapes appear: interleaved docs and pure-text docs
+    assert(rows.exists(_.getAs[Long]("n_images") > 0))
+    assert(rows.exists(_.getAs[Long]("n_images") == 0))
+  }
+
+  test("pack_attention_spans: spans are contiguous, totals match the " +
+    "pack assignment") {
+    val spans = operators.TextOps.packAttentionSpans(spark, sf).collect()
+    val pack = operators.TextOps.packSequences(spark, sf).collect()
+      .groupBy(r => (r.getAs[String]("lang"), r.getAs[Long]("seq_id")))
+    assert(spans.nonEmpty && spans.length == pack.size)
+    spans.foreach { r =>
+      val key = (r.getAs[String]("lang"), r.getAs[Long]("seq_id"))
+      val docs = pack(key)
+      assert(r.getAs[Long]("n_docs") == docs.length)
+      assert(r.getAs[Long]("n_tokens") ==
+        docs.map(_.getAs[Int]("n_tokens").toLong).sum)
+      val sp = r.getAs[String]("spans").split(",").map { t =>
+        val Array(a, b) = t.split(":"); (a.toLong, b.toLong)
+      }
+      assert(sp.length == docs.length)
+      // contiguity: each doc starts where the previous one ends
+      sp.sliding(2).foreach {
+        case Array((s1, l1), (s2, _)) => assert(s2 == s1 + l1)
+        case _ =>
+      }
+      assert(sp.head._1 >= 0 && sp.head._1 < 2048)
+      assert(r.getAs[Long]("max_span") == sp.map(_._2).max)
+    }
+  }
 }
