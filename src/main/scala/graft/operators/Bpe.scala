@@ -43,7 +43,7 @@ object Bpe {
   import TextNorm.{norm, normSql}
 
   /** Bounded merge count — the training-loop iteration cap. */
-  private val Merges = 20
+  private[operators] val Merges = 20
 
   /** Trained merge list per (session, dir): plain driver scalars
     * accumulated from the per-round argmax rows.
@@ -194,7 +194,7 @@ object Bpe {
                 AS seg
             FROM s${i - 1})"""
 
-  private val trainCtes: String = s"""
+  private[operators] val trainCtes: String = s"""
     wf AS (SELECT w AS word, CAST(count(*) AS BIGINT) AS cnt
            FROM (SELECT unnest(string_split($normSql, ' ')) AS w
                  FROM documents) GROUP BY 1),

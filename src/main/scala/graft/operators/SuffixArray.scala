@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.Memo
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Distributed suffix ranking by prefix doubling (Manber & Myers 1990 via
@@ -364,21 +364,32 @@ object SuffixArray {
     * document's end finds no row → null → mismatch, which is exactly
     * right: that suffix ended, the common prefix cannot extend.
     */
-  private def descendStep(pairs: DataFrame, tbl: DataFrame,
-                          c: Long): DataFrame = {
+  /** One descent stage, OUTPUT-SENSITIVE: only pairs satisfying
+    * `active` emit the six probe rows; idle pairs emit ONE dummy probe
+    * (doc_id −1 — never joins, all lookups null, increment 0), so every
+    * pair survives the groupBy without a join-back and the stage's probe
+    * volume is proportional to the pairs that can still move, not to
+    * the pair count.
+    */
+  private def descendStep(pairs: DataFrame, tbl: DataFrame, c: Long,
+                          active: Column): DataFrame = {
     val probe = (side: Int, k: Int) => {
       val (d, p) = if (side == 1) ("d1", "p1") else ("d2", "p2")
       struct(lit(side).as("side"), lit(k).as("k"),
         col(d).as("doc_id"),
         (col(p) + col("lcp") + lit(k * c)).cast("int").as("p"))
     }
+    val dummy = struct(lit(0).as("side"), lit(0).as("k"),
+      lit(-1L).as("doc_id"), lit(-1).as("p"))
     val probes = pairs.select(col("r"), col("d1"), col("p1"), col("d2"),
-        col("p2"), col("lcp"),
-        explode(array((0 to 2).flatMap(k =>
-          Seq(probe(1, k), probe(2, k))): _*)).as("pr"))
+        col("p2"), col("lcp"), col("j0"),
+        explode(when(active, array((0 to 2).flatMap(k =>
+          Seq(probe(1, k), probe(2, k))): _*))
+          .otherwise(array(dummy))).as("pr"))
       .select(col("r"), col("d1"), col("p1"), col("d2"), col("p2"),
-        col("lcp"), col("pr.side").as("side"), col("pr.k").as("k"),
-        col("pr.doc_id").as("doc_id"), col("pr.p").as("p"))
+        col("lcp"), col("j0"), col("pr.side").as("side"),
+        col("pr.k").as("k"), col("pr.doc_id").as("doc_id"),
+        col("pr.p").as("p"))
     def at(side: Int, k: Int) =
       max(when(col("side") === side && col("k") === k, col("rr")))
     val inc =
@@ -389,12 +400,12 @@ object SuffixArray {
         .otherwise(0L)
     probes.join(tbl, Seq("doc_id", "p"), "left")
       .groupBy(col("r"), col("d1"), col("p1"), col("d2"), col("p2"),
-        col("lcp"))
+        col("lcp"), col("j0"))
       .agg(at(1, 0).as("a0"), at(2, 0).as("b0"),
         at(1, 1).as("a1"), at(2, 1).as("b1"),
         at(1, 2).as("a2"), at(2, 2).as("b2"))
       .select(col("r"), col("d1"), col("p1"), col("d2"), col("p2"),
-        (col("lcp") + inc).as("lcp"))
+        col("j0"), (col("lcp") + inc).as("lcp"))
   }
 
   /** Exact LCP between each rank and rank+1 (dense ranks ⇒ the
@@ -417,45 +428,74 @@ object SuffixArray {
     */
   private def lcpOfRounds(grp: DataFrame, rank: Int => DataFrame,
                           rounds: Int, toks: DataFrame): DataFrame = {
-    // TOP CUT — skip stages that cannot move any pair. Ranks are DENSE,
-    // so round j's max rank IS its distinct-suffix count; two adjacent
-    // FINAL ranks agree at round j iff round j merges some distinct
-    // final suffixes, i.e. iff maxRank(j) < maxRank(final). maxRank is
-    // monotone in j, so the descent starts at the HIGHEST j that still
-    // merges — every higher stage's first probe would fail on every
-    // pair. One scalar aggregate per inspected round (memoized frames,
-    // cheapest-first from the top), and the entry invariant holds at
-    // the cut: no agreement at round jstart+1 ⇒ every lcp <
-    // 4^(jstart+2) = 4·cover_jstart. Real corpora duplicate spans far
-    // shorter than maxLen, so this removes most stages without
-    // touching a single value.
-    def maxRank(df: DataFrame): Long =
-      df.agg(max(col("r")).cast("long")).head().getLong(0)
-    val ndFinal = maxRank(rank(rounds))
-    var jstart = -1
-    var j = rounds - 1
-    while (j >= 0 && jstart < 0) {
-      if (maxRank(rank(j)) < ndFinal) jstart = j
-      j -= 1
-    }
+    // FLAGS PASS — per pair, the deepest round j0 whose ranks agree at
+    // the reps' own positions (offset 0): rank_j equality there
+    // certifies lcp ≥ 4^(j0+1), and disagreement at j0+1 bounds
+    // lcp < 4^(j0+2). All rounds are read in ONE join: the memoized
+    // round tables union with a round tag, both rep positions probe
+    // once, and a single groupBy assembles every round's rank pair.
+    // Pairs with no agreement anywhere (j0 = −1 — the overwhelming
+    // majority in a real corpus, where most lexicographic neighbours
+    // share < 4 tokens) skip every rank stage and resolve in the final
+    // token refinement alone, making the whole descent OUTPUT-
+    // SENSITIVE: stage work is proportional to actual duplication
+    // depth, not to pair count × log maxLen.
+    lazy val rt = (0 until rounds).map(j =>
+        rank(j).select(lit(j).as("j"), col("doc_id"), col("p"),
+          col("r").as("rr")))
+      .reduce(_.unionByName(_))
     val nxt = grp.select((col("r") - 1).as("r"),
       col("rd").as("d2"), col("rp").as("p2"))
-    var pairs = grp
+    val pairs0 = grp
       .select(col("r"), col("rd").as("d1"), col("rp").as("p1"))
       .join(nxt, "r")
-      .withColumn("lcp", lit(0L))
+    val fprobes = pairs0.select(col("r"), col("d1"), col("p1"), col("d2"),
+        col("p2"),
+        explode(array(
+          struct(lit(1).as("side"), col("d1").as("doc_id"),
+            col("p1").cast("int").as("p")),
+          struct(lit(2).as("side"), col("d2").as("doc_id"),
+            col("p2").cast("int").as("p")))).as("pr"))
+      .select(col("r"), col("d1"), col("p1"), col("d2"), col("p2"),
+        col("pr.side").as("side"), col("pr.doc_id").as("doc_id"),
+        col("pr.p").as("p"))
+    def rk(side: Int, j: Int) =
+      max(when(col("side") === side && col("j") === j, col("rr")))
+    val aggs = (0 until rounds).flatMap(j =>
+      Seq(rk(1, j).as(s"ra$j"), rk(2, j).as(s"rb$j")))
+    // deepest agreeing round: ascending fold, each deeper agreement
+    // overrides — equivalent to a highest-first cascade
+    val j0Col = (0 until rounds).foldLeft(lit(-1)) { (acc, j) =>
+      when(col(s"ra$j") === col(s"rb$j"), lit(j)).otherwise(acc)
+    }
+    val lcp0 = (0 until rounds).foldLeft(lit(0L)) { (acc, j) =>
+      when(col("j0") === j, lit(1L << (2 * (j + 1)))).otherwise(acc)
+    }
+    var pairs =
+      if (rounds == 0)
+        pairs0.withColumn("j0", lit(-1)).withColumn("lcp", lit(0L))
+      else fprobes.join(rt, Seq("doc_id", "p"))
+        .groupBy(col("r"), col("d1"), col("p1"), col("d2"), col("p2"))
+        .agg(aggs.head, aggs.tail: _*)
+        .withColumn("j0", j0Col)
+        .withColumn("lcp", lcp0)
+        .select(col("r"), col("d1"), col("p1"), col("d2"), col("p2"),
+          col("j0"), col("lcp"))
     // no per-stage barrier: each stage has exactly ONE consumer (the
-    // next stage), so the whole descent is one lazy linear plan — a
-    // single job over the already-checkpointed round-table leaves —
-    // instead of a materialization per stage. Stage count is bounded by
-    // the top cut, so the plan stays shallow.
-    for (jj <- jstart to 0 by -1) {
+    // next stage), so the whole descent is one lazy linear plan over
+    // the already-checkpointed round-table leaves. A stage probes only
+    // pairs with j0 ≥ jj (entering stage j0 the remaining extension is
+    // < 3·cover_j0: the init already banked the first cover); everyone
+    // else rides through on a dummy row.
+    for (jj <- (rounds - 1) to 0 by -1) {
       val c = 1L << (2 * (jj + 1)) // 4^(jj+1)
       pairs = descendStep(pairs,
-        rank(jj).select(col("doc_id"), col("p"), col("r").as("rr")), c)
+        rank(jj).select(col("doc_id"), col("p"), col("r").as("rr")), c,
+        col("j0") >= jj)
     }
     descendStep(pairs,
-      toks.select(col("doc_id"), col("p"), col("tok").as("rr")), 1L)
+      toks.select(col("doc_id"), col("p"), col("tok").as("rr")), 1L,
+      lit(true))
       .select(col("r"), col("lcp"))
   }
 
@@ -655,11 +695,30 @@ object SuffixArray {
     val pos = rf.join(classed, "r")
       .select(col("doc_id"), col("p"), col("cls"), okey.as("okey"))
     val firsts = pos.groupBy(col("cls")).agg(min(col("okey")).as("fkey"))
-    val rem = pos.join(firsts, "cls")
+    // removed-token set as MERGED intervals: contiguous span marks
+    // overlap pairwise (a dup span of length m marks ~m intervals of
+    // width L), so exploding every mark and distinct-ing shuffles ~L×
+    // the covered tokens. Instead: per document, gaps-and-islands over
+    // the mark starts (an island starts where p exceeds every previous
+    // mark's end — running max over a doc-keyed window, the scalable
+    // window shape), then explode each DISJOINT island exactly once —
+    // rows shuffled = tokens actually removed, no distinct. Identical
+    // set, so the gate hash is unchanged by construction.
+    val W = org.apache.spark.sql.expressions.Window
+    val wd = W.partitionBy(col("doc_id")).orderBy(col("p"))
+    val marks = pos.join(firsts, "cls")
       .filter(col("okey") =!= col("fkey"))
-      .select(col("doc_id"),
-        explode(sequence(col("p"), col("p") + (L - 1))).as("t"))
-      .distinct()
+      .select(col("doc_id"), col("p"))
+    val isl2 = marks
+      .withColumn("pmax", max(col("p") + (L - 1))
+        .over(wd.rowsBetween(W.unboundedPreceding, -1)))
+      .withColumn("nw",
+        when(col("pmax").isNull || col("p") > col("pmax") + 1, 1L)
+          .otherwise(0L))
+      .withColumn("g", sum(col("nw")).over(wd))
+    val rem = isl2.groupBy(col("doc_id"), col("g"))
+      .agg(min(col("p")).as("a"), (max(col("p")) + (L - 1)).as("b"))
+      .select(col("doc_id"), explode(sequence(col("a"), col("b"))).as("t"))
     SubstringDedup.stripTail(docs, rem)
   }
 

@@ -730,13 +730,21 @@ object TrainPrep {
     * after runs on the S-row census frame (windows over sources, not
     * data — S is the number of SOURCES, a config-sized set).
     */
-  def corpusEpochs(s: SparkSession, dir: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("cap_tokens").asc, col("source").asc)
-    val census = Tables.documents(s, dir)
+  /** The per-source census (source, n_docs, n_tokens) — every column a
+    * mergeable add, which is what the streaming maintainer
+    * ([[graft.streaming.StreamEpochCensus]]) folds.
+    */
+  private[graft] def epochCensus(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
         sum(size(split(norm, " "))).cast("long").as("n_tokens"))
+
+  /** The waterfilling report over a (maintained or one-shot) census. */
+  private[graft] def epochReport(censusDf: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cap_tokens").asc, col("source").asc)
+    val census = censusDf
       .withColumn("e_cap", expr(EpochCapSql).cast("long"))
       .withColumn("cap_tokens", col("e_cap") * col("n_tokens"))
     val tot = census.agg(
@@ -761,6 +769,9 @@ object TrainPrep {
           .as("epochs"))
       .orderBy("source")
   }
+
+  def corpusEpochs(s: SparkSession, dir: String): DataFrame =
+    epochReport(epochCensus(s, dir))
 
   val corpusEpochsSql: String = s"""
     WITH ec AS (

@@ -279,7 +279,7 @@ object Unigram {
     vm$r AS (SELECT MAP(list(piece ORDER BY piece),
                         list(cost ORDER BY piece)) AS m FROM cost$r),
     dp$r AS (
-      SELECT word, cnt, 0 AS i, [CAST(0 AS BIGINT)] AS encs FROM wf
+      SELECT word, cnt, 0 AS i, [CAST(0 AS BIGINT)] AS encs FROM uwf
       UNION ALL
       SELECT d.word, d.cnt, i + 1,
         list_append(encs, list_min(list_transform(
@@ -315,8 +315,8 @@ object Unigram {
     * rounds → final segmentation (round EmRounds+1, E-step only).
     * Needs `WITH RECURSIVE` on the enclosing statement.
     */
-  private val trainCtes: String = s"""
-    wf AS MATERIALIZED (
+  private[operators] val trainCtes: String = s"""
+    uwf AS MATERIALIZED (
       SELECT w AS word, CAST(count(*) AS BIGINT) AS cnt
       FROM (SELECT unnest(string_split($normSql, ' ')) AS w
             FROM documents)
@@ -328,7 +328,7 @@ object Unigram {
                      least($MaxPiece, len(word) - j + 1))) AS l
                  FROM (SELECT word, cnt,
                          unnest(generate_series(1, len(word))) AS j
-                       FROM wf))
+                       FROM uwf))
            GROUP BY 1),
     sing AS (SELECT piece, cnt FROM pc WHERE len(piece) = 1),
     v0 AS (
@@ -340,7 +340,7 @@ object Unigram {
     ${(1 to EmRounds).map(r => roundCtes(r, mStep = true)).mkString(",")},
     ${roundCtes(EmRounds + 1, mStep = false)}"""
 
-  private val F = EmRounds + 1
+  private[operators] val F = EmRounds + 1
 
   val unigramTrainSql: String = s"""
     WITH RECURSIVE $trainCtes
@@ -364,11 +364,75 @@ object Unigram {
       md5(string_agg(seg, ' ' ORDER BY pos)) AS tok_hash
     FROM jn GROUP BY doc_id ORDER BY doc_id"""
 
+  // ----------------------------------------------------- tokenizer parity
+
+  /** Gate: tokenizer A/B — per document, BPE vs unigram token counts
+    * with fixed-point FERTILITY (tokens per word, ×10^6 integer) and
+    * the per-document winner. This is the decision artifact a pipeline
+    * owner reads when choosing the tokenizer family: fertility drives
+    * context-window utilization and training cost, and the comparison
+    * is only meaningful when both tokenizers trained on the SAME
+    * corpus under the same normalization — which is exactly what the
+    * two training chains here share. The DuckDB oracle replays BOTH
+    * trainings (the 20-round BPE merge chain and the recursive-CTE
+    * Viterbi-EM) in one statement, so the comparison itself is
+    * hash-gated end to end.
+    *
+    * Scale: one join of the two per-document count frames (each one
+    * lookup join over the corpus word stream); the trained tables are
+    * memoized artifacts shared with the tokenize gates.
+    */
+  def tokenizerParity(s: SparkSession, dir: String): DataFrame = {
+    val b = Bpe.tokenizeBpe(s, dir)
+      .select(col("doc_id"), col("n_words"), col("n_bpe_tokens"))
+    val u = tokenizeUnigram(s, dir)
+      .select(col("doc_id"), col("n_pieces").as("n_unigram_pieces"))
+    b.join(u, "doc_id")
+      .select(col("doc_id"), col("n_words"),
+        col("n_bpe_tokens"), col("n_unigram_pieces"),
+        expr("(n_bpe_tokens * 1000000) div n_words").as("fert_bpe_q6"),
+        expr("(n_unigram_pieces * 1000000) div n_words").as("fert_ug_q6"),
+        when(col("n_bpe_tokens") < col("n_unigram_pieces"), "bpe")
+          .when(col("n_unigram_pieces") < col("n_bpe_tokens"), "unigram")
+          .otherwise("tie").as("winner"))
+      .orderBy("doc_id")
+  }
+
+  val tokenizerParitySql: String = s"""
+    WITH RECURSIVE ${trainCtes.trim},
+    ${Bpe.trainCtes.trim},
+    tpw AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws))) AS pos
+            FROM (SELECT doc_id, string_split($normSql, ' ') AS ws
+                  FROM documents)),
+    tpt AS (SELECT doc_id, pos, ws[pos] AS word FROM tpw
+            WHERE ws[pos] <> ''),
+    tpb AS (SELECT d.doc_id, count(*) AS n_words,
+              CAST(sum(len(string_split(t.seg, ' '))) AS BIGINT)
+                AS n_bpe_tokens
+            FROM tpt d JOIN s${Bpe.Merges} t ON d.word = t.word
+            GROUP BY d.doc_id),
+    tpu AS (SELECT d.doc_id,
+              CAST(sum(len(string_split(t.seg, ' '))) AS BIGINT)
+                AS n_unigram_pieces
+            FROM tpt d JOIN seg$F t ON d.word = t.word
+            GROUP BY d.doc_id)
+    SELECT b.doc_id, b.n_words, b.n_bpe_tokens, u.n_unigram_pieces,
+      CAST((b.n_bpe_tokens * 1000000) // b.n_words AS BIGINT)
+        AS fert_bpe_q6,
+      CAST((u.n_unigram_pieces * 1000000) // b.n_words AS BIGINT)
+        AS fert_ug_q6,
+      CASE WHEN b.n_bpe_tokens < u.n_unigram_pieces THEN 'bpe'
+           WHEN u.n_unigram_pieces < b.n_bpe_tokens THEN 'unigram'
+           ELSE 'tie' END AS winner
+    FROM tpb b JOIN tpu u USING (doc_id) ORDER BY b.doc_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "unigram_train" -> (unigramTrain _),
-    "tokenize_unigram" -> (tokenizeUnigram _))
+    "tokenize_unigram" -> (tokenizeUnigram _),
+    "tokenizer_parity" -> (tokenizerParity _))
 
   val oracles: Map[String, String] = Map(
     "unigram_train" -> unigramTrainSql,
-    "tokenize_unigram" -> tokenizeUnigramSql)
+    "tokenize_unigram" -> tokenizeUnigramSql,
+    "tokenizer_parity" -> tokenizerParitySql)
 }

@@ -439,6 +439,19 @@ object StreamScenarios {
         .toDF())
   }
 
+  /** Batch-mode run of the streaming epoch-census maintainer: per-batch
+    * (source, docs, tokens) partials folded into the S-row census
+    * state, then the SAME closed-form waterfilling report (and DuckDB
+    * oracle) as the batch `corpus_epochs`. Cross-batch evolution is
+    * spec-driven.
+    */
+  def streamEpochMaintain(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val T = graft.operators.TrainPrep
+    T.epochReport(
+      StreamEpochCensus.census(T.epochCensus(s, dir).as[EpPart]).toDF())
+  }
+
   def streamIvfMaintain(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     StreamIvf.census(
@@ -495,7 +508,8 @@ object StreamScenarios {
     "stream_ivf_maintain" -> (streamIvfMaintain _),
     "stream_line_maintain" -> (streamLineMaintain _),
     "stream_url_maintain" -> (streamUrlMaintain _),
-    "stream_quality_maintain" -> (streamQualityMaintain _))
+    "stream_quality_maintain" -> (streamQualityMaintain _),
+    "stream_epoch_maintain" -> (streamEpochMaintain _))
 
   val oracles: Map[String, String] = Map(
     "stream_topk_sketch" -> graft.operators.Sketch.topkSketchSql,
@@ -512,6 +526,8 @@ object StreamScenarios {
     "stream_url_maintain" -> graft.operators.UrlOps.dedupUrlSql,
     "stream_quality_maintain" ->
       graft.operators.TrainPrep.qualityTradeoffSql,
+    "stream_epoch_maintain" ->
+      graft.operators.TrainPrep.corpusEpochsSql,
     "stream_hll_maintain" -> graft.operators.Sketch.hllRegistersSql,
     "stream_kmv_maintain" -> graft.operators.Sketch.kmvByGroupSql(),
     "stream_quantile_maintain" ->

@@ -1199,3 +1199,41 @@ object StreamQualityCurve {
       }
   }
 }
+
+/** One per-batch PARTIAL for the epoch-planner census: one source's
+  * document and token counts within one micro-batch — pre-aggregated
+  * upstream ([[graft.operators.TrainPrep.epochCensus]] shape).
+  */
+case class EpPart(source: String, n_docs: Long, n_tokens: Long)
+
+/** One maintained source-census row. */
+case class EpState(source: String, n_docs: Long, n_tokens: Long)
+
+/** Streaming maintenance of the per-source census behind the UniMax
+  * epoch planner ([[graft.operators.TrainPrep.corpusEpochs]]): state is
+  * one (n_docs, n_tokens) pair per SOURCE — a config-sized set however
+  * much corpus streamed — kept current so re-planning the token budget
+  * after every ingest batch reads S rows of state instead of
+  * re-counting the corpus. Both folds are plain adds; effectively-once
+  * input assumed. A single batch from empty state reproduces the batch
+  * census exactly, and the closed-form waterfilling report is a pure
+  * function of the census, so the gate shares `corpus_epochs`' oracle.
+  */
+object StreamEpochCensus {
+
+  def census(parts: Dataset[EpPart]): Dataset[EpState] = {
+    import parts.sparkSession.implicits._
+    parts
+      .groupByKey(_.source)
+      .flatMapGroupsWithState[EpState, EpState](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (src: String, rows: Iterator[EpPart], state: GroupState[EpState]) =>
+          var nd = state.getOption.map(_.n_docs).getOrElse(0L)
+          var nt = state.getOption.map(_.n_tokens).getOrElse(0L)
+          rows.foreach { p => nd += p.n_docs; nt += p.n_tokens }
+          val next = EpState(src, nd, nt)
+          state.update(next)
+          Iterator(next)
+      }
+  }
+}

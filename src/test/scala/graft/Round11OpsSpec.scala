@@ -141,4 +141,27 @@ class Round11OpsSpec extends SparkSpec {
       assert(r.getAs[Long]("max_span") == sp.map(_._2).max)
     }
   }
+  test("tokenizer_parity: counts equal each tokenizer's own gate, " +
+    "fertility and winner replay locally") {
+    val rows = operators.Unigram.tokenizerParity(spark, sf).collect()
+    val b = operators.Bpe.tokenizeBpe(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_words"), r.getAs[Long]("n_bpe_tokens"))).toMap
+    val u = operators.Unigram.tokenizeUnigram(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_pieces")).toMap
+    assert(rows.length == b.size)
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val (nw, nb) = b(id)
+      val nu = u(id)
+      assert(r.getAs[Long]("n_bpe_tokens") == nb)
+      assert(r.getAs[Long]("n_unigram_pieces") == nu)
+      assert(r.getAs[Long]("fert_bpe_q6") == nb * 1000000L / nw)
+      assert(r.getAs[Long]("fert_ug_q6") == nu * 1000000L / nw)
+      val win = if (nb < nu) "bpe" else if (nu < nb) "unigram" else "tie"
+      assert(r.getAs[String]("winner") == win)
+    }
+    // the comparison has signal: not every document ties
+    assert(rows.exists(_.getAs[String]("winner") != "tie"))
+  }
 }

@@ -764,6 +764,43 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming epoch census: per-source doc/token counts add across " +
+    "batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.{EpPart, StreamEpochCensus}
+    val input = MemoryStream[EpPart]
+    val query = StreamEpochCensus.census(input.toDS())
+      .writeStream.format("memory").queryName("ep_state")
+      .outputMode(OutputMode.Update).start()
+    try {
+      input.addData(EpPart("src1", 10, 1200), EpPart("src2", 5, 800))
+      query.processAllAvailable()
+      input.addData(EpPart("src1", 3, 450))
+      query.processAllAvailable()
+      val last = spark.table("ep_state").collect()
+        .groupBy(_.getAs[String]("source"))
+        .view.mapValues(rs => rs.maxBy(_.getAs[Long]("n_docs"))).toMap
+      assert(last("src1").getAs[Long]("n_docs") == 13L)
+      assert(last("src1").getAs[Long]("n_tokens") == 1650L)
+      assert(last("src2").getAs[Long]("n_tokens") == 800L)
+    } finally query.stop()
+  }
+
+  test("streaming epoch census in batch mode equals the batch " +
+    "corpus_epochs gate") {
+    val a = streaming.StreamScenarios.streamEpochMaintain(spark, sf)
+      .collect()
+    val b = operators.TrainPrep.corpusEpochs(spark, sf).collect()
+    assert(a.length == b.length && a.nonEmpty)
+    a.zip(b).foreach { case (x, y) =>
+      assert(x.getAs[String]("source") == y.getAs[String]("source"))
+      assert(x.getAs[Long]("alloc_tokens") == y.getAs[Long]("alloc_tokens"))
+      assert(x.getAs[Boolean]("saturated") == y.getAs[Boolean]("saturated"))
+      assert(x.getAs[Double]("epochs") == y.getAs[Double]("epochs"))
+    }
+  }
+
   test("streaming LM in batch mode equals the batch bigram-LM gate") {
     val a = streaming.StreamScenarios.streamLmMaintain(spark, sf).collect()
     val b = operators.TrainPrep.textBigramLm(spark, sf).collect()
