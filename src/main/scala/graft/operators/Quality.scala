@@ -257,11 +257,100 @@ object Quality {
         ") as (cname, kind, n_nonnull, min_num, max_num, min_str, max_str)"))
   }
 
+  // -------------------------------------------------------------- data card
+
+  /** Gate: the per-source DATA CARD — the datasheet table every corpus
+    * release ships (Gebru et al., "Datasheets for Datasets"): per
+    * source, volume (docs/tokens/languages), fixed-point mean quality,
+    * near-dup exposure (members of any VERIFIED MinHash-LSH pair — the
+    * memoized pair frame the dedup gates share), and PII exposure
+    * (documents where any [[TextOps.textPii]] detector fires). Spark
+    * detects PII by REGEX over the text while the oracle derives the
+    * same flag from the planting arithmetic — an extraction slip on
+    * either side breaks the hash, the `domain_blocklist` discipline.
+    *
+    * Scale: one conditional-aggregate pass over the document scan
+    * joined with two doc-keyed signal frames (quality is computed
+    * in-scan; the near-dup id set is pair-sized, broadcastable); the
+    * output is O(sources).
+    */
+  def sourceCard(s: SparkSession, dir: String): DataFrame = {
+    import TextNorm.norm
+    val base = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), col("lang"),
+        size(split(norm, " ")).cast("long").as("n_tokens"))
+    val nd = Dedup.minhashPairsOf(s, dir)
+      .select(explode(array(col("id_a"), col("id_b"))).as("doc_id"))
+      .distinct()
+      .withColumn("is_nd", lit(true))
+    val q = TextOps.qualityDf(s, dir)
+      .select(col("doc_id"),
+        expr("cast(round(quality * 1000000) as bigint)").as("q6"))
+    val pii = TextOps.textPii(s, dir)
+      .select(col("doc_id"),
+        (col("n_emails") + col("n_urls") + col("n_phones") +
+          col("n_ips") + col("n_ids") > 0).as("has_pii"))
+    base.join(broadcast(nd), Seq("doc_id"), "left")
+      .join(q, "doc_id").join(pii, "doc_id")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        countDistinct(col("lang")).as("n_langs"),
+        expr("sum(q6) div count(1)").as("mean_quality_q6"),
+        sum(when(col("is_nd"), 1L).otherwise(0L)).as("n_neardup_docs"),
+        sum(when(col("has_pii"), 1L).otherwise(0L)).as("n_pii_docs"))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        col("n_langs"), col("mean_quality_q6"), col("n_neardup_docs"),
+        col("n_pii_docs"),
+        round(col("n_neardup_docs").cast("double") / col("n_docs"), 6)
+          .as("pct_neardup"),
+        round(col("n_pii_docs").cast("double") / col("n_docs"), 6)
+          .as("pct_pii"))
+      .orderBy("source")
+  }
+
+  val sourceCardSql: String = {
+    import TextNorm.normSql
+    s"""
+    WITH ${Dedup.minhashPairsCtesSql.trim},
+    ${TextOps.docQualityCteSql.trim},
+    scb AS (SELECT doc_id, source, lang,
+              len(string_split($normSql, ' ')) AS n_tokens
+            FROM documents),
+    scnd AS (SELECT DISTINCT doc_id FROM (
+              SELECT id_a AS doc_id FROM mh_pairs
+              UNION ALL SELECT id_b FROM mh_pairs)),
+    scpi AS (SELECT doc_id,
+               (doc_id % 7 = 0 OR doc_id % 5 = 0 OR doc_id % 9 = 0
+                OR doc_id % 11 = 0) AS has_pii
+             FROM documents)
+    SELECT s.source, count(*) AS n_docs,
+      CAST(sum(s.n_tokens) AS BIGINT) AS n_tokens,
+      CAST(count(DISTINCT s.lang) AS BIGINT) AS n_langs,
+      CAST(sum(CAST(round(dq.quality * 1000000) AS BIGINT)) // count(*)
+        AS BIGINT) AS mean_quality_q6,
+      CAST(sum(CASE WHEN nd.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+        AS BIGINT) AS n_neardup_docs,
+      CAST(sum(CASE WHEN pi.has_pii THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_pii_docs,
+      round(CAST(sum(CASE WHEN nd.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+        AS DOUBLE) / count(*), 6) AS pct_neardup,
+      round(CAST(sum(CASE WHEN pi.has_pii THEN 1 ELSE 0 END) AS DOUBLE)
+        / count(*), 6) AS pct_pii
+    FROM scb s
+    JOIN dq ON dq.doc_id = s.doc_id
+    LEFT JOIN scnd nd ON nd.doc_id = s.doc_id
+    JOIN scpi pi ON pi.doc_id = s.doc_id
+    GROUP BY s.source ORDER BY s.source"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dq_check" -> (dqCheck(_, _)),
-    "table_profile" -> (tableProfile(_, _)))
+    "table_profile" -> (tableProfile(_, _)),
+    "source_card" -> (sourceCard _))
 
   val oracles: Map[String, String] = Map(
     "dq_check" -> dqCheckSql,
-    "table_profile" -> tableProfileSql)
+    "table_profile" -> tableProfileSql,
+    "source_card" -> sourceCardSql)
 }

@@ -164,4 +164,29 @@ class Round11OpsSpec extends SparkSpec {
     // the comparison has signal: not every document ties
     assert(rows.exists(_.getAs[String]("winner") != "tie"))
   }
+  test("source_card: volumes, PII and near-dup exposure replay from " +
+    "the component gates") {
+    val rows = operators.Quality.sourceCard(spark, sf).collect()
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == docs.length)
+    val bySrc = docs.groupBy(_._2)
+    val ndIds = operators.Dedup.dedupMinhashLsh(spark, sf).collect()
+      .flatMap(r => Seq(r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    rows.foreach { r =>
+      val src = r.getAs[String]("source")
+      val ids = bySrc(src).map(_._1)
+      assert(r.getAs[Long]("n_docs") == ids.length)
+      // PII flag from the planting arithmetic (the oracle's derivation);
+      // the gate detects by regex — agreement is the point
+      val pii = ids.count(d => d % 7 == 0 || d % 5 == 0 || d % 9 == 0 ||
+        d % 11 == 0)
+      assert(r.getAs[Long]("n_pii_docs") == pii)
+      assert(r.getAs[Long]("n_neardup_docs") == ids.count(ndIds))
+    }
+    // quality and duplication signals are alive at this scale
+    assert(rows.map(_.getAs[Long]("n_neardup_docs")).sum > 0)
+    assert(rows.forall(_.getAs[Long]("mean_quality_q6") > 0))
+  }
 }
