@@ -159,11 +159,27 @@ object SubstringDedup {
     * (min_okey, doc_lo, doc_hi) state derives the identical frame.
     */
   private[graft] def stripTail(docs: DataFrame, rem: DataFrame): DataFrame = {
+    // the output contract is AFFECTED documents only (one row per doc
+    // with a removal), so the reassembly prunes the corpus to the
+    // affected-doc set FIRST — a broadcast semi-join on the doc id;
+    // without it, the per-doc md5 rebuild runs over the whole corpus
+    // and the final join throws all but the affected rows away
+    // (measured: the full-corpus rebuild dominated the strip's cost
+    // while removals touched < 1% of documents — the realistic shape).
+    // `rem` is removal-sized but its PLAN is the whole upstream strip
+    // head, and three consumers read it (the affected set, the removal
+    // counts, the anti-join) — materialize once.
+    val remM = {
+      val ck = rem.localCheckpoint()
+      ck.sparkSession.createDataFrame(ck.rdd, ck.schema)
+    }
+    val affected = remM.select(col("doc_id")).distinct()
     val toks = tokens(docs)
+      .join(broadcast(affected), "doc_id")
       .withColumn("t", explode(sequence(lit(1), size(col("ws")))))
       .select(col("doc_id"), col("t"), element_at(col("ws"), col("t")).as("tok"))
-    val kept = toks.join(rem, Seq("doc_id", "t"), "left_anti")
-    val remc = rem.groupBy(col("doc_id")).agg(count(lit(1)).as("n_removed"))
+    val kept = toks.join(remM, Seq("doc_id", "t"), "left_anti")
+    val remc = remM.groupBy(col("doc_id")).agg(count(lit(1)).as("n_removed"))
     val keptagg = kept.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_kept"),
         md5(array_join(
