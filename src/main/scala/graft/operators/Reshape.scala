@@ -131,7 +131,11 @@ object Reshape {
     */
   def customerRfm(s: SparkSession, dir: String): DataFrame = {
     val horizon = lit("1998-12-31").cast("date")
-    val rfm = Tables.orders(s, dir)
+    // customer-sized but consumed by FIVE branches (three rank passes —
+    // each with DistRank's boundary action — the segment census, and
+    // the final join spine): materialize once instead of re-running the
+    // orders aggregation per consumer
+    val rfm0 = Tables.orders(s, dir)
       .groupBy(col("o_custkey"))
       .agg(datediff(horizon, max(to_date(col("o_orderdate"))))
           .cast("bigint").as("recency"),
@@ -141,6 +145,10 @@ object Reshape {
         col("o_custkey") === col("c_custkey"))
       .select(col("c_mktsegment").as("segment"), col("o_custkey").as("ck"),
         col("recency"), col("frequency"), col("monetary"))
+    val rfm = {
+      val ck = rfm0.localCheckpoint()
+      ck.sparkSession.createDataFrame(ck.rdd, ck.schema)
+    }
     // DistRank orders ascend; the frequency/monetary quintiles rank
     // descending, expressed by exact negation (bigint count / decimal sum).
     // The three ranks are mutually INDEPENDENT (each orders the base rfm
