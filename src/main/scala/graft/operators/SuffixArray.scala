@@ -106,12 +106,25 @@ object SuffixArray {
     * aggregate (memoized as a 1-row frame; the head() reads a cached
     * scalar aggregate, not corpus data) fed through [[roundsFor]].
     */
+  /** Ceiling on tokens per document imposed by the okey position
+    * encoding (`doc_id·10^6 + p` — the global-first-occurrence min over
+    * rank groups and strip classes). Checked loudly wherever the corpus
+    * max length is derived: [[MaxRounds]] alone would admit documents
+    * whose positions silently COLLIDE in the encoding — a wrong keeper
+    * with no error anywhere.
+    */
+  private[graft] val MaxDocTokens = 1000000L
+
   private[graft] def finalRounds(s: SparkSession, dir: String): Int = {
     import TextNorm.norm
     val maxLen = Memo.cached(s, "sa_maxlen", dir) {
       SubstringDedup.corpus(s, dir)
         .agg(max(size(split(norm, " "))).cast("long").as("ml"))
     }.head().getLong(0)
+    require(maxLen < MaxDocTokens,
+      s"a $maxLen-token document exceeds the okey position encoding " +
+        s"(doc_id·10^6 + p holds positions < $MaxDocTokens); re-chunk " +
+        "upstream or widen the encoding factor")
     roundsFor(maxLen)
   }
 
@@ -653,6 +666,9 @@ object SuffixArray {
       .select(col("doc_id"), posexplode(col("ws")).as(Seq("p0", "tok")))
       .select(col("doc_id"), (col("p0") + 1).as("p"), col("tok"))
     val maxLen = ws.agg(max(size(col("ws"))).cast("long")).head().getLong(0)
+    require(maxLen < MaxDocTokens,
+      s"a $maxLen-token document exceeds the okey position encoding " +
+        s"(positions < $MaxDocTokens)")
     val rounds = roundsFor(maxLen)
     val chain = roundChain(toks, rounds)
     val rf = chain.last
