@@ -877,7 +877,116 @@ object TrainPrep {
     FROM sweep ORDER BY tau"""
   }
 
+  // ------------------------------------------------------- long-doc handling
+
+  /** Middle-out truncation: tokens kept from the head / tail. */
+  private val TruncHead = 40
+  private val TruncTail = 24
+
+  /** Gate: long-document truncation — the head+tail ("middle-out") cut
+    * a pipeline applies before packing when a document exceeds its
+    * token budget: keep the first [[TruncHead]] and last [[TruncTail]]
+    * tokens with an explicit `<TRUNC>` marker between them (the marker
+    * matters: silent middle deletion corrupts span-level provenance).
+    * Short documents pass through byte-identical. Pure per-row array
+    * slicing over the scan — codegen, no shuffle; the hash column
+    * makes any off-by-one in either engine's slice arithmetic fatal.
+    */
+  def docTruncate(s: SparkSession, dir: String): DataFrame = {
+    val ws = split(norm, " ")
+    val n = size(ws)
+    val keep = TruncHead + TruncTail
+    val kept = when(n <= keep, ws)
+      .otherwise(concat(slice(ws, 1, TruncHead), array(lit("<TRUNC>")),
+        slice(ws, n - TruncTail + 1, lit(TruncTail))))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), n.cast("long").as("n_tokens"),
+        (n > keep).as("truncated"),
+        when(n <= keep, n).otherwise(keep + 1).cast("long")
+          .as("n_kept"),
+        md5(array_join(kept, " ")).as("trunc_hash"))
+      .orderBy("doc_id")
+  }
+
+  val docTruncateSql: String = {
+    val keep = TruncHead + TruncTail
+    s"""
+    WITH dtw AS (SELECT doc_id, string_split($normSql, ' ') AS ws
+                 FROM documents)
+    SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tokens,
+      len(ws) > $keep AS truncated,
+      CAST(CASE WHEN len(ws) <= $keep THEN len(ws)
+                ELSE ${keep + 1} END AS BIGINT) AS n_kept,
+      md5(CASE WHEN len(ws) <= $keep THEN array_to_string(ws, ' ')
+           ELSE array_to_string(ws[1:$TruncHead], ' ') || ' <TRUNC> ' ||
+                array_to_string(ws[len(ws) - ${TruncTail - 1}:len(ws)], ' ')
+           END) AS trunc_hash
+    FROM dtw ORDER BY doc_id"""
+  }
+
+  // ----------------------------------------------------------- anneal phase
+
+  /** Anneal-set size as a fraction of the corpus (1/AnnealDiv). */
+  private val AnnealDiv = 5
+
+  /** Gate: quality-annealed training schedule (the "midtraining" /
+    * final-phase upweighting every current pipeline runs): phase 1 is
+    * the full hash-shuffled corpus; phase 2 RE-EXPOSES the top 1/5 of
+    * documents by quality (q6 DESC, doc_id tie-break — a total order,
+    * so the cut is deterministic) under a fresh shuffle hash. Both
+    * phases shard like [[corpusShuffle]] — positions come from
+    * (phase, shard)-partitioned windows, never a global one — and the
+    * schedule is (phase, shard, position, doc_id, q6), replayable by
+    * any trainer. The quality cut is a distributed TakeOrdered (top-n
+    * by a total order), not a quantile pass.
+    */
+  def corpusAnneal(s: SparkSession, dir: String): DataFrame = {
+    val q = TextOps.qualityDf(s, dir)
+      .select(col("doc_id"),
+        expr("cast(round(quality * 1000000) as bigint)").as("q6"))
+    val n = Tables.documents(s, dir).count()
+    val annealN = (n / AnnealDiv).toInt
+    val anneal = q.orderBy(col("q6").desc, col("doc_id").asc).limit(annealN)
+    def hashed(df: DataFrame, phase: Int, salt: String) = df
+      .withColumn("h", expr("cast(conv(substring(md5(concat(" +
+        s"cast(doc_id as string), '$salt')), 1, 8), 16, 10) as bigint)"))
+      .withColumn("phase", lit(phase))
+      .withColumn("shard", col("h") % NShards)
+    val both = hashed(q, 1, ":an1").unionByName(hashed(anneal, 2, ":an2"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("phase"), col("shard"))
+      .orderBy(col("h"), col("doc_id"))
+    both.withColumn("position", row_number().over(w).cast("long"))
+      .select(col("phase"), col("shard"), col("position"), col("doc_id"),
+        col("q6"))
+      .orderBy("phase", "shard", "position")
+  }
+
+  val corpusAnnealSql: String = s"""
+    WITH ${TextOps.docQualityCteSql.trim},
+    aq AS (SELECT doc_id,
+        CAST(round(quality * 1000000) AS BIGINT) AS q6
+      FROM dq),
+    ann AS (SELECT doc_id, q6 FROM aq
+            ORDER BY q6 DESC, doc_id ASC
+            LIMIT (SELECT count(*) // $AnnealDiv FROM documents)),
+    ph AS (
+      SELECT 1 AS phase, doc_id, q6,
+        ('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':an1'), 1, 8))::BIGINT AS h
+      FROM aq
+      UNION ALL
+      SELECT 2, doc_id, q6,
+        ('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':an2'), 1, 8))::BIGINT
+      FROM ann)
+    SELECT phase, h % $NShards AS shard,
+      CAST(row_number() OVER (PARTITION BY phase, h % $NShards
+        ORDER BY h, doc_id) AS BIGINT) AS position,
+      doc_id, q6
+    FROM ph ORDER BY phase, shard, position"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "doc_truncate" -> (docTruncate _),
+    "corpus_anneal" -> (corpusAnneal _),
     "corpus_epochs" -> (corpusEpochs _),
     "quality_tradeoff" -> (qualityTradeoff _),
     "corpus_priority_sample" -> (corpusPrioritySample _),
@@ -895,6 +1004,8 @@ object TrainPrep {
     "text_bigram_lm" -> (textBigramLm _))
 
   val oracles: Map[String, String] = Map(
+    "doc_truncate" -> docTruncateSql,
+    "corpus_anneal" -> corpusAnnealSql,
     "corpus_epochs" -> corpusEpochsSql,
     "quality_tradeoff" -> qualityTradeoffSql,
     "corpus_priority_sample" -> corpusPrioritySampleSql,

@@ -189,4 +189,47 @@ class Round11OpsSpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("n_neardup_docs")).sum > 0)
     assert(rows.forall(_.getAs[Long]("mean_quality_q6") > 0))
   }
+  test("doc_truncate: middle-out cut replays locally, short docs " +
+    "pass through") {
+    val rows = TrainPrep.docTruncate(spark, sf).collect()
+    val docs = Tables.documents(spark, sf)
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        graft.operators.TextNorm.norm.as("t"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    def md5(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    rows.foreach { r =>
+      val ws = docs(r.getAs[Long]("doc_id")).split(" ")
+      val kept =
+        if (ws.length <= 64) ws
+        else ws.take(40) ++ Array("<TRUNC>") ++ ws.takeRight(24)
+      assert(r.getAs[Boolean]("truncated") == (ws.length > 64))
+      assert(r.getAs[Long]("n_kept") == kept.length)
+      assert(r.getAs[String]("trunc_hash") == md5(kept.mkString(" ")))
+    }
+    assert(rows.exists(_.getAs[Boolean]("truncated")))
+    assert(rows.exists(!_.getAs[Boolean]("truncated")))
+  }
+
+  test("corpus_anneal: phase 2 re-exposes exactly the top quality " +
+    "fifth, positions contiguous per (phase, shard)") {
+    val rows = TrainPrep.corpusAnneal(spark, sf).collect()
+    val q = TextOps.textQuality(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"),
+        math.round(r.getAs[Double]("quality") * 1000000)))
+    val n = q.length
+    val expectAnneal = q.sortBy { case (id, q6) => (-q6, id) }
+      .take(n / 5).map(_._1).toSet
+    val p1 = rows.filter(_.getAs[Int]("phase") == 1)
+    val p2 = rows.filter(_.getAs[Int]("phase") == 2)
+    assert(p1.length == n && p2.length == n / 5)
+    assert(p2.map(_.getAs[Long]("doc_id")).toSet == expectAnneal)
+    rows.groupBy(r => (r.getAs[Int]("phase"), r.getAs[Long]("shard")))
+      .foreach { case (_, g) =>
+        val ps = g.map(_.getAs[Long]("position")).sorted
+        assert(ps.head == 1L && ps.last == ps.length,
+          "positions must be 1..k per (phase, shard)")
+      }
+  }
 }
