@@ -945,8 +945,15 @@ object TrainPrep {
       .select(col("doc_id"),
         expr("cast(round(quality * 1000000) as bigint)").as("q6"))
     val n = Tables.documents(s, dir).count()
-    val annealN = (n / AnnealDiv).toInt
-    val anneal = q.orderBy(col("q6").desc, col("doc_id").asc).limit(annealN)
+    val annealN = n / AnnealDiv
+    // the quality cut by two-phase DistRank, NOT orderBy().limit(): a
+    // TakeOrdered would materialize the whole anneal set on the driver
+    // — fine at gate scale, fatal at billions of documents
+    val anneal = DistRank.rowNumber(
+        q.withColumn("__all", lit(0L)),
+        "__all", Seq(-col("q6"), col("doc_id")), "doc_id", "__qr")
+      .filter(col("__qr") <= annealN)
+      .select(col("doc_id"), col("q6"))
     def hashed(df: DataFrame, phase: Int, salt: String) = df
       .withColumn("h", expr("cast(conv(substring(md5(concat(" +
         s"cast(doc_id as string), '$salt')), 1, 8), 16, 10) as bigint)"))
