@@ -271,8 +271,9 @@ object Quality {
     *
     * Scale: one conditional-aggregate pass over the document scan
     * joined with two doc-keyed signal frames (quality is computed
-    * in-scan; the near-dup id set is pair-sized, broadcastable); the
-    * output is O(sources).
+    * in-scan; the near-dup id set scales with corpus DUPLICATION, so
+    * the join is left unhinted — AQE broadcasts it only when it
+    * actually fits); the output is O(sources).
     */
   def sourceCard(s: SparkSession, dir: String): DataFrame = {
     import TextNorm.norm
@@ -290,7 +291,10 @@ object Quality {
       .select(col("doc_id"),
         (col("n_emails") + col("n_urls") + col("n_phones") +
           col("n_ips") + col("n_ids") > 0).as("has_pii"))
-    base.join(broadcast(nd), Seq("doc_id"), "left")
+    // no broadcast hint on the near-dup member set: it scales with
+    // corpus duplication (often tens of percent of a web crawl) — a
+    // plain equi-join lets AQE broadcast only when it actually fits
+    base.join(nd, Seq("doc_id"), "left")
       .join(q, "doc_id").join(pii, "doc_id")
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),

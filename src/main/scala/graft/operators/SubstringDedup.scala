@@ -161,7 +161,7 @@ object SubstringDedup {
   private[graft] def stripTail(docs: DataFrame, rem: DataFrame): DataFrame = {
     // the output contract is AFFECTED documents only (one row per doc
     // with a removal), so the reassembly prunes the corpus to the
-    // affected-doc set FIRST — a broadcast semi-join on the doc id;
+    // affected-doc set FIRST — an equi-join on the doc id;
     // without it, the per-doc md5 rebuild runs over the whole corpus
     // and the final join throws all but the affected rows away
     // (measured: the full-corpus rebuild dominated the strip's cost
@@ -173,9 +173,15 @@ object SubstringDedup {
       val ck = rem.localCheckpoint()
       ck.sparkSession.createDataFrame(ck.rdd, ck.schema)
     }
+    // NO broadcast hint on the affected set: it is data-dependent and
+    // unbounded — on a heavily duplicated corpus (the exact target of a
+    // substring strip) it can approach corpus size, and a forced
+    // broadcast would OOM instead of degrading to a shuffle join. AQE
+    // sees the materialized (localCheckpoint'd) size at runtime and
+    // broadcasts exactly when it actually fits.
     val affected = remM.select(col("doc_id")).distinct()
     val toks = tokens(docs)
-      .join(broadcast(affected), "doc_id")
+      .join(affected, "doc_id")
       .withColumn("t", explode(sequence(lit(1), size(col("ws")))))
       .select(col("doc_id"), col("t"), element_at(col("ws"), col("t")).as("tok"))
     val kept = toks.join(remM, Seq("doc_id", "t"), "left_anti")

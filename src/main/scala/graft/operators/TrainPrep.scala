@@ -746,6 +746,15 @@ object TrainPrep {
       .orderBy(col("cap_tokens").asc, col("source").asc)
     val census = censusDf
       .withColumn("e_cap", expr(EpochCapSql).cast("long"))
+      // loud null guard: a source name not shaped 'src<digits>' makes
+      // the planted-cap CAST yield NULL in Spark (ANSI try-semantics
+      // via expr string) while DuckDB's CAST throws — without this the
+      // Spark side would silently poison the cap ordering and the
+      // saturation criterion. Fail identically loudly on both engines.
+      .withColumn("e_cap",
+        when(col("e_cap").isNotNull, col("e_cap")).otherwise(raise_error(
+          concat(lit("corpus_epochs: source name not 'src<digits>' — "
+            + "e_cap is null for source "), col("source")))))
       .withColumn("cap_tokens", col("e_cap") * col("n_tokens"))
     val tot = census.agg(
       (sum(col("n_tokens")) * BudgetFactor).as("budget"),

@@ -1110,26 +1110,37 @@ object StreamLineCensus {
 case class UrlPart(cu: String, min_doc: Long, nd: Long,
                    surfaces: Seq[String])
 
-/** One maintained canonical-URL row. */
+/** One maintained canonical-URL row: the registry entry plus the exact
+  * count of surface-form observations dropped past the [[StreamUrlDedup
+  * .SurfaceCap]]-smallest registry (0 until a key overflows).
+  */
 case class UrlState(cu: String, min_doc: Long, n_docs: Long,
-                    surfaces: Seq[String])
+                    surfaces: Seq[String], n_dropped: Long)
 
 /** Streaming canonical-URL dedup registry ([[graft.operators.UrlOps]]):
   * per canonical URL, the crawl-order winner (running min doc_id),
-  * member count, and the distinct surface-form set — the state a
-  * crawler consults to drop page aliases AT FETCH TIME instead of
-  * re-deduplicating the corpus per batch. All three folds are
-  * mergeable (min, add, set-union kept sorted), so out-of-order batch
-  * arrival cannot corrupt an entry; a single batch from empty state
+  * member count, and a BOUNDED surface-form set — the state a crawler
+  * consults to drop page aliases AT FETCH TIME instead of
+  * re-deduplicating the corpus per batch. The set keeps the
+  * [[SurfaceCap]] lexicographically-smallest distinct surfaces (the
+  * KMV eviction discipline, [[StreamKmv]], applied to strings instead
+  * of hashes — the kept set is a pure function of the observed values,
+  * so out-of-order batch arrival cannot corrupt it) plus an EXACT
+  * counter of observations dropped past the cap, so an adversarial
+  * surface flood (arbitrary non-tracking query-param values all
+  * canonicalizing to one URL) costs O([[SurfaceCap]]) state per key,
+  * not O(flood). All folds are mergeable (min, add, bounded
+  * ordered-set union); the per-batch merge is a TreeSet fold —
+  * O(new surfaces · log cap), never a re-sort of the held set. A
+  * single batch from empty state with every key under the cap
   * reproduces the batch dedup exactly (shares `dedup_url`'s DuckDB
-  * oracle). State per canonical is O(distinct surfaces), structurally
-  * bounded by the normalization dimensions the canonicalizer collapses
-  * (case, default port, trailing slash, tracking-param variants) — a
-  * production deployment worried about adversarial surface floods
-  * would cap the set behind a KMV-style distinct estimate, the same
-  * trade the other sketch maintainers make explicit.
+  * oracle; the gate corpus plants ≤ 2 surfaces per canonical, far
+  * under the cap, so no eviction fires on the gate path).
   */
 object StreamUrlDedup {
+
+  /** Max surface forms held per canonical URL. */
+  val SurfaceCap = 16
 
   def states(parts: Dataset[UrlPart]): Dataset[UrlState] = {
     import parts.sparkSession.implicits._
@@ -1140,13 +1151,21 @@ object StreamUrlDedup {
         (cu: String, rows: Iterator[UrlPart], state: GroupState[UrlState]) =>
           var md = state.getOption.map(_.min_doc).getOrElse(Long.MaxValue)
           var nd = state.getOption.map(_.n_docs).getOrElse(0L)
-          var sf = state.getOption.map(_.surfaces).getOrElse(Seq.empty)
+          var dropped = state.getOption.map(_.n_dropped).getOrElse(0L)
+          val set = scala.collection.mutable.TreeSet.empty[String]
+          state.getOption.foreach(s => set ++= s.surfaces)
           rows.foreach { p =>
             md = math.min(md, p.min_doc)
             nd += p.nd
-            sf = (sf ++ p.surfaces).distinct
+            p.surfaces.foreach { sf =>
+              if (!set.contains(sf)) {
+                if (set.size < SurfaceCap) set += sf
+                else if (sf < set.last) { set += sf; set -= set.last; dropped += 1 }
+                else dropped += 1
+              }
+            }
           }
-          val next = UrlState(cu, md, nd, sf.sorted)
+          val next = UrlState(cu, md, nd, set.toSeq, dropped)
           state.update(next)
           Iterator(next)
       }

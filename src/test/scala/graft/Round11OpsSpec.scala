@@ -38,9 +38,13 @@ class Round11OpsSpec extends SparkSpec {
       assert(r.getAs[Boolean]("saturated") == !active.contains(s),
         s"saturation flag mismatch at $s")
     }
-    // allocation identity: total ≤ budget, shortfall < residual share
+    // allocation identity: total ≤ budget, and the shortfall is exactly
+    // the floor-division leftover — strictly less than the number of
+    // unsaturated sources (each gets ⌊R/m⌋, so R − m·⌊R/m⌋ < m)
     val total = rows.map(_.getAs[Long]("alloc_tokens")).sum
-    assert(total <= budget && budget - total < budget)
+    val nUnsat = rows.count(!_.getAs[Boolean]("saturated"))
+    assert(total <= budget && budget - total < nUnsat.toLong,
+      s"shortfall ${budget - total} not < $nUnsat unsaturated sources")
     // the planted heterogeneous caps exercise both branches
     assert(rows.exists(_.getAs[Boolean]("saturated")))
     assert(rows.exists(!_.getAs[Boolean]("saturated")))

@@ -708,6 +708,41 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming URL registry: a surface flood past the cap keeps only " +
+    "the cap-smallest surfaces and counts every drop exactly") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.{StreamUrlDedup, UrlPart}
+    val K = StreamUrlDedup.SurfaceCap
+    val all = (0 until 3 * K).map(i => f"https://f.example/x?v=$i%03d")
+    val input = MemoryStream[UrlPart]
+    val query = StreamUrlDedup.states(input.toDS())
+      .writeStream.format("memory").queryName("url_flood")
+      .outputMode(OutputMode.Update).start()
+    try {
+      // flood one canonical key across three batches, DESCENDING so the
+      // eviction path (insert + evict-max) fires, not just the reject path
+      all.reverse.grouped(K).zipWithIndex.foreach { case (chunk, i) =>
+        input.addData(UrlPart("https://f.example/x", 100L + i, chunk.length,
+          chunk))
+        query.processAllAvailable()
+      }
+      // re-observe an already-kept surface: a no-op, not a drop
+      input.addData(UrlPart("https://f.example/x", 99L, 1, Seq(all.head)))
+      query.processAllAvailable()
+      val last = spark.table("url_flood").collect()
+        .maxBy(_.getAs[Long]("n_docs"))
+      val kept = last.getAs[scala.collection.Seq[String]]("surfaces").toSeq
+      assert(kept.length == K, s"state grew past the cap: ${kept.length}")
+      assert(kept == all.take(K).sorted,
+        "kept set is not the cap-smallest distinct surfaces")
+      // 3K distinct observed, K kept → exactly 2K drop events (the
+      // re-observation of a kept surface must not count)
+      assert(last.getAs[Long]("n_dropped") == 2L * K)
+      assert(last.getAs[Long]("min_doc") == 99L)
+    } finally query.stop()
+  }
+
   test("streaming URL registry in batch mode equals the batch " +
     "dedup_url gate") {
     val a = streaming.StreamScenarios.streamUrlMaintain(spark, sf).collect()
