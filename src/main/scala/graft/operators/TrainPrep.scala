@@ -782,8 +782,12 @@ object TrainPrep {
   def corpusEpochs(s: SparkSession, dir: String): DataFrame =
     epochReport(epochCensus(s, dir))
 
-  val corpusEpochsSql: String = s"""
-    WITH ec AS (
+  /** The waterfilling CTE chain (shared verbatim by the `corpus_epochs`
+    * report and the `epoch_positions` schedule so the two oracles cannot
+    * diverge): census → caps → budget → prefix criterion → residual.
+    */
+  private[graft] val epochAllocCtes: String = s"""
+    ec AS (
       SELECT source, count(*) AS n_docs,
         CAST(sum(len(string_split($normSql, ' '))) AS BIGINT) AS n_tokens,
         CAST($EpochCapSql AS BIGINT) AS e_cap
@@ -804,7 +808,10 @@ object TrainPrep {
                                   ELSE 0 END) AS BIGINT) AS csat,
                CAST(sum(CASE WHEN saturated THEN 1 ELSE 0 END) AS BIGINT)
                  AS ksat
-             FROM esat)
+             FROM esat)"""
+
+  val corpusEpochsSql: String = s"""
+    WITH $epochAllocCtes
     SELECT source, n_docs, n_tokens, e_cap, cap_tokens, saturated,
       CAST(CASE WHEN saturated THEN cap_tokens
                 ELSE (budget - csat) // (S - ksat) END AS BIGINT)
@@ -813,6 +820,118 @@ object TrainPrep {
                       ELSE (budget - csat) // (S - ksat) END AS DOUBLE)
             / n_tokens, 6) AS epochs
     FROM esat, eres ORDER BY source"""
+
+  // ------------------------------------------------------- epoch schedule
+
+  /** Gate: the MATERIALIZED multi-epoch training schedule — the artifact
+    * a trainer actually consumes, composing [[corpusEpochs]]' UniMax
+    * allocation with the [[corpusShuffle]] sharding. Each source's
+    * document stream repeats once per COMPLETE epoch it was allocated
+    * (⌊alloc/n_tokens⌋ repeats), under a FRESH shuffle hash per epoch
+    * (salt `:ep<epoch>` — repeat exposures land in different order and
+    * different shards, the anti-memorization convention); the final
+    * PARTIAL epoch is the maximal prefix of that epoch's shuffle order
+    * whose running token count fits the source's residual allocation
+    * (alloc mod n_tokens) — a greedy whole-document cut, so per-source
+    * scheduled tokens are ≤ alloc with a shortfall smaller than the
+    * first excluded document. Positions come from (epoch,
+    * shard)-partitioned windows ordered by (hash, doc_id) — sources
+    * interleave pseudo-randomly within an epoch, and no window ever
+    * spans more than one shard of one epoch.
+    *
+    * Scale (100 TB): the corpus is scanned once for the per-doc token
+    * counts (the census behind the allocation is its own one-pass agg);
+    * the S-row allocation broadcast-joins onto the scan; full-epoch
+    * repetition is a narrow explode whose output IS the artifact (no
+    * amplification beyond what the trainer reads); the partial-epoch
+    * running-token cut is [[DistRank.runningSum]] — two-phase
+    * boundary-broadcast, NOT a per-source single-reducer window; and
+    * position windows partition by (epoch, shard), the
+    * [[corpusAnneal]] discipline (raise [[NShards]] with cluster
+    * width — shards are the write parallelism).
+    */
+  def epochPositions(s: SparkSession, dir: String): DataFrame = {
+    val rep = epochReport(epochCensus(s, dir))
+      .select(col("source"), col("n_tokens"), col("alloc_tokens"))
+      // n_tokens > 0 for every census row (a source only appears with
+      // ≥ 1 doc; empty-text docs still tokenize to one empty piece), so
+      // ANSI div is safe — and a zero-token source SHOULD fail loudly.
+      .withColumn("e_full", expr("alloc_tokens div n_tokens"))
+      .withColumn("rem", col("alloc_tokens") % col("n_tokens"))
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"),
+        size(split(norm, " ")).cast("long").as("n_w"))
+    // S rows (the number of SOURCES — config-sized by construction,
+    // unlike the data-dependent sets the r11 advice un-hinted)
+    val planned = docs.join(broadcast(rep), "source")
+    val hEpoch = expr("cast(conv(substring(md5(concat(" +
+      "cast(doc_id as string), ':ep', cast(epoch as string))), 1, 8), " +
+      "16, 10) as bigint)")
+    val full = planned.filter(col("e_full") >= 1)
+      .withColumn("epoch", explode(sequence(lit(1L), col("e_full"))))
+      .withColumn("h", hEpoch)
+      .select(col("doc_id"), col("source"), col("n_w"), col("epoch"),
+        col("h"))
+    val part = DistRank.runningSum(
+        planned.filter(col("rem") > 0)
+          .withColumn("epoch", col("e_full") + 1)
+          .withColumn("h", hEpoch),
+        "source", Seq(col("h"), col("doc_id")), "doc_id", col("n_w"), "cs")
+      .filter(col("cs") <= col("rem"))
+      .select(col("doc_id"), col("source"), col("n_w"), col("epoch"),
+        col("h"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("epoch"), col("shard"))
+      .orderBy(col("h"), col("doc_id"))
+    full.unionByName(part)
+      .withColumn("shard", col("h") % NShards)
+      .withColumn("position", row_number().over(w).cast("long"))
+      .select(col("epoch"), col("shard"), col("position"), col("doc_id"),
+        col("source"), col("n_w"))
+      .orderBy("epoch", "shard", "position")
+  }
+
+  val epochPositionsSql: String = s"""
+    WITH $epochAllocCtes,
+    epa AS (
+      SELECT source, n_tokens,
+        alloc_tokens // n_tokens AS e_full,
+        alloc_tokens % n_tokens AS rem
+      FROM (SELECT source, n_tokens,
+              CAST(CASE WHEN saturated THEN cap_tokens
+                        ELSE (budget - csat) // (S - ksat) END AS BIGINT)
+                AS alloc_tokens
+            FROM esat, eres)),
+    epd AS (SELECT doc_id, source,
+              CAST(len(string_split($normSql, ' ')) AS BIGINT) AS n_w
+            FROM documents),
+    epfull AS (
+      SELECT doc_id, source, n_w,
+        unnest(generate_series(1, e_full)) AS epoch
+      FROM epd JOIN epa USING (source) WHERE e_full >= 1),
+    eppart AS (
+      SELECT doc_id, source, n_w, e_full + 1 AS epoch, rem,
+        ('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':ep'
+          || CAST(e_full + 1 AS VARCHAR)), 1, 8))::BIGINT AS h
+      FROM epd JOIN epa USING (source) WHERE rem > 0),
+    eppcut AS (
+      SELECT doc_id, source, n_w, epoch, h FROM (
+        SELECT *, sum(n_w) OVER (PARTITION BY source ORDER BY h, doc_id
+          ROWS UNBOUNDED PRECEDING) AS cs
+        FROM eppart)
+      WHERE cs <= rem),
+    epall AS (
+      SELECT doc_id, source, n_w, CAST(epoch AS BIGINT) AS epoch,
+        ('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':ep'
+          || CAST(epoch AS VARCHAR)), 1, 8))::BIGINT AS h
+      FROM epfull
+      UNION ALL
+      SELECT doc_id, source, n_w, CAST(epoch AS BIGINT), h FROM eppcut)
+    SELECT epoch, h % $NShards AS shard,
+      CAST(row_number() OVER (PARTITION BY epoch, h % $NShards
+        ORDER BY h, doc_id) AS BIGINT) AS position,
+      doc_id, source, n_w
+    FROM epall ORDER BY epoch, shard, position"""
 
   // --------------------------------------------------- quality threshold sweep
 
@@ -1004,6 +1123,7 @@ object TrainPrep {
     "doc_truncate" -> (docTruncate _),
     "corpus_anneal" -> (corpusAnneal _),
     "corpus_epochs" -> (corpusEpochs _),
+    "epoch_positions" -> (epochPositions _),
     "quality_tradeoff" -> (qualityTradeoff _),
     "corpus_priority_sample" -> (corpusPrioritySample _),
     "corpus_sqrt_sample" -> (corpusSqrtSample _),
@@ -1023,6 +1143,7 @@ object TrainPrep {
     "doc_truncate" -> docTruncateSql,
     "corpus_anneal" -> corpusAnnealSql,
     "corpus_epochs" -> corpusEpochsSql,
+    "epoch_positions" -> epochPositionsSql,
     "quality_tradeoff" -> qualityTradeoffSql,
     "corpus_priority_sample" -> corpusPrioritySampleSql,
     "corpus_sqrt_sample" -> corpusSqrtSampleSql,

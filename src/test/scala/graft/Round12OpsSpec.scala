@@ -1,0 +1,100 @@
+package graft
+
+import graft.operators.TrainPrep
+
+/** Round-12 operator specs (the driver's oracle gate checks values; these
+  * pin the ALGEBRAIC contracts a hash can't articulate).
+  */
+class Round12OpsSpec extends SparkSpec {
+
+  /** The schedule's per-epoch shuffle hash, replayed locally: first 8 hex
+    * chars of md5("<doc_id>:ep<epoch>") as an unsigned long.
+    */
+  private def epHash(docId: Long, epoch: Long): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"$docId:ep$epoch".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.take(8), 16)
+  }
+
+  test("epoch_positions: per-epoch token conservation, greedy-maximal " +
+    "partial epoch, contiguous per-shard positions") {
+    val sched = TrainPrep.epochPositions(spark, sf).collect()
+    assert(sched.nonEmpty)
+    val alloc = TrainPrep.corpusEpochs(spark, sf).collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("alloc_tokens"),
+          r.getAs[Long]("n_docs"))).toMap
+    val bySourceEpoch = sched.groupBy(r =>
+      (r.getAs[String]("source"), r.getAs[Long]("epoch")))
+    val corpusDocs = {
+      import org.apache.spark.sql.functions._
+      Tables.documents(spark, sf)
+        .select(col("doc_id"), col("source"),
+          size(split(operators.TextNorm.norm, " ")).cast("long").as("n_w"))
+        .collect()
+        .groupBy(_.getAs[String]("source"))
+        .view.mapValues(_.map(r =>
+          (r.getAs[Long]("doc_id"), r.getAs[Long]("n_w")))).toMap
+    }
+
+    alloc.foreach { case (src, (nTok, al, nDocs)) =>
+      val eFull = al / nTok
+      val rem = al % nTok
+      // every COMPLETE epoch carries the source verbatim: all docs, all
+      // tokens, exactly once
+      (1L to eFull).foreach { e =>
+        val rows = bySourceEpoch.getOrElse((src, e), Array.empty)
+        assert(rows.length == nDocs, s"$src epoch $e doc count")
+        assert(rows.map(_.getAs[Long]("n_w")).sum == nTok,
+          s"$src epoch $e token conservation")
+      }
+      // the partial epoch is the greedy-maximal prefix of THAT epoch's
+      // hash order whose running token count fits the residual — replay
+      // the md5 order locally and compare the included doc sets exactly
+      val partRows = bySourceEpoch.getOrElse((src, eFull + 1), Array.empty)
+      if (rem == 0) assert(partRows.isEmpty, s"$src: no residual, no partial")
+      else {
+        val docs = corpusDocs(src)
+        val ordered = docs.sortBy { case (id, _) => (epHash(id, eFull + 1), id) }
+        var cum = 0L
+        val expect = ordered.takeWhile { case (_, w) =>
+          cum += w; cum <= rem
+        }.map(_._1).toSet
+        assert(partRows.map(_.getAs[Long]("doc_id")).toSet == expect,
+          s"$src partial epoch is not the greedy-maximal hash-order prefix")
+        val got = partRows.map(_.getAs[Long]("n_w")).sum
+        assert(got <= rem, s"$src partial epoch over-allocates")
+      }
+      // scheduled-token identity: at most alloc, and what's missing is
+      // only the partial epoch's whole-document shortfall
+      val total = (1L to eFull + 1).flatMap(e =>
+        bySourceEpoch.getOrElse((src, e), Array.empty[org.apache.spark.sql.Row]))
+        .map(_.getAs[Long]("n_w")).sum
+      assert(total <= al)
+    }
+    // positions are contiguous 1..n within every (epoch, shard) and
+    // ordered by the fresh per-epoch hash
+    sched.groupBy(r => (r.getAs[Long]("epoch"), r.getAs[Long]("shard")))
+      .foreach { case ((e, sh), rows) =>
+        val sorted = rows.sortBy(_.getAs[Long]("position"))
+        assert(sorted.map(_.getAs[Long]("position")).toSeq ==
+          (1L to rows.length).toSeq, s"positions not contiguous in ($e,$sh)")
+        val hs = sorted.map(r => (epHash(r.getAs[Long]("doc_id"), e),
+          r.getAs[Long]("doc_id")))
+        assert(hs.toSeq == hs.sortBy(identity).toSeq,
+          s"($e,$sh) not in fresh-hash order")
+        hs.foreach { case (h, _) =>
+          assert(h % 8 == sh, s"doc sharded into the wrong shard in ($e,$sh)")
+        }
+      }
+    // repeat exposures genuinely reshuffle: some document changes shard
+    // between epoch 1 and epoch 2
+    val shardOf = sched.map(r => (r.getAs[Long]("doc_id"),
+      r.getAs[Long]("epoch")) -> r.getAs[Long]("shard")).toMap
+    val moved = shardOf.keys.filter(_._2 == 1L).exists { case (id, _) =>
+      shardOf.get((id, 2L)).exists(_ != shardOf((id, 1L)))
+    }
+    assert(moved, "per-epoch fresh hashes should move docs across shards")
+  }
+}
