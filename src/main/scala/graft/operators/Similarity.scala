@@ -1398,14 +1398,16 @@ object Similarity {
   def knnGraph(s: SparkSession, dir: String, k: Int = 3): DataFrame =
     knnGraphOf(s, dir, k)
 
-  /** Memoized kNN graph — shared between the `knn_graph` gate and the
-    * NN-descent refinement pass (in production the graph is a persisted
-    * index artifact that refinement rounds iterate on).
+  /** Memoized SCORED candidate frame of the multi-table LSH index —
+    * (probe_id, vec_id, cos_raw) for every distinct bucket-mate pair.
+    * Shared by the kNN graph (top-k cut) and the corpus-wide
+    * hard-negative miner (role split on the dup bar): in production the
+    * scored candidate list is the expensive artifact — one LSH
+    * self-join + one exact re-score — and every consumer downstream is
+    * a cheap per-anchor window over it.
     */
-  private[operators] def knnGraphOf(s: SparkSession, dir: String,
-                                    k: Int = 3): DataFrame =
-    graft.Memo.cached(s,
-      if (k == 3) "knn_graph" else s"knn_graph_k$k", dir) {
+  private[operators] def knnScoredOf(s: SparkSession, dir: String): DataFrame =
+    graft.Memo.cached(s, "knn_scored", dir) {
       val qn = qdf(s, dir)
       val buckets = qn.select(col("vec_id"),
         posexplode(array((0 until LshTables).map(tableBucketCol): _*))
@@ -1416,13 +1418,33 @@ object Similarity {
             col("a.vec_id") =!= col("b.vec_id"))
         .select(col("a.vec_id").as("probe_id"), col("b.vec_id").as("vec_id"))
         .distinct()
-      val paired = cand
+      cand
         .join(qn.select(col("vec_id").as("probe_id"), col("q").as("pq"),
           col("n2").as("pn2")), "probe_id")
         .join(qn, "vec_id")
-      topkTail(paired, k)
+        .withColumn("dot", expr("q_dot(pq, q)"))
+        .withColumn("cos_raw", cosCol(col("dot"), col("pn2"), col("n2")))
+        .select(col("probe_id"), col("vec_id"), col("cos_raw"))
+    }
+
+  /** Memoized kNN graph — shared between the `knn_graph` gate and the
+    * NN-descent refinement pass (in production the graph is a persisted
+    * index artifact that refinement rounds iterate on). The per-probe
+    * top-k over the shared scored frame reduces map-side
+    * (WindowGroupLimit) exactly like [[topkTail]].
+    */
+  private[operators] def knnGraphOf(s: SparkSession, dir: String,
+                                    k: Int = 3): DataFrame =
+    graft.Memo.cached(s,
+      if (k == 3) "knn_graph" else s"knn_graph_k$k", dir) {
+      val w = Window.partitionBy(col("probe_id"))
+        .orderBy(col("cos_raw").desc, col("vec_id"))
+      knnScoredOf(s, dir)
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
         .select(col("probe_id").as("src"), col("rank"),
-          col("vec_id").as("nbr"), col("cos"))
+          col("vec_id").as("nbr"), round(col("cos_raw"), 6).as("cos"))
+        .orderBy("src", "rank")
     }
 
   /** One NN-descent round (Dong et al., WWW'11) over the kNN graph: a
@@ -1609,8 +1631,67 @@ object Similarity {
     SELECT * FROM hneg WHERE pick <= $HardNegK
     ORDER BY probe_id, role, pick"""
 
+  /** Gate: CORPUS-WIDE hard-negative mining over the LSH index — the
+    * [[hardNegatives]] triple miner lifted from the 2%-probe regime to
+    * every vector as an anchor (the [[knnGraphOf]] regime): candidates
+    * come from the multi-table LSH buckets, the positive/negative split
+    * is the SAME [[DupCosBar]] the `dedup_embedding` gate verifies with
+    * (a near-dup can never be emitted as a negative — false negatives
+    * would poison a contrastive loss), and an anchor is emitted only
+    * when it HAS a positive (a triple needs one). Per anchor: pick-1
+    * positive (highest cosine ≥ bar) + top [[HardNegK]] hard negatives
+    * (highest cosines < bar).
+    *
+    * Scale: one consumer of the memoized scored-candidate frame — zero
+    * new corpus passes, zero new shuffle shapes; both role cuts are
+    * per-anchor WindowGroupLimits, and the anchors-with-a-positive
+    * restriction is a LEFT SEMI join against the positive frame, left
+    * unhinted (it scales with corpus duplication — the r11 advice
+    * lesson — so AQE picks the side).
+    */
+  def hardNegativesKnn(s: SparkSession, dir: String): DataFrame = {
+    val scored = knnScoredOf(s, dir)
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos_raw").desc, col("vec_id"))
+    val pos = scored.filter(col("cos_raw") >= DupCosBar)
+      .withColumn("pick", row_number().over(w))
+      .filter(col("pick") === 1)
+    val neg = scored.filter(col("cos_raw") < DupCosBar)
+      .withColumn("pick", row_number().over(w))
+      .filter(col("pick") <= HardNegK)
+      .join(pos.select(col("probe_id")), Seq("probe_id"), "left_semi")
+    def shaped(df: DataFrame, role: String) = df
+      .select(col("probe_id").as("anchor_id"), lit(role).as("role"),
+        col("pick"), col("vec_id"), round(col("cos_raw"), 6).as("cos"))
+    shaped(pos, "positive").unionByName(shaped(neg, "negative"))
+      .orderBy("anchor_id", "role", "pick")
+  }
+
+  val hardNegativesKnnSql: String = s"""
+    WITH ${knnCtesSql(3)},
+    hkpos AS (
+      SELECT probe_id, vec_id, cos_raw,
+        row_number() OVER (PARTITION BY probe_id
+          ORDER BY cos_raw DESC, vec_id) AS pick
+      FROM scored WHERE cos_raw >= $DupCosBar),
+    hkneg AS (
+      SELECT probe_id, vec_id, cos_raw,
+        row_number() OVER (PARTITION BY probe_id
+          ORDER BY cos_raw DESC, vec_id) AS pick
+      FROM scored WHERE cos_raw < $DupCosBar),
+    hka AS (SELECT probe_id FROM hkpos WHERE pick = 1)
+    SELECT probe_id AS anchor_id, 'positive' AS role, CAST(pick AS INT)
+        AS pick, vec_id, round(cos_raw, 6) AS cos
+    FROM hkpos WHERE pick = 1
+    UNION ALL
+    SELECT n.probe_id, 'negative', CAST(n.pick AS INT), n.vec_id,
+      round(n.cos_raw, 6)
+    FROM hkneg n JOIN hka USING (probe_id) WHERE n.pick <= $HardNegK
+    ORDER BY anchor_id, role, pick"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "hard_negatives" -> (hardNegatives _),
+    "hard_negatives_knn" -> (hardNegativesKnn _),
     "dedup_embedding" -> (dedupEmbedding _),
     "decontaminate_semantic" -> (decontaminateSemantic _),
     "ann_topk" -> (annTopk(_, _)),
@@ -1636,6 +1717,7 @@ object Similarity {
 
   val oracles: Map[String, String] = Map(
     "hard_negatives" -> hardNegativesSql,
+    "hard_negatives_knn" -> hardNegativesKnnSql,
     "dedup_embedding" -> dedupEmbeddingSql,
     "decontaminate_semantic" -> decontaminateSemanticSql,
     "ann_topk" -> annTopkSql(),

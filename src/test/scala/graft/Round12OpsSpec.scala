@@ -97,4 +97,42 @@ class Round12OpsSpec extends SparkSpec {
     }
     assert(moved, "per-epoch fresh hashes should move docs across shards")
   }
+
+  test("hard_negatives_knn: near-dups are never negatives, every anchor " +
+    "has exactly one positive, role cuts respect the shared bar") {
+    import graft.operators.Similarity
+    // the sf0.001 corpus plants no cos >= bar pair in the LSH buckets,
+    // so exercise the triple-miner contract at sf0.01
+    val dir = "/root/testdata/sf0.01"
+    val rows = Similarity.hardNegativesKnn(spark, dir).collect()
+    assert(rows.nonEmpty, "no triples mined")
+    val dupPairs = Similarity.dedupEmbedding(spark, dir).collect()
+      .flatMap { r =>
+        val a = r.getAs[Long]("id_a"); val b = r.getAs[Long]("id_b")
+        Seq((a, b), (b, a))
+      }.toSet
+    assert(dupPairs.nonEmpty)
+    val (pos, neg) = rows.partition(_.getAs[String]("role") == "positive")
+    // every VERIFIED near-dup pair is excluded from the negatives — the
+    // false-negative poisoning the shared bar exists to prevent
+    neg.foreach { r =>
+      val p = (r.getAs[Long]("anchor_id"), r.getAs[Long]("vec_id"))
+      assert(!dupPairs.contains(p), s"near-dup pair $p emitted as negative")
+      assert(r.getAs[Double]("cos") < 0.45)
+    }
+    // exactly one positive per anchor, at or above the bar, and every
+    // negative's anchor has one
+    val posAnchors = pos.map(_.getAs[Long]("anchor_id"))
+    assert(posAnchors.distinct.length == posAnchors.length)
+    pos.foreach { r =>
+      assert(r.getAs[Double]("cos") >= 0.45)
+      assert(r.getAs[Int]("pick") == 1)
+    }
+    neg.groupBy(_.getAs[Long]("anchor_id")).foreach { case (a, ns) =>
+      assert(posAnchors.contains(a), s"anchor $a has negatives, no positive")
+      assert(ns.length <= 2)
+      assert(ns.map(_.getAs[Int]("pick")).sorted.toSeq ==
+        (1 to ns.length).toSeq)
+    }
+  }
 }
