@@ -421,7 +421,135 @@ object ZOrder {
       CAST(min(files_read) AS BIGINT) AS min_files_read
     FROM perq GROUP BY 1, 2 ORDER BY layout, dim"""
 
+  // ------------------------------------------------- text-store pruning audit
+
+  /** Equal-count files the text-layout audit splits each layout into. */
+  private val TxFiles = 25
+
+  /** Gate: the [[layoutPruning]] min/max scan-pruning methodology applied
+    * to the DOCUMENTS store — the pruning story for the 100 TB text side.
+    * Three physical layouts of the same corpus, each split into
+    * [[TxFiles]] equal-count files (what a `repartitionByRange` writer
+    * on the layout's sort key produces), each file carrying its parquet
+    * footer min/max on both predicate dimensions: source index and
+    * quality bucket (10^5-quantized [[TextOps.qualityDf]] — integer by
+    * the round(·,6) contract):
+    *
+    *  - `crawl`   — ingest order (doc_id): the layout you get for free.
+    *  - `sorted`  — ORDER BY (source, quality, doc_id): the
+    *                source-partitioned release layout.
+    *  - `qsorted` — ORDER BY (quality, source, doc_id): the
+    *                quality-first annealing layout.
+    *
+    * For a tiling probe set (every source value, every quality bucket)
+    * the audit counts the files whose [min,max] intersects the
+    * predicate — what a stats-pruning scan MUST read. The measured
+    * lesson the spec pins: each sort's PRIMARY dimension prunes to the
+    * per-value file span while its SECONDARY dimension barely prunes at
+    * all (quality is i.i.d. within a source, so 20-way source
+    * stratification leaves every file covering most quality buckets —
+    * the classic lexicographic-sort trap [[layoutLocality]]'s curves
+    * exist to beat), and crawl order prunes source queries not one bit.
+    * Sort your store by the dominant predicate, or interleave.
+    *
+    * Scale: ranks come from [[DistRank.rowNumber]] (two-phase boundary
+    * broadcast — no global sort even in the audit); everything after
+    * aggregates to 3·[[TxFiles]] stat rows before the ≤ 31-probe
+    * crossJoin — the joins never touch data.
+    */
+  def textLayoutPruning(s: SparkSession, dir: String): DataFrame = {
+    val q = TextOps.qualityDf(s, dir)
+      .select(col("doc_id"),
+        expr("cast(round(quality * 1000000) as bigint) div 100000").as("qb"))
+    val base = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        expr("cast(substring(source, 4) as bigint)").as("sidx"))
+      .join(q, "doc_id")
+      .withColumn("__all", lit(0L))
+    val rs = DistRank.rowNumber(base, "__all",
+      Seq(col("sidx"), col("qb"), col("doc_id")), "doc_id", "rs")
+    val rq = DistRank.rowNumber(rs, "__all",
+      Seq(col("qb"), col("sidx"), col("doc_id")), "doc_id", "rq")
+    val rc = DistRank.rowNumber(rq, "__all",
+      Seq(col("doc_id")), "doc_id", "rc")
+    val tot = base.agg(count(lit(1)).as("n"))
+    val stats = rc.crossJoin(broadcast(tot))
+      .select(explode(array(
+        struct(lit("sorted").as("layout"),
+          expr(s"((rs - 1) * $TxFiles) div n").as("f"),
+          col("sidx"), col("qb")),
+        struct(lit("qsorted").as("layout"),
+          expr(s"((rq - 1) * $TxFiles) div n").as("f"),
+          col("sidx"), col("qb")),
+        struct(lit("crawl").as("layout"),
+          expr(s"((rc - 1) * $TxFiles) div n").as("f"),
+          col("sidx"), col("qb")))).as("r"))
+      .select(col("r.layout").as("layout"), col("r.f").as("f"),
+        col("r.sidx").as("sidx"), col("r.qb").as("qb"))
+      .groupBy(col("layout"), col("f"))
+      .agg(min(col("sidx")).as("s_lo"), max(col("sidx")).as("s_hi"),
+        min(col("qb")).as("q_lo"), max(col("qb")).as("q_hi"))
+    val probes = s.range(20)
+      .select(lit("source").as("dim"), col("id").as("v"))
+      .unionByName(s.range(11)
+        .select(lit("quality").as("dim"), col("id").as("v")))
+    val mustRead = when(col("dim") === "source",
+      col("s_hi") >= col("v") && col("s_lo") <= col("v"))
+      .otherwise(col("q_hi") >= col("v") && col("q_lo") <= col("v"))
+    stats.crossJoin(broadcast(probes))
+      .select(col("layout"), col("dim"), col("v"),
+        when(mustRead, 1L).otherwise(0L).as("must_read"))
+      .groupBy(col("layout"), col("dim"), col("v"))
+      .agg(sum(col("must_read")).as("files_read"))
+      .groupBy(col("layout"), col("dim"))
+      .agg(count(lit(1)).as("n_queries"),
+        round(avg(col("files_read")), 4).as("avg_files_read"),
+        max(col("files_read")).as("max_files_read"),
+        min(col("files_read")).as("min_files_read"))
+      .orderBy("layout", "dim")
+  }
+
+  val textLayoutPruningSql: String = s"""
+    WITH ${TextOps.docQualityCteSql.trim},
+    tlb AS (SELECT d.doc_id, CAST(substring(d.source, 4) AS BIGINT) AS sidx,
+             CAST(round(q.quality * 1000000) AS BIGINT) // 100000 AS qb
+           FROM documents d JOIN dq q USING (doc_id)),
+    tln AS (SELECT count(*) AS n FROM tlb),
+    tlr AS (SELECT doc_id, sidx, qb,
+             row_number() OVER (ORDER BY sidx, qb, doc_id) AS rs,
+             row_number() OVER (ORDER BY qb, sidx, doc_id) AS rq,
+             row_number() OVER (ORDER BY doc_id) AS rc
+           FROM tlb),
+    tlf AS (
+      SELECT 'sorted' AS layout, ((rs - 1) * $TxFiles) // n AS f, sidx, qb
+      FROM tlr, tln
+      UNION ALL
+      SELECT 'qsorted', ((rq - 1) * $TxFiles) // n, sidx, qb FROM tlr, tln
+      UNION ALL
+      SELECT 'crawl', ((rc - 1) * $TxFiles) // n, sidx, qb FROM tlr, tln),
+    tls AS (SELECT layout, f, min(sidx) AS s_lo, max(sidx) AS s_hi,
+              min(qb) AS q_lo, max(qb) AS q_hi
+            FROM tlf GROUP BY 1, 2),
+    tlq AS (
+      SELECT 'source' AS dim, CAST(unnest(generate_series(0, 19)) AS BIGINT)
+        AS v
+      UNION ALL
+      SELECT 'quality', CAST(unnest(generate_series(0, 10)) AS BIGINT)),
+    tlp AS (
+      SELECT s.layout, q.dim, q.v,
+        CAST(sum(CASE WHEN q.dim = 'source'
+          THEN CASE WHEN s.s_hi >= q.v AND s.s_lo <= q.v THEN 1 ELSE 0 END
+          ELSE CASE WHEN s.q_hi >= q.v AND s.q_lo <= q.v THEN 1 ELSE 0 END
+          END) AS BIGINT) AS files_read
+      FROM tls s CROSS JOIN tlq q GROUP BY 1, 2, 3)
+    SELECT layout, dim, count(*) AS n_queries,
+      round(avg(files_read), 4) AS avg_files_read,
+      CAST(max(files_read) AS BIGINT) AS max_files_read,
+      CAST(min(files_read) AS BIGINT) AS min_files_read
+    FROM tlp GROUP BY 1, 2 ORDER BY layout, dim"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_layout_pruning" -> (textLayoutPruning _),
     "zorder_layout" -> (zorderLayout(_, _)),
     "zorder3_layout" -> (zorder3Layout(_, _)),
     "hilbert_layout" -> (hilbertLayout _),
@@ -429,6 +557,7 @@ object ZOrder {
     "layout_pruning" -> (layoutPruning _))
 
   val oracles: Map[String, String] = Map(
+    "text_layout_pruning" -> textLayoutPruningSql,
     "zorder_layout" -> zorderLayoutSql,
     "zorder3_layout" -> zorder3LayoutSql,
     "hilbert_layout" -> hilbertLayoutSql,

@@ -98,6 +98,29 @@ class Round12OpsSpec extends SparkSpec {
     assert(moved, "per-epoch fresh hashes should move docs across shards")
   }
 
+  test("text_layout_pruning: each sort's primary dimension prunes hard, " +
+    "its secondary barely, crawl order not at all") {
+    val t = graft.operators.ZOrder.textLayoutPruning(spark, sf).collect()
+      .map(r => (r.getAs[String]("layout"), r.getAs[String]("dim")) ->
+        r.getAs[Double]("avg_files_read")).toMap
+    assert(t.size == 6)
+    // crawl order cannot prune source queries: every file holds every
+    // source (the %20 planting), so every probe reads all 25 files
+    assert(t(("crawl", "source")) == 25.0)
+    // primary-dimension pruning is dramatic: the per-value file span
+    assert(t(("sorted", "source")) < 4.0)
+    assert(t(("qsorted", "quality")) < t(("crawl", "quality")) / 2)
+    // the lexicographic-sort trap: the SECONDARY dimension barely beats
+    // crawl (quality is i.i.d. within each source stratum)
+    assert(t(("sorted", "quality")) <= t(("crawl", "quality")))
+    assert(t(("sorted", "quality")) > t(("qsorted", "quality")),
+      "secondary-dim pruning should be far weaker than primary-dim")
+    // ordering across layouts on each dimension
+    assert(t(("sorted", "source")) < t(("qsorted", "source")))
+    assert(t(("qsorted", "source")) < t(("crawl", "source")))
+    assert(t(("qsorted", "quality")) < t(("sorted", "quality")))
+  }
+
   test("hard_negatives_knn: near-dups are never negatives, every anchor " +
     "has exactly one positive, role cuts respect the shared bar") {
     import graft.operators.Similarity
