@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{Memo, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Distributed unigram-LM tokenizer training (the SentencePiece unigram
@@ -364,6 +364,180 @@ object Unigram {
       md5(string_agg(seg, ' ' ORDER BY pos)) AS tok_hash
     FROM jn GROUP BY doc_id ORDER BY doc_id"""
 
+  // --------------------------------------------------- byte-fallback tokenize
+
+  /** Per-byte fallback cost (in the same 1/1024-bit fixed point as the
+    * trained piece costs): far above any trained piece (llog2 costs top
+    * out ≈ 20·1024) so a known segmentation always wins, far below
+    * [[Big]] so an UNKNOWN single character always beats any multi-char
+    * OOV piece (2 unknown chars ≤ 8·[[BfCost]] < [[Big]]) — the DP
+    * therefore isolates exactly the uncovered characters, which is what
+    * decomposes to bytes.
+    */
+  private val BfCost = 100000L
+
+  /** The planted OOV suffix (shared SQL text, both engines): every 7th
+    * document grows two words whose characters ('é', 'π', 'λ') are
+    * outside the trained a–z alphabet — 'café' mixes covered and
+    * uncovered characters in one word, 'πλ' is fully uncovered.
+    */
+  private[graft] val PlantSql =
+    "CASE WHEN doc_id % 7 = 0 THEN concat(text, ' café πλ') ELSE text END"
+
+  /** The forward DP with BYTE FALLBACK: a substring missing from the
+    * vocabulary map costs [[BfCost]]·(UTF-8 bytes) if it is a single
+    * character, [[Big]] otherwise — [[fwdSql]] with a finite cost for
+    * uncovered characters, so segmentation (and token accounting) is
+    * total on ANY input instead of relying on the training corpus's
+    * alphabet coverage.
+    */
+  private val fwdBfSql: String = s"""
+    aggregate(
+      sequence(1, length(word)),
+      array(0L),
+      (acc, i) -> array_append(acc,
+        array_min(transform(
+          sequence(greatest(0, i - $MaxPiece), i - 1),
+          j -> ((element_at(acc, j + 1) div $Enc) +
+                coalesce(try_element_at(vm, substring(word, j + 1, i - j)),
+                         if(i - j = 1,
+                            ${BfCost}L * octet_length(substring(word, j + 1, 1)),
+                            ${Big}L))) * $Enc + j))))"""
+
+  /** Gate: tokenization with BYTE FALLBACK (the SentencePiece
+    * `--byte_fallback` convention every production LLM tokenizer ships
+    * with): the corpus is re-tokenized with planted out-of-alphabet
+    * documents ([[PlantSql]]); the Viterbi DP runs under the TRAINED
+    * vocabulary plus a per-byte fallback cost, and any segmented piece
+    * not in the vocabulary decomposes to its UTF-8 bytes as reserved
+    * `<0xNN>` tokens (256 reserved ids) in the segmentation join — so
+    * token accounting stays exact on any input. Emits, per document:
+    * the planted flag, word/piece/byte-token counts, the NON-fallback
+    * piece count ([[tokenizeUnigram]] — the parity column: unplanted
+    * documents must match exactly), and the order-preserving hash of
+    * the expanded token stream.
+    *
+    * Scale: identical shape to [[tokenizeUnigram]] — one corpus word
+    * stream, one distinct-word DP (narrow map under a broadcast vocab
+    * map), one lookup join back; the byte expansion is a per-piece
+    * array transform inside the same codegen'd stage.
+    */
+  def tokenizeUnigramBf(s: SparkSession, dir: String): DataFrame = {
+    val v = finalVocab(s, dir)
+    val tot = v.agg(sum(col("cnt")).as("t"))
+    val costed = v.crossJoin(broadcast(tot))
+      .select(col("piece"),
+        (expr(llog2("t")) - expr(llog2("cnt"))).as("cost"))
+    val vm = costed.agg(map_from_entries(
+      collect_list(struct(col("piece"), col("cost")))).as("vm"))
+    val toks = Tables.documents(s, dir)
+      .withColumn("text", expr(PlantSql))
+      .select(col("doc_id"), posexplode(split(norm, " ")))
+      .toDF("doc_id", "pos", "word")
+      .filter(col("word") =!= "")
+    val byteToks = (p: Column) =>
+      transform(sequence(lit(1), octet_length(p)),
+        b => concat(lit("<0x"),
+          hex(encode(p, "UTF-8")).substr(b * lit(2) - lit(1), lit(2)),
+          lit(">")))
+    val segs = toks.select(col("word")).distinct()
+      .crossJoin(broadcast(vm))
+      .withColumn("encs", expr(fwdBfSql.trim))
+      .withColumn("seg", expr(btSql.trim))
+      .withColumn("pieces", split(col("seg"), " "))
+      .select(col("word"),
+        size(filter(col("pieces"),
+          p => try_element_at(col("vm"), p).isNotNull)).as("n_known"),
+        flatten(transform(col("pieces"),
+          p => when(try_element_at(col("vm"), p).isNotNull, array(p))
+            .otherwise(byteToks(p)))).as("toks"))
+      .select(col("word"), col("n_known"),
+        size(col("toks")).cast("long").as("n_tok"),
+        array_join(col("toks"), " ").as("ts"))
+    val plain = tokenizeUnigram(s, dir)
+      .select(col("doc_id"), col("n_pieces").as("n_pieces_plain"))
+    toks.join(segs, "word")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_tok")).as("n_pieces"),
+        sum(col("n_tok") - col("n_known")).cast("long")
+          .as("n_byte_tokens"),
+        md5(array_join(
+          transform(array_sort(collect_list(struct(col("pos"), col("ts")))),
+            x => x.getField("ts")), " ")).as("tok_hash"))
+      .withColumn("planted", col("doc_id") % 7 === 0)
+      .join(plain, "doc_id")
+      .select(col("doc_id"), col("planted"), col("n_words"),
+        col("n_pieces"), col("n_pieces_plain"), col("n_byte_tokens"),
+        col("tok_hash"))
+      .orderBy("doc_id")
+  }
+
+  val tokenizeUnigramBfSql: String = s"""
+    WITH RECURSIVE $trainCtes,
+    bfd AS (SELECT doc_id, $PlantSql AS text FROM documents),
+    bfw AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws))) AS pos
+            FROM (SELECT doc_id, string_split($normSql, ' ') AS ws
+                  FROM bfd)),
+    bft AS (SELECT doc_id, pos, ws[pos] AS word FROM bfw
+            WHERE ws[pos] <> ''),
+    bfu AS (SELECT DISTINCT word FROM bft),
+    bfdp AS (
+      SELECT word, 0 AS i, [CAST(0 AS BIGINT)] AS encs FROM bfu
+      UNION ALL
+      SELECT d.word, i + 1,
+        list_append(encs, list_min(list_transform(
+          generate_series(greatest(0, i + 1 - $MaxPiece), i),
+          j -> ((encs[j + 1] // $Enc) +
+                coalesce(v.m[d.word[j + 1 : i + 1]][1],
+                  CASE WHEN i + 1 - j = 1
+                    THEN $BfCost * strlen(d.word[j + 1 : i + 1])
+                    ELSE $Big END)) * $Enc + j)))
+      FROM bfdp d, vm$F v WHERE i < len(d.word)),
+    bfbt AS (
+      SELECT word, len(word) AS pos, '' AS seg, encs
+      FROM bfdp WHERE i = len(word)
+      UNION ALL
+      SELECT word, CAST(encs[pos + 1] % $Enc AS INT),
+        word[CAST(encs[pos + 1] % $Enc AS INT) + 1 : pos]
+          || CASE WHEN seg = '' THEN '' ELSE ' ' END || seg,
+        encs
+      FROM bfbt WHERE pos > 0),
+    bfseg AS (SELECT word, seg FROM bfbt WHERE pos = 0),
+    bfx AS (
+      SELECT word,
+        len(list_filter(string_split(seg, ' '),
+          p -> v.m[p][1] IS NOT NULL)) AS n_known,
+        flatten(list_transform(string_split(seg, ' '),
+          p -> CASE WHEN v.m[p][1] IS NOT NULL THEN [p]
+               ELSE list_transform(generate_series(1, strlen(p)),
+                 b -> '<0x' || substring(hex(encode(p)), b * 2 - 1, 2)
+                   || '>') END)) AS toks
+      FROM bfseg, vm$F v),
+    bfe AS (SELECT word, n_known, CAST(len(toks) AS BIGINT) AS n_tok,
+              array_to_string(toks, ' ') AS ts
+            FROM bfx),
+    bfplainw AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws)))
+                   AS pos
+                 FROM (SELECT doc_id, string_split($normSql, ' ') AS ws
+                       FROM documents)),
+    bfplain AS (
+      SELECT d.doc_id,
+        CAST(sum(len(string_split(t.seg, ' '))) AS BIGINT)
+          AS n_pieces_plain
+      FROM (SELECT doc_id, pos, ws[pos] AS word FROM bfplainw
+            WHERE ws[pos] <> '') d
+      JOIN seg$F t ON d.word = t.word
+      GROUP BY d.doc_id)
+    SELECT j.doc_id, j.doc_id % 7 = 0 AS planted, count(*) AS n_words,
+      CAST(sum(e.n_tok) AS BIGINT) AS n_pieces,
+      p.n_pieces_plain,
+      CAST(sum(e.n_tok - e.n_known) AS BIGINT) AS n_byte_tokens,
+      md5(string_agg(e.ts, ' ' ORDER BY j.pos)) AS tok_hash
+    FROM bft j JOIN bfe e USING (word)
+    JOIN bfplain p ON j.doc_id = p.doc_id
+    GROUP BY j.doc_id, p.n_pieces_plain ORDER BY j.doc_id"""
+
   // ----------------------------------------------------- tokenizer parity
 
   /** Gate: tokenizer A/B — per document, BPE vs unigram token counts
@@ -429,10 +603,12 @@ object Unigram {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "unigram_train" -> (unigramTrain _),
     "tokenize_unigram" -> (tokenizeUnigram _),
+    "tokenize_unigram_bf" -> (tokenizeUnigramBf _),
     "tokenizer_parity" -> (tokenizerParity _))
 
   val oracles: Map[String, String] = Map(
     "unigram_train" -> unigramTrainSql,
     "tokenize_unigram" -> tokenizeUnigramSql,
+    "tokenize_unigram_bf" -> tokenizeUnigramBfSql,
     "tokenizer_parity" -> tokenizerParitySql)
 }

@@ -121,6 +121,39 @@ class Round12OpsSpec extends SparkSpec {
     assert(t(("qsorted", "quality")) < t(("sorted", "quality")))
   }
 
+  test("tokenize_unigram_bf: byte fallback replays Java's UTF-8, " +
+    "unplanted documents are bit-identical to the plain path") {
+    import graft.operators.Unigram
+    val bf = Unigram.tokenizeUnigramBf(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val plain = Unigram.tokenizeUnigram(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(bf.keySet == plain.keySet && bf.nonEmpty)
+    // the planted suffix ' café πλ' adds exactly the UTF-8 byte count of
+    // its uncovered characters as byte tokens — replay with Java's codec
+    val expBytes = "éπλ".getBytes("UTF-8").length
+    assert(expBytes == 6)
+    bf.foreach { case (id, r) =>
+      val p = plain(id)
+      if (id % 7 == 0) {
+        assert(r.getAs[Boolean]("planted"))
+        assert(r.getAs[Long]("n_byte_tokens") == expBytes)
+        // 'café' contributes its covered prefix as 1-3 trained pieces
+        val cafPieces = r.getAs[Long]("n_pieces") -
+          r.getAs[Long]("n_pieces_plain") - expBytes
+        assert(cafPieces >= 1 && cafPieces <= 3,
+          s"doc $id: unexpected covered-piece count $cafPieces for 'caf'")
+        assert(r.getAs[String]("tok_hash") != p.getAs[String]("tok_hash"))
+      } else {
+        // no OOV content → the expanded stream IS the plain stream
+        assert(r.getAs[Long]("n_byte_tokens") == 0L)
+        assert(r.getAs[Long]("n_pieces") == r.getAs[Long]("n_pieces_plain"))
+        assert(r.getAs[Long]("n_pieces") == p.getAs[Long]("n_pieces"))
+        assert(r.getAs[String]("tok_hash") == p.getAs[String]("tok_hash"))
+      }
+    }
+  }
+
   test("hard_negatives_knn: near-dups are never negatives, every anchor " +
     "has exactly one positive, role cuts respect the shared bar") {
     import graft.operators.Similarity
