@@ -293,13 +293,130 @@ object CorpusFilters {
         ' <' || nt || ' & tail>' THEN 1 ELSE 0 END AS BIGINT) AS roundtrip
     FROM ex ORDER BY doc_id"""
 
+  // ----------------------------------------------------------- rule suite
+
+  /** Gopher-rule bounds (Rae et al. 2021 §A1.1, the thresholds FineWeb /
+    * Dolma ship nearly verbatim): word-count window, mean-word-length
+    * window, symbol-to-word ceiling, alphabetic-word floor, minimum
+    * stop-word hits. The word window's lower bound is 25 (not the
+    * paper's 50) so the harness corpus (10–99 words/doc) exercises the
+    * rule both ways; the production value is a config knob.
+    */
+  private val RuleMinWords = 25
+  private val RuleMaxWords = 100000
+  private val RuleMeanLo = 3.0
+  private val RuleMeanHi = 10.0
+  private val RuleSymMax = 0.05
+  private val RuleAlphaMin = 0.9
+  private val RuleStopMin = 2
+
+  /** Gate: the Gopher-style RULE-SUITE keep decision — the per-document
+    * filter verdict production quality gates ship (distinct from
+    * [[graft.operators.TextOps.textQuality]]'s continuous score: a rule
+    * suite is auditable per rule, and a doc is dropped for a REASON).
+    * Every rule is evaluated on a deterministically AUGMENTED text —
+    * docs with id ≡ 0 (mod 7) carry six planted `#` symbol words and
+    * docs with id ≡ 0 (mod 13) twelve planted numeric words — because
+    * the synthetic corpus is pure lowercase alpha and the symbol/alpha
+    * rules would otherwise never fire. Emits the five per-rule flags,
+    * the failure count, and the keep verdict; the three continuous
+    * signals ride along rounded to 6dp so threshold drift is visible,
+    * not just the flags.
+    *
+    * Scale: one narrow codegen'd map over the scan (split + three array
+    * filters), no shuffle, no state — the same expressions run on real
+    * crawl text at 100 TB. Double comparisons are safe cross-engine:
+    * every signal is one IEEE division of exact integers, so both
+    * engines compare identical doubles.
+    */
+  def qualityRules(s: SparkSession, dir: String): DataFrame = {
+    val aug = concat(norm,
+      when(col("doc_id") % 7 === 0, lit(" # # # # # #")).otherwise(lit("")),
+      when(col("doc_id") % 13 === 0,
+        lit(" 0 1 2 3 4 5 6 7 8 9 10 11")).otherwise(lit("")))
+    val ws = split(col("aug"), " ")
+    val n = size(ws)
+    val meanW = length(regexp_replace(col("aug"), " ", ""))
+      .cast("double") / n
+    val symRatio = size(filter(ws, w => w === "#")).cast("double") / n
+    val alphaFrac = size(filter(ws, w => w.rlike("[a-z]")))
+      .cast("double") / n
+    val stopHits = size(filter(ws, w => w.isin(Stoplists.en: _*)))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), aug.as("aug"))
+      .select(col("doc_id"),
+        n.cast("long").as("n_words"),
+        round(meanW, 6).as("mean_word_len"),
+        round(symRatio, 6).as("symbol_ratio"),
+        round(alphaFrac, 6).as("alpha_frac"),
+        stopHits.cast("long").as("stop_hits"),
+        n.between(RuleMinWords, RuleMaxWords).as("r_words"),
+        (meanW >= RuleMeanLo && meanW <= RuleMeanHi).as("r_mean_len"),
+        (symRatio <= RuleSymMax).as("r_symbols"),
+        (alphaFrac >= RuleAlphaMin).as("r_alpha"),
+        (stopHits >= RuleStopMin).as("r_stopwords"))
+      .withColumn("n_failed",
+        (lit(5) - Seq("r_words", "r_mean_len", "r_symbols", "r_alpha",
+          "r_stopwords").map(c => when(col(c), 1).otherwise(0))
+          .reduce(_ + _)).cast("long"))
+      .withColumn("keep", col("n_failed") === 0)
+      .orderBy("doc_id")
+  }
+
+  val qualityRulesSql: String = {
+    val stop = Stoplists.en.map("'" + _ + "'").mkString(",")
+    s"""
+    WITH qra AS (
+      SELECT doc_id,
+        $normSql
+        || CASE WHEN doc_id % 7 = 0 THEN ' # # # # # #' ELSE '' END
+        || CASE WHEN doc_id % 13 = 0
+                THEN ' 0 1 2 3 4 5 6 7 8 9 10 11' ELSE '' END AS aug
+      FROM documents),
+    qrs AS (
+      SELECT doc_id,
+        len(ws) AS n,
+        CAST(length(replace(aug, ' ', '')) AS DOUBLE) / len(ws) AS mean_w,
+        CAST(len(list_filter(ws, w -> w = '#')) AS DOUBLE) / len(ws)
+          AS sym_ratio,
+        CAST(len(list_filter(ws, w -> regexp_matches(w, '[a-z]')))
+          AS DOUBLE) / len(ws) AS alpha_frac,
+        len(list_filter(ws, w -> w IN ($stop))) AS stop_hits
+      FROM (SELECT doc_id, aug, string_split(aug, ' ') AS ws FROM qra)),
+    qrf AS (
+      SELECT doc_id, n, mean_w, sym_ratio, alpha_frac, stop_hits,
+        n BETWEEN $RuleMinWords AND $RuleMaxWords AS r_words,
+        mean_w >= $RuleMeanLo AND mean_w <= $RuleMeanHi AS r_mean_len,
+        sym_ratio <= $RuleSymMax AS r_symbols,
+        alpha_frac >= $RuleAlphaMin AS r_alpha,
+        stop_hits >= $RuleStopMin AS r_stopwords
+      FROM qrs)
+    SELECT doc_id, CAST(n AS BIGINT) AS n_words,
+      round(mean_w, 6) AS mean_word_len,
+      round(sym_ratio, 6) AS symbol_ratio,
+      round(alpha_frac, 6) AS alpha_frac,
+      CAST(stop_hits AS BIGINT) AS stop_hits,
+      r_words, r_mean_len, r_symbols, r_alpha, r_stopwords,
+      CAST(5 - (CASE WHEN r_words THEN 1 ELSE 0 END
+              + CASE WHEN r_mean_len THEN 1 ELSE 0 END
+              + CASE WHEN r_symbols THEN 1 ELSE 0 END
+              + CASE WHEN r_alpha THEN 1 ELSE 0 END
+              + CASE WHEN r_stopwords THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_failed,
+      (r_words AND r_mean_len AND r_symbols AND r_alpha AND r_stopwords)
+        AS keep
+    FROM qrf ORDER BY doc_id"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "quality_rules" -> (qualityRules _),
     "html_extract" -> (htmlExtract _),
     "text_repetition" -> (textRepetition(_, _)),
     "corpus_boilerplate" -> (corpusBoilerplate(_, _)),
     "decontaminate" -> (decontaminate(_, _)))
 
   val oracles: Map[String, String] = Map(
+    "quality_rules" -> qualityRulesSql,
     "html_extract" -> htmlExtractSql,
     "text_repetition" -> textRepetitionSql,
     "corpus_boilerplate" -> corpusBoilerplateSql,

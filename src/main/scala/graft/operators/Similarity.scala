@@ -1689,7 +1689,98 @@ object Similarity {
     FROM hkneg n JOIN hka USING (probe_id) WHERE n.pick <= $HardNegK
     ORDER BY anchor_id, role, pick"""
 
+  // --------------------------------------------------- Matryoshka audit
+
+  /** Prefix dims the MRL audit measures (full [[Dim]] rides along as the
+    * identity self-check row — its recall is 1.0 by construction).
+    */
+  private val MrlDims = Seq(8, 16, 32)
+
+  /** Truncated-dim top-k ids for one prefix width (the oracle twin of
+    * the sliced Spark plan).
+    */
+  private def mrlApSql(d: Int, k: Int): String = s"""
+    WITH e AS (SELECT vec_id, ($QvecSql)[1:$d] AS q FROM embeddings),
+    qn AS (SELECT vec_id, q,
+             CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS n2
+           FROM e),
+    pairs AS (
+      SELECT x.vec_id AS probe_id, y.vec_id AS vec_id,
+             x.n2 AS na, y.n2 AS nb,
+        CAST(list_sum(list_transform(generate_series(1, len(x.q)),
+          i -> x.q[i] * y.q[i])) AS BIGINT) AS dot
+      FROM qn x JOIN qn y ON x.vec_id % 50 = 0 AND x.vec_id <> y.vec_id),
+    scored AS (
+      SELECT probe_id, vec_id,
+        row_number() OVER (PARTITION BY probe_id
+          ORDER BY $PairCosSql DESC, vec_id) AS rank
+      FROM pairs)
+    SELECT probe_id, vec_id FROM scored WHERE rank <= $k"""
+
+  /** Gate: the Matryoshka (MRL, Kusupati et al. NeurIPS'22) truncation
+    * audit — recall\@k of cosine top-k computed over each PREFIX of the
+    * embedding against the full-width exact top-k. This is the serving
+    * decision artifact for MRL-trained embedders: the stored vector's
+    * prefix IS a valid lower-dim embedding, so the table tells the
+    * owner which truncation (8/16/32 of 64 dims here) keeps enough
+    * recall to serve — the memory/recall knob that PQ answers by
+    * codebooks ([[pqRecall]]) and int8 by value width
+    * ([[embedQuantize]]); prefix truncation is the third production
+    * axis, and the cheapest (a `slice` of the stored array, no
+    * training, no codebook).
+    *
+    * Scale: the exact full-dim baseline is the expensive side —
+    * memoized once and shared by all prefix widths (and in production
+    * run over a probe SAMPLE, as all recall audits here are); each
+    * truncated pass re-slices the memoized quantized frame (narrow
+    * map), scores via the same broadcast-probe nested loop, and cuts
+    * per-probe map-side. Union of per-dim audits is O(dims × probes)
+    * rows.
+    */
+  def embedMrl(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val exact = graft.Memo.cached(s, "ann_exact_ids", dir) {
+      annTopk(s, dir, k).select(col("probe_id"), col("vec_id"))
+    }
+    val qn = qdf(s, dir)
+    val audits = (MrlDims :+ Dim).map { d =>
+      val t = qn.select(col("vec_id"), expr(s"slice(q, 1, $d)").as("q"))
+        .withColumn("n2", expr("q_dot(q, q)"))
+      val probes = probesOf(t).select(col("vec_id").as("probe_id"),
+        col("q").as("pq"), col("n2").as("pn2"))
+      val approx = topkTail(
+        t.join(broadcast(probes), col("probe_id") =!= col("vec_id")), k)
+      exact
+        .join(approx.select(col("probe_id").as("p2"), col("vec_id").as("v2")),
+          col("probe_id") === col("p2") && col("vec_id") === col("v2"), "left")
+        .groupBy(col("probe_id"))
+        .agg(count(col("v2")).as("hits"), count(lit(1)).as("k"))
+        .select(lit(d.toLong).as("dim"), col("probe_id"), col("hits"),
+          col("k"),
+          round(col("hits").cast("double") / col("k").cast("double"), 6)
+            .as("recall"))
+    }
+    audits.reduce(_.unionByName(_)).orderBy("dim", "probe_id")
+  }
+
+  def embedMrlSql(k: Int = 5): String = {
+    val dims = MrlDims :+ Dim
+    val aps = dims.map(d => s"a$d AS (${mrlApSql(d, k)})").mkString(",\n")
+    val audits = dims.map(d => s"""
+      SELECT CAST($d AS BIGINT) AS dim, ex.probe_id,
+        count(a$d.vec_id) AS hits, count(*) AS k,
+        round(CAST(count(a$d.vec_id) AS DOUBLE)
+          / CAST(count(*) AS DOUBLE), 6) AS recall
+      FROM ex LEFT JOIN a$d
+        ON ex.probe_id = a$d.probe_id AND ex.vec_id = a$d.vec_id
+      GROUP BY ex.probe_id""").mkString(" UNION ALL ")
+    s"""
+    WITH ex AS (${annTopkSql(k)}),
+    $aps
+    $audits ORDER BY dim, probe_id"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "embed_mrl" -> (embedMrl(_, _)),
     "hard_negatives" -> (hardNegatives _),
     "hard_negatives_knn" -> (hardNegativesKnn _),
     "dedup_embedding" -> (dedupEmbedding _),
@@ -1716,6 +1807,7 @@ object Similarity {
     "ivf_split_multi" -> ((s, d) => ivfSplitMulti(s, d)))
 
   val oracles: Map[String, String] = Map(
+    "embed_mrl" -> embedMrlSql(),
     "hard_negatives" -> hardNegativesSql,
     "hard_negatives_knn" -> hardNegativesKnnSql,
     "dedup_embedding" -> dedupEmbeddingSql,

@@ -1119,7 +1119,93 @@ object TrainPrep {
       doc_id, q6
     FROM ph ORDER BY phase, shard, position"""
 
+  // ------------------------------------------------------------ shard plan
+
+  /** Output-shard count the write plan targets. A config knob: shards are
+    * the dataloader's read parallelism, so production raises it with
+    * cluster width (the manifest stays O(shards) either way).
+    */
+  private val OutShards = 16
+
+  /** Gate: the token-balanced output-shard PLAN — the write-side manifest
+    * a distributed dataloader consumes (the WebDataset/packed-parquet
+    * convention: N shard files of ~equal token mass, each an i.i.d.
+    * sample of the corpus, plus a manifest of per-shard extents and
+    * integrity checks). Documents are laid out in the deterministic
+    * md5 shuffle order (salt `:sp` — re-runs and engines agree), the
+    * target shard size is ⌈total_tokens / [[OutShards]]⌉, and a document
+    * belongs to the shard its STARTING token offset falls in — whole
+    * documents never split across shards, so shards are contiguous
+    * token ranges: `start_offset` of shard k+1 equals `end_offset` of
+    * shard k.
+    *
+    * Per shard the manifest carries doc/token counts, the token-offset
+    * extent, the first/last member in layout order, and `member_check`
+    * — an ORDER-FREE additive digest (sum of a per-doc md5-derived
+    * 32-bit value). Order-free is deliberate: an ordered digest needs a
+    * per-shard collect_list of every member id (state linear in shard
+    * membership — millions of docs per shard at 100 TB), while the
+    * additive check folds in O(1) mergeable state per shard and still
+    * pins the exact member SET (the extent columns pin the layout).
+    *
+    * Scale (100 TB): one corpus scan for (doc_id, tokens); the total is
+    * a scalar broadcast; the running token offset is
+    * [[DistRank.runningSum]] — two-phase boundary-broadcast, NOT a
+    * global single-reducer window (the oracle's `OVER (ORDER BY ...)`
+    * formulation is gate-scale only); the output is O([[OutShards]]).
+    */
+  def shardPlan(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), size(split(norm, " ")).cast("long").as("n_w"))
+      .withColumn("h", expr("cast(conv(substring(md5(concat(" +
+        "cast(doc_id as string), ':sp')), 1, 8), 16, 10) as bigint)"))
+    val ssize = docs.agg(
+      expr(s"(sum(n_w) + ${OutShards - 1}) div $OutShards").as("ssize"))
+    val cum = DistRank.runningSum(
+      docs.withColumn("__all", lit(0L)),
+      "__all", Seq(col("h"), col("doc_id")), "doc_id", col("n_w"), "cs")
+    cum.crossJoin(broadcast(ssize))
+      .withColumn("shard_id", expr("(cs - n_w) div ssize"))
+      .groupBy("shard_id")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_w")).as("n_tokens"),
+        min(col("cs") - col("n_w")).as("start_offset"),
+        max(col("cs")).as("end_offset"),
+        min_by(col("doc_id"), col("cs")).as("first_doc"),
+        max_by(col("doc_id"), col("cs")).as("last_doc"),
+        sum(expr("cast(conv(substring(md5(concat(cast(doc_id as string), " +
+          "':ck')), 1, 8), 16, 10) as bigint)")).as("member_check"))
+      .orderBy("shard_id")
+  }
+
+  val shardPlanSql: String = s"""
+    WITH spd AS (
+      SELECT doc_id, CAST(len(string_split($normSql, ' ')) AS BIGINT) AS n_w,
+        ('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':sp'), 1, 8))::BIGINT
+          AS h
+      FROM documents),
+    spt AS (
+      SELECT CAST((sum(n_w) + ${OutShards - 1}) // $OutShards AS BIGINT)
+        AS ssize
+      FROM spd),
+    spc AS (
+      SELECT doc_id, n_w,
+        CAST(sum(n_w) OVER (ORDER BY h, doc_id ROWS UNBOUNDED PRECEDING)
+          AS BIGINT) AS cs
+      FROM spd)
+    SELECT CAST((cs - n_w) // ssize AS BIGINT) AS shard_id,
+      count(*) AS n_docs,
+      CAST(sum(n_w) AS BIGINT) AS n_tokens,
+      CAST(min(cs - n_w) AS BIGINT) AS start_offset,
+      CAST(max(cs) AS BIGINT) AS end_offset,
+      arg_min(doc_id, cs) AS first_doc,
+      arg_max(doc_id, cs) AS last_doc,
+      CAST(sum(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':ck'),
+        1, 8))::BIGINT) AS BIGINT) AS member_check
+    FROM spc, spt GROUP BY 1 ORDER BY shard_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "shard_plan" -> (shardPlan _),
     "doc_truncate" -> (docTruncate _),
     "corpus_anneal" -> (corpusAnneal _),
     "corpus_epochs" -> (corpusEpochs _),
@@ -1140,6 +1226,7 @@ object TrainPrep {
     "text_bigram_lm" -> (textBigramLm _))
 
   val oracles: Map[String, String] = Map(
+    "shard_plan" -> shardPlanSql,
     "doc_truncate" -> docTruncateSql,
     "corpus_anneal" -> corpusAnnealSql,
     "corpus_epochs" -> corpusEpochsSql,

@@ -154,6 +154,148 @@ class Round12OpsSpec extends SparkSpec {
     }
   }
 
+  /** First 8 hex chars of md5(s) as an unsigned long (the layout hash). */
+  private def md5head(sIn: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(sIn.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.take(8), 16)
+  }
+
+  test("shard_plan: contiguous token extents, conservation, balance, " +
+    "and the additive member digest replayed locally") {
+    import org.apache.spark.sql.functions._
+    val plan = TrainPrep.shardPlan(spark, sf).collect()
+      .sortBy(_.getAs[Long]("shard_id"))
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        size(split(operators.TextNorm.norm, " ")).cast("long").as("n_w"))
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_w")))
+    val total = docs.map(_._2).sum
+    val maxDoc = docs.map(_._2).max
+    val ssize = (total + 15) / 16
+    assert(maxDoc < ssize,
+      "corpus precondition: no document spans a whole shard")
+    // all 16 shards present (every shard range contains some doc start
+    // when maxDoc < ssize), ids dense from 0
+    assert(plan.map(_.getAs[Long]("shard_id")).toSeq == (0L until 16L))
+    // extents tile the token axis exactly: [0, total) with no gaps
+    assert(plan.head.getAs[Long]("start_offset") == 0L)
+    assert(plan.last.getAs[Long]("end_offset") == total)
+    plan.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getAs[Long]("end_offset") == b.getAs[Long]("start_offset"),
+        s"gap between shard ${a.getAs[Long]("shard_id")} and next")
+    }
+    plan.foreach { r =>
+      assert(r.getAs[Long]("end_offset") - r.getAs[Long]("start_offset") ==
+        r.getAs[Long]("n_tokens"), "extent width == token mass")
+    }
+    // conservation + balance (every shard within one document of target)
+    assert(plan.map(_.getAs[Long]("n_tokens")).sum == total)
+    assert(plan.map(_.getAs[Long]("n_docs")).sum == docs.length)
+    plan.init.foreach { r =>
+      assert(math.abs(r.getAs[Long]("n_tokens") - ssize) < 2 * maxDoc,
+        s"shard ${r.getAs[Long]("shard_id")} off balance")
+    }
+    // replay the layout locally: md5 shuffle order, running offsets,
+    // starting-offset shard membership, additive member digest
+    val ordered = docs.sortBy { case (id, _) => (md5head(s"$id:sp"), id) }
+    var cum = 0L
+    val members = ordered.map { case (id, w) =>
+      val start = cum; cum += w; (id, start / ssize)
+    }.groupBy(_._2)
+    plan.foreach { r =>
+      val sid = r.getAs[Long]("shard_id")
+      val ms = members(sid).map(_._1)
+      assert(r.getAs[Long]("n_docs") == ms.length)
+      assert(r.getAs[Long]("first_doc") == ms.head)
+      assert(r.getAs[Long]("last_doc") == ms.last)
+      assert(r.getAs[Long]("member_check") ==
+        ms.map(id => md5head(s"$id:ck")).sum, s"shard $sid digest")
+    }
+  }
+
+  test("quality_rules: per-rule flags replay locally and every rule " +
+    "fires both ways across the corpus") {
+    import graft.operators.{CorpusFilters, Stoplists}
+    val rows = CorpusFilters.qualityRules(spark, "/root/testdata/sf0.01")
+      .collect()
+    assert(rows.length == 500)
+    val texts = Tables.documents(spark, "/root/testdata/sf0.01")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[String]("text")).toMap
+    val flags = Seq("r_words", "r_mean_len", "r_symbols", "r_alpha",
+      "r_stopwords")
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val aug = texts(id).trim.toLowerCase.replaceAll("\\s+", " ") +
+        (if (id % 7 == 0) " # # # # # #" else "") +
+        (if (id % 13 == 0) " 0 1 2 3 4 5 6 7 8 9 10 11" else "")
+      val ws = aug.split(" ")
+      val n = ws.length
+      val meanW = ws.map(_.length).sum.toDouble / n
+      val sym = ws.count(_ == "#").toDouble / n
+      val alpha = ws.count(_.exists(c => c >= 'a' && c <= 'z')).toDouble / n
+      val stop = ws.count(Stoplists.en.contains)
+      assert(r.getAs[Long]("n_words") == n)
+      assert(r.getAs[Boolean]("r_words") == (n >= 25 && n <= 100000))
+      assert(r.getAs[Boolean]("r_mean_len") == (meanW >= 3.0 && meanW <= 10.0))
+      assert(r.getAs[Boolean]("r_symbols") == (sym <= 0.05))
+      assert(r.getAs[Boolean]("r_alpha") == (alpha >= 0.9))
+      assert(r.getAs[Boolean]("r_stopwords") == (stop >= 2))
+      assert(r.getAs[Long]("n_failed") ==
+        flags.count(f => !r.getAs[Boolean](f)))
+      assert(r.getAs[Boolean]("keep") == (r.getAs[Long]("n_failed") == 0L))
+    }
+    flags.foreach { f =>
+      assert(rows.exists(_.getAs[Boolean](f)), s"$f never passes")
+      assert(rows.exists(!_.getAs[Boolean](f)), s"$f never fails")
+    }
+    assert(rows.exists(_.getAs[Boolean]("keep")))
+    assert(rows.exists(!_.getAs[Boolean]("keep")))
+  }
+
+  test("embed_mrl: full-width row is the identity audit and the dim-8 " +
+    "audit replays exactly against a local truncated brute force") {
+    import graft.operators.Similarity
+    val dir = "/root/testdata/sf0.01"
+    val rows = Similarity.embedMrl(spark, dir).collect()
+    val byDim = rows.groupBy(_.getAs[Long]("dim"))
+    assert(byDim.keySet == Set(8L, 16L, 32L, 64L))
+    // identity self-check: truncating to the full width changes nothing
+    byDim(64L).foreach(r => assert(r.getAs[Double]("recall") == 1.0))
+    rows.foreach { r =>
+      assert(r.getAs[Long]("k") == 5L)
+      val hits = r.getAs[Long]("hits")
+      assert(hits >= 0 && hits <= 5)
+      assert(r.getAs[Double]("recall") ==
+        math.round(hits.toDouble / 5.0 * 1e6) / 1e6)
+    }
+    // local truncated brute force for dim 8
+    val vecs = Tables.embeddings(spark, dir).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getSeq[Float](1).map(x =>
+          math.floor(x.toDouble * 1e7 + 0.5).toLong).toArray).toMap
+    def topk(d: Int, probe: Long): Set[Long] = {
+      val pq = vecs(probe).take(d)
+      val pn = math.sqrt(pq.map(x => x * x).sum.toDouble)
+      vecs.toSeq.filter(_._1 != probe).map { case (id, q0) =>
+        val q = q0.take(d)
+        val dot = pq.zip(q).map { case (a, b) => a * b }.sum
+        val cos = dot.toDouble / (pn * math.sqrt(q.map(x => x * x).sum.toDouble))
+        (id, cos)
+      }.sortBy { case (id, c) => (-c, id) }.take(5).map(_._1).toSet
+    }
+    byDim(8L).foreach { r =>
+      val p = r.getAs[Long]("probe_id")
+      val expect = (topk(8, p) intersect topk(64, p)).size
+      assert(r.getAs[Long]("hits") == expect,
+        s"probe $p dim-8 hits ${r.getAs[Long]("hits")} != local $expect")
+    }
+    // the audit is informative: truncation to 8 of 64 dims loses recall
+    // somewhere (otherwise the gate measures nothing)
+    assert(byDim(8L).exists(_.getAs[Double]("recall") < 1.0))
+  }
+
   test("hard_negatives_knn: near-dups are never negatives, every anchor " +
     "has exactly one positive, role cuts respect the shared bar") {
     import graft.operators.Similarity
