@@ -211,6 +211,74 @@ object CorpusFilters {
     GROUP BY t.doc_id
     ORDER BY t.doc_id"""
 
+  // --------------------------------------------- span-level decontamination
+
+  /** Gram width of the span decontamination (3 so the synthetic corpus
+    * has natural train/eval overlap — production uses 8–13-token grams,
+    * one constant).
+    */
+  private val SpanK = 3
+
+  /** Span-level eval decontamination — the PaLM/GPT-3 contamination
+    * handling that REMOVES the overlapping span instead of dropping the
+    * document ([[decontaminate]] flags whole docs; dropping a 2000-token
+    * doc for one shared sentence wastes the other 1990 tokens): every
+    * training-doc position whose [[SpanK]]-gram appears ANYWHERE in the
+    * eval set is stripped, overlapping matches union into spans, and the
+    * cleaned text is reassembled. One row per affected training doc with
+    * kept/removed counts and the cleaned-text md5 (the
+    * `dedup_substring_strip` output contract — same reassembly tail,
+    * shared code).
+    *
+    * Scale: gram emission is linear in the corpus; the eval gram set is
+    * tiny by construction (benchmarks are human-sized) so it broadcasts
+    * as a filtered plan and the probe is a broadcast semi-join over the
+    * gram stream — the 100 TB side never shuffles for candidate
+    * generation; the reassembly prunes to affected docs first
+    * ([[SubstringDedup.stripTail]]'s discipline).
+    */
+  def decontaminateSpans(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val grams = SubstringDedup.gramsOf(docs, SpanK)
+    val evalG = grams.filter(col("doc_id") % EvalMod === 0)
+      .select(col("g")).distinct()
+    val rem = grams.filter(col("doc_id") % EvalMod =!= 0)
+      .join(broadcast(evalG), "g")
+      .select(col("doc_id"),
+        explode(sequence(col("p"), col("p") + (SpanK - 1))).as("t"))
+      .distinct()
+    SubstringDedup.stripTail(docs.filter(col("doc_id") % EvalMod =!= 0), rem)
+  }
+
+  val decontaminateSpansSql: String = s"""
+    WITH dsw AS (SELECT doc_id, string_split($normSql, ' ') AS ws
+                 FROM documents),
+    dsg AS (
+      SELECT doc_id, p, md5(array_to_string(ws[p:p+${SpanK - 1}], ' ')) AS g
+      FROM (SELECT doc_id, ws,
+              unnest(generate_series(1, len(ws) - ${SpanK - 1})) AS p
+            FROM dsw)),
+    evg AS (SELECT DISTINCT g FROM dsg WHERE doc_id % $EvalMod = 0),
+    remdup AS (SELECT doc_id, p FROM dsg JOIN evg USING (g)
+               WHERE doc_id % $EvalMod <> 0),
+    rem0 AS (SELECT doc_id, unnest(generate_series(p, p + ${SpanK - 1})) AS t
+             FROM remdup),
+    rem AS (SELECT DISTINCT doc_id, t FROM rem0),
+    dstoks AS (SELECT doc_id, t, ws[t] AS tok
+               FROM (SELECT doc_id, ws,
+                       unnest(generate_series(1, len(ws))) AS t
+                     FROM dsw WHERE doc_id % $EvalMod <> 0)),
+    dskept AS (SELECT doc_id, t, tok FROM dstoks k WHERE NOT EXISTS
+                (SELECT 1 FROM rem r WHERE r.doc_id = k.doc_id
+                 AND r.t = k.t)),
+    dsremc AS (SELECT doc_id, count(*) AS n_removed FROM rem GROUP BY doc_id),
+    dskeptagg AS (SELECT doc_id, count(*) AS n_kept,
+                    md5(string_agg(tok, ' ' ORDER BY t)) AS clean_hash
+                  FROM dskept GROUP BY doc_id)
+    SELECT r.doc_id, coalesce(k.n_kept, 0) AS n_kept, r.n_removed,
+      coalesce(k.clean_hash, md5('')) AS clean_hash
+    FROM dsremc r LEFT JOIN dskeptagg k USING (doc_id) ORDER BY doc_id"""
+
   // --------------------------------------------------------- HTML extract
 
   /** HTML → text extraction — the crawl-processing stage (WET-record
@@ -413,9 +481,11 @@ object CorpusFilters {
     "html_extract" -> (htmlExtract _),
     "text_repetition" -> (textRepetition(_, _)),
     "corpus_boilerplate" -> (corpusBoilerplate(_, _)),
-    "decontaminate" -> (decontaminate(_, _)))
+    "decontaminate" -> (decontaminate(_, _)),
+    "decontaminate_spans" -> (decontaminateSpans _))
 
   val oracles: Map[String, String] = Map(
+    "decontaminate_spans" -> decontaminateSpansSql,
     "quality_rules" -> qualityRulesSql,
     "html_extract" -> htmlExtractSql,
     "text_repetition" -> textRepetitionSql,

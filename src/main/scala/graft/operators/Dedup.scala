@@ -734,7 +734,107 @@ object Dedup {
     JOIN spl b ON b.doc_id = id_b
     ORDER BY id_a, id_b"""
 
+  // ------------------------------------------------------- LSH band tuning
+
+  /** Every (bands, rows) factorization of the [[NumHashes]]-value
+    * signature — the full tuning menu a 16-hash MinHash index offers.
+    */
+  private val LshConfigs =
+    Seq((1, 16), (2, 8), (4, 4), (8, 2), (16, 1))
+
+  /** Integer-exponent power as an explicit left-associated multiplication
+    * chain — the SAME `expr` string evaluates on both engines, so the
+    * doubles match bit-for-bit (`pow()` implementations are not
+    * correctly-rounded and may differ across libms; a literal chain is).
+    */
+  private def mulChain(e: String, n: Int): String =
+    if (n == 1) e else s"(${List.fill(n)(e).mkString(" * ")})"
+
+  /** Gate: the (bands × rows) TUNING TABLE for the banded MinHash index —
+    * per factorization of the 16-hash signature, the measured candidate
+    * volume (the cost axis: every candidate pair is an exact-verify
+    * probe) next to the analytic S-curve P(candidate | Jaccard = s) =
+    * 1 − (1 − s^r)^b on a 9-point similarity grid (the recall axis).
+    * This is the table an index owner reads to pick b and r for a target
+    * near-dup threshold before re-hashing a 100 TB corpus — the
+    * `dedup_minhash_lsh` gate ships (4, 4); the table shows what (2, 8)
+    * or (8, 2) would trade.
+    *
+    * Scale: one pass builds the memoized signature frame (shared with
+    * every other MinHash gate); each configuration's candidate count is
+    * a band-keyed equi-self-join — the identical shuffle shape the index
+    * itself uses, never an all-pairs comparison — and the analytic curve
+    * is constant-folded arithmetic on a 45-row frame.
+    */
+  def lshTuning(s: SparkSession, dir: String): DataFrame = {
+    val mh = minhashesOf(s, dir)
+    LshConfigs.map { case (b, r) =>
+      val bandExprs = (0 until b).map { bi =>
+        val ms = (1 to r).map(j => s"m${bi * r + j}")
+        s"${bi}L, md5(concat_ws('|', ${ms.mkString(", ")}))"
+      }
+      val bands = mh.selectExpr("doc_id",
+        s"stack($b, ${bandExprs.mkString(", ")}) as (band, sig)")
+      val nCand = bands.alias("a")
+        .join(bands.alias("b"),
+          col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+        .distinct()
+        .agg(count(lit(1)).as("n_cand"))
+      val sExpr = "(cast(k as double) / 10.0)"
+      val pExpr =
+        s"1.0 - ${mulChain(s"(1.0 - ${mulChain(sExpr, r)})", b)}"
+      nCand
+        .withColumn("k", explode(sequence(lit(1), lit(9))))
+        .select(lit(b.toLong).as("b"), lit(r.toLong).as("r"),
+          round(expr(sExpr), 6).as("s"),
+          round(expr(pExpr), 6).as("p_collide"),
+          col("n_cand"))
+    }.reduce(_.unionByName(_)).orderBy("b", "s")
+  }
+
+  val lshTuningSql: String = {
+    val configs = LshConfigs.map { case (b, r) =>
+      val bandsSql = (0 until b).map { bi =>
+        val ms = (1 to r).map(j => s"m${bi * r + j}")
+        // single-value bands need an explicit VARCHAR cast (no '||' to
+        // coerce the BIGINT); multi-value bands coerce via concatenation
+        val sig = if (r == 1) s"md5(CAST(${ms.head} AS VARCHAR))"
+          else s"md5(${ms.mkString(" || '|' || ")})"
+        s"SELECT doc_id, CAST($bi AS BIGINT) AS band, $sig AS sig FROM mh"
+      }.mkString("\n        UNION ALL\n        ")
+      val sExpr = "(CAST(k AS DOUBLE) / 10.0)"
+      val pExpr =
+        s"1.0 - ${mulChain(s"(1.0 - ${mulChain(sExpr, r)})", b)}"
+      s"""SELECT CAST($b AS BIGINT) AS b, CAST($r AS BIGINT) AS r,
+        round($sExpr, 6) AS s, round($pExpr, 6) AS p_collide, n_cand
+      FROM (SELECT count(*) AS n_cand FROM (
+              SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM ($bandsSql) a
+              JOIN ($bandsSql) b
+                ON a.band = b.band AND a.sig = b.sig
+                AND a.doc_id < b.doc_id)),
+           (SELECT unnest(generate_series(1, 9)) AS k)"""
+    }.mkString("\n    UNION ALL\n    ")
+    s"""
+    WITH $shinglesSql,
+    hh AS (
+      SELECT doc_id,
+        ('0x' || substring(md5(sh), 1, 8))::BIGINT AS h1,
+        ('0x' || substring(md5(sh), 9, 8))::BIGINT AS h2
+      FROM sh),
+    mh AS (
+      SELECT doc_id,
+        ${(1 to NumHashes).map(i =>
+          s"min((h1 + $i * h2) % 4294967296) AS m$i").mkString(", ")}
+      FROM hh GROUP BY doc_id)
+    $configs
+    ORDER BY b, s"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "lsh_tuning" -> (lshTuning _),
     "split_leakage" -> (splitLeakage _),
     "dedup_incremental" -> (dedupIncremental _),
     "dedup_incremental_winnow" -> (dedupIncrementalWinnow _),
@@ -746,6 +846,7 @@ object Dedup {
     "minhash_accuracy" -> (minhashAccuracy _))
 
   val oracles: Map[String, String] = Map(
+    "lsh_tuning" -> lshTuningSql,
     "split_leakage" -> splitLeakageSql,
     "dedup_incremental" -> dedupIncrementalSql,
     "dedup_incremental_winnow" -> dedupIncrementalWinnowSql,

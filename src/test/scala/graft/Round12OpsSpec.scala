@@ -296,6 +296,80 @@ class Round12OpsSpec extends SparkSpec {
     assert(byDim(8L).exists(_.getAs[Double]("recall") < 1.0))
   }
 
+  test("decontaminate_spans: eval-overlap removals replay locally and " +
+    "eval documents never appear in the output") {
+    import graft.operators.CorpusFilters
+    val dir = "/root/testdata/sf0.01"
+    val rows = CorpusFilters.decontaminateSpans(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(rows.nonEmpty, "no contaminated spans found")
+    assert(rows.keySet.forall(_ % 101 != 0), "eval doc in output")
+    val docs = Tables.documents(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[String]("text").trim.toLowerCase.replaceAll("\\s+", " ")
+          .split(" ").toVector).toMap
+    def gram(ws: Vector[String], p: Int) = ws.slice(p, p + 3).mkString(" ")
+    val evalGrams = docs.filter(_._1 % 101 == 0).values.flatMap(ws =>
+      (0 to ws.length - 3).map(p => gram(ws, p))).toSet
+    def md5hex(x: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    var affected = 0
+    docs.filter(_._1 % 101 != 0).foreach { case (id, ws) =>
+      val remT = (0 to ws.length - 3)
+        .filter(p => evalGrams.contains(gram(ws, p)))
+        .flatMap(p => p to p + 2).toSet
+      if (remT.isEmpty) assert(!rows.contains(id), s"doc $id falsely affected")
+      else {
+        affected += 1
+        val r = rows(id)
+        assert(r.getAs[Long]("n_removed") == remT.size, s"doc $id n_removed")
+        assert(r.getAs[Long]("n_kept") == ws.length - remT.size)
+        val clean = ws.zipWithIndex.collect {
+          case (tok, i) if !remT.contains(i) => tok
+        }.mkString(" ")
+        assert(r.getAs[String]("clean_hash") == md5hex(clean),
+          s"doc $id clean hash")
+      }
+    }
+    assert(affected == rows.size)
+  }
+
+  test("lsh_tuning: the S-curve replays the literal multiplication " +
+    "chain, is monotone in s, and candidate sets nest across configs") {
+    import graft.operators.Dedup
+    val rows = Dedup.lshTuning(spark, "/root/testdata/sf0.01").collect()
+    assert(rows.length == 45)
+    val configs = rows.map(r => (r.getAs[Long]("b"), r.getAs[Long]("r")))
+      .distinct.sortBy(_._1)
+    assert(configs.toSeq ==
+      Seq((1L, 16L), (2L, 8L), (4L, 4L), (8L, 2L), (16L, 1L)))
+    rows.foreach { row =>
+      val (b, r) = (row.getAs[Long]("b").toInt, row.getAs[Long]("r").toInt)
+      val s0 = row.getAs[Double]("s")
+      // the analytic curve, replayed with the same left-fold chain
+      val sr = (1 to r).map(_ => s0).product
+      val p = 1.0 - (1 to b).map(_ => 1.0 - sr).product
+      assert(row.getAs[Double]("p_collide") ==
+        math.round(p * 1e6) / 1e6.toDouble, s"($b,$r) s=$s0")
+    }
+    // monotone in s per config; candidate volume nests: splitting the
+    // signature into more, shorter bands only ADDS candidates
+    val byCfg = rows.groupBy(r => r.getAs[Long]("b"))
+    byCfg.values.foreach { rs =>
+      val sorted = rs.sortBy(_.getAs[Double]("s")).map(_.getAs[Double]("p_collide"))
+      assert(sorted.zip(sorted.tail).forall { case (a, c) => a <= c })
+    }
+    val candByB = byCfg.view.mapValues(_.head.getAs[Long]("n_cand")).toMap
+    assert(candByB(16L) >= candByB(8L))
+    assert(candByB(8L) >= candByB(4L))
+    assert(candByB(4L) >= candByB(2L))
+    assert(candByB(2L) >= candByB(1L))
+    // the table is informative at the gate corpus: the coarsest banding
+    // generates candidates
+    assert(candByB(16L) > 0)
+  }
+
   test("hard_negatives_knn: near-dups are never negatives, every anchor " +
     "has exactly one positive, role cuts respect the shared bar") {
     import graft.operators.Similarity
