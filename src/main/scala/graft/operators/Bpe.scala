@@ -223,11 +223,72 @@ object Bpe {
       md5(string_agg(seg, ' ' ORDER BY pos)) AS tok_hash
     FROM jn GROUP BY doc_id ORDER BY doc_id"""
 
+  // ------------------------------------------------------ vocab-size sweep
+
+  /** Merge-prefix cuts the sweep evaluates (0 = character baseline). */
+  private val SweepCuts = Seq(0, 5, 10, 15, Merges)
+
+  /** Gate: the vocab-size / fertility TRADEOFF TABLE — corpus fertility
+    * (pieces per word) at each merge-prefix cut of the trained BPE. The
+    * cut exploits BPE's defining property: merges are ordered, so the
+    * first M merges ARE the M-smaller vocabulary — one training run
+    * yields every smaller tokenizer for free, and the sweep is how a
+    * pipeline owner picks vocab size (the fertility knee) WITHOUT
+    * retraining per candidate. Per cut: the segmentation's distinct
+    * symbol count (the effective vocabulary), total word tokens, total
+    * pieces, and fertility.
+    *
+    * Scale: after the one corpus pass behind the shared word census,
+    * every cut is a narrow map over the VOCABULARY-sized frame (the
+    * merge fold applied in-plan, [[segmentExpr]]) plus two bounded
+    * aggregates — cost scales with vocab × cuts, never the corpus.
+    */
+  def bpeVocabSweep(s: SparkSession, dir: String): DataFrame = {
+    val merges = trainedMerges(s, dir).map(_._1)
+    val census = segsOf(s, dir).select(col("word"), col("cnt"))
+    SweepCuts.map { m =>
+      val cut = census.withColumn("seg",
+        segmentExpr(col("word"), merges.take(m)))
+      val stats = cut.agg(
+        sum(col("cnt")).as("n_word_tokens"),
+        sum(col("cnt") * size(split(col("seg"), " "))).cast("long")
+          .as("n_pieces"))
+      val syms = cut.select(explode(split(col("seg"), " ")).as("sym"))
+        .agg(countDistinct(col("sym")).as("n_symbols"))
+      stats.crossJoin(syms)
+        .select(lit(m.toLong).as("n_merges"), col("n_symbols"),
+          col("n_word_tokens"), col("n_pieces"),
+          round(col("n_pieces").cast("double")
+            / col("n_word_tokens").cast("double"), 6).as("fertility"))
+    }.reduce(_.unionByName(_)).orderBy("n_merges")
+  }
+
+  val bpeVocabSweepSql: String = {
+    val cuts = SweepCuts.map { m =>
+      s"""SELECT CAST($m AS BIGINT) AS n_merges,
+        (SELECT CAST(count(DISTINCT sym) AS BIGINT)
+         FROM (SELECT unnest(string_split(seg, ' ')) AS sym FROM s$m))
+          AS n_symbols,
+        CAST(sum(cnt) AS BIGINT) AS n_word_tokens,
+        CAST(sum(cnt * len(string_split(seg, ' '))) AS BIGINT) AS n_pieces,
+        round(CAST(CAST(sum(cnt * len(string_split(seg, ' '))) AS BIGINT)
+            AS DOUBLE)
+          / CAST(CAST(sum(cnt) AS BIGINT) AS DOUBLE), 6) AS fertility
+      FROM s$m"""
+    }.mkString("\n    UNION ALL\n    ")
+    s"""
+    WITH $trainCtes
+    $cuts
+    ORDER BY n_merges"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "bpe_train" -> (bpeTrain _),
-    "tokenize_bpe" -> (tokenizeBpe _))
+    "tokenize_bpe" -> (tokenizeBpe _),
+    "bpe_vocab_sweep" -> (bpeVocabSweep _))
 
   val oracles: Map[String, String] = Map(
     "bpe_train" -> bpeTrainSql,
-    "tokenize_bpe" -> tokenizeBpeSql)
+    "tokenize_bpe" -> tokenizeBpeSql,
+    "bpe_vocab_sweep" -> bpeVocabSweepSql)
 }

@@ -1779,8 +1779,126 @@ object Similarity {
     $audits ORDER BY dim, probe_id"""
   }
 
+  // ---------------------------------------------------- IVF nprobe sweep
+
+  /** Probe-cell counts the sweep measures (the index ships
+    * [[NProbe]] = 2; the table shows what 1 and 4 would trade).
+    */
+  private val SweepNprobes = Seq(1, 2, 4)
+
+  /** Gate: the IVF `nprobe` TUNING TABLE — per probed-cell count, each
+    * probe's candidate volume (`n_scanned`, the cost axis: every
+    * candidate is one exact distance) next to its recall\@k against the
+    * exact top-k (the quality axis). The recall/latency knob every
+    * served IVF index exposes, measured instead of guessed — the
+    * third entry in the tuning-table family ([[Dedup.lshTuning]] for
+    * the dedup index, [[embedMrl]] for stored-width truncation).
+    *
+    * Scale: cell assignment builds ONCE (broadcast-centroid argmin,
+    * memoized — the same frame any consumer of the built index reads)
+    * and each nprobe branch only re-cuts the PROBE side's cell ranking
+    * (probe-sample-sized) before the inverted-list join; the exact
+    * baseline is the shared memoized frame. Candidate sets nest across
+    * nprobe values, so recall and n_scanned are monotone — the spec
+    * pins it.
+    */
+  def ivfNprobeSweep(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val qn = qdf(s, dir)
+    val cents = qn.filter(col("vec_id") % CentroidMod === 0)
+      .select(col("vec_id").as("cid"), col("q").as("cq"),
+        col("n2").as("cn2"))
+    val asg = qn.join(broadcast(cents))
+      .withColumn("d2",
+        col("n2") - lit(2L) * expr("q_dot(q, cq)") + col("cn2"))
+    val cells = graft.Memo.cached(s, "ivf_cells", dir) {
+      asg.groupBy(col("vec_id"))
+        .agg(min_by(col("cid"), struct(col("d2"), col("cid"))).as("cell"),
+          first(col("q")).as("q"), first(col("n2")).as("n2"))
+    }
+    val exact = graft.Memo.cached(s, "ann_exact_ids", dir) {
+      annTopk(s, dir, k).select(col("probe_id"), col("vec_id"))
+    }
+    val pw = Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("cid"))
+    val ranked = probesOf(asg).withColumn("rn", row_number().over(pw))
+    SweepNprobes.map { np =>
+      val probeCells = ranked.filter(col("rn") <= np)
+        .select(col("vec_id").as("probe_id"), col("cid").as("pcell"),
+          col("q").as("pq"), col("n2").as("pn2"))
+      val paired = cells.join(broadcast(probeCells),
+        col("pcell") === col("cell") && col("probe_id") =!= col("vec_id"))
+      val nsc = paired.groupBy(col("probe_id"))
+        .agg(count(lit(1)).as("n_scanned"))
+      val approx = topkTail(paired, k)
+      exact
+        .join(approx.select(col("probe_id").as("p2"), col("vec_id").as("v2")),
+          col("probe_id") === col("p2") && col("vec_id") === col("v2"),
+          "left")
+        .groupBy(col("probe_id"))
+        .agg(count(col("v2")).as("hits"), count(lit(1)).as("k"))
+        .join(nsc, Seq("probe_id"), "left")
+        .select(lit(np.toLong).as("nprobe"), col("probe_id"),
+          coalesce(col("n_scanned"), lit(0L)).as("n_scanned"),
+          col("hits"), col("k"),
+          round(col("hits").cast("double") / col("k").cast("double"), 6)
+            .as("recall"))
+    }.reduce(_.unionByName(_)).orderBy("nprobe", "probe_id")
+  }
+
+  def ivfNprobeSweepSql(k: Int = 5): String = {
+    val branches = SweepNprobes.map { np => s"""
+    pc$np AS (SELECT vec_id, cid AS cell FROM iasg
+              WHERE vec_id % 50 = 0 AND rn <= $np),
+    pr$np AS (
+      SELECT x.vec_id AS probe_id, y.vec_id AS vec_id,
+             x.n2 AS na, y.n2 AS nb,
+        CAST(list_sum(list_transform(generate_series(1, len(x.q)),
+          i -> x.q[i] * y.q[i])) AS BIGINT) AS dot
+      FROM qn x
+      JOIN pc$np pc ON pc.vec_id = x.vec_id
+      JOIN icells cy ON cy.cell = pc.cell
+      JOIN qn y ON y.vec_id = cy.vec_id AND y.vec_id <> x.vec_id),
+    ns$np AS (SELECT probe_id, count(*) AS n_scanned FROM pr$np GROUP BY 1),
+    ap$np AS (
+      SELECT probe_id, vec_id FROM (
+        SELECT probe_id, vec_id,
+          row_number() OVER (PARTITION BY probe_id
+            ORDER BY $PairCosSql DESC, vec_id) AS rank
+        FROM pr$np)
+      WHERE rank <= $k),
+    au$np AS (
+      SELECT ex.probe_id, count(ap$np.vec_id) AS hits, count(*) AS k
+      FROM ex LEFT JOIN ap$np
+        ON ex.probe_id = ap$np.probe_id AND ex.vec_id = ap$np.vec_id
+      GROUP BY ex.probe_id)"""
+    }.mkString(",")
+    val sel = SweepNprobes.map { np => s"""
+    SELECT CAST($np AS BIGINT) AS nprobe, au.probe_id,
+      coalesce(ns.n_scanned, 0) AS n_scanned, au.hits, au.k,
+      round(CAST(au.hits AS DOUBLE) / CAST(au.k AS DOUBLE), 6) AS recall
+    FROM au$np au LEFT JOIN ns$np ns ON au.probe_id = ns.probe_id"""
+    }.mkString("\n    UNION ALL\n    ")
+    s"""
+    WITH $QuantSql,
+    icents AS (SELECT vec_id AS cid, q AS cq FROM qn
+               WHERE vec_id % $CentroidMod = 0),
+    iasg AS (
+      SELECT vec_id, cid,
+        row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+      FROM (
+        SELECT qn.vec_id, icents.cid,
+          CAST(list_sum(list_transform(generate_series(1, len(q)),
+            i -> (q[i] - cq[i]) * (q[i] - cq[i]))) AS BIGINT) AS d2
+        FROM qn, icents)),
+    icells AS (SELECT vec_id, cid AS cell FROM iasg WHERE rn = 1),
+    ex AS (${annTopkSql(k)}),
+    $branches
+    $sel
+    ORDER BY nprobe, probe_id"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "embed_mrl" -> (embedMrl(_, _)),
+    "ivf_nprobe_sweep" -> (ivfNprobeSweep(_, _)),
     "hard_negatives" -> (hardNegatives _),
     "hard_negatives_knn" -> (hardNegativesKnn _),
     "dedup_embedding" -> (dedupEmbedding _),
@@ -1808,6 +1926,7 @@ object Similarity {
 
   val oracles: Map[String, String] = Map(
     "embed_mrl" -> embedMrlSql(),
+    "ivf_nprobe_sweep" -> ivfNprobeSweepSql(),
     "hard_negatives" -> hardNegativesSql,
     "hard_negatives_knn" -> hardNegativesKnnSql,
     "dedup_embedding" -> dedupEmbeddingSql,

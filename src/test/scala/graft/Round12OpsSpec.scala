@@ -370,6 +370,70 @@ class Round12OpsSpec extends SparkSpec {
     assert(candByB(16L) > 0)
   }
 
+  test("bpe_vocab_sweep: fertility is monotone in the merge cut, the " +
+    "character baseline replays, and the full cut matches tokenize_bpe") {
+    import graft.operators.{Bpe, TextNorm}
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.01"
+    val rows = Bpe.bpeVocabSweep(spark, dir).collect()
+      .sortBy(_.getAs[Long]("n_merges"))
+    assert(rows.map(_.getAs[Long]("n_merges")).toSeq ==
+      Seq(0L, 5L, 10L, 15L, 20L))
+    // word mass is cut-invariant; pieces only shrink as merges apply
+    assert(rows.map(_.getAs[Long]("n_word_tokens")).distinct.length == 1)
+    val pieces = rows.map(_.getAs[Long]("n_pieces"))
+    assert(pieces.zip(pieces.tail).forall { case (a, b) => a >= b })
+    val fert = rows.map(_.getAs[Double]("fertility"))
+    assert(fert.zip(fert.tail).forall { case (a, b) => a >= b })
+    assert(fert.head > fert.last, "the sweep must show a real tradeoff")
+    // m=0 is the character baseline: pieces == characters, symbols == chars
+    val docs = Tables.documents(spark, dir)
+      .select(split(TextNorm.norm, " ").as("ws")).collect()
+      .flatMap(_.getSeq[String](0))
+    assert(rows.head.getAs[Long]("n_pieces") == docs.map(_.length).sum)
+    assert(rows.head.getAs[Long]("n_symbols") ==
+      docs.flatMap(_.toCharArray).distinct.length)
+    // the full cut agrees with the tokenization gate's per-doc counts
+    val tokTotal = Bpe.tokenizeBpe(spark, dir).collect()
+      .map(_.getAs[Long]("n_bpe_tokens")).sum
+    assert(rows.last.getAs[Long]("n_pieces") == tokTotal)
+  }
+
+  test("ivf_nprobe_sweep: recall and candidate volume are monotone in " +
+    "nprobe and the shipped nprobe row matches ivf_recall") {
+    import graft.operators.Similarity
+    val dir = "/root/testdata/sf0.01"
+    val rows = Similarity.ivfNprobeSweep(spark, dir).collect()
+    val byNp = rows.groupBy(_.getAs[Long]("nprobe"))
+    assert(byNp.keySet == Set(1L, 2L, 4L))
+    val probes = byNp(1L).map(_.getAs[Long]("probe_id")).toSet
+    assert(probes.nonEmpty)
+    byNp.values.foreach(rs =>
+      assert(rs.map(_.getAs[Long]("probe_id")).toSet == probes))
+    probes.foreach { p =>
+      def at(np: Long, c: String) = byNp(np)
+        .find(_.getAs[Long]("probe_id") == p).get.getAs[Long](c)
+      assert(at(1, "n_scanned") <= at(2, "n_scanned"))
+      assert(at(2, "n_scanned") <= at(4, "n_scanned"))
+      assert(at(1, "hits") <= at(2, "hits"))
+      assert(at(2, "hits") <= at(4, "hits"))
+    }
+    rows.foreach { r =>
+      assert(r.getAs[Long]("k") == 5L)
+      assert(r.getAs[Double]("recall") ==
+        math.round(r.getAs[Long]("hits").toDouble / 5.0 * 1e6) / 1e6)
+    }
+    // the np = 2 slice IS the shipped index's recall audit
+    val shipped = Similarity.ivfRecall(spark, dir).collect()
+      .map(r => r.getAs[Long]("probe_id") -> r.getAs[Long]("hits")).toMap
+    byNp(2L).foreach(r =>
+      assert(r.getAs[Long]("hits") ==
+        shipped(r.getAs[Long]("probe_id")), "np=2 != ivf_recall"))
+    // more cells must buy recall somewhere, or the knob measures nothing
+    assert(byNp(4L).map(_.getAs[Long]("hits")).sum >
+      byNp(1L).map(_.getAs[Long]("hits")).sum)
+  }
+
   test("hard_negatives_knn: near-dups are never negatives, every anchor " +
     "has exactly one positive, role cuts respect the shared bar") {
     import graft.operators.Similarity
