@@ -255,7 +255,7 @@ object Bpe {
           .as("n_pieces"))
       val syms = cut.select(explode(split(col("seg"), " ")).as("sym"))
         .agg(countDistinct(col("sym")).as("n_symbols"))
-      stats.crossJoin(syms)
+      stats.crossJoin(broadcast(syms))
         .select(lit(m.toLong).as("n_merges"), col("n_symbols"),
           col("n_word_tokens"), col("n_pieces"),
           round(col("n_pieces").cast("double")
