@@ -348,13 +348,112 @@ object Quality {
     GROUP BY s.source ORDER BY s.source"""
   }
 
+  // ------------------------------------------------------- quality drift
+
+  /** Per-bucket (n_ref, n_cur) counts over the quality-decile buckets —
+    * the MERGEABLE partials the streaming maintainer
+    * ([[graft.streaming.StreamDrift]]) folds; both counters are plain
+    * adds. Bucket = min(9, q6 div 100000); the reference/current split
+    * is the deterministic doc-id parity (a stand-in for the production
+    * split, which is by ingest window).
+    */
+  private[graft] def driftCounts(s: SparkSession, dir: String): DataFrame =
+    TextOps.qualityDf(s, dir)
+      .select(col("doc_id"),
+        least(lit(9L), expr("cast(round(quality * 1000000) as bigint)" +
+          " div 100000")).as("k"))
+      .groupBy(col("k"))
+      .agg(sum(when(col("doc_id") % 2 === 0, 1L).otherwise(0L)).as("n_ref"),
+        sum(when(col("doc_id") % 2 =!= 0, 1L).otherwise(0L)).as("n_cur"))
+
+  /** The read-time drift report over (maintained or one-shot) bucket
+    * counters: all ten buckets emitted (zero-filled), reference/current
+    * shares, and the Pearson χ² contribution per bucket — the drift
+    * alarm statistic, chosen over PSI/KL because it is RATIONAL
+    * arithmetic (no log), so both engines agree bit-for-bit.
+    */
+  private[graft] def driftReport(counters: DataFrame): DataFrame = {
+    val s = counters.sparkSession
+    val grid = s.range(10).select(col("id").as("k"))
+    val full = grid.join(counters, Seq("k"), "left")
+      .select(col("k"), coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+        coalesce(col("n_cur"), lit(0L)).as("n_cur"))
+    val tot = full.agg(sum(col("n_ref")).as("t_ref"),
+      sum(col("n_cur")).as("t_cur"))
+    val e = (col("t_cur") * col("n_ref")).cast("double") /
+      col("t_ref").cast("double")
+    val curD = col("n_cur").cast("double")
+    full.crossJoin(broadcast(tot))
+      .select(col("k"), col("n_ref"), col("n_cur"),
+        round(col("n_ref").cast("double") / col("t_ref").cast("double"), 6)
+          .as("ref_share"),
+        round(curD / col("t_cur").cast("double"), 6).as("cur_share"),
+        when(col("n_ref") > 0,
+          round(((curD - e) * (curD - e)) / e, 6)).otherwise(lit(0.0))
+          .as("chi2_term"),
+        (col("n_ref") === 0).as("no_ref"))
+      .orderBy("k")
+  }
+
+  /** Gate: the quality-distribution DRIFT MONITOR — the filter-health
+    * alarm a production pipeline watches: per quality-decile bucket,
+    * the reference window's share vs the current window's, and the
+    * Pearson χ² contribution ((cur − e)²/e with e the count expected
+    * under the reference shares). A rising Σχ² means the incoming
+    * corpus no longer looks like the corpus the quality thresholds
+    * were tuned on — the signal to re-tune `quality_tradeoff` /
+    * `quality_rules` before the filters silently mis-cut. Buckets with
+    * no reference mass are flagged (`no_ref`), not divided by zero.
+    *
+    * Scale: ONE conditional-aggregate corpus pass (10 buckets × 2
+    * counters); the report is arithmetic over a 10-row frame with a
+    * broadcast scalar total. The streaming twin keeps the same 20
+    * longs of state current per ingest batch.
+    */
+  def qualityDrift(s: SparkSession, dir: String): DataFrame =
+    driftReport(driftCounts(s, dir))
+
+  val qualityDriftSql: String = s"""
+    WITH ${TextOps.docQualityCteSql.trim},
+    qdb AS (SELECT doc_id,
+              least(9, CAST(round(quality * 1000000) AS BIGINT) // 100000)
+                AS k
+            FROM dq),
+    qdc AS (SELECT k,
+              CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_ref,
+              CAST(sum(CASE WHEN doc_id % 2 <> 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_cur
+            FROM qdb GROUP BY k),
+    qdf AS (SELECT g.k, coalesce(n_ref, 0) AS n_ref,
+              coalesce(n_cur, 0) AS n_cur
+            FROM (SELECT unnest(generate_series(0, 9)) AS k) g
+            LEFT JOIN qdc ON g.k = qdc.k),
+    qdt AS (SELECT CAST(sum(n_ref) AS BIGINT) AS t_ref,
+              CAST(sum(n_cur) AS BIGINT) AS t_cur
+            FROM qdf)
+    SELECT CAST(k AS BIGINT) AS k, n_ref, n_cur,
+      round(CAST(n_ref AS DOUBLE) / CAST(t_ref AS DOUBLE), 6) AS ref_share,
+      round(CAST(n_cur AS DOUBLE) / CAST(t_cur AS DOUBLE), 6) AS cur_share,
+      CASE WHEN n_ref > 0 THEN
+        round(((CAST(n_cur AS DOUBLE)
+                 - CAST(t_cur * n_ref AS DOUBLE) / CAST(t_ref AS DOUBLE))
+              * (CAST(n_cur AS DOUBLE)
+                 - CAST(t_cur * n_ref AS DOUBLE) / CAST(t_ref AS DOUBLE)))
+          / (CAST(t_cur * n_ref AS DOUBLE) / CAST(t_ref AS DOUBLE)), 6)
+      ELSE 0.0 END AS chi2_term,
+      n_ref = 0 AS no_ref
+    FROM qdf, qdt ORDER BY k"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dq_check" -> (dqCheck(_, _)),
     "table_profile" -> (tableProfile(_, _)),
+    "quality_drift" -> (qualityDrift _),
     "source_card" -> (sourceCard _))
 
   val oracles: Map[String, String] = Map(
     "dq_check" -> dqCheckSql,
     "table_profile" -> tableProfileSql,
+    "quality_drift" -> qualityDriftSql,
     "source_card" -> sourceCardSql)
 }

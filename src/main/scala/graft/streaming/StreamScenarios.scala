@@ -439,6 +439,18 @@ object StreamScenarios {
         .toDF())
   }
 
+  /** Batch-mode run of the streaming drift maintainer: per-batch
+    * (bucket, ref, cur) counter partials folded into the 10-row state,
+    * then the SAME χ² report (and DuckDB oracle) as the batch
+    * `quality_drift`. Cross-batch evolution is spec-driven.
+    */
+  def streamDriftMaintain(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val Q = graft.operators.Quality
+    Q.driftReport(StreamDrift.counters(Q.driftCounts(s, dir).as[DrPart])
+      .toDF())
+  }
+
   /** Batch-mode run of the streaming epoch-census maintainer: per-batch
     * (source, docs, tokens) partials folded into the S-row census
     * state, then the SAME closed-form waterfilling report (and DuckDB
@@ -509,6 +521,7 @@ object StreamScenarios {
     "stream_line_maintain" -> (streamLineMaintain _),
     "stream_url_maintain" -> (streamUrlMaintain _),
     "stream_quality_maintain" -> (streamQualityMaintain _),
+    "stream_drift_maintain" -> (streamDriftMaintain _),
     "stream_epoch_maintain" -> (streamEpochMaintain _))
 
   val oracles: Map[String, String] = Map(
@@ -526,6 +539,7 @@ object StreamScenarios {
     "stream_url_maintain" -> graft.operators.UrlOps.dedupUrlSql,
     "stream_quality_maintain" ->
       graft.operators.TrainPrep.qualityTradeoffSql,
+    "stream_drift_maintain" -> graft.operators.Quality.qualityDriftSql,
     "stream_epoch_maintain" ->
       graft.operators.TrainPrep.corpusEpochsSql,
     "stream_hll_maintain" -> graft.operators.Sketch.hllRegistersSql,

@@ -1219,6 +1219,45 @@ object StreamQualityCurve {
   }
 }
 
+/** One per-batch PARTIAL for the drift maintainer: one quality-decile
+  * bucket's reference/current counts within one micro-batch —
+  * pre-aggregated upstream ([[graft.operators.Quality.driftCounts]] in
+  * the gate; `foreachBatch` in production).
+  */
+case class DrPart(k: Long, n_ref: Long, n_cur: Long)
+
+/** One maintained drift bucket. */
+case class DrState(k: Long, n_ref: Long, n_cur: Long)
+
+/** Streaming maintenance of the quality-drift monitor
+  * ([[graft.operators.Quality.qualityDrift]]): ten quality-decile
+  * buckets × two counters — 20 longs of state however much corpus
+  * streamed — kept current so the drift alarm (the χ² report) is a
+  * pure function of O(1) state after every ingest batch instead of a
+  * two-window corpus re-scan. Both folds are plain adds;
+  * effectively-once input assumed like the other counting
+  * maintainers. A single batch from empty state reproduces the batch
+  * counters exactly, so the gate shares `quality_drift`'s oracle.
+  */
+object StreamDrift {
+
+  def counters(parts: Dataset[DrPart]): Dataset[DrState] = {
+    import parts.sparkSession.implicits._
+    parts
+      .groupByKey(_.k)
+      .flatMapGroupsWithState[DrState, DrState](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (k: Long, rows: Iterator[DrPart], state: GroupState[DrState]) =>
+          var (nr, nc) = state.getOption
+            .map(s => (s.n_ref, s.n_cur)).getOrElse((0L, 0L))
+          rows.foreach { p => nr += p.n_ref; nc += p.n_cur }
+          val next = DrState(k, nr, nc)
+          state.update(next)
+          Iterator(next)
+      }
+  }
+}
+
 /** One per-batch PARTIAL for the epoch-planner census: one source's
   * document and token counts within one micro-batch — pre-aggregated
   * upstream ([[graft.operators.TrainPrep.epochCensus]] shape).

@@ -434,6 +434,42 @@ class Round12OpsSpec extends SparkSpec {
       byNp(1L).map(_.getAs[Long]("hits")).sum)
   }
 
+  test("quality_drift: buckets, shares and chi-square terms replay " +
+    "locally from the per-doc quality frame") {
+    import graft.operators.{Quality, TextOps}
+    val dir = "/root/testdata/sf0.01"
+    val rows = Quality.qualityDrift(spark, dir).collect()
+      .sortBy(_.getAs[Long]("k"))
+    assert(rows.map(_.getAs[Long]("k")).toSeq == (0L until 10L))
+    val q = TextOps.textQuality(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        math.min(9L, math.round(r.getAs[Double]("quality") * 1e6) / 100000L))
+    val ref = q.filter(_._1 % 2 == 0).groupBy(_._2).view.mapValues(_.size)
+    val cur = q.filter(_._1 % 2 != 0).groupBy(_._2).view.mapValues(_.size)
+    val (tRef, tCur) = (ref.values.sum.toLong, cur.values.sum.toLong)
+    var chiTotal = 0.0
+    rows.foreach { r =>
+      val k = r.getAs[Long]("k")
+      val nr = ref.getOrElse(k, 0).toLong
+      val nc = cur.getOrElse(k, 0).toLong
+      assert(r.getAs[Long]("n_ref") == nr, s"bucket $k n_ref")
+      assert(r.getAs[Long]("n_cur") == nc, s"bucket $k n_cur")
+      assert(r.getAs[Boolean]("no_ref") == (nr == 0))
+      val e = (tCur * nr).toDouble / tRef.toDouble
+      val expect = if (nr > 0) {
+        val d = nc.toDouble - e
+        math.round(d * d / e * 1e6) / 1e6.toDouble
+      } else 0.0
+      assert(r.getAs[Double]("chi2_term") == expect, s"bucket $k chi2")
+      chiTotal += expect
+    }
+    // shares are distributions; the parity split of a finite sample has
+    // nonzero divergence somewhere (the monitor actually measures)
+    assert(math.abs(rows.map(_.getAs[Double]("ref_share")).sum - 1.0) < 1e-4)
+    assert(math.abs(rows.map(_.getAs[Double]("cur_share")).sum - 1.0) < 1e-4)
+    assert(chiTotal > 0.0)
+  }
+
   test("hard_negatives_knn: near-dups are never negatives, every anchor " +
     "has exactly one positive, role cuts respect the shared bar") {
     import graft.operators.Similarity

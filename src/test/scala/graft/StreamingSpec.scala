@@ -783,6 +783,46 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming drift monitor: bucket counters add across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.{DrPart, StreamDrift}
+    val input = MemoryStream[DrPart]
+    val query = StreamDrift.counters(input.toDS())
+      .writeStream.format("memory").queryName("dr_state")
+      .outputMode(OutputMode.Update).start()
+    try {
+      input.addData(DrPart(3, 10, 7), DrPart(8, 2, 5))
+      query.processAllAvailable()
+      input.addData(DrPart(3, 4, 6), DrPart(0, 1, 0))
+      query.processAllAvailable()
+      val last = spark.table("dr_state").collect()
+        .groupBy(_.getAs[Long]("k"))
+        .view.mapValues(rs => rs.maxBy(r =>
+          r.getAs[Long]("n_ref") + r.getAs[Long]("n_cur"))).toMap
+      assert(last(3L).getAs[Long]("n_ref") == 14L)
+      assert(last(3L).getAs[Long]("n_cur") == 13L)
+      assert(last(8L).getAs[Long]("n_ref") == 2L)
+      assert(last(8L).getAs[Long]("n_cur") == 5L)
+      assert(last(0L).getAs[Long]("n_ref") == 1L)
+    } finally query.stop()
+  }
+
+  test("streaming drift monitor in batch mode equals the batch " +
+    "quality_drift gate") {
+    val a = streaming.StreamScenarios.streamDriftMaintain(spark, sf)
+      .collect()
+    val b = operators.Quality.qualityDrift(spark, sf).collect()
+    assert(a.length == 10 && b.length == 10)
+    a.zip(b).foreach { case (x, y) =>
+      assert(x.getAs[Long]("k") == y.getAs[Long]("k"))
+      assert(x.getAs[Long]("n_ref") == y.getAs[Long]("n_ref"))
+      assert(x.getAs[Long]("n_cur") == y.getAs[Long]("n_cur"))
+      assert(x.getAs[Double]("chi2_term") == y.getAs[Double]("chi2_term"))
+      assert(x.getAs[Boolean]("no_ref") == y.getAs[Boolean]("no_ref"))
+    }
+  }
+
   test("streaming quality curve in batch mode equals the batch " +
     "quality_tradeoff gate") {
     val a = streaming.StreamScenarios.streamQualityMaintain(spark, sf)
