@@ -561,7 +561,146 @@ object Sketch {
     FROM pr JOIN cells USING (j, bucket)
     GROUP BY 1, 2, 3 ORDER BY rank"""
 
+  // ------------------------------------------------------ KMV set algebra
+
+  /** Minima kept per language sketch in the set-algebra gate. */
+  private val SetOpsK = 64
+
+  /** Gate: KMV/Theta SET ALGEBRA — union, intersection, and Jaccard
+    * estimates for every language PAIR computed purely from the
+    * per-language sketches (the Theta-sketch framework: θ = the smaller
+    * k-th minimum; S = the union's minima below θ; est_union = |S|/θ,
+    * est_inter = |S_A∩B|/θ, est_jaccard = |S_A∩B|/|S|), with the exact
+    * answers joined in as the self-audit columns. This is the missing
+    * half of sketching: [[kmvByGroup]] showed sketches MERGE (union);
+    * set algebra is why engines ship Theta sketches — cross-source /
+    * cross-day overlap questions ("how much of crawl B is already in
+    * A?") answered from O(k) state per source without touching data.
+    *
+    * Scale: sketch side is k rows per language (the same minima frame
+    * the grouped gate keeps); all pair algebra runs over ≤ k·|langs|
+    * rows. The EXACT side — one shingle-keyed equi-self-join — is the
+    * audit only; at 100 TB production reads the sketch columns and the
+    * exact join is exactly the cost the sketches exist to avoid.
+    */
+  def kmvSetOps(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val k = SetOpsK
+    // four consumers read this frame (minima, sizes, both sides of the
+    // exact-intersection audit) — materialize once (§4 discipline)
+    val wl = graft.Memo.cached(s, "kmv_setops_wl", dir) {
+      Dedup.shinglesOf(s, dir)
+        .join(Tables.documents(s, dir).select("doc_id", "lang"), "doc_id")
+        .select(col("lang"), col("sh").as("w"))
+        .distinct()
+    }
+    val hs = wl.select(col("lang"), expr(h01("w")).as("h"))
+    val rn = row_number().over(Window.partitionBy(col("lang")).orderBy(col("h")))
+    val mins = hs.withColumn("rn", rn).filter(col("rn") <= k).drop("rn")
+    val th = mins.groupBy(col("lang"))
+      .agg(max(col("h")).as("hk"), count(lit(1)).as("n"))
+      .select(col("lang"),
+        when(col("n") < k, lit(1.0)).otherwise(col("hk")).as("theta"))
+    // |langs|-row frames under a non-equi condition: broadcast so the
+    // planner emits a broadcast nested loop, never a cartesian
+    val pairs = th.alias("a")
+      .join(broadcast(th.alias("b")), col("a.lang") < col("b.lang"))
+      .select(col("a.lang").as("la"), col("b.lang").as("lb"),
+        least(col("a.theta"), col("b.theta")).as("th"))
+    def side(key: String, tag: Int) = pairs
+      .join(mins.withColumnRenamed("lang", key), key)
+      .select(col("la"), col("lb"), col("th"), col("h"),
+        lit(tag).as("side"))
+    val comb = side("la", 0).unionByName(side("lb", 1))
+      .groupBy(col("la"), col("lb"), col("th"), col("h"))
+      .agg(max(when(col("side") === 0, 1).otherwise(0)).as("ina"),
+        max(when(col("side") === 1, 1).otherwise(0)).as("inb"))
+    val est = comb.filter(col("h") < col("th"))
+      .groupBy(col("la"), col("lb"))
+      .agg(max(col("th")).as("th"), count(lit(1)).as("ns"),
+        sum(when(col("ina") === 1 && col("inb") === 1, 1L).otherwise(0L))
+          .as("ni"))
+    val sz = wl.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+    val itx = wl.alias("x")
+      .join(wl.alias("y"),
+        col("x.w") === col("y.w") && col("x.lang") < col("y.lang"))
+      .groupBy(col("x.lang").as("ila"), col("y.lang").as("ilb"))
+      .agg(count(lit(1)).as("xi"))
+    val exUnion = col("na") + col("nb") - coalesce(col("xi"), lit(0L))
+    est
+      .join(sz.select(col("lang").as("la"), col("n").as("na")), "la")
+      .join(sz.select(col("lang").as("lb"), col("n").as("nb")), "lb")
+      .join(itx, col("la") === col("ila") && col("lb") === col("ilb"), "left")
+      .select(col("la").as("lang_a"), col("lb").as("lang_b"),
+        round(col("ns").cast("double") / col("th"), 2).as("est_union"),
+        round(col("ni").cast("double") / col("th"), 2).as("est_inter"),
+        round(col("ni").cast("double") / col("ns").cast("double"), 6)
+          .as("est_jaccard"),
+        exUnion.as("exact_union"),
+        coalesce(col("xi"), lit(0L)).as("exact_inter"),
+        round(coalesce(col("xi"), lit(0L)).cast("double")
+          / exUnion.cast("double"), 6).as("exact_jaccard"))
+      .orderBy("lang_a", "lang_b")
+  }
+
+  val kmvSetOpsSql: String = {
+    val k = SetOpsK
+    s"""
+    WITH ${Dedup.shinglesSql.trim},
+    wl AS (
+      SELECT DISTINCT d.lang, s.sh AS w
+      FROM sh s JOIN documents d ON s.doc_id = d.doc_id),
+    hs AS (SELECT lang,
+             CAST(('0x' || substring(md5(w), 1, 8))::BIGINT AS DOUBLE)
+               / 4294967296.0 AS h
+           FROM wl),
+    mins AS (
+      SELECT lang, h FROM (
+        SELECT lang, h,
+          row_number() OVER (PARTITION BY lang ORDER BY h) AS rn
+        FROM hs) WHERE rn <= $k),
+    tha AS (
+      SELECT lang, CASE WHEN count(*) < $k THEN 1.0 ELSE max(h) END AS theta
+      FROM mins GROUP BY lang),
+    prs AS (
+      SELECT a.lang AS la, b.lang AS lb, least(a.theta, b.theta) AS th
+      FROM tha a JOIN tha b ON a.lang < b.lang),
+    sides AS (
+      SELECT la, lb, th, h, 0 AS side FROM prs JOIN mins m ON m.lang = la
+      UNION ALL
+      SELECT la, lb, th, h, 1 AS side FROM prs JOIN mins m ON m.lang = lb),
+    comb AS (
+      SELECT la, lb, th, h,
+        max(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS ina,
+        max(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS inb
+      FROM sides GROUP BY la, lb, th, h),
+    est AS (
+      SELECT la, lb, max(th) AS th, count(*) AS ns,
+        CAST(sum(CASE WHEN ina = 1 AND inb = 1 THEN 1 ELSE 0 END) AS BIGINT)
+          AS ni
+      FROM comb WHERE h < th GROUP BY la, lb),
+    sz AS (SELECT lang, count(*) AS n FROM wl GROUP BY lang),
+    itx AS (
+      SELECT x.lang AS ila, y.lang AS ilb, count(*) AS xi
+      FROM wl x JOIN wl y ON x.w = y.w AND x.lang < y.lang
+      GROUP BY 1, 2)
+    SELECT la AS lang_a, lb AS lang_b,
+      round(CAST(ns AS DOUBLE) / th, 2) AS est_union,
+      round(CAST(ni AS DOUBLE) / th, 2) AS est_inter,
+      round(CAST(ni AS DOUBLE) / CAST(ns AS DOUBLE), 6) AS est_jaccard,
+      CAST(sa.n + sb.n - coalesce(xi, 0) AS BIGINT) AS exact_union,
+      CAST(coalesce(xi, 0) AS BIGINT) AS exact_inter,
+      round(CAST(coalesce(xi, 0) AS DOUBLE)
+        / CAST(sa.n + sb.n - coalesce(xi, 0) AS DOUBLE), 6) AS exact_jaccard
+    FROM est
+    JOIN sz sa ON est.la = sa.lang
+    JOIN sz sb ON est.lb = sb.lang
+    LEFT JOIN itx ON est.la = itx.ila AND est.lb = itx.ilb
+    ORDER BY lang_a, lang_b"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "kmv_set_ops" -> (kmvSetOps _),
     "corpus_distinct_kmv" -> (corpusDistinctKmv(_, _)),
     "kmv_by_group" -> (kmvByGroup(_, _)),
     "hll_registers" -> (hllRegisters _),
@@ -571,6 +710,7 @@ object Sketch {
     "join_size_sketch" -> (joinSizeSketch _))
 
   val oracles: Map[String, String] = Map(
+    "kmv_set_ops" -> kmvSetOpsSql,
     "corpus_distinct_kmv" -> corpusDistinctKmvSql(),
     "kmv_by_group" -> kmvByGroupSql(),
     "hll_registers" -> hllRegistersSql,

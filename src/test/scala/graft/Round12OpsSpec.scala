@@ -470,6 +470,59 @@ class Round12OpsSpec extends SparkSpec {
     assert(chiTotal > 0.0)
   }
 
+  test("kmv_set_ops: the theta-sample algebra replays locally from the " +
+    "per-language minima and estimates track the exact overlaps") {
+    import graft.operators.{Dedup, Sketch}
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.01"
+    val rows = Sketch.kmvSetOps(spark, dir).collect()
+      .map(r => (r.getAs[String]("lang_a"), r.getAs[String]("lang_b")) -> r)
+      .toMap
+    assert(rows.size == 10, "5 languages -> 10 unordered pairs")
+    // rebuild the (lang, shingle-hash) domain locally
+    val wl = Dedup.shinglesOf(spark, dir)
+      .join(Tables.documents(spark, dir).select("doc_id", "lang"), "doc_id")
+      .select(col("lang"), col("sh")).distinct().collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[String]("sh")))
+    def h01(x: String): Double = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(8), 16).toDouble / 4294967296.0
+    }
+    val byLang = wl.groupBy(_._1).view
+      .mapValues(_.map(p => h01(p._2)).distinct.sorted).toMap
+    val k = 64
+    val mins = byLang.view.mapValues(_.take(k)).toMap
+    val theta = mins.map { case (l, m) =>
+      l -> (if (m.size < k) 1.0 else m.max)
+    }
+    val exact = wl.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    for {
+      la <- byLang.keys; lb <- byLang.keys if la < lb
+    } {
+      val r = rows((la, lb))
+      val th = math.min(theta(la), theta(lb))
+      val sA = mins(la).filter(_ < th).toSet
+      val sB = mins(lb).filter(_ < th).toSet
+      val ns = (sA ++ sB).size
+      val ni = (sA intersect sB).size
+      assert(r.getAs[Double]("est_union") ==
+        math.round(ns / th * 100) / 100.0, s"($la,$lb) est_union")
+      assert(r.getAs[Double]("est_inter") ==
+        math.round(ni / th * 100) / 100.0, s"($la,$lb) est_inter")
+      val xu = (exact(la) ++ exact(lb)).size.toLong
+      val xi = (exact(la) intersect exact(lb)).size.toLong
+      assert(r.getAs[Long]("exact_union") == xu)
+      assert(r.getAs[Long]("exact_inter") == xi)
+      // KMV with k=64 has relative std err ~1/sqrt(62) ~ 13%; allow 4 sigma
+      assert(math.abs(r.getAs[Double]("est_union") - xu) < 0.5 * xu + 5,
+        s"($la,$lb) union estimate implausible")
+      assert(math.abs(r.getAs[Double]("est_jaccard") -
+        r.getAs[Double]("exact_jaccard")) < 0.5,
+        s"($la,$lb) jaccard estimate implausible")
+    }
+  }
+
   test("hard_negatives_knn: near-dups are never negatives, every anchor " +
     "has exactly one positive, role cuts respect the shared bar") {
     import graft.operators.Similarity
