@@ -279,6 +279,82 @@ object CorpusFilters {
       coalesce(k.clean_hash, md5('')) AS clean_hash
     FROM dsremc r LEFT JOIN dskeptagg k USING (doc_id) ORDER BY doc_id"""
 
+  // ----------------------------------------------------------- novelty curve
+
+  /** Gram order of the novelty census (3 so the synthetic vocabulary
+    * saturates and the decay is visible; production uses 8+ with the
+    * same plan).
+    */
+  private val NoveltyN = 3
+
+  /** Crawl windows the corpus splits into (by doc-id decile — the
+    * stand-in for crawl batches).
+    */
+  private val NoveltyWindows = 10
+
+  /** Gate: the corpus NOVELTY CURVE — per crawl window, how many of its
+    * distinct n-grams were never seen in ANY earlier window. This is
+    * the diminishing-returns table behind the "is another crawl worth
+    * it" decision (data-scaling studies measure exactly this decay):
+    * when `n_new_grams / n_grams_distinct` collapses, additional
+    * same-source data stops adding information and the budget should
+    * move to new sources — the acquisition-side complement of
+    * [[graft.operators.Quality.qualityDrift]]'s filter-side monitor.
+    *
+    * Scale: one gram emission pass; everything after is gram-keyed
+    * aggregation (first-seen window = min over the gram's windows —
+    * map-side combining, no posting-list joins, no pair joins) plus
+    * window-keyed counts. Output is O(windows).
+    */
+  def corpusNovelty(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val maxId = docs.agg(max(col("doc_id")).as("mx"))
+    val g = grams(docs, NoveltyN)
+      .crossJoin(broadcast(maxId))
+      .withColumn("w",
+        least(lit(NoveltyWindows - 1),
+          expr(s"(doc_id * $NoveltyWindows) div (mx + 1)")))
+    val occ = g.groupBy(col("w"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occ"))
+    val gw = g.select(col("w"), col("g")).distinct()
+    val dist = gw.groupBy(col("w")).agg(count(lit(1)).as("n_grams_distinct"))
+    val fresh = gw.groupBy(col("g")).agg(min(col("w")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("n_new_grams"))
+    occ.join(dist, "w").join(fresh, Seq("w"), "left")
+      .select(col("w"), col("n_docs"), col("n_occ"),
+        col("n_grams_distinct"),
+        coalesce(col("n_new_grams"), lit(0L)).as("n_new_grams"),
+        round(coalesce(col("n_new_grams"), lit(0L)).cast("double")
+          / col("n_grams_distinct").cast("double"), 6).as("novelty_rate"))
+      .orderBy("w")
+  }
+
+  val corpusNoveltySql: String = s"""
+    WITH cnm AS (SELECT max(doc_id) AS mx FROM documents),
+    cng AS (
+      SELECT doc_id, g,
+        least(${NoveltyWindows - 1},
+          (doc_id * $NoveltyWindows) // (mx + 1)) AS w
+      FROM ${gramsSql(NoveltyN)} t, cnm),
+    cnocc AS (
+      SELECT w, count(DISTINCT doc_id) AS n_docs, count(*) AS n_occ
+      FROM cng GROUP BY w),
+    cngw AS (SELECT DISTINCT w, g FROM cng),
+    cndist AS (SELECT w, count(*) AS n_grams_distinct FROM cngw GROUP BY w),
+    cnfresh AS (
+      SELECT w, count(*) AS n_new_grams FROM (
+        SELECT g, min(w) AS w FROM cngw GROUP BY g)
+      GROUP BY w)
+    SELECT w, CAST(n_docs AS BIGINT) AS n_docs,
+      CAST(n_occ AS BIGINT) AS n_occ,
+      CAST(n_grams_distinct AS BIGINT) AS n_grams_distinct,
+      CAST(coalesce(n_new_grams, 0) AS BIGINT) AS n_new_grams,
+      round(CAST(coalesce(n_new_grams, 0) AS DOUBLE)
+        / CAST(n_grams_distinct AS DOUBLE), 6) AS novelty_rate
+    FROM cnocc JOIN cndist USING (w) LEFT JOIN cnfresh USING (w)
+    ORDER BY w"""
+
   // --------------------------------------------------------- HTML extract
 
   /** HTML → text extraction — the crawl-processing stage (WET-record
@@ -482,9 +558,11 @@ object CorpusFilters {
     "text_repetition" -> (textRepetition(_, _)),
     "corpus_boilerplate" -> (corpusBoilerplate(_, _)),
     "decontaminate" -> (decontaminate(_, _)),
-    "decontaminate_spans" -> (decontaminateSpans _))
+    "decontaminate_spans" -> (decontaminateSpans _),
+    "corpus_novelty" -> (corpusNovelty _))
 
   val oracles: Map[String, String] = Map(
+    "corpus_novelty" -> corpusNoveltySql,
     "decontaminate_spans" -> decontaminateSpansSql,
     "quality_rules" -> qualityRulesSql,
     "html_extract" -> htmlExtractSql,

@@ -523,6 +523,46 @@ class Round12OpsSpec extends SparkSpec {
     }
   }
 
+  test("corpus_novelty: per-window first-seen census replays locally " +
+    "and the decay curve opens at 1.0") {
+    import graft.operators.CorpusFilters
+    val dir = "/root/testdata/sf0.01"
+    val rows = CorpusFilters.corpusNovelty(spark, dir).collect()
+      .sortBy(_.getAs[Long]("w"))
+    assert(rows.map(_.getAs[Long]("w")).toSeq == (0L until 10L))
+    val docs = Tables.documents(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[String]("text").trim.toLowerCase.replaceAll("\\s+", " ")
+          .split(" ").toVector)
+    val mx = docs.map(_._1).max
+    def winOf(id: Long) = math.min(9L, id * 10 / (mx + 1))
+    val occ = docs.flatMap { case (id, ws) =>
+      if (ws.length >= 3)
+        (0 to ws.length - 3).map(p =>
+          (winOf(id), id, ws.slice(p, p + 3).mkString(" ")))
+      else Seq.empty
+    }
+    val firstW = occ.groupBy(_._3).view.mapValues(_.map(_._1).min).toMap
+    rows.foreach { r =>
+      val w = r.getAs[Long]("w")
+      val mine = occ.filter(_._1 == w)
+      assert(r.getAs[Long]("n_docs") == mine.map(_._2).distinct.length)
+      assert(r.getAs[Long]("n_occ") == mine.length)
+      val dist = mine.map(_._3).distinct
+      assert(r.getAs[Long]("n_grams_distinct") == dist.length)
+      val fresh = dist.count(g => firstW(g) == w)
+      assert(r.getAs[Long]("n_new_grams") == fresh, s"window $w fresh")
+      assert(r.getAs[Double]("novelty_rate") ==
+        math.round(fresh.toDouble / dist.length * 1e6) / 1e6.toDouble)
+    }
+    // the first window is all-new by definition; the curve must DECAY
+    // (later windows mostly re-see early grams) or the gate measures
+    // nothing on this corpus
+    assert(rows.head.getAs[Double]("novelty_rate") == 1.0)
+    assert(rows.last.getAs[Double]("novelty_rate") <
+      rows.head.getAs[Double]("novelty_rate"))
+  }
+
   test("hard_negatives_knn: near-dups are never negatives, every anchor " +
     "has exactly one positive, role cuts respect the shared bar") {
     import graft.operators.Similarity
