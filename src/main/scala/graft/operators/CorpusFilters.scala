@@ -306,14 +306,50 @@ object CorpusFilters {
     * map-side combining, no posting-list joins, no pair joins) plus
     * window-keyed counts. Output is O(windows).
     */
-  def corpusNovelty(s: SparkSession, dir: String): DataFrame = {
+  /** The gram-occurrence observation stream (doc_id, g, w) the novelty
+    * census aggregates — shared with the STREAMING maintainer
+    * ([[graft.streaming.StreamNovelty]]), whose per-gram
+    * (first-window, window-bitmask) state derives the identical
+    * report.
+    */
+  private[graft] def noveltyObs(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
     val maxId = docs.agg(max(col("doc_id")).as("mx"))
-    val g = grams(docs, NoveltyN)
+    grams(docs, NoveltyN)
       .crossJoin(broadcast(maxId))
       .withColumn("w",
         least(lit(NoveltyWindows - 1),
           expr(s"(doc_id * $NoveltyWindows) div (mx + 1)")))
+      .select(col("doc_id"), col("g"), col("w"))
+  }
+
+  /** The read-time novelty report over per-gram states (g, first_w,
+    * wmask) + per-window occurrence counters (w, n_docs, n_occ) —
+    * distinct-gram counts come from the window BITMASK, first-seen
+    * counts from `first_w`; values identical to the one-shot census,
+    * so the streaming gate shares `corpus_novelty`'s oracle.
+    */
+  private[graft] def noveltyReport(gstate: DataFrame,
+                                   counters: DataFrame): DataFrame = {
+    val dist = gstate
+      .select(col("first_w"), col("wmask"),
+        explode(sequence(lit(0L), lit(NoveltyWindows - 1L))).as("w"))
+      .filter(expr("((wmask >> w) & 1) = 1"))
+      .groupBy(col("w")).agg(count(lit(1)).as("n_grams_distinct"))
+    val fresh = gstate.groupBy(col("first_w"))
+      .agg(count(lit(1)).as("n_new_grams"))
+      .select(col("first_w").as("w"), col("n_new_grams"))
+    counters.join(dist, "w").join(fresh, Seq("w"), "left")
+      .select(col("w"), col("n_docs"), col("n_occ"),
+        col("n_grams_distinct"),
+        coalesce(col("n_new_grams"), lit(0L)).as("n_new_grams"),
+        round(coalesce(col("n_new_grams"), lit(0L)).cast("double")
+          / col("n_grams_distinct").cast("double"), 6).as("novelty_rate"))
+      .orderBy("w")
+  }
+
+  def corpusNovelty(s: SparkSession, dir: String): DataFrame = {
+    val g = noveltyObs(s, dir)
     val occ = g.groupBy(col("w"))
       .agg(countDistinct(col("doc_id")).as("n_docs"),
         count(lit(1)).as("n_occ"))

@@ -451,6 +451,25 @@ object StreamScenarios {
       .toDF())
   }
 
+  /** Batch-mode run of the streaming novelty maintainer: distinct
+    * (gram, window) observations fold into per-gram (first-window,
+    * bitmask) states, per-window occurrence partials into counters,
+    * then the SAME report (and DuckDB oracle) as the batch
+    * `corpus_novelty`. Cross-batch state evolution is spec-driven.
+    */
+  def streamNoveltyMaintain(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val C = graft.operators.CorpusFilters
+    val obs = C.noveltyObs(s, dir)
+    val gobs = obs.select(col("g"), col("w")).distinct().as[NvObs]
+    val parts = obs.groupBy(col("w"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occ"))
+      .as[NvPart]
+    C.noveltyReport(StreamNovelty.gramStates(gobs).toDF(),
+      StreamNovelty.winCounters(parts).toDF())
+  }
+
   /** Batch-mode run of the streaming epoch-census maintainer: per-batch
     * (source, docs, tokens) partials folded into the S-row census
     * state, then the SAME closed-form waterfilling report (and DuckDB
@@ -522,6 +541,7 @@ object StreamScenarios {
     "stream_url_maintain" -> (streamUrlMaintain _),
     "stream_quality_maintain" -> (streamQualityMaintain _),
     "stream_drift_maintain" -> (streamDriftMaintain _),
+    "stream_novelty_maintain" -> (streamNoveltyMaintain _),
     "stream_epoch_maintain" -> (streamEpochMaintain _))
 
   val oracles: Map[String, String] = Map(
@@ -540,6 +560,8 @@ object StreamScenarios {
     "stream_quality_maintain" ->
       graft.operators.TrainPrep.qualityTradeoffSql,
     "stream_drift_maintain" -> graft.operators.Quality.qualityDriftSql,
+    "stream_novelty_maintain" ->
+      graft.operators.CorpusFilters.corpusNoveltySql,
     "stream_epoch_maintain" ->
       graft.operators.TrainPrep.corpusEpochsSql,
     "stream_hll_maintain" -> graft.operators.Sketch.hllRegistersSql,

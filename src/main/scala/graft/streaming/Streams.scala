@@ -1258,6 +1258,77 @@ object StreamDrift {
   }
 }
 
+/** One distinct (gram, window) observation for the novelty maintainer
+  * — pre-deduplicated per batch upstream
+  * ([[graft.operators.CorpusFilters.noveltyObs]] in the gate).
+  */
+case class NvObs(g: String, w: Long)
+
+/** Maintained per-gram novelty state: the first window the gram was
+  * seen in and the bitmask of every window it appeared in — O(1) per
+  * gram regardless of occurrence count.
+  */
+case class NvGramState(g: String, first_w: Long, wmask: Long)
+
+/** One per-batch PARTIAL of the per-window occurrence counters. Doc
+  * counts add across batches because documents are batch-atomic (a
+  * doc's grams all arrive in one batch), the `stream_line_maintain`
+  * argument.
+  */
+case class NvPart(w: Long, n_docs: Long, n_occ: Long)
+
+/** One maintained window-counter row. */
+case class NvWinState(w: Long, n_docs: Long, n_occ: Long)
+
+/** Streaming maintenance of the corpus novelty curve
+  * ([[graft.operators.CorpusFilters.corpusNovelty]]) — the natural
+  * STREAMING framing of the census, because in production each crawl
+  * batch IS a window: per gram, (first_w, window-bitmask) via a
+  * min/bit-or fold (both commutative AND idempotent — replays cannot
+  * corrupt the state); per window, plain-add occurrence counters. The
+  * next-crawl ROI decision then reads the maintained state instead of
+  * re-scanning every crawl so far. A single batch from empty state
+  * reproduces the batch census exactly, so the gate shares
+  * `corpus_novelty`'s DuckDB oracle.
+  */
+object StreamNovelty {
+
+  def gramStates(obs: Dataset[NvObs]): Dataset[NvGramState] = {
+    import obs.sparkSession.implicits._
+    obs
+      .groupByKey(_.g)
+      .flatMapGroupsWithState[NvGramState, NvGramState](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (g: String, rows: Iterator[NvObs], state: GroupState[NvGramState]) =>
+          var (fw, mask) = state.getOption
+            .map(s => (s.first_w, s.wmask)).getOrElse((Long.MaxValue, 0L))
+          rows.foreach { o =>
+            if (o.w < fw) fw = o.w
+            mask |= (1L << o.w)
+          }
+          val next = NvGramState(g, fw, mask)
+          state.update(next)
+          Iterator(next)
+      }
+  }
+
+  def winCounters(parts: Dataset[NvPart]): Dataset[NvWinState] = {
+    import parts.sparkSession.implicits._
+    parts
+      .groupByKey(_.w)
+      .flatMapGroupsWithState[NvWinState, NvWinState](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (w: Long, rows: Iterator[NvPart], state: GroupState[NvWinState]) =>
+          var (nd, no) = state.getOption
+            .map(s => (s.n_docs, s.n_occ)).getOrElse((0L, 0L))
+          rows.foreach { p => nd += p.n_docs; no += p.n_occ }
+          val next = NvWinState(w, nd, no)
+          state.update(next)
+          Iterator(next)
+      }
+  }
+}
+
 /** One per-batch PARTIAL for the epoch-planner census: one source's
   * document and token counts within one micro-batch — pre-aggregated
   * upstream ([[graft.operators.TrainPrep.epochCensus]] shape).

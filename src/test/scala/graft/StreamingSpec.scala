@@ -808,6 +808,50 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming novelty maintainer: gram state folds min/bit-or " +
+    "across batches and replays are harmless") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.{NvObs, StreamNovelty}
+    val input = MemoryStream[NvObs]
+    val query = StreamNovelty.gramStates(input.toDS())
+      .writeStream.format("memory").queryName("nv_state")
+      .outputMode(OutputMode.Update).start()
+    try {
+      input.addData(NvObs("g1", 2), NvObs("g2", 0))
+      query.processAllAvailable()
+      // later window for g1, then a REPLAY of the first observation —
+      // min/bit-or are idempotent, so the replay must change nothing
+      input.addData(NvObs("g1", 5), NvObs("g1", 2))
+      query.processAllAvailable()
+      val last = spark.table("nv_state").collect()
+        .groupBy(_.getAs[String]("g"))
+        .view.mapValues(rs => rs.maxBy(_.getAs[Long]("wmask"))).toMap
+      assert(last("g1").getAs[Long]("first_w") == 2L)
+      assert(last("g1").getAs[Long]("wmask") == ((1L << 2) | (1L << 5)))
+      assert(last("g2").getAs[Long]("first_w") == 0L)
+      assert(last("g2").getAs[Long]("wmask") == 1L)
+    } finally query.stop()
+  }
+
+  test("streaming novelty maintainer in batch mode equals the batch " +
+    "corpus_novelty gate") {
+    val a = streaming.StreamScenarios.streamNoveltyMaintain(spark, sf)
+      .collect()
+    val b = operators.CorpusFilters.corpusNovelty(spark, sf).collect()
+    assert(a.length == b.length && a.nonEmpty)
+    a.zip(b).foreach { case (x, y) =>
+      assert(x.getAs[Long]("w") == y.getAs[Long]("w"))
+      assert(x.getAs[Long]("n_docs") == y.getAs[Long]("n_docs"))
+      assert(x.getAs[Long]("n_occ") == y.getAs[Long]("n_occ"))
+      assert(x.getAs[Long]("n_grams_distinct") ==
+        y.getAs[Long]("n_grams_distinct"))
+      assert(x.getAs[Long]("n_new_grams") == y.getAs[Long]("n_new_grams"))
+      assert(x.getAs[Double]("novelty_rate") ==
+        y.getAs[Double]("novelty_rate"))
+    }
+  }
+
   test("streaming drift monitor in batch mode equals the batch " +
     "quality_drift gate") {
     val a = streaming.StreamScenarios.streamDriftMaintain(spark, sf)
