@@ -764,7 +764,15 @@ object Dedup {
     * every other MinHash gate); each configuration's candidate count is
     * a band-keyed equi-self-join — the identical shuffle shape the index
     * itself uses, never an all-pairs comparison — and the analytic curve
-    * is constant-folded arithmetic on a 45-row frame.
+    * is constant-folded arithmetic on a 45-row frame. One honest caveat:
+    * the coarsest factorizations (r = 1, 2) have big buckets by design,
+    * and MEASURING their candidate volume materializes exactly the
+    * near-quadratic pair set the table exists to warn against. That is
+    * affordable at audit scale; a 100 TB sweep would bound those two
+    * cells from the bucket-size histogram instead (Σ n·(n−1)/2 over
+    * [[lshBucketStats]]-style per-bucket counts — an upper bound that
+    * ignores only cross-band dedup) and measure pairs only for the
+    * plausible configurations.
     */
   def lshTuning(s: SparkSession, dir: String): DataFrame = {
     val mh = minhashesOf(s, dir)
