@@ -279,6 +279,114 @@ object CorpusFilters {
       coalesce(k.clean_hash, md5('')) AS clean_hash
     FROM dsremc r LEFT JOIN dskeptagg k USING (doc_id) ORDER BY doc_id"""
 
+  // ------------------------------------------------------------- C4 cleaning
+
+  /** Words per synthetic line (the corpus carries no newlines, so the
+    * gate plants deterministic sentence structure: 7-word chunks,
+    * terminal period on every chunk except where (doc_id + i) ≡ 0
+    * (mod 4), a "lorem ipsum" line on docs ≡ 0 (mod 31), a code line
+    * with braces on docs ≡ 0 (mod 37) — every rule fires both ways).
+    */
+  private val C4LineWords = 7
+
+  /** Gate: C4-style cleaning (Raffel et al. 2020 §2.2 — the rules the
+    * C4 dataset ships): LINE level, keep only lines with ≥ 3 words
+    * ending in terminal punctuation; DOCUMENT level, drop any document
+    * containing "lorem ipsum" or a curly brace (placeholder text and
+    * leftover code). Emits per document the line census, the drop
+    * verdict with its reason flags, kept-word accounting, and the
+    * cleaned-text md5 (kept lines re-joined in order; empty-string md5
+    * for dropped docs).
+    *
+    * Scale: the whole operator is ONE narrow per-row map over the scan
+    * — line construction, both rule families, and the reassembly are
+    * higher-order array expressions (transform/filter/aggregate), no
+    * explode, no shuffle, no state. On real crawl text the line
+    * splitter is `split(text, '\\n')` and everything downstream is
+    * unchanged.
+    */
+  def c4Filters(s: SparkSession, dir: String): DataFrame = {
+    val k = C4LineWords
+    val chunkLines = expr(
+      s"""transform(sequence(1, (size(split($normExprSql, ' ')) + ${k - 1}) div $k),
+          i -> concat(
+            array_join(slice(split($normExprSql, ' '), (i - 1) * $k + 1,
+              least(i * $k, size(split($normExprSql, ' '))) - (i - 1) * $k), ' '),
+            case when (doc_id + i) % 4 = 0 then '' else '.' end))""")
+    val lines = concat(chunkLines,
+      when(col("doc_id") % 31 === 0,
+        array(lit("lorem ipsum dolor sit amet.")))
+        .otherwise(array().cast("array<string>")),
+      when(col("doc_id") % 37 === 0,
+        array(lit("function() { return 0; }")))
+        .otherwise(array().cast("array<string>")))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), lines.as("lines"))
+      .select(col("doc_id"),
+        size(col("lines")).cast("long").as("n_lines"),
+        expr(s"filter(lines, l -> size(split(l, ' ')) >= 3 AND l LIKE '%.')")
+          .as("kept"),
+        expr("exists(lines, l -> l LIKE '%lorem ipsum%')").as("has_lorem"),
+        expr("exists(lines, l -> contains(l, '{'))").as("has_brace"))
+      .withColumn("doc_dropped", col("has_lorem") || col("has_brace"))
+      .select(col("doc_id"), col("n_lines"),
+        size(col("kept")).cast("long").as("n_kept_lines"),
+        col("has_lorem"), col("has_brace"), col("doc_dropped"),
+        when(col("doc_dropped"), 0L)
+          .otherwise(expr(
+            "aggregate(kept, 0L, (a, l) -> a + size(split(l, ' ')))"))
+          .cast("long").as("n_kept_words"),
+        when(col("doc_dropped"), md5(lit("")))
+          .otherwise(md5(expr("array_join(kept, ' ')"))).as("clean_hash"))
+      .orderBy("doc_id")
+  }
+
+  /** The normalization as a raw SQL-expression string (for nesting inside
+    * higher-order lambdas where a Column can't be spliced).
+    */
+  private def normExprSql: String =
+    "lower(trim(regexp_replace(text, '\\\\s+', ' ')))"
+
+  val c4FiltersSql: String = {
+    val k = C4LineWords
+    s"""
+    WITH c4w AS (SELECT doc_id, string_split($normSql, ' ') AS ws
+                 FROM documents),
+    c4l AS (
+      SELECT doc_id,
+        list_transform(generate_series(1, (len(ws) + ${k - 1}) // $k),
+          i -> array_to_string(ws[(i - 1) * $k + 1 : least(i * $k, len(ws))],
+                 ' ')
+               || CASE WHEN (doc_id + i) % 4 = 0 THEN '' ELSE '.' END)
+        || CASE WHEN doc_id % 31 = 0
+             THEN ['lorem ipsum dolor sit amet.']
+             ELSE CAST([] AS VARCHAR[]) END
+        || CASE WHEN doc_id % 37 = 0
+             THEN ['function() ' || chr(123) || ' return 0; ' || chr(125)]
+             ELSE CAST([] AS VARCHAR[]) END AS lines
+      FROM c4w),
+    c4k AS (
+      SELECT doc_id, lines,
+        list_filter(lines,
+          l -> len(string_split(l, ' ')) >= 3 AND l LIKE '%.') AS kept,
+        len(list_filter(lines, l -> l LIKE '%lorem ipsum%')) > 0
+          AS has_lorem,
+        len(list_filter(lines, l -> contains(l, chr(123)))) > 0 AS has_brace
+      FROM c4l)
+    SELECT doc_id,
+      CAST(len(lines) AS BIGINT) AS n_lines,
+      CAST(len(kept) AS BIGINT) AS n_kept_lines,
+      has_lorem, has_brace,
+      (has_lorem OR has_brace) AS doc_dropped,
+      CAST(CASE WHEN has_lorem OR has_brace THEN 0
+        ELSE coalesce(list_sum(list_transform(kept,
+               l -> len(string_split(l, ' ')))), 0) END AS BIGINT)
+        AS n_kept_words,
+      CASE WHEN has_lorem OR has_brace THEN md5('')
+        ELSE md5(array_to_string(kept, ' ')) END AS clean_hash
+    FROM c4k ORDER BY doc_id"""
+  }
+
   // ----------------------------------------------------------- novelty curve
 
   /** Gram order of the novelty census (3 so the synthetic vocabulary
@@ -595,9 +703,11 @@ object CorpusFilters {
     "corpus_boilerplate" -> (corpusBoilerplate(_, _)),
     "decontaminate" -> (decontaminate(_, _)),
     "decontaminate_spans" -> (decontaminateSpans _),
-    "corpus_novelty" -> (corpusNovelty _))
+    "corpus_novelty" -> (corpusNovelty _),
+    "c4_filters" -> (c4Filters _))
 
   val oracles: Map[String, String] = Map(
+    "c4_filters" -> c4FiltersSql,
     "corpus_novelty" -> corpusNoveltySql,
     "decontaminate_spans" -> decontaminateSpansSql,
     "quality_rules" -> qualityRulesSql,

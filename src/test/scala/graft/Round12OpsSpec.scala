@@ -563,6 +563,51 @@ class Round12OpsSpec extends SparkSpec {
       rows.head.getAs[Double]("novelty_rate"))
   }
 
+  test("c4_filters: line rules and document drops replay locally and " +
+    "every rule fires both ways") {
+    import graft.operators.CorpusFilters
+    val dir = "/root/testdata/sf0.01"
+    val rows = CorpusFilters.c4Filters(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(rows.size == 500)
+    def md5hex2(x: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val texts = Tables.documents(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[String]("text").trim.toLowerCase.replaceAll("\\s+", " "))
+    texts.foreach { case (id, t) =>
+      val ws = t.split(" ").toVector
+      val nChunks = (ws.length + 6) / 7
+      val chunks = (1 to nChunks).map { i =>
+        ws.slice((i - 1) * 7, math.min(i * 7, ws.length)).mkString(" ") +
+          (if ((id + i) % 4 == 0) "" else ".")
+      }
+      val lines = chunks ++
+        (if (id % 31 == 0) Seq("lorem ipsum dolor sit amet.") else Nil) ++
+        (if (id % 37 == 0) Seq("function() { return 0; }") else Nil)
+      val kept = lines.filter(l =>
+        l.split(" ").length >= 3 && l.endsWith("."))
+      val dropped = id % 31 == 0 || id % 37 == 0
+      val r = rows(id)
+      assert(r.getAs[Long]("n_lines") == lines.length, s"doc $id lines")
+      assert(r.getAs[Long]("n_kept_lines") == kept.length, s"doc $id kept")
+      assert(r.getAs[Boolean]("doc_dropped") == dropped)
+      assert(r.getAs[Boolean]("has_lorem") == (id % 31 == 0))
+      assert(r.getAs[Boolean]("has_brace") == (id % 37 == 0))
+      assert(r.getAs[Long]("n_kept_words") ==
+        (if (dropped) 0L else kept.map(_.split(" ").length).sum.toLong))
+      assert(r.getAs[String]("clean_hash") ==
+        md5hex2(if (dropped) "" else kept.mkString(" ")), s"doc $id hash")
+    }
+    // both rule families fire both ways across the corpus
+    assert(rows.values.exists(_.getAs[Boolean]("doc_dropped")))
+    assert(rows.values.exists(!_.getAs[Boolean]("doc_dropped")))
+    assert(rows.values.exists(r =>
+      r.getAs[Long]("n_kept_lines") < r.getAs[Long]("n_lines")))
+    assert(rows.values.exists(r => r.getAs[Long]("n_kept_lines") > 0))
+  }
+
   test("hard_negatives_knn: near-dups are never negatives, every anchor " +
     "has exactly one positive, role cuts respect the shared bar") {
     import graft.operators.Similarity
