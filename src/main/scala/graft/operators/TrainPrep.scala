@@ -1204,7 +1204,78 @@ object TrainPrep {
         1, 8))::BIGINT) AS BIGINT) AS member_check
     FROM spc, spt GROUP BY 1 ORDER BY shard_id"""
 
+  // ----------------------------------------------------------- SFT masking
+
+  /** Gate: SFT RECORD ASSEMBLY — chat-turn rendering plus the loss-mask
+    * span table (the HuggingFace `labels = -100` convention): each
+    * document becomes a 2- or 4-turn conversation (doc-id parity; turn
+    * boundaries at ⌊i·n/k⌋ — whole-word even split), the rendered token
+    * stream is one role marker per turn followed by the turn's words,
+    * and ONLY assistant-turn content trains — markers and user content
+    * mask to 0. Emits per document the turn/token accounting, the
+    * trainable-span list in rendered-stream coordinates (`start:len`,
+    * the varlen-kernel input, like [[TextOps]]' `pack_attention_spans`
+    * for packing), and the md5 of the full 0/1 mask string — any
+    * off-by-one in either engine's span arithmetic is fatal.
+    *
+    * Why it matters: silent mask errors are the classic SFT data bug —
+    * training on user text or on template markers degrades the model
+    * and is invisible in loss curves. A hash-gated mask table makes
+    * the masking auditable before any GPU time is spent.
+    *
+    * Scale: pure per-row closed-form arithmetic over the scan
+    * (sequence/filter/transform/aggregate higher-order expressions, no
+    * explode, no shuffle, no state).
+    */
+  def sftMaskSpans(s: SparkSession, dir: String): DataFrame = {
+    def b(i: String) = s"((($i) * n) div k)"
+    val lenI = s"(${b("i")} - ${b("i - 1")})"
+    val startI = s"(${b("i - 1")} + i + 1)"
+    val spansE = "array_join(transform(filter(sequence(1L, k), " +
+      s"i -> i % 2 = 0), i -> concat(cast($startI as string), ':', " +
+      s"cast($lenI as string))), ',')"
+    val maskE = "md5(array_join(transform(sequence(1L, k), " +
+      s"i -> concat('0', repeat(if(i % 2 = 0, '1', '0'), " +
+      s"cast($lenI as int)))), ''))"
+    val trainE = "aggregate(filter(sequence(1L, k), i -> i % 2 = 0), " +
+      s"0L, (a, i) -> a + $lenI)"
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        size(split(norm, " ")).cast("long").as("n"),
+        (lit(2L) + lit(2L) * (col("doc_id") % 2)).as("k"))
+      .select(col("doc_id"),
+        col("k").as("n_turns"),
+        (col("n") + col("k")).as("n_tokens"),
+        expr(trainE).as("n_trainable"),
+        expr("k div 2").as("n_spans"),
+        expr(spansE).as("spans"),
+        expr(maskE).as("mask_hash"))
+      .orderBy("doc_id")
+  }
+
+  val sftMaskSpansSql: String = s"""
+    WITH sfm AS (SELECT doc_id,
+      CAST(len(string_split($normSql, ' ')) AS BIGINT) AS n,
+      2 + 2 * (doc_id % 2) AS k FROM documents)
+    SELECT doc_id, CAST(k AS BIGINT) AS n_turns, n + k AS n_tokens,
+      CAST(list_sum(list_transform(
+        list_filter(generate_series(1, k), i -> i % 2 = 0),
+        i -> ((i * n) // k) - (((i - 1) * n) // k))) AS BIGINT)
+        AS n_trainable,
+      CAST(k // 2 AS BIGINT) AS n_spans,
+      array_to_string(list_transform(
+        list_filter(generate_series(1, k), i -> i % 2 = 0),
+        i -> CAST((((i - 1) * n) // k) + i + 1 AS VARCHAR) || ':'
+             || CAST(((i * n) // k) - (((i - 1) * n) // k) AS VARCHAR)),
+        ',') AS spans,
+      md5(array_to_string(list_transform(generate_series(1, k),
+        i -> '0' || repeat(CASE WHEN i % 2 = 0 THEN '1' ELSE '0' END,
+               CAST(((i * n) // k) - (((i - 1) * n) // k) AS INT))), ''))
+        AS mask_hash
+    FROM sfm ORDER BY doc_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sft_mask_spans" -> (sftMaskSpans _),
     "shard_plan" -> (shardPlan _),
     "doc_truncate" -> (docTruncate _),
     "corpus_anneal" -> (corpusAnneal _),
@@ -1226,6 +1297,7 @@ object TrainPrep {
     "text_bigram_lm" -> (textBigramLm _))
 
   val oracles: Map[String, String] = Map(
+    "sft_mask_spans" -> sftMaskSpansSql,
     "shard_plan" -> shardPlanSql,
     "doc_truncate" -> docTruncateSql,
     "corpus_anneal" -> corpusAnnealSql,

@@ -608,6 +608,52 @@ class Round12OpsSpec extends SparkSpec {
     assert(rows.values.exists(r => r.getAs[Long]("n_kept_lines") > 0))
   }
 
+  test("sft_mask_spans: rendered-stream mask replays token by token " +
+    "and spans are exactly the assistant turns") {
+    import graft.operators.TrainPrep
+    val dir = "/root/testdata/sf0.01"
+    val rows = TrainPrep.sftMaskSpans(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(rows.size == 500)
+    def md5hex3(x: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    Tables.documents(spark, dir).collect().foreach { d =>
+      val id = d.getAs[Long]("doc_id")
+      val n = d.getAs[String]("text").trim.toLowerCase
+        .replaceAll("\\s+", " ").split(" ").length.toLong
+      val k = 2 + 2 * (id % 2)
+      def b(i: Long) = i * n / k
+      // build the full 0/1 mask token-by-token: '0' marker, then the
+      // turn's words as '1' (assistant, even i) or '0' (user)
+      val mask = (1L to k).map { i =>
+        "0" + (if (i % 2 == 0) "1" else "0") * (b(i) - b(i - 1)).toInt
+      }.mkString
+      val spans = (1L to k).filter(_ % 2 == 0)
+        .map(i => s"${b(i - 1) + i + 1}:${b(i) - b(i - 1)}").mkString(",")
+      val r = rows(id)
+      assert(r.getAs[Long]("n_turns") == k)
+      assert(r.getAs[Long]("n_tokens") == n + k)
+      assert(r.getAs[Long]("n_tokens") == mask.length.toLong,
+        s"doc $id stream length")
+      assert(r.getAs[Long]("n_trainable") == mask.count(_ == '1').toLong)
+      assert(r.getAs[Long]("n_spans") == k / 2)
+      assert(r.getAs[String]("spans") == spans, s"doc $id spans")
+      assert(r.getAs[String]("mask_hash") == md5hex3(mask), s"doc $id mask")
+      // every span points at a run of 1s bounded by 0s — the
+      // train-on-user / train-on-marker bug class is structurally
+      // impossible if this holds for every document
+      spans.split(",").foreach { sp =>
+        val Array(st, ln) = sp.split(":").map(_.toInt)
+        val run = mask.slice(st - 1, st - 1 + ln)
+        assert(run.forall(_ == '1'), s"doc $id span $sp not trainable")
+        assert(mask.charAt(st - 2) == '0', s"doc $id span $sp left edge")
+        assert(st - 1 + ln >= mask.length || mask.charAt(st - 1 + ln) == '0',
+          s"doc $id span $sp right edge")
+      }
+    }
+  }
+
   test("hard_negatives_knn: near-dups are never negatives, every anchor " +
     "has exactly one positive, role cuts respect the shared bar") {
     import graft.operators.Similarity
