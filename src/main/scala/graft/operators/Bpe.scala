@@ -245,10 +245,15 @@ object Bpe {
     */
   def bpeVocabSweep(s: SparkSession, dir: String): DataFrame = {
     val merges = trainedMerges(s, dir).map(_._1)
-    val census = segsOf(s, dir).select(col("word"), col("cnt"))
+    val segs = segsOf(s, dir)
+    val census = segs.select(col("word"), col("cnt"))
     SweepCuts.map { m =>
-      val cut = census.withColumn("seg",
-        segmentExpr(col("word"), merges.take(m)))
+      // the full cut IS the stored training segmentation — reuse it (the
+      // tokenizeBpe contract) instead of re-deriving via the merge fold
+      val cut =
+        if (m == Merges) segs.select(col("word"), col("cnt"), col("seg"))
+        else census.withColumn("seg",
+          segmentExpr(col("word"), merges.take(m)))
       val stats = cut.agg(
         sum(col("cnt")).as("n_word_tokens"),
         sum(col("cnt") * size(split(col("seg"), " "))).cast("long")

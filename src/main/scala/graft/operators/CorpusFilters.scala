@@ -437,6 +437,21 @@ object CorpusFilters {
     * counts from `first_w`; values identical to the one-shot census,
     * so the streaming gate shares `corpus_novelty`'s oracle.
     */
+  /** The shared report tail: per-window counters ⋈ distinct-gram counts
+    * ⋈ first-seen counts → the 6-column curve. ONE definition for the
+    * one-shot census and the maintained-state path, so the
+    * "streaming gate shares the oracle" invariant cannot drift.
+    */
+  private def noveltyTail(counters: DataFrame, dist: DataFrame,
+                          fresh: DataFrame): DataFrame =
+    counters.join(dist, "w").join(fresh, Seq("w"), "left")
+      .select(col("w"), col("n_docs"), col("n_occ"),
+        col("n_grams_distinct"),
+        coalesce(col("n_new_grams"), lit(0L)).as("n_new_grams"),
+        round(coalesce(col("n_new_grams"), lit(0L)).cast("double")
+          / col("n_grams_distinct").cast("double"), 6).as("novelty_rate"))
+      .orderBy("w")
+
   private[graft] def noveltyReport(gstate: DataFrame,
                                    counters: DataFrame): DataFrame = {
     val dist = gstate
@@ -447,13 +462,7 @@ object CorpusFilters {
     val fresh = gstate.groupBy(col("first_w"))
       .agg(count(lit(1)).as("n_new_grams"))
       .select(col("first_w").as("w"), col("n_new_grams"))
-    counters.join(dist, "w").join(fresh, Seq("w"), "left")
-      .select(col("w"), col("n_docs"), col("n_occ"),
-        col("n_grams_distinct"),
-        coalesce(col("n_new_grams"), lit(0L)).as("n_new_grams"),
-        round(coalesce(col("n_new_grams"), lit(0L)).cast("double")
-          / col("n_grams_distinct").cast("double"), 6).as("novelty_rate"))
-      .orderBy("w")
+    noveltyTail(counters, dist, fresh)
   }
 
   def corpusNovelty(s: SparkSession, dir: String): DataFrame = {
@@ -465,13 +474,7 @@ object CorpusFilters {
     val dist = gw.groupBy(col("w")).agg(count(lit(1)).as("n_grams_distinct"))
     val fresh = gw.groupBy(col("g")).agg(min(col("w")).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("n_new_grams"))
-    occ.join(dist, "w").join(fresh, Seq("w"), "left")
-      .select(col("w"), col("n_docs"), col("n_occ"),
-        col("n_grams_distinct"),
-        coalesce(col("n_new_grams"), lit(0L)).as("n_new_grams"),
-        round(coalesce(col("n_new_grams"), lit(0L)).cast("double")
-          / col("n_grams_distinct").cast("double"), 6).as("novelty_rate"))
-      .orderBy("w")
+    noveltyTail(occ, dist, fresh)
   }
 
   val corpusNoveltySql: String = s"""

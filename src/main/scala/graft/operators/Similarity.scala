@@ -692,20 +692,36 @@ object Similarity {
     * and each probe touches nprobe/ncells of the corpus; the centroid count
     * is a fixed parameter, so the assignment join stays broadcastable.
     */
-  def annIvf(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
+  /** The IVF-flat (vector × centroid) assignment frame: d2(q, c) =
+    * n2 − 2·q·c + cn2, exact integer squared-L2, one q_dot per pair.
+    * ONE builder shared by the search ([[annIvf]]) and the nprobe sweep
+    * ([[ivfNprobeSweep]]) so the assignment semantics (incl. the
+    * tie-break) cannot desynchronize between the shipped index and its
+    * tuning table.
+    */
+  private def ivfAsgOf(s: SparkSession, dir: String): DataFrame = {
     val qn = qdf(s, dir)
     val cents = qn.filter(col("vec_id") % CentroidMod === 0)
       .select(col("vec_id").as("cid"), col("q").as("cq"), col("n2").as("cn2"))
-    // d2(q, c) = n2 − 2·q·c + cn2: exact integer squared-L2, one q_dot per
-    // (vector, centroid) pair
-    val asg = qn.join(broadcast(cents))
+    qn.join(broadcast(cents))
       .withColumn("d2",
         col("n2") - lit(2L) * expr("q_dot(q, cq)") + col("cn2"))
-    // corpus → nearest cell: min_by aggregates partially (map-side combine),
-    // carrying q/n2 through (functionally dependent on vec_id)
-    val cells = asg.groupBy(col("vec_id"))
-      .agg(min_by(col("cid"), struct(col("d2"), col("cid"))).as("cell"),
-        first(col("q")).as("q"), first(col("n2")).as("n2"))
+  }
+
+  /** Memoized corpus → nearest-cell frame (the stored index's inverted
+    * lists): min_by aggregates partially (map-side combine), carrying
+    * q/n2 through (functionally dependent on vec_id).
+    */
+  private def ivfCellsOf(s: SparkSession, dir: String): DataFrame =
+    graft.Memo.cached(s, "ivf_cells", dir) {
+      ivfAsgOf(s, dir).groupBy(col("vec_id"))
+        .agg(min_by(col("cid"), struct(col("d2"), col("cid"))).as("cell"),
+          first(col("q")).as("q"), first(col("n2")).as("n2"))
+    }
+
+  def annIvf(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val asg = ivfAsgOf(s, dir)
+    val cells = ivfCellsOf(s, dir)
     // probes → nprobe nearest cells: rank window over the (small) probe set
     val pw = Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("cid"))
     val probeCells = probesOf(asg)
@@ -1738,7 +1754,9 @@ object Similarity {
     * rows.
     */
   def embedMrl(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
-    val exact = graft.Memo.cached(s, "ann_exact_ids", dir) {
+    // k in the memo key: a k=10 call must not reuse a k=5 baseline (the
+    // minhash_pairs_$threshold convention)
+    val exact = graft.Memo.cached(s, s"ann_exact_ids_$k", dir) {
       annTopk(s, dir, k).select(col("probe_id"), col("vec_id"))
     }
     val qn = qdf(s, dir)
@@ -1803,19 +1821,9 @@ object Similarity {
     * pins it.
     */
   def ivfNprobeSweep(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
-    val qn = qdf(s, dir)
-    val cents = qn.filter(col("vec_id") % CentroidMod === 0)
-      .select(col("vec_id").as("cid"), col("q").as("cq"),
-        col("n2").as("cn2"))
-    val asg = qn.join(broadcast(cents))
-      .withColumn("d2",
-        col("n2") - lit(2L) * expr("q_dot(q, cq)") + col("cn2"))
-    val cells = graft.Memo.cached(s, "ivf_cells", dir) {
-      asg.groupBy(col("vec_id"))
-        .agg(min_by(col("cid"), struct(col("d2"), col("cid"))).as("cell"),
-          first(col("q")).as("q"), first(col("n2")).as("n2"))
-    }
-    val exact = graft.Memo.cached(s, "ann_exact_ids", dir) {
+    val asg = ivfAsgOf(s, dir)
+    val cells = ivfCellsOf(s, dir)
+    val exact = graft.Memo.cached(s, s"ann_exact_ids_$k", dir) {
       annTopk(s, dir, k).select(col("probe_id"), col("vec_id"))
     }
     val pw = Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("cid"))

@@ -1303,6 +1303,12 @@ object StreamNovelty {
           var (fw, mask) = state.getOption
             .map(s => (s.first_w, s.wmask)).getOrElse((Long.MaxValue, 0L))
           rows.foreach { o =>
+            // a 64-bit mask holds 64 windows; beyond that the shift would
+            // silently ALIAS window 64 onto 0 — fail loudly instead (a
+            // production deployment rolls the mask to a windowed bitmap
+            // once the horizon passes 64 crawls)
+            require(o.w >= 0 && o.w < 64,
+              s"window id ${o.w} outside the 64-window bitmask horizon")
             if (o.w < fw) fw = o.w
             mask |= (1L << o.w)
           }
