@@ -245,6 +245,14 @@ object Bpe {
     */
   def bpeVocabSweep(s: SparkSession, dir: String): DataFrame = {
     val merges = trainedMerges(s, dir).map(_._1)
+    // Fail LOUDLY on a degenerate corpus (training exhausted before
+    // Merges rounds): Spark's merges.take(m) would stay valid but the
+    // oracle's empty b$i scalar subqueries NULL every later segmentation
+    // CTE — the engines would silently diverge (the novelty bitmask
+    // horizon-guard discipline).
+    require(merges.length == Merges,
+      s"bpe_vocab_sweep needs a full $Merges-merge training; " +
+        s"corpus exhausted BPE at ${merges.length} merges")
     val segs = segsOf(s, dir)
     val census = segs.select(col("word"), col("cnt"))
     SweepCuts.map { m =>

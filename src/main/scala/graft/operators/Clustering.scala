@@ -919,7 +919,7 @@ object Clustering {
       .agg(min_by(col("cid"), struct(col("d2"), col("cid"))).as("cell"),
         first(col("q")).as("q"), first(col("n2")).as("n2"))
     val pw = Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("cid"))
-    val probeCells = asg.filter(col("vec_id") % 50 === 0)
+    val probeCells = Similarity.probesOf(asg)
       .withColumn("rn", row_number().over(pw))
       .filter(col("rn") <= IvfNProbe)
       .select(col("vec_id").as("probe_id"), col("cid").as("pcell"),
@@ -950,7 +950,7 @@ object Clustering {
         FROM qn, icents)),
     icells AS (SELECT vec_id, cid AS cell FROM iasg WHERE rn = 1),
     iprobes AS (SELECT vec_id, cid AS cell FROM iasg
-                WHERE vec_id % 50 = 0 AND rn <= $IvfNProbe),
+                WHERE vec_id % 50 = 0 AND vec_id < ${Similarity.ProbeIdBound} AND rn <= $IvfNProbe),
     ipairs AS (
       SELECT x.vec_id AS probe_id, y.vec_id AS vec_id, x.n2 AS na, y.n2 AS nb,
         CAST(list_sum(list_transform(generate_series(1, len(x.q)),

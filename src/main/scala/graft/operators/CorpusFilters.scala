@@ -289,11 +289,18 @@ object CorpusFilters {
     */
   private val C4LineWords = 7
 
-  /** Gate: C4-style cleaning (Raffel et al. 2020 §2.2 — the rules the
-    * C4 dataset ships): LINE level, keep only lines with ≥ 3 words
-    * ending in terminal punctuation; DOCUMENT level, drop any document
-    * containing "lorem ipsum" or a curly brace (placeholder text and
-    * leftover code). Emits per document the line census, the drop
+  /** Gate: C4-style cleaning (Raffel et al. 2020 §2.2): LINE level, keep
+    * only lines with ≥ 3 words ending in terminal punctuation; DOCUMENT
+    * level, drop any document containing "lorem ipsum" or a curly brace
+    * (placeholder text and leftover code). Two deviations from the
+    * paper, both harness-tuned knobs (the [[RuleMinWords]] convention):
+    * the line-word floor is 3, not the paper's 5, because the synthetic
+    * lines are 7 words and a floor of 5 would fire on the tail chunk
+    * only; and the paper's remaining page-level rules (≥ 3 sentences,
+    * bad-words list) are carried by their own gates
+    * ([[qualityRules]]' word window; the blocklist joins in
+    * [[graft.operators.GraphOps]]) rather than duplicated here. Emits
+    * per document the line census, the drop
     * verdict with its reason flags, kept-word accounting, and the
     * cleaned-text md5 (kept lines re-joined in order; empty-string md5
     * for dropped docs).
@@ -589,9 +596,12 @@ object CorpusFilters {
   /** Gopher-rule bounds (Rae et al. 2021 §A1.1, the thresholds FineWeb /
     * Dolma ship nearly verbatim): word-count window, mean-word-length
     * window, symbol-to-word ceiling, alphabetic-word floor, minimum
-    * stop-word hits. The word window's lower bound is 25 (not the
-    * paper's 50) so the harness corpus (10–99 words/doc) exercises the
-    * rule both ways; the production value is a config knob.
+    * stop-word hits. Three constants are harness-tuned (production
+    * values are config knobs): the word window's lower bound is 25 (not
+    * the paper's 50) so the harness corpus (10–99 words/doc) exercises
+    * the rule both ways; the symbol ceiling is 0.05 (paper 0.1) and the
+    * alpha floor 0.9 (paper 0.8) so the planted 6-symbol / 12-numeric
+    * augmentations fire against the corpus's word-count range.
     */
   private val RuleMinWords = 25
   private val RuleMaxWords = 100000

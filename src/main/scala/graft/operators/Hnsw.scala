@@ -488,7 +488,7 @@ object Hnsw {
     s"""
     WITH $layersCtesSql,
     probes AS (SELECT vec_id AS probe_id, q AS pq, n2 AS pn2 FROM qn
-               WHERE vec_id % 50 = 0),
+               WHERE vec_id % 50 = 0 AND vec_id < ${Similarity.ProbeIdBound}),
     entry AS (SELECT vec_id FROM lvl ORDER BY level DESC, vec_id LIMIT 1),
     c2 AS (
       SELECT probe_id, e.vec_id AS cand FROM probes CROSS JOIN entry e

@@ -189,7 +189,7 @@ object PqTrain {
       .withColumn("dv", dExpr)
       .groupBy(col("vec_id"), col("m"))
       .agg(min_by(col("code"), struct(col("dv"), col("code"))).as("code"))
-    val pt = subs.filter(col("vec_id") % 50 === 0).join(broadcast(cb), "m")
+    val pt = Similarity.probesOf(subs).join(broadcast(cb), "m")
       .select(col("vec_id").as("probe_id"), col("m"), col("code"),
         dExpr.as("dm"))
     val w = Window.partitionBy(col("probe_id"))
@@ -314,7 +314,7 @@ object PqTrain {
       SELECT s.vec_id AS probe_id, s.m, c.cid AS code,
         ${ddSql("s", "c")} AS dm
       FROM ssn s JOIN cb c ON s.m = c.m
-      WHERE s.vec_id % 50 = 0),
+      WHERE s.vec_id % 50 = 0 AND s.vec_id < ${Similarity.ProbeIdBound}),
     adc AS (
       SELECT probe_id, e.vec_id, CAST(sum(dm) AS BIGINT) AS adc
       FROM enc e JOIN pt ON e.m = pt.m AND e.code = pt.code

@@ -32,6 +32,17 @@ object Retrieval {
   private val K = 10
   private val RrfK = 60
 
+  /** Fixed lexical probe cap — the doc-side twin of
+    * [[Similarity.ProbeCap]]: keeps the doc_id 1-in-50 stratification but
+    * bounds the probe count at 128 (above the sf0.1 gate corpus's 100
+    * probes, so the gate hash is unchanged there), making the
+    * shingle-share pass O(cap × postings) instead of corpus²/50 on
+    * scaled corpora (ScaleUp's replica stride is ≡ 0 mod 50, so the id
+    * bound keeps exactly the base corpus's stratified sample).
+    */
+  private[graft] val DocProbeCap = 128
+  private[graft] val DocProbeIdBound: Long = 50L * DocProbeCap
+
   def hybridRrf(s: SparkSession, dir: String): DataFrame =
     fuse(s, dir, Similarity.annTopk(s, dir, K))
 
@@ -56,7 +67,8 @@ object Retrieval {
       .select(col("probe_id"), col("vec_id").as("cand"),
         col("rank").as("vrank"))
     val sh = Dedup.shinglesOf(s, dir)
-    val psh = sh.filter(col("doc_id") % 50 === 0)
+    val psh = sh.filter(col("doc_id") % 50 === 0 &&
+        col("doc_id") < DocProbeIdBound)
       .select(col("doc_id").as("probe_id"), col("sh"))
     val shared = sh.join(broadcast(psh), "sh")
       .filter(col("doc_id") =!= col("probe_id"))
@@ -91,7 +103,8 @@ object Retrieval {
       SELECT probe_id, vec_id AS cand, rank AS vrank
       FROM ($vecSql)),
     ${Dedup.shinglesSql.trim},
-    psh AS (SELECT doc_id AS probe_id, sh FROM sh WHERE doc_id % 50 = 0),
+    psh AS (SELECT doc_id AS probe_id, sh FROM sh
+            WHERE doc_id % 50 = 0 AND doc_id < $DocProbeIdBound),
     shared AS (
       SELECT p.probe_id, s.doc_id AS cand, count(*) AS n_shared
       FROM sh s JOIN psh p USING (sh)

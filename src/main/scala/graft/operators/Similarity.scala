@@ -60,12 +60,27 @@ object Similarity {
     }
   }
 
-  /** The probe set is a FILTER of the corpus (vec_id ≡ 0 mod 50), kept as a
-    * DataFrame so `broadcast()` ships the filtered plan — never a driver
-    * collect.
+  /** Fixed probe-set size ceiling for every recall/tuning audit in the
+    * vector family (`ann_*`, `ivf_recall`, `pq_recall`, `hnsw_recall`,
+    * `embed_mrl`, `ivf_nprobe_sweep`). The probe set keeps the 1-in-50
+    * stratification but is CAPPED at [[ProbeCap]] probes via an id bound
+    * ([[ProbeIdBound]]), so the exact-baseline side costs O(ProbeCap ×
+    * corpus) — linear in the corpus — instead of corpus²/50. The cap is
+    * chosen above the sf0.1 gate corpus's probe count (40 of 2000
+    * vectors), so every audit-family gate hash is unchanged there; on a
+    * 30× decorrelated copy the cap binds (40 probes, not 1200 —
+    * ScaleUp's replica key stride is ≡ 0 mod 50, so capping by id keeps
+    * exactly the base corpus's stratified sample).
     */
-  private[operators] def probesOf(df: DataFrame): DataFrame =
-    df.filter(col("vec_id") % 50 === 0)
+  private[graft] val ProbeCap = 64
+  private[graft] val ProbeIdBound: Long = 50L * ProbeCap
+
+  /** The probe set is a FILTER of the corpus (vec_id ≡ 0 mod 50, capped
+    * at [[ProbeCap]] probes by [[ProbeIdBound]]), kept as a DataFrame so
+    * `broadcast()` ships the filtered plan — never a driver collect.
+    */
+  private[graft] def probesOf(df: DataFrame): DataFrame =
+    df.filter(col("vec_id") % 50 === 0 && col("vec_id") < ProbeIdBound)
 
   /** Shared oracle prelude: quantized vectors + integer norms. DuckDB's
     * list_sum returns HUGEINT; cast back to BIGINT (values fit in 2^53).
@@ -307,7 +322,7 @@ object Similarity {
              x.n2 AS na, y.n2 AS nb,
         CAST(list_sum(list_transform(generate_series(1, len(x.q)),
           i -> x.q[i] * y.q[i])) AS BIGINT) AS dot
-      FROM qn x JOIN qn y ON x.vec_id % 50 = 0 AND x.vec_id <> y.vec_id),
+      FROM qn x JOIN qn y ON x.vec_id % 50 = 0 AND x.vec_id < $ProbeIdBound AND x.vec_id <> y.vec_id),
     scored AS (
       SELECT probe_id, vec_id, $PairCosSql AS cos_raw,
         row_number() OVER (PARTITION BY probe_id
@@ -347,7 +362,7 @@ object Similarity {
         CAST(list_sum(list_transform(generate_series(1, len(x.q)),
           i -> x.q[i] * y.q[i])) AS BIGINT) AS dot
       FROM qb x JOIN qb y ON x.bucket = y.bucket
-        AND x.vec_id % 50 = 0 AND x.vec_id <> y.vec_id),
+        AND x.vec_id % 50 = 0 AND x.vec_id < $ProbeIdBound AND x.vec_id <> y.vec_id),
     scored AS (
       SELECT probe_id, vec_id, $PairCosSql AS cos_raw,
         row_number() OVER (PARTITION BY probe_id
@@ -397,7 +412,7 @@ object Similarity {
              x.n2 AS na, y.n2 AS nb,
         CAST(list_sum(list_transform(generate_series(1, len(x.q)),
           i -> x.q[i] * y.q[i])) AS BIGINT) AS dot
-      FROM ql x JOIN ql y ON x.vec_id % 50 = 0 AND x.label = y.label
+      FROM ql x JOIN ql y ON x.vec_id % 50 = 0 AND x.vec_id < $ProbeIdBound AND x.label = y.label
         AND x.vec_id <> y.vec_id),
     scored AS (
       SELECT probe_id, vec_id, $PairCosSql AS cos_raw,
@@ -452,7 +467,7 @@ object Similarity {
         CAST(list_sum(list_transform(generate_series(1, len(x.q)),
           i -> x.q[i] * y.q[i])) AS BIGINT) AS dot
       FROM fqb x JOIN fqb y ON x.bucket = y.bucket AND x.label = y.label
-        AND x.vec_id % 50 = 0 AND x.vec_id <> y.vec_id),
+        AND x.vec_id % 50 = 0 AND x.vec_id < $ProbeIdBound AND x.vec_id <> y.vec_id),
     fscored AS (
       SELECT probe_id, vec_id, $PairCosSql AS cos_raw,
         row_number() OVER (PARTITION BY probe_id
@@ -532,7 +547,7 @@ object Similarity {
         CAST(list_sum(list_transform(generate_series(1, len(x.q)),
           i -> x.q[i] * y.q[i])) AS BIGINT) AS dot
       FROM qb x JOIN qb y ON x.bucket = y.bucket
-        AND x.vec_id % 50 = 0 AND x.vec_id <> y.vec_id)
+        AND x.vec_id % 50 = 0 AND x.vec_id < $ProbeIdBound AND x.vec_id <> y.vec_id)
     SELECT probe_id, vec_id, round($PairCosSql, 6) AS cos
     FROM pairs WHERE $PairCosSql >= $RangeThreshold
     ORDER BY probe_id, vec_id"""
@@ -633,7 +648,7 @@ object Similarity {
     val buckets = qn.select(col("vec_id"),
       posexplode(array((0 until tables).map(tableBucketCol): _*))
         .as(Seq("tbl", "bucket")))
-    val probeB = buckets.filter(col("vec_id") % 50 === 0)
+    val probeB = probesOf(buckets)
       .select(col("vec_id").as("probe_id"), col("tbl").as("ptbl"),
         col("bucket").as("pbucket"))
     val cand = buckets.join(broadcast(probeB),
@@ -660,7 +675,7 @@ object Similarity {
       SELECT DISTINCT x.vec_id AS probe_id, y.vec_id AS cand_id
       FROM buckets x JOIN buckets y
         ON x.tbl = y.tbl AND x.bucket = y.bucket
-      WHERE x.vec_id % 50 = 0 AND x.vec_id <> y.vec_id),
+      WHERE x.vec_id % 50 = 0 AND x.vec_id < $ProbeIdBound AND x.vec_id <> y.vec_id),
     pairs AS (
       SELECT probe_id, cand_id AS vec_id, x.n2 AS na, y.n2 AS nb,
         CAST(list_sum(list_transform(generate_series(1, len(x.q)),
@@ -750,7 +765,7 @@ object Similarity {
     cells AS (SELECT vec_id, cid AS cell FROM asg WHERE rn = 1),
     probe_cells AS (
       SELECT vec_id, cid AS cell FROM asg
-      WHERE vec_id % 50 = 0 AND rn <= $NProbe),
+      WHERE vec_id % 50 = 0 AND vec_id < $ProbeIdBound AND rn <= $NProbe),
     pairs AS (
       SELECT x.vec_id AS probe_id, y.vec_id AS vec_id,
              x.n2 AS na, y.n2 AS nb,
@@ -1216,7 +1231,7 @@ object Similarity {
       .withColumn("d2", dExpr)
       .groupBy(col("vec_id"), col("m"))
       .agg(min_by(col("code"), struct(col("d2"), col("code"))).as("code"))
-    val pt = subs.filter(col("vec_id") % 50 === 0).join(broadcast(cb), "m")
+    val pt = probesOf(subs).join(broadcast(cb), "m")
       .select(col("vec_id").as("probe_id"), col("m"), col("code"),
         dExpr.as("dm"))
     val w = Window.partitionBy(col("probe_id"))
@@ -1257,7 +1272,7 @@ object Similarity {
       SELECT s.vec_id AS probe_id, s.m, cb.code,
         s.sn2 - 2 * $subDot + cb.cn2 AS dm
       FROM ssn s JOIN cb ON s.m = cb.m
-      WHERE s.vec_id % 50 = 0),
+      WHERE s.vec_id % 50 = 0 AND s.vec_id < $ProbeIdBound),
     adc AS (
       SELECT probe_id, e.vec_id, CAST(sum(dm) AS BIGINT) AS adc
       FROM enc e JOIN pt ON e.m = pt.m AND e.code = pt.code
@@ -1354,7 +1369,7 @@ object Similarity {
     cells AS (SELECT vec_id, cid AS cell FROM asg WHERE rn = 1),
     probe_cells AS (
       SELECT vec_id, cid AS cell FROM asg
-      WHERE vec_id % 50 = 0 AND rn <= $NProbe),
+      WHERE vec_id % 50 = 0 AND vec_id < $ProbeIdBound AND rn <= $NProbe),
     ms AS (SELECT unnest(generate_series(0, ${PqM - 1})) AS m),
     subs AS (
       SELECT vec_id, m, list_slice(q, m * $PqSub + 1, m * $PqSub + $PqSub) AS sub
@@ -1376,7 +1391,7 @@ object Similarity {
       SELECT s.vec_id AS probe_id, s.m, cb.code,
         s.sn2 - 2 * $subDot + cb.cn2 AS dm
       FROM ssn s JOIN cb ON s.m = cb.m
-      WHERE s.vec_id % 50 = 0),
+      WHERE s.vec_id % 50 = 0 AND s.vec_id < $ProbeIdBound),
     cand AS (
       SELECT pc.vec_id AS probe_id, cy.vec_id AS vec_id
       FROM probe_cells pc JOIN cells cy ON cy.cell = pc.cell
@@ -1725,7 +1740,7 @@ object Similarity {
              x.n2 AS na, y.n2 AS nb,
         CAST(list_sum(list_transform(generate_series(1, len(x.q)),
           i -> x.q[i] * y.q[i])) AS BIGINT) AS dot
-      FROM qn x JOIN qn y ON x.vec_id % 50 = 0 AND x.vec_id <> y.vec_id),
+      FROM qn x JOIN qn y ON x.vec_id % 50 = 0 AND x.vec_id < $ProbeIdBound AND x.vec_id <> y.vec_id),
     scored AS (
       SELECT probe_id, vec_id,
         row_number() OVER (PARTITION BY probe_id
@@ -1746,8 +1761,9 @@ object Similarity {
     * training, no codebook).
     *
     * Scale: the exact full-dim baseline is the expensive side —
-    * memoized once and shared by all prefix widths (and in production
-    * run over a probe SAMPLE, as all recall audits here are); each
+    * memoized once and shared by all prefix widths, and bounded by the
+    * fixed-size probe sample ([[ProbeCap]]), so each scoring pass is
+    * O(ProbeCap × corpus), linear in the corpus; each
     * truncated pass re-slices the memoized quantized frame (narrow
     * map), scores via the same broadcast-probe nested loop, and cuts
     * per-probe map-side. Union of per-dim audits is O(dims × probes)
@@ -1855,7 +1871,7 @@ object Similarity {
   def ivfNprobeSweepSql(k: Int = 5): String = {
     val branches = SweepNprobes.map { np => s"""
     pc$np AS (SELECT vec_id, cid AS cell FROM iasg
-              WHERE vec_id % 50 = 0 AND rn <= $np),
+              WHERE vec_id % 50 = 0 AND vec_id < $ProbeIdBound AND rn <= $np),
     pr$np AS (
       SELECT x.vec_id AS probe_id, y.vec_id AS vec_id,
              x.n2 AS na, y.n2 AS nb,

@@ -74,16 +74,25 @@ object Sketch {
     * STREAMING minima maintainer ([[graft.streaming.StreamKmv]]), whose
     * state evolves by the same take-k-smallest.
     */
-  private[graft] def kmvObs(s: SparkSession, dir: String): DataFrame = {
-    // domain: distinct 3-gram shingles per language — large enough that the
-    // (k−1)/h_k estimation branch genuinely fires (the word vocabulary
-    // would fall in the exact n<k branch)
-    val wl = Dedup.shinglesOf(s, dir)
-      .join(Tables.documents(s, dir).select("doc_id", "lang"), "doc_id")
-      .select(col("lang"), col("sh").as("w"))
-      .distinct()
-    wl.select(col("lang"), expr(h01("w")).as("h"))
-  }
+  private[graft] def kmvObs(s: SparkSession, dir: String): DataFrame =
+    kmvWl(s, dir).select(col("lang"), expr(h01("w")).as("h"))
+
+  /** Distinct (language, shingle) observation frame — the one expensive
+    * shingle-join pass behind BOTH KMV gates — memoized per (session,
+    * dir) so [[kmvObs]] (grouped sketches + the streaming maintainer's
+    * batch twin) and [[kmvSetOps]] (set algebra, sizes, exact audit)
+    * build it once (the ivfAsgOf/ivfCellsOf shared-builder discipline).
+    * Domain: distinct 3-gram shingles per language — large enough that
+    * the (k−1)/h_k estimation branch genuinely fires (the word
+    * vocabulary would fall in the exact n<k branch).
+    */
+  private[graft] def kmvWl(s: SparkSession, dir: String): DataFrame =
+    graft.Memo.cached(s, "kmv_wl", dir) {
+      Dedup.shinglesOf(s, dir)
+        .join(Tables.documents(s, dir).select("doc_id", "lang"), "doc_id")
+        .select(col("lang"), col("sh").as("w"))
+        .distinct()
+    }
 
   /** Read-time estimate layer shared by [[kmvByGroup]] and the streaming
     * gate: per-group estimates from the k-minima rows plus the `ALL` row
@@ -586,14 +595,9 @@ object Sketch {
   def kmvSetOps(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val k = SetOpsK
-    // four consumers read this frame (minima, sizes, both sides of the
-    // exact-intersection audit) — materialize once (§4 discipline)
-    val wl = graft.Memo.cached(s, "kmv_setops_wl", dir) {
-      Dedup.shinglesOf(s, dir)
-        .join(Tables.documents(s, dir).select("doc_id", "lang"), "doc_id")
-        .select(col("lang"), col("sh").as("w"))
-        .distinct()
-    }
+    // four consumers here (minima, sizes, both sides of the exact audit)
+    // plus kmv_by_group read the ONE memoized frame (§4 discipline)
+    val wl = kmvWl(s, dir)
     val hs = wl.select(col("lang"), expr(h01("w")).as("h"))
     val rn = row_number().over(Window.partitionBy(col("lang")).orderBy(col("h")))
     val mins = hs.withColumn("rn", rn).filter(col("rn") <= k).drop("rn")

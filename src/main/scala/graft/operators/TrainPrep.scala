@@ -1274,7 +1274,130 @@ object TrainPrep {
         AS mask_hash
     FROM sfm ORDER BY doc_id"""
 
+  // ------------------------------------------------------ preference pairs
+
+  /** Candidate completions per preference prompt: documents grouped in
+    * blocks of [[DpoGroup]] consecutive ids — the harness stand-in for
+    * "N sampled completions per prompt".
+    */
+  private val DpoGroup = 4
+
+  /** Gate: DPO/RLHF PREFERENCE-PAIR ASSEMBLY — the post-SFT training
+    * record: per prompt, ONE (chosen, rejected) completion pair plus the
+    * shared-prompt accounting and the per-branch trainable-span/mask
+    * table. Completes the training-data story [[sftMaskSpans]] opens:
+    * SFT consumes (prompt, completion, mask); preference optimization
+    * consumes (prompt, chosen, rejected) with the SAME rendering and
+    * masking rules, and a silent mask or selection bug is just as
+    * invisible in DPO loss curves as in SFT.
+    *
+    * Construction: each [[DpoGroup]]-block of doc ids is one prompt
+    * group; the PROMPT is the block anchor's (min doc_id) first turn
+    * under the [[sftMaskSpans]] 2-turn split (⌊n/2⌋ words); every
+    * member's second turn is a candidate completion. Selection uses the
+    * ONE shared quality composite ([[TextOps]]' — the same signal
+    * `dedup_keep_best` ranks with): chosen = arg max (quality, then
+    * smaller id), rejected = arg min (quality, then larger id) — the
+    * keep-best tiebreak convention. Groups with < 2 candidates or no
+    * strict quality gap emit nothing: a pair without a preference signal
+    * is not a training record.
+    *
+    * Rendered-stream coordinates per branch: [user marker][prompt
+    * words][assistant marker][completion words] — the completion span
+    * starts at n_prompt_tokens + 3 in BOTH branches (prompt identity is
+    * visible in the one shared `span_start` column), and the mask hash
+    * covers the full 0/1 stream (markers and prompt mask to 0, the HF
+    * `labels = -100` convention).
+    *
+    * Scale: one narrow map over the scan (word count + quality are
+    * per-row expressions), one groupBy on the block key (max_by/min_by
+    * struct aggregates — no window, no self-join), then closed-form
+    * span/mask arithmetic per surviving group. O(corpus / DpoGroup)
+    * rows out.
+    */
+  def dpoPairs(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(s, dir)
+      .select(col("doc_id"), size(split(norm, " ")).cast("long").as("n"))
+      .join(TextOps.qualityDf(s, dir), "doc_id")
+      .withColumn("pid", expr(s"doc_id div $DpoGroup"))
+    val grp = base.groupBy(col("pid"))
+      .agg(count(lit(1)).as("n_candidates"),
+        min(col("doc_id")).as("prompt_doc"),
+        min_by(col("n"), col("doc_id")).as("pn"),
+        max_by(struct(col("doc_id"), col("n"), col("quality")),
+          struct(col("quality"), (-col("doc_id")).as("nd"))).as("ch"),
+        min_by(struct(col("doc_id"), col("n"), col("quality")),
+          struct(col("quality"), (-col("doc_id")).as("nd"))).as("rj"))
+      .filter(col("n_candidates") >= 2 &&
+        col("ch").getField("quality") > col("rj").getField("quality"))
+    def maskHash(c: org.apache.spark.sql.Column) = md5(concat(
+      expr("repeat('0', cast(pn div 2 + 2 as int))"),
+      repeat(lit("1"), c.cast("int"))))
+    grp.select(col("pid").as("prompt_id"),
+        col("prompt_doc"), col("n_candidates"),
+        expr("pn div 2").as("n_prompt_tokens"),
+        (expr("pn div 2") + lit(3L)).as("span_start"),
+        col("ch").getField("doc_id").as("chosen_doc"),
+        col("ch").getField("quality").as("chosen_quality"),
+        (col("ch").getField("n") - expr("ch.n div 2"))
+          .as("n_chosen_tokens"),
+        col("rj").getField("doc_id").as("rejected_doc"),
+        col("rj").getField("quality").as("rejected_quality"),
+        (col("rj").getField("n") - expr("rj.n div 2"))
+          .as("n_rejected_tokens"),
+        col("pn"))
+      .withColumn("chosen_span", concat_ws(":",
+        col("span_start"), col("n_chosen_tokens")))
+      .withColumn("rejected_span", concat_ws(":",
+        col("span_start"), col("n_rejected_tokens")))
+      .withColumn("chosen_mask_hash", maskHash(col("n_chosen_tokens")))
+      .withColumn("rejected_mask_hash", maskHash(col("n_rejected_tokens")))
+      .drop("pn")
+      .orderBy("prompt_id")
+  }
+
+  val dpoPairsSql: String = s"""
+    WITH ${TextOps.docQualityCteSql},
+    dpb AS (
+      SELECT d.doc_id, d.doc_id // $DpoGroup AS pid,
+        CAST(len(string_split($normSql, ' ')) AS BIGINT) AS n, dq.quality
+      FROM documents d JOIN dq USING (doc_id)),
+    dpw AS (
+      SELECT doc_id, pid, n, quality,
+        row_number() OVER (PARTITION BY pid
+          ORDER BY quality DESC, doc_id) AS rc,
+        row_number() OVER (PARTITION BY pid
+          ORDER BY quality ASC, doc_id DESC) AS rr,
+        count(*) OVER (PARTITION BY pid) AS nc,
+        min(doc_id) OVER (PARTITION BY pid) AS prompt_doc,
+        first_value(n) OVER (PARTITION BY pid ORDER BY doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS pn
+      FROM dpb),
+    dpc AS (SELECT pid, nc, prompt_doc, pn, doc_id AS cdoc, n AS cn,
+              quality AS cq
+            FROM dpw WHERE rc = 1),
+    dpr AS (SELECT pid, doc_id AS rdoc, n AS rn, quality AS rq
+            FROM dpw WHERE rr = 1)
+    SELECT pid AS prompt_id, prompt_doc, CAST(nc AS BIGINT) AS n_candidates,
+      pn // 2 AS n_prompt_tokens, pn // 2 + 3 AS span_start,
+      cdoc AS chosen_doc, cq AS chosen_quality,
+      cn - cn // 2 AS n_chosen_tokens,
+      rdoc AS rejected_doc, rq AS rejected_quality,
+      rn - rn // 2 AS n_rejected_tokens,
+      CAST(pn // 2 + 3 AS VARCHAR) || ':' || CAST(cn - cn // 2 AS VARCHAR)
+        AS chosen_span,
+      CAST(pn // 2 + 3 AS VARCHAR) || ':' || CAST(rn - rn // 2 AS VARCHAR)
+        AS rejected_span,
+      md5(repeat('0', CAST(pn // 2 + 2 AS INT))
+        || repeat('1', CAST(cn - cn // 2 AS INT))) AS chosen_mask_hash,
+      md5(repeat('0', CAST(pn // 2 + 2 AS INT))
+        || repeat('1', CAST(rn - rn // 2 AS INT))) AS rejected_mask_hash
+    FROM dpc JOIN dpr USING (pid)
+    WHERE nc >= 2 AND cq > rq
+    ORDER BY prompt_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dpo_pairs" -> (dpoPairs _),
     "sft_mask_spans" -> (sftMaskSpans _),
     "shard_plan" -> (shardPlan _),
     "doc_truncate" -> (docTruncate _),
@@ -1297,6 +1420,7 @@ object TrainPrep {
     "text_bigram_lm" -> (textBigramLm _))
 
   val oracles: Map[String, String] = Map(
+    "dpo_pairs" -> dpoPairsSql,
     "sft_mask_spans" -> sftMaskSpansSql,
     "shard_plan" -> shardPlanSql,
     "doc_truncate" -> docTruncateSql,

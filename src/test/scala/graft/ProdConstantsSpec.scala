@@ -117,4 +117,35 @@ class ProdConstantsSpec extends SparkSpec {
     }
     assert(t8 < 120.0, f"8-table LSH took $t8%.1f s")
   }
+
+  test("probe cap binds on a 30x corpus: audit probe count is O(1), not O(corpus)") {
+    // ScaleUp-shaped 30× replication: vec_id offset by rep × 1e8 (≡ 0 mod
+    // 50, so every replica preserves the 1-in-50 stratification)
+    val base = Tables.embeddings(spark, sf).select(col("vec_id"))
+    val nBase = base.count()
+    val scaled = base.crossJoin(spark.range(30).toDF("rep"))
+      .select((col("vec_id") + col("rep") * 100000000L).as("vec_id"))
+    val uncapped = scaled.filter(col("vec_id") % 50 === 0).count()
+    val capped = Similarity.probesOf(scaled.toDF()).count()
+    val baseProbes = Similarity.probesOf(base.toDF()).count()
+    // at gate scale the bound is a no-op (every stratified probe kept) —
+    // the property that keeps all seven audit-family gate hashes unchanged
+    assert(baseProbes == base.filter(col("vec_id") % 50 === 0).count(),
+      s"cap must not bind at gate scale ($baseProbes of $nBase)")
+    // at 30× the cap BINDS: the probe set stays the base corpus's sample
+    // instead of growing 30× — the exact-baseline side is O(cap × corpus)
+    assert(uncapped == 30 * baseProbes, s"uncapped grew to $uncapped")
+    assert(capped == baseProbes,
+      s"capped probe set must not grow with the corpus: $capped != $baseProbes")
+    assert(baseProbes <= Similarity.ProbeCap,
+      s"ProbeCap ${Similarity.ProbeCap} must sit above the gate probe count $baseProbes")
+    // the lexical (doc-side) twin in Retrieval obeys the same discipline
+    val docs = Tables.documents(spark, sf).select(col("doc_id"))
+    val dScaled = docs.crossJoin(spark.range(30).toDF("rep"))
+      .select((col("doc_id") + col("rep") * 100000000L).as("doc_id"))
+    val dCapped = dScaled.filter(col("doc_id") % 50 === 0 &&
+      col("doc_id") < graft.operators.Retrieval.DocProbeIdBound).count()
+    val dBase = docs.filter(col("doc_id") % 50 === 0).count()
+    assert(dCapped == dBase, s"doc probe cap must bind at 30x: $dCapped != $dBase")
+  }
 }
