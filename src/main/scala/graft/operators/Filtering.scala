@@ -1003,7 +1003,323 @@ object Filtering {
         AS flagged
     FROM pd, mn ORDER BY doc_id"""
 
+  // ------------------------------------------------ model-grade language ID
+
+  /** Hashed char-trigram buckets of the langid classifier (+ bias 0). */
+  private val LangidBuckets = 64
+
+  /** Training rounds of the langid one-vs-rest perceptron (the
+    * [[ClfRounds]] convention; reaches ≥ 0.99 accuracy by round 16 at
+    * all three test SFs — measured).
+    */
+  private val LangidRounds = 16
+
+  /** Fixed-point scale of the length-NORMALIZED trigram features:
+    * x_f = (count_f · 1024) div total_trigrams, bias = 1024. Raw counts
+    * do not train here (measured: stuck at majority-class accuracy) —
+    * document length varies 10× so count features conflate length with
+    * language; the ratio features are the fastText normalization, in
+    * exact integer arithmetic.
+    */
+  private val LangidFpScale = 1024
+
+  /** Positive-class gradient weight = |langs| − 1 (4; a literal because
+    * this val initializes before [[LangidLangs]]). One-vs-rest slices
+    * are ~1:4 imbalanced, and the unweighted batch gradient collapses
+    * every non-majority classifier to all-negative (measured: binary
+    * accuracy pinned at the negative base rate). Weighting the positive
+    * docs' updates by the class ratio is the standard balanced
+    * perceptron fix and stays order-independent integer.
+    */
+  private val LangidPosW = 4
+
+  /** Fixed language order — the argmax tie-break priority, matching the
+    * heuristic's ([[TextOps.textLangid]]) en > es > fr > de > zh chain.
+    */
+  private val LangidLangs = Seq("en", "es", "fr", "de", "zh")
+
+  /** Per-language planted morphology: every 5th word carries the
+    * language's suffix. The synthetic corpus draws one shared vocabulary
+    * for every `lang` label (measured: per-language word-frequency
+    * spreads are sampling noise), so — exactly like [[CorpusFilters]]'
+    * quality_rules planting symbol/numeric words — the gate plants a
+    * DETERMINISTIC morphological signal for the classifier to learn.
+    * The plant is char-level, invisible to the word-lexicon heuristic
+    * (suffixed words match no stoplist entry), which is the real-world
+    * contrast the gate measures: production langid (fastText) is a
+    * char-n-gram model precisely because morphology generalizes where
+    * lexicons stop.
+    */
+  private val LangidSuffix =
+    Map("en" -> "ing", "es" -> "cion", "fr" -> "eaux", "de" -> "ung",
+      "zh" -> "zhi")
+
+  private def langidSfxCol: org.apache.spark.sql.Column =
+    LangidLangs.tail.foldLeft(
+      when(col("lang") === LangidLangs.head,
+        LangidSuffix(LangidLangs.head))) { (c, l) =>
+      c.when(col("lang") === l, LangidSuffix(l))
+    }
+
+  private val langidSfxSql: String =
+    "CASE " + LangidLangs.map(l =>
+      s"WHEN lang = '$l' THEN '${LangidSuffix(l)}'").mkString(" ") + " END"
+
+  /** Augmented text: word i (0-based) gets the language suffix when
+    * i ≡ 0 (mod 5).
+    */
+  private def langidAugCol: org.apache.spark.sql.Column =
+    expr("array_join(transform(split(" +
+      "lower(trim(regexp_replace(text, '\\\\s+', ' '))), ' '), " +
+      "(w, i) -> if(i % 5 = 0, concat(w, sfx), w)), ' ')")
+
+  private val langidAugSql: String =
+    s"""array_to_string(list_transform(
+      generate_series(1, len(ws)),
+      i -> CASE WHEN (i - 1) % 5 = 0 THEN ws[i] || sfx ELSE ws[i] END), ' ')"""
+
+  /** Dense per-document feature vectors `(doc_id, lang, x[65])`: hashed
+    * char-TRIGRAM fixed-point ratios of the augmented text
+    * ([[LangidFpScale]]), bias at 0 — the fastText feature shape over
+    * the same hashed-bucket machinery as [[clfFeats]].
+    */
+  private def langidFeats(s: SparkSession, dir: String): DataFrame =
+    graft.Memo.cached(s, "langid_feats", dir) {
+      val aug = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), col("text"),
+          langidSfxCol.as("sfx"))
+        .withColumn("a", langidAugCol)
+      val sparse = aug
+        .select(col("doc_id"),
+          (length(col("a")) - 2).cast("long").as("t"),
+          explode(expr("transform(sequence(1, length(a) - 2), " +
+            "i -> substring(a, i, 3))")).as("g"))
+        .select(col("doc_id"), col("t"),
+          (expr("cast(conv(substring(md5(g), 1, 8), 16, 10) as bigint)")
+            % LangidBuckets + 1).cast("int").as("f"))
+        .groupBy("doc_id", "f")
+        .agg(expr(s"(count(*) * $LangidFpScale) div first(t)").as("c"))
+      sparse.groupBy("doc_id")
+        .agg(map_from_arrays(collect_list(col("f")), collect_list(col("c")))
+          .as("m"))
+        .join(Tables.documents(s, dir).select("doc_id", "lang"), "doc_id")
+        .select(col("doc_id"), col("lang"),
+          expr(s"transform(sequence(0, $LangidBuckets), " +
+            s"i -> if(i = 0, cast($LangidFpScale as bigint), " +
+            "coalesce(element_at(m, i), cast(0 as bigint))))").as("x"))
+    }
+
+  /** Shared diagonal preconditioner of the langid features (same formula
+    * as [[clfPrecond]]; one frame for all five one-vs-rest problems).
+    */
+  private def langidS2(s: SparkSession, dir: String): DataFrame =
+    graft.Memo.cached(s, "langid_s2", dir) {
+      langidFeats(s, dir)
+        .select(posexplode(col("x")).as(Seq("i", "xi")))
+        .groupBy("i").agg(greatest(sum(col("xi") * col("xi")), lit(1L))
+          .as("s2v"))
+    }
+
+  /** The five one-vs-rest weight vectors `(lang, i, wv)` trained JOINTLY
+    * (one corpus pass per round scores all five classifiers; the
+    * gradient shuffle is (lang, i)-keyed, 5 × 65 rows) with the same
+    * preconditioned 1/r-decayed integer updates as [[clfWeights]] —
+    * order-independent, so the oracle unrolls the rounds exactly.
+    */
+  private def langidWeights(s: SparkSession, dir: String): DataFrame =
+    graft.Memo.cached(s, "langid_weights", dir) {
+      GraftFunctions.register(s)
+      val feats = langidFeats(s, dir)
+      val s2 = langidS2(s, dir)
+      import s.implicits._
+      var w = LangidLangs.toDF("clang")
+        .crossJoin(s.range(0, LangidBuckets + 1)
+          .select(col("id").cast("int").as("i")))
+        .select(col("clang"), col("i"), lit(0L).as("wv"))
+        .localCheckpoint(true)
+      for (r <- 1 to LangidRounds) {
+        val wArr = w.groupBy("clang")
+          .agg(transform(array_sort(collect_list(struct(col("i"), col("wv")))),
+            x => x.getField("wv")).as("wa"))
+        val grad = feats.crossJoin(broadcast(wArr))
+          .select(col("clang"),
+            when(col("lang") === col("clang"), 1L).otherwise(-1L).as("y"),
+            when(col("lang") === col("clang"), LangidPosW.toLong)
+              .otherwise(-1L).as("yw"),
+            col("x"), expr("q_dot(x, wa)").as("sc"))
+          .filter(col("y") * col("sc") <= 0)
+          .select(col("clang"), col("yw"),
+            posexplode(col("x")).as(Seq("i", "xi")))
+          .groupBy("clang", "i").agg(sum(col("yw") * col("xi")).as("g"))
+        w = w.join(grad, Seq("clang", "i"), "left").join(s2, Seq("i"))
+          .select(col("clang"), col("i"), (col("wv") + expr(
+            s"cast(((coalesce(g, 0) * $ClfK) - ((coalesce(g, 0) * $ClfK) " +
+              s"% (s2v * $r) + (s2v * $r)) % (s2v * $r)) div (s2v * $r) " +
+              "as bigint)")).as("wv"))
+          .localCheckpoint(true)
+      }
+      w
+    }
+
+  /** Gate: MODEL-GRADE LANGUAGE ID — a hashed char-trigram one-vs-rest
+    * perceptron (the fastText shape: character n-grams, hashed buckets,
+    * linear decision) trained on the morphology-planted corpus, with a
+    * per-document parity audit against the word-lexicon heuristic
+    * ([[TextOps.textLangid]]) run on the SAME augmented text. Emits per
+    * document the trained prediction + its integer margin, the heuristic
+    * prediction, and both correctness flags — the table that justifies
+    * replacing the heuristic in the pipeline (spec pins trained accuracy
+    * strictly above heuristic accuracy).
+    *
+    * Scale: feature extraction is one narrow map + a (doc, bucket)
+    * shuffle bounded by 65 buckets/doc; each training round is one
+    * corpus pass against 5 broadcast weight vectors + a 325-row
+    * gradient shuffle; scoring is the same pass once. The heuristic
+    * columns ride the same scan.
+    */
+  def langidClf(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    val wArr = langidWeights(s, dir).groupBy("clang")
+      .agg(transform(array_sort(collect_list(struct(col("i"), col("wv")))),
+        x => x.getField("wv")).as("wa"))
+    val pri = LangidLangs.zipWithIndex.foldLeft(lit(99)) { case (c, (l, p)) =>
+      when(col("clang") === l, p).otherwise(c)
+    }
+    val scored = langidFeats(s, dir).crossJoin(broadcast(wArr))
+      .select(col("doc_id"), col("lang"), col("clang"),
+        expr("q_dot(x, wa)").as("sc"), pri.as("pri"))
+    val pred = scored.groupBy("doc_id")
+      .agg(first(col("lang")).as("lang_actual"),
+        max_by(col("clang"), struct(col("sc"), (-col("pri")).as("np")))
+          .as("clf_pred"),
+        max(col("sc")).as("clf_score"))
+    // the heuristic, on the SAME augmented text (fair fight)
+    val stopScores = Seq(Stoplists.en, Stoplists.es, Stoplists.fr,
+      Stoplists.de, Stoplists.zh)
+    val aug = Tables.documents(s, dir)
+      .select(col("doc_id"), langidSfxCol.as("sfx"), col("text"))
+      .withColumn("a", langidAugCol)
+      .withColumn("ws", split(col("a"), " "))
+    val hs = stopScores.map(st =>
+      size(filter(col("ws"), w => w.isin(st: _*))).cast("double")
+        / size(col("ws")))
+    val Seq(se, ss, sf, sd, sz) = hs
+    val heur = aug.select(col("doc_id"),
+      when(se >= ss && se >= sf && se >= sd && se >= sz, "en")
+        .when(ss >= sf && ss >= sd && ss >= sz, "es")
+        .when(sf >= sd && sf >= sz, "fr")
+        .when(sd >= sz, "de")
+        .otherwise("zh").as("heur_pred"))
+    pred.join(heur, "doc_id")
+      .select(col("doc_id"), col("lang_actual"),
+        col("clf_pred"), col("clf_score"),
+        when(col("clf_pred") === col("lang_actual"), 1L).otherwise(0L)
+          .as("clf_correct"),
+        col("heur_pred"),
+        when(col("heur_pred") === col("lang_actual"), 1L).otherwise(0L)
+          .as("heur_correct"))
+      .orderBy("doc_id")
+  }
+
+  val langidClfSql: String = {
+    val rounds = (1 to LangidRounds).map { r =>
+      s"""
+    lgm$r AS (
+      SELECT fe.doc_id, w.clang,
+        CASE WHEN fe.lang = w.clang THEN 1 ELSE -1 END AS y,
+        CAST(sum(fe.c * w.wv) AS BIGINT) AS s
+      FROM lg_feats fe JOIN lw${r - 1} w USING (f)
+      GROUP BY 1, 2, 3),
+    lgg$r AS (
+      SELECT m.clang, fe.f,
+        CAST(sum((CASE WHEN fe.lang = m.clang THEN $LangidPosW ELSE -1 END)
+          * fe.c) AS BIGINT) AS g
+      FROM lg_feats fe
+      JOIN (SELECT doc_id, clang FROM lgm$r WHERE y * s <= 0) m
+        USING (doc_id)
+      GROUP BY 1, 2),
+    lw$r AS MATERIALIZED (
+      SELECT w.clang, w.f, wv + CAST(((coalesce(g, 0) * $ClfK)
+          - ((coalesce(g, 0) * $ClfK) % (s2v * $r) + (s2v * $r))
+            % (s2v * $r)) // (s2v * $r) AS BIGINT) AS wv
+      FROM lw${r - 1} w
+      LEFT JOIN lgg$r g ON w.clang = g.clang AND w.f = g.f
+      JOIN lg_s2 s2 ON s2.f = w.f)"""
+    }.mkString(",")
+    val priSql = "CASE " + LangidLangs.zipWithIndex.map { case (l, p) =>
+      s"WHEN clang = '$l' THEN $p" }.mkString(" ") + " END"
+    def heurScore(st: Seq[String]) =
+      s"(CAST(len(list_filter(aws, w -> w IN (${st.map("'" + _ + "'")
+        .mkString(",")}))) AS DOUBLE) / len(aws))"
+    val (he, hs_, hf, hd, hz) = (heurScore(Stoplists.en),
+      heurScore(Stoplists.es), heurScore(Stoplists.fr),
+      heurScore(Stoplists.de), heurScore(Stoplists.zh))
+    s"""
+    WITH lg_base AS (
+      SELECT doc_id, lang, $langidSfxSql AS sfx,
+        string_split($normSql, ' ') AS ws
+      FROM documents),
+    lg_aug AS (SELECT doc_id, lang, $langidAugSql AS a FROM lg_base),
+    lg_tri AS (
+      SELECT doc_id, CAST(length(a) - 2 AS BIGINT) AS t,
+        substring(a, i, 3) AS g
+      FROM lg_aug, unnest(generate_series(1, length(a) - 2)) AS tt(i)),
+    lg_feats AS MATERIALIZED (
+      SELECT sp.doc_id, d.lang, sp.f, sp.c FROM (
+        SELECT doc_id,
+          CAST(('0x' || substring(md5(g), 1, 8))::BIGINT % $LangidBuckets + 1
+            AS INT) AS f,
+          CAST((count(*) * $LangidFpScale) // first(t) AS BIGINT) AS c
+        FROM lg_tri GROUP BY 1, 2
+        UNION ALL
+        SELECT doc_id, 0, $LangidFpScale FROM documents) sp
+      JOIN documents d USING (doc_id)),
+    lw0 AS (
+      SELECT clang, CAST(unnest(generate_series(0, $LangidBuckets)) AS INT)
+          AS f,
+        CAST(0 AS BIGINT) AS wv
+      FROM (SELECT unnest([${LangidLangs.map("'" + _ + "'").mkString(",")}])
+              AS clang)),
+    lg_s2 AS MATERIALIZED (
+      SELECT f, greatest(coalesce(s2, 0), 1) AS s2v
+      FROM (SELECT DISTINCT f FROM lw0) ff LEFT JOIN (
+        SELECT f, CAST(sum(c * c) AS BIGINT) AS s2
+        FROM lg_feats GROUP BY f) USING (f)),$rounds,
+    lfin AS (
+      SELECT fe.doc_id, fe.lang, w.clang,
+        CAST(sum(fe.c * w.wv) AS BIGINT) AS s
+      FROM lg_feats fe JOIN lw$LangidRounds w USING (f)
+      GROUP BY 1, 2, 3),
+    lpred AS (
+      SELECT doc_id, lang, clang, s,
+        row_number() OVER (PARTITION BY doc_id ORDER BY s DESC, $priSql)
+          AS rn
+      FROM lfin),
+    lheur AS (
+      SELECT doc_id, string_split(a, ' ') AS aws FROM lg_aug),
+    lhp AS (
+      SELECT doc_id,
+        CASE WHEN $he >= $hs_ AND $he >= $hf AND $he >= $hd AND $he >= $hz
+               THEN 'en'
+             WHEN $hs_ >= $hf AND $hs_ >= $hd AND $hs_ >= $hz THEN 'es'
+             WHEN $hf >= $hd AND $hf >= $hz THEN 'fr'
+             WHEN $hd >= $hz THEN 'de'
+             ELSE 'zh' END AS heur_pred
+      FROM lheur)
+    SELECT p.doc_id, p.lang AS lang_actual, p.clang AS clf_pred,
+      p.s AS clf_score,
+      CAST(CASE WHEN p.clang = p.lang THEN 1 ELSE 0 END AS BIGINT)
+        AS clf_correct,
+      h.heur_pred,
+      CAST(CASE WHEN h.heur_pred = p.lang THEN 1 ELSE 0 END AS BIGINT)
+        AS heur_correct
+    FROM lpred p JOIN lhp h USING (doc_id)
+    WHERE p.rn = 1
+    ORDER BY p.doc_id"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "langid_clf" -> (langidClf _),
     "perceptron_train" -> (perceptronTrain _),
     "perceptron_score" -> (perceptronScore _),
     "perceptron_ordinal" -> (perceptronOrdinal _),
@@ -1015,6 +1331,7 @@ object Filtering {
     "doc_ppl" -> (docPpl _))
 
   val oracles: Map[String, String] = Map(
+    "langid_clf" -> langidClfSql,
     "perceptron_train" -> perceptronTrainSql,
     "perceptron_score" -> perceptronScoreSql,
     "perceptron_ordinal" -> perceptronOrdinalSql,
