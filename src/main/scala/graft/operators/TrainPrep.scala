@@ -1396,7 +1396,285 @@ object TrainPrep {
     WHERE nc >= 2 AND cq > rq
     ORDER BY prompt_id"""
 
+  // ------------------------------------------------------ packing efficiency
+
+  /** Token budgets the packing tuning table evaluates. */
+  private val PackEffBudgets = Seq(512L, 1024L, 2048L)
+
+  /** Gate: the PACKING TUNING TABLE — per token budget, three packing
+    * strategies' bins/waste/fill statistics side by side:
+    *
+    *  - `stream`: the shipped contiguous-stream offset cut
+    *    ([[TextOps.packSequences]]' model) — documents SPLIT across
+    *    sequence boundaries, so padding waste is only the final
+    *    partial sequence; the cost axis is `n_split_docs`, documents
+    *    whose attention span crosses a boundary.
+    *  - `nf_doc`: next-fit in arrival order, NO splits (the SFT-style
+    *    sample packer) — a document that would cross the boundary
+    *    closes the bin; waste = padding.
+    *  - `nf_len`: next-fit DECREASING (length-sorted arrival) — the
+    *    length-aware member of the decreasing family with O(1) packer
+    *    state; the variant a streaming shard-writer can actually run.
+    *    MEASURED SURPRISE the table exists to expose: NFD is NOT
+    *    uniformly better than arrival order — at budget 512 on the
+    *    gate corpus it wastes MORE (2269 vs 1757 tokens; sorting only
+    *    reliably helps first-fit-style packers that keep bins open).
+    *    True FFD keeps every open bin's remainder (state linear in
+    *    bins — unbounded at 100 TB, and not exactly replayable as a
+    *    distributed plan); the spec replays FFD sequentially and pins
+    *    its waste ≤ BOTH shipped layouts at every budget, quantifying
+    *    what the open-bin state buys.
+    *
+    * This is the tuning-table family's packing member
+    * ([[graft.operators.Dedup]]'s lsh_tuning, [[ivfNprobeSweep]],
+    * [[graft.operators.Bpe]]'s vocab sweep): packing waste is pure
+    * token money at 100 TB, and the table is what an owner reads
+    * before committing a strategy.
+    *
+    * Scale: the no-split layouts are computed EXACTLY with bounded
+    * machinery — the bin structure of next-fit is the orbit of the
+    * monotone jump function f(x) = max{cum ≤ x + budget} from 0, so:
+    * one [[DistRank.runningSum]] prefix pass per (ordering, budget);
+    * f built by a BANDED range join (each query's answer provably lies
+    * in its own or the previous budget-width band, because consecutive
+    * prefix sums differ by ≤ budget after the oversize filter); then
+    * ⌈log₂ corpus⌉ pointer-doubling rounds (the `cc_deep_chain`
+    * discipline, localCheckpoint per round) enumerate the O(total /
+    * budget) bin starts. No driver collect; the only driver scalar is
+    * the doc count that bounds the doubling depth. The oracle replays
+    * the same orbit with a recursive CTE (gate-scale only).
+    */
+  def packEfficiency(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = graft.Memo.cached(s, "packeff_docs", dir) {
+      Tables.documents(s, dir)
+        .select(col("doc_id"), size(split(norm, " ")).cast("long").as("n"))
+    }
+    // one scalar pass: total tokens bounds the doubling depth
+    // (#bins ≤ total / min(budget) + 1); scalar-only driver feedback
+    val total0 = docs.agg(coalesce(sum(col("n")), lit(0L)))
+      .head().getLong(0)
+    val binsUpper = total0 / PackEffBudgets.min + 2
+    val rounds = 64 - java.lang.Long.numberOfLeadingZeros(binsUpper)
+
+    // ALL six (budget × ordering) next-fit layouts ride ONE cfg-keyed
+    // frame — one DistRank pass (cfg is the low-cardinality stratum),
+    // one banded f-build, one joint pointer-doubling chain — instead of
+    // six sequential chains (measured: 6× separate = 25 s at sf0.1,
+    // batched < 5 s; round count, not row volume, is the cost)
+    val cfgs = for (b <- PackEffBudgets; o <- Seq("d", "l"))
+      yield (s"$o$b", b, o)
+    val cfgMeta = cfgs.toDF("cfg", "budget", "ord")
+    val tagged = cfgs.map { case (cfg, b, o) =>
+      docs.filter(col("n") <= b)
+        .select(lit(cfg).as("cfg"), col("doc_id"), col("n"),
+          (if (o == "l") -col("n") else lit(0L)).as("ok"))
+    }.reduce(_.unionByName(_))
+    val cum = DistRank.runningSum(tagged, "cfg",
+      Seq(col("ok"), col("doc_id")), "doc_id", col("n"), "cum")
+    val c0 = cum.select(col("cfg"), col("cum").as("c"))
+      .unionByName(cfgMeta.select(col("cfg"), lit(0L).as("c")))
+      .join(broadcast(cfgMeta.select(col("cfg"), col("budget"))), "cfg")
+    // f(x) = max{cum ≤ x + budget}: banded range join — consecutive cums
+    // differ by ≤ budget (oversize filtered), so the answer sits in the
+    // query's band or the one before it
+    val q = c0.select(col("cfg"), col("budget"), col("c").as("x"),
+        (col("c") + col("budget")).as("v"))
+      .withColumn("qb", expr("v div budget"))
+      .drop("budget")
+    val cand = c0.select(col("cfg"), col("c").as("cand"),
+      explode(array(expr("c div budget"), expr("c div budget") + 1))
+        .as("qb"))
+    val f0 = q.join(cand, Seq("cfg", "qb"))
+      .filter(col("cand") <= col("v"))
+      .groupBy("cfg", "x").agg(max(col("cand")).as("fx"))
+      .localCheckpoint(true)
+    // the orbit is duplicate-free until the chain parks on its fixed
+    // point (f(total) = total), so rounds skip the per-round distinct —
+    // fixed-point copies double per round but stay bounded by 2^rounds ≈
+    // binsUpper, and ONE dedup at the end restores the set
+    var reach = cfgMeta.select(col("cfg"), lit(0L).as("x"))
+    var f = f0
+    for (t <- 1 to rounds) {
+      reach = reach.unionByName(
+          reach.join(f, Seq("cfg", "x")).select(col("cfg"),
+            col("fx").as("x")))
+        .localCheckpoint(true)
+      if (t < rounds)
+        f = f.join(
+            f.select(col("cfg"), col("x").as("fx"), col("fx").as("fx2")),
+            Seq("cfg", "fx"))
+          .select(col("cfg"), col("x"), col("fx2").as("fx"))
+          .localCheckpoint(true)
+    }
+    reach = reach.distinct()
+    val tot = cum.groupBy("cfg")
+      .agg(coalesce(max(col("cum")), lit(0L)).as("total"),
+        count(lit(1)).as("n_docs"))
+    val fills = reach.join(f0, Seq("cfg", "x"))
+      .join(broadcast(tot.select(col("cfg"), col("total"))), "cfg")
+      .filter(col("x") < col("total"))
+      .join(broadcast(cfgMeta.select(col("cfg"), col("budget"))), "cfg")
+      .select(col("cfg"), col("budget"), (col("fx") - col("x")).as("fill"))
+    val hist = fills
+      .groupBy(col("cfg"),
+        least(lit(9L), expr("(fill * 10) div budget")).as("hb"))
+      .agg(count(lit(1)).as("hc"))
+      .groupBy("cfg")
+      .agg(map_from_arrays(collect_list(col("hb")),
+        collect_list(col("hc"))).as("hm"))
+    val stats = fills.groupBy("cfg").agg(count(lit(1)).as("n_bins"),
+      min(col("fill")).as("min_fill"), max(col("fill")).as("max_fill"))
+    val over = PackEffBudgets.map(b => docs.select(lit(b).as("budget"),
+        when(col("n") > b, 1L).otherwise(0L).as("ov")))
+      .reduce(_.unionByName(_))
+      .groupBy("budget").agg(sum(col("ov")).as("n_oversize"))
+    val histStr = array_join(expr("transform(sequence(0, 9), " +
+      "i -> cast(coalesce(element_at(hm, i), 0L) as string))"), ",")
+    val nfRows = tot.join(stats, "cfg").join(hist, "cfg")
+      .join(broadcast(cfgMeta), "cfg")
+      .join(broadcast(over), "budget")
+      .select(col("budget"),
+        when(col("ord") === "l", "nf_len").otherwise("nf_doc")
+          .as("strategy"),
+        col("n_docs"), col("n_oversize"),
+        col("total").as("total_tokens"), col("n_bins"),
+        (col("n_bins") * col("budget") - col("total")).as("waste_tokens"),
+        round((col("n_bins") * col("budget") - col("total")).cast("double")
+          / (col("n_bins") * col("budget")).cast("double"), 6)
+          .as("waste_frac"),
+        lit(0L).as("n_split_docs"),
+        col("min_fill"), col("max_fill"), histStr.as("fill_hist"))
+
+    // stream rows: one pass over the doc-order prefix sums computes the
+    // per-budget split counts; everything else is closed form. The hist
+    // is n_bins − 1 full bins in decile 9 plus the final partial fill's
+    // decile (merged arithmetic — never a duplicate-key map, which Spark
+    // rejects by default).
+    val cumAll = graft.Memo.cached(s, "packeff_cum_doc", dir) {
+      DistRank.runningSum(docs.withColumn("__all", lit(0L)), "__all",
+        Seq(col("doc_id")), "doc_id", col("n"), "cum")
+    }
+    val sAggCols = Seq(count(lit(1)).as("n_docs"),
+      sum(col("n")).as("total")) ++
+      PackEffBudgets.map(b =>
+        sum(when(expr(s"(cum - n) div $b") < expr(s"(cum - 1) div $b"),
+          1L).otherwise(0L)).as(s"sp$b"))
+    val sAgg = cumAll.agg(sAggCols.head, sAggCols.tail: _*)
+      .localCheckpoint(true)
+    val streamRows = PackEffBudgets.map { b =>
+      sAgg
+        .withColumn("n_bins", expr(s"(total + ${b - 1}) div $b"))
+        .withColumn("last_fill", col("total") - (col("n_bins") - 1) * b)
+        .withColumn("hlo", least(lit(9L), expr(s"(last_fill * 10) div $b")))
+        .select(lit(b).as("budget"), lit("stream").as("strategy"),
+          col("n_docs"), lit(0L).as("n_oversize"),
+          col("total").as("total_tokens"), col("n_bins"),
+          (col("n_bins") * b - col("total")).as("waste_tokens"),
+          round((col("n_bins") * b - col("total")).cast("double")
+            / (col("n_bins") * b).cast("double"), 6).as("waste_frac"),
+          col(s"sp$b").as("n_split_docs"),
+          col("last_fill").as("min_fill"),
+          when(col("n_bins") >= 2, lit(b)).otherwise(col("last_fill"))
+            .as("max_fill"),
+          array_join(expr("transform(sequence(0, 9), i -> cast(" +
+            "(case when i = 9 then n_bins - 1 else 0L end) + " +
+            "(case when i = hlo then 1L else 0L end)" +
+            " as string))"), ",").as("fill_hist"))
+    }.reduce(_.unionByName(_))
+
+    streamRows.unionByName(nfRows).orderBy("budget", "strategy")
+  }
+
+  val packEfficiencySql: String = {
+    def block(b: Long): String = {
+      def nf(tag: String, orderSql: String): String = s"""
+    cd$tag$b AS (SELECT n,
+        CAST(sum(n) OVER (ORDER BY $orderSql ROWS UNBOUNDED PRECEDING)
+          AS BIGINT) AS cum
+      FROM ed$b),
+    sd$tag$b(o) AS (
+      SELECT CAST(0 AS BIGINT) AS o
+      UNION ALL
+      SELECT (SELECT max(cum) FROM cd$tag$b WHERE cum <= sd.o + $b)
+      FROM sd$tag$b sd
+      WHERE sd.o < (SELECT max(cum) FROM cd$tag$b)),
+    fd$tag$b AS (
+      SELECT o, (SELECT max(cum) FROM cd$tag$b WHERE cum <= o + $b) - o
+          AS fill
+      FROM sd$tag$b WHERE o < (SELECT max(cum) FROM cd$tag$b)),
+    hb$tag$b AS (SELECT least(9, (fill * 10) // $b) AS hb, count(*) AS c
+      FROM fd$tag$b GROUP BY 1),
+    hh$tag$b AS (SELECT list(hb ORDER BY hb) AS ks, list(c ORDER BY hb) AS vs
+      FROM hb$tag$b),
+    rw$tag$b AS (
+      SELECT CAST($b AS BIGINT) AS budget,
+        '${if (tag == "l") "nf_len" else "nf_doc"}' AS strategy,
+        (SELECT count(*) FROM ed$b) AS n_docs,
+        (SELECT CAST(count(*) AS BIGINT) FROM pe WHERE n > $b)
+          AS n_oversize,
+        (SELECT coalesce(max(cum), 0) FROM cd$tag$b) AS total_tokens,
+        (SELECT CAST(count(*) AS BIGINT) FROM fd$tag$b) AS n_bins,
+        (SELECT CAST(count(*) AS BIGINT) FROM fd$tag$b) * $b
+          - (SELECT coalesce(max(cum), 0) FROM cd$tag$b) AS waste_tokens,
+        round(CAST((SELECT CAST(count(*) AS BIGINT) FROM fd$tag$b) * $b
+            - (SELECT coalesce(max(cum), 0) FROM cd$tag$b) AS DOUBLE)
+          / CAST((SELECT CAST(count(*) AS BIGINT) FROM fd$tag$b) * $b
+            AS DOUBLE), 6) AS waste_frac,
+        CAST(0 AS BIGINT) AS n_split_docs,
+        (SELECT min(fill) FROM fd$tag$b) AS min_fill,
+        (SELECT max(fill) FROM fd$tag$b) AS max_fill,
+        (SELECT array_to_string(list_transform(generate_series(0, 9),
+           i -> CAST(coalesce(vs[list_position(ks, i)], 0) AS VARCHAR)), ',')
+         FROM hh$tag$b) AS fill_hist)"""
+      s"""
+    ed$b AS (SELECT doc_id, n FROM pe WHERE n <= $b),
+    ${nf("d", "doc_id")},
+    ${nf("l", "n DESC, doc_id")},
+    sa$b AS (
+      SELECT count(*) AS n_docs, CAST(sum(n) AS BIGINT) AS total,
+        CAST(sum(CASE WHEN (cum - n) // $b < (cum - 1) // $b
+          THEN 1 ELSE 0 END) AS BIGINT) AS n_split_docs
+      FROM pc),
+    sb$b AS (
+      SELECT *, (total + ${b - 1}) // $b AS n_bins,
+        total - ((total + ${b - 1}) // $b - 1) * $b AS last_fill,
+        least(9, ((total - ((total + ${b - 1}) // $b - 1) * $b) * 10) // $b)
+          AS hlo
+      FROM sa$b),
+    rws$b AS (
+      SELECT CAST($b AS BIGINT) AS budget, 'stream' AS strategy,
+        n_docs, CAST(0 AS BIGINT) AS n_oversize, total AS total_tokens,
+        n_bins, n_bins * $b - total AS waste_tokens,
+        round(CAST(n_bins * $b - total AS DOUBLE)
+          / CAST(n_bins * $b AS DOUBLE), 6) AS waste_frac,
+        n_split_docs, last_fill AS min_fill,
+        CASE WHEN n_bins >= 2 THEN $b ELSE last_fill END AS max_fill,
+        array_to_string(list_transform(generate_series(0, 9),
+          i -> CAST((CASE WHEN i = 9 THEN n_bins - 1 ELSE 0 END)
+            + (CASE WHEN i = hlo THEN 1 ELSE 0 END) AS VARCHAR)), ',')
+          AS fill_hist
+      FROM sb$b)"""
+    }
+    val blocks = PackEffBudgets.map(block).mkString(",")
+    val rows = PackEffBudgets.flatMap(b =>
+      Seq(s"SELECT * FROM rws$b", s"SELECT * FROM rwd$b",
+        s"SELECT * FROM rwl$b")).mkString("\n    UNION ALL\n    ")
+    s"""
+    WITH RECURSIVE
+    pe AS (SELECT doc_id,
+        CAST(len(string_split($normSql, ' ')) AS BIGINT) AS n
+      FROM documents),
+    pc AS (SELECT doc_id, n,
+        CAST(sum(n) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+          AS BIGINT) AS cum
+      FROM pe),$blocks
+    $rows
+    ORDER BY budget, strategy"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pack_efficiency" -> (packEfficiency _),
     "dpo_pairs" -> (dpoPairs _),
     "sft_mask_spans" -> (sftMaskSpans _),
     "shard_plan" -> (shardPlan _),
@@ -1420,6 +1698,7 @@ object TrainPrep {
     "text_bigram_lm" -> (textBigramLm _))
 
   val oracles: Map[String, String] = Map(
+    "pack_efficiency" -> packEfficiencySql,
     "dpo_pairs" -> dpoPairsSql,
     "sft_mask_spans" -> sftMaskSpansSql,
     "shard_plan" -> shardPlanSql,

@@ -1,0 +1,176 @@
+package graft
+
+import graft.operators.{Filtering, TrainPrep}
+import org.apache.spark.sql.functions._
+
+/** Round-13 operator specs (the driver's oracle gate checks values; these
+  * pin the ALGEBRAIC contracts a hash can't articulate).
+  */
+class Round13OpsSpec extends SparkSpec {
+
+  // --------------------------------------------------------- dpo_pairs
+
+  test("dpo_pairs: strict preference, prompt identity, selection replay") {
+    val pairs = TrainPrep.dpoPairs(spark, sf).collect()
+    assert(pairs.nonEmpty)
+    // ground truth: (doc_id, n_words, quality) per doc, replayed locally
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        size(split(operators.TextNorm.norm, " ")).cast("long").as("n"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n")).toMap
+    val qual = operators.TextOps.textQuality(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("quality")).toMap
+    val byBlock = docs.keys.groupBy(_ / 4)
+    for (p <- pairs) {
+      val pid = p.getAs[Long]("prompt_id")
+      val ch = p.getAs[Long]("chosen_doc")
+      val rj = p.getAs[Long]("rejected_doc")
+      val cq = p.getAs[Double]("chosen_quality")
+      val rq = p.getAs[Double]("rejected_quality")
+      // every pair carries a STRICT preference signal
+      assert(cq > rq, s"pair $pid: chosen $cq !> rejected $rq")
+      assert(ch != rj, s"pair $pid: chosen == rejected")
+      // both branches belong to the prompt's block
+      val block = byBlock(pid).toSet
+      assert(block.contains(ch) && block.contains(rj))
+      // selection replay: chosen = argmax (quality, -id), rejected the dual
+      val ranked = block.toSeq.map(d => (qual(d), d))
+      val expCh = ranked.maxBy { case (q, d) => (q, -d) }._2
+      val expRj = ranked.minBy { case (q, d) => (q, -d) }._2
+      assert(ch == expCh && rj == expRj,
+        s"pair $pid: selection ($ch,$rj) != replay ($expCh,$expRj)")
+      // prompt identity between branches: one shared span_start, derived
+      // from the ANCHOR doc's 2-turn split
+      val anchor = p.getAs[Long]("prompt_doc")
+      assert(anchor == block.min)
+      assert(p.getAs[Long]("n_prompt_tokens") == docs(anchor) / 2)
+      assert(p.getAs[Long]("span_start") == docs(anchor) / 2 + 3)
+      assert(p.getAs[String]("chosen_span") ==
+        s"${p.getAs[Long]("span_start")}:${p.getAs[Long]("n_chosen_tokens")}")
+      // completion accounting: the candidate's own second turn
+      assert(p.getAs[Long]("n_chosen_tokens") == docs(ch) - docs(ch) / 2)
+      assert(p.getAs[Long]("n_rejected_tokens") == docs(rj) - docs(rj) / 2)
+    }
+    // mask replay: the 0/1 stream is [0]*(p+2) ++ [1]*c, hashed
+    val md = java.security.MessageDigest.getInstance("MD5")
+    for (p <- pairs.take(5)) {
+      val mask = "0" * (p.getAs[Long]("n_prompt_tokens").toInt + 2) +
+        "1" * p.getAs[Long]("n_chosen_tokens").toInt
+      val h = md.digest(mask.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      assert(h == p.getAs[String]("chosen_mask_hash"))
+    }
+    // groups without a strict gap are DROPPED, not emitted degenerate:
+    // every block with >= 2 members and a quality spread appears
+    val expected = byBlock.count { case (_, ds) =>
+      ds.size >= 2 && ds.map(qual).toSet.size > 1
+    }
+    assert(pairs.length == expected)
+  }
+
+  // --------------------------------------------------- pack_efficiency
+
+  /** Literal sequential next-fit simulation — the layout the distributed
+    * orbit must reproduce exactly.
+    */
+  private def nextFit(lens: Seq[Long], budget: Long): Seq[Long] = {
+    val bins = scala.collection.mutable.ArrayBuffer[Long]()
+    var cur = 0L
+    for (n <- lens) {
+      if (cur + n > budget && cur > 0) { bins += cur; cur = 0L }
+      cur += n
+    }
+    if (cur > 0) bins += cur
+    bins.toSeq
+  }
+
+  test("pack_efficiency: distributed next-fit orbit == sequential replay; " +
+    "FFD waste <= both shipped layouts") {
+    val rows = TrainPrep.packEfficiency(spark, sf).collect()
+    assert(rows.length == 9)
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        size(split(operators.TextNorm.norm, " ")).cast("long").as("n"))
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n")))
+      .sortBy(_._1)
+    val total = docs.map(_._2).sum
+    for (b <- Seq(512L, 1024L, 2048L)) {
+      val byStrat = rows.filter(_.getAs[Long]("budget") == b)
+        .map(r => r.getAs[String]("strategy") -> r).toMap
+      // stream: closed-form bins, zero oversize, waste = final remainder
+      val st = byStrat("stream")
+      assert(st.getAs[Long]("n_bins") == (total + b - 1) / b)
+      assert(st.getAs[Long]("waste_tokens") ==
+        st.getAs[Long]("n_bins") * b - total)
+      // no-split layouts replay the literal sequential packer
+      val elig = docs.filter(_._2 <= b)
+      val fillsDoc = nextFit(elig.map(_._2), b)
+      val fillsLen = nextFit(
+        elig.sortBy { case (d, n) => (-n, d) }.map(_._2), b)
+      val nd = byStrat("nf_doc"); val nl = byStrat("nf_len")
+      assert(nd.getAs[Long]("n_bins") == fillsDoc.length,
+        s"budget $b: nf_doc bins ${nd.getAs[Long]("n_bins")} != " +
+          s"replay ${fillsDoc.length}")
+      assert(nl.getAs[Long]("n_bins") == fillsLen.length)
+      assert(nd.getAs[Long]("min_fill") == fillsDoc.min)
+      assert(nd.getAs[Long]("max_fill") == fillsDoc.max)
+      assert(nl.getAs[Long]("min_fill") == fillsLen.min)
+      assert(nl.getAs[Long]("max_fill") == fillsLen.max)
+      // token conservation: every eligible token lands in exactly one bin
+      assert(fillsDoc.sum == elig.map(_._2).sum)
+      assert(nd.getAs[Long]("waste_tokens") ==
+        fillsDoc.length * b - fillsDoc.sum)
+      // stream's split-packing is the waste lower bound among the three
+      assert(st.getAs[Long]("waste_tokens") <=
+        nd.getAs[Long]("waste_tokens"))
+      assert(st.getAs[Long]("waste_tokens") <=
+        nl.getAs[Long]("waste_tokens"))
+      // true FFD (open-bin state, sequential replay): at least as good
+      // as BOTH shipped O(1)-state layouts — the quantified cost of
+      // bounded packer state
+      val ffdBins = {
+        val bins = scala.collection.mutable.ArrayBuffer[Long]()
+        for (n <- elig.sortBy { case (d, ln) => (-ln, d) }.map(_._2)) {
+          val j = bins.indexWhere(_ + n <= b)
+          if (j >= 0) bins(j) += n else bins += n
+        }
+        bins.toSeq
+      }
+      val ffdWaste = ffdBins.length * b - ffdBins.sum
+      assert(ffdWaste <= nd.getAs[Long]("waste_tokens"),
+        s"budget $b: FFD $ffdWaste > nf_doc")
+      assert(ffdWaste <= nl.getAs[Long]("waste_tokens"),
+        s"budget $b: FFD $ffdWaste > nf_len")
+      // fill histogram replay
+      def hist(fills: Seq[Long]): String =
+        (0 to 9).map(i => fills.count(f =>
+          math.min(9L, f * 10 / b) == i)).mkString(",")
+      assert(nd.getAs[String]("fill_hist") == hist(fillsDoc))
+      assert(nl.getAs[String]("fill_hist") == hist(fillsLen))
+    }
+  }
+
+  // --------------------------------------------------------- langid_clf
+
+  test("langid_clf: trained accuracy strictly beats the heuristic; " +
+    "predictions live in the label set") {
+    val rows = Filtering.langidClf(spark, sf).collect()
+    assert(rows.length == 500)
+    val langs = Set("en", "es", "fr", "de", "zh")
+    rows.foreach { r =>
+      assert(langs.contains(r.getAs[String]("clf_pred")))
+      assert(langs.contains(r.getAs[String]("heur_pred")))
+      assert(r.getAs[Long]("clf_correct") ==
+        (if (r.getAs[String]("clf_pred") == r.getAs[String]("lang_actual"))
+          1L else 0L))
+    }
+    val clfAcc = rows.map(_.getAs[Long]("clf_correct")).sum.toDouble /
+      rows.length
+    val heurAcc = rows.map(_.getAs[Long]("heur_correct")).sum.toDouble /
+      rows.length
+    // the gate's reason to exist: the char-n-gram model extracts the
+    // planted morphology the word lexicons cannot see
+    assert(clfAcc > heurAcc,
+      f"clf $clfAcc%.3f must beat heuristic $heurAcc%.3f")
+    assert(clfAcc >= 0.95, f"clf accuracy $clfAcc%.3f below 0.95")
+  }
+}
