@@ -461,10 +461,13 @@ object CorpusFilters {
 
   private[graft] def noveltyReport(gstate: DataFrame,
                                    counters: DataFrame): DataFrame = {
+    // the maintained mask is a ROLLING horizon (bit i = window
+    // base_w + i); with ≤ 64 windows base_w is 0 and this reduces to
+    // the fixed-horizon read the oracle replays
     val dist = gstate
-      .select(col("first_w"), col("wmask"),
-        explode(sequence(lit(0L), lit(NoveltyWindows - 1L))).as("w"))
-      .filter(expr("((wmask >> w) & 1) = 1"))
+      .select(col("base_w"), col("wmask"),
+        explode(sequence(col("base_w"), col("base_w") + lit(63L))).as("w"))
+      .filter(expr("((wmask >> (w - base_w)) & 1) = 1"))
       .groupBy(col("w")).agg(count(lit(1)).as("n_grams_distinct"))
     val fresh = gstate.groupBy(col("first_w"))
       .agg(count(lit(1)).as("n_new_grams"))

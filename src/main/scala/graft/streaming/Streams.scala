@@ -1265,10 +1265,18 @@ object StreamDrift {
 case class NvObs(g: String, w: Long)
 
 /** Maintained per-gram novelty state: the first window the gram was
-  * seen in and the bitmask of every window it appeared in — O(1) per
-  * gram regardless of occurrence count.
+  * seen in (exact forever — a min never rolls) and a ROLLING 64-window
+  * occupancy bitmap — bit i of `wmask` = "appeared in window
+  * `base_w + i`", covering [base_w, base_w + 63]. O(1) per gram
+  * regardless of occurrence count OR crawl-horizon length: when a
+  * window beyond the horizon arrives, the mask shifts right and
+  * `base_w` advances (oldest windows roll out), so a production crawl
+  * that outlives 64 windows keeps exact recent-horizon occupancy
+  * instead of failing. For ≤ 64 windows `base_w` stays 0 and the mask
+  * is bit-identical to the fixed-horizon formulation (the batch-oracle
+  * invariant).
   */
-case class NvGramState(g: String, first_w: Long, wmask: Long)
+case class NvGramState(g: String, first_w: Long, base_w: Long, wmask: Long)
 
 /** One per-batch PARTIAL of the per-window occurrence counters. Doc
   * counts add across batches because documents are batch-atomic (a
@@ -1300,19 +1308,28 @@ object StreamNovelty {
       .flatMapGroupsWithState[NvGramState, NvGramState](
         OutputMode.Update, GroupStateTimeout.NoTimeout) {
         (g: String, rows: Iterator[NvObs], state: GroupState[NvGramState]) =>
-          var (fw, mask) = state.getOption
-            .map(s => (s.first_w, s.wmask)).getOrElse((Long.MaxValue, 0L))
+          var (fw, base, mask) = state.getOption
+            .map(s => (s.first_w, s.base_w, s.wmask))
+            .getOrElse((Long.MaxValue, 0L, 0L))
           rows.foreach { o =>
-            // a 64-bit mask holds 64 windows; beyond that the shift would
-            // silently ALIAS window 64 onto 0 — fail loudly instead (a
-            // production deployment rolls the mask to a windowed bitmap
-            // once the horizon passes 64 crawls)
-            require(o.w >= 0 && o.w < 64,
-              s"window id ${o.w} outside the 64-window bitmask horizon")
+            require(o.w >= 0, s"negative window id ${o.w}")
             if (o.w < fw) fw = o.w
-            mask |= (1L << o.w)
+            if (o.w > base + 63) {
+              // roll the horizon forward: oldest windows shift out.
+              // Java's >>> uses shift mod 64, so a jump past the whole
+              // mask must clear explicitly instead of aliasing.
+              val shift = o.w - 63 - base
+              mask = if (shift >= 64) 0L else mask >>> shift
+              base += shift
+            }
+            // an observation for an already-rolled-out window is a no-op
+            // — exactly what a replay of an old batch must be. The fold
+            // stays order-independent: the batch's max window fixes the
+            // final base, and every bit below it rolls out no matter the
+            // arrival order.
+            if (o.w >= base) mask |= (1L << (o.w - base))
           }
-          val next = NvGramState(g, fw, mask)
+          val next = NvGramState(g, fw, base, mask)
           state.update(next)
           Iterator(next)
       }

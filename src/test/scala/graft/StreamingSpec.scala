@@ -828,9 +828,49 @@ class StreamingSpec extends SparkSpec {
         .groupBy(_.getAs[String]("g"))
         .view.mapValues(rs => rs.maxBy(_.getAs[Long]("wmask"))).toMap
       assert(last("g1").getAs[Long]("first_w") == 2L)
+      assert(last("g1").getAs[Long]("base_w") == 0L)
       assert(last("g1").getAs[Long]("wmask") == ((1L << 2) | (1L << 5)))
       assert(last("g2").getAs[Long]("first_w") == 0L)
       assert(last("g2").getAs[Long]("wmask") == 1L)
+    } finally query.stop()
+  }
+
+  test("streaming novelty maintainer: the bitmap ROLLS past the 64-window " +
+    "horizon — old bits shift out, first_w stays exact, replays of " +
+    "rolled-out windows are no-ops") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.{NvObs, StreamNovelty}
+    val input = MemoryStream[NvObs]
+    val query = StreamNovelty.gramStates(input.toDS())
+      .writeStream.format("memory").queryName("nv_roll")
+      .outputMode(OutputMode.Update).start()
+    try {
+      input.addData(NvObs("g", 2), NvObs("g", 10))
+      query.processAllAvailable()
+      // cross the horizon: window 70 forces base_w = 7; window 2 rolls
+      // out, window 10 survives at bit 3
+      input.addData(NvObs("g", 70))
+      query.processAllAvailable()
+      // replay a rolled-out window — must be a no-op
+      input.addData(NvObs("g", 2))
+      query.processAllAvailable()
+      val st = spark.table("nv_roll").collect()
+        .filter(_.getAs[String]("g") == "g")
+        .maxBy(_.getAs[Long]("base_w"))
+      assert(st.getAs[Long]("first_w") == 2L, "first_w is exact forever")
+      assert(st.getAs[Long]("base_w") == 7L)
+      assert(st.getAs[Long]("wmask") == ((1L << 3) | (1L << 63)),
+        s"mask ${st.getAs[Long]("wmask")}: window 10 at bit 3, 70 at 63")
+      // a jump past the whole mask clears it (no mod-64 aliasing)
+      input.addData(NvObs("g", 500))
+      query.processAllAvailable()
+      val st2 = spark.table("nv_roll").collect()
+        .filter(_.getAs[String]("g") == "g")
+        .maxBy(_.getAs[Long]("base_w"))
+      assert(st2.getAs[Long]("base_w") == 437L)
+      assert(st2.getAs[Long]("wmask") == (1L << 63))
+      assert(st2.getAs[Long]("first_w") == 2L)
     } finally query.stop()
   }
 
