@@ -1396,6 +1396,120 @@ object TrainPrep {
     WHERE nc >= 2 AND cq > rq
     ORDER BY prompt_id"""
 
+  // ------------------------------------------------------- span corruption
+
+  /** Tokens per corruption block: one span per complete block gives the
+    * T5 defaults (corruption rate ≈ 15% at mean span 3 → one ~3-token
+    * span per 20 tokens).
+    */
+  private val CorruptBlock = 20
+
+  /** Gate: T5-STYLE SPAN CORRUPTION record assembly (Raffel et al. 2020
+    * §3.1.4 — the denoising pretraining objective): per document, the
+    * deterministic corrupted-span table and the exact input/target
+    * length accounting a seq2seq pretraining loader needs. Each complete
+    * [[CorruptBlock]]-token block contributes ONE span: length 2 + (h %
+    * 3) ∈ {2,3,4} (mean 3) at offset (h div 3) % (block − len + 1),
+    * where h is the doc/block-keyed md5 — spans are non-overlapping by
+    * construction (one per block, contained in its block), the
+    * trailing partial block is uncorrupted, and the whole selection
+    * replays from (doc_id, block) alone. Emits span coordinates in
+    * document token space (`start:len`, the [[sftMaskSpans]]
+    * convention), the encoder input length (uncorrupted tokens + one
+    * sentinel per span), the decoder target length (corrupted tokens +
+    * one sentinel per span + the closing sentinel), and the md5 of the
+    * full 0/1 corruption mask — the third member of the
+    * training-objective family ([[sftMaskSpans]] = SFT masking,
+    * [[dpoPairs]] = preference pairs, this = denoising).
+    *
+    * Scale: one narrow per-row map over the scan (sequence/transform/
+    * aggregate higher-order expressions — no explode, no shuffle, no
+    * state), the `c4_filters` shape.
+    */
+  def spanCorruption(s: SparkSession, dir: String): DataFrame = {
+    val B = CorruptBlock
+    val hE = "cast(conv(substring(md5(concat(cast(doc_id as string), " +
+      "':sc', cast(b as string))), 1, 8), 16, 10) as bigint)"
+    val lenE = s"(2 + ($hE % 3))"
+    val startE = s"(($hE div 3) % ($B - $lenE + 1))"
+    // guard the block sequence: Spark's sequence(1, 0) DESCENDS (step
+    // defaults to -1), so a short doc must filter, not sequence-to-zero
+    val spansE = s"transform(filter(sequence(1L, greatest(n div $B, 1L)), " +
+      s"b -> b <= n div $B), b -> " +
+      s"struct((b - 1) * $B + $startE as st, $lenE as ln))"
+    // the 0/1 mask is ONE ordered fold over the span structs (spans are
+    // block-ordered and non-overlapping by construction)
+    val maskE = "md5(aggregate(sp, struct('' as s, 0L as p), " +
+      "(acc, x) -> struct(concat(acc.s, repeat('0', cast(x.st - acc.p " +
+      "as int)), repeat('1', cast(x.ln as int))), x.st + x.ln), " +
+      "acc -> concat(acc.s, repeat('0', cast(n - acc.p as int)))))"
+    Tables.documents(s, dir)
+      .select(col("doc_id"), size(split(norm, " ")).cast("long").as("n"))
+      .withColumn("sp", expr(spansE))
+      .select(col("doc_id"), col("n").as("n_tokens"),
+        expr(s"n div $B").as("n_spans"),
+        expr("cast(aggregate(sp, 0L, (a, x) -> a + x.ln) as bigint)")
+          .as("n_corrupted"),
+        expr("array_join(transform(sp, x -> concat(cast(x.st as string), " +
+          "':', cast(x.ln as string))), ',')").as("spans"),
+        expr(maskE).as("mask_hash"))
+      .withColumn("input_len",
+        col("n_tokens") - col("n_corrupted") + col("n_spans"))
+      .withColumn("target_len",
+        col("n_corrupted") + col("n_spans") + lit(1L))
+      .withColumn("corruption_rate",
+        round(col("n_corrupted").cast("double")
+          / col("n_tokens").cast("double"), 6))
+      .orderBy("doc_id")
+  }
+
+  val spanCorruptionSql: String = {
+    val B = CorruptBlock
+    val hE = "('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':sc' || " +
+      "CAST(b AS VARCHAR)), 1, 8))::BIGINT"
+    val lenE = s"(2 + ($hE % 3))"
+    val startE = s"(($hE // 3) % ($B - $lenE + 1))"
+    s"""
+    WITH scd AS (SELECT doc_id,
+        CAST(len(string_split($normSql, ' ')) AS BIGINT) AS n
+      FROM documents),
+    scs AS (
+      SELECT doc_id, n, b,
+        CAST((b - 1) * $B + $startE AS BIGINT) AS st,
+        CAST($lenE AS BIGINT) AS ln
+      FROM scd, unnest(generate_series(1, n // $B)) AS t(b)),
+    scg AS (
+      SELECT doc_id, st, ln,
+        coalesce(lag(st + ln) OVER (PARTITION BY doc_id ORDER BY st), 0)
+          AS pe
+      FROM scs),
+    sca AS (
+      SELECT doc_id,
+        CAST(count(*) AS BIGINT) AS n_spans,
+        CAST(sum(ln) AS BIGINT) AS n_corrupted,
+        string_agg(CAST(st AS VARCHAR) || ':' || CAST(ln AS VARCHAR),
+          ',' ORDER BY st) AS spans,
+        string_agg(repeat('0', CAST(st - pe AS INT))
+          || repeat('1', CAST(ln AS INT)), '' ORDER BY st) AS mask_body,
+        max(st + ln) AS last_end
+      FROM scg GROUP BY doc_id)
+    SELECT d.doc_id, d.n AS n_tokens,
+      coalesce(a.n_spans, 0) AS n_spans,
+      coalesce(a.n_corrupted, 0) AS n_corrupted,
+      coalesce(a.spans, '') AS spans,
+      md5(coalesce(a.mask_body, '')
+        || repeat('0', CAST(d.n - coalesce(a.last_end, 0) AS INT)))
+        AS mask_hash,
+      d.n - coalesce(a.n_corrupted, 0) + coalesce(a.n_spans, 0)
+        AS input_len,
+      coalesce(a.n_corrupted, 0) + coalesce(a.n_spans, 0) + 1
+        AS target_len,
+      round(CAST(coalesce(a.n_corrupted, 0) AS DOUBLE)
+        / CAST(d.n AS DOUBLE), 6) AS corruption_rate
+    FROM scd d LEFT JOIN sca a USING (doc_id)
+    ORDER BY d.doc_id"""
+  }
+
   // ------------------------------------------------------ packing efficiency
 
   /** Token budgets the packing tuning table evaluates. */
@@ -1674,6 +1788,7 @@ object TrainPrep {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "span_corruption" -> (spanCorruption _),
     "pack_efficiency" -> (packEfficiency _),
     "dpo_pairs" -> (dpoPairs _),
     "sft_mask_spans" -> (sftMaskSpans _),
@@ -1698,6 +1813,7 @@ object TrainPrep {
     "text_bigram_lm" -> (textBigramLm _))
 
   val oracles: Map[String, String] = Map(
+    "span_corruption" -> spanCorruptionSql,
     "pack_efficiency" -> packEfficiencySql,
     "dpo_pairs" -> dpoPairsSql,
     "sft_mask_spans" -> sftMaskSpansSql,

@@ -149,6 +149,59 @@ class Round13OpsSpec extends SparkSpec {
     }
   }
 
+  // ----------------------------------------------------- span_corruption
+
+  test("span_corruption: spans replay from the doc/block hash, never " +
+    "overlap, stay inside their block; accounting and mask are exact") {
+    val rows = TrainPrep.spanCorruption(spark, sf).collect()
+    assert(rows.length == 500)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h(sd: String): Long = java.lang.Long.parseLong(
+      md.digest(sd.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        .take(8), 16)
+    var totTok = 0L; var totCor = 0L
+    for (r <- rows) {
+      val n = r.getAs[Long]("n_tokens")
+      val spans = Option(r.getAs[String]("spans")).filter(_.nonEmpty)
+        .map(_.split(',').toSeq.map { sp =>
+          val Array(st, ln) = sp.split(':').map(_.toLong); (st, ln)
+        }).getOrElse(Seq.empty)
+      assert(spans.length == n / 20)
+      assert(r.getAs[Long]("n_spans") == spans.length)
+      // replay each block's hash-derived (start, len)
+      spans.zipWithIndex.foreach { case ((st, ln), i) =>
+        val b = i + 1
+        val hv = h(s"${r.getAs[Long]("doc_id")}:sc$b")
+        val expLn = 2 + hv % 3
+        val expSt = (b - 1) * 20 + (hv / 3) % (20 - expLn + 1)
+        assert(st == expSt && ln == expLn,
+          s"doc ${r.getAs[Long]("doc_id")} block $b: ($st,$ln)")
+        // contained in its block → non-overlapping by construction
+        assert(st >= (b - 1) * 20 && st + ln <= b.toLong * 20)
+      }
+      val cor = spans.map(_._2).sum
+      assert(r.getAs[Long]("n_corrupted") == cor)
+      assert(r.getAs[Long]("input_len") == n - cor + spans.length)
+      assert(r.getAs[Long]("target_len") == cor + spans.length + 1)
+      // mask replay
+      val mask = new StringBuilder
+      var p = 0L
+      spans.foreach { case (st, ln) =>
+        mask.append("0" * (st - p).toInt).append("1" * ln.toInt)
+        p = st + ln
+      }
+      mask.append("0" * (n - p).toInt)
+      val mh = md.digest(mask.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      assert(mh == r.getAs[String]("mask_hash"))
+      totTok += n; totCor += cor
+    }
+    // corpus-wide corruption rate lands near the T5 target (15%): one
+    // mean-3 span per 20-token block, minus the uncorrupted tail blocks
+    val rate = totCor.toDouble / totTok
+    assert(rate > 0.10 && rate < 0.16, f"corpus corruption rate $rate%.4f")
+  }
+
   // --------------------------------------------------------- langid_clf
 
   test("langid_clf: trained accuracy strictly beats the heuristic; " +
