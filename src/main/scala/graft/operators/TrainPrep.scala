@@ -1574,8 +1574,10 @@ object TrainPrep {
     // ALL six (budget × ordering) next-fit layouts ride ONE cfg-keyed
     // frame — one DistRank pass (cfg is the low-cardinality stratum),
     // one banded f-build, one joint pointer-doubling chain — instead of
-    // six sequential chains (measured: 6× separate = 25 s at sf0.1,
-    // batched < 5 s; round count, not row volume, is the cost)
+    // six sequential chains (measured at sf0.1: 6× separate 40 s cold /
+    // 25 s warm, batched 18 s / 8 s; checkpointed-round count, not row
+    // volume, is the wall clock — a quadrupling variant with fewer
+    // rounds but duplicated f² subtrees measured SLOWER, 24 s / 9 s)
     val cfgs = for (b <- PackEffBudgets; o <- Seq("d", "l"))
       yield (s"$o$b", b, o)
     val cfgMeta = cfgs.toDF("cfg", "budget", "ord")
