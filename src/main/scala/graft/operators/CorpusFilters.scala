@@ -463,11 +463,14 @@ object CorpusFilters {
                                    counters: DataFrame): DataFrame = {
     // the maintained mask is a ROLLING horizon (bit i = window
     // base_w + i); with ≤ 64 windows base_w is 0 and this reduces to
-    // the fixed-horizon read the oracle replays
+    // the fixed-horizon read the oracle replays. The SET bits extract
+    // INSIDE the row (higher-order filter) before the explode, so the
+    // census costs rows = set bits per gram, not 64 × grams (review
+    // finding, r13).
     val dist = gstate
-      .select(col("base_w"), col("wmask"),
-        explode(sequence(col("base_w"), col("base_w") + lit(63L))).as("w"))
-      .filter(expr("((wmask >> (w - base_w)) & 1) = 1"))
+      .select(explode(expr("filter(transform(sequence(0, 63), " +
+        "i -> if(((wmask >> i) & 1) = 1, base_w + i, null)), " +
+        "v -> v is not null)")).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("n_grams_distinct"))
     val fresh = gstate.groupBy(col("first_w"))
       .agg(count(lit(1)).as("n_new_grams"))

@@ -1059,11 +1059,15 @@ object Filtering {
       when(col("lang") === LangidLangs.head,
         LangidSuffix(LangidLangs.head))) { (c, l) =>
       c.when(col("lang") === l, LangidSuffix(l))
-    }
+    // a lang OUTSIDE the map decorates with '' (defined, identical on
+    // both engines) — a NULL suffix would null the concatenated word
+    // and the engines disagree on null handling in array_join
+    }.otherwise(lit(""))
 
   private val langidSfxSql: String =
     "CASE " + LangidLangs.map(l =>
-      s"WHEN lang = '$l' THEN '${LangidSuffix(l)}'").mkString(" ") + " END"
+      s"WHEN lang = '$l' THEN '${LangidSuffix(l)}'").mkString(" ") +
+      " ELSE '' END"
 
   /** Augmented text: word i (0-based) gets the language suffix when
     * i ≡ 0 (mod 5).
@@ -1089,20 +1093,28 @@ object Filtering {
         .select(col("doc_id"), col("lang"), col("text"),
           langidSfxCol.as("sfx"))
         .withColumn("a", langidAugCol)
+      // Spark's sequence(1, 0) DESCENDS — short/empty texts must filter
+      // to an empty trigram set, not sequence-to-zero (the
+      // span_corruption guard pattern)
       val sparse = aug
         .select(col("doc_id"),
           (length(col("a")) - 2).cast("long").as("t"),
-          explode(expr("transform(sequence(1, length(a) - 2), " +
-            "i -> substring(a, i, 3))")).as("g"))
+          explode(expr("transform(filter(sequence(1L, " +
+            "greatest(length(a) - 2, 1L)), i -> i <= length(a) - 2), " +
+            "i -> substring(a, cast(i as int), 3))")).as("g"))
         .select(col("doc_id"), col("t"),
           (expr("cast(conv(substring(md5(g), 1, 8), 16, 10) as bigint)")
             % LangidBuckets + 1).cast("int").as("f"))
         .groupBy("doc_id", "f")
         .agg(expr(s"(count(*) * $LangidFpScale) div first(t)").as("c"))
-      sparse.groupBy("doc_id")
-        .agg(map_from_arrays(collect_list(col("f")), collect_list(col("c")))
-          .as("m"))
-        .join(Tables.documents(s, dir).select("doc_id", "lang"), "doc_id")
+      // LEFT join from the corpus so a trigram-less doc still gets its
+      // bias-only feature vector (the oracle's bias UNION row covers
+      // every doc)
+      Tables.documents(s, dir).select("doc_id", "lang")
+        .join(sparse.groupBy("doc_id")
+            .agg(map_from_arrays(collect_list(col("f")),
+              collect_list(col("c"))).as("m")),
+          Seq("doc_id"), "left")
         .select(col("doc_id"), col("lang"),
           expr(s"transform(sequence(0, $LangidBuckets), " +
             s"i -> if(i = 0, cast($LangidFpScale as bigint), " +
@@ -1204,12 +1216,10 @@ object Filtering {
       size(filter(col("ws"), w => w.isin(st: _*))).cast("double")
         / size(col("ws")))
     val Seq(se, ss, sf, sd, sz) = hs
+    // the SHARED cascade (TextOps.langidArgmax) — the parity audit must
+    // measure the heuristic the pipeline actually ships
     val heur = aug.select(col("doc_id"),
-      when(se >= ss && se >= sf && se >= sd && se >= sz, "en")
-        .when(ss >= sf && ss >= sd && ss >= sz, "es")
-        .when(sf >= sd && sf >= sz, "fr")
-        .when(sd >= sz, "de")
-        .otherwise("zh").as("heur_pred"))
+      TextOps.langidArgmax(se, ss, sf, sd, sz).as("heur_pred"))
     pred.join(heur, "doc_id")
       .select(col("doc_id"), col("lang_actual"),
         col("clf_pred"), col("clf_score"),
@@ -1299,12 +1309,7 @@ object Filtering {
       SELECT doc_id, string_split(a, ' ') AS aws FROM lg_aug),
     lhp AS (
       SELECT doc_id,
-        CASE WHEN $he >= $hs_ AND $he >= $hf AND $he >= $hd AND $he >= $hz
-               THEN 'en'
-             WHEN $hs_ >= $hf AND $hs_ >= $hd AND $hs_ >= $hz THEN 'es'
-             WHEN $hf >= $hd AND $hf >= $hz THEN 'fr'
-             WHEN $hd >= $hz THEN 'de'
-             ELSE 'zh' END AS heur_pred
+        ${TextOps.langidArgmaxSql(he, hs_, hf, hd, hz)} AS heur_pred
       FROM lheur)
     SELECT p.doc_id, p.lang AS lang_actual, p.clang AS clf_pred,
       p.s AS clf_score,

@@ -139,6 +139,31 @@ object TextOps {
 
   // ----------------------------------------------------------------- langid
 
+  /** The lexicon-score argmax with the fixed en > es > fr > de > zh
+    * priority — ONE definition shared by [[textLangid]] and the
+    * model-grade classifier's parity audit ([[Filtering]]'s
+    * `langid_clf`), so the audit can never drift from the heuristic it
+    * claims to measure.
+    */
+  private[operators] def langidArgmax(
+      se: org.apache.spark.sql.Column, ss: org.apache.spark.sql.Column,
+      sf: org.apache.spark.sql.Column, sd: org.apache.spark.sql.Column,
+      sz: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(se >= ss && se >= sf && se >= sd && se >= sz, "en")
+      .when(ss >= sf && ss >= sd && ss >= sz, "es")
+      .when(sf >= sd && sf >= sz, "fr")
+      .when(sd >= sz, "de")
+      .otherwise("zh")
+
+  /** SQL twin of [[langidArgmax]]. */
+  private[operators] def langidArgmaxSql(e: String, s_ : String, f: String,
+                                         d: String, z: String): String =
+    s"""CASE WHEN $e >= $s_ AND $e >= $f AND $e >= $d AND $e >= $z THEN 'en'
+           WHEN $s_ >= $f AND $s_ >= $d AND $s_ >= $z THEN 'es'
+           WHEN $f >= $d AND $f >= $z THEN 'fr'
+           WHEN $d >= $z THEN 'de'
+           ELSE 'zh' END"""
+
   /** Heuristic language ID: per-language lexicon hit ratios with a fixed
     * argmax priority (en > es > fr > de > zh). The lexicons are demo
     * keyword lists over the harness vocabulary — the operator's value is the
@@ -156,11 +181,7 @@ object TextOps {
         round(se, 6).as("score_en"), round(ss, 6).as("score_es"),
         round(sf, 6).as("score_fr"), round(sd, 6).as("score_de"),
         round(sz, 6).as("score_zh"),
-        when(se >= ss && se >= sf && se >= sd && se >= sz, "en")
-          .when(ss >= sf && ss >= sd && ss >= sz, "es")
-          .when(sf >= sd && sf >= sz, "fr")
-          .when(sd >= sz, "de")
-          .otherwise("zh").as("lang_pred"))
+        langidArgmax(se, ss, sf, sd, sz).as("lang_pred"))
       .orderBy("doc_id")
   }
 
@@ -175,11 +196,7 @@ object TextOps {
       round($e, 6) AS score_en, round($s_, 6) AS score_es,
       round($f, 6) AS score_fr, round($d, 6) AS score_de,
       round($z, 6) AS score_zh,
-      CASE WHEN $e >= $s_ AND $e >= $f AND $e >= $d AND $e >= $z THEN 'en'
-           WHEN $s_ >= $f AND $s_ >= $d AND $s_ >= $z THEN 'es'
-           WHEN $f >= $d AND $f >= $z THEN 'fr'
-           WHEN $d >= $z THEN 'de'
-           ELSE 'zh' END AS lang_pred
+      ${langidArgmaxSql(e, s_, f, d, z)} AS lang_pred
     FROM t ORDER BY doc_id"""
   }
 

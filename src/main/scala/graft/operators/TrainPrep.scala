@@ -1309,11 +1309,13 @@ object TrainPrep {
     * covers the full 0/1 stream (markers and prompt mask to 0, the HF
     * `labels = -100` convention).
     *
-    * Scale: one narrow map over the scan (word count + quality are
-    * per-row expressions), one groupBy on the block key (max_by/min_by
-    * struct aggregates — no window, no self-join), then closed-form
-    * span/mask arithmetic per surviving group. O(corpus / DpoGroup)
-    * rows out.
+    * Scale: two narrow per-row frames over the scan — word counts, plus
+    * the SHARED quality frame joined on the doc key (executed plan: 2
+    * FileScans + 1 equi-join, zero windows; the one-definition quality
+    * discipline beats the single-scan micro-optimization) — then one
+    * groupBy on the block key (max_by/min_by struct aggregates — no
+    * window, no self-join) and closed-form span/mask arithmetic per
+    * surviving group. O(corpus / DpoGroup) rows out.
     */
   def dpoPairs(s: SparkSession, dir: String): DataFrame = {
     val base = Tables.documents(s, dir)
@@ -1568,7 +1570,13 @@ object TrainPrep {
     // (#bins ≤ total / min(budget) + 1); scalar-only driver feedback
     val total0 = docs.agg(coalesce(sum(col("n")), lit(0L)))
       .head().getLong(0)
-    val binsUpper = total0 / PackEffBudgets.min + 2
+    // next-fit bins bound: adjacent fills sum PAST the budget (the bin
+    // closed because the next doc didn't fit), so n_bins ≤ 2·total/B + 1
+    // — NOT total/B (a corpus of just-over-half-budget docs packs one
+    // doc per bin). The orbit enumeration must cover that many jumps,
+    // and an in-plan completion assert below fails loudly if it ever
+    // doesn't (review finding, r13).
+    val binsUpper = 2L * total0 / PackEffBudgets.min + 2
     val rounds = 64 - java.lang.Long.numberOfLeadingZeros(binsUpper)
 
     // ALL six (budget × ordering) next-fit layouts ride ONE cfg-keyed
@@ -1624,9 +1632,19 @@ object TrainPrep {
           .localCheckpoint(true)
     }
     reach = reach.distinct()
-    val tot = cum.groupBy("cfg")
-      .agg(coalesce(max(col("cum")), lit(0L)).as("total"),
-        count(lit(1)).as("n_docs"))
+    // per-cfg totals from cfgMeta LEFT-joined so a budget with ZERO
+    // eligible docs still emits its row (the oracle's scalar-subquery
+    // CTEs always do — review finding, r13)
+    val tot = broadcast(cfgMeta).join(
+        cum.groupBy("cfg")
+          .agg(max(col("cum")).as("mxc"), count(lit(1)).as("nd")),
+        Seq("cfg"), "left")
+      .select(col("cfg"), coalesce(col("mxc"), lit(0L)).as("total"),
+        coalesce(col("nd"), lit(0L)).as("n_docs"))
+    // orbit-completion assert: the reach set must contain the fixed
+    // point (x = total). assert_true returns NULL on success, so the
+    // coalesce keeps it IN the plan (a dropped check is no check).
+    val reachOk = reach.groupBy("cfg").agg(max(col("x")).as("rmax"))
     val fills = reach.join(f0, Seq("cfg", "x"))
       .join(broadcast(tot.select(col("cfg"), col("total"))), "cfg")
       .filter(col("x") < col("total"))
@@ -1647,17 +1665,26 @@ object TrainPrep {
       .groupBy("budget").agg(sum(col("ov")).as("n_oversize"))
     val histStr = array_join(expr("transform(sequence(0, 9), " +
       "i -> cast(coalesce(element_at(hm, i), 0L) as string))"), ",")
-    val nfRows = tot.join(stats, "cfg").join(hist, "cfg")
+    val nfRows = tot
+      .join(stats, Seq("cfg"), "left")
+      .join(hist, Seq("cfg"), "left")
+      .join(reachOk, Seq("cfg"), "left")
       .join(broadcast(cfgMeta), "cfg")
-      .join(broadcast(over), "budget")
+      .join(broadcast(over), Seq("budget"), "left")
+      .withColumn("n_bins",
+        coalesce(col("n_bins"), lit(0L)) +
+          coalesce(assert_true(col("rmax") >= col("total")).cast("long"),
+            lit(0L)))
       .select(col("budget"),
         when(col("ord") === "l", "nf_len").otherwise("nf_doc")
           .as("strategy"),
-        col("n_docs"), col("n_oversize"),
+        col("n_docs"), coalesce(col("n_oversize"), lit(0L)).as("n_oversize"),
         col("total").as("total_tokens"), col("n_bins"),
         (col("n_bins") * col("budget") - col("total")).as("waste_tokens"),
-        round((col("n_bins") * col("budget") - col("total")).cast("double")
-          / (col("n_bins") * col("budget")).cast("double"), 6)
+        when(col("n_bins") === 0, lit(null).cast("double"))
+          .otherwise(round(
+            (col("n_bins") * col("budget") - col("total")).cast("double")
+              / (col("n_bins") * col("budget")).cast("double"), 6))
           .as("waste_frac"),
         lit(0L).as("n_split_docs"),
         col("min_fill"), col("max_fill"), histStr.as("fill_hist"))
@@ -1733,10 +1760,11 @@ object TrainPrep {
         (SELECT CAST(count(*) AS BIGINT) FROM fd$tag$b) AS n_bins,
         (SELECT CAST(count(*) AS BIGINT) FROM fd$tag$b) * $b
           - (SELECT coalesce(max(cum), 0) FROM cd$tag$b) AS waste_tokens,
-        round(CAST((SELECT CAST(count(*) AS BIGINT) FROM fd$tag$b) * $b
-            - (SELECT coalesce(max(cum), 0) FROM cd$tag$b) AS DOUBLE)
-          / CAST((SELECT CAST(count(*) AS BIGINT) FROM fd$tag$b) * $b
-            AS DOUBLE), 6) AS waste_frac,
+        CASE WHEN (SELECT count(*) FROM fd$tag$b) = 0 THEN NULL
+          ELSE round(CAST((SELECT CAST(count(*) AS BIGINT) FROM fd$tag$b)
+              * $b - (SELECT coalesce(max(cum), 0) FROM cd$tag$b) AS DOUBLE)
+            / CAST((SELECT CAST(count(*) AS BIGINT) FROM fd$tag$b) * $b
+              AS DOUBLE), 6) END AS waste_frac,
         CAST(0 AS BIGINT) AS n_split_docs,
         (SELECT min(fill) FROM fd$tag$b) AS min_fill,
         (SELECT max(fill) FROM fd$tag$b) AS max_fill,

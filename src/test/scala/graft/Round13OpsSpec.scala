@@ -200,6 +200,15 @@ class Round13OpsSpec extends SparkSpec {
     // mean-3 span per 20-token block, minus the uncorrupted tail blocks
     val rate = totCor.toDouble / totTok
     assert(rate > 0.10 && rate < 0.16, f"corpus corruption rate $rate%.4f")
+    // plan shape: the promised one-narrow-map — 1 scan, 1 exchange (the
+    // output sort), zero joins/aggregates/windows (the sft_mask_spans
+    // executed-plan contract)
+    val plan = TrainPrep.spanCorruption(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert("FileScan".r.findAllIn(plan).length == 1)
+    Seq("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct",
+      "HashAggregate", "Window").foreach(op =>
+      assert(!plan.contains(op), s"unexpected $op in span_corruption plan"))
   }
 
   // --------------------------------------------------------- langid_clf
