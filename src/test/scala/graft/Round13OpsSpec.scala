@@ -211,6 +211,42 @@ class Round13OpsSpec extends SparkSpec {
       assert(!plan.contains(op), s"unexpected $op in span_corruption plan"))
   }
 
+  // ---------------------------------------- pack_efficiency, adversarial
+
+  test("pack_efficiency: one-doc-per-bin corpus (docs just over half " +
+    "budget) — the orbit covers ALL 2*total/budget bins") {
+    // the review scenario the gate corpus cannot exercise: every doc is
+    // 300 tokens, so at budget 512 next-fit closes a bin per doc and
+    // n_bins = n_docs ≈ 2 * total / budget — an orbit depth bound of
+    // total/budget + 2 would silently truncate here
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("packadv").toString
+    val word300 = Array.fill(300)("w").mkString(" ")
+    spark.range(400)
+      .select(col("id").as("doc_id"), lit(word300).as("text"),
+        lit("en").as("lang"), lit("web").as("source"),
+        lit(word300.length.toLong).as("n_chars"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    try {
+      Memo.clear(spark)
+      val rows = TrainPrep.packEfficiency(spark, dir).collect()
+      val nd512 = rows.find(r => r.getAs[Long]("budget") == 512L &&
+        r.getAs[String]("strategy") == "nf_doc").get
+      // 400 docs x 300 tokens: one doc per bin at budget 512
+      assert(nd512.getAs[Long]("n_bins") == 400L,
+        s"orbit truncated: ${nd512.getAs[Long]("n_bins")} bins")
+      assert(nd512.getAs[Long]("waste_tokens") == 400L * 512 - 400L * 300)
+      assert(nd512.getAs[Long]("min_fill") == 300L)
+      // budget 1024 fits three docs per bin (3*300=900, +300 > 1024)
+      val nd1024 = rows.find(r => r.getAs[Long]("budget") == 1024L &&
+        r.getAs[String]("strategy") == "nf_doc").get
+      assert(nd1024.getAs[Long]("n_bins") == (400L + 2) / 3)
+    } finally {
+      Memo.clear(spark)
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   // --------------------------------------------------------- langid_clf
 
   test("langid_clf: trained accuracy strictly beats the heuristic; " +
