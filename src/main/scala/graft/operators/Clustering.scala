@@ -142,6 +142,47 @@ object Clustering {
     SELECT doc_id, cluster, csize FROM comp JOIN sizes USING (cluster)
     ORDER BY doc_id"""
 
+  /** Gate: CLUSTER-LEVEL SPLIT REASSIGNMENT — the leakage FIX that the
+    * [[Dedup.splitLeakage]] audit points to (the eval-decontamination
+    * papers' recommendation: when near-duplicates straddle a
+    * train/eval boundary, re-assign by CLUSTER, not by document): every
+    * verified near-dup cluster moves wholly to ONE split — the
+    * hash-split of its min-member id, which IS the propagation label,
+    * so the reassignment needs no extra pass or tie-break. Emits the
+    * duplicate-subset docs with old/new split and a changed flag; docs
+    * outside any cluster keep their hash split by definition (and are
+    * not re-emitted — the output is the delta a pipeline applies).
+    *
+    * Uses the ONE shared split definition ([[TrainPrep.splitColOf]])
+    * applied to the member id and the cluster label — leak-freedom is
+    * structural: both ends of every verified pair share a cluster,
+    * hence a new split.
+    *
+    * Scale: one narrow map over the (small) duplicate-subset cluster
+    * frame; no new corpus pass, no shuffle beyond what
+    * [[dedupClusters]] already built (memoized, shared with keep-best
+    * and the cascade).
+    */
+  def splitByCluster(s: SparkSession, dir: String): DataFrame =
+    dedupClusters(s, dir)
+      .select(col("doc_id"), col("cluster"), col("csize"),
+        TrainPrep.splitColOf("doc_id").as("split_old"),
+        TrainPrep.splitColOf("cluster").as("split_new"))
+      .withColumn("changed",
+        when(col("split_old") =!= col("split_new"), 1L).otherwise(0L))
+      .orderBy("doc_id")
+
+  val splitByClusterSql: String = s"""
+    WITH RECURSIVE $dedupClustersCtesSql
+    SELECT comp.doc_id, comp.cluster, sizes.csize,
+      ${TrainPrep.splitSqlOf("comp.doc_id")} AS split_old,
+      ${TrainPrep.splitSqlOf("comp.cluster")} AS split_new,
+      CAST(CASE WHEN ${TrainPrep.splitSqlOf("comp.doc_id")}
+             <> ${TrainPrep.splitSqlOf("comp.cluster")}
+           THEN 1 ELSE 0 END AS BIGINT) AS changed
+    FROM comp JOIN sizes USING (cluster)
+    ORDER BY doc_id"""
+
   /** Canonical selection over the near-dup clusters — the step a dedup
     * pipeline actually ships: per cluster, KEEP the highest-quality member
     * (ties broken toward the smallest doc_id) instead of the arbitrary
@@ -1623,6 +1664,7 @@ object Clustering {
     "embed_pca_twolevel" -> (embedPcaTwoLevel(_, _)),
     "dedup_clusters" -> (dedupClusters(_, _)),
     "dedup_keep_best" -> (dedupKeepBest _),
+    "split_by_cluster" -> (splitByCluster _),
     "ann_ivf_kmpll" -> (annIvfKmpll(_, _)),
     "embed_covariance" -> (embedCovariance(_, _)),
     "cc_deep_chain" -> (ccDeepChain _),
@@ -1644,6 +1686,7 @@ object Clustering {
     "embed_pca_twolevel" -> embedPcaTwoLevelSql,
     "dedup_clusters" -> dedupClustersSql,
     "dedup_keep_best" -> dedupKeepBestSql,
+    "split_by_cluster" -> splitByClusterSql,
     "ann_ivf_kmpll" -> annIvfKmpllSql,
     "embed_covariance" -> embedCovarianceSql,
     "cc_deep_chain" -> ccDeepChainSql,

@@ -37,23 +37,32 @@ object TrainPrep {
   // ----------------------------------------------------------- corpus split
 
   /** Split fractions in tenths: buckets 0-7 train, 8 val, 9 test. */
-  private def bucketCol: org.apache.spark.sql.Column =
-    expr("cast(conv(substring(md5(cast(doc_id as string)), 1, 8), 16, 10) as bigint) % 10")
-  private val BucketSql =
-    "('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10"
+  private def bucketColOf(idExpr: String): org.apache.spark.sql.Column =
+    expr(s"cast(conv(substring(md5(cast($idExpr as string)), 1, 8), 16, 10)" +
+      " as bigint) % 10")
+  private def bucketSqlOf(idExpr: String): String =
+    s"('0x' || substring(md5(CAST($idExpr AS VARCHAR)), 1, 8))::BIGINT % 10"
 
-  /** The split label of a doc_id, shared with the leakage audit
-    * ([[Dedup.splitLeakage]]) so "which split is this document in" has
-    * exactly one definition.
+  /** The split label of an arbitrary id expression — exactly ONE
+    * definition, shared by the split gate, the leakage audit
+    * ([[Dedup.splitLeakage]]) and the cluster-level reassignment
+    * ([[graft.operators.Clustering]]'s split_by_cluster).
     */
-  private[operators] def splitCol: org.apache.spark.sql.Column =
-    when(bucketCol < 8, "train").when(bucketCol === 8, "val")
-      .otherwise("test")
+  private[operators] def splitColOf(
+      idExpr: String): org.apache.spark.sql.Column = {
+    val b = bucketColOf(idExpr)
+    when(b < 8, "train").when(b === 8, "val").otherwise("test")
+  }
 
-  private[operators] val SplitSql: String =
-    s"""CASE WHEN $BucketSql < 8 THEN 'train'
-             WHEN $BucketSql = 8 THEN 'val'
+  private[operators] def splitSqlOf(idExpr: String): String =
+    s"""CASE WHEN ${bucketSqlOf(idExpr)} < 8 THEN 'train'
+             WHEN ${bucketSqlOf(idExpr)} = 8 THEN 'val'
              ELSE 'test' END"""
+
+  private[operators] def splitCol: org.apache.spark.sql.Column =
+    splitColOf("doc_id")
+
+  private[operators] val SplitSql: String = splitSqlOf("doc_id")
 
   /** Deterministic 80/10/10 train/val/test split with per-split corpus
     * stats. Hash-based assignment (not row_number) so membership is a pure
@@ -63,8 +72,7 @@ object TrainPrep {
   def corpusSplit(s: SparkSession, dir: String): DataFrame = {
     Tables.documents(s, dir)
       .select(
-        when(bucketCol < 8, "train").when(bucketCol === 8, "val")
-          .otherwise("test").as("split"),
+        splitCol.as("split"),
         col("lang"), col("n_chars"),
         size(split(norm, " ")).cast("long").as("n_tokens"))
       .groupBy(col("split"))
@@ -77,9 +85,7 @@ object TrainPrep {
 
   val corpusSplitSql: String = s"""
     WITH d AS (
-      SELECT CASE WHEN $BucketSql < 8 THEN 'train'
-                  WHEN $BucketSql = 8 THEN 'val'
-                  ELSE 'test' END AS split,
+      SELECT $SplitSql AS split,
         lang, n_chars,
         len(string_split($normSql, ' ')) AS n_tokens
       FROM documents)
@@ -593,8 +599,7 @@ object TrainPrep {
       .partitionBy(col("split")).orderBy(col("n_chars"), col("doc_id"))
     Tables.documents(s, dir)
       .select(
-        when(bucketCol < 8, "train").when(bucketCol === 8, "val")
-          .otherwise("test").as("split"),
+        splitCol.as("split"),
         col("doc_id"), col("n_chars"))
       .withColumn("batch",
         ((row_number().over(w) - 1) / BatchDocs).cast("long"))
@@ -611,9 +616,7 @@ object TrainPrep {
 
   val batchByLengthSql: String = s"""
     WITH d AS (
-      SELECT CASE WHEN $BucketSql < 8 THEN 'train'
-                  WHEN $BucketSql = 8 THEN 'val'
-                  ELSE 'test' END AS split,
+      SELECT $SplitSql AS split,
         doc_id, n_chars
       FROM documents),
     b AS (

@@ -247,6 +247,52 @@ class Round13OpsSpec extends SparkSpec {
     }
   }
 
+  // --------------------------------------------------- split_by_cluster
+
+  test("split_by_cluster: whole-cluster reassignment closes every leak " +
+    "the split_leakage audit flags") {
+    val rows = operators.Clustering.splitByCluster(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // local split replay (the one shared hash definition)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def splitOf(id: Long): String = {
+      val b = java.lang.Long.parseLong(
+        md.digest(id.toString.getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.take(8), 16) % 10
+      if (b < 8) "train" else if (b == 8) "val" else "test"
+    }
+    val byCluster = rows.groupBy(_.getAs[Long]("cluster"))
+    byCluster.foreach { case (c, ms) =>
+      // the cluster label IS the min member (propagation invariant)
+      assert(ms.map(_.getAs[Long]("doc_id")).min == c)
+      // one split per cluster, the min member's hash split
+      assert(ms.map(_.getAs[String]("split_new")).toSet == Set(splitOf(c)))
+      ms.foreach { m =>
+        assert(m.getAs[String]("split_old") ==
+          splitOf(m.getAs[Long]("doc_id")))
+        assert(m.getAs[Long]("changed") ==
+          (if (m.getAs[String]("split_old") != m.getAs[String]("split_new"))
+            1L else 0L))
+      }
+    }
+    // output covers exactly the duplicate subset
+    val cl = operators.Clustering.dedupClusters(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("doc_id")).toSet ==
+      cl.map(_.getAs[Long]("doc_id")).toSet)
+    // the FIX property: every pair the leakage audit flags ends up
+    // co-split after reassignment
+    val newSplit = rows.map(r =>
+      r.getAs[Long]("doc_id") -> r.getAs[String]("split_new")).toMap
+    val leaks = operators.Dedup.splitLeakage(spark, sf).collect()
+      .filter(_.getAs[Boolean]("leak"))
+    assert(leaks.nonEmpty, "gate corpus must exercise the leak branch")
+    leaks.foreach { p =>
+      val a = p.getAs[Long]("id_a"); val b = p.getAs[Long]("id_b")
+      assert(newSplit(a) == newSplit(b),
+        s"pair ($a,$b) still split-straddling after reassignment")
+    }
+  }
+
   // --------------------------------------------------------- langid_clf
 
   test("langid_clf: trained accuracy strictly beats the heuristic; " +
