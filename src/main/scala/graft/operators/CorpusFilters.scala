@@ -451,7 +451,15 @@ object CorpusFilters {
     */
   private def noveltyTail(counters: DataFrame, dist: DataFrame,
                           fresh: DataFrame): DataFrame =
-    counters.join(dist, "w").join(fresh, Seq("w"), "left")
+    // LEFT join from counters: once a production crawl rolls the 64-bit
+    // mask past base_w, windows older than the horizon still have
+    // counter rows but no surviving mask bits. An inner join would
+    // silently DROP those rows; the left join keeps them with NULL
+    // n_grams_distinct / novelty_rate — the explicit rolled-out marker
+    // (review finding, r13). Within the horizon (every gate corpus)
+    // dist covers every counted window, so no NULLs appear and the
+    // one-shot census hash is unchanged.
+    counters.join(dist, Seq("w"), "left").join(fresh, Seq("w"), "left")
       .select(col("w"), col("n_docs"), col("n_occ"),
         col("n_grams_distinct"),
         coalesce(col("n_new_grams"), lit(0L)).as("n_new_grams"),

@@ -1023,20 +1023,24 @@ object Filtering {
     */
   private val LangidFpScale = 1024
 
-  /** Positive-class gradient weight = |langs| − 1 (4; a literal because
-    * this val initializes before [[LangidLangs]]). One-vs-rest slices
+  /** Fixed language order — the argmax tie-break priority, matching the
+    * heuristic's ([[TextOps.textLangid]]) en > es > fr > de > zh chain.
+    * Declared BEFORE [[LangidPosW]] so the weight derives from it
+    * (object vals initialize in declaration order; a forward reference
+    * would NPE-into-0 silently).
+    */
+  private val LangidLangs = Seq("en", "es", "fr", "de", "zh")
+
+  /** Positive-class gradient weight = |langs| − 1. One-vs-rest slices
     * are ~1:4 imbalanced, and the unweighted batch gradient collapses
     * every non-majority classifier to all-negative (measured: binary
     * accuracy pinned at the negative base rate). Weighting the positive
     * docs' updates by the class ratio is the standard balanced
-    * perceptron fix and stays order-independent integer.
+    * perceptron fix and stays order-independent integer. Derived from
+    * [[LangidLangs]] so adding/removing a language rebalances
+    * automatically (review finding, r13).
     */
-  private val LangidPosW = 4
-
-  /** Fixed language order — the argmax tie-break priority, matching the
-    * heuristic's ([[TextOps.textLangid]]) en > es > fr > de > zh chain.
-    */
-  private val LangidLangs = Seq("en", "es", "fr", "de", "zh")
+  private val LangidPosW = LangidLangs.size - 1
 
   /** Per-language planted morphology: every 5th word carries the
     * language's suffix. The synthetic corpus draws one shared vocabulary

@@ -67,9 +67,19 @@ object Retrieval {
       .select(col("probe_id"), col("vec_id").as("cand"),
         col("rank").as("vrank"))
     val sh = Dedup.shinglesOf(s, dir)
-    val psh = sh.filter(col("doc_id") % 50 === 0 &&
-        col("doc_id") < DocProbeIdBound)
+    // same loud emptiness guard as Similarity.probesOf: a nonempty
+    // corpus with offset/sparse ids must FAIL the job, not fuse over
+    // an empty probe set (review finding, r13).
+    val pcond = col("doc_id") % 50 === 0 && col("doc_id") < DocProbeIdBound
+    val guard = sh.agg(count(lit(1)).as("n_all"),
+        count(when(pcond, 1)).as("n_probe"))
+      .select(assert_true(col("n_probe") > 0 || col("n_all") === 0,
+        lit("fuse: nonempty corpus produced an EMPTY probe set — ids " +
+          "are offset/sparse vs the mod-50 stratification; re-key the " +
+          "corpus or widen DocProbeIdBound")).as("__probe_guard"))
+    val psh = sh.filter(pcond)
       .select(col("doc_id").as("probe_id"), col("sh"))
+      .crossJoin(broadcast(guard)).drop("__probe_guard")
     val shared = sh.join(broadcast(psh), "sh")
       .filter(col("doc_id") =!= col("probe_id"))
       .groupBy(col("probe_id"), col("doc_id").as("cand"))

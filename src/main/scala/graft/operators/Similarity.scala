@@ -78,9 +78,26 @@ object Similarity {
   /** The probe set is a FILTER of the corpus (vec_id ≡ 0 mod 50, capped
     * at [[ProbeCap]] probes by [[ProbeIdBound]]), kept as a DataFrame so
     * `broadcast()` ships the filtered plan — never a driver collect.
+    *
+    * LOUD on emptiness: the id bound assumes dense zero-based ids. On a
+    * corpus with offset/sparse ids the filter would return an EMPTY
+    * probe set and every recall audit would trivially "match" on
+    * emptiness — contrary to the fail-loudly discipline. The in-plan
+    * guard (one 2-counter aggregate cross-joined into the probe frame,
+    * the nfRows `assert_true` pattern) fails the job instead whenever
+    * the corpus is nonempty but no id passes the stratification
+    * (review finding, r13).
     */
-  private[graft] def probesOf(df: DataFrame): DataFrame =
-    df.filter(col("vec_id") % 50 === 0 && col("vec_id") < ProbeIdBound)
+  private[graft] def probesOf(df: DataFrame): DataFrame = {
+    val pcond = col("vec_id") % 50 === 0 && col("vec_id") < ProbeIdBound
+    val guard = df.agg(count(lit(1)).as("n_all"),
+        count(when(pcond, 1)).as("n_probe"))
+      .select(assert_true(col("n_probe") > 0 || col("n_all") === 0,
+        lit("probesOf: nonempty corpus produced an EMPTY probe set — " +
+          "ids are offset/sparse vs the mod-50 stratification; re-key " +
+          "the corpus or widen ProbeIdBound")).as("__probe_guard"))
+    df.filter(pcond).crossJoin(broadcast(guard)).drop("__probe_guard")
+  }
 
   /** Shared oracle prelude: quantized vectors + integer norms. DuckDB's
     * list_sum returns HUGEINT; cast back to BIGINT (values fit in 2^53).

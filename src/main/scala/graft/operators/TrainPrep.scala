@@ -1717,12 +1717,17 @@ object TrainPrep {
           col("n_docs"), lit(0L).as("n_oversize"),
           col("total").as("total_tokens"), col("n_bins"),
           (col("n_bins") * b - col("total")).as("waste_tokens"),
-          round((col("n_bins") * b - col("total")).cast("double")
-            / (col("n_bins") * b).cast("double"), 6).as("waste_frac"),
+          // n_bins = 0 (empty corpus) must yield NULL, not 0.0/0.0 =
+          // NaN — the same guard the nf rows carry (review finding).
+          when(col("n_bins") === 0, lit(null).cast("double"))
+            .otherwise(round((col("n_bins") * b - col("total")).cast("double")
+              / (col("n_bins") * b).cast("double"), 6)).as("waste_frac"),
           col(s"sp$b").as("n_split_docs"),
-          col("last_fill").as("min_fill"),
-          when(col("n_bins") >= 2, lit(b)).otherwise(col("last_fill"))
-            .as("max_fill"),
+          when(col("n_bins") === 0, lit(null).cast("long"))
+            .otherwise(col("last_fill")).as("min_fill"),
+          when(col("n_bins") === 0, lit(null).cast("long"))
+            .otherwise(when(col("n_bins") >= 2, lit(b))
+              .otherwise(col("last_fill"))).as("max_fill"),
           array_join(expr("transform(sequence(0, 9), i -> cast(" +
             "(case when i = 9 then n_bins - 1 else 0L end) + " +
             "(case when i = hlo then 1L else 0L end)" +
@@ -1793,10 +1798,13 @@ object TrainPrep {
       SELECT CAST($b AS BIGINT) AS budget, 'stream' AS strategy,
         n_docs, CAST(0 AS BIGINT) AS n_oversize, total AS total_tokens,
         n_bins, n_bins * $b - total AS waste_tokens,
-        round(CAST(n_bins * $b - total AS DOUBLE)
-          / CAST(n_bins * $b AS DOUBLE), 6) AS waste_frac,
-        n_split_docs, last_fill AS min_fill,
-        CASE WHEN n_bins >= 2 THEN $b ELSE last_fill END AS max_fill,
+        CASE WHEN n_bins = 0 THEN NULL
+          ELSE round(CAST(n_bins * $b - total AS DOUBLE)
+            / CAST(n_bins * $b AS DOUBLE), 6) END AS waste_frac,
+        n_split_docs,
+        CASE WHEN n_bins = 0 THEN NULL ELSE last_fill END AS min_fill,
+        CASE WHEN n_bins = 0 THEN NULL
+          WHEN n_bins >= 2 THEN $b ELSE last_fill END AS max_fill,
         array_to_string(list_transform(generate_series(0, 9),
           i -> CAST((CASE WHEN i = 9 THEN n_bins - 1 ELSE 0 END)
             + (CASE WHEN i = hlo THEN 1 ELSE 0 END) AS VARCHAR)), ',')
