@@ -28,6 +28,7 @@ object SparkEntry {
       operators.TextOps.queries ++
       operators.TrainPrep.queries ++
       operators.CorpusFilters.queries ++
+      operators.Pipeline.queries ++
       operators.Filtering.queries ++
       operators.Dedup.queries ++
       operators.SubstringDedup.queries ++
@@ -74,6 +75,7 @@ object SparkEntry {
       operators.TextOps.oracles ++
       operators.TrainPrep.oracles ++
       operators.CorpusFilters.oracles ++
+      operators.Pipeline.oracles ++
       operators.Filtering.oracles ++
       operators.Dedup.oracles ++
       operators.SubstringDedup.oracles ++

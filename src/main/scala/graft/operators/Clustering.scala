@@ -56,6 +56,31 @@ object Clustering {
     val edges = graft.Memo.cached(s, "dup_edges", dir)(
       pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
         .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst"))))
+    val labels = ccLabels(edges)
+    val sizes = labels.groupBy(col("lab")).agg(count(lit(1)).as("csize"))
+    val res = labels.join(sizes, "lab")
+      .select(col("id").as("doc_id"), col("lab").as("cluster"), col("csize"))
+      .orderBy("doc_id")
+      .persist()
+    // materialize the result (its lineage is now just the last round's
+    // checkpointed leaf + one agg/join); Memo sees an already-persisted
+    // frame and will unpersist it on clear() — and the final round's
+    // checkpoint is no longer needed once res holds its own blocks
+    res.count(): Unit
+    labels.unpersist(false)
+    res
+  }
+
+  /** Min-label connected components over a symmetric `edges(src, dst)`
+    * frame → `(id, lab)` for every node that appears as a source (plus a
+    * still-cached `chg` round marker, harmless to downstream aggregates).
+    * Extracted from [[dedupClusters]] so composed pipelines
+    * (`pipeline_e2e`'s survivor-restricted cascade) can propagate over a
+    * FILTERED edge set — clusters must not merge through documents an
+    * earlier stage already dropped, so the full-corpus cluster frame is
+    * the wrong input there. Caller owns unpersisting the returned frame.
+    */
+  private[operators] def ccLabels(edges: DataFrame): DataFrame = {
     // FRONTIER-based min-label propagation: round 1 propagates from the
     // full label set, every later round joins only the labels that CHANGED
     // last round (the frontier, a lazy filter over the round's one cached
@@ -93,7 +118,10 @@ object Clustering {
         .localCheckpoint(true)
       // the convergence test doubles as the only driver feedback: a scalar
       // count of changed labels — no data ever reaches the driver
-      val changed = next.agg(sum(when(col("chg"), 1L).otherwise(0L)))
+      // coalesce: over an EMPTY edge set (a survivor-restricted pipeline
+      // can filter every pair away) sum aggregates to NULL, not 0
+      val changed = next.agg(coalesce(sum(when(col("chg"), 1L)
+          .otherwise(0L)), lit(0L)))
         .head().getLong(0)
       converged = changed == 0L
       // the new round is materialized (the scalar action above) — release
@@ -105,18 +133,7 @@ object Clustering {
       labels = next
       frontier = next.filter(col("chg")) // lazy filter over the round frame
     }
-    val sizes = labels.groupBy(col("lab")).agg(count(lit(1)).as("csize"))
-    val res = labels.join(sizes, "lab")
-      .select(col("id").as("doc_id"), col("lab").as("cluster"), col("csize"))
-      .orderBy("doc_id")
-      .persist()
-    // materialize the result (its lineage is now just the last round's
-    // checkpointed leaf + one agg/join); Memo sees an already-persisted
-    // frame and will unpersist it on clear() — and the final round's
-    // checkpoint is no longer needed once res holds its own blocks
-    res.count(): Unit
-    labels.unpersist(false)
-    res
+    labels
   }
 
   /** Oracle CTE chain: transitive closure by recursive CTE — min reachable

@@ -174,7 +174,7 @@ object CorpusFilters {
   // -------------------------------------------------------- decontamination
 
   /** Documents whose id ≡ 0 (mod 101) stand in for the evaluation set. */
-  private val EvalMod = 101
+  private[operators] val EvalMod = 101
 
   /** A training doc sharing ≥ this many distinct 3-gram shingles with the
     * eval set is contaminated.
@@ -217,7 +217,7 @@ object CorpusFilters {
     * has natural train/eval overlap — production uses 8–13-token grams,
     * one constant).
     */
-  private val SpanK = 3
+  private[operators] val SpanK = 3
 
   /** Span-level eval decontamination — the PaLM/GPT-3 contamination
     * handling that REMOVES the overlapping span instead of dropping the
@@ -617,13 +617,13 @@ object CorpusFilters {
     * alpha floor 0.9 (paper 0.8) so the planted 6-symbol / 12-numeric
     * augmentations fire against the corpus's word-count range.
     */
-  private val RuleMinWords = 25
-  private val RuleMaxWords = 100000
-  private val RuleMeanLo = 3.0
-  private val RuleMeanHi = 10.0
-  private val RuleSymMax = 0.05
-  private val RuleAlphaMin = 0.9
-  private val RuleStopMin = 2
+  private[operators] val RuleMinWords = 25
+  private[operators] val RuleMaxWords = 100000
+  private[operators] val RuleMeanLo = 3.0
+  private[operators] val RuleMeanHi = 10.0
+  private[operators] val RuleSymMax = 0.05
+  private[operators] val RuleAlphaMin = 0.9
+  private[operators] val RuleStopMin = 2
 
   /** Gate: the Gopher-style RULE-SUITE keep decision — the per-document
     * filter verdict production quality gates ship (distinct from

@@ -1011,8 +1011,8 @@ object TrainPrep {
   // ------------------------------------------------------- long-doc handling
 
   /** Middle-out truncation: tokens kept from the head / tail. */
-  private val TruncHead = 40
-  private val TruncTail = 24
+  private[operators] val TruncHead = 40
+  private[operators] val TruncTail = 24
 
   /** Gate: long-document truncation — the head+tail ("middle-out") cut
     * a pipeline applies before packing when a document exceeds its
@@ -1128,7 +1128,7 @@ object TrainPrep {
     * the dataloader's read parallelism, so production raises it with
     * cluster width (the manifest stays O(shards) either way).
     */
-  private val OutShards = 16
+  private[operators] val OutShards = 16
 
   /** Gate: the token-balanced output-shard PLAN — the write-side manifest
     * a distributed dataloader consumes (the WebDataset/packed-parquet

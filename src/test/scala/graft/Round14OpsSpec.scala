@@ -1,0 +1,134 @@
+package graft
+
+import org.apache.spark.sql.Row
+
+/** Round-14 operator specs: the composed end-to-end pipeline ledger.
+  * The driver's oracle gate checks values; these pin the STAGE-CONTRACT
+  * arithmetic a hash can't articulate — conservation, hand-off equality,
+  * and an independent local replay of the head stages.
+  */
+class Round14OpsSpec extends SparkSpec {
+
+  private lazy val ledger: Array[Row] =
+    operators.Pipeline.pipelineE2e(spark, sf).collect()
+
+  private def detail(r: Row): Map[String, Long] =
+    r.getAs[String]("detail").split(",")
+      .map(_.split("=")).map(kv => kv(0) -> kv(1).toLong).toMap
+
+  test("pipeline_e2e: stage chain shape and hand-off equality") {
+    assert(ledger.length == 9)
+    assert(ledger.map(_.getAs[String]("stage")).toSeq == Seq("extract",
+      "quality", "dedup_exact", "near_dedup", "decontaminate", "split",
+      "truncate", "pack", "shard"))
+    for (r <- ledger) {
+      // conservation: in = kept + dropped, nothing negative
+      assert(r.getAs[Long]("docs_in") ==
+        r.getAs[Long]("docs_kept") + r.getAs[Long]("docs_dropped"))
+      assert(r.getAs[Long]("docs_dropped") >= 0)
+      // no stage mints tokens
+      assert(r.getAs[Long]("tokens_out") <= r.getAs[Long]("tokens_in"))
+    }
+    // the hand-off: stage k's input IS stage k-1's survivors
+    for (k <- 1 until 9) {
+      assert(ledger(k).getAs[Long]("docs_in") ==
+        ledger(k - 1).getAs[Long]("docs_kept"),
+        s"stage $k docs hand-off")
+      assert(ledger(k).getAs[Long]("tokens_in") ==
+        ledger(k - 1).getAs[Long]("tokens_out"),
+        s"stage $k tokens hand-off")
+    }
+    // split, pack and shard recategorize — they must not drop anything
+    for (k <- Seq(5, 7, 8)) {
+      assert(ledger(k).getAs[Long]("docs_dropped") == 0L)
+      assert(ledger(k).getAs[Long]("tokens_out") ==
+        ledger(k).getAs[Long]("tokens_in"))
+    }
+  }
+
+  test("pipeline_e2e: head stages replay locally (extract/quality/exact)") {
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[String]("text").toLowerCase.trim.replaceAll("\\s+", " "))
+    // extract: raw + the mod-5 duplicate feed
+    val planted = docs.filter(_._1 % 5 == 0)
+      .map { case (id, t) => (id + 100000L, t) }
+    val union = docs ++ planted
+    assert(ledger(0).getAs[Long]("docs_in") == union.length)
+    assert(detail(ledger(0))("planted") == planted.length)
+    assert(ledger(0).getAs[Long]("tokens_in") ==
+      union.map(_._2.split(" ").length.toLong).sum)
+    // quality: the Gopher rule suite with the original-id augmentation
+    val stop = operators.Stoplists.en.toSet
+    def verdict(id: Long, norm: String): (Boolean, Seq[Boolean]) = {
+      val aid = id % 100000L
+      val aug = norm +
+        (if (aid % 7 == 0) " # # # # # #" else "") +
+        (if (aid % 13 == 0) " 0 1 2 3 4 5 6 7 8 9 10 11" else "")
+      val ws = aug.split(" ")
+      val n = ws.length
+      val meanW = aug.replace(" ", "").length.toDouble / n
+      val sym = ws.count(_ == "#").toDouble / n
+      val alpha = ws.count(_.exists(c => c >= 'a' && c <= 'z')).toDouble / n
+      val hits = ws.count(stop.contains)
+      val flags = Seq(n >= 25 && n <= 100000, meanW >= 3.0 && meanW <= 10.0,
+        sym <= 0.05, alpha >= 0.9, hits >= 2)
+      (flags.forall(identity), flags)
+    }
+    val verdicts = union.map { case (id, t) => (id, t, verdict(id, t)) }
+    val s1 = verdicts.filter(_._3._1)
+    assert(ledger(1).getAs[Long]("docs_kept") == s1.length)
+    assert(ledger(1).getAs[Long]("tokens_out") ==
+      s1.map(_._2.split(" ").length.toLong).sum)
+    val d1 = detail(ledger(1))
+    val names = Seq("r_words", "r_mean_len", "r_symbols", "r_alpha",
+      "r_stopwords")
+    for ((nm, i) <- names.zipWithIndex)
+      assert(d1(nm) == verdicts.count(!_._3._2(i)), s"failure count $nm")
+    // the duplicate feed must actually SURVIVE into the dedup stage —
+    // the hand-off this gate exists to test (a quality-dead feed would
+    // trivially pass an empty stage 2)
+    val groups = s1.groupBy(_._2)
+    val dups = groups.filter(_._2.length >= 2)
+    assert(dups.nonEmpty)
+    assert(detail(ledger(2))("dup_groups") == dups.size)
+    assert(ledger(2).getAs[Long]("docs_kept") == groups.size)
+    // keep-min-id: dropped docs are exactly the non-min group members
+    assert(ledger(2).getAs[Long]("docs_dropped") ==
+      dups.values.map(_.length - 1).sum)
+  }
+
+  test("pipeline_e2e: cascade, decontamination and layout accounting") {
+    // near_dedup keeps exactly one member per cluster
+    val d3 = detail(ledger(3))
+    assert(d3("members") >= 2 * d3("clusters"))
+    assert(ledger(3).getAs[Long]("docs_dropped") ==
+      d3("members") - d3("clusters"))
+    // decontaminate: doc drops are eval-membership, token drops are
+    // eval docs + stripped spans
+    val d4 = detail(ledger(4))
+    assert(ledger(4).getAs[Long]("docs_dropped") == d4("eval_docs"))
+    assert(d4("tokens_stripped") >= 0)
+    assert(ledger(4).getAs[Long]("tokens_in") -
+      ledger(4).getAs[Long]("tokens_out") >= d4("tokens_stripped"))
+    // split partitions exactly
+    val d5 = detail(ledger(5))
+    assert(d5("train") + d5("val") + d5("test") ==
+      ledger(5).getAs[Long]("docs_kept"))
+    assert(d5("moved") <= ledger(5).getAs[Long]("docs_kept"))
+    // truncation: every truncated doc ends at exactly head+tail+marker
+    // = 65 tokens, so they contribute 65 each to the output total
+    val d6 = detail(ledger(6))
+    assert(ledger(6).getAs[Long]("tokens_out") >= 65 * d6("truncated"))
+    if (d6("truncated") == 0)
+      assert(ledger(6).getAs[Long]("tokens_out") ==
+        ledger(6).getAs[Long]("tokens_in"))
+    // pack/shard: bins and shards exist and conserve tokens (checked in
+    // the chain test); shard count is capped by the plan's 16
+    assert(detail(ledger(7))("bins") >= 1)
+    val d8 = detail(ledger(8))
+    assert(d8("shards") >= 1 && d8("shards") <= 16)
+    assert(d8("check") > 0)
+  }
+}
