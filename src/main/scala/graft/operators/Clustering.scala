@@ -136,6 +136,53 @@ object Clustering {
     labels
   }
 
+  /** Connectivity state shards for the STREAMING components maintainer
+    * ([[graft.streaming.StreamCluster]]).
+    */
+  private[graft] val CcShards = 8
+
+  /** The verified-pair observation stream (shard, a, b) the streaming
+    * components maintainer consumes — same memoized pair frame as the
+    * batch gate; the shard routes by min endpoint (any edge partition
+    * is valid for forest merging).
+    */
+  private[graft] def pairObs(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashPairsOf(s, dir).select(
+      pmod(least(col("id_a"), col("id_b")), lit(CcShards.toLong))
+        .as("shard"),
+      col("id_a").as("a"), col("id_b").as("b"))
+
+  /** The cluster frame (doc_id, cluster, csize) recomputed from
+    * MAINTAINED forest edges (a, b) — the read-time merge layer over
+    * [[graft.streaming.StreamCluster]]'s per-shard spanning forests:
+    * the same frontier propagation as the batch gate, over the (much
+    * smaller) forest instead of the raw pair set. Values identical to
+    * [[dedupClusters]], so the streaming gate shares its oracle.
+    */
+  private[graft] def clustersFromForest(forest: DataFrame): DataFrame = {
+    val edges = forest.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(forest.select(col("b").as("src"), col("a").as("dst")))
+    val labels = ccLabels(edges)
+    val sizes = labels.groupBy(col("lab")).agg(count(lit(1)).as("csize"))
+    labels.join(sizes, "lab")
+      .select(col("id").as("doc_id"), col("lab").as("cluster"),
+        col("csize"))
+      .orderBy("doc_id")
+  }
+
+  /** The split-reassignment report over ANY cluster frame (doc_id,
+    * cluster, csize) — ONE definition shared by the batch gate and the
+    * maintained-state read, so "split_by_cluster reads maintained state
+    * hash-identically" cannot drift.
+    */
+  private[graft] def splitReport(cl: DataFrame): DataFrame =
+    cl.select(col("doc_id"), col("cluster"), col("csize"),
+        TrainPrep.splitColOf("doc_id").as("split_old"),
+        TrainPrep.splitColOf("cluster").as("split_new"))
+      .withColumn("changed",
+        when(col("split_old") =!= col("split_new"), 1L).otherwise(0L))
+      .orderBy("doc_id")
+
   /** Oracle CTE chain: transitive closure by recursive CTE — min reachable
     * id is the component label (the graph is undirected: both edge
     * directions are in `edges`). Ends in `comp(doc_id, cluster)` and
@@ -181,13 +228,7 @@ object Clustering {
     * and the cascade).
     */
   def splitByCluster(s: SparkSession, dir: String): DataFrame =
-    dedupClusters(s, dir)
-      .select(col("doc_id"), col("cluster"), col("csize"),
-        TrainPrep.splitColOf("doc_id").as("split_old"),
-        TrainPrep.splitColOf("cluster").as("split_new"))
-      .withColumn("changed",
-        when(col("split_old") =!= col("split_new"), 1L).otherwise(0L))
-      .orderBy("doc_id")
+    splitReport(dedupClusters(s, dir))
 
   val splitByClusterSql: String = s"""
     WITH RECURSIVE $dedupClustersCtesSql

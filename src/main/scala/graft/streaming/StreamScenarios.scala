@@ -515,7 +515,43 @@ object StreamScenarios {
       event_type, COUNT(*) AS n, ${Exact.sqlSum("value")} AS sum_value
     FROM events GROUP BY 1, 2, 3 ORDER BY win_start, event_type"""
 
+  /** Batch-mode run of the streaming connected-components maintainer
+    * over the same verified near-dup pairs as the batch propagation,
+    * with the cluster frame recomputed from the MAINTAINED per-shard
+    * spanning forests — checked by the SAME oracle SQL as
+    * `dedup_clusters`, proving a single batch of the incremental path
+    * equals the full batch propagation (the spec drives cross-batch
+    * cluster MERGES — two components joined by a late edge — and
+    * replay idempotence with a MemoryStream).
+    */
+  def streamClusterMaintain(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val obs = graft.operators.Clustering.pairObs(s, dir).as[EdgeObs]
+    val forest = StreamCluster.forests(obs).toDF()
+      .select(explode(col("fedges")).as("e"))
+      .select(col("e.a").as("a"), col("e.b").as("b"))
+    graft.operators.Clustering.clustersFromForest(forest)
+  }
+
+  /** The cluster-level split reassignment read DIRECTLY from the
+    * maintained connectivity state — `split_by_cluster`'s report layer
+    * over [[streamClusterMaintain]]'s merged clusters, checked by the
+    * SAME oracle SQL as the batch gate (hash-identical by the shared
+    * report definition).
+    */
+  def streamSplitMaintain(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val obs = graft.operators.Clustering.pairObs(s, dir).as[EdgeObs]
+    val forest = StreamCluster.forests(obs).toDF()
+      .select(explode(col("fedges")).as("e"))
+      .select(col("e.a").as("a"), col("e.b").as("b"))
+    graft.operators.Clustering.splitReport(
+      graft.operators.Clustering.clustersFromForest(forest))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_cluster_maintain" -> (streamClusterMaintain _),
+    "stream_split_maintain" -> (streamSplitMaintain _),
     "stream_changeset" -> (streamChangeset _),
     "stream_sessionize" -> (streamSessionize _),
     "stream_window_counts" -> (streamWindowCounts _),
@@ -545,6 +581,10 @@ object StreamScenarios {
     "stream_epoch_maintain" -> (streamEpochMaintain _))
 
   val oracles: Map[String, String] = Map(
+    "stream_cluster_maintain" ->
+      graft.operators.Clustering.dedupClustersSql,
+    "stream_split_maintain" ->
+      graft.operators.Clustering.splitByClusterSql,
     "stream_topk_sketch" -> graft.operators.Sketch.topkSketchSql,
     "stream_topk_space" -> graft.operators.Sketch.topkSketchSql,
     "stream_cms_maintain" -> graft.operators.Sketch.cmsSketchSql,

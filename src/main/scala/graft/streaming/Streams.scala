@@ -1389,3 +1389,89 @@ object StreamEpochCensus {
       }
   }
 }
+
+/** One verified near-dup pair arriving on the stream, pre-routed to a
+  * connectivity state shard (shard = min endpoint mod
+  * [[graft.operators.Clustering.CcShards]] — ANY edge partition is
+  * valid, see [[StreamCluster]]).
+  */
+case class EdgeObs(shard: Long, a: Long, b: Long)
+
+/** One spanning-forest edge of a shard's maintained union-find. */
+case class FEdge(a: Long, b: Long)
+
+/** One shard's maintained connectivity state: the spanning forest of
+  * every pair routed to it, plus the monotone observation counter
+  * (`n_seen` orders state versions for multi-batch readers; duplicate
+  * deliveries advance it without changing the forest).
+  */
+case class ForestState(shard: Long, n_seen: Long, fedges: Seq[FEdge])
+
+/** Streaming connected-components maintenance — the incremental twin of
+  * the batch `dedup_clusters` propagation: verified near-dup pairs
+  * arrive in micro-batches and each state shard folds them into a
+  * union-find whose SPANNING FOREST is the persisted state.
+  *
+  * Why a forest per shard is enough: the components of a union of edge
+  * sets equal the components of the union of each set's spanning
+  * forest (a forest preserves exactly the connectivity of its edge
+  * set), so edges may be routed to shards ARBITRARILY and a read-time
+  * merge pass ([[graft.operators.Clustering.clustersFromForest]] — the
+  * same frontier propagation as the batch gate) recovers the global
+  * min-id labels. This is the standard distributed-CC decomposition,
+  * here split batch-side (bounded per-shard fold) / read-side (merge).
+  *
+  * Idempotence/commutativity: union-find over an edge SET is
+  * insensitive to duplicate and out-of-order arrivals — a replayed
+  * pair unions two already-connected nodes (no-op), so at-least-once
+  * delivery cannot corrupt the state (the spec pins this).
+  *
+  * Scale (100 TB): state is the duplicate-subset node set, sharded —
+  * per-group state stays bounded by the shard's incident nodes, NOT by
+  * corpus size or by edge count (the forest compresses any number of
+  * parallel edges to ≤ nodes−1 entries); the daily production
+  * operation prices one micro-batch's pairs, never the
+  * re-propagation of the full pair graph the batch gate would re-run.
+  */
+object StreamCluster {
+
+  def forests(obs: Dataset[EdgeObs]): Dataset[ForestState] = {
+    import obs.sparkSession.implicits._
+    obs
+      .groupByKey(_.shard)
+      .flatMapGroupsWithState[ForestState, ForestState](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (shard: Long, rows: Iterator[EdgeObs], state: GroupState[ForestState]) =>
+          val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+          def find(x: Long): Long = {
+            var r = x
+            while (parent.getOrElse(r, r) != r) r = parent(r)
+            var c = x // path compression
+            while (parent.getOrElse(c, c) != c) {
+              val nx = parent(c); parent(c) = r; c = nx
+            }
+            r
+          }
+          def union(a: Long, b: Long): Unit = {
+            parent.getOrElseUpdate(a, a)
+            parent.getOrElseUpdate(b, b)
+            val (ra, rb) = (find(a), find(b))
+            // min-root union keeps roots at component minima, matching
+            // the batch labels' min-id orientation shard-locally
+            if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+          }
+          var seen = state.getOption.map(_.n_seen).getOrElse(0L)
+          state.getOption.foreach(_.fedges.foreach(e => union(e.a, e.b)))
+          rows.foreach { o => union(o.a, o.b); seen += 1 }
+          // re-emit the compressed forest: one (node, root) edge per
+          // non-root node — deterministic (sorted) for stable state
+          val fedges = parent.keys.toSeq.sorted.flatMap { nd =>
+            val r = find(nd)
+            if (r != nd) Some(FEdge(nd, r)) else None
+          }
+          val next = ForestState(shard, seen, fedges)
+          state.update(next)
+          Iterator(next)
+      }
+  }
+}

@@ -1,6 +1,10 @@
 package graft
 
+import graft.streaming.{EdgeObs, StreamCluster}
 import org.apache.spark.sql.Row
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
 
 /** Round-14 operator specs: the composed end-to-end pipeline ledger.
   * The driver's oracle gate checks values; these pin the STAGE-CONTRACT
@@ -130,5 +134,72 @@ class Round14OpsSpec extends SparkSpec {
     val d8 = detail(ledger(8))
     assert(d8("shards") >= 1 && d8("shards") <= 16)
     assert(d8("check") > 0)
+  }
+
+  // ------------------------------------------- stream_cluster_maintain
+
+  /** Latest maintained forest per shard → flat (a, b) edge frame (the
+    * update-mode memory sink appends every state version; `n_seen` is
+    * the monotone version order). Collected driver-side: a self-join on
+    * a memory-sink view trips conflicting-attribute resolution, and the
+    * spec state is a handful of rows.
+    */
+  private def latestForest(table: String): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    val rows = spark.table(table).collect()
+    val edges = rows.groupBy(_.getAs[Long]("shard")).values.toSeq
+      .map(_.maxBy(_.getAs[Long]("n_seen")))
+      .flatMap(_.getAs[scala.collection.Seq[Row]]("fedges")
+        .map(e => (e.getAs[Long]("a"), e.getAs[Long]("b"))))
+    edges.toDF("a", "b")
+  }
+
+  test("stream_cluster_maintain: late edge merges two components") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EdgeObs]
+    val query = StreamCluster.forests(input.toDS())
+      .writeStream.format("memory").queryName("cc_state")
+      .outputMode(OutputMode.Update).start()
+    try {
+      // batch 1: two disjoint components, on different state shards
+      input.addData(EdgeObs(1, 1, 2), EdgeObs(3, 3, 4))
+      query.processAllAvailable()
+      val c1 = operators.Clustering.clustersFromForest(latestForest("cc_state"))
+        .collect().map(r => r.getAs[Long]("doc_id") ->
+          (r.getAs[Long]("cluster"), r.getAs[Long]("csize"))).toMap
+      assert(c1 == Map(1L -> (1L, 2L), 2L -> (1L, 2L),
+        3L -> (3L, 2L), 4L -> (3L, 2L)))
+      // batch 2: a LATE cross-component edge — the merge the batch
+      // re-propagation cannot price incrementally
+      input.addData(EdgeObs(2, 2, 3))
+      query.processAllAvailable()
+      val c2 = operators.Clustering.clustersFromForest(latestForest("cc_state"))
+        .collect().map(r => r.getAs[Long]("doc_id") ->
+          (r.getAs[Long]("cluster"), r.getAs[Long]("csize"))).toMap
+      assert(c2 == Map(1L -> (1L, 4L), 2L -> (1L, 4L),
+        3L -> (1L, 4L), 4L -> (1L, 4L)))
+      // batch 3: at-least-once replay of an old pair — state unchanged
+      input.addData(EdgeObs(1, 1, 2))
+      query.processAllAvailable()
+      val c3 = operators.Clustering.clustersFromForest(latestForest("cc_state"))
+        .collect().map(r => r.getAs[Long]("doc_id") ->
+          (r.getAs[Long]("cluster"), r.getAs[Long]("csize"))).toMap
+      assert(c3 == c2)
+    } finally query.stop()
+  }
+
+  test("stream_cluster_maintain: single batch equals batch propagation") {
+    // the gate's own equivalence, pinned row-for-row (the oracle checks
+    // values; this pins the frames against each other directly)
+    val batch = operators.Clustering.dedupClusters(spark, sf).collect()
+    val stream = graft.streaming.StreamScenarios
+      .streamClusterMaintain(spark, sf).collect()
+    assert(batch.map(_.toSeq).toSeq == stream.map(_.toSeq).toSeq)
+    // and split_by_cluster reads the maintained state hash-identically
+    val sBatch = operators.Clustering.splitByCluster(spark, sf).collect()
+    val sStream = graft.streaming.StreamScenarios
+      .streamSplitMaintain(spark, sf).collect()
+    assert(sBatch.map(_.toSeq).toSeq == sStream.map(_.toSeq).toSeq)
   }
 }
