@@ -1003,6 +1003,174 @@ object Filtering {
         AS flagged
     FROM pd, mn ORDER BY doc_id"""
 
+  // ---------------------------------------- Kneser-Ney trigram filter
+
+  /** KN discount D = [[KnD]]/[[KnScale]] = 0.75, the standard value —
+    * kept rational so every probability is a ratio of exact integers.
+    */
+  private val KnScale = 4
+  private val KnD = 3
+
+  /** Per-document trigram occurrences (doc_id, w1, w2, w3, cd) — the
+    * scoring side of the KN filter; summed over docs it is ALSO the LM
+    * type/count table, which is why the streaming maintainer's state
+    * (per-type counts) suffices to rebuild the whole model.
+    */
+  private[graft] def knTriDoc(s: SparkSession, dir: String): DataFrame = {
+    val ws = split(norm, " ")
+    Tables.documents(s, dir)
+      .select(col("doc_id"), ws.as("ws"))
+      .filter(size(col("ws")) >= 3)
+      .withColumn("i", explode(sequence(lit(1), size(col("ws")) - 2)))
+      .select(col("doc_id"), element_at(col("ws"), col("i")).as("w1"),
+        element_at(col("ws"), col("i") + 1).as("w2"),
+        element_at(col("ws"), col("i") + 2).as("w3"))
+      .groupBy("doc_id", "w1", "w2", "w3").agg(count(lit(1)).as("cd"))
+  }
+
+  /** The corpus trigram count table (w1, w2, w3, c123) — what the
+    * streaming maintainer keeps as state (one counter per type, fed
+    * micro-batch partials).
+    */
+  private[graft] def knTypes(s: SparkSession, dir: String): DataFrame =
+    knTriDoc(s, dir).groupBy("w1", "w2", "w3")
+      .agg(sum(col("cd")).as("c123"))
+
+  /** Gate: per-document interpolated Kneser-Ney trigram cross-entropy —
+    * the CCNet-shaped LM filter upgraded from `doc_ppl`'s add-one
+    * bigram model to the smoothing real LM filters ship (Kneser-Ney:
+    * absolute discounting plus CONTINUATION counts at the lower
+    * orders, so frequent-but-contextually-narrow words stop looking
+    * probable). Same flag contract as `doc_ppl`: per doc the trigram
+    * count, total and per-trigram-average fixed-point nll, and the
+    * above-corpus-mean flag.
+    *
+    * Every lower-order statistic derives from the trigram TYPE table
+    * (the textbook formulation): A = N1+(·w2w3), B = N1+(·w2·),
+    * H = N1+(w2·), C3 = N1+(·w3), G = N1+(··), M = N1+(w1w2·),
+    * c12 = Σ_w3 c123. With the rational discount D = 3/4 the
+    * interpolated probability collapses to ONE integer ratio:
+    *
+    *   P2 = (max(4A−3, 0)·G + 3·H·C3) / (4·B·G)            = N2 / D2
+    *   P3 = (max(4·c123−3, 0)·D2 + 3·M·N2) / (16·c12·B·G)  = N3 / D3
+    *
+    * and nll per occurrence = llog2(D3) − llog2(N3) — pure integer
+    * floor arithmetic, replayed by the oracle with rational ops only.
+    * Only observed trigrams score (all counts ≥ 1, so llog2's x ≥ 1
+    * domain holds and N3 ≥ 3·H·C3 ≥ 3).
+    *
+    * Scale: type-table aggregations are gram-keyed with map-side
+    * combine; the scoring join is doc-trigrams ⋈ LM on the trigram key
+    * — `doc_ppl`'s one genuinely big join, same shape. The llog2
+    * operand bound (< 2^41) caps 16·c12·B·G; at production corpus
+    * sizes the counts rescale by their GCD per ratio (a config shift)
+    * — the gate corpus stays well inside.
+    */
+  def docPplKn(s: SparkSession, dir: String): DataFrame =
+    knReport(s, dir, knTypes(s, dir))
+
+  /** The KN report over ANY trigram count table (w1, w2, w3, c123) —
+    * ONE definition shared by the batch gate and the maintained-state
+    * read ([[graft.streaming.StreamScenarios]]'s stream_kn_maintain),
+    * so the streaming gate shares this oracle.
+    */
+  private[graft] def knReport(s: SparkSession, dir: String,
+                              types: DataFrame): DataFrame = {
+    val k = KnScale
+    val d = KnD
+    val ctx = types.groupBy("w1", "w2")
+      .agg(sum(col("c123")).as("c12"), countDistinct(col("w3")).as("m"))
+    val aT = types.groupBy("w2", "w3")
+      .agg(countDistinct(col("w1")).as("a"))
+    val bT = aT.groupBy("w2")
+      .agg(sum(col("a")).as("b"), countDistinct(col("w3")).as("hh"))
+    val cT = aT.groupBy("w3").agg(countDistinct(col("w2")).as("c3"))
+    val gT = aT.agg(count(lit(1)).as("g"))
+    val lm = types
+      .join(ctx, Seq("w1", "w2"))
+      .join(aT, Seq("w2", "w3"))
+      .join(bT, Seq("w2"))
+      .join(cT, Seq("w3"))
+      .crossJoin(broadcast(gT))
+      .withColumn("n2",
+        greatest(lit(k) * col("a") - d, lit(0L)) * col("g") +
+          lit(d) * col("hh") * col("c3"))
+      .withColumn("n3",
+        greatest(lit(k) * col("c123") - d, lit(0L)) *
+          (lit(k) * col("b") * col("g")) + lit(d) * col("m") * col("n2"))
+      .withColumn("d3", lit(k.toLong * k) * col("c12") * col("b") * col("g"))
+      .select(col("w1"), col("w2"), col("w3"),
+        (expr(llog2("d3")) - expr(llog2("n3"))).as("nb"))
+    val perDoc = knTriDoc(s, dir).join(lm, Seq("w1", "w2", "w3"))
+      .groupBy("doc_id")
+      .agg(sum(col("cd")).as("n_trigrams"),
+        sum(col("cd") * col("nb")).as("nll"))
+      .withColumn("avg_nll",
+        expr("cast((nll - (nll % n_trigrams)) div n_trigrams as bigint)"))
+    val mean = perDoc.agg(count(lit(1)).as("nd"),
+      sum(col("avg_nll")).as("sa"))
+    perDoc.crossJoin(broadcast(mean))
+      .select(col("doc_id"), col("n_trigrams"), col("nll"), col("avg_nll"),
+        when(col("avg_nll") * col("nd") > col("sa"), 1L).otherwise(0L)
+          .as("flagged"))
+      .orderBy("doc_id")
+  }
+
+  val docPplKnSql: String = {
+    val k = KnScale
+    val d = KnD
+    s"""
+    WITH dkn AS (SELECT doc_id, string_split($normSql, ' ') AS ws
+                 FROM documents),
+    dkg AS (SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2, ws[i + 2] AS w3
+            FROM (SELECT doc_id, ws,
+                    unnest(generate_series(1, len(ws) - 2)) AS i
+                  FROM dkn WHERE len(ws) >= 3)),
+    dkd AS (SELECT doc_id, w1, w2, w3, count(*) AS cd
+            FROM dkg GROUP BY 1, 2, 3, 4),
+    dkt AS (SELECT w1, w2, w3, CAST(sum(cd) AS BIGINT) AS c123
+            FROM dkd GROUP BY 1, 2, 3),
+    dkc AS (SELECT w1, w2, CAST(sum(c123) AS BIGINT) AS c12,
+              count(DISTINCT w3) AS m
+            FROM dkt GROUP BY 1, 2),
+    dka AS (SELECT w2, w3, count(DISTINCT w1) AS a FROM dkt GROUP BY 1, 2),
+    dkb AS (SELECT w2, CAST(sum(a) AS BIGINT) AS b,
+              count(DISTINCT w3) AS hh
+            FROM dka GROUP BY 1),
+    dkc3 AS (SELECT w3, count(DISTINCT w2) AS c3 FROM dka GROUP BY 1),
+    dkgt AS (SELECT count(*) AS g FROM dka),
+    dklm AS (
+      SELECT w1, w2, w3,
+        ${llog2("d3")} - ${llog2("n3")} AS nb
+      FROM (
+        SELECT t.w1, t.w2, t.w3,
+          greatest($k * t.c123 - $d, 0)
+              * ($k * dkb.b * dkgt.g)
+            + $d * dkc.m
+              * (greatest($k * dka.a - $d, 0) * dkgt.g
+                 + $d * dkb.hh * dkc3.c3) AS n3,
+          ${k * k} * dkc.c12 * dkb.b * dkgt.g AS d3
+        FROM dkt t
+        JOIN dkc ON t.w1 = dkc.w1 AND t.w2 = dkc.w2
+        JOIN dka ON t.w2 = dka.w2 AND t.w3 = dka.w3
+        JOIN dkb ON t.w2 = dkb.w2
+        JOIN dkc3 ON t.w3 = dkc3.w3, dkgt) x),
+    dkpd AS (
+      SELECT doc_id, CAST(sum(cd) AS BIGINT) AS n_trigrams,
+        CAST(sum(cd * nb) AS BIGINT) AS nll
+      FROM dkd JOIN dklm USING (w1, w2, w3) GROUP BY doc_id),
+    dkp2 AS (
+      SELECT doc_id, n_trigrams, nll,
+        CAST((nll - (nll % n_trigrams)) // n_trigrams AS BIGINT) AS avg_nll
+      FROM dkpd),
+    dkmn AS (SELECT count(*) AS nd, CAST(sum(avg_nll) AS BIGINT) AS sa
+             FROM dkp2)
+    SELECT doc_id, n_trigrams, nll, avg_nll,
+      CAST(CASE WHEN avg_nll * nd > sa THEN 1 ELSE 0 END AS BIGINT)
+        AS flagged
+    FROM dkp2, dkmn ORDER BY doc_id"""
+  }
+
   // ------------------------------------------------ model-grade language ID
 
   /** Hashed char-trigram buckets of the langid classifier (+ bias 0). */
@@ -1337,7 +1505,8 @@ object Filtering {
     "dsir_select" -> (dsirSelect _),
     "dsir_select_bigram" -> (dsirSelectBigram _),
     "dsir_domain" -> (dsirDomain _),
-    "doc_ppl" -> (docPpl _))
+    "doc_ppl" -> (docPpl _),
+    "doc_ppl_kn" -> (docPplKn _))
 
   val oracles: Map[String, String] = Map(
     "langid_clf" -> langidClfSql,
@@ -1349,5 +1518,6 @@ object Filtering {
     "dsir_select" -> dsirSelectSql,
     "dsir_select_bigram" -> dsirSelectBigramSql,
     "dsir_domain" -> dsirDomainSql,
-    "doc_ppl" -> docPplSql)
+    "doc_ppl" -> docPplSql,
+    "doc_ppl_kn" -> docPplKnSql)
 }

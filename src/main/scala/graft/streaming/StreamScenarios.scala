@@ -341,6 +341,23 @@ object StreamScenarios {
     T.lmReport(counts.select(col("w1"), col("w2"), col("c12")))
   }
 
+  /** Batch-mode run of the streaming TRIGRAM count maintainer (the
+    * bigram maintainer one order up), with the Kneser-Ney report
+    * recomputed from the MAINTAINED type counts — every lower-order KN
+    * statistic derives from that one table, so the gate shares
+    * `doc_ppl_kn`'s oracle.
+    */
+  def streamKnMaintain(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val F = graft.operators.Filtering
+    val types = StreamKn.counts(
+        F.knTypes(s, dir)
+          .select(col("w1"), col("w2"), col("w3"),
+            col("c123").as("c")).as[KnPart])
+      .toDF().select(col("w1"), col("w2"), col("w3"), col("c123"))
+    F.knReport(s, dir, types)
+  }
+
   /** Batch-mode run of the streaming DSIR importance-model maintainer:
     * per-batch raw bucket partials folded into the count state, then the
     * read-time smoothing + fixed-point log-ratio report — the SAME
@@ -569,6 +586,7 @@ object StreamScenarios {
     "stream_cms_maintain" -> (streamCmsMaintain _),
     "stream_minhash_maintain" -> (streamMinhashMaintain _),
     "stream_lm_maintain" -> (streamLmMaintain _),
+    "stream_kn_maintain" -> (streamKnMaintain _),
     "stream_dsir_maintain" -> (streamDsirMaintain _),
     "stream_profile_maintain" -> (streamProfileMaintain _),
     "stream_asof" -> (streamAsofMaintain _),
@@ -590,6 +608,7 @@ object StreamScenarios {
     "stream_cms_maintain" -> graft.operators.Sketch.cmsSketchSql,
     "stream_minhash_maintain" -> graft.operators.Dedup.minhashSigsSql,
     "stream_lm_maintain" -> graft.operators.TrainPrep.textBigramLmSql,
+    "stream_kn_maintain" -> graft.operators.Filtering.docPplKnSql,
     "stream_dsir_maintain" -> graft.operators.Filtering.dsirBucketsSql,
     "stream_profile_maintain" -> graft.operators.Quality.profileStatsSql,
     "stream_asof" -> graft.operators.AsOf.asofJoinSql,

@@ -1475,3 +1475,43 @@ object StreamCluster {
       }
   }
 }
+
+/** One micro-batch trigram-count partial (the [[LmPart]] pattern one
+  * order up): pre-reduced upstream so the state store sees one row per
+  * distinct trigram per batch, not one per occurrence.
+  */
+case class KnPart(w1: String, w2: String, w3: String, c: Long)
+
+/** One maintained trigram count. */
+case class KnCount(w1: String, w2: String, w3: String, c123: Long)
+
+/** Streaming trigram-LM count maintenance — [[StreamLm]] extended one
+  * order: the (w1, w2, w3) counts behind the Kneser-Ney filter
+  * ([[graft.operators.Filtering]]'s doc_ppl_kn) kept up to date as
+  * documents stream in. The KN model's EVERY lower-order statistic
+  * (continuation counts, context totals, the global N1+(··)) derives
+  * from this one type/count table, so maintaining it maintains the
+  * whole model — the read layer re-derives them and shares the batch
+  * gate's report and oracle. Counter adds are commutative/associative
+  * (effectively-once input assumed, as for the other counting
+  * maintainers); state is one long per distinct trigram.
+  */
+object StreamKn {
+
+  def counts(parts: Dataset[KnPart]): Dataset[KnCount] = {
+    import parts.sparkSession.implicits._
+    parts
+      .groupByKey(o => (o.w1, o.w2, o.w3))
+      .flatMapGroupsWithState[KnCount, KnCount](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (k: (String, String, String), rows: Iterator[KnPart],
+         state: GroupState[KnCount]) =>
+          var add = 0L
+          rows.foreach(add += _.c)
+          val next = KnCount(k._1, k._2, k._3,
+            state.getOption.map(_.c123).getOrElse(0L) + add)
+          state.update(next)
+          Iterator(next)
+      }
+  }
+}

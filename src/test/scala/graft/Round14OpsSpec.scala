@@ -1,6 +1,6 @@
 package graft
 
-import graft.streaming.{EdgeObs, StreamCluster}
+import graft.streaming.{EdgeObs, KnPart, StreamCluster, StreamKn}
 import org.apache.spark.sql.Row
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
@@ -201,5 +201,94 @@ class Round14OpsSpec extends SparkSpec {
     val sStream = graft.streaming.StreamScenarios
       .streamSplitMaintain(spark, sf).collect()
     assert(sBatch.map(_.toSeq).toSeq == sStream.map(_.toSeq).toSeq)
+  }
+
+  // --------------------------------------------------------- doc_ppl_kn
+
+  /** The fixed-point log2 replayed locally (the llog2 contract). */
+  private def llog2L(x: Long): Long = {
+    require(x >= 1)
+    val bl = 64 - java.lang.Long.numberOfLeadingZeros(x)
+    val p = 1L << (bl - 1)
+    val fr = (x * 1024L) / p - 1024L
+    val cor = fr * (1024L - fr) * 357L
+    (bl - 1).toLong * 1024L + fr + cor / (1024L * 1024L)
+  }
+
+  test("doc_ppl_kn: per-doc nll replays from the local KN model") {
+    val out = operators.Filtering.docPplKn(spark, sf).collect()
+    assert(out.nonEmpty)
+    // both flag sides must be populated — a one-sided gate is vacuous
+    assert(out.exists(_.getAs[Long]("flagged") == 1L))
+    assert(out.exists(_.getAs[Long]("flagged") == 0L))
+    // local model: trigram occurrences per doc + the type-table stats
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[String]("text").toLowerCase.trim
+          .replaceAll("\\s+", " ").split(" "))
+    val occ = docs.flatMap { case (id, ws) =>
+      if (ws.length < 3) Seq.empty
+      else (0 until ws.length - 2).map(i =>
+        (id, (ws(i), ws(i + 1), ws(i + 2))))
+    }
+    val cd = occ.groupBy(identity).map { case ((id, t), v) =>
+      (id, t) -> v.length.toLong }
+    val c123 = occ.groupBy(_._2).map { case (t, v) => t -> v.length.toLong }
+    val types = c123.keys.toSeq
+    val c12 = types.groupBy(t => (t._1, t._2))
+      .map { case (k, ts) => k -> ts.map(c123).sum }
+    val m = types.groupBy(t => (t._1, t._2)).map { case (k, ts) =>
+      k -> ts.map(_._3).distinct.length.toLong }
+    val a = types.groupBy(t => (t._2, t._3)).map { case (k, ts) =>
+      k -> ts.map(_._1).distinct.length.toLong }
+    val b = a.keys.toSeq.groupBy(_._1).map { case (w2, ks) =>
+      w2 -> ks.map(a).sum }
+    val hh = a.keys.toSeq.groupBy(_._1).map { case (w2, ks) =>
+      w2 -> ks.map(_._2).distinct.length.toLong }
+    val c3 = a.keys.toSeq.groupBy(_._2).map { case (w3, ks) =>
+      w3 -> ks.map(_._1).distinct.length.toLong }
+    val g = a.size.toLong
+    def nb(t: (String, String, String)): Long = {
+      val n2 = math.max(4 * a((t._2, t._3)) - 3, 0L) * g +
+        3 * hh(t._2) * c3(t._3)
+      val n3 = math.max(4 * c123(t) - 3, 0L) * (4 * b(t._2) * g) +
+        3 * m((t._1, t._2)) * n2
+      val d3 = 16 * c12((t._1, t._2)) * b(t._2) * g
+      llog2L(d3) - llog2L(n3)
+    }
+    val expNll = cd.toSeq.groupBy(_._1._1).map { case (id, xs) =>
+      id -> xs.map { case ((_, t), c) => c * nb(t) }.sum }
+    for (r <- out) {
+      val id = r.getAs[Long]("doc_id")
+      assert(r.getAs[Long]("nll") == expNll(id), s"doc $id nll")
+      val nt = r.getAs[Long]("n_trigrams")
+      assert(r.getAs[Long]("avg_nll") ==
+        Math.floorDiv(r.getAs[Long]("nll"), nt))
+    }
+    // probabilities are genuine: nll per occurrence is positive
+    // (P < 1 for every trigram in a non-degenerate corpus)
+    assert(out.forall(r => r.getAs[Long]("nll") > 0))
+  }
+
+  test("stream_kn_maintain: counts accumulate across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[KnPart]
+    val query = StreamKn.counts(input.toDS())
+      .writeStream.format("memory").queryName("kn_state")
+      .outputMode(OutputMode.Update).start()
+    try {
+      input.addData(KnPart("a", "b", "c", 2), KnPart("x", "y", "z", 1))
+      query.processAllAvailable()
+      input.addData(KnPart("a", "b", "c", 3))
+      query.processAllAvailable()
+      val rows = spark.table("kn_state").collect()
+      val abc = rows.filter(r => r.getString(0) == "a")
+        .map(_.getAs[Long]("c123")).max
+      assert(abc == 5L)
+      val xyz = rows.filter(r => r.getString(0) == "x")
+        .map(_.getAs[Long]("c123")).max
+      assert(xyz == 1L)
+    } finally query.stop()
   }
 }
