@@ -35,6 +35,7 @@ object SparkEntry {
       operators.SuffixArray.queries ++
       operators.LineDedup.queries ++
       operators.Bpe.queries ++
+      operators.Wordpiece.queries ++
       operators.Unigram.queries ++
       operators.Similarity.queries ++
       operators.Retrieval.queries ++
@@ -82,6 +83,7 @@ object SparkEntry {
       operators.SuffixArray.oracles ++
       operators.LineDedup.oracles ++
       operators.Bpe.oracles ++
+      operators.Wordpiece.oracles ++
       operators.Unigram.oracles ++
       operators.Similarity.oracles ++
       operators.Retrieval.oracles ++

@@ -540,19 +540,21 @@ object Unigram {
 
   // ----------------------------------------------------- tokenizer parity
 
-  /** Gate: tokenizer A/B — per document, BPE vs unigram token counts
-    * with fixed-point FERTILITY (tokens per word, ×10^6 integer) and
-    * the per-document winner. This is the decision artifact a pipeline
-    * owner reads when choosing the tokenizer family: fertility drives
-    * context-window utilization and training cost, and the comparison
-    * is only meaningful when both tokenizers trained on the SAME
-    * corpus under the same normalization — which is exactly what the
-    * two training chains here share. The DuckDB oracle replays BOTH
-    * trainings (the 20-round BPE merge chain and the recursive-CTE
-    * Viterbi-EM) in one statement, so the comparison itself is
-    * hash-gated end to end.
+  /** Gate: tokenizer three-way — per document, BPE vs unigram vs
+    * WordPiece token counts with fixed-point FERTILITY (tokens per
+    * word, ×10^6 integer) and the per-document winner (strict minimum;
+    * any shared minimum is 'tie'). This is the decision artifact a
+    * pipeline owner reads when choosing the tokenizer family:
+    * fertility drives context-window utilization and training cost,
+    * and the comparison is only meaningful when all tokenizers trained
+    * on the SAME corpus under the same normalization — which is
+    * exactly what the three training chains here share. The DuckDB
+    * oracle replays ALL THREE trainings (the 20-round BPE merge chain,
+    * the recursive-CTE Viterbi-EM, and the 20-round score-ranked
+    * WordPiece chain plus its greedy walk) in one statement, so the
+    * comparison itself is hash-gated end to end.
     *
-    * Scale: one join of the two per-document count frames (each one
+    * Scale: one join of the three per-document count frames (each one
     * lookup join over the corpus word stream); the trained tables are
     * memoized artifacts shared with the tokenize gates.
     */
@@ -561,13 +563,20 @@ object Unigram {
       .select(col("doc_id"), col("n_words"), col("n_bpe_tokens"))
     val u = tokenizeUnigram(s, dir)
       .select(col("doc_id"), col("n_pieces").as("n_unigram_pieces"))
-    b.join(u, "doc_id")
+    val w = Wordpiece.tokenizeWordpiece(s, dir)
+      .select(col("doc_id"), col("n_wp_tokens"))
+    b.join(u, "doc_id").join(w, "doc_id")
       .select(col("doc_id"), col("n_words"),
-        col("n_bpe_tokens"), col("n_unigram_pieces"),
+        col("n_bpe_tokens"), col("n_unigram_pieces"), col("n_wp_tokens"),
         expr("(n_bpe_tokens * 1000000) div n_words").as("fert_bpe_q6"),
         expr("(n_unigram_pieces * 1000000) div n_words").as("fert_ug_q6"),
-        when(col("n_bpe_tokens") < col("n_unigram_pieces"), "bpe")
-          .when(col("n_unigram_pieces") < col("n_bpe_tokens"), "unigram")
+        expr("(n_wp_tokens * 1000000) div n_words").as("fert_wp_q6"),
+        when(col("n_bpe_tokens") < col("n_unigram_pieces") &&
+          col("n_bpe_tokens") < col("n_wp_tokens"), "bpe")
+          .when(col("n_unigram_pieces") < col("n_bpe_tokens") &&
+            col("n_unigram_pieces") < col("n_wp_tokens"), "unigram")
+          .when(col("n_wp_tokens") < col("n_bpe_tokens") &&
+            col("n_wp_tokens") < col("n_unigram_pieces"), "wordpiece")
           .otherwise("tie").as("winner"))
       .orderBy("doc_id")
   }
@@ -575,6 +584,8 @@ object Unigram {
   val tokenizerParitySql: String = s"""
     WITH RECURSIVE ${trainCtes.trim},
     ${Bpe.trainCtes.trim},
+    ${Wordpiece.trainCtes.trim},
+    ${Wordpiece.greedyCtes.trim},
     tpw AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws))) AS pos
             FROM (SELECT doc_id, string_split($normSql, ' ') AS ws
                   FROM documents)),
@@ -589,16 +600,28 @@ object Unigram {
               CAST(sum(len(string_split(t.seg, ' '))) AS BIGINT)
                 AS n_unigram_pieces
             FROM tpt d JOIN seg$F t ON d.word = t.word
-            GROUP BY d.doc_id)
+            GROUP BY d.doc_id),
+    tpwp AS (SELECT d.doc_id,
+               CAST(sum(f.np) AS BIGINT) AS n_wp_tokens
+             FROM tpt d JOIN wpfin f ON d.word = f.word
+             GROUP BY d.doc_id)
     SELECT b.doc_id, b.n_words, b.n_bpe_tokens, u.n_unigram_pieces,
+      w.n_wp_tokens,
       CAST((b.n_bpe_tokens * 1000000) // b.n_words AS BIGINT)
         AS fert_bpe_q6,
       CAST((u.n_unigram_pieces * 1000000) // b.n_words AS BIGINT)
         AS fert_ug_q6,
-      CASE WHEN b.n_bpe_tokens < u.n_unigram_pieces THEN 'bpe'
-           WHEN u.n_unigram_pieces < b.n_bpe_tokens THEN 'unigram'
+      CAST((w.n_wp_tokens * 1000000) // b.n_words AS BIGINT)
+        AS fert_wp_q6,
+      CASE WHEN b.n_bpe_tokens < u.n_unigram_pieces
+             AND b.n_bpe_tokens < w.n_wp_tokens THEN 'bpe'
+           WHEN u.n_unigram_pieces < b.n_bpe_tokens
+             AND u.n_unigram_pieces < w.n_wp_tokens THEN 'unigram'
+           WHEN w.n_wp_tokens < b.n_bpe_tokens
+             AND w.n_wp_tokens < u.n_unigram_pieces THEN 'wordpiece'
            ELSE 'tie' END AS winner
-    FROM tpb b JOIN tpu u USING (doc_id) ORDER BY b.doc_id"""
+    FROM tpb b JOIN tpu u USING (doc_id) JOIN tpwp w USING (doc_id)
+    ORDER BY b.doc_id"""
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "unigram_train" -> (unigramTrain _),

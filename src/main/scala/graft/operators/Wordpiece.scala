@@ -1,0 +1,345 @@
+package graft.operators
+
+import scala.collection.concurrent.TrieMap
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Distributed WordPiece tokenizer training + tokenization — the BERT
+  * family, completing the tokenizer trio next to [[Bpe]] (merge-by-raw-
+  * count) and [[Unigram]] (prune-by-likelihood).
+  *
+  * The two published differences from BPE, both re-expressed in the same
+  * corpus-pass discipline:
+  *
+  *  1. TRAINING picks the merge maximizing the likelihood score
+  *     count(ab) / (count(a)·count(b)) over the CURRENT segmentation
+  *     (Schuster & Nakajima 2012; the Sennrich loop with a different
+  *     argmax) — kept integer-exact as the q9 fixed point
+  *     ⌊c·10⁹ / (ca·cb)⌋ so both engines compare identical BIGINTs,
+  *     never floats. Word-internal symbols carry the `##` continuation
+  *     prefix from seeding on; a merge concatenates the left symbol
+  *     with the right symbol's prefix stripped.
+  *  2. TOKENIZATION is greedy longest-match-first against the trained
+  *     VOCAB (seed singles + merged pieces), NOT merge replay: at each
+  *     position take the longest matching piece (`##`-form beyond
+  *     position 1); a position with no match makes the whole word
+  *     `[UNK]` (the BERT convention).
+  *
+  * The greedy walk is factored so both engines replay it exactly: the
+  * "longest match at (word, pos)" table is position-independent of the
+  * walk, so it precomputes as a plain aggregation; the walk itself is
+  * then a pure jump chain — a per-word `aggregate` fold over the
+  * character positions in Spark (one codegen'd expression, no loop, no
+  * UDF) and a recursive CTE over the same best-match table in DuckDB.
+  *
+  * Scale: training aggregates on the (word, count) table like [[Bpe]]
+  * (cost scales with vocabulary after one corpus pass; two extra
+  * symbol-count joins per round, both broadcast-sized); the best-match
+  * table is distinct-words × word-length rows joined against a
+  * broadcast vocab; tokenization is the same word-keyed lookup join.
+  */
+object Wordpiece {
+
+  import TextNorm.{norm, normSql}
+
+  /** Bounded merge count — matches [[Bpe.Merges]]' loop discipline. */
+  private[operators] val Merges = 20
+
+  /** q9 scale of the integer likelihood score. */
+  private val ScoreQ = 1000000000L
+
+  /** One trained merge: (a, b, c, ca, cb, score_q9). */
+  private case class Merge(a: String, b: String, c: Long, ca: Long,
+                           cb: Long, score: Long) {
+    def merged: String = a + (if (b.startsWith("##")) b.substring(2) else b)
+  }
+
+  private val mergesCache = TrieMap[(SparkSession, String), Seq[Merge]]()
+
+  private def q(x: String): String =
+    x.replace("\\", "\\\\").replace("'", "\\'")
+
+  /** Train `nMerges` score-ranked rounds over a (doc_id, text) frame.
+    * Returns the merge list and the final segmentation table.
+    */
+  private def trainOn(docs: DataFrame, nMerges: Int): (Seq[Merge], DataFrame) = {
+    val words = docs
+      .select(explode(split(norm, " ")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+    // seed: first char plain, the rest ##-prefixed
+    var segs = words.withColumn("seg", expr(
+        "array_join(transform(regexp_extract_all(word, '.', 0), " +
+          "(c, i) -> if(i = 0, c, concat('##', c))), ' ')"))
+      .localCheckpoint()
+    val acc = Seq.newBuilder[Merge]
+    var done = false
+    var i = 0
+    while (i < nMerges && !done) {
+      val syms = segs
+        .select(col("cnt"), explode(split(col("seg"), " ")).as("sym"))
+        .groupBy(col("sym")).agg(sum(col("cnt")).as("cs"))
+      val pairs = segs.select(col("cnt"), split(col("seg"), " ").as("ss"))
+        .filter(size(col("ss")) >= 2)
+        .withColumn("j", explode(sequence(lit(1), size(col("ss")) - 1)))
+        .select(element_at(col("ss"), col("j")).as("a"),
+          element_at(col("ss"), col("j") + 1).as("b"), col("cnt"))
+        .groupBy(col("a"), col("b")).agg(sum(col("cnt")).as("c"))
+      val top = pairs
+        .join(broadcast(syms.select(col("sym").as("a"), col("cs").as("ca"))),
+          "a")
+        .join(broadcast(syms.select(col("sym").as("b"), col("cs").as("cb"))),
+          "b")
+        .withColumn("score", expr(s"(c * $ScoreQ) div (ca * cb)"))
+        .orderBy(col("score").desc, concat_ws(" ", col("a"), col("b")).asc)
+        .select("a", "b", "c", "ca", "cb", "score")
+        .take(1)
+      if (top.isEmpty) done = true
+      else {
+        val r = top.head
+        val m = Merge(r.getString(0), r.getString(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getLong(5))
+        acc += m
+        segs = segs.withColumn("seg",
+          expr(s"trim(replace(concat(' ', seg, ' '), " +
+            s"' ${q(m.a)} ${q(m.b)} ', ' ${q(m.merged)} '))"))
+          .localCheckpoint()
+      }
+      i += 1
+    }
+    (acc.result(), segs)
+  }
+
+  /** The trained segmentation table, memoized; fills [[mergesCache]]. */
+  private def segsOf(s: SparkSession, dir: String): DataFrame =
+    graft.Memo.cached(s, "wp_segs", dir) {
+      val (merges, segs) = trainOn(Tables.documents(s, dir), Merges)
+      mergesCache((s, dir)) = merges
+      segs
+    }
+
+  private def trainedMerges(s: SparkSession, dir: String): Seq[Merge] = {
+    segsOf(s, dir)
+    mergesCache((s, dir))
+  }
+
+  /** The trained vocab (piece, raw, cont, rl): every seed single of the
+    * corpus plus the merged pieces — the BERT-convention vocabulary the
+    * greedy matcher scans.
+    */
+  private def vocabOf(s: SparkSession, dir: String): DataFrame =
+    graft.Memo.cached(s, "wp_vocab", dir) {
+      val merges = trainedMerges(s, dir)
+      // seed singles = the position-tagged characters of the word table
+      // (identical to exploding the seed segmentation's symbols)
+      val singles = Tables.documents(s, dir)
+        .select(explode(split(norm, " ")).as("word"))
+        .filter(col("word") =!= "")
+        .select(explode(expr(
+          "transform(regexp_extract_all(word, '.', 0), " +
+            "(c, i) -> if(i = 0, c, concat('##', c)))")).as("piece"))
+        .distinct()
+      import s.implicits._
+      val merged = merges.map(_.merged).toDF("piece")
+      singles.unionByName(merged).distinct()
+        .withColumn("cont", col("piece").startsWith("##"))
+        .withColumn("raw",
+          when(col("cont"), expr("substring(piece, 3)"))
+            .otherwise(col("piece")))
+        .withColumn("rl", length(col("raw")))
+    }
+
+  // ------------------------------------------------------------------ gates
+
+  /** Gate: the trained merge table in merge order — rank, pair, the
+    * merged piece, the three counts behind the score, and the q9 score
+    * itself (all integers; the oracle replays the whole training).
+    */
+  def wordpieceTrain(s: SparkSession, dir: String): DataFrame = {
+    val m = trainedMerges(s, dir)
+    import s.implicits._
+    m.zipWithIndex.map { case (mg, i) =>
+      (i + 1, mg.a + " " + mg.b, mg.merged, mg.c, mg.ca, mg.cb, mg.score)
+    }.toDF("merge_rank", "pair", "piece", "pair_count", "left_count",
+      "right_count", "score_q9")
+      .orderBy("merge_rank")
+  }
+
+  /** Per-word greedy segmentation (word, np, toks, unk) from the
+    * precomputed best-match table + the in-expression jump-chain fold.
+    */
+  private[operators] def wordSegs(s: SparkSession, dir: String): DataFrame =
+    graft.Memo.cached(s, "wp_wordsegs", dir) {
+      val vocab = vocabOf(s, dir)
+      val words = Tables.documents(s, dir)
+        .select(explode(split(norm, " ")).as("word"))
+        .filter(col("word") =!= "").distinct()
+      val cand = words
+        .withColumn("pos", explode(sequence(lit(1), length(col("word")))))
+        .join(broadcast(vocab),
+          expr("substring(word, pos, rl) = raw AND ((pos = 1) = (NOT cont))"))
+      val best = cand.groupBy(col("word"), col("pos"))
+        .agg(max_by(struct(col("rl").as("rl"), col("piece").as("piece")),
+          col("rl")).as("bp"))
+      val bm = best.groupBy(col("word"))
+        .agg(map_from_entries(collect_list(struct(col("pos"), col("bp"))))
+          .as("bm"))
+      words.join(bm, Seq("word"), "left")
+        .withColumn("st", expr(s"""
+          aggregate(sequence(1, length(word)),
+            named_struct('pos', 1, 'toks', '', 'np', 0, 'unk', 0),
+            (st, i) -> IF(st.unk = 1 OR i != st.pos, st,
+              IF(try_element_at(bm, i) IS NULL,
+                named_struct('pos', st.pos, 'toks', '[UNK]',
+                  'np', 1, 'unk', 1),
+                named_struct('pos', st.pos + try_element_at(bm, i).rl,
+                  'toks', CASE WHEN st.toks = ''
+                    THEN try_element_at(bm, i).piece
+                    ELSE concat(st.toks, ' ', try_element_at(bm, i).piece)
+                    END,
+                  'np', st.np + 1, 'unk', 0))))"""))
+        .select(col("word"), col("st.np").cast("long").as("np"),
+          col("st.toks").as("toks"), col("st.unk").cast("long").as("unk"))
+    }
+
+  /** Gate: per-document greedy WordPiece tokenization — word/piece/UNK
+    * counts and the order-preserving md5 of the piece stream.
+    */
+  def tokenizeWordpiece(s: SparkSession, dir: String): DataFrame = {
+    val segs = wordSegs(s, dir)
+    Tables.documents(s, dir)
+      .select(col("doc_id"), posexplode(split(norm, " ")))
+      .toDF("doc_id", "pos", "word")
+      .filter(col("word") =!= "")
+      .join(segs, Seq("word"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("np")).as("n_wp_tokens"),
+        sum(col("unk")).as("n_unk"),
+        md5(array_join(
+          transform(array_sort(collect_list(struct(col("pos"), col("toks")))),
+            x => x.getField("toks")), " ")).as("tok_hash"))
+      .orderBy("doc_id")
+  }
+
+  // ----------------------------------------------------------------- oracle
+
+  private def roundCtes(i: Int): String = s"""
+    wpy$i AS (SELECT sym, CAST(sum(cnt) AS BIGINT) AS cs
+              FROM (SELECT cnt, unnest(string_split(seg, ' ')) AS sym
+                    FROM wps${i - 1}) GROUP BY 1),
+    wpp$i AS (SELECT ss[j] AS a, ss[j+1] AS b,
+                CAST(sum(cnt) AS BIGINT) AS c
+              FROM (SELECT cnt, ss,
+                      unnest(generate_series(1, len(ss) - 1)) AS j
+                    FROM (SELECT cnt, string_split(seg, ' ') AS ss
+                          FROM wps${i - 1})
+                    WHERE len(ss) >= 2) GROUP BY 1, 2),
+    wpb$i AS MATERIALIZED (
+      SELECT a, b, c, x.cs AS ca, y.cs AS cb,
+        CAST((c * $ScoreQ) // (x.cs * y.cs) AS BIGINT) AS score,
+        a || CASE WHEN b LIKE '##%' THEN substring(b, 3) ELSE b END
+          AS merged
+      FROM wpp$i JOIN wpy$i x ON a = x.sym JOIN wpy$i y ON b = y.sym
+      ORDER BY score DESC, a || ' ' || b ASC LIMIT 1),
+    wps$i AS MATERIALIZED (
+      SELECT word, cnt,
+        trim(replace(' ' || seg || ' ',
+          ' ' || (SELECT a || ' ' || b FROM wpb$i) || ' ',
+          ' ' || (SELECT merged FROM wpb$i) || ' ')) AS seg
+      FROM wps${i - 1})"""
+
+  private[operators] val trainCtes: String = s"""
+    wpwf AS (SELECT w AS word, CAST(count(*) AS BIGINT) AS cnt
+             FROM (SELECT unnest(string_split($normSql, ' ')) AS w
+                   FROM documents) WHERE w <> '' GROUP BY 1),
+    wps0 AS MATERIALIZED (
+      SELECT word, cnt,
+        array_to_string(list_transform(regexp_extract_all(word, '.'),
+          (c, i) -> CASE WHEN i = 1 THEN c ELSE '##' || c END), ' ') AS seg
+      FROM wpwf),
+    ${(1 to Merges).map(roundCtes).mkString(",")}"""
+
+  val wordpieceTrainSql: String = s"""
+    WITH $trainCtes
+    ${(1 to Merges).map(i =>
+      s"SELECT $i AS merge_rank, a || ' ' || b AS pair, merged AS piece, " +
+        s"c AS pair_count, ca AS left_count, cb AS right_count, " +
+        s"score AS score_q9 FROM wpb$i")
+      .mkString("\nUNION ALL\n")}
+    ORDER BY merge_rank"""
+
+  /** The greedy-walk CTE chain — vocab, per-(word, pos) longest match,
+    * the recursive jump chain, and the per-word result (`[UNK]` when
+    * the walk stalls). Ends in `wpfin(word, np, toks, unk)`; shared by
+    * the tokenize gate and the three-way parity oracle.
+    */
+  private[operators] val greedyCtes: String = s"""
+    wpvoc AS (
+      SELECT DISTINCT piece FROM (
+        SELECT unnest(string_split(seg, ' ')) AS piece FROM wps0
+        UNION ALL
+        ${(1 to Merges).map(i => s"SELECT merged FROM wpb$i")
+          .mkString("\n        UNION ALL\n        ")}) v),
+    wpvr AS (SELECT piece,
+               CASE WHEN piece LIKE '##%' THEN substring(piece, 3)
+                 ELSE piece END AS raw,
+               piece LIKE '##%' AS cont
+             FROM wpvoc),
+    wpbest AS MATERIALIZED (
+      SELECT word, pos, piece, rl FROM (
+        SELECT p.word, p.pos, v.piece, length(v.raw) AS rl,
+          row_number() OVER (PARTITION BY p.word, p.pos
+            ORDER BY length(v.raw) DESC) AS rn
+        FROM (SELECT word, unnest(generate_series(1, length(word))) AS pos
+              FROM wpwf) p
+        JOIN wpvr v
+          ON substring(p.word, p.pos, length(v.raw)) = v.raw
+          AND ((p.pos = 1) = (NOT v.cont))) z
+      WHERE rn = 1),
+    wpgr(word, pos, toks, np) AS (
+      SELECT word, 1, CAST('' AS VARCHAR), 0 FROM wpwf
+      UNION ALL
+      SELECT g.word, g.pos + b.rl,
+        CASE WHEN g.toks = '' THEN b.piece
+          ELSE g.toks || ' ' || b.piece END,
+        g.np + 1
+      FROM wpgr g JOIN wpbest b ON b.word = g.word AND b.pos = g.pos
+      WHERE g.pos <= length(g.word)),
+    wpfin AS MATERIALIZED (
+      SELECT w.word,
+        CAST(CASE WHEN c.word IS NULL THEN 1 ELSE c.np END AS BIGINT)
+          AS np,
+        CASE WHEN c.word IS NULL THEN '[UNK]' ELSE c.toks END AS toks,
+        CAST(CASE WHEN c.word IS NULL THEN 1 ELSE 0 END AS BIGINT) AS unk
+      FROM wpwf w LEFT JOIN
+        (SELECT word, np, toks FROM wpgr
+         WHERE pos = length(word) + 1) c
+      ON w.word = c.word)"""
+
+  val tokenizeWordpieceSql: String = s"""
+    WITH RECURSIVE $trainCtes,
+    $greedyCtes,
+    wpdw AS (SELECT doc_id, j AS pos, ws[j] AS word
+             FROM (SELECT doc_id, ws,
+                     unnest(generate_series(1, len(ws))) AS j
+                   FROM (SELECT doc_id, string_split($normSql, ' ') AS ws
+                         FROM documents))
+             WHERE ws[j] <> '')
+    SELECT d.doc_id, count(*) AS n_words,
+      CAST(sum(f.np) AS BIGINT) AS n_wp_tokens,
+      CAST(sum(f.unk) AS BIGINT) AS n_unk,
+      md5(string_agg(f.toks, ' ' ORDER BY d.pos)) AS tok_hash
+    FROM wpdw d JOIN wpfin f ON d.word = f.word
+    GROUP BY d.doc_id ORDER BY d.doc_id"""
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "wordpiece_train" -> (wordpieceTrain _),
+    "tokenize_wordpiece" -> (tokenizeWordpiece _))
+
+  val oracles: Map[String, String] = Map(
+    "wordpiece_train" -> wordpieceTrainSql,
+    "tokenize_wordpiece" -> tokenizeWordpieceSql)
+}

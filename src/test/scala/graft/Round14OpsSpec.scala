@@ -270,6 +270,81 @@ class Round14OpsSpec extends SparkSpec {
     assert(out.forall(r => r.getAs[Long]("nll") > 0))
   }
 
+  // ---------------------------------------------------------- wordpiece
+
+  test("wordpiece: training scores and greedy tokenization replay locally") {
+    val merges = operators.Wordpiece.wordpieceTrain(spark, sf).collect()
+    assert(merges.length > 0)
+    for (r <- merges) {
+      // the q9 score is exactly ⌊c·10⁹/(ca·cb)⌋
+      assert(r.getAs[Long]("score_q9") ==
+        r.getAs[Long]("pair_count") * 1000000000L /
+          (r.getAs[Long]("left_count") * r.getAs[Long]("right_count")))
+      // the merged piece is left + right-with-##-stripped
+      val Array(a, b) = r.getAs[String]("pair").split(" ")
+      assert(r.getAs[String]("piece") ==
+        a + (if (b.startsWith("##")) b.substring(2) else b))
+    }
+    // local greedy replay over the trained vocab
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[String]("text").toLowerCase.trim
+          .replaceAll("\\s+", " ").split(" ").filter(_.nonEmpty))
+    val singles = docs.flatMap(_._2).distinct.flatMap(w =>
+      w.zipWithIndex.map { case (c, i) =>
+        if (i == 0) c.toString else "##" + c })
+    val vocab = (singles ++ merges.map(_.getAs[String]("piece"))).toSet
+    def greedy(w: String): (Long, Seq[String], Long) = {
+      var pos = 0
+      val out = Seq.newBuilder[String]
+      var n = 0L
+      while (pos < w.length) {
+        val pre = if (pos == 0) "" else "##"
+        val m = (w.length - pos to 1 by -1).map(l =>
+          pre + w.substring(pos, pos + l)).find(vocab.contains)
+        m match {
+          case Some(p) =>
+            out += p; n += 1
+            pos += p.length - (if (pos == 0) 0 else 2)
+          case None => return (1L, Seq("[UNK]"), 1L)
+        }
+      }
+      (n, out.result(), 0L)
+    }
+    val out = operators.Wordpiece.tokenizeWordpiece(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val md = java.security.MessageDigest.getInstance("MD5")
+    for ((id, ws) <- docs if ws.nonEmpty) {
+      val segs = ws.map(greedy)
+      val r = out(id)
+      assert(r.getAs[Long]("n_words") == ws.length)
+      assert(r.getAs[Long]("n_wp_tokens") == segs.map(_._1).sum,
+        s"doc $id piece count")
+      assert(r.getAs[Long]("n_unk") == segs.map(_._3).sum)
+      val stream = segs.flatMap(_._2).mkString(" ")
+      val h = md.digest(stream.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      assert(r.getAs[String]("tok_hash") == h, s"doc $id token stream")
+    }
+  }
+
+  test("tokenizer_parity: three-way winner is the strict minimum") {
+    val rows = operators.Unigram.tokenizerParity(spark, sf).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val counts = Map(
+        "bpe" -> r.getAs[Long]("n_bpe_tokens"),
+        "unigram" -> r.getAs[Long]("n_unigram_pieces"),
+        "wordpiece" -> r.getAs[Long]("n_wp_tokens"))
+      val mn = counts.values.min
+      val winners = counts.filter(_._2 == mn).keys.toSeq
+      val exp = if (winners.length == 1) winners.head else "tie"
+      assert(r.getAs[String]("winner") == exp)
+      assert(r.getAs[Long]("fert_wp_q6") ==
+        counts("wordpiece") * 1000000L / r.getAs[Long]("n_words"))
+    }
+  }
+
   test("stream_kn_maintain: counts accumulate across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
