@@ -614,18 +614,42 @@ object TextOps {
   private val PhoneRe = "\\+[0-9]{1,3}-[0-9]{1,3}-[0-9]{3}-[0-9]{1,6}"
   private val IpRe = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
   private val IdRe = "[a-z]{2}[0-9]{6,8}"
+  private val CardRe = "[0-9]{4}-[0-9]{4}-[0-9]{4}-[0-9]{4}"
+  private val Ipv6Re = "([0-9a-f]{1,4}:){7}[0-9a-f]{1,4}"
+  private val MacRe = "([0-9a-f]{2}:){5}[0-9a-f]{2}"
+
+  /** The planted card's 15-digit payload (engine-identical). */
+  private val CardPay = "lpad(cast(doc_id as string), 15, '5')"
+
+  /** Luhn sum of the payload: left-position i sits at 17−i from the
+    * right of the full 16-digit number, so ODD left positions double.
+    */
+  private val CardSum15 =
+    s"""aggregate(sequence(1, 15), 0, (acc, i) -> acc +
+       (case when i % 2 = 1
+          then if(2 * cast(substring($CardPay, i, 1) as int) > 9,
+                  2 * cast(substring($CardPay, i, 1) as int) - 9,
+                  2 * cast(substring($CardPay, i, 1) as int))
+          else cast(substring($CardPay, i, 1) as int) end))"""
 
   /** PII detection + scrubbing — the redaction pass every training-corpus
     * pipeline runs before tokenization. Counts and redacts email / URL /
-    * phone / IPv4 / ID-number matches per document with codegen'd regex
-    * expressions (one narrow scan, no shuffle; patterns restricted to
-    * constructs Java regex and RE2 interpret identically so the oracle
-    * matches — bounded quantifiers, no backreferences or lookaround). The
-    * scenario plants deterministic PII per pattern class on coprime
-    * moduli (email+URL every 7th doc, phone 5th, ID 9th, IPv4 11th) —
-    * both engines construct the same augmented text — so each scrub class
-    * provably fires alone and in combination; the redacted text is
-    * emitted as its md5 (the full text would bloat the gate output).
+    * phone / IPv4 / ID-number / payment-card / IPv6 / MAC matches per
+    * document with codegen'd regex expressions (one narrow scan, no
+    * shuffle; patterns restricted to constructs Java regex and RE2
+    * interpret identically so the oracle matches — bounded quantifiers,
+    * no backreferences or lookaround). Card matches are additionally
+    * validated by the LUHN checksum — `n_card_like` counts the regex
+    * shape, `n_cards` only checksum-valid numbers — computed per match
+    * by a nested higher-order fold (no UDF). The scenario plants
+    * deterministic PII per class on coprime moduli (email+URL every 7th
+    * doc, phone 5th, ID 9th, IPv4 11th, a LUHN-VALID card 13th whose
+    * check digit both engines derive by the same planting arithmetic, a
+    * NEAR-MISS card 17th — check digit +5 mod 10 — that the shape count
+    * sees and the validator must reject, MAC 19th, IPv6 23rd) so every
+    * class provably fires both ways, alone and in combination; the
+    * redacted text is emitted as its md5. Redaction is conservative:
+    * card-LIKE numbers scrub whether or not the checksum passes.
     */
   def textPii(s: SparkSession, dir: String): DataFrame = {
     val id = col("doc_id")
@@ -641,45 +665,139 @@ object TextOps {
     val a3 = when(id % 11 === 0,
       concat(a2, lit(" from 192.168."), (id % 256).cast("string"),
         lit("."), (id % 100).cast("string"))).otherwise(a2)
-    val low = lower(a3)
+    def cardFrom(chk: String) = expr(
+      s"""concat_ws('-',
+        substring(concat($CardPay, cast($chk as string)), 1, 4),
+        substring(concat($CardPay, cast($chk as string)), 5, 4),
+        substring(concat($CardPay, cast($chk as string)), 9, 4),
+        substring(concat($CardPay, cast($chk as string)), 13, 4))""")
+    val chkOk = s"((10 - (($CardSum15) % 10)) % 10)"
+    val a4 = when(id % 13 === 0,
+      concat(a3, lit(" card "), cardFrom(chkOk))).otherwise(a3)
+    val a5 = when(id % 17 === 0,
+      concat(a4, lit(" card "), cardFrom(s"(($chkOk + 5) % 10)")))
+      .otherwise(a4)
+    val a6 = when(id % 19 === 0,
+      concat(a5, lit(" nic de:ad:be:ef:"),
+        lpad(lower(hex(id % 256)), 2, "0"), lit(":"),
+        lpad(lower(hex(id % 100)), 2, "0"))).otherwise(a5)
+    val a7 = when(id % 23 === 0,
+      concat(a6, lit(" node 2001:0db8:0000:0000:0000:0000:"),
+        lpad(lower(hex(id % 65536)), 4, "0"), lit(":"),
+        lpad(lower(hex(id % 4096)), 4, "0"))).otherwise(a6)
+    val low = lower(a7)
     val redacted = Seq(EmailRe -> "<EMAIL>", UrlRe -> "<URL>",
-      PhoneRe -> "<PHONE>", IpRe -> "<IP>", IdRe -> "<ID>")
+      PhoneRe -> "<PHONE>", IpRe -> "<IP>", IdRe -> "<ID>",
+      CardRe -> "<CARD>", Ipv6Re -> "<IPV6>", MacRe -> "<MAC>")
       .foldLeft(low) { case (c, (re, tag)) => regexp_replace(c, re, tag) }
+    // per-match Luhn validation: a fold over the 16 digits of each
+    // regex match (position p from the right doubles when p is even)
+    val luhnValid = (m: String) =>
+      s"""aggregate(sequence(1, 16), 0, (acc, i) -> acc +
+         (case when (17 - i) % 2 = 0
+            then if(2 * cast(substring(replace($m, '-', ''), i, 1) as int) > 9,
+                    2 * cast(substring(replace($m, '-', ''), i, 1) as int) - 9,
+                    2 * cast(substring(replace($m, '-', ''), i, 1) as int))
+            else cast(substring(replace($m, '-', ''), i, 1) as int) end))
+         % 10 = 0"""
     Tables.documents(s, dir)
+      .withColumn("__low", low)
       .select(col("doc_id"),
-        size(regexp_extract_all(low, lit(EmailRe), lit(0))).as("n_emails"),
-        size(regexp_extract_all(low, lit(UrlRe), lit(0))).as("n_urls"),
-        size(regexp_extract_all(low, lit(PhoneRe), lit(0))).as("n_phones"),
-        size(regexp_extract_all(low, lit(IpRe), lit(0))).as("n_ips"),
-        size(regexp_extract_all(low, lit(IdRe), lit(0))).as("n_ids"),
+        size(regexp_extract_all(col("__low"), lit(EmailRe), lit(0)))
+          .as("n_emails"),
+        size(regexp_extract_all(col("__low"), lit(UrlRe), lit(0)))
+          .as("n_urls"),
+        size(regexp_extract_all(col("__low"), lit(PhoneRe), lit(0)))
+          .as("n_phones"),
+        size(regexp_extract_all(col("__low"), lit(IpRe), lit(0)))
+          .as("n_ips"),
+        size(regexp_extract_all(col("__low"), lit(IdRe), lit(0)))
+          .as("n_ids"),
+        size(regexp_extract_all(col("__low"), lit(CardRe), lit(0)))
+          .as("n_card_like"),
+        expr(s"size(filter(regexp_extract_all(__low, '$CardRe', 0), " +
+          s"m -> ${luhnValid("m")}))").as("n_cards"),
+        size(regexp_extract_all(col("__low"), lit(Ipv6Re), lit(0)))
+          .as("n_ipv6"),
+        size(regexp_extract_all(col("__low"), lit(MacRe), lit(0)))
+          .as("n_macs"),
         md5(redacted).as("redacted_hash"))
       .orderBy("doc_id")
   }
 
-  val textPiiSql: String = s"""
-    WITH a AS (
-      SELECT doc_id,
+  val textPiiSql: String = {
+    def luhnDigit(src: String): String =
+      s"""CASE WHEN 2 * CAST(substring($src, i, 1) AS INTEGER) > 9
+            THEN 2 * CAST(substring($src, i, 1) AS INTEGER) - 9
+            ELSE 2 * CAST(substring($src, i, 1) AS INTEGER) END"""
+    s"""
+    WITH p0 AS (
+      SELECT doc_id, text, lpad(CAST(doc_id AS VARCHAR), 15, '5') AS pay
+      FROM documents),
+    p1 AS (
+      SELECT doc_id, text, pay,
+        CAST((10 - (CAST(list_sum(list_transform(generate_series(1, 15),
+          i -> CASE WHEN i % 2 = 1 THEN ${luhnDigit("pay")}
+               ELSE CAST(substring(pay, i, 1) AS INTEGER) END))
+          AS BIGINT) % 10)) % 10 AS INTEGER) AS chk
+      FROM p0),
+    p2 AS (
+      SELECT doc_id, text,
+        substring(pay || CAST(chk AS VARCHAR), 1, 4) || '-'
+          || substring(pay || CAST(chk AS VARCHAR), 5, 4) || '-'
+          || substring(pay || CAST(chk AS VARCHAR), 9, 4) || '-'
+          || substring(pay || CAST(chk AS VARCHAR), 13, 4) AS cardok,
+        substring(pay || CAST((chk + 5) % 10 AS VARCHAR), 1, 4) || '-'
+          || substring(pay || CAST((chk + 5) % 10 AS VARCHAR), 5, 4) || '-'
+          || substring(pay || CAST((chk + 5) % 10 AS VARCHAR), 9, 4) || '-'
+          || substring(pay || CAST((chk + 5) % 10 AS VARCHAR), 13, 4)
+          AS cardbad
+      FROM p1),
+    a AS (
+      SELECT doc_id, cardok, cardbad,
         CASE WHEN doc_id % 7 = 0
           THEN text || ' contact user' || doc_id
                || '@example.com via http://ex.com/doc/' || doc_id
           ELSE text END AS a0
-      FROM documents),
-    b AS (SELECT doc_id,
+      FROM p2),
+    b AS (SELECT doc_id, cardok, cardbad,
             CASE WHEN doc_id % 5 = 0
               THEN a0 || ' call +64-21-555-' || CAST(doc_id AS VARCHAR)
               ELSE a0 END AS a1
           FROM a),
-    c AS (SELECT doc_id,
+    c AS (SELECT doc_id, cardok, cardbad,
             CASE WHEN doc_id % 9 = 0
               THEN a1 || ' ref qz' || lpad(CAST(doc_id AS VARCHAR), 6, '0')
               ELSE a1 END AS a2
           FROM b),
+    d0 AS (SELECT doc_id, cardok, cardbad,
+             CASE WHEN doc_id % 11 = 0
+               THEN a2 || ' from 192.168.' || CAST(doc_id % 256 AS VARCHAR)
+                    || '.' || CAST(doc_id % 100 AS VARCHAR)
+               ELSE a2 END AS a3
+           FROM c),
+    d1 AS (SELECT doc_id, cardbad,
+             CASE WHEN doc_id % 13 = 0 THEN a3 || ' card ' || cardok
+               ELSE a3 END AS a4
+           FROM d0),
+    d2 AS (SELECT doc_id,
+             CASE WHEN doc_id % 17 = 0 THEN a4 || ' card ' || cardbad
+               ELSE a4 END AS a5
+           FROM d1),
+    d3 AS (SELECT doc_id,
+             CASE WHEN doc_id % 19 = 0
+               THEN a5 || ' nic de:ad:be:ef:'
+                    || lpad(lower(to_hex(doc_id % 256)), 2, '0') || ':'
+                    || lpad(lower(to_hex(doc_id % 100)), 2, '0')
+               ELSE a5 END AS a6
+           FROM d2),
     d AS (SELECT doc_id,
-            lower(CASE WHEN doc_id % 11 = 0
-              THEN a2 || ' from 192.168.' || CAST(doc_id % 256 AS VARCHAR)
-                   || '.' || CAST(doc_id % 100 AS VARCHAR)
-              ELSE a2 END) AS low
-          FROM c)
+            lower(CASE WHEN doc_id % 23 = 0
+              THEN a6 || ' node 2001:0db8:0000:0000:0000:0000:'
+                   || lpad(lower(to_hex(doc_id % 65536)), 4, '0') || ':'
+                   || lpad(lower(to_hex(doc_id % 4096)), 4, '0')
+              ELSE a6 END) AS low
+          FROM d3)
     SELECT doc_id,
       len(regexp_extract_all(low, '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}'))
         AS n_emails,
@@ -688,14 +806,28 @@ object TextOps {
         AS n_phones,
       len(regexp_extract_all(low, '([0-9]{1,3}\\.){3}[0-9]{1,3}')) AS n_ips,
       len(regexp_extract_all(low, '[a-z]{2}[0-9]{6,8}')) AS n_ids,
-      md5(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      len(regexp_extract_all(low, '$CardRe')) AS n_card_like,
+      len(list_filter(regexp_extract_all(low, '$CardRe'),
+        m -> CAST(list_sum(list_transform(generate_series(1, 16),
+          i -> CASE WHEN (17 - i) % 2 = 0
+                 THEN ${luhnDigit("replace(m, '-', '')")}
+                 ELSE CAST(substring(replace(m, '-', ''), i, 1) AS INTEGER)
+               END)) AS BIGINT) % 10 = 0)) AS n_cards,
+      len(regexp_extract_all(low, '$Ipv6Re')) AS n_ipv6,
+      len(regexp_extract_all(low, '$MacRe')) AS n_macs,
+      md5(regexp_replace(regexp_replace(regexp_replace(
+        regexp_replace(regexp_replace(regexp_replace(regexp_replace(
         regexp_replace(low,
           '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}', '<EMAIL>', 'g'),
           'https?://[^\\s]+', '<URL>', 'g'),
           '\\+[0-9]{1,3}-[0-9]{1,3}-[0-9]{3}-[0-9]{1,6}', '<PHONE>', 'g'),
           '([0-9]{1,3}\\.){3}[0-9]{1,3}', '<IP>', 'g'),
-          '[a-z]{2}[0-9]{6,8}', '<ID>', 'g')) AS redacted_hash
+          '[a-z]{2}[0-9]{6,8}', '<ID>', 'g'),
+          '$CardRe', '<CARD>', 'g'),
+          '$Ipv6Re', '<IPV6>', 'g'),
+          '$MacRe', '<MAC>', 'g')) AS redacted_hash
     FROM d ORDER BY doc_id"""
+  }
 
   // ----------------------------------------------------------------- mixing
 

@@ -270,6 +270,51 @@ class Round14OpsSpec extends SparkSpec {
     assert(out.forall(r => r.getAs[Long]("nll") > 0))
   }
 
+  // ------------------------------------------------------ text_pii breadth
+
+  test("text_pii: card/IPv6/MAC fire both ways; Luhn rejects the near-miss") {
+    val rows = operators.TextOps.textPii(spark, sf).collect()
+    def luhnOk(card: String): Boolean = {
+      val ds = card.replace("-", "").map(_.asDigit)
+      val sum = ds.zipWithIndex.map { case (d, i0) =>
+        if ((16 - i0) % 2 == 0) { val t = 2 * d; if (t > 9) t - 9 else t }
+        else d
+      }.sum
+      sum % 10 == 0
+    }
+    // the planted VALID card really passes Luhn by local replay
+    for (id <- Seq(13L, 26L, 65L)) {
+      val pay = id.toString.reverse.padTo(15, '5').reverse.mkString
+      val sum15 = pay.map(_.asDigit).zipWithIndex.map { case (d, i0) =>
+        if ((i0 + 1) % 2 == 1) { val t = 2 * d; if (t > 9) t - 9 else t }
+        else d
+      }.sum
+      val chk = (10 - sum15 % 10) % 10
+      assert(luhnOk(s"$pay$chk".grouped(4).mkString("-")))
+      assert(!luhnOk((pay + ((chk + 5) % 10)).grouped(4).mkString("-")))
+    }
+    // each class fires exactly on its modulus, both ways
+    for ((m, c) <- Seq[(Long, String)](13L -> "n_cards", 19L -> "n_macs",
+      23L -> "n_ipv6")) {
+      val (planted, clean) = rows.partition(_.getLong(0) % m == 0)
+      assert(planted.nonEmpty, s"$c plant set empty")
+      assert(planted.forall(_.getAs[Int](c) >= 1), s"$c must fire on %$m")
+      assert(clean.forall(_.getAs[Int](c) == 0), s"$c fired off-plant")
+    }
+    // the near-miss card: regex shape counts it, the validator rejects it
+    val bad = rows.filter(r => r.getLong(0) % 17 == 0 && r.getLong(0) % 13 != 0)
+    assert(bad.nonEmpty)
+    assert(bad.forall(_.getAs[Int]("n_card_like") >= 1))
+    assert(bad.forall(_.getAs[Int]("n_cards") == 0),
+      "Luhn validator accepted a near-miss card")
+    // a doc planted with BOTH cards: shape sees 2, checksum keeps 1
+    val both = rows.filter(_.getLong(0) % 221 == 0).filter(_.getLong(0) > 0)
+    for (r <- both) {
+      assert(r.getAs[Int]("n_card_like") == 2)
+      assert(r.getAs[Int]("n_cards") == 1)
+    }
+  }
+
   // ---------------------------------------------------------- wordpiece
 
   test("wordpiece: training scores and greedy tokenization replay locally") {
