@@ -167,15 +167,15 @@ object Wordpiece {
       .orderBy("merge_rank")
   }
 
-  /** Per-word greedy segmentation (word, np, toks, unk) from the
-    * precomputed best-match table + the in-expression jump-chain fold.
+  /** Per-word greedy segmentation (word, np, toks, unk) of an ARBITRARY
+    * word frame against the trained vocab — the precomputed best-match
+    * table + the in-expression jump-chain fold. Shared by the corpus
+    * tokenize gate and the OOV gate (the vocab is fixed; the greedy
+    * walk segments any word, which is the point of subwords).
     */
-  private[operators] def wordSegs(s: SparkSession, dir: String): DataFrame =
-    graft.Memo.cached(s, "wp_wordsegs", dir) {
+  private[operators] def wordSegsOf(s: SparkSession, dir: String,
+                                    words: DataFrame): DataFrame = {
       val vocab = vocabOf(s, dir)
-      val words = Tables.documents(s, dir)
-        .select(explode(split(norm, " ")).as("word"))
-        .filter(col("word") =!= "").distinct()
       val cand = words
         .withColumn("pos", explode(sequence(lit(1), length(col("word")))))
         .join(broadcast(vocab),
@@ -202,6 +202,17 @@ object Wordpiece {
                   'np', st.np + 1, 'unk', 0))))"""))
         .select(col("word"), col("st.np").cast("long").as("np"),
           col("st.toks").as("toks"), col("st.unk").cast("long").as("unk"))
+  }
+
+  /** The corpus word frame's segmentations, memoized (shared by the
+    * tokenize gate and the three-way parity).
+    */
+  private[operators] def wordSegs(s: SparkSession, dir: String): DataFrame =
+    graft.Memo.cached(s, "wp_wordsegs", dir) {
+      wordSegsOf(s, dir,
+        Tables.documents(s, dir)
+          .select(explode(split(norm, " ")).as("word"))
+          .filter(col("word") =!= "").distinct())
     }
 
   /** Gate: per-document greedy WordPiece tokenization — word/piece/UNK
@@ -222,6 +233,34 @@ object Wordpiece {
           transform(array_sort(collect_list(struct(col("pos"), col("toks")))),
             x => x.getField("toks")), " ")).as("tok_hash"))
       .orderBy("doc_id")
+  }
+
+  /** Gate: OUT-OF-VOCABULARY tokenization — the property subword
+    * vocabularies exist for: words the trainer NEVER SAW segment into
+    * known pieces, and only genuinely unrepresentable text falls back
+    * to `[UNK]`. Every distinct corpus word is perturbed into an
+    * unseen one — even-length words take an `ing` suffix (all known
+    * characters → must segment, never UNK), odd-length words take a
+    * `9` suffix (the corpus is pure lowercase alpha, so `##9` is not
+    * in any vocab → the whole word must be `[UNK]`, the BERT
+    * convention) — and runs through the SAME greedy walk as the
+    * corpus gate ([[wordSegsOf]] — one definition). Emits the piece
+    * stream itself: cross-engine equality pins the walk, not just
+    * counts.
+    */
+  def tokenizeWordpieceOov(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(s, dir)
+      .select(explode(split(norm, " ")).as("base"))
+      .filter(col("base") =!= "").distinct()
+    val oov = base.withColumn("word",
+      concat(col("base"),
+        when(length(col("base")) % 2 === 0, "ing").otherwise("9")))
+    wordSegsOf(s, dir, oov)
+      .join(oov.select(col("base"), col("word")), Seq("word"))
+      .select(col("base").as("base_word"), col("word").as("oov_word"),
+        col("np").as("n_pieces"), col("unk").as("is_unk"),
+        col("toks").as("pieces"))
+      .orderBy("base_word")
   }
 
   // ----------------------------------------------------------------- oracle
@@ -271,12 +310,10 @@ object Wordpiece {
       .mkString("\nUNION ALL\n")}
     ORDER BY merge_rank"""
 
-  /** The greedy-walk CTE chain — vocab, per-(word, pos) longest match,
-    * the recursive jump chain, and the per-word result (`[UNK]` when
-    * the walk stalls). Ends in `wpfin(word, np, toks, unk)`; shared by
-    * the tokenize gate and the three-way parity oracle.
+  /** The trained-vocab CTEs (`wpvoc`, `wpvr`) — defined once however
+    * many greedy walks a statement runs.
     */
-  private[operators] val greedyCtes: String = s"""
+  private val vocabCtes: String = s"""
     wpvoc AS (
       SELECT DISTINCT piece FROM (
         SELECT unnest(string_split(seg, ' ')) AS piece FROM wps0
@@ -287,37 +324,51 @@ object Wordpiece {
                CASE WHEN piece LIKE '##%' THEN substring(piece, 3)
                  ELSE piece END AS raw,
                piece LIKE '##%' AS cont
-             FROM wpvoc),
-    wpbest AS MATERIALIZED (
+             FROM wpvoc)"""
+
+  /** One greedy walk over the words of CTE `src` (which must expose a
+    * `word` column): per-(word, pos) longest match, the recursive jump
+    * chain, and the per-word result (`[UNK]` when the walk stalls) in
+    * `${p}fin(word, np, toks, unk)`.
+    */
+  private def walkCtesOver(src: String, p: String): String = s"""
+    ${p}best AS MATERIALIZED (
       SELECT word, pos, piece, rl FROM (
-        SELECT p.word, p.pos, v.piece, length(v.raw) AS rl,
-          row_number() OVER (PARTITION BY p.word, p.pos
+        SELECT w.word, w.pos, v.piece, length(v.raw) AS rl,
+          row_number() OVER (PARTITION BY w.word, w.pos
             ORDER BY length(v.raw) DESC) AS rn
         FROM (SELECT word, unnest(generate_series(1, length(word))) AS pos
-              FROM wpwf) p
+              FROM $src) w
         JOIN wpvr v
-          ON substring(p.word, p.pos, length(v.raw)) = v.raw
-          AND ((p.pos = 1) = (NOT v.cont))) z
+          ON substring(w.word, w.pos, length(v.raw)) = v.raw
+          AND ((w.pos = 1) = (NOT v.cont))) z
       WHERE rn = 1),
-    wpgr(word, pos, toks, np) AS (
-      SELECT word, 1, CAST('' AS VARCHAR), 0 FROM wpwf
+    ${p}gr(word, pos, toks, np) AS (
+      SELECT word, 1, CAST('' AS VARCHAR), 0 FROM $src
       UNION ALL
       SELECT g.word, g.pos + b.rl,
         CASE WHEN g.toks = '' THEN b.piece
           ELSE g.toks || ' ' || b.piece END,
         g.np + 1
-      FROM wpgr g JOIN wpbest b ON b.word = g.word AND b.pos = g.pos
+      FROM ${p}gr g JOIN ${p}best b ON b.word = g.word AND b.pos = g.pos
       WHERE g.pos <= length(g.word)),
-    wpfin AS MATERIALIZED (
+    ${p}fin AS MATERIALIZED (
       SELECT w.word,
         CAST(CASE WHEN c.word IS NULL THEN 1 ELSE c.np END AS BIGINT)
           AS np,
         CASE WHEN c.word IS NULL THEN '[UNK]' ELSE c.toks END AS toks,
         CAST(CASE WHEN c.word IS NULL THEN 1 ELSE 0 END AS BIGINT) AS unk
-      FROM wpwf w LEFT JOIN
-        (SELECT word, np, toks FROM wpgr
+      FROM $src w LEFT JOIN
+        (SELECT word, np, toks FROM ${p}gr
          WHERE pos = length(word) + 1) c
       ON w.word = c.word)"""
+
+  /** The corpus-word greedy chain — shared by the tokenize gate and the
+    * three-way parity oracle. Ends in `wpfin(word, np, toks, unk)`.
+    */
+  private[operators] val greedyCtes: String =
+    s"""$vocabCtes,
+    ${walkCtesOver("wpwf", "wp")}"""
 
   val tokenizeWordpieceSql: String = s"""
     WITH RECURSIVE $trainCtes,
@@ -335,11 +386,27 @@ object Wordpiece {
     FROM wpdw d JOIN wpfin f ON d.word = f.word
     GROUP BY d.doc_id ORDER BY d.doc_id"""
 
+  val tokenizeWordpieceOovSql: String = s"""
+    WITH RECURSIVE $trainCtes,
+    $vocabCtes,
+    oovm AS (
+      SELECT word AS base,
+        word || CASE WHEN length(word) % 2 = 0 THEN 'ing' ELSE '9' END
+          AS word
+      FROM wpwf),
+    ${walkCtesOver("oovm", "ov")}
+    SELECT m.base AS base_word, m.word AS oov_word,
+      f.np AS n_pieces, f.unk AS is_unk, f.toks AS pieces
+    FROM oovm m JOIN ovfin f ON m.word = f.word
+    ORDER BY base_word"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "wordpiece_train" -> (wordpieceTrain _),
-    "tokenize_wordpiece" -> (tokenizeWordpiece _))
+    "tokenize_wordpiece" -> (tokenizeWordpiece _),
+    "tokenize_wordpiece_oov" -> (tokenizeWordpieceOov _))
 
   val oracles: Map[String, String] = Map(
     "wordpiece_train" -> wordpieceTrainSql,
-    "tokenize_wordpiece" -> tokenizeWordpieceSql)
+    "tokenize_wordpiece" -> tokenizeWordpieceSql,
+    "tokenize_wordpiece_oov" -> tokenizeWordpieceOovSql)
 }

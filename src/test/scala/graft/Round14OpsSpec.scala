@@ -373,6 +373,34 @@ class Round14OpsSpec extends SparkSpec {
     }
   }
 
+  test("tokenize_wordpiece_oov: unseen words segment; unknown chars UNK") {
+    val rows = operators.Wordpiece.tokenizeWordpieceOov(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val corpus = Tables.documents(spark, sf).select("text").collect()
+      .flatMap(_.getString(0).toLowerCase.trim.replaceAll("\\s+", " ")
+        .split(" ")).toSet
+    val (even, odd) = rows.partition(_.getAs[String]("base_word").length % 2 == 0)
+    assert(even.nonEmpty && odd.nonEmpty)
+    for (r <- rows) {
+      // every probe word is genuinely out of the training vocabulary
+      assert(!corpus.contains(r.getAs[String]("oov_word")))
+      if (r.getAs[String]("base_word").length % 2 == 0) {
+        // all-known characters: MUST segment, never UNK
+        assert(r.getAs[Long]("is_unk") == 0L)
+        assert(r.getAs[Long]("n_pieces") >= 2)
+        // the pieces reassemble to the word (## stripped, spaces out)
+        assert(r.getAs[String]("pieces").split(" ")
+          .map(p => if (p.startsWith("##")) p.substring(2) else p)
+          .mkString == r.getAs[String]("oov_word"))
+      } else {
+        // the digit suffix is unrepresentable: whole word UNK
+        assert(r.getAs[Long]("is_unk") == 1L)
+        assert(r.getAs[Long]("n_pieces") == 1L)
+        assert(r.getAs[String]("pieces") == "[UNK]")
+      }
+    }
+  }
+
   test("tokenizer_parity: three-way winner is the strict minimum") {
     val rows = operators.Unigram.tokenizerParity(spark, sf).collect()
     assert(rows.nonEmpty)
