@@ -160,8 +160,13 @@ object Clustering {
     * [[dedupClusters]], so the streaming gate shares its oracle.
     */
   private[graft] def clustersFromForest(forest: DataFrame): DataFrame = {
+    // materialize the symmetric edge frame once: the propagation loop
+    // takes one action per round, and a lazy edge plan would re-run the
+    // upstream stateful forest computation every round (the same reason
+    // dedupClusters memoizes its edge frame)
     val edges = forest.select(col("a").as("src"), col("b").as("dst"))
       .unionByName(forest.select(col("b").as("src"), col("a").as("dst")))
+      .localCheckpoint()
     val labels = ccLabels(edges)
     val sizes = labels.groupBy(col("lab")).agg(count(lit(1)).as("csize"))
     labels.join(sizes, "lab")
