@@ -1033,8 +1033,11 @@ object Filtering {
     * micro-batch partials).
     */
   private[graft] def knTypes(s: SparkSession, dir: String): DataFrame =
-    knTriDoc(s, dir).groupBy("w1", "w2", "w3")
-      .agg(sum(col("cd")).as("c123"))
+    // memoized: the batch filter, the streaming maintainer's partials
+    // and the discount sweep's three branches all read this one table
+    graft.Memo.cached(s, "kn_types", dir)(
+      knTriDoc(s, dir).groupBy("w1", "w2", "w3")
+        .agg(sum(col("cd")).as("c123")))
 
   /** Gate: per-document interpolated Kneser-Ney trigram cross-entropy —
     * the CCNet-shaped LM filter upgraded from `doc_ppl`'s add-one
@@ -1075,9 +1078,9 @@ object Filtering {
     * so the streaming gate shares this oracle.
     */
   private[graft] def knReport(s: SparkSession, dir: String,
-                              types: DataFrame): DataFrame = {
+                              types: DataFrame,
+                              d: Int = KnD): DataFrame = {
     val k = KnScale
-    val d = KnD
     val ctx = types.groupBy("w1", "w2")
       .agg(sum(col("c123")).as("c12"), countDistinct(col("w3")).as("m"))
     val aT = types.groupBy("w2", "w3")
@@ -1116,30 +1119,41 @@ object Filtering {
       .orderBy("doc_id")
   }
 
-  val docPplKnSql: String = {
-    val k = KnScale
-    val d = KnD
-    s"""
-    WITH dkn AS (SELECT doc_id, string_split($normSql, ' ') AS ws
-                 FROM documents),
+  /** The shared KN head: trigram occurrences, type table, every
+    * lower-order statistic — one definition for the per-doc filter
+    * oracle and the discount sweep's three branches (multi-referenced
+    * CTEs materialized).
+    */
+  private val knHeadCtes: String = s"""
+    dkn AS (SELECT doc_id, string_split($normSql, ' ') AS ws
+            FROM documents),
     dkg AS (SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2, ws[i + 2] AS w3
             FROM (SELECT doc_id, ws,
                     unnest(generate_series(1, len(ws) - 2)) AS i
                   FROM dkn WHERE len(ws) >= 3)),
-    dkd AS (SELECT doc_id, w1, w2, w3, count(*) AS cd
+    dkd AS MATERIALIZED (SELECT doc_id, w1, w2, w3, count(*) AS cd
             FROM dkg GROUP BY 1, 2, 3, 4),
-    dkt AS (SELECT w1, w2, w3, CAST(sum(cd) AS BIGINT) AS c123
+    dkt AS MATERIALIZED (SELECT w1, w2, w3, CAST(sum(cd) AS BIGINT) AS c123
             FROM dkd GROUP BY 1, 2, 3),
-    dkc AS (SELECT w1, w2, CAST(sum(c123) AS BIGINT) AS c12,
+    dkc AS MATERIALIZED (SELECT w1, w2, CAST(sum(c123) AS BIGINT) AS c12,
               count(DISTINCT w3) AS m
             FROM dkt GROUP BY 1, 2),
-    dka AS (SELECT w2, w3, count(DISTINCT w1) AS a FROM dkt GROUP BY 1, 2),
-    dkb AS (SELECT w2, CAST(sum(a) AS BIGINT) AS b,
+    dka AS MATERIALIZED (SELECT w2, w3, count(DISTINCT w1) AS a
+            FROM dkt GROUP BY 1, 2),
+    dkb AS MATERIALIZED (SELECT w2, CAST(sum(a) AS BIGINT) AS b,
               count(DISTINCT w3) AS hh
             FROM dka GROUP BY 1),
-    dkc3 AS (SELECT w3, count(DISTINCT w2) AS c3 FROM dka GROUP BY 1),
-    dkgt AS (SELECT count(*) AS g FROM dka),
-    dklm AS (
+    dkc3 AS MATERIALIZED (SELECT w3, count(DISTINCT w2) AS c3
+            FROM dka GROUP BY 1),
+    dkgt AS MATERIALIZED (SELECT count(*) AS g FROM dka)"""
+
+  /** One discount branch: the LM at discount `d`/4 and its per-doc
+    * scores, CTEs suffixed `$sfx`.
+    */
+  private def knBranchCtes(d: Int, sfx: String): String = {
+    val k = KnScale
+    s"""
+    dklm$sfx AS (
       SELECT w1, w2, w3,
         ${llog2("d3")} - ${llog2("n3")} AS nb
       FROM (
@@ -1155,21 +1169,98 @@ object Filtering {
         JOIN dka ON t.w2 = dka.w2 AND t.w3 = dka.w3
         JOIN dkb ON t.w2 = dkb.w2
         JOIN dkc3 ON t.w3 = dkc3.w3, dkgt) x),
-    dkpd AS (
+    dkpd$sfx AS (
       SELECT doc_id, CAST(sum(cd) AS BIGINT) AS n_trigrams,
         CAST(sum(cd * nb) AS BIGINT) AS nll
-      FROM dkd JOIN dklm USING (w1, w2, w3) GROUP BY doc_id),
-    dkp2 AS (
+      FROM dkd JOIN dklm$sfx USING (w1, w2, w3) GROUP BY doc_id),
+    dkp2$sfx AS MATERIALIZED (
       SELECT doc_id, n_trigrams, nll,
         CAST((nll - (nll % n_trigrams)) // n_trigrams AS BIGINT) AS avg_nll
-      FROM dkpd),
+      FROM dkpd$sfx)"""
+  }
+
+  val docPplKnSql: String = s"""
+    WITH $knHeadCtes,
+    ${knBranchCtes(KnD, "")},
     dkmn AS (SELECT count(*) AS nd, CAST(sum(avg_nll) AS BIGINT) AS sa
              FROM dkp2)
     SELECT doc_id, n_trigrams, nll, avg_nll,
       CAST(CASE WHEN avg_nll * nd > sa THEN 1 ELSE 0 END AS BIGINT)
         AS flagged
     FROM dkp2, dkmn ORDER BY doc_id"""
+
+  /** Discounts the sweep evaluates, as numerators over [[KnScale]]. */
+  private val KnSweepDs = Seq(1, 2, 3)
+
+  /** Gate: the KN DISCOUNT tuning table — the smoothing knob every
+    * Kneser-Ney deployment sets, measured instead of guessed: per
+    * discount D ∈ {1/4, 2/4, 3/4}, the corpus totals of the per-doc
+    * filter (docs, total nll, floor-mean of the per-doc averages,
+    * docs flagged by that discount's OWN corpus mean), with the
+    * Chen–Goodman closed-form estimate D* = n1/(n1 + 2·n2) (from the
+    * type table's singleton/doubleton counts, as a q6 integer) riding
+    * along — the decision artifact: compare the swept column against
+    * the estimator's recommendation before re-scoring 100 TB.
+    *
+    * Scale: the tuning-table discipline (§4) — all three branches
+    * read the ONE memoized type table; each branch re-derives only
+    * the discount-dependent LM arithmetic; nothing rescans the
+    * corpus per candidate.
+    */
+  def knDiscountSweep(s: SparkSession, dir: String): DataFrame = {
+    val types = knTypes(s, dir)
+    val est = types.agg(
+        sum(when(col("c123") === 1, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("c123") === 2, 1L).otherwise(0L)).as("n2t"))
+      .select(col("n1"), col("n2t"),
+        expr("(n1 * 1000000) div greatest(1, n1 + 2 * n2t)")
+          .as("d_est_q6"))
+    KnSweepDs.map { d =>
+      knReport(s, dir, types, d)
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("nll")).as("nll_total"),
+          sum(col("avg_nll")).as("sa"),
+          sum(col("flagged")).as("n_flagged"))
+        .select(lit(d.toLong * 250000L).as("discount_q6"),
+          col("n_docs"), col("nll_total"),
+          expr("cast((sa - (sa % n_docs)) div n_docs as bigint)")
+            .as("mean_avg_nll"),
+          col("n_flagged"))
+    }.reduce(_ unionByName _)
+      .crossJoin(broadcast(est))
+      .orderBy("discount_q6")
   }
+
+  val knDiscountSweepSql: String = s"""
+    WITH $knHeadCtes,
+    ${KnSweepDs.map(d => knBranchCtes(d, s"_$d").trim).mkString(",\n    ")},
+    ${KnSweepDs.map(d => s"""
+    dkag_$d AS (SELECT count(*) AS n_docs,
+        CAST(sum(nll) AS BIGINT) AS nll_total,
+        CAST(sum(avg_nll) AS BIGINT) AS sa
+      FROM dkp2_$d),
+    dkst_$d AS (
+      SELECT CAST(${d.toLong * 250000L} AS BIGINT) AS discount_q6,
+        a.n_docs, a.nll_total,
+        CAST((a.sa - (a.sa % a.n_docs)) // a.n_docs AS BIGINT)
+          AS mean_avg_nll,
+        (SELECT count(*) FROM dkp2_$d p, dkag_$d a2
+         WHERE p.avg_nll * a2.n_docs > a2.sa) AS n_flagged
+      FROM dkag_$d a)""".trim).mkString(",\n    ")},
+    dkest AS (
+      SELECT CAST(sum(CASE WHEN c123 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n1,
+        CAST(sum(CASE WHEN c123 = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2t
+      FROM dkt),
+    dkestq AS (
+      SELECT n1, n2t,
+        CAST((n1 * 1000000) // greatest(1, n1 + 2 * n2t) AS BIGINT)
+          AS d_est_q6
+      FROM dkest)
+    SELECT s.*, e.n1, e.n2t, e.d_est_q6
+    FROM (${KnSweepDs.map(d => s"SELECT * FROM dkst_$d")
+      .mkString(" UNION ALL ")}) s, dkestq e
+    ORDER BY discount_q6"""
 
   // ------------------------------------------------ model-grade language ID
 
@@ -1506,7 +1597,8 @@ object Filtering {
     "dsir_select_bigram" -> (dsirSelectBigram _),
     "dsir_domain" -> (dsirDomain _),
     "doc_ppl" -> (docPpl _),
-    "doc_ppl_kn" -> (docPplKn _))
+    "doc_ppl_kn" -> (docPplKn _),
+    "kn_discount_sweep" -> (knDiscountSweep _))
 
   val oracles: Map[String, String] = Map(
     "langid_clf" -> langidClfSql,
@@ -1519,5 +1611,6 @@ object Filtering {
     "dsir_select_bigram" -> dsirSelectBigramSql,
     "dsir_domain" -> dsirDomainSql,
     "doc_ppl" -> docPplSql,
-    "doc_ppl_kn" -> docPplKnSql)
+    "doc_ppl_kn" -> docPplKnSql,
+    "kn_discount_sweep" -> knDiscountSweepSql)
 }

@@ -418,6 +418,41 @@ class Round14OpsSpec extends SparkSpec {
     }
   }
 
+  test("kn_discount_sweep: totals replay and the estimate is coherent") {
+    val rows = operators.Filtering.knDiscountSweep(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("discount_q6")).toSeq ==
+      Seq(250000L, 500000L, 750000L))
+    // the D = 3/4 row IS the shipped filter's aggregate
+    val base = operators.Filtering.docPplKn(spark, sf).collect()
+    val r3 = rows.find(_.getAs[Long]("discount_q6") == 750000L).get
+    assert(r3.getAs[Long]("n_docs") == base.length)
+    assert(r3.getAs[Long]("nll_total") ==
+      base.map(_.getAs[Long]("nll")).sum)
+    assert(r3.getAs[Long]("n_flagged") ==
+      base.count(_.getAs[Long]("flagged") == 1L))
+    assert(r3.getAs[Long]("mean_avg_nll") ==
+      Math.floorDiv(base.map(_.getAs[Long]("avg_nll")).sum, base.length))
+    // Chen–Goodman estimate from locally recomputed type counts
+    val docs = Tables.documents(spark, sf).select("text").collect()
+      .map(_.getString(0).toLowerCase.trim.replaceAll("\\s+", " ")
+        .split(" "))
+    val c123 = docs.flatMap(ws =>
+        if (ws.length < 3) Seq.empty
+        else (0 until ws.length - 2).map(i => (ws(i), ws(i + 1), ws(i + 2))))
+      .groupBy(identity).map(_._2.length)
+    val n1 = c123.count(_ == 1).toLong
+    val n2 = c123.count(_ == 2).toLong
+    for (r <- rows) {
+      assert(r.getAs[Long]("n1") == n1 && r.getAs[Long]("n2t") == n2)
+      assert(r.getAs[Long]("d_est_q6") ==
+        n1 * 1000000L / math.max(1L, n1 + 2 * n2))
+      assert(r.getAs[Long]("n_flagged") >= 0 &&
+        r.getAs[Long]("n_flagged") <= r.getAs[Long]("n_docs"))
+      // every discount scores the same doc population
+      assert(r.getAs[Long]("n_docs") == base.length)
+    }
+  }
+
   test("stream_kn_maintain: counts accumulate across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
