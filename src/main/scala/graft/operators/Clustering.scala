@@ -169,10 +169,20 @@ object Clustering {
       .localCheckpoint()
     val labels = ccLabels(edges)
     val sizes = labels.groupBy(col("lab")).agg(count(lit(1)).as("csize"))
-    labels.join(sizes, "lab")
+    // materialize the result eagerly, then release the edge checkpoint
+    // and the final propagation round's blocks — this is NOT memoized
+    // (every maintained-state read calls it), so leaving either cached
+    // accumulates blocks for the session lifetime (review finding, r14).
+    // The eager localCheckpoint's own blocks are ContextCleaner-freed
+    // once callers drop the returned frame, unlike persist()ed ones.
+    val res = labels.join(sizes, "lab")
       .select(col("id").as("doc_id"), col("lab").as("cluster"),
         col("csize"))
       .orderBy("doc_id")
+      .localCheckpoint(true)
+    labels.unpersist(false)
+    edges.unpersist(false)
+    res
   }
 
   /** The split-reassignment report over ANY cluster frame (doc_id,

@@ -76,12 +76,29 @@ object Pipeline {
     graft.Memo.cached(s, "pipeline_e2e", dir) {
     val keepN = TrainPrep.TruncHead + TrainPrep.TruncTail
 
-    // ---- stage 0: extract = raw corpus + planted duplicate feed
+    // ---- stage 0: extract = raw corpus + planted duplicate feed.
+    // LOUD on id overflow: the shift assumes doc_id < PlantShift — on a
+    // corpus with larger ids, planted ids would collide with real ones
+    // and the mod-PlantShift augmentation key would attribute another
+    // document's augmentation, silently breaking the copies-gate-
+    // identically invariant. The assert lives in a FILTER over the
+    // cross-joined 1-row aggregate (the probesOf idiom — a dropped or
+    // merely-projected check can be pruned; a filter must evaluate;
+    // review finding, r14).
     val raw = Tables.documents(s, dir)
       .select(col("doc_id"), col("lang"), col("text"))
+    val plantGuard = raw.agg(coalesce(
+        assert_true(coalesce(max(col("doc_id")), lit(0L)) < PlantShift,
+          lit("pipeline_e2e: max(doc_id) >= PlantShift — planted ids " +
+            "would collide with real documents; raise PlantShift above " +
+            "the corpus id range")).cast("long"),
+        lit(0L)).as("__plant_g0"))
     val u = raw.unionByName(
         raw.filter(col("doc_id") % 5 === 0)
           .withColumn("doc_id", col("doc_id") + PlantShift))
+      .crossJoin(broadcast(plantGuard))
+      .filter(col("__plant_g0") === 0L)
+      .drop("__plant_g0")
       .withColumn("n_tokens", size(split(norm, " ")).cast("long"))
 
     // ---- stage 1: Gopher rule suite (quality_rules' thresholds); the
@@ -156,9 +173,13 @@ object Pipeline {
 
     // ---- stage 4: decontaminate — eval docs OUT, shared spans stripped
     val evalMod = CorpusFilters.EvalMod
+    // persisted: the gram explosion feeds TWO plan subtrees (the eval
+    // probe and the survivor-restricted removal join) — unpersisted it
+    // executed the full-corpus explode twice (review finding, r14)
     val grams = SubstringDedup.gramsOf(
       Tables.documents(s, dir).select(col("doc_id"), col("text")),
       CorpusFilters.SpanK)
+      .persist()
     val evalG = grams.filter(col("doc_id") % evalMod === 0)
       .select(col("g")).distinct()
     val tr4 = s3.filter(col("doc_id") % evalMod =!= 0)
@@ -277,7 +298,7 @@ object Pipeline {
       .orderBy("stage_id")
       .localCheckpoint(true)
 
-    Seq(qf, s1, groups, s2, pairsF, labP, winners, s3, en)
+    Seq(qf, s1, groups, s2, pairsF, labP, winners, s3, grams, en)
       .foreach(_.unpersist(false))
     labels.unpersist(false)
     ledger

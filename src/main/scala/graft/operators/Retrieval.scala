@@ -69,17 +69,23 @@ object Retrieval {
     val sh = Dedup.shinglesOf(s, dir)
     // same loud emptiness guard as Similarity.probesOf: a nonempty
     // corpus with offset/sparse ids must FAIL the job, not fuse over
-    // an empty probe set (review finding, r13).
+    // an empty probe set. The assert lives in a FILTER over the
+    // cross-joined 1-row aggregate — a dropped column is ColumnPruned
+    // into dead code (review finding, r14); a filter must evaluate.
     val pcond = col("doc_id") % 50 === 0 && col("doc_id") < DocProbeIdBound
     val guard = sh.agg(count(lit(1)).as("n_all"),
         count(when(pcond, 1)).as("n_probe"))
-      .select(assert_true(col("n_probe") > 0 || col("n_all") === 0,
-        lit("fuse: nonempty corpus produced an EMPTY probe set — ids " +
-          "are offset/sparse vs the mod-50 stratification; re-key the " +
-          "corpus or widen DocProbeIdBound")).as("__probe_guard"))
+      .select(coalesce(
+        assert_true(col("n_probe") > 0 || col("n_all") === 0,
+          lit("fuse: nonempty corpus produced an EMPTY probe set — ids " +
+            "are offset/sparse vs the mod-50 stratification; re-key the " +
+            "corpus or widen DocProbeIdBound")).cast("long"),
+        lit(0L)).as("__probe_g0"))
     val psh = sh.filter(pcond)
       .select(col("doc_id").as("probe_id"), col("sh"))
-      .crossJoin(broadcast(guard)).drop("__probe_guard")
+      .crossJoin(broadcast(guard))
+      .filter(col("__probe_g0") === 0L)
+      .drop("__probe_g0")
     val shared = sh.join(broadcast(psh), "sh")
       .filter(col("doc_id") =!= col("probe_id"))
       .groupBy(col("probe_id"), col("doc_id").as("cand"))

@@ -82,21 +82,28 @@ object Similarity {
     * LOUD on emptiness: the id bound assumes dense zero-based ids. On a
     * corpus with offset/sparse ids the filter would return an EMPTY
     * probe set and every recall audit would trivially "match" on
-    * emptiness — contrary to the fail-loudly discipline. The in-plan
-    * guard (one 2-counter aggregate cross-joined into the probe frame,
-    * the nfRows `assert_true` pattern) fails the job instead whenever
-    * the corpus is nonempty but no id passes the stratification
-    * (review finding, r13).
+    * emptiness — contrary to the fail-loudly discipline. The guard
+    * lives in a FILTER predicate over the cross-joined 1-row aggregate
+    * (`__probe_g0 === 0`, where the column is `coalesce(assert, 0)`):
+    * a filter must evaluate no matter what the output projects, so
+    * neither ColumnPruning (which killed the r13 dropped-column
+    * variant — dead code, review finding r14) nor a column-less
+    * `count()` can elide the assertion; the broadcast guard side
+    * materializes (and throws) even when the probe side is empty.
     */
   private[graft] def probesOf(df: DataFrame): DataFrame = {
     val pcond = col("vec_id") % 50 === 0 && col("vec_id") < ProbeIdBound
     val guard = df.agg(count(lit(1)).as("n_all"),
         count(when(pcond, 1)).as("n_probe"))
-      .select(assert_true(col("n_probe") > 0 || col("n_all") === 0,
-        lit("probesOf: nonempty corpus produced an EMPTY probe set — " +
-          "ids are offset/sparse vs the mod-50 stratification; re-key " +
-          "the corpus or widen ProbeIdBound")).as("__probe_guard"))
-    df.filter(pcond).crossJoin(broadcast(guard)).drop("__probe_guard")
+      .select(coalesce(
+        assert_true(col("n_probe") > 0 || col("n_all") === 0,
+          lit("probesOf: nonempty corpus produced an EMPTY probe set — " +
+            "ids are offset/sparse vs the mod-50 stratification; re-key " +
+            "the corpus or widen ProbeIdBound")).cast("long"),
+        lit(0L)).as("__probe_g0"))
+    df.filter(pcond).crossJoin(broadcast(guard))
+      .filter(col("__probe_g0") === 0L)
+      .drop("__probe_g0")
   }
 
   /** Shared oracle prelude: quantized vectors + integer norms. DuckDB's

@@ -47,7 +47,17 @@ object Wordpiece {
   /** Bounded merge count — matches [[Bpe.Merges]]' loop discipline. */
   private[operators] val Merges = 20
 
-  /** q9 scale of the integer likelihood score. */
+  /** q9 scale of the integer likelihood score.
+    *
+    * Operand bound (the `doc_ppl_kn` llog2-bound convention): the score
+    * `(c·10⁹) div (ca·cb)` stays BIGINT-exact while c < 2⁶³/10⁹ ≈ 9.2e9
+    * and ca·cb < 2⁶³ ≈ 9.2e18. Beyond that Spark (non-ANSI) wraps
+    * silently while DuckDB raises — the engines would DIVERGE instead
+    * of failing together. At production corpus sizes rescale the counts
+    * by a common shift before scoring (the argmax is scale-invariant:
+    * dividing c, ca, cb by the same factor preserves the ranking up to
+    * q9 rounding) — the gate corpora stay orders of magnitude inside.
+    */
   private val ScoreQ = 1000000000L
 
   /** One trained merge: (a, b, c, ca, cb, score_q9). */
@@ -102,6 +112,14 @@ object Wordpiece {
         val m = Merge(r.getString(0), r.getString(1), r.getLong(2),
           r.getLong(3), r.getLong(4), r.getLong(5))
         acc += m
+        // Documented deviation (shared with [[Bpe]]'s replay): the
+        // single-pass non-overlapping replace misses ADJACENT repeats of
+        // the winning pair ('a b a b' → 'ab a b', not 'ab ab') because
+        // the shared trailing space is consumed by the first match. Both
+        // engines replay the identical non-overlapping replace, so
+        // parity holds exactly; counts deviate from Schuster–Nakajima/
+        // Sennrich merge-all-occurrences semantics only on immediately-
+        // repeated pairs within one word (absent from the gate corpora).
         segs = segs.withColumn("seg",
           expr(s"trim(replace(concat(' ', seg, ' '), " +
             s"' ${q(m.a)} ${q(m.b)} ', ' ${q(m.merged)} '))"))
@@ -263,6 +281,78 @@ object Wordpiece {
       .orderBy("base_word")
   }
 
+  // ------------------------------------------------------ vocab-size sweep
+
+  /** Merge-prefix cuts the sweep evaluates (0 = character baseline) —
+    * [[Bpe]]'s SweepCuts convention, completing the third column of the
+    * tokenizer-parity family's sweep discipline.
+    */
+  private val SweepCuts = Seq(0, 5, 10, 15, Merges)
+
+  /** In-plan WordPiece segmentation at a merge-prefix cut: the
+    * ##-continuation-seeded character split folded through the first
+    * merges in score-rank order (the [[Bpe.segmentExpr]] idiom with the
+    * WordPiece seed). Same single-pass non-overlapping replace as
+    * training — both engines replay it identically.
+    */
+  private def segmentExpr(word: Column, merges: Seq[Merge]): Column = {
+    val chars = concat_ws(" ",
+      transform(regexp_extract_all(word, lit("."), lit(0)),
+        (c, i) => when(i === 0, c).otherwise(concat(lit("##"), c))))
+    merges.foldLeft(chars) { (col0, m) =>
+      trim(org.apache.spark.sql.functions.replace(
+        concat(lit(" "), col0, lit(" ")),
+        lit(s" ${m.a} ${m.b} "), lit(s" ${m.merged} ")))
+    }
+  }
+
+  /** Gate: the WordPiece vocab-size / fertility TRADEOFF TABLE —
+    * corpus fertility (pieces per word) at each merge-prefix cut of
+    * the score-ranked merge list. Score-ranked merges are ordered like
+    * BPE's count-ranked ones, so the first M merges ARE the M-smaller
+    * vocabulary: one likelihood-argmax training prices every smaller
+    * tokenizer (the `bpe_vocab_sweep` property, proven to carry over
+    * because training replay is the same replace fold — only the
+    * argmax differs). Per cut: effective vocabulary (distinct
+    * segmentation symbols), total word tokens, total pieces,
+    * fertility.
+    *
+    * Scale: after the one corpus pass behind the shared word census,
+    * every cut is a narrow map over the VOCABULARY-sized frame plus
+    * two bounded aggregates — cost scales with vocab × cuts, never
+    * the corpus.
+    */
+  def wordpieceVocabSweep(s: SparkSession, dir: String): DataFrame = {
+    val merges = trainedMerges(s, dir)
+    // Fail LOUDLY on a degenerate corpus (training exhausted early):
+    // Spark's merges.take(m) would stay valid but the oracle's empty
+    // wpb$i scalar subqueries NULL every later segmentation CTE — the
+    // engines would silently diverge (the bpe_vocab_sweep discipline).
+    require(merges.length == Merges,
+      s"wordpiece_vocab_sweep needs a full $Merges-merge training; " +
+        s"corpus exhausted WordPiece at ${merges.length} merges")
+    val segs = segsOf(s, dir)
+    val census = segs.select(col("word"), col("cnt"))
+    SweepCuts.map { m =>
+      // the full cut IS the stored training segmentation — reuse it
+      val cut =
+        if (m == Merges) segs.select(col("word"), col("cnt"), col("seg"))
+        else census.withColumn("seg",
+          segmentExpr(col("word"), merges.take(m)))
+      val stats = cut.agg(
+        sum(col("cnt")).as("n_word_tokens"),
+        sum(col("cnt") * size(split(col("seg"), " "))).cast("long")
+          .as("n_pieces"))
+      val syms = cut.select(explode(split(col("seg"), " ")).as("sym"))
+        .agg(countDistinct(col("sym")).as("n_symbols"))
+      stats.crossJoin(broadcast(syms))
+        .select(lit(m.toLong).as("n_merges"), col("n_symbols"),
+          col("n_word_tokens"), col("n_pieces"),
+          round(col("n_pieces").cast("double")
+            / col("n_word_tokens").cast("double"), 6).as("fertility"))
+    }.reduce(_.unionByName(_)).orderBy("n_merges")
+  }
+
   // ----------------------------------------------------------------- oracle
 
   private def roundCtes(i: Int): String = s"""
@@ -400,13 +490,34 @@ object Wordpiece {
     FROM oovm m JOIN ovfin f ON m.word = f.word
     ORDER BY base_word"""
 
+  val wordpieceVocabSweepSql: String = {
+    val cuts = SweepCuts.map { m =>
+      s"""SELECT CAST($m AS BIGINT) AS n_merges,
+        (SELECT CAST(count(DISTINCT sym) AS BIGINT)
+         FROM (SELECT unnest(string_split(seg, ' ')) AS sym FROM wps$m))
+          AS n_symbols,
+        CAST(sum(cnt) AS BIGINT) AS n_word_tokens,
+        CAST(sum(cnt * len(string_split(seg, ' '))) AS BIGINT) AS n_pieces,
+        round(CAST(CAST(sum(cnt * len(string_split(seg, ' '))) AS BIGINT)
+            AS DOUBLE)
+          / CAST(CAST(sum(cnt) AS BIGINT) AS DOUBLE), 6) AS fertility
+      FROM wps$m"""
+    }.mkString("\n    UNION ALL\n    ")
+    s"""
+    WITH $trainCtes
+    $cuts
+    ORDER BY n_merges"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "wordpiece_train" -> (wordpieceTrain _),
     "tokenize_wordpiece" -> (tokenizeWordpiece _),
-    "tokenize_wordpiece_oov" -> (tokenizeWordpieceOov _))
+    "tokenize_wordpiece_oov" -> (tokenizeWordpieceOov _),
+    "wordpiece_vocab_sweep" -> (wordpieceVocabSweep _))
 
   val oracles: Map[String, String] = Map(
     "wordpiece_train" -> wordpieceTrainSql,
     "tokenize_wordpiece" -> tokenizeWordpieceSql,
-    "tokenize_wordpiece_oov" -> tokenizeWordpieceOovSql)
+    "tokenize_wordpiece_oov" -> tokenizeWordpieceOovSql,
+    "wordpiece_vocab_sweep" -> wordpieceVocabSweepSql)
 }

@@ -148,4 +148,26 @@ class ProdConstantsSpec extends SparkSpec {
     val dBase = docs.filter(col("doc_id") % 50 === 0).count()
     assert(dCapped == dBase, s"doc probe cap must bind at 30x: $dCapped != $dBase")
   }
+
+  test("probesOf emptiness guard FIRES on an offset-id corpus (r14 review: " +
+    "the dropped-column assert was ColumnPruned into dead code)") {
+    // every id ≡ 1 mod 50 — nonempty corpus, zero stratified probes; the
+    // job must fail loudly, not return an empty probe set that every
+    // recall audit would trivially "match" on
+    val off = Tables.embeddings(spark, sf)
+      .select((col("vec_id") * 50 + 1).as("vec_id"))
+    val ex = intercept[Exception] { Similarity.probesOf(off).count() }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(ex).exists(_.contains("EMPTY probe set")),
+      s"expected the probesOf guard message, got: ${msgs(ex).mkString(" | ")}")
+    // and the guard stays a no-op on the real corpus (values unchanged:
+    // the folded assert contributes +0 to vec_id)
+    val ids = Similarity.probesOf(
+        Tables.embeddings(spark, sf).select(col("vec_id")))
+      .collect().map(_.getLong(0)).sorted
+    assert(ids.nonEmpty && ids.forall(i => i % 50 == 0),
+      s"guard fold must not perturb probe ids: ${ids.take(3).mkString(",")}")
+  }
 }
