@@ -279,6 +279,108 @@ object CorpusFilters {
       coalesce(k.clean_hash, md5('')) AS clean_hash
     FROM dsremc r LEFT JOIN dskeptagg k USING (doc_id) ORDER BY doc_id"""
 
+  // --------------------------------------------- decontamination K sweep
+
+  /** Gram widths the decontamination sweep prices. The published
+    * pipelines disagree on K — 8-gram (PaLM), 13-gram (the GPT-3/MMLU
+    * convention) — and 4 anchors the aggressive end; the knob is
+    * exactly the tuning-table discipline: measure each candidate's
+    * blast radius before re-stripping 100 TB.
+    */
+  private[operators] val DecontKs = Seq(4, 8, 13)
+
+  /** Gate: the decontamination GRAM-LENGTH tuning table — per K ∈
+    * {4, 8, 13}, the distinct eval-set K-grams, how many of them occur
+    * in the training corpus, the training documents a K-strip would
+    * touch, and the token positions it would remove (overlapping
+    * matches unioned, [[decontaminateSpans]]' span semantics). Shorter
+    * K strips aggressively (more false-positive collateral); longer K
+    * only verbatim leakage — the table is the decision artifact.
+    *
+    * Scale: ONE shared gram pass — a single position explode emits all
+    * three gram hashes as parallel columns (three hashes per position,
+    * not three corpus scans), persisted for the six branch reads; each
+    * branch is then a broadcast eval-gram semi-probe + bounded scalar
+    * aggregates, the [[decontaminate]] shape. Nothing rescans the raw
+    * corpus per candidate (the `kn_discount_sweep` discipline).
+    */
+  def decontaminateKSweep(s: SparkSession, dir: String): DataFrame = {
+    val minK = DecontKs.min
+    val pos = Tables.documents(s, dir)
+      .select(col("doc_id"), split(norm, " ").as("ws"))
+      .filter(size(col("ws")) >= minK)
+      .withColumn("p", explode(sequence(lit(1),
+        size(col("ws")) - (minK - 1))))
+    val gcols = DecontKs.map(k =>
+      when(col("p") + (k - 1) <= size(col("ws")),
+        md5(concat_ws(" ", slice(col("ws"), col("p"), lit(k)))))
+        .as(s"g$k"))
+    val grams = pos.select(col("doc_id") +: col("p") +: gcols: _*).persist()
+    val res = DecontKs.map { k =>
+      val gk = grams.select(col("doc_id"), col("p"), col(s"g$k").as("g"))
+        .filter(col("g").isNotNull)
+      val evalG = gk.filter(col("doc_id") % EvalMod === 0)
+        .select(col("g")).distinct()
+      val hit = gk.filter(col("doc_id") % EvalMod =!= 0)
+        .join(broadcast(evalG), "g")
+      val rem = hit.select(col("doc_id"),
+          explode(sequence(col("p"), col("p") + (k - 1))).as("t"))
+        .distinct()
+      val remAgg = rem.agg(countDistinct(col("doc_id")).as("n_docs_touched"),
+        count(lit(1)).as("n_tokens_stripped"))
+      val evAgg = evalG.agg(count(lit(1)).as("n_eval_grams"))
+      val mAgg = hit.select(col("g")).distinct()
+        .agg(count(lit(1)).as("n_matched_grams"))
+      remAgg.crossJoin(broadcast(evAgg)).crossJoin(broadcast(mAgg))
+        .select(lit(k.toLong).as("gram_k"), col("n_eval_grams"),
+          col("n_matched_grams"), col("n_docs_touched"),
+          col("n_tokens_stripped"))
+    }.reduce(_.unionByName(_)).orderBy("gram_k").localCheckpoint(true)
+    grams.unpersist(false)
+    res
+  }
+
+  val decontaminateKSweepSql: String = {
+    val branches = DecontKs.map { k =>
+      s"""
+    dkev_$k AS MATERIALIZED (
+      SELECT DISTINCT g$k AS g FROM dksg
+      WHERE doc_id % $EvalMod = 0 AND g$k IS NOT NULL),
+    dkhit_$k AS MATERIALIZED (
+      SELECT d.doc_id, d.p, d.g$k AS g
+      FROM dksg d JOIN dkev_$k e ON d.g$k = e.g
+      WHERE d.doc_id % $EvalMod <> 0),
+    dkrem0_$k AS (SELECT doc_id,
+        unnest(generate_series(p, p + ${k - 1})) AS t
+      FROM dkhit_$k),
+    dkrem_$k AS MATERIALIZED (SELECT DISTINCT doc_id, t FROM dkrem0_$k),
+    dkrow_$k AS (
+      SELECT CAST($k AS BIGINT) AS gram_k,
+        (SELECT count(*) FROM dkev_$k) AS n_eval_grams,
+        (SELECT count(DISTINCT g) FROM dkhit_$k) AS n_matched_grams,
+        (SELECT count(DISTINCT doc_id) FROM dkrem_$k) AS n_docs_touched,
+        (SELECT count(*) FROM dkrem_$k) AS n_tokens_stripped)""".trim
+    }.mkString(",\n    ")
+    val minK = DecontKs.min
+    val gsel = DecontKs.map(k =>
+      s"CASE WHEN p + ${k - 1} <= len(ws) THEN " +
+        s"md5(array_to_string(ws[p:p+${k - 1}], ' ')) END AS g$k")
+      .mkString(",\n        ")
+    s"""
+    WITH dksw AS (SELECT doc_id, string_split($normSql, ' ') AS ws
+                  FROM documents),
+    dksg AS MATERIALIZED (
+      SELECT doc_id, p,
+        $gsel
+      FROM (SELECT doc_id, ws,
+              unnest(generate_series(1, len(ws) - ${minK - 1})) AS p
+            FROM dksw WHERE len(ws) >= $minK)),
+    $branches
+    SELECT * FROM (${DecontKs.map(k => s"SELECT * FROM dkrow_$k")
+      .mkString(" UNION ALL ")})
+    ORDER BY gram_k"""
+  }
+
   // ------------------------------------------------------------- C4 cleaning
 
   /** Words per synthetic line (the corpus carries no newlines, so the
@@ -730,6 +832,7 @@ object CorpusFilters {
     "corpus_boilerplate" -> (corpusBoilerplate(_, _)),
     "decontaminate" -> (decontaminate(_, _)),
     "decontaminate_spans" -> (decontaminateSpans _),
+    "decontaminate_k_sweep" -> (decontaminateKSweep _),
     "corpus_novelty" -> (corpusNovelty _),
     "c4_filters" -> (c4Filters _))
 
@@ -737,6 +840,7 @@ object CorpusFilters {
     "c4_filters" -> c4FiltersSql,
     "corpus_novelty" -> corpusNoveltySql,
     "decontaminate_spans" -> decontaminateSpansSql,
+    "decontaminate_k_sweep" -> decontaminateKSweepSql,
     "quality_rules" -> qualityRulesSql,
     "html_extract" -> htmlExtractSql,
     "text_repetition" -> textRepetitionSql,

@@ -39,4 +39,43 @@ class Round15OpsSpec extends SparkSpec {
       "char baseline must have >= 1 piece per word")
     assert(charTotal > 0)
   }
+
+  test("decontaminate_k_sweep: K=4 branch replays locally; longer K never " +
+    "touches more docs or strips more tokens") {
+    val rows = operators.CorpusFilters.decontaminateKSweep(spark, sf)
+      .collect().sortBy(_.getAs[Long]("gram_k"))
+    assert(rows.map(_.getAs[Long]("gram_k")).toSeq == Seq(4L, 8L, 13L))
+    // monotone blast radius: a (K+1)-gram match implies a K-gram match
+    // at the same position, so docs-touched and matched-gram sets only
+    // shrink as K grows (token strips CAN grow per match — wider spans
+    // — so only the doc count is ordered)
+    val docs = rows.map(_.getAs[Long]("n_docs_touched")).toSeq
+    docs.sliding(2).foreach { case Seq(a, b) =>
+      assert(b <= a, s"docs touched rose with K: $docs")
+    }
+    // independent local replay of the K=4 branch over the collected
+    // normalized corpus
+    val toks = Tables.documents(spark, sf)
+      .select(col("doc_id"), operators.TextNorm.norm.as("t"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").toSeq).toMap
+    val k = 4
+    def gramsOf(ws: Seq[String]): Seq[(Int, String)] =
+      (1 to ws.length - (k - 1)).map(p =>
+        p -> ws.slice(p - 1, p + k - 1).mkString(" "))
+    val evalG = toks.filter(_._1 % 101 == 0).values
+      .flatMap(ws => gramsOf(ws).map(_._2)).toSet
+    val hits = toks.filter(_._1 % 101 != 0).toSeq.flatMap { case (id, ws) =>
+      gramsOf(ws).filter(g => evalG.contains(g._2)).map(h => (id, h._1, h._2))
+    }
+    val remPos = hits.flatMap { case (id, p, _) =>
+      (p until p + k).map(t => (id, t)) }.toSet
+    val r4 = rows.head
+    assert(r4.getAs[Long]("n_eval_grams") == evalG.size)
+    assert(r4.getAs[Long]("n_matched_grams") ==
+      hits.map(_._3).distinct.length)
+    assert(r4.getAs[Long]("n_docs_touched") ==
+      hits.map(_._1).distinct.length)
+    assert(r4.getAs[Long]("n_tokens_stripped") == remPos.size)
+  }
 }
