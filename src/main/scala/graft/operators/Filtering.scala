@@ -1270,6 +1270,241 @@ object Filtering {
       .mkString(" UNION ALL ")}) s, dkestq e
     ORDER BY discount_q6"""
 
+  // ------------------------------------------- Kneser-Ney 5-gram filter
+
+  /** 5-gram KN discount D = [[Kn5D]]/[[Kn5Scale]] = 0.5 — deliberately
+    * NOT the trigram gate's 3/4: the single-ratio probability carries a
+    * k⁴ factor in its denominator, and k = 2 (vs 4) buys 4 bits of
+    * llog2 operand headroom (measured: max D₅ at sf0.1 is 2^42.8 with
+    * k = 4 — past the 2^41 exactness bound — and 2^38.8 with k = 2).
+    * The DISCOUNT itself is tuned by `kn_discount_sweep`, not here.
+    */
+  private val Kn5Scale = 2
+  private val Kn5D = 1
+
+  /** Per-document 5-gram occurrences (doc_id, w1..w5, cd) — memoized
+    * like [[knTriDoc]]: the largest intermediate of the 5-gram family,
+    * read by the filter's scoring join and the maintainer's partials.
+    */
+  private[graft] def kn5Doc(s: SparkSession, dir: String): DataFrame =
+    graft.Memo.cached(s, "kn5_pentadoc", dir) {
+      val ws = split(norm, " ")
+      Tables.documents(s, dir)
+        .select(col("doc_id"), ws.as("ws"))
+        .filter(size(col("ws")) >= 5)
+        .withColumn("i", explode(sequence(lit(1), size(col("ws")) - 4)))
+        .select(col("doc_id") +: (1 to 5).map(j =>
+          element_at(col("ws"), col("i") + (j - 1)).as(s"w$j")): _*)
+        .groupBy("doc_id", "w1", "w2", "w3", "w4", "w5")
+        .agg(count(lit(1)).as("cd"))
+    }
+
+  /** The corpus 5-gram type/count table (w1..w5, c) — the ONE table the
+    * streaming maintainer keeps as state; every lower-order KN
+    * statistic derives from it.
+    */
+  private[graft] def kn5Types(s: SparkSession, dir: String): DataFrame =
+    graft.Memo.cached(s, "kn5_types", dir)(
+      kn5Doc(s, dir).groupBy("w1", "w2", "w3", "w4", "w5")
+        .agg(sum(col("cd")).as("c")))
+
+  /** Gate: per-document interpolated Kneser-Ney 5-GRAM cross-entropy —
+    * `doc_ppl_kn` at the order CCNet's shipped KenLM filter uses. The
+    * trigram gate's type-table derivation generalizes verbatim, two
+    * orders up: from the one 5-gram type table,
+    *
+    *   c₁₂₃₄ = Σ_w5 c, M₄ = N1+(w1w2w3w4·)       (raw context)
+    *   A₄ = N1+(·w2w3w4w5); B₄ = N1+(·w2w3w4·); H₄ = N1+(w2w3w4·)
+    *   A₃ = N1+(·w3w4w5);   B₃ = N1+(·w3w4·);   H₃ = N1+(w3w4·)
+    *   A₂ = N1+(·w4w5);     B₂ = N1+(·w4·);     H₂ = N1+(w4·)
+    *   C₁ = N1+(·w5);       G  = N1+(··)
+    *
+    * (each A-table computed over the DISTINCT type set of the order
+    * above — the textbook continuation-count recursion), and with the
+    * rational discount d/k every interpolation collapses to one
+    * integer ratio:
+    *
+    *   N₂ = max(kA₂−d, 0)·G  + d·H₂·C₁          D₂ = k·B₂·G
+    *   N₃ = max(kA₃−d, 0)·D₂ + d·H₃·N₂          D₃ = k·B₃·D₂
+    *   N₄ = max(kA₄−d, 0)·D₃ + d·H₄·N₃          D₄ = k·B₄·D₃
+    *   N₅ = max(kc−d, 0)·D₄  + d·M₄·N₄          D₅ = k·c₁₂₃₄·D₄
+    *
+    * nll per occurrence = llog2(D₅) − llog2(N₅). Same flag contract as
+    * the trigram gate. Operand bound: D₅ = k⁴·c₁₂₃₄·B₄·B₃·B₂·G < 2^41
+    * for llog2 exactness (measured 2^38.8 at sf0.1 with k = 2); at
+    * production corpus sizes rescale each ratio by its GCD or a common
+    * shift (type counts are replication-invariant — only the raw
+    * c₁₂₃₄ grows with duplicated data).
+    *
+    * Scale: eight gram-keyed aggregations with map-side combine over
+    * the type table (each strictly smaller than the last), one
+    * broadcast scalar, and the one genuinely big join — doc-5-grams ⋈
+    * LM on the 5-gram key, the `doc_ppl` shape.
+    */
+  def docPplKn5(s: SparkSession, dir: String): DataFrame =
+    kn5Report(s, dir, kn5Types(s, dir))
+
+  /** The 5-gram KN report over ANY type table (w1..w5, c) — shared by
+    * the batch gate and the maintained-state read (stream_kn5_maintain)
+    * so the streaming gate shares this oracle.
+    */
+  private[graft] def kn5Report(s: SparkSession, dir: String,
+                               types: DataFrame): DataFrame = {
+    val k = Kn5Scale.toLong
+    val d = Kn5D.toLong
+    val ctx = types.groupBy("w1", "w2", "w3", "w4")
+      .agg(sum(col("c")).as("c1234"), countDistinct(col("w5")).as("m4"))
+    val a4T = types.groupBy("w2", "w3", "w4", "w5")
+      .agg(countDistinct(col("w1")).as("a4"))
+    val b4T = a4T.groupBy("w2", "w3", "w4")
+      .agg(sum(col("a4")).as("b4"), countDistinct(col("w5")).as("h4"))
+    val a3T = a4T.groupBy("w3", "w4", "w5")
+      .agg(countDistinct(col("w2")).as("a3"))
+    val b3T = a3T.groupBy("w3", "w4")
+      .agg(sum(col("a3")).as("b3"), countDistinct(col("w5")).as("h3"))
+    val a2T = a3T.groupBy("w4", "w5")
+      .agg(countDistinct(col("w3")).as("a2"))
+    val b2T = a2T.groupBy("w4")
+      .agg(sum(col("a2")).as("b2"), countDistinct(col("w5")).as("h2"))
+    val c1T = a2T.groupBy("w5").agg(countDistinct(col("w4")).as("c1"))
+    val gT = a2T.agg(count(lit(1)).as("g"))
+    val lm = types
+      .join(ctx, Seq("w1", "w2", "w3", "w4"))
+      .join(a4T, Seq("w2", "w3", "w4", "w5"))
+      .join(b4T, Seq("w2", "w3", "w4"))
+      .join(a3T, Seq("w3", "w4", "w5"))
+      .join(b3T, Seq("w3", "w4"))
+      .join(a2T, Seq("w4", "w5"))
+      .join(b2T, Seq("w4"))
+      .join(c1T, Seq("w5"))
+      .crossJoin(broadcast(gT))
+      .withColumn("n2",
+        greatest(lit(k) * col("a2") - d, lit(0L)) * col("g") +
+          lit(d) * col("h2") * col("c1"))
+      .withColumn("d2", lit(k) * col("b2") * col("g"))
+      .withColumn("n3",
+        greatest(lit(k) * col("a3") - d, lit(0L)) * col("d2") +
+          lit(d) * col("h3") * col("n2"))
+      .withColumn("d3", lit(k) * col("b3") * col("d2"))
+      .withColumn("n4",
+        greatest(lit(k) * col("a4") - d, lit(0L)) * col("d3") +
+          lit(d) * col("h4") * col("n3"))
+      .withColumn("d4", lit(k) * col("b4") * col("d3"))
+      .withColumn("n5",
+        greatest(lit(k) * col("c") - d, lit(0L)) * col("d4") +
+          lit(d) * col("m4") * col("n4"))
+      .withColumn("d5", lit(k) * col("c1234") * col("d4"))
+      .select(col("w1"), col("w2"), col("w3"), col("w4"), col("w5"),
+        (expr(llog2("d5")) - expr(llog2("n5"))).as("nb"))
+    val perDoc = kn5Doc(s, dir)
+      .join(lm, Seq("w1", "w2", "w3", "w4", "w5"))
+      .groupBy("doc_id")
+      .agg(sum(col("cd")).as("n_fivegrams"),
+        sum(col("cd") * col("nb")).as("nll"))
+      .withColumn("avg_nll",
+        expr("cast((nll - (nll % n_fivegrams)) div n_fivegrams as bigint)"))
+    val mean = perDoc.agg(count(lit(1)).as("nd"),
+      sum(col("avg_nll")).as("sa"))
+    perDoc.crossJoin(broadcast(mean))
+      .select(col("doc_id"), col("n_fivegrams"), col("nll"), col("avg_nll"),
+        when(col("avg_nll") * col("nd") > col("sa"), 1L).otherwise(0L)
+          .as("flagged"))
+      .orderBy("doc_id")
+  }
+
+  val docPplKn5Sql: String = {
+    val k = Kn5Scale
+    val d = Kn5D
+    s"""
+    WITH k5n AS (SELECT doc_id, string_split($normSql, ' ') AS ws
+                 FROM documents),
+    k5g AS (SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2, ws[i + 2] AS w3,
+              ws[i + 3] AS w4, ws[i + 4] AS w5
+            FROM (SELECT doc_id, ws,
+                    unnest(generate_series(1, len(ws) - 4)) AS i
+                  FROM k5n WHERE len(ws) >= 5)),
+    k5d AS MATERIALIZED (
+      SELECT doc_id, w1, w2, w3, w4, w5, count(*) AS cd
+      FROM k5g GROUP BY ALL),
+    k5t AS MATERIALIZED (
+      SELECT w1, w2, w3, w4, w5, CAST(sum(cd) AS BIGINT) AS c
+      FROM k5d GROUP BY ALL),
+    k5ctx AS MATERIALIZED (
+      SELECT w1, w2, w3, w4, CAST(sum(c) AS BIGINT) AS c1234,
+        count(DISTINCT w5) AS m4
+      FROM k5t GROUP BY ALL),
+    k5a4 AS MATERIALIZED (
+      SELECT w2, w3, w4, w5, count(DISTINCT w1) AS a4
+      FROM k5t GROUP BY ALL),
+    k5b4 AS MATERIALIZED (
+      SELECT w2, w3, w4, CAST(sum(a4) AS BIGINT) AS b4,
+        count(DISTINCT w5) AS h4
+      FROM k5a4 GROUP BY ALL),
+    k5a3 AS MATERIALIZED (
+      SELECT w3, w4, w5, count(DISTINCT w2) AS a3
+      FROM k5a4 GROUP BY ALL),
+    k5b3 AS MATERIALIZED (
+      SELECT w3, w4, CAST(sum(a3) AS BIGINT) AS b3,
+        count(DISTINCT w5) AS h3
+      FROM k5a3 GROUP BY ALL),
+    k5a2 AS MATERIALIZED (
+      SELECT w4, w5, count(DISTINCT w3) AS a2
+      FROM k5a3 GROUP BY ALL),
+    k5b2 AS MATERIALIZED (
+      SELECT w4, CAST(sum(a2) AS BIGINT) AS b2,
+        count(DISTINCT w5) AS h2
+      FROM k5a2 GROUP BY ALL),
+    k5c1 AS MATERIALIZED (
+      SELECT w5, count(DISTINCT w4) AS c1 FROM k5a2 GROUP BY ALL),
+    k5gt AS MATERIALIZED (SELECT count(*) AS g FROM k5a2),
+    k5lm AS (
+      SELECT w1, w2, w3, w4, w5,
+        ${llog2("d5")} - ${llog2("n5")} AS nb
+      FROM (
+        SELECT t.w1, t.w2, t.w3, t.w4, t.w5,
+          greatest($k * t.c - $d, 0) * d4 + $d * k5ctx.m4 * n4 AS n5,
+          $k * k5ctx.c1234 * d4 AS d5
+        FROM (
+          SELECT t.*, k5b4.b4, k5b4.h4, k5a4.a4,
+            greatest($k * k5a4.a4 - $d, 0)
+                * ($k * k5b3.b3 * ($k * k5b2.b2 * k5gt.g))
+              + $d * k5b4.h4
+                * (greatest($k * k5a3.a3 - $d, 0)
+                    * ($k * k5b2.b2 * k5gt.g)
+                  + $d * k5b3.h3
+                    * (greatest($k * k5a2.a2 - $d, 0) * k5gt.g
+                      + $d * k5b2.h2 * k5c1.c1)) AS n4,
+            $k * k5b4.b4 * ($k * k5b3.b3 * ($k * k5b2.b2 * k5gt.g)) AS d4
+          FROM k5t t
+          JOIN k5a4 ON t.w2 = k5a4.w2 AND t.w3 = k5a4.w3
+            AND t.w4 = k5a4.w4 AND t.w5 = k5a4.w5
+          JOIN k5b4 ON t.w2 = k5b4.w2 AND t.w3 = k5b4.w3
+            AND t.w4 = k5b4.w4
+          JOIN k5a3 ON t.w3 = k5a3.w3 AND t.w4 = k5a3.w4
+            AND t.w5 = k5a3.w5
+          JOIN k5b3 ON t.w3 = k5b3.w3 AND t.w4 = k5b3.w4
+          JOIN k5a2 ON t.w4 = k5a2.w4 AND t.w5 = k5a2.w5
+          JOIN k5b2 ON t.w4 = k5b2.w4
+          JOIN k5c1 ON t.w5 = k5c1.w5, k5gt) t
+        JOIN k5ctx ON t.w1 = k5ctx.w1 AND t.w2 = k5ctx.w2
+          AND t.w3 = k5ctx.w3 AND t.w4 = k5ctx.w4) x),
+    k5pd AS (
+      SELECT doc_id, CAST(sum(cd) AS BIGINT) AS n_fivegrams,
+        CAST(sum(cd * nb) AS BIGINT) AS nll
+      FROM k5d JOIN k5lm USING (w1, w2, w3, w4, w5) GROUP BY doc_id),
+    k5p2 AS MATERIALIZED (
+      SELECT doc_id, n_fivegrams, nll,
+        CAST((nll - (nll % n_fivegrams)) // n_fivegrams AS BIGINT)
+          AS avg_nll
+      FROM k5pd),
+    k5mn AS (SELECT count(*) AS nd, CAST(sum(avg_nll) AS BIGINT) AS sa
+             FROM k5p2)
+    SELECT doc_id, n_fivegrams, nll, avg_nll,
+      CAST(CASE WHEN avg_nll * nd > sa THEN 1 ELSE 0 END AS BIGINT)
+        AS flagged
+    FROM k5p2, k5mn ORDER BY doc_id"""
+  }
+
   // ------------------------------------------------ model-grade language ID
 
   /** Hashed char-trigram buckets of the langid classifier (+ bias 0). */
@@ -1606,6 +1841,7 @@ object Filtering {
     "dsir_domain" -> (dsirDomain _),
     "doc_ppl" -> (docPpl _),
     "doc_ppl_kn" -> (docPplKn _),
+    "doc_ppl_kn5" -> (docPplKn5 _),
     "kn_discount_sweep" -> (knDiscountSweep _))
 
   val oracles: Map[String, String] = Map(
@@ -1620,5 +1856,6 @@ object Filtering {
     "dsir_domain" -> dsirDomainSql,
     "doc_ppl" -> docPplSql,
     "doc_ppl_kn" -> docPplKnSql,
+    "doc_ppl_kn5" -> docPplKn5Sql,
     "kn_discount_sweep" -> knDiscountSweepSql)
 }

@@ -358,6 +358,19 @@ object StreamScenarios {
     F.knReport(s, dir, types)
   }
 
+  /** Batch-mode run of the streaming 5-GRAM count maintainer — the
+    * trigram maintainer two orders up, with the CCNet-order KN report
+    * recomputed from the MAINTAINED type counts; shares `doc_ppl_kn5`'s
+    * oracle.
+    */
+  def streamKn5Maintain(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val F = graft.operators.Filtering
+    val types = StreamKn5.counts(
+        F.kn5Types(s, dir).as[Kn5Part]).toDF()
+    F.kn5Report(s, dir, types)
+  }
+
   /** Batch-mode run of the streaming DSIR importance-model maintainer:
     * per-batch raw bucket partials folded into the count state, then the
     * read-time smoothing + fixed-point log-ratio report — the SAME
@@ -587,6 +600,7 @@ object StreamScenarios {
     "stream_minhash_maintain" -> (streamMinhashMaintain _),
     "stream_lm_maintain" -> (streamLmMaintain _),
     "stream_kn_maintain" -> (streamKnMaintain _),
+    "stream_kn5_maintain" -> (streamKn5Maintain _),
     "stream_dsir_maintain" -> (streamDsirMaintain _),
     "stream_profile_maintain" -> (streamProfileMaintain _),
     "stream_asof" -> (streamAsofMaintain _),
@@ -609,6 +623,7 @@ object StreamScenarios {
     "stream_minhash_maintain" -> graft.operators.Dedup.minhashSigsSql,
     "stream_lm_maintain" -> graft.operators.TrainPrep.textBigramLmSql,
     "stream_kn_maintain" -> graft.operators.Filtering.docPplKnSql,
+    "stream_kn5_maintain" -> graft.operators.Filtering.docPplKn5Sql,
     "stream_dsir_maintain" -> graft.operators.Filtering.dsirBucketsSql,
     "stream_profile_maintain" -> graft.operators.Quality.profileStatsSql,
     "stream_asof" -> graft.operators.AsOf.asofJoinSql,

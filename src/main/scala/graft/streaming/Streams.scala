@@ -1482,6 +1482,41 @@ object StreamCluster {
   */
 case class KnPart(w1: String, w2: String, w3: String, c: Long)
 
+/** One micro-batch 5-gram-count partial ([[KnPart]] two orders up). */
+case class Kn5Part(w1: String, w2: String, w3: String, w4: String,
+                   w5: String, c: Long)
+
+/** One maintained 5-gram count. */
+case class Kn5Count(w1: String, w2: String, w3: String, w4: String,
+                    w5: String, c: Long)
+
+/** Streaming 5-gram-LM count maintenance — [[StreamKn]] two orders up,
+  * for the CCNet-order filter (`doc_ppl_kn5`). Identical argument: the
+  * 5-gram KN model's every lower-order statistic (the A/B/H continuation
+  * tables down to N1+(··)) derives from the one 5-gram type table, so
+  * one long of state per distinct 5-gram maintains the whole model; the
+  * read layer re-derives and shares the batch gate's report and oracle.
+  */
+object StreamKn5 {
+
+  def counts(parts: Dataset[Kn5Part]): Dataset[Kn5Count] = {
+    import parts.sparkSession.implicits._
+    parts
+      .groupByKey(o => (o.w1, o.w2, o.w3, o.w4, o.w5))
+      .flatMapGroupsWithState[Kn5Count, Kn5Count](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (k: (String, String, String, String, String),
+         rows: Iterator[Kn5Part], state: GroupState[Kn5Count]) =>
+          var add = 0L
+          rows.foreach(add += _.c)
+          val next = Kn5Count(k._1, k._2, k._3, k._4, k._5,
+            state.getOption.map(_.c).getOrElse(0L) + add)
+          state.update(next)
+          Iterator(next)
+      }
+  }
+}
+
 /** One maintained trigram count. */
 case class KnCount(w1: String, w2: String, w3: String, c123: Long)
 

