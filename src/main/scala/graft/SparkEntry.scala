@@ -29,6 +29,7 @@ object SparkEntry {
       operators.TrainPrep.queries ++
       operators.CorpusFilters.queries ++
       operators.Pipeline.queries ++
+      operators.PipelineIncr.queries ++
       operators.Filtering.queries ++
       operators.Dedup.queries ++
       operators.SubstringDedup.queries ++
@@ -77,6 +78,7 @@ object SparkEntry {
       operators.TrainPrep.oracles ++
       operators.CorpusFilters.oracles ++
       operators.Pipeline.oracles ++
+      operators.PipelineIncr.oracles ++
       operators.Filtering.oracles ++
       operators.Dedup.oracles ++
       operators.SubstringDedup.oracles ++

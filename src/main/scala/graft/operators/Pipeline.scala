@@ -72,6 +72,75 @@ object Pipeline {
     * dedup hand-off would never be exercised. */
   private val PlantShift = 100000L
 
+  /** The stage-1 Gopher rule frame over a `(doc_id, lang, text, …)`
+    * frame: the deterministic quality augmentation (keyed on
+    * `doc_id % PlantShift` so planted copies share their source's
+    * verdict) plus the five rule columns and the combined `keep` — ONE
+    * definition shared by the full-load pipeline and the incremental
+    * twin ([[PipelineIncr]]), so the two gates' quality stages cannot
+    * drift.
+    */
+  private[operators] def gopherFrame(u: DataFrame): DataFrame = {
+    val augId = col("doc_id") % PlantShift
+    val aug = concat(norm,
+      when(augId % 7 === 0, lit(" # # # # # #")).otherwise(lit("")),
+      when(augId % 13 === 0, lit(" 0 1 2 3 4 5 6 7 8 9 10 11"))
+        .otherwise(lit("")))
+    val ws = split(col("aug"), " ")
+    val n = size(ws)
+    val meanW = length(regexp_replace(col("aug"), " ", ""))
+      .cast("double") / n
+    val symRatio = size(filter(ws, w => w === "#")).cast("double") / n
+    val alphaFrac = size(filter(ws, w => w.rlike("[a-z]")))
+      .cast("double") / n
+    val stopHits = size(filter(ws, w => w.isin(Stoplists.en: _*)))
+    u.withColumn("aug", aug)
+      .withColumn("r_words",
+        n.between(CorpusFilters.RuleMinWords, CorpusFilters.RuleMaxWords))
+      .withColumn("r_mean_len",
+        meanW >= CorpusFilters.RuleMeanLo && meanW <= CorpusFilters.RuleMeanHi)
+      .withColumn("r_symbols", symRatio <= CorpusFilters.RuleSymMax)
+      .withColumn("r_alpha", alphaFrac >= CorpusFilters.RuleAlphaMin)
+      .withColumn("r_stopwords", stopHits >= CorpusFilters.RuleStopMin)
+      .withColumn("keep", col("r_words") && col("r_mean_len") &&
+        col("r_symbols") && col("r_alpha") && col("r_stopwords"))
+  }
+
+  /** The matching DuckDB rule CTE pair over a source CTE exposing
+    * `(doc_id, lang, text)` — [[gopherFrame]]'s oracle twin, emitting
+    * `${p}tok` (with `n_tokens` and the augmented text) and `${p}qf`
+    * (the rule booleans). Shared by both pipeline oracles.
+    */
+  private[operators] def gopherCtes(src: String, p: String): String = {
+    val stop = Stoplists.en.map("'" + _ + "'").mkString(",")
+    s"""
+    ${p}tok AS MATERIALIZED (
+      SELECT doc_id, lang, text,
+        CAST(len(string_split($normSql, ' ')) AS BIGINT) AS n_tokens,
+        $normSql
+          || CASE WHEN (doc_id % $PlantShift) % 7 = 0
+               THEN ' # # # # # #' ELSE '' END
+          || CASE WHEN (doc_id % $PlantShift) % 13 = 0
+               THEN ' 0 1 2 3 4 5 6 7 8 9 10 11' ELSE '' END AS aug
+      FROM $src),
+    ${p}qf AS MATERIALIZED (
+      SELECT doc_id, lang, text, n_tokens,
+        len(ws) BETWEEN ${CorpusFilters.RuleMinWords}
+          AND ${CorpusFilters.RuleMaxWords} AS r_words,
+        CAST(length(replace(aug, ' ', '')) AS DOUBLE) / len(ws)
+            >= ${CorpusFilters.RuleMeanLo}
+          AND CAST(length(replace(aug, ' ', '')) AS DOUBLE) / len(ws)
+            <= ${CorpusFilters.RuleMeanHi} AS r_mean_len,
+        CAST(len(list_filter(ws, w -> w = '#')) AS DOUBLE) / len(ws)
+          <= ${CorpusFilters.RuleSymMax} AS r_symbols,
+        CAST(len(list_filter(ws, w -> regexp_matches(w, '[a-z]')))
+          AS DOUBLE) / len(ws) >= ${CorpusFilters.RuleAlphaMin} AS r_alpha,
+        len(list_filter(ws, w -> w IN ($stop)))
+          >= ${CorpusFilters.RuleStopMin} AS r_stopwords
+      FROM (SELECT doc_id, lang, text, n_tokens, aug,
+              string_split(aug, ' ') AS ws FROM ${p}tok))"""
+  }
+
   def pipelineE2e(s: SparkSession, dir: String): DataFrame =
     graft.Memo.cached(s, "pipeline_e2e", dir) {
     val keepN = TrainPrep.TruncHead + TrainPrep.TruncTail
@@ -103,30 +172,7 @@ object Pipeline {
 
     // ---- stage 1: Gopher rule suite (quality_rules' thresholds); the
     // augmentation keys on the ORIGINAL id so copies share verdicts
-    val augId = col("doc_id") % PlantShift
-    val aug = concat(norm,
-      when(augId % 7 === 0, lit(" # # # # # #")).otherwise(lit("")),
-      when(augId % 13 === 0, lit(" 0 1 2 3 4 5 6 7 8 9 10 11"))
-        .otherwise(lit("")))
-    val ws = split(col("aug"), " ")
-    val n = size(ws)
-    val meanW = length(regexp_replace(col("aug"), " ", ""))
-      .cast("double") / n
-    val symRatio = size(filter(ws, w => w === "#")).cast("double") / n
-    val alphaFrac = size(filter(ws, w => w.rlike("[a-z]")))
-      .cast("double") / n
-    val stopHits = size(filter(ws, w => w.isin(Stoplists.en: _*)))
-    val qf = u.withColumn("aug", aug)
-      .withColumn("r_words",
-        n.between(CorpusFilters.RuleMinWords, CorpusFilters.RuleMaxWords))
-      .withColumn("r_mean_len",
-        meanW >= CorpusFilters.RuleMeanLo && meanW <= CorpusFilters.RuleMeanHi)
-      .withColumn("r_symbols", symRatio <= CorpusFilters.RuleSymMax)
-      .withColumn("r_alpha", alphaFrac >= CorpusFilters.RuleAlphaMin)
-      .withColumn("r_stopwords", stopHits >= CorpusFilters.RuleStopMin)
-      .withColumn("keep", col("r_words") && col("r_mean_len") &&
-        col("r_symbols") && col("r_alpha") && col("r_stopwords"))
-      .persist()
+    val qf = gopherFrame(u).persist()
     val s1 = qf.filter(col("keep"))
       .select(col("doc_id"), col("lang"), col("text"), col("n_tokens"))
       .persist()
@@ -305,7 +351,6 @@ object Pipeline {
   }
 
   val pipelineE2eSql: String = {
-    val stop = Stoplists.en.map("'" + _ + "'").mkString(",")
     val keepN = TrainPrep.TruncHead + TrainPrep.TruncTail
     val spanHi = CorpusFilters.SpanK - 1
     s"""
@@ -316,31 +361,7 @@ object Pipeline {
       UNION ALL
       SELECT doc_id + $PlantShift, lang, text FROM documents
       WHERE doc_id % 5 = 0),
-    pe_tok AS MATERIALIZED (
-      SELECT doc_id, lang, text,
-        CAST(len(string_split($normSql, ' ')) AS BIGINT) AS n_tokens,
-        $normSql
-          || CASE WHEN (doc_id % $PlantShift) % 7 = 0
-               THEN ' # # # # # #' ELSE '' END
-          || CASE WHEN (doc_id % $PlantShift) % 13 = 0
-               THEN ' 0 1 2 3 4 5 6 7 8 9 10 11' ELSE '' END AS aug
-      FROM pe_u),
-    pe_qf AS MATERIALIZED (
-      SELECT doc_id, lang, text, n_tokens,
-        len(ws) BETWEEN ${CorpusFilters.RuleMinWords}
-          AND ${CorpusFilters.RuleMaxWords} AS r_words,
-        CAST(length(replace(aug, ' ', '')) AS DOUBLE) / len(ws)
-            >= ${CorpusFilters.RuleMeanLo}
-          AND CAST(length(replace(aug, ' ', '')) AS DOUBLE) / len(ws)
-            <= ${CorpusFilters.RuleMeanHi} AS r_mean_len,
-        CAST(len(list_filter(ws, w -> w = '#')) AS DOUBLE) / len(ws)
-          <= ${CorpusFilters.RuleSymMax} AS r_symbols,
-        CAST(len(list_filter(ws, w -> regexp_matches(w, '[a-z]')))
-          AS DOUBLE) / len(ws) >= ${CorpusFilters.RuleAlphaMin} AS r_alpha,
-        len(list_filter(ws, w -> w IN ($stop)))
-          >= ${CorpusFilters.RuleStopMin} AS r_stopwords
-      FROM (SELECT doc_id, lang, text, n_tokens, aug,
-              string_split(aug, ' ') AS ws FROM pe_tok)),
+    ${gopherCtes("pe_u", "pe_")},
     pe_s1 AS MATERIALIZED (
       SELECT doc_id, lang, text, n_tokens FROM pe_qf
       WHERE r_words AND r_mean_len AND r_symbols AND r_alpha

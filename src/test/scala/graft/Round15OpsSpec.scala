@@ -110,4 +110,65 @@ class Round15OpsSpec extends SparkSpec {
       .agg(max(col("c1234"))).head().getLong(0)
     assert(maxD5 > 0)
   }
+
+  private def detail(r: Row): Map[String, Long] =
+    r.getAs[String]("detail").split(",")
+      .map(_.split("=")).map(kv => kv(0) -> kv(1).toLong).toMap
+
+  test("pipeline_e2e_incr: stage conservation and hand-off equality") {
+    val lg = operators.PipelineIncr.pipelineE2eIncr(spark, sf).collect()
+    assert(lg.length == 9)
+    assert(lg.map(_.getAs[String]("stage")).toSeq == Seq("arrive",
+      "quality", "dedup_exact", "near_dedup", "decontaminate", "split",
+      "truncate", "pack", "shard"))
+    for (r <- lg) {
+      assert(r.getAs[Long]("docs_in") ==
+        r.getAs[Long]("docs_kept") + r.getAs[Long]("docs_dropped"))
+      assert(r.getAs[Long]("docs_dropped") >= 0)
+    }
+    // hand-off: each stage consumes exactly the previous stage's output
+    for (Seq(a, b) <- lg.toSeq.sliding(2)) {
+      assert(b.getAs[Long]("docs_in") == a.getAs[Long]("docs_kept"),
+        s"doc hand-off broke at ${b.getAs[String]("stage")}")
+      assert(b.getAs[Long]("tokens_in") == a.getAs[Long]("tokens_out"),
+        s"token hand-off broke at ${b.getAs[String]("stage")}")
+    }
+    // the arriving batch is real and the base store is nonempty
+    assert(lg.head.getAs[Long]("docs_in") > 0)
+    val d0 = detail(lg.head)
+    assert(d0("base_docs") > 0 && d0("base_tokens") > 0)
+    // exact-dedup attribution: drops = dup_of_base + dup_in_batch
+    val d2 = detail(lg(2))
+    assert(lg(2).getAs[Long]("docs_dropped") ==
+      d2("dup_of_base") + d2("dup_in_batch"))
+    // token totals conserve across the pack/shard tail
+    assert(lg(7).getAs[Long]("tokens_out") ==
+      lg(6).getAs[Long]("tokens_out"))
+    assert(lg(8).getAs[Long]("tokens_out") ==
+      lg(6).getAs[Long]("tokens_out"))
+  }
+
+  test("pipeline_e2e_incr: replaying an already-applied batch is a " +
+    "no-op delta (idempotence)") {
+    // base = EVERYTHING (the store after the batch was applied once);
+    // the same mod-5 batch arrives again — every quality survivor's
+    // hash is already in the base index, so the exact stage drops all
+    // of them and the delta is empty end to end
+    val lg = operators.PipelineIncr.build(spark, sf,
+        _ => lit(true), c => c % 5 === 4)
+      .collect()
+    val byStage = lg.map(r => r.getAs[String]("stage") -> r).toMap
+    val ex = byStage("dedup_exact")
+    assert(ex.getAs[Long]("docs_kept") == 0L,
+      s"replayed batch must fully drop at exact dedup: $ex")
+    assert(detail(ex)("dup_of_base") == ex.getAs[Long]("docs_in"),
+      "every replayed doc must classify dup_of_base")
+    for (st <- Seq("near_dedup", "decontaminate", "split", "truncate",
+      "pack", "shard")) {
+      val r = byStage(st)
+      assert(r.getAs[Long]("docs_kept") == 0L &&
+        r.getAs[Long]("tokens_out") == 0L,
+        s"no-op delta leaked rows at $st: $r")
+    }
+  }
 }
