@@ -781,7 +781,102 @@ object Multimodal {
     FROM mmg ORDER BY doc_id"""
   }
 
+  // -------------------------------------------- multimodal shard layout
+
+  /** Gate: the MULTIMODAL-AWARE shard plan — `shard_plan`'s
+    * token-balanced write layout where the balance counts VISION
+    * tokens, not just text (the LLaVA-training layout: an image-text
+    * record costs `n_words + n_images × [[VisionTokens]]` sequence
+    * positions, and a shard plan balanced on text tokens alone skews
+    * image-heavy shards ~[[VisionTokens]]× per image). Composes
+    * [[mmInterleave]]'s exact token accounting (the SAME definition —
+    * the two gates cannot drift) with [[TrainPrep.shardPlan]]'s layout
+    * discipline: deterministic md5 shuffle order (salt `:mm`), shard
+    * size ⌈total/[[TrainPrep.OutShards]]⌉, whole records never split,
+    * start-offset membership, per-shard extents plus text/image token
+    * attribution and the order-free additive member digest.
+    *
+    * Scale: identical to `shard_plan` — one accounting map over the
+    * scan, a scalar broadcast, [[DistRank.runningSum]] (two-phase, no
+    * global window), O(shards) output.
+    */
+  def mmShardPlan(s: SparkSession, dir: String): DataFrame = {
+    val docs = mmInterleave(s, dir)
+      .select(col("doc_id"), col("n_images"), col("n_text_tokens"),
+        col("n_image_tokens"), col("n_total_tokens"))
+      .withColumn("h", expr("cast(conv(substring(md5(concat(" +
+        "cast(doc_id as string), ':mm')), 1, 8), 16, 10) as bigint)"))
+    val ssize = docs.agg(
+      expr(s"(sum(n_total_tokens) + ${TrainPrep.OutShards - 1})" +
+        s" div ${TrainPrep.OutShards}").as("ssize"))
+    val cum = DistRank.runningSum(
+      docs.withColumn("__all", lit(0L)),
+      "__all", Seq(col("h"), col("doc_id")), "doc_id",
+      col("n_total_tokens"), "cs")
+    cum.crossJoin(broadcast(ssize))
+      .withColumn("shard_id", expr("(cs - n_total_tokens) div ssize"))
+      .groupBy("shard_id")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_images")).as("n_images"),
+        sum(col("n_text_tokens")).as("n_text_tokens"),
+        sum(col("n_image_tokens")).as("n_image_tokens"),
+        sum(col("n_total_tokens")).as("n_tokens"),
+        min(col("cs") - col("n_total_tokens")).as("start_offset"),
+        max(col("cs")).as("end_offset"),
+        sum(expr("cast(conv(substring(md5(concat(cast(doc_id as string)," +
+          " ':ck')), 1, 8), 16, 10) as bigint)")).as("member_check"))
+      .orderBy("shard_id")
+  }
+
+  val mmShardPlanSql: String = {
+    import graft.operators.TextNorm.normSql
+    val shards = TrainPrep.OutShards
+    s"""
+    WITH mmsw AS (
+      SELECT doc_id, len(string_split($normSql, ' ')) AS n_words
+      FROM documents),
+    mmsp AS (
+      SELECT doc_id, n_words,
+        CASE WHEN doc_id % 3 = 0 THEN
+          list_sort(list_distinct([doc_id % (n_words + 1),
+                                   (doc_id * 7) % (n_words + 1)]))
+        ELSE [] END AS ps
+      FROM mmsw),
+    mmsd AS (
+      SELECT doc_id,
+        CAST(len(ps) AS BIGINT) AS n_images,
+        CAST(n_words AS BIGINT) AS n_text_tokens,
+        CAST(len(ps) * $VisionTokens AS BIGINT) AS n_image_tokens,
+        CAST(n_words + len(ps) * $VisionTokens AS BIGINT)
+          AS n_total_tokens,
+        ('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':mm'),
+          1, 8))::BIGINT AS h
+      FROM mmsp),
+    mmst AS (
+      SELECT CAST((sum(n_total_tokens) + ${shards - 1}) // $shards
+        AS BIGINT) AS ssize
+      FROM mmsd),
+    mmsc AS (
+      SELECT doc_id, n_images, n_text_tokens, n_image_tokens,
+        n_total_tokens,
+        CAST(sum(n_total_tokens) OVER (ORDER BY h, doc_id
+          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cs
+      FROM mmsd)
+    SELECT CAST((cs - n_total_tokens) // ssize AS BIGINT) AS shard_id,
+      count(*) AS n_docs,
+      CAST(sum(n_images) AS BIGINT) AS n_images,
+      CAST(sum(n_text_tokens) AS BIGINT) AS n_text_tokens,
+      CAST(sum(n_image_tokens) AS BIGINT) AS n_image_tokens,
+      CAST(sum(n_total_tokens) AS BIGINT) AS n_tokens,
+      CAST(min(cs - n_total_tokens) AS BIGINT) AS start_offset,
+      CAST(max(cs) AS BIGINT) AS end_offset,
+      CAST(sum(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':ck'),
+        1, 8))::BIGINT) AS BIGINT) AS member_check
+    FROM mmsc, mmst GROUP BY 1 ORDER BY shard_id"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_shard_plan" -> (mmShardPlan _),
     "mm_interleave" -> (mmInterleave _),
     "multimodal_phash" -> (phashImages(_, _)),
     "multimodal_phash_pairs" -> (phashPairs _),
@@ -802,6 +897,7 @@ object Multimodal {
     "multimodal_resample" -> (resampleAudio(_, _)))
 
   val oracles: Map[String, String] = Map(
+    "mm_shard_plan" -> mmShardPlanSql,
     "mm_interleave" -> mmInterleaveSql,
     "multimodal_phash" -> phashSql,
     "multimodal_phash_pairs" -> phashPairsSql,

@@ -148,6 +148,37 @@ class Round15OpsSpec extends SparkSpec {
       lg(6).getAs[Long]("tokens_out"))
   }
 
+  test("mm_shard_plan: contiguous extents, vision-aware balance, exact " +
+    "token attribution") {
+    val sh = operators.Multimodal.mmShardPlan(spark, sf).collect()
+      .sortBy(_.getAs[Long]("shard_id"))
+    assert(sh.nonEmpty)
+    // per shard: total = text + image attribution, extent = token mass
+    for (r <- sh) {
+      assert(r.getAs[Long]("n_tokens") ==
+        r.getAs[Long]("n_text_tokens") + r.getAs[Long]("n_image_tokens"))
+      assert(r.getAs[Long]("end_offset") - r.getAs[Long]("start_offset")
+        == r.getAs[Long]("n_tokens"))
+    }
+    // shards are contiguous token ranges starting at 0
+    assert(sh.head.getAs[Long]("start_offset") == 0L)
+    for (Seq(a, b) <- sh.toSeq.sliding(2))
+      assert(b.getAs[Long]("start_offset") == a.getAs[Long]("end_offset"))
+    // conservation vs the interleave accounting it composes
+    val tot = operators.Multimodal.mmInterleave(spark, sf)
+      .agg(sum(col("n_total_tokens")), sum(col("n_image_tokens")))
+      .head()
+    assert(sh.map(_.getAs[Long]("n_tokens")).sum == tot.getLong(0))
+    assert(sh.map(_.getAs[Long]("n_image_tokens")).sum == tot.getLong(1))
+    // the balance counts vision tokens: image mass is spread, not
+    // concentrated — no shard carries more than half the image tokens
+    // (at VisionTokens=64 a text-balanced layout concentrates them)
+    val maxImg = sh.map(_.getAs[Long]("n_image_tokens")).max
+    assert(tot.getLong(1) == 0 || maxImg * 2 <= tot.getLong(1) ||
+      sh.length == 1,
+      s"image tokens concentrated: max shard $maxImg of ${tot.getLong(1)}")
+  }
+
   test("pipeline_e2e_incr: replaying an already-applied batch is a " +
     "no-op delta (idempotence)") {
     // base = EVERYTHING (the store after the batch was applied once);
