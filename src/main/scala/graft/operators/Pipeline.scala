@@ -302,9 +302,14 @@ object Pipeline {
       sum(expr("cast(conv(substring(md5(concat(cast(doc_id as string), " +
         "':ck')), 1, 8), 16, 10) as bigint)")).as("chk"))
 
+    // eagerly checkpoint the ONE scalar row: the 9 ledger branches each
+    // re-analyze and re-execute every crossJoined aggregate subtree
+    // otherwise (the PipelineIncr lesson — measured 87 s of ledger
+    // planning there); from the checkpointed leaf they are row reads
     val scalars = aU.crossJoin(aQ).crossJoin(a1).crossJoin(a2)
       .crossJoin(aG).crossJoin(a3).crossJoin(aC).crossJoin(aE)
       .crossJoin(a4)
+      .localCheckpoint(true)
 
     def row(id: Int, name: String, din: Column, dkept: Column,
             tin: Column, tout: Column, detail: Column): DataFrame =

@@ -88,8 +88,11 @@ object PipelineIncr {
     val grams = SubstringDedup.gramsOf(
         docs.select(col("doc_id"), col("text")), spanK)
       .persist()
+    // persisted: the eval gram set feeds BOTH remOf calls (base + batch)
+    // — unpersisted each call re-ran the distinct over the gram frame
     val evalG = grams.filter(col("doc_id") % evalMod === 0)
       .select(col("g")).distinct()
+      .persist()
     val quality = TextOps.qualityDf(s, dir)
 
     // span-strip token counts per doc of an id set (shared stage-4 shape)
@@ -134,6 +137,7 @@ object PipelineIncr {
       .filter(col("lab").isNull || col("win").isNotNull)
       .select(col("doc_id"), col("lang"), col("n_tokens"),
         col("lab").as("cluster"))
+      .persist()
     val bTr = b3.filter(col("doc_id") % evalMod =!= 0)
     val b4 = bTr.join(remOf(bTr.select(col("doc_id"))), Seq("doc_id"), "left")
       .withColumn("n_clean",
@@ -171,18 +175,42 @@ object PipelineIncr {
       .select(col("doc_id"), col("lang"), col("n_tokens"))
       .persist()
 
-    // ---- stage 3: near-dedup over MERGED components (base forest
-    // edges + new edges touching the batch)
+    // ---- stage 3: near-dedup over MERGED components. The merged graph
+    // is base-forest edges + new edges touching the batch — but
+    // re-propagating over the FULL merged pair set would pay a second
+    // corpus-scale component loop per batch (measured: it dominated the
+    // gate). Instead the base components CONTRACT to their maintained
+    // labels (each base component is ONE node, named by its min-id
+    // label — which IS a base doc id), and only the batch-touched
+    // subgraph propagates: min over contracted nodes = min over
+    // {base-part minima} ∪ {batch ids} = the exact merged-component
+    // min, so labels are value-identical to the full propagation (the
+    // oracle replays the full merged reach — hash-equal). This is the
+    // `stream_cluster_maintain` daily-operation shape: state is read,
+    // per-batch work is batch-sized.
     val i2Ids = i2.select(col("doc_id"))
     val mIds = bIds.unionByName(i2Ids)
-    val mPairs = pairs
+    val touched = pairs
       .join(mIds.withColumnRenamed("doc_id", "id_a"), "id_a")
       .join(mIds.withColumnRenamed("doc_id", "id_b"), "id_b")
+      .join(i2Ids.select(col("doc_id").as("id_a"), lit(1).as("ia")),
+        Seq("id_a"), "left")
+      .join(i2Ids.select(col("doc_id").as("id_b"), lit(1).as("ib")),
+        Seq("id_b"), "left")
+      .filter(col("ia").isNotNull || col("ib").isNotNull)
+    val cPairs = touched
+      .join(bLabP.select(col("id").as("id_a"), col("lab").as("la")),
+        Seq("id_a"), "left")
+      .join(bLabP.select(col("id").as("id_b"), col("lab").as("lb")),
+        Seq("id_b"), "left")
+      .select(coalesce(col("la"), col("id_a")).as("id_a"),
+        coalesce(col("lb"), col("id_b")).as("id_b"))
+      .filter(col("id_a") =!= col("id_b"))
       .persist()
-    val mEdges = mPairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .unionByName(mPairs.select(col("id_b").as("src"),
+    val cEdges = cPairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(cPairs.select(col("id_b").as("src"),
         col("id_a").as("dst")))
-    val mLab = Clustering.ccLabels(mEdges)
+    val mLab = Clustering.ccLabels(cEdges)
     val mLabP = mLab.select(col("id"), col("lab")).persist()
     val hasBase = mLabP.join(bIds.withColumnRenamed("doc_id", "id"), "id")
       .select(col("lab")).distinct()
@@ -291,9 +319,14 @@ object PipelineIncr {
         "cast(doc_id as string), ':ck')), 1, 8), 16, 10) as bigint)")),
         lit(0L)).as("chk"))
 
+    // eagerly checkpoint the ONE scalar row: the 9 ledger branches each
+    // re-analyze and re-execute every crossJoined aggregate subtree
+    // otherwise — 9 × 10 deep-plan evaluations, measured 87 s of the
+    // gate's 132 s; from the checkpointed leaf they are row reads
     val scalars = a0.crossJoin(aQ).crossJoin(a1).crossJoin(aN)
       .crossJoin(a2).crossJoin(a3).crossJoin(aC).crossJoin(aE)
       .crossJoin(a4).crossJoin(broadcast(bTot))
+      .localCheckpoint(true)
 
     def row(id: Int, name: String, din: Column, dkept: Column,
             tin: Column, tout: Column, detail: Column): DataFrame =
@@ -335,8 +368,8 @@ object PipelineIncr {
       .orderBy("stage_id")
       .localCheckpoint(true)
 
-    Seq(qf, grams, bH, b2, bPairs, bLabP, b4, iH, iNew, i2, mPairs,
-      mLabP, hasBase, i3c, i3, en).foreach(_.unpersist(false))
+    Seq(qf, grams, evalG, bH, b2, bPairs, bLabP, b3, b4, iH, iNew, i2,
+      cPairs, mLabP, hasBase, i3c, i3, en).foreach(_.unpersist(false))
     bLab.unpersist(false)
     mLab.unpersist(false)
     ledger
