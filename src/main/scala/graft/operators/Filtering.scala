@@ -1412,11 +1412,14 @@ object Filtering {
       .orderBy("doc_id")
   }
 
-  val docPplKn5Sql: String = {
+  /** The 5-gram chain's CTE body (ends in `k5p2(doc_id, n_fivegrams,
+    * nll, avg_nll)`) — shared by the batch/stream oracles and the
+    * order sweep.
+    */
+  private val kn5Ctes: String = {
     val k = Kn5Scale
     val d = Kn5D
-    s"""
-    WITH k5n AS (SELECT doc_id, string_split($normSql, ' ') AS ws
+    s"""k5n AS (SELECT doc_id, string_split($normSql, ' ') AS ws
                  FROM documents),
     k5g AS (SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2, ws[i + 2] AS w3,
               ws[i + 3] AS w4, ws[i + 4] AS w5
@@ -1496,14 +1499,109 @@ object Filtering {
       SELECT doc_id, n_fivegrams, nll,
         CAST((nll - (nll % n_fivegrams)) // n_fivegrams AS BIGINT)
           AS avg_nll
-      FROM k5pd),
+      FROM k5pd)"""
+  }
+
+  val docPplKn5Sql: String = s"""
+    WITH $kn5Ctes,
     k5mn AS (SELECT count(*) AS nd, CAST(sum(avg_nll) AS BIGINT) AS sa
              FROM k5p2)
     SELECT doc_id, n_fivegrams, nll, avg_nll,
       CAST(CASE WHEN avg_nll * nd > sa THEN 1 ELSE 0 END AS BIGINT)
         AS flagged
     FROM k5p2, k5mn ORDER BY doc_id"""
+
+  /** Gate: the KN ORDER tuning table — the model-order knob (the last
+    * knob of the KN family after `kn_discount_sweep`'s discount): per
+    * order ∈ {3, 5}, the corpus totals of that order's per-doc filter
+    * (docs scored, total nll, floor-mean of per-doc averages, docs
+    * flagged by that order's own corpus mean), with the cross-order
+    * FLAG AGREEMENT riding along (docs flagged by both orders / by the
+    * trigram only / by the 5-gram only, over the docs both orders
+    * score) — the decision artifact for "is the 5-gram model worth
+    * ~n× the type-table state", measured instead of assumed.
+    *
+    * Scale: both per-doc report frames derive entirely from the two
+    * memoized type tables and the two memoized per-doc gram frames —
+    * the sweep's marginal cost is two LM derivations plus one
+    * doc-keyed equi-join for the agreement; nothing rescans the raw
+    * corpus.
+    */
+  def knOrderSweep(s: SparkSession, dir: String): DataFrame = {
+    val r3 = knReport(s, dir, knTypes(s, dir))
+      .select(col("doc_id"), col("n_trigrams").as("n_grams"),
+        col("nll"), col("avg_nll"), col("flagged"))
+    val r5 = kn5Report(s, dir, kn5Types(s, dir))
+      .select(col("doc_id"), col("n_fivegrams").as("n_grams"),
+        col("nll"), col("avg_nll"), col("flagged"))
+    val agree = r3.select(col("doc_id"), col("flagged").as("f3"))
+      .join(r5.select(col("doc_id"), col("flagged").as("f5")),
+        Seq("doc_id"))
+      .agg(
+        coalesce(sum(when(col("f3") === 1 && col("f5") === 1, 1L)
+          .otherwise(0L)), lit(0L)).as("flagged_both"),
+        coalesce(sum(when(col("f3") === 1 && col("f5") === 0, 1L)
+          .otherwise(0L)), lit(0L)).as("flagged_lower_only"),
+        coalesce(sum(when(col("f3") === 0 && col("f5") === 1, 1L)
+          .otherwise(0L)), lit(0L)).as("flagged_higher_only"))
+    def totals(r: DataFrame, order: Int): DataFrame =
+      r.agg(count(lit(1)).as("n_docs"),
+          sum(col("nll")).as("nll_total"),
+          sum(col("avg_nll")).as("sa"),
+          sum(col("flagged")).as("n_flagged"))
+        .select(lit(order.toLong).as("ngram_order"), col("n_docs"),
+          col("nll_total"),
+          expr("cast((sa - (sa % n_docs)) div n_docs as bigint)")
+            .as("mean_avg_nll"),
+          col("n_flagged"))
+    totals(r3, 3).unionByName(totals(r5, 5))
+      .crossJoin(broadcast(agree))
+      .orderBy("ngram_order")
   }
+
+  val knOrderSweepSql: String = s"""
+    WITH $knHeadCtes,
+    ${knBranchCtes(KnD, "")},
+    $kn5Ctes,
+    komn3 AS (SELECT count(*) AS nd, CAST(sum(avg_nll) AS BIGINT) AS sa
+              FROM dkp2),
+    komn5 AS (SELECT count(*) AS nd, CAST(sum(avg_nll) AS BIGINT) AS sa
+              FROM k5p2),
+    kof3 AS MATERIALIZED (
+      SELECT doc_id, nll, avg_nll,
+        CASE WHEN avg_nll * nd > sa THEN 1 ELSE 0 END AS fl
+      FROM dkp2, komn3),
+    kof5 AS MATERIALIZED (
+      SELECT doc_id, nll, avg_nll,
+        CASE WHEN avg_nll * nd > sa THEN 1 ELSE 0 END AS fl
+      FROM k5p2, komn5),
+    koag AS (
+      SELECT
+        CAST(coalesce(sum(CASE WHEN a.fl = 1 AND b.fl = 1
+          THEN 1 ELSE 0 END), 0) AS BIGINT) AS flagged_both,
+        CAST(coalesce(sum(CASE WHEN a.fl = 1 AND b.fl = 0
+          THEN 1 ELSE 0 END), 0) AS BIGINT) AS flagged_lower_only,
+        CAST(coalesce(sum(CASE WHEN a.fl = 0 AND b.fl = 1
+          THEN 1 ELSE 0 END), 0) AS BIGINT) AS flagged_higher_only
+      FROM kof3 a JOIN kof5 b USING (doc_id)),
+    kor3 AS (
+      SELECT CAST(3 AS BIGINT) AS ngram_order, count(*) AS n_docs,
+        CAST(sum(nll) AS BIGINT) AS nll_total,
+        CAST((sum(avg_nll) - (sum(avg_nll) % count(*))) // count(*)
+          AS BIGINT) AS mean_avg_nll,
+        CAST(sum(fl) AS BIGINT) AS n_flagged
+      FROM kof3),
+    kor5 AS (
+      SELECT CAST(5 AS BIGINT) AS ngram_order, count(*) AS n_docs,
+        CAST(sum(nll) AS BIGINT) AS nll_total,
+        CAST((sum(avg_nll) - (sum(avg_nll) % count(*))) // count(*)
+          AS BIGINT) AS mean_avg_nll,
+        CAST(sum(fl) AS BIGINT) AS n_flagged
+      FROM kof5)
+    SELECT r.*, g.flagged_both, g.flagged_lower_only,
+      g.flagged_higher_only
+    FROM (SELECT * FROM kor3 UNION ALL SELECT * FROM kor5) r, koag g
+    ORDER BY ngram_order"""
 
   // ------------------------------------------------ model-grade language ID
 
@@ -1842,7 +1940,8 @@ object Filtering {
     "doc_ppl" -> (docPpl _),
     "doc_ppl_kn" -> (docPplKn _),
     "doc_ppl_kn5" -> (docPplKn5 _),
-    "kn_discount_sweep" -> (knDiscountSweep _))
+    "kn_discount_sweep" -> (knDiscountSweep _),
+    "kn_order_sweep" -> (knOrderSweep _))
 
   val oracles: Map[String, String] = Map(
     "langid_clf" -> langidClfSql,
@@ -1857,5 +1956,6 @@ object Filtering {
     "doc_ppl" -> docPplSql,
     "doc_ppl_kn" -> docPplKnSql,
     "doc_ppl_kn5" -> docPplKn5Sql,
-    "kn_discount_sweep" -> knDiscountSweepSql)
+    "kn_discount_sweep" -> knDiscountSweepSql,
+    "kn_order_sweep" -> knOrderSweepSql)
 }

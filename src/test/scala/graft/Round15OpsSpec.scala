@@ -111,6 +111,34 @@ class Round15OpsSpec extends SparkSpec {
     assert(maxD5 > 0)
   }
 
+  test("kn_order_sweep: per-order rows equal the solo gates' aggregates " +
+    "and the agreement partition is consistent") {
+    val rows = operators.Filtering.knOrderSweep(spark, sf).collect()
+      .sortBy(_.getAs[Long]("ngram_order"))
+    assert(rows.map(_.getAs[Long]("ngram_order")).toSeq == Seq(3L, 5L))
+    def agg(df: org.apache.spark.sql.DataFrame): (Long, Long, Long) = {
+      val rs = df.collect()
+      (rs.length.toLong, rs.map(_.getAs[Long]("nll")).sum,
+        rs.map(_.getAs[Long]("flagged")).sum)
+    }
+    val (n3, t3, f3) = agg(operators.Filtering.docPplKn(spark, sf))
+    val (n5, t5, f5) = agg(operators.Filtering.docPplKn5(spark, sf))
+    assert((rows(0).getAs[Long]("n_docs"), rows(0).getAs[Long]("nll_total"),
+      rows(0).getAs[Long]("n_flagged")) == ((n3, t3, f3)))
+    assert((rows(1).getAs[Long]("n_docs"), rows(1).getAs[Long]("nll_total"),
+      rows(1).getAs[Long]("n_flagged")) == ((n5, t5, f5)))
+    // agreement partitions the flagged sets over jointly-scored docs:
+    // both + lower_only <= order-3 flags; both + higher_only <= order-5
+    val b = rows(0).getAs[Long]("flagged_both")
+    val lo = rows(0).getAs[Long]("flagged_lower_only")
+    val hi = rows(0).getAs[Long]("flagged_higher_only")
+    assert(b + lo <= f3 && b + hi <= f5,
+      s"agreement exceeds per-order flag counts: $b/$lo/$hi vs $f3/$f5")
+    assert(rows(0).getAs[Long]("flagged_both") ==
+      rows(1).getAs[Long]("flagged_both"), "agreement columns must ride " +
+      "identically on both rows")
+  }
+
   private def detail(r: Row): Map[String, Long] =
     r.getAs[String]("detail").split(",")
       .map(_.split("=")).map(kv => kv(0) -> kv(1).toLong).toMap
