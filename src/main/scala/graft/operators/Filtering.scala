@@ -1075,7 +1075,11 @@ object Filtering {
     * — the gate corpus stays well inside.
     */
   def docPplKn(s: SparkSession, dir: String): DataFrame =
-    knReport(s, dir, knTypes(s, dir))
+    // Memoized: the report is one row per doc, but its plan carries the
+    // corpus-scale scoring join — kn_order_sweep and the discount sweep's
+    // default-discount branch read it through this frame, so a session
+    // pays that join once, not once per reference.
+    graft.Memo.cached(s, "kn_report", dir)(knReport(s, dir, knTypes(s, dir)))
 
   /** The KN report over ANY trigram count table (w1, w2, w3, c123) —
     * ONE definition shared by the batch gate and the maintained-state
@@ -1224,7 +1228,9 @@ object Filtering {
         expr("(n1 * 1000000) div greatest(1, n1 + 2 * n2t)")
           .as("d_est_q6"))
     KnSweepDs.map { d =>
-      knReport(s, dir, types, d)
+      // The default-discount branch IS doc_ppl_kn's frame — read it
+      // through the memo so the session shares one materialization.
+      (if (d == KnD) docPplKn(s, dir) else knReport(s, dir, types, d))
         .agg(count(lit(1)).as("n_docs"),
           sum(col("nll")).as("nll_total"),
           sum(col("avg_nll")).as("sa"),
@@ -1342,7 +1348,10 @@ object Filtering {
     * LM on the 5-gram key, the `doc_ppl` shape.
     */
   def docPplKn5(s: SparkSession, dir: String): DataFrame =
-    kn5Report(s, dir, kn5Types(s, dir))
+    // Memoized for the same reason as [[docPplKn]] — the order sweep
+    // references this frame twice (totals + flag agreement).
+    graft.Memo.cached(s, "kn5_report", dir)(
+      kn5Report(s, dir, kn5Types(s, dir)))
 
   /** The 5-gram KN report over ANY type table (w1..w5, c) — shared by
     * the batch gate and the maintained-state read (stream_kn5_maintain)
@@ -1521,17 +1530,18 @@ object Filtering {
     * score) — the decision artifact for "is the 5-gram model worth
     * ~n× the type-table state", measured instead of assumed.
     *
-    * Scale: both per-doc report frames derive entirely from the two
-    * memoized type tables and the two memoized per-doc gram frames —
-    * the sweep's marginal cost is two LM derivations plus one
-    * doc-keyed equi-join for the agreement; nothing rescans the raw
-    * corpus.
+    * Scale: the sweep reads the two MEMOIZED per-doc report frames
+    * ([[docPplKn]]/[[docPplKn5]]) — each order's corpus-scale scoring
+    * join materializes once per session no matter how many branches
+    * (totals + flag agreement here, the solo gates elsewhere) read it;
+    * the sweep's own marginal cost is doc-count-sized aggregates plus
+    * one doc-keyed equi-join for the agreement.
     */
   def knOrderSweep(s: SparkSession, dir: String): DataFrame = {
-    val r3 = knReport(s, dir, knTypes(s, dir))
+    val r3 = docPplKn(s, dir)
       .select(col("doc_id"), col("n_trigrams").as("n_grams"),
         col("nll"), col("avg_nll"), col("flagged"))
-    val r5 = kn5Report(s, dir, kn5Types(s, dir))
+    val r5 = docPplKn5(s, dir)
       .select(col("doc_id"), col("n_fivegrams").as("n_grams"),
         col("nll"), col("avg_nll"), col("flagged"))
     val agree = r3.select(col("doc_id"), col("flagged").as("f3"))
