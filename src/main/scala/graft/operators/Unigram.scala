@@ -266,37 +266,44 @@ object Unigram {
 
   // ----------------------------------------------------------------- oracle
 
-  /** One EM round's CTEs: piece costs → map row → recursive forward DP
-    * → recursive backpointer walk → segmentations (round `r` reads
-    * vocabulary `v${r-1}`, writes `seg$r` and vocabulary `v$r`).
+  /** The Viterbi segmentation replay over ANY (piece, cnt) vocabulary
+    * CTE `inV`: piece costs → map row → recursive forward DP →
+    * recursive backpointer walk → `seg$sfx`. Shared by the EM round
+    * chain ([[roundCtes]], sfx = the round number) and the vocab
+    * sweep's per-cut branches (sfx = `c$m`).
     */
-  private def roundCtes(r: Int, mStep: Boolean): String = {
-    val v = s"v${r - 1}"
-    val m = s"""
-    cost$r AS (SELECT piece,
+  private def segReplayCtes(inV: String, sfx: String): String = s"""
+    cost$sfx AS (SELECT piece,
         CAST(${llog2("t")} - ${llog2("cnt")} AS BIGINT) AS cost
-      FROM $v, (SELECT CAST(sum(cnt) AS BIGINT) AS t FROM $v)),
-    vm$r AS (SELECT MAP(list(piece ORDER BY piece),
-                        list(cost ORDER BY piece)) AS m FROM cost$r),
-    dp$r AS (
+      FROM $inV, (SELECT CAST(sum(cnt) AS BIGINT) AS t FROM $inV)),
+    vm$sfx AS (SELECT MAP(list(piece ORDER BY piece),
+                        list(cost ORDER BY piece)) AS m FROM cost$sfx),
+    dp$sfx AS (
       SELECT word, cnt, 0 AS i, [CAST(0 AS BIGINT)] AS encs FROM uwf
       UNION ALL
       SELECT d.word, d.cnt, i + 1,
         list_append(encs, list_min(list_transform(
           generate_series(greatest(0, i + 1 - $MaxPiece), i),
           j -> ((encs[j + 1] // $Enc) +
-                coalesce(vm$r.m[d.word[j + 1 : i + 1]][1], $Big)) * $Enc + j)))
-      FROM dp$r d, vm$r WHERE i < len(d.word)),
-    bt$r AS (
+                coalesce(vm$sfx.m[d.word[j + 1 : i + 1]][1], $Big)) * $Enc + j)))
+      FROM dp$sfx d, vm$sfx WHERE i < len(d.word)),
+    bt$sfx AS (
       SELECT word, cnt, len(word) AS pos, '' AS seg, encs
-      FROM dp$r WHERE i = len(word)
+      FROM dp$sfx WHERE i = len(word)
       UNION ALL
       SELECT word, cnt, CAST(encs[pos + 1] % $Enc AS INT),
         word[CAST(encs[pos + 1] % $Enc AS INT) + 1 : pos]
           || CASE WHEN seg = '' THEN '' ELSE ' ' END || seg,
         encs
-      FROM bt$r WHERE pos > 0),
-    seg$r AS (SELECT word, cnt, seg FROM bt$r WHERE pos = 0)"""
+      FROM bt$sfx WHERE pos > 0),
+    seg$sfx AS (SELECT word, cnt, seg FROM bt$sfx WHERE pos = 0)"""
+
+  /** One EM round's CTEs: the segmentation replay (round `r` reads
+    * vocabulary `v${r-1}`, writes `seg$r`) plus, for M-step rounds,
+    * the usage prune into vocabulary `v$r`.
+    */
+  private def roundCtes(r: Int, mStep: Boolean): String = {
+    val m = segReplayCtes(s"v${r - 1}", r.toString)
     if (!mStep) m
     else m + s""",
     use$r AS (SELECT p AS piece, CAST(sum(cnt) AS BIGINT) AS usage
@@ -623,15 +630,113 @@ object Unigram {
     FROM tpb b JOIN tpu u USING (doc_id) JOIN tpwp w USING (doc_id)
     ORDER BY b.doc_id"""
 
+  // ----------------------------------------------------- vocab-size sweep
+
+  /** Multi-char piece counts the sweep keeps (0 = singles-only floor;
+    * a final branch carries the FULL trained vocabulary, labeled by its
+    * actual surviving multi-piece count — the usage prune keeps only
+    * pieces the EM actually used, 25–28 at the test SFs, so fixed cuts
+    * above ~20 would silently coincide). The [[Bpe]]/[[Wordpiece]]
+    * SweepCuts convention, completing the sweep for the third
+    * tokenizer family.
+    */
+  private val SweepKeeps = Seq(0, 5, 10, 20)
+
+  /** Gate: the unigram vocab-size/fertility tradeoff table. Unlike the
+    * merge families (where the first M merges ARE the smaller vocab),
+    * a unigram cut re-prices every piece: keeping the top M multi-char
+    * pieces by trained count (+ the single-char coverage floor)
+    * renormalizes costs under the CUT's own totals, and one extra
+    * Viterbi E-step re-segments under them — exactly SentencePiece's
+    * prune-and-re-EM shape, one step of it per candidate size. Per cut:
+    * effective vocabulary, word tokens, pieces, fertility.
+    *
+    * Scale: each branch is one broadcast-map DP over the MEMOIZED
+    * distinct-word table ([[words]]) — cost ∝ distinct words × cuts,
+    * never the corpus; the full cut reuses the memoized training
+    * segmentation ([[finalSegs]]) outright. The singles-only floor is
+    * closed-form checkable (every word segments to its characters), so
+    * the spec pins that branch against sum(cnt·len(word)) exactly.
+    */
+  def unigramVocabSweep(s: SparkSession, dir: String): DataFrame = {
+    val v = finalVocab(s, dir)
+    val w = words(s, dir)
+    // Fail LOUDLY on a degenerate corpus (fewer surviving multi-char
+    // pieces than the largest fixed cut): the LIMIT cuts would silently
+    // coincide and the table would claim sizes it doesn't have (the
+    // wordpiece_vocab_sweep discipline). The scalar read is the
+    // documented driver-feedback pattern (one long per call, memoized).
+    val nMulti = Memo.cached(s, "ug_nmulti", dir) {
+      v.filter(length(col("piece")) >= 2).agg(count(lit(1)).as("n"))
+    }.head().getLong(0)
+    require(nMulti > SweepKeeps.max,
+      s"unigram_vocab_sweep needs > ${SweepKeeps.max} trained " +
+        s"multi-char pieces; training kept only $nMulti")
+    def branch(label: Long, cut: DataFrame, segs: DataFrame): DataFrame = {
+      val stats = segs.agg(
+        sum(col("cnt")).as("n_word_tokens"),
+        sum(col("cnt") * size(split(col("seg"), " "))).cast("long")
+          .as("n_pieces"))
+      val nv = cut.agg(count(lit(1)).as("n_vocab"))
+      stats.crossJoin(broadcast(nv))
+        .select(lit(label).as("n_multi"), col("n_vocab"),
+          col("n_word_tokens"), col("n_pieces"),
+          round(col("n_pieces").cast("double")
+            / col("n_word_tokens").cast("double"), 6).as("fertility"))
+    }
+    val cuts = SweepKeeps.map { m =>
+      val cut = v.filter(length(col("piece")) >= 2)
+        .orderBy(col("cnt").desc, col("piece").asc).limit(m)
+        .unionByName(v.filter(length(col("piece")) === 1))
+      branch(m.toLong, cut, segment(w, cut))
+    }
+    val full = branch(nMulti, v, finalSegs(s, dir))
+    (cuts :+ full).reduce(_.unionByName(_)).orderBy("n_multi")
+  }
+
+  val unigramVocabSweepSql: String = {
+    val cutCtes = SweepKeeps.map { m =>
+      s"""vc$m AS (
+      SELECT piece, cnt FROM (
+        SELECT piece, cnt FROM v$EmRounds WHERE len(piece) >= 2
+        ORDER BY cnt DESC, piece ASC LIMIT $m)
+      UNION ALL
+      SELECT piece, cnt FROM v$EmRounds WHERE len(piece) = 1),
+    ${segReplayCtes(s"vc$m", s"c$m").trim}"""
+    }.mkString(",\n    ")
+    def branchSql(label: String, segT: String, vT: String): String =
+      s"""SELECT CAST($label AS BIGINT) AS n_multi,
+        (SELECT CAST(count(*) AS BIGINT) FROM $vT) AS n_vocab,
+        CAST(sum(cnt) AS BIGINT) AS n_word_tokens,
+        CAST(sum(cnt * len(string_split(seg, ' '))) AS BIGINT) AS n_pieces,
+        round(CAST(CAST(sum(cnt * len(string_split(seg, ' '))) AS BIGINT)
+            AS DOUBLE)
+          / CAST(CAST(sum(cnt) AS BIGINT) AS DOUBLE), 6) AS fertility
+      FROM $segT"""
+    val branches = (SweepKeeps.map(m =>
+      branchSql(m.toString, s"segc$m", s"vc$m")) :+
+      branchSql(
+        s"(SELECT count(*) FROM v$EmRounds WHERE len(piece) >= 2)",
+        s"seg$F", s"v$EmRounds"))
+      .mkString("\n    UNION ALL\n    ")
+    s"""
+    WITH RECURSIVE $trainCtes,
+    $cutCtes
+    $branches
+    ORDER BY n_multi"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "unigram_train" -> (unigramTrain _),
     "tokenize_unigram" -> (tokenizeUnigram _),
     "tokenize_unigram_bf" -> (tokenizeUnigramBf _),
-    "tokenizer_parity" -> (tokenizerParity _))
+    "tokenizer_parity" -> (tokenizerParity _),
+    "unigram_vocab_sweep" -> (unigramVocabSweep _))
 
   val oracles: Map[String, String] = Map(
     "unigram_train" -> unigramTrainSql,
     "tokenize_unigram" -> tokenizeUnigramSql,
     "tokenize_unigram_bf" -> tokenizeUnigramBfSql,
-    "tokenizer_parity" -> tokenizerParitySql)
+    "tokenizer_parity" -> tokenizerParitySql,
+    "unigram_vocab_sweep" -> unigramVocabSweepSql)
 }

@@ -139,6 +139,41 @@ class Round15OpsSpec extends SparkSpec {
       "identically on both rows")
   }
 
+  test("unigram_vocab_sweep: word totals cut-independent, the singles " +
+    "floor is the closed-form character count, the full row matches " +
+    "the tokenize gate") {
+    val rows = operators.Unigram.unigramVocabSweep(spark, sf).collect()
+      .sortBy(_.getAs[Long]("n_multi"))
+    assert(rows.length == 5)
+    // vocab sizes strictly increase with the cut (each cut adds pieces)
+    val nv = rows.map(_.getAs[Long]("n_vocab")).toSeq
+    nv.sliding(2).foreach { case Seq(a, b) =>
+      assert(b > a, s"vocab sizes not strictly increasing: $nv")
+    }
+    // word-token totals are cut-independent (the word table is shared)
+    assert(rows.map(_.getAs[Long]("n_word_tokens")).distinct.length == 1)
+    // no cut beats the singles-only floor's piece count: any
+    // segmentation of a word has at most len(word) pieces
+    val floor = rows.head
+    assert(floor.getAs[Long]("n_multi") == 0L)
+    assert(rows.tail.forall(r =>
+      r.getAs[Long]("n_pieces") <= floor.getAs[Long]("n_pieces")))
+    // the singles floor is closed-form: every word segments to its
+    // characters, so pieces = sum(cnt * len(word)) over distinct words
+    val charTotal = Tables.documents(spark, sf)
+      .select(explode(split(operators.TextNorm.norm, " ")).as("w"))
+      .filter(col("w") =!= "")
+      .agg(sum(length(col("w")))).head().getLong(0)
+    assert(floor.getAs[Long]("n_pieces") == charTotal,
+      s"singles floor ${floor.getAs[Long]("n_pieces")} != $charTotal")
+    // the full row IS the training segmentation the tokenize gate reads
+    val full = rows.last
+    val tok = operators.Unigram.tokenizeUnigram(spark, sf)
+      .agg(sum(col("n_words")), sum(col("n_pieces"))).head()
+    assert(full.getAs[Long]("n_word_tokens") == tok.getLong(0))
+    assert(full.getAs[Long]("n_pieces") == tok.getLong(1))
+  }
+
   private def detail(r: Row): Map[String, Long] =
     r.getAs[String]("detail").split(",")
       .map(_.split("=")).map(kv => kv(0) -> kv(1).toLong).toMap
