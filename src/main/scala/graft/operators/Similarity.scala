@@ -209,26 +209,133 @@ object Similarity {
     * tradeoff the MinHash-LSH text path exposes.
     */
   def dedupEmbedding(s: SparkSession, dir: String): DataFrame = {
-    val qn = qdf(s, dir)
-    val sigs = (0 until DedupBands).map(bandSigCol)
-    val bands = qn.select(col("vec_id"),
-      posexplode(array(sigs: _*)).as(Seq("band", "sig")))
-    val cand = bands.alias("a")
-      .join(bands.alias("b"),
-        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
-          col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
-      .distinct()
-    val scored = cand
-      .join(qn.select(col("vec_id").as("id_a"), col("q").as("qa"),
-        col("n2").as("na")), "id_a")
-      .join(qn.select(col("vec_id").as("id_b"), col("q").as("qb"),
-        col("n2").as("nb")), "id_b")
-      .withColumn("dot", expr("q_dot(qa, qb)"))
+    val scored = dupPairsScored(s, dir)
     val cos = cosCol(col("dot"), col("na"), col("nb"))
     scored.filter(cos >= DupCosBar)
       .select(col("id_a"), col("id_b"), round(cos, 6).as("cos"))
       .orderBy("id_a", "id_b")
+  }
+
+  /** The LSH-candidate pair frame with exact-cosine ingredients
+    * (id_a, id_b, dot, na, nb), unfiltered — memoized so the near-dup
+    * gate and the threshold sweep ([[embedDedupSweep]]) share ONE
+    * candidate generation + verification pass per session.
+    */
+  private def dupPairsScored(s: SparkSession, dir: String): DataFrame =
+    graft.Memo.cached(s, "emb_dup_pairs", dir) {
+      val qn = qdf(s, dir)
+      val sigs = (0 until DedupBands).map(bandSigCol)
+      val bands = qn.select(col("vec_id"),
+        posexplode(array(sigs: _*)).as(Seq("band", "sig")))
+      val cand = bands.alias("a")
+        .join(bands.alias("b"),
+          col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+            col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
+        .distinct()
+      cand
+        .join(qn.select(col("vec_id").as("id_a"), col("q").as("qa"),
+          col("n2").as("na")), "id_a")
+        .join(qn.select(col("vec_id").as("id_b"), col("q").as("qb"),
+          col("n2").as("nb")), "id_b")
+        .withColumn("dot", expr("q_dot(qa, qb)"))
+        .select(col("id_a"), col("id_b"), col("dot"), col("na"), col("nb"))
+    }
+
+  /** Cosine bars the threshold sweep evaluates — [[DupCosBar]] anchors
+    * the conservative end; the looser bars price what a more aggressive
+    * semantic dedup would cost (the published pipelines disagree on the
+    * bar the same way they disagree on the decontamination gram length).
+    */
+  private val DupSweepBars = Seq(0.25, 0.35, 0.45)
+
+  /** Gate: the embedding-dedup THRESHOLD tuning table (the §4
+    * tuning-table discipline on [[dedupEmbedding]]'s one knob): per
+    * cosine bar ∈ {0.25, 0.35, 0.45} — verified pairs, docs incident to
+    * a pair, connected components at that bar, docs a keep-one-per-
+    * cluster dedup would drop, and the largest cluster — the blast
+    * radius an owner prices before re-deduping 100 TB.
+    *
+    * Scale: ONE shared LSH candidate + exact-cosine pass (memoized,
+    * shared with the near-dup gate); each bar re-reads the verified
+    * frame with a tighter filter and propagates components over ITS
+    * OWN surviving edges (components at a tighter bar are not derivable
+    * from looser labels — a bridge pair can vanish). Pair volume is
+    * LSH-bucket bounded, so the per-bar propagation runs over the
+    * (small) duplicate subset, never the corpus.
+    */
+  def embedDedupSweep(s: SparkSession, dir: String): DataFrame = {
+    val scored = dupPairsScored(s, dir)
+    val cos = cosCol(col("dot"), col("na"), col("nb"))
+    DupSweepBars.map { bar =>
+      val es = scored.filter(cos >= bar)
+        .select(col("id_a"), col("id_b"))
+      val edges = es.select(col("id_a").as("src"), col("id_b").as("dst"))
+        .unionByName(es.select(col("id_b").as("src"), col("id_a").as("dst")))
+      val labels = Clustering.ccLabels(edges)
+      val cstats = labels.groupBy(col("lab")).agg(count(lit(1)).as("cs"))
+        .agg(coalesce(sum(col("cs")), lit(0L)).as("n_docs"),
+          count(lit(1)).as("n_clusters"),
+          coalesce(max(col("cs")), lit(0L)).as("max_csize"))
+      val np = es.agg(count(lit(1)).as("n_pairs"))
+      // one checkpointed scalar row per bar (the ledger discipline), so
+      // the union below never re-runs a bar's propagation
+      val row = np.crossJoin(broadcast(cstats))
+        .select(lit(bar).as("cos_bar"), col("n_pairs"), col("n_docs"),
+          col("n_clusters"),
+          (col("n_docs") - col("n_clusters")).as("n_dropped"),
+          col("max_csize"))
+        .localCheckpoint(true)
+      labels.unpersist(false)
+      row
+    }.reduce(_.unionByName(_)).orderBy("cos_bar")
+  }
+
+  val embedDedupSweepSql: String = {
+    def sfx(bar: Double) = (bar * 100).round.toString
+    val branches = DupSweepBars.map { bar =>
+      val b = sfx(bar)
+      s"""eds$b AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs WHERE $PairCosSql >= $bar
+      UNION SELECT id_b, id_a FROM pairs WHERE $PairCosSql >= $bar),
+    edr$b(id, lab) AS (
+      SELECT src, src FROM eds$b
+      UNION
+      SELECT e.src, r.lab FROM eds$b e JOIN edr$b r ON r.id = e.dst),
+    edc$b AS (SELECT id, min(lab) AS lab FROM edr$b GROUP BY id),
+    edz$b AS (SELECT lab, count(*) AS cs FROM edc$b GROUP BY lab),
+    edt$b AS (
+      SELECT CAST($bar AS DOUBLE) AS cos_bar,
+        (SELECT count(*) FROM pairs WHERE $PairCosSql >= $bar) AS n_pairs,
+        coalesce(CAST(sum(cs) AS BIGINT), 0) AS n_docs,
+        CAST(count(*) AS BIGINT) AS n_clusters,
+        coalesce(CAST(sum(cs) AS BIGINT), 0) - CAST(count(*) AS BIGINT)
+          AS n_dropped,
+        coalesce(CAST(max(cs) AS BIGINT), 0) AS max_csize
+      FROM edz$b)"""
+    }.mkString(",\n    ")
+    val sel = DupSweepBars.map(b => s"SELECT * FROM edt${sfx(b)}")
+      .mkString("\n    UNION ALL\n    ")
+    s"""
+    WITH RECURSIVE $QuantSql,
+    ${projSql(DedupBands * BandPlanes)},
+    bands AS (
+      SELECT vec_id, h // $BandPlanes AS band,
+        sum(CASE WHEN proj >= 0 THEN 1 ELSE 0 END * (1 << (h % $BandPlanes)))
+          AS sig
+      FROM proj GROUP BY 1, 2),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.sig = b.sig AND a.vec_id < b.vec_id),
+    pairs AS MATERIALIZED (
+      SELECT id_a, id_b, x.n2 AS na, y.n2 AS nb,
+        CAST(list_sum(list_transform(generate_series(1, len(x.q)),
+          i -> x.q[i] * y.q[i])) AS BIGINT) AS dot
+      FROM cand JOIN qn x ON id_a = x.vec_id JOIN qn y ON id_b = y.vec_id),
+    $branches
+    $sel
+    ORDER BY cos_bar"""
   }
 
   val dedupEmbeddingSql: String = s"""
@@ -1950,6 +2057,7 @@ object Similarity {
     "hard_negatives" -> (hardNegatives _),
     "hard_negatives_knn" -> (hardNegativesKnn _),
     "dedup_embedding" -> (dedupEmbedding _),
+    "embed_dedup_sweep" -> (embedDedupSweep _),
     "decontaminate_semantic" -> (decontaminateSemantic _),
     "ann_topk" -> (annTopk(_, _)),
     "ann_topk_filtered" -> (annTopkFiltered(_, _)),
@@ -1978,6 +2086,7 @@ object Similarity {
     "hard_negatives" -> hardNegativesSql,
     "hard_negatives_knn" -> hardNegativesKnnSql,
     "dedup_embedding" -> dedupEmbeddingSql,
+    "embed_dedup_sweep" -> embedDedupSweepSql,
     "decontaminate_semantic" -> decontaminateSemanticSql,
     "ann_topk" -> annTopkSql(),
     "ann_topk_filtered" -> annTopkFilteredSql(),

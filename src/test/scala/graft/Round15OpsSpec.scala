@@ -174,6 +174,39 @@ class Round15OpsSpec extends SparkSpec {
     assert(full.getAs[Long]("n_pieces") == tok.getLong(1))
   }
 
+  test("embed_dedup_sweep: monotone blast radius, per-row conservation, " +
+    "and the anchor bar replays from the near-dup gate's pairs") {
+    val rows = operators.Similarity.embedDedupSweep(spark, sf).collect()
+      .sortBy(_.getAs[Double]("cos_bar"))
+    assert(rows.map(_.getAs[Double]("cos_bar")).toSeq == Seq(0.25, 0.35, 0.45))
+    // a tighter bar keeps a subset of the pairs, so every count shrinks
+    for (c <- Seq("n_pairs", "n_docs", "n_dropped", "max_csize"))
+      rows.map(_.getAs[Long](c)).toSeq.sliding(2).foreach { case Seq(a, b) =>
+        assert(b <= a, s"$c rose with a tighter bar")
+      }
+    // keep-one-per-cluster conservation on every row
+    for (r <- rows)
+      assert(r.getAs[Long]("n_docs") ==
+        r.getAs[Long]("n_clusters") + r.getAs[Long]("n_dropped"))
+    // the anchor bar IS the near-dup gate: replay its components locally
+    val pairs = operators.Similarity.dedupEmbedding(spark, sf).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")))
+    val anchor = rows.last
+    assert(anchor.getAs[Long]("n_pairs") == pairs.length)
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    for ((a, b) <- pairs) parent(find(a)) = find(b)
+    val members = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+    val comps = members.groupBy(find)
+    assert(anchor.getAs[Long]("n_docs") == members.length)
+    assert(anchor.getAs[Long]("n_clusters") == comps.size)
+    assert(anchor.getAs[Long]("max_csize") ==
+      (if (comps.isEmpty) 0L else comps.values.map(_.length).max.toLong))
+  }
+
   private def detail(r: Row): Map[String, Long] =
     r.getAs[String]("detail").split(",")
       .map(_.split("=")).map(kv => kv(0) -> kv(1).toLong).toMap
