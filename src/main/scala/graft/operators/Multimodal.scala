@@ -605,6 +605,17 @@ object Multimodal {
       .orderBy("id_a", "id_b")
   }
 
+  /** The verified phash pair set as sharded edge observations — the
+    * [[Clustering.pairObs]] shape over the IMAGE near-dup family, so
+    * the streaming maintainer (`stream_phash_maintain`) rides the same
+    * [[graft.streaming.StreamCluster]] per-shard spanning forests.
+    */
+  private[graft] def phashPairObs(s: SparkSession, dir: String): DataFrame =
+    phashPairs(s, dir).select(
+      pmod(least(col("id_a"), col("id_b")),
+        lit(Clustering.CcShards.toLong)).as("shard"),
+      col("id_a").as("a"), col("id_b").as("b"))
+
   /** The pair-search CTE chain (generator pixels → aHash → bands →
     * verified candidates `cand(id_a, id_b, hamming)`), shared by the pair
     * gate and the clusters gate.

@@ -563,6 +563,23 @@ object StreamScenarios {
     graft.operators.Clustering.clustersFromForest(forest)
   }
 
+  /** The IMAGE near-dup cluster maintainer — [[streamClusterMaintain]]
+    * over the phash pair family: arriving verified phash pairs fold
+    * into the same per-shard spanning forests, and the read-time merge
+    * recovers `phash_clusters`' global labels (SAME oracle,
+    * hash-identical). The daily multimodal-ingest operation: new
+    * image-bearing docs' verified pairs price one micro-batch, never a
+    * full re-propagation over the corpus pair set.
+    */
+  def streamPhashMaintain(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val obs = graft.operators.Multimodal.phashPairObs(s, dir).as[EdgeObs]
+    val forest = StreamCluster.forests(obs).toDF()
+      .select(explode(col("fedges")).as("e"))
+      .select(col("e.a").as("a"), col("e.b").as("b"))
+    graft.operators.Clustering.clustersFromForest(forest)
+  }
+
   /** The cluster-level split reassignment read DIRECTLY from the
     * maintained connectivity state — `split_by_cluster`'s report layer
     * over [[streamClusterMaintain]]'s merged clusters, checked by the
@@ -582,6 +599,7 @@ object StreamScenarios {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_cluster_maintain" -> (streamClusterMaintain _),
     "stream_split_maintain" -> (streamSplitMaintain _),
+    "stream_phash_maintain" -> (streamPhashMaintain _),
     "stream_changeset" -> (streamChangeset _),
     "stream_sessionize" -> (streamSessionize _),
     "stream_window_counts" -> (streamWindowCounts _),
@@ -617,6 +635,8 @@ object StreamScenarios {
       graft.operators.Clustering.dedupClustersSql,
     "stream_split_maintain" ->
       graft.operators.Clustering.splitByClusterSql,
+    "stream_phash_maintain" ->
+      graft.operators.Multimodal.phashClustersSql,
     "stream_topk_sketch" -> graft.operators.Sketch.topkSketchSql,
     "stream_topk_space" -> graft.operators.Sketch.topkSketchSql,
     "stream_cms_maintain" -> graft.operators.Sketch.cmsSketchSql,

@@ -207,6 +207,15 @@ class Round15OpsSpec extends SparkSpec {
       (if (comps.isEmpty) 0L else comps.values.map(_.length).max.toLong))
   }
 
+  test("stream_phash_maintain: maintained forest read equals the batch " +
+    "phash propagation row-for-row") {
+    val batch = operators.Multimodal.phashClusters(spark, sf).collect()
+    val stream = streaming.StreamScenarios
+      .streamPhashMaintain(spark, sf).collect()
+    assert(batch.nonEmpty)
+    assert(batch.map(_.toSeq).toSeq == stream.map(_.toSeq).toSeq)
+  }
+
   private def detail(r: Row): Map[String, Long] =
     r.getAs[String]("detail").split(",")
       .map(_.split("=")).map(kv => kv(0) -> kv(1).toLong).toMap
