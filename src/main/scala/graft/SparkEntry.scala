@@ -30,6 +30,7 @@ object SparkEntry {
       operators.CorpusFilters.queries ++
       operators.Pipeline.queries ++
       operators.PipelineIncr.queries ++
+      operators.PipelineMm.queries ++
       operators.Filtering.queries ++
       operators.Dedup.queries ++
       operators.SubstringDedup.queries ++
@@ -79,6 +80,7 @@ object SparkEntry {
       operators.CorpusFilters.oracles ++
       operators.Pipeline.oracles ++
       operators.PipelineIncr.oracles ++
+      operators.PipelineMm.oracles ++
       operators.Filtering.oracles ++
       operators.Dedup.oracles ++
       operators.SubstringDedup.oracles ++

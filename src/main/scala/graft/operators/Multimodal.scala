@@ -564,7 +564,7 @@ object Multimodal {
     SELECT hash_hi, hash_lo, count(*) AS n_images, min(doc_id) AS rep_id
     FROM hashes GROUP BY 1, 2 ORDER BY hash_hi, hash_lo, rep_id"""
 
-  private val PhashMaxHamming = 3
+  private[operators] val PhashMaxHamming = 3
 
   /** Banded hamming near-dup pair search over the aHash table: the 64-bit
     * hash splits into four 16-bit bands, candidate pairs share at least one
@@ -620,7 +620,7 @@ object Multimodal {
     * verified candidates `cand(id_a, id_b, hamming)`), shared by the pair
     * gate and the clusters gate.
     */
-  private val phashPairCtesSql: String = s"""
+  private[operators] val phashPairCtesSql: String = s"""
     ids AS (
       SELECT doc_id, doc_id AS gen_id FROM documents
       UNION ALL
@@ -708,7 +708,39 @@ object Multimodal {
   /** Vision tokens one image occupies in the training sequence — the
     * fixed patch-grid cost of the projector (e.g. 8×8 patches).
     */
-  private val VisionTokens = 64
+  private[operators] val VisionTokens = 64
+
+  /** The deterministic image-placement frame (doc_id, n_words, ps) over
+    * ANY `(doc_id, text)` frame — ONE definition of the planted
+    * placement convention (every 3rd doc, arithmetic positions,
+    * coincident positions collapse), shared by [[mmInterleave]], the
+    * accounting ([[mmAccounting]]) and through it the composed
+    * multimodal pipeline, so the convention cannot drift.
+    */
+  private[operators] def mmPlacements(df: DataFrame): DataFrame = {
+    import graft.operators.TextNorm.norm
+    val nW = size(split(norm, " "))
+    df.select(col("doc_id"), nW.as("n_words"))
+      .withColumn("ps",
+        when(col("doc_id") % 3 === 0, array_sort(array_distinct(array(
+          pmod(col("doc_id"), col("n_words") + 1),
+          pmod(col("doc_id") * 7, col("n_words") + 1)))))
+          .otherwise(array().cast("array<bigint>")))
+  }
+
+  /** Exact multimodal token accounting over ANY `(doc_id, text)` frame:
+    * (doc_id, n_images, n_text_tokens, n_image_tokens, n_total_tokens)
+    * — [[mmInterleave]]'s numbers without the structure string, for
+    * consumers that only need the budget arithmetic.
+    */
+  private[operators] def mmAccounting(df: DataFrame): DataFrame =
+    mmPlacements(df)
+      .select(col("doc_id"),
+        size(col("ps")).cast("long").as("n_images"),
+        col("n_words").cast("long").as("n_text_tokens"),
+        (size(col("ps")) * VisionTokens).cast("long").as("n_image_tokens"),
+        (col("n_words") + size(col("ps")) * VisionTokens).cast("long")
+          .as("n_total_tokens"))
 
   /** Gate: interleaved image-text training-record assembly (the
     * LLaVA/Flamingo data shape): each document becomes a segment
@@ -727,15 +759,7 @@ object Multimodal {
     * the multimodal store, only their PLACEMENT rides this plan.
     */
   def mmInterleave(s: SparkSession, dir: String): DataFrame = {
-    import graft.operators.TextNorm.norm
-    val nW = size(split(norm, " "))
-    Tables.documents(s, dir)
-      .select(col("doc_id"), nW.as("n_words"))
-      .withColumn("ps",
-        when(col("doc_id") % 3 === 0, array_sort(array_distinct(array(
-          pmod(col("doc_id"), col("n_words") + 1),
-          pmod(col("doc_id") * 7, col("n_words") + 1)))))
-          .otherwise(array().cast("array<bigint>")))
+    mmPlacements(Tables.documents(s, dir).select(col("doc_id"), col("text")))
       .withColumn("gaps", expr(
         """transform(sequence(0, size(ps)),
            i -> (CASE WHEN i = size(ps) THEN n_words
@@ -811,10 +835,19 @@ object Multimodal {
     * scan, a scalar broadcast, [[DistRank.runningSum]] (two-phase, no
     * global window), O(shards) output.
     */
-  def mmShardPlan(s: SparkSession, dir: String): DataFrame = {
-    val docs = mmInterleave(s, dir)
+  def mmShardPlan(s: SparkSession, dir: String): DataFrame =
+    mmLayout(mmInterleave(s, dir)
       .select(col("doc_id"), col("n_images"), col("n_text_tokens"),
-        col("n_image_tokens"), col("n_total_tokens"))
+        col("n_image_tokens"), col("n_total_tokens")))
+
+  /** The vision-token-balanced shard layout over ANY accounting frame
+    * (doc_id, n_images, n_text_tokens, n_image_tokens, n_total_tokens)
+    * — [[mmShardPlan]]'s layout discipline factored so the composed
+    * multimodal pipeline shards its SURVIVOR set through the same
+    * definition.
+    */
+  private[operators] def mmLayout(docs0: DataFrame): DataFrame = {
+    val docs = docs0
       .withColumn("h", expr("cast(conv(substring(md5(concat(" +
         "cast(doc_id as string), ':mm')), 1, 8), 16, 10) as bigint)"))
     val ssize = docs.agg(

@@ -146,21 +146,28 @@ object Pipeline {
     val keepN = TrainPrep.TruncHead + TrainPrep.TruncTail
 
     // ---- stage 0: extract = raw corpus + planted duplicate feed.
-    // LOUD on id overflow: the shift assumes doc_id < PlantShift — on a
-    // corpus with larger ids, planted ids would collide with real ones
-    // and the mod-PlantShift augmentation key would attribute another
-    // document's augmentation, silently breaking the copies-gate-
-    // identically invariant. The assert lives in a FILTER over the
-    // cross-joined 1-row aggregate (the probesOf idiom — a dropped or
-    // merely-projected check can be pruned; a filter must evaluate;
-    // review finding, r14).
+    // LOUD on id collision — the PRECISE invariant, not a max-id bound:
+    // a planted id (source + PlantShift) colliding with a REAL doc_id
+    // would merge two documents downstream and mis-attribute the
+    // mod-PlantShift augmentation. The residue itself is safe at ANY id
+    // layout ((x + PlantShift) % PlantShift = x % PlantShift, so copies
+    // always share their source's verdict) — which is why the earlier
+    // max(doc_id) < PlantShift form was too strict: it rejected the
+    // decorrelated 100× ScaleUp corpus (ids offset by 10^8, collision-
+    // free) and made the r14 probe row unreproducible. The assert lives
+    // in a FILTER over the cross-joined 1-row aggregate (the probesOf
+    // idiom — a dropped or merely-projected check can be pruned; a
+    // filter must evaluate; review finding, r14).
     val raw = Tables.documents(s, dir)
       .select(col("doc_id"), col("lang"), col("text"))
-    val plantGuard = raw.agg(coalesce(
-        assert_true(coalesce(max(col("doc_id")), lit(0L)) < PlantShift,
-          lit("pipeline_e2e: max(doc_id) >= PlantShift — planted ids " +
-            "would collide with real documents; raise PlantShift above " +
-            "the corpus id range")).cast("long"),
+    val plantGuard = raw.select(col("doc_id"))
+      .intersect(raw.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + PlantShift).as("doc_id")))
+      .agg(coalesce(
+        assert_true(count(lit(1)) === 0L,
+          lit("pipeline_e2e: a planted id (doc_id + PlantShift) " +
+            "collides with a real doc_id — choose a shift outside the " +
+            "corpus id range")).cast("long"),
         lit(0L)).as("__plant_g0"))
     val u = raw.unionByName(
         raw.filter(col("doc_id") % 5 === 0)

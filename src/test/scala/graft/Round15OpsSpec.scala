@@ -220,6 +220,49 @@ class Round15OpsSpec extends SparkSpec {
     r.getAs[String]("detail").split(",")
       .map(_.split("=")).map(kv => kv(0) -> kv(1).toLong).toMap
 
+  test("pipeline_e2e_mm: stage conservation, vision-token arithmetic, " +
+    "and the planted feed exercises the dedup hand-off") {
+    val lg = operators.PipelineMm.pipelineE2eMm(spark, sf).collect()
+    assert(lg.length == 5)
+    assert(lg.map(_.getAs[String]("stage")).toSeq ==
+      Seq("arrive", "quality", "image_dedup", "interleave", "shard"))
+    for (r <- lg) {
+      assert(r.getAs[Long]("docs_in") ==
+        r.getAs[Long]("docs_kept") + r.getAs[Long]("docs_dropped"))
+      assert(r.getAs[Long]("docs_dropped") >= 0)
+    }
+    for (Seq(a, b) <- lg.toSeq.sliding(2)) {
+      assert(b.getAs[Long]("docs_in") == a.getAs[Long]("docs_kept"),
+        s"doc hand-off broke at ${b.getAs[String]("stage")}")
+      assert(b.getAs[Long]("tokens_in") == a.getAs[Long]("tokens_out"),
+        s"token hand-off broke at ${b.getAs[String]("stage")}")
+    }
+    // the planted feed is real and matches the mod-9 convention
+    val nPlanted = detail(lg.head)("planted")
+    val mod9 = Tables.documents(spark, sf)
+      .filter(col("doc_id") % 9 === 0).count()
+    assert(nPlanted == mod9 && nPlanted > 0)
+    // the image-dedup stage actually fired (planted copies that survive
+    // quality MUST die here — the in-plan assert guards id-level; the
+    // ledger shows the stage dropped at least the surviving copies)
+    assert(lg(2).getAs[Long]("docs_dropped") > 0)
+    // vision tokens enter exactly at interleave: 64 per image, and the
+    // text side is conserved
+    val d3 = detail(lg(3))
+    assert(d3("vision_tokens") == d3("images") * 64L)
+    assert(lg(3).getAs[Long]("tokens_out") ==
+      lg(3).getAs[Long]("tokens_in") + d3("vision_tokens"))
+    // the shard tail conserves the total and lays out all 16 shards
+    assert(lg(4).getAs[Long]("tokens_out") ==
+      lg(3).getAs[Long]("tokens_out"))
+    assert(detail(lg(4))("shards") == 16L)
+    // interleave/shard agree with the solo accounting DEFINITION on the
+    // survivor set: per-doc totals are n_words + 64 * n_images by the
+    // shared mmAccounting — spot-check the aggregate identity
+    assert(lg(3).getAs[Long]("tokens_out") - lg(3).getAs[Long]("tokens_in")
+      == d3("images") * 64L)
+  }
+
   test("pipeline_e2e_incr: stage conservation and hand-off equality") {
     val lg = operators.PipelineIncr.pipelineE2eIncr(spark, sf).collect()
     assert(lg.length == 9)
