@@ -169,9 +169,13 @@ object Pipeline {
             "collides with a real doc_id — choose a shift outside the " +
             "corpus id range")).cast("long"),
         lit(0L)).as("__plant_g0"))
-    val u = raw.unionByName(
+    // plants are TAGGED at construction (exact at any id layout — an
+    // id-range test like doc_id >= PlantShift misreads large real ids,
+    // e.g. the ScaleUp probe corpus, as planted)
+    val u = raw.withColumn("planted", lit(0L)).unionByName(
         raw.filter(col("doc_id") % 5 === 0)
-          .withColumn("doc_id", col("doc_id") + PlantShift))
+          .withColumn("doc_id", col("doc_id") + PlantShift)
+          .withColumn("planted", lit(1L)))
       .crossJoin(broadcast(plantGuard))
       .filter(col("__plant_g0") === 0L)
       .drop("__plant_g0")
@@ -280,7 +284,7 @@ object Pipeline {
     // ---- the ledger: 9 rows of scalar aggregates
     def st(c: Column): Column = c.cast("string")
     val aU = u.agg(count(lit(1)).as("d_u"), sum(col("n_tokens")).as("t_u"),
-      sum(when(col("doc_id") >= PlantShift, 1L).otherwise(0L)).as("np"))
+      sum(col("planted")).as("np"))
     val aQ = qf.agg(
       sum(when(!col("r_words"), 1L).otherwise(0L)).as("fw"),
       sum(when(!col("r_mean_len"), 1L).otherwise(0L)).as("fm"),
@@ -463,7 +467,7 @@ object Pipeline {
             FROM pe_en), pe_sz),
     pe_a0 AS (
       SELECT count(*) AS d_u, CAST(sum(n_tokens) AS BIGINT) AS t_u,
-        count(*) FILTER (WHERE doc_id >= $PlantShift) AS np
+        (SELECT count(*) FROM documents WHERE doc_id % 5 = 0) AS np
       FROM pe_tok),
     pe_a1 AS (
       SELECT count(*) FILTER (WHERE NOT r_words) AS fw,

@@ -75,9 +75,12 @@ object PipelineMm {
               "collides with a real doc_id — choose a shift outside " +
               "the corpus id range")).cast("long"),
           lit(0L)).as("__plant_g0"))
-      val u = raw.unionByName(
+      // plants TAGGED at construction (exact at any id layout — an
+      // id-range test misreads large real ids as planted)
+      val u = raw.withColumn("planted", lit(0L)).unionByName(
           raw.filter(col("doc_id") % 9 === 0)
-            .withColumn("doc_id", col("doc_id") + PlantShift))
+            .withColumn("doc_id", col("doc_id") + PlantShift)
+            .withColumn("planted", lit(1L)))
         .crossJoin(broadcast(plantGuard))
         .filter(col("__plant_g0") === 0L)
         .drop("__plant_g0")
@@ -87,7 +90,7 @@ object PipelineMm {
       // source's verdict — gopherFrame keys augmentation on the mod)
       val qf = Pipeline.gopherFrame(u).persist()
       val s1 = qf.filter(col("keep"))
-        .select(col("doc_id"), col("text"), col("n_tokens"))
+        .select(col("doc_id"), col("text"), col("n_tokens"), col("planted"))
         .persist()
 
       // ---- stage 2: image near-dedup over survivors — verified phash
@@ -110,7 +113,7 @@ object PipelineMm {
         .join(labP.select(col("id").as("doc_id"), col("lab")),
           Seq("doc_id"), "left")
         .filter(col("lab").isNull || col("doc_id") === col("lab"))
-        .select(col("doc_id"), col("text"), col("n_tokens"))
+        .select(col("doc_id"), col("text"), col("n_tokens"), col("planted"))
         .persist()
 
       // ---- stage 3: interleave accounting — vision tokens enter here
@@ -125,7 +128,7 @@ object PipelineMm {
       def st(c: org.apache.spark.sql.Column) = c.cast("string")
       val aU = u.agg(count(lit(1)).as("d_u"),
         sum(col("n_tokens")).as("t_u"),
-        sum(when(col("doc_id") >= PlantShift, 1L).otherwise(0L)).as("np"))
+        sum(col("planted")).as("np"))
       val aQ = qf.agg(
         sum(when(!col("r_words"), 1L).otherwise(0L)).as("fw"),
         sum(when(!col("r_mean_len"), 1L).otherwise(0L)).as("fm"),
@@ -153,8 +156,7 @@ object PipelineMm {
       // source). A planted id in s2 means a stage contract broke.
       val plantDead = s2.agg(coalesce(
         assert_true(
-          coalesce(sum(when(col("doc_id") >= PlantShift, 1L)
-            .otherwise(0L)), lit(0L)) === 0L,
+          coalesce(sum(col("planted")), lit(0L)) === 0L,
           lit("pipeline_e2e_mm: a planted duplicate survived image " +
             "dedup — the quality/dedup stage contract broke"))
           .cast("long"),
@@ -271,7 +273,7 @@ object PipelineMm {
               FROM pm_ac)), pm_sz),
     pm_a0 AS (
       SELECT count(*) AS d_u, CAST(sum(n_tokens) AS BIGINT) AS t_u,
-        count(*) FILTER (WHERE doc_id >= $PlantShift) AS np
+        (SELECT count(*) FROM documents WHERE doc_id % 9 = 0) AS np
       FROM pm_tok),
     pm_a1 AS (
       SELECT count(*) FILTER (WHERE NOT r_words) AS fw,
