@@ -262,6 +262,148 @@ object Similarity {
     */
   private val DupSweepBars = Seq(0.25, 0.35, 0.45)
 
+  /** Signature widths (planes per band) the width sweep evaluates; the
+    * widest is the per-band plane budget and the narrower widths are
+    * PREFIXES of it, so candidate sets nest structurally.
+    */
+  private val WidthSweep = Seq(4, 8, 12)
+  private val WidthMax = 12
+
+  /** Gate: the LSH signature-WIDTH tuning table — the `BandPlanes` knob
+    * the scale bound at [[dupPairsScored]] points to, measured: per
+    * planes-per-band width w ∈ {4, 8, 12} (4 bands, width-w signatures
+    * as PREFIXES of one 12-plane-per-band projection), the occupied
+    * buckets, the largest bucket, candidate pairs generated, pairs
+    * verified at the [[DupCosBar]] cosine, and recall against the
+    * narrowest (highest-recall) width. This is the decision artifact
+    * for scaling the near-dup family: candidate volume falls
+    * ~2^Δw-fold per width step while verified-pair recall falls far
+    * slower — the measured basis for BandPlanes ≈ log₂(n/bucket).
+    *
+    * Scale: ONE projection pass (48 codegen dot products per vector),
+    * ONE candidate self-join at the narrowest width (the nesting means
+    * the wider widths are a per-pair masked-prefix comparison, never
+    * their own joins), ONE exact-cosine verification join; per-width
+    * bucket stats are linear aggregates over the band frame. The
+    * narrowest branch is the quadratic-at-fixed-width workload being
+    * AUDITED — on a production corpus this sweep runs over a sample,
+    * exactly like the MinHash `lsh_tuning` audit.
+    */
+  def embedWidthSweep(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val qn = qdf(s, dir)
+    val sigs12 = (0 until DedupBands).map { b =>
+      (0 until WidthMax)
+        .map(r => when(planeCol(b * WidthMax + r) >= 0, lit(1L << r))
+          .otherwise(0L))
+        .reduce(_ + _)
+    }
+    val bands = qn.select(col("vec_id"),
+        posexplode(array(sigs12: _*)).as(Seq("band", "sig12")))
+      .persist()
+    def mask(w: Int): Long = (1L << w) - 1
+    // one self-join at the narrowest width; per pair the widest width
+    // at which SOME band's masked signatures still agree
+    val m4 = mask(4)
+    val a = bands.select(col("vec_id").as("id_a"), col("band"),
+      col("sig12").as("s12a"), (col("sig12") bitwiseAND m4).as("sig4"))
+    val b = bands.select(col("vec_id").as("id_b"), col("band"),
+      col("sig12").as("s12b"), (col("sig12") bitwiseAND m4).as("sig4"))
+    val joined = a.join(b, Seq("band", "sig4"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        when(col("s12a") === col("s12b"), 12L)
+          .when((col("s12a") bitwiseAND mask(8)) ===
+            (col("s12b") bitwiseAND mask(8)), 8L)
+          .otherwise(4L).as("wb"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(max(col("wb")).as("wmax"))
+    val scored = joined
+      .join(qn.select(col("vec_id").as("id_a"), col("q").as("qa"),
+        col("n2").as("na")), "id_a")
+      .join(qn.select(col("vec_id").as("id_b"), col("q").as("qb"),
+        col("n2").as("nb")), "id_b")
+      .withColumn("dot", expr("q_dot(qa, qb)"))
+      .select(col("id_a"), col("id_b"), col("wmax"),
+        (cosCol(col("dot"), col("na"), col("nb")) >= DupCosBar)
+          .as("verified"))
+      .persist()
+    val perW = WidthSweep.map { w =>
+      val occ = bands
+        .groupBy(col("band"), (col("sig12") bitwiseAND mask(w)).as("sg"))
+        .agg(count(lit(1)).as("n"))
+        .agg(count(lit(1)).as("n_buckets"), max(col("n")).as("max_bucket"))
+      val ps = scored.agg(
+        sum(when(col("wmax") >= w, 1L).otherwise(0L)).as("n_cand"),
+        sum(when(col("wmax") >= w && col("verified"), 1L).otherwise(0L))
+          .as("n_verified"))
+      occ.crossJoin(broadcast(ps))
+        .select(lit(w.toLong).as("planes_per_band"), col("n_buckets"),
+          col("max_bucket"), col("n_cand"), col("n_verified"))
+        .localCheckpoint(true)
+    }
+    val base = perW.head.select(col("n_verified").as("nv0"))
+    val res = perW.reduce(_.unionByName(_))
+      .crossJoin(broadcast(base))
+      .select(col("planes_per_band"), col("n_buckets"), col("max_bucket"),
+        col("n_cand"), col("n_verified"),
+        when(col("nv0") > 0,
+          expr("(n_verified * 1000000) div nv0")).as("recall_q6"))
+      .orderBy("planes_per_band")
+      .localCheckpoint(true)
+    bands.unpersist(false)
+    scored.unpersist(false)
+    res
+  }
+
+  val embedWidthSweepSql: String = {
+    def mask(w: Int): Long = (1L << w) - 1
+    val branches = WidthSweep.map { w =>
+      s"""SELECT CAST($w AS BIGINT) AS planes_per_band,
+        (SELECT count(*) FROM (SELECT band, sig12 & ${mask(w)} AS sg
+           FROM ews_b GROUP BY 1, 2) z) AS n_buckets,
+        (SELECT max(n) FROM (SELECT count(*) AS n FROM ews_b
+           GROUP BY band, sig12 & ${mask(w)}) z) AS max_bucket,
+        (SELECT count(*) FROM ews_p WHERE wmax >= $w) AS n_cand,
+        (SELECT count(*) FROM ews_p WHERE wmax >= $w AND verified)
+          AS n_verified"""
+    }.mkString("\n    UNION ALL\n    ")
+    s"""
+    WITH $QuantSql,
+    ${projSql(DedupBands * WidthMax)},
+    ews_b AS MATERIALIZED (
+      SELECT vec_id, h // $WidthMax AS band,
+        CAST(sum(CASE WHEN proj >= 0 THEN 1 ELSE 0 END
+          * (1 << (h % $WidthMax))) AS BIGINT) AS sig12
+      FROM proj GROUP BY 1, 2),
+    ews_j AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        max(CASE WHEN a.sig12 = b.sig12 THEN 12
+                 WHEN (a.sig12 & ${mask(8)}) = (b.sig12 & ${mask(8)})
+                   THEN 8
+                 ELSE 4 END) AS wmax
+      FROM ews_b a JOIN ews_b b
+        ON a.band = b.band AND (a.sig12 & ${mask(4)}) = (b.sig12 & ${mask(4)})
+          AND a.vec_id < b.vec_id
+      GROUP BY 1, 2),
+    ews_p AS MATERIALIZED (
+      SELECT j.id_a, j.id_b, j.wmax,
+        ($PairCosSql >= $DupCosBar) AS verified
+      FROM (SELECT id_a, id_b, wmax, x.n2 AS na, y.n2 AS nb,
+              CAST(list_sum(list_transform(generate_series(1, len(x.q)),
+                i -> x.q[i] * y.q[i])) AS BIGINT) AS dot
+            FROM ews_j JOIN qn x ON id_a = x.vec_id
+              JOIN qn y ON id_b = y.vec_id) j),
+    ews_r AS ($branches),
+    ews_0 AS (SELECT n_verified AS nv0 FROM ews_r
+              WHERE planes_per_band = 4)
+    SELECT planes_per_band, n_buckets, max_bucket, n_cand, n_verified,
+      CASE WHEN nv0 > 0
+        THEN CAST((n_verified * 1000000) // nv0 AS BIGINT) END AS recall_q6
+    FROM ews_r, ews_0
+    ORDER BY planes_per_band"""
+  }
+
   /** Gate: the embedding-dedup THRESHOLD tuning table (the §4
     * tuning-table discipline on [[dedupEmbedding]]'s one knob): per
     * cosine bar ∈ {0.25, 0.35, 0.45} — verified pairs, docs incident to
@@ -2099,6 +2241,7 @@ object Similarity {
     "hard_negatives_knn" -> (hardNegativesKnn _),
     "dedup_embedding" -> (dedupEmbedding _),
     "embed_dedup_sweep" -> (embedDedupSweep _),
+    "embed_width_sweep" -> (embedWidthSweep _),
     "decontaminate_semantic" -> (decontaminateSemantic _),
     "ann_topk" -> (annTopk(_, _)),
     "ann_topk_filtered" -> (annTopkFiltered(_, _)),
@@ -2128,6 +2271,7 @@ object Similarity {
     "hard_negatives_knn" -> hardNegativesKnnSql,
     "dedup_embedding" -> dedupEmbeddingSql,
     "embed_dedup_sweep" -> embedDedupSweepSql,
+    "embed_width_sweep" -> embedWidthSweepSql,
     "decontaminate_semantic" -> decontaminateSemanticSql,
     "ann_topk" -> annTopkSql(),
     "ann_topk_filtered" -> annTopkFilteredSql(),

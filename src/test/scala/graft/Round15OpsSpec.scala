@@ -216,6 +216,35 @@ class Round15OpsSpec extends SparkSpec {
     assert(batch.map(_.toSeq).toSeq == stream.map(_.toSeq).toSeq)
   }
 
+  test("embed_width_sweep: candidate sets nest with signature width, " +
+    "buckets split monotonically, recall is anchored at the narrowest") {
+    val rows = operators.Similarity.embedWidthSweep(spark, sf).collect()
+      .sortBy(_.getAs[Long]("planes_per_band"))
+    assert(rows.map(_.getAs[Long]("planes_per_band")).toSeq ==
+      Seq(4L, 8L, 12L))
+    // prefix nesting: a wider signature only removes candidates and
+    // verified pairs; buckets only split; the largest bucket only shrinks
+    for (c <- Seq("n_cand", "n_verified", "max_bucket"))
+      rows.map(_.getAs[Long](c)).toSeq.sliding(2).foreach {
+        case Seq(x, y) => assert(y <= x, s"$c rose with width")
+      }
+    rows.map(_.getAs[Long]("n_buckets")).toSeq.sliding(2).foreach {
+      case Seq(x, y) => assert(y >= x, "buckets merged with width")
+    }
+    // verified pairs are a subset of candidates on every row
+    for (r <- rows)
+      assert(r.getAs[Long]("n_verified") <= r.getAs[Long]("n_cand"))
+    // recall is anchored at the narrowest width and replays from the
+    // emitted counts
+    val nv0 = rows.head.getAs[Long]("n_verified")
+    if (nv0 > 0) {
+      assert(rows.head.getAs[Long]("recall_q6") == 1000000L)
+      for (r <- rows)
+        assert(r.getAs[Long]("recall_q6") ==
+          r.getAs[Long]("n_verified") * 1000000L / nv0)
+    }
+  }
+
   private def detail(r: Row): Map[String, Long] =
     r.getAs[String]("detail").split(",")
       .map(_.split("=")).map(kv => kv(0) -> kv(1).toLong).toMap
