@@ -457,13 +457,28 @@ object Multimodal {
 
   // ------------------------------------------------------- perceptual hash
 
+  /** The planted-duplicate id shift shared by the WHOLE plant family:
+    * the phash store's byte-copy plants here, [[Pipeline.gopherFrame]]'s
+    * verdict-augmentation modulus, and both composed pipelines' arriving
+    * feeds. The copies-share-verdicts and dies-to-source invariants
+    * require every site to agree on ONE value — this single definition
+    * ties them at compile time instead of at gate runtime (advice
+    * finding, r15).
+    */
+  private[operators] val PlantShift = 100000L
+
+  /** Image-plant modulus: every [[PlantMod]]-th doc gets a
+    * pixel-identical planted copy under id + [[PlantShift]].
+    */
+  private[operators] val PlantMod = 9
+
   /** Average-hash (aHash) image near-dup detection over the REAL decode
     * path: each PNG is decoded with `javax.imageio`, its 24×16 pixels
     * reduced to an 8×8 grid of exact 3×2-block luma sums, and bit k set
     * iff `blockSum·64 > totalSum` (strict integer compare — no float, no
     * mean rounding). The 64 bits ship as two BIGINT halves (bit 63 never
     * touches the sign). Images whose id ≡ 0 (mod 9) get an exact byte-copy
-    * planted under id+100000, so hash groups of size ≥ 2 must appear and
+    * planted under id + [[PlantShift]], so hash groups of size ≥ 2 must appear and
     * the gate is non-vacuous.
     *
     * Scale: the hash is computed inside the same batched `mapPartitions`
@@ -482,8 +497,8 @@ object Multimodal {
     graft.Memo.cached(s, "mm_phashes", dir) {
       import s.implicits._
       val base = withImagePayload(s, dir)
-      val planted = base.filter(col("doc_id") % 9 === 0)
-        .select((col("doc_id") + 100000L).as("doc_id"), col("payload"))
+      val planted = base.filter(col("doc_id") % PlantMod === 0)
+        .select((col("doc_id") + PlantShift).as("doc_id"), col("payload"))
       base.unionByName(planted)
         .as[(Long, Array[Byte])]
         .mapPartitions { it =>
@@ -536,7 +551,7 @@ object Multimodal {
     WITH ids AS (
       SELECT doc_id, doc_id AS gen_id FROM documents
       UNION ALL
-      SELECT doc_id + 100000, doc_id FROM documents WHERE doc_id % 9 = 0),
+      SELECT doc_id + $PlantShift, doc_id FROM documents WHERE doc_id % $PlantMod = 0),
     px AS (
       SELECT ids.doc_id, (y.i // ${ImgH / 8}) * 8 + (x.i // ${ImgW / 8}) AS k,
         (gen_id * 31 + x.i * 7 + y.i * 13) % 256
@@ -624,7 +639,7 @@ object Multimodal {
     ids AS (
       SELECT doc_id, doc_id AS gen_id FROM documents
       UNION ALL
-      SELECT doc_id + 100000, doc_id FROM documents WHERE doc_id % 9 = 0),
+      SELECT doc_id + $PlantShift, doc_id FROM documents WHERE doc_id % $PlantMod = 0),
     px AS (
       SELECT ids.doc_id, (y.i // ${ImgH / 8}) * 8 + (x.i // ${ImgW / 8}) AS k,
         (gen_id * 31 + x.i * 7 + y.i * 13) % 256

@@ -70,7 +70,9 @@ object Pipeline {
     * fail `r_symbols` at this corpus's word-count range by construction
     * — a mod-7 duplicate feed would be entirely quality-dropped and the
     * dedup hand-off would never be exercised. */
-  private val PlantShift = 100000L
+  // ONE shared plant-family constant (defined with the image-plant
+  // convention it must agree with — advice finding, r15)
+  private val PlantShift = Multimodal.PlantShift
 
   /** The stage-1 Gopher rule frame over a `(doc_id, lang, text, …)`
     * frame: the deterministic quality augmentation (keyed on

@@ -49,11 +49,14 @@ object PipelineMm {
 
   import TextNorm.{norm, normSql}
 
-  /** The phash family's planted-duplicate shift (mod-9 feed — the
-    * convention `Multimodal.phashesOf` plants, so the arriving universe
-    * matches the image store's id space exactly).
+  /** The phash family's planted-duplicate shift and feed modulus — the
+    * SHARED `Multimodal` definitions (`phashesOf` plants with exactly
+    * these), so the arriving universe matches the image store's id
+    * space BY CONSTRUCTION, not by parallel literals (advice finding,
+    * r15).
     */
-  private val PlantShift = 100000L
+  private val PlantShift = Multimodal.PlantShift
+  private val PlantMod = Multimodal.PlantMod
 
   def pipelineE2eMm(s: SparkSession, dir: String): DataFrame =
     graft.Memo.cached(s, "pipeline_e2e_mm", dir) {
@@ -67,7 +70,7 @@ object PipelineMm {
       val raw = Tables.documents(s, dir)
         .select(col("doc_id"), col("lang"), col("text"))
       val plantGuard = raw.select(col("doc_id"))
-        .intersect(raw.filter(col("doc_id") % 9 === 0)
+        .intersect(raw.filter(col("doc_id") % PlantMod === 0)
           .select((col("doc_id") + PlantShift).as("doc_id")))
         .agg(coalesce(
           assert_true(count(lit(1)) === 0L,
@@ -78,7 +81,7 @@ object PipelineMm {
       // plants TAGGED at construction (exact at any id layout — an
       // id-range test misreads large real ids as planted)
       val u = raw.withColumn("planted", lit(0L)).unionByName(
-          raw.filter(col("doc_id") % 9 === 0)
+          raw.filter(col("doc_id") % PlantMod === 0)
             .withColumn("doc_id", col("doc_id") + PlantShift)
             .withColumn("planted", lit(1L)))
         .crossJoin(broadcast(plantGuard))
@@ -219,7 +222,7 @@ object PipelineMm {
       SELECT doc_id, lang, text FROM documents
       UNION ALL
       SELECT doc_id + $PlantShift, lang, text FROM documents
-      WHERE doc_id % 9 = 0),
+      WHERE doc_id % $PlantMod = 0),
     ${Pipeline.gopherCtes("pm_u", "pm_")},
     pm_s1 AS MATERIALIZED (
       SELECT doc_id, text, n_tokens FROM pm_qf
@@ -273,7 +276,7 @@ object PipelineMm {
               FROM pm_ac)), pm_sz),
     pm_a0 AS (
       SELECT count(*) AS d_u, CAST(sum(n_tokens) AS BIGINT) AS t_u,
-        (SELECT count(*) FROM documents WHERE doc_id % 9 = 0) AS np
+        (SELECT count(*) FROM documents WHERE doc_id % $PlantMod = 0) AS np
       FROM pm_tok),
     pm_a1 AS (
       SELECT count(*) FILTER (WHERE NOT r_words) AS fw,

@@ -127,8 +127,45 @@ object Similarity {
   // ------------------------------------------------- random-hyperplane LSH
 
   private[operators] val NumPlanes = 8   // single-bucket ANN path
-  private val DedupBands = 4  // banded near-dup path: 4 bands × 4 planes
-  private val BandPlanes = 4
+  private val DedupBands = 4  // banded near-dup path: 4 bands × derived width
+
+  /** Derived-signature-width rule for the banded near-dup family — the
+    * r15 `embed_width_sweep` measurement applied: a FIXED planes-per-band
+    * width makes bucket occupancy (and with it candidate volume per
+    * vector) grow linearly with the corpus — Θ(n²/2^w) pair generation,
+    * measured super-linear at 10× on the fixed w=4 of r15. The width is
+    * now derived from the corpus COUNT: the smallest
+    * w ∈ [[[MinBandPlanes]], [[MaxBandPlanes]]] with
+    * ⌈n / [[TargetBucket]]⌉ ≤ 2^w, so expected occupancy stays ≤
+    * [[TargetBucket]] and candidate volume stays ~linear in n (the
+    * measured basis: BandPlanes ≈ log₂(n/bucket), 150× candidate
+    * reduction at w=12 on the sweep corpus). Pure integer arithmetic on
+    * both engines — the oracle recomputes the identical w from
+    * `count(*)` via CASE arms generated from the SAME ladder. At the
+    * gate corpora (500 and 2000 vectors) the derived width is 4, so
+    * every r15 gate hash is unchanged (spec-pinned).
+    */
+  private[graft] val TargetBucket = 128L
+  private[graft] val MinBandPlanes = 4
+  private[graft] val MaxBandPlanes = 12
+
+  /** Loud occupancy ceiling at the derived width: 64× the target bucket
+    * absorbs real LSH skew (the gate corpus peaks ~3× target) while a
+    * mis-derived width — the failure class this guards — overshoots it
+    * immediately (a width stuck 4 bits narrow means 16× the average
+    * occupancy on EVERY bucket, and skewed peaks far past 64×).
+    */
+  private[graft] val OccBound = 64L * TargetBucket
+
+  /** The smallest width in the ladder whose bucket count covers
+    * ⌈n/target⌉ — see [[TargetBucket]]. Integer-exact (no log2 float
+    * hazard at the powers of two).
+    */
+  private[graft] def widthFor(n: Long): Int = {
+    val nb = (n + TargetBucket - 1) / TargetBucket
+    (MinBandPlanes to MaxBandPlanes).find(w => nb <= (1L << w))
+      .getOrElse(MaxBandPlanes)
+  }
 
   private def md5hex(v: String): String =
     java.security.MessageDigest.getInstance("MD5")
@@ -157,11 +194,47 @@ object Similarity {
     (0 until n).map(h => when(planeCol(h) >= 0, lit(1L << h)).otherwise(0L))
       .reduce(_ + _)
 
-  /** Per-band 4-bit signature for the banded near-dup path. */
-  private def bandSigCol(b: Int): Column =
-    (0 until BandPlanes)
-      .map(r => when(planeCol(b * BandPlanes + r) >= 0, lit(1L << r)).otherwise(0L))
+  /** Per-band `w`-bit signature for the banded near-dup path (band `b`
+    * reads planes `b·w … b·w+w−1`, so at the derived w=4 the plane
+    * layout — and every gate hash — matches the r15 fixed-width family).
+    */
+  private def bandSigCol(b: Int, w: Int): Column =
+    (0 until w)
+      .map(r => when(planeCol(b * w + r) >= 0, lit(1L << r)).otherwise(0L))
       .reduce(_ + _)
+
+  /** Memoized GUARDED band frame `(vec_id, band, sig)` of the banded
+    * near-dup family at the corpus-derived signature width — ONE
+    * definition for candidate generation ([[dupPairsScored]]) and the
+    * asymmetric eval-probe join ([[decontaminateSemantic]]). The corpus
+    * count is an O(1) driver scalar (parquet metadata — the documented
+    * `Bpe` feedback pattern), and a FILTER-predicate occupancy assert
+    * rides the frame (the `probesOf` idiom: a filter must evaluate, so
+    * neither pruning nor a column-less count can elide it) — a width
+    * that stops covering the corpus fails LOUDLY, not quadratically.
+    */
+  private[graft] def dupBandsOf(s: SparkSession, dir: String): DataFrame =
+    graft.Memo.cached(s, "emb_dup_bands", dir) {
+      val n = Tables.embeddings(s, dir).count()
+      val w = widthFor(n)
+      val qn = qdf(s, dir)
+      val sigs = (0 until DedupBands).map(b => bandSigCol(b, w))
+      val bands = qn.select(col("vec_id"),
+        posexplode(array(sigs: _*)).as(Seq("band", "sig")))
+      val guard = bands.groupBy(col("band"), col("sig"))
+        .agg(count(lit(1)).as("bn"))
+        .agg(max(col("bn")).as("max_occ"))
+        .select(coalesce(
+          assert_true(col("max_occ").isNull || col("max_occ") <= OccBound,
+            lit(s"dupBandsOf: LSH bucket occupancy exceeds $OccBound at " +
+              s"the derived signature width $w — the widthFor ladder no " +
+              "longer covers this corpus; raise MaxBandPlanes or lower " +
+              "TargetBucket")).cast("long"),
+          lit(0L)).as("__occ_g0"))
+      bands.crossJoin(broadcast(guard))
+        .filter(col("__occ_g0") === 0L)
+        .drop("__occ_g0")
+    }
 
   /** Oracle CTEs for plane projections over `nPlanes` planes (append after
     * [[QuantSql]]); yields `proj(vec_id, h, proj)`.
@@ -221,25 +294,21 @@ object Similarity {
     * gate and the threshold sweep ([[embedDedupSweep]]) share ONE
     * candidate generation + verification pass per session.
     *
-    * SCALE BOUND (measured, 10× probe): candidate volume is
-    * Θ(n² / 2^[[BandPlanes]]) per band — bucket occupancy grows
-    * linearly with the corpus at a FIXED signature width, so pair
-    * generation is quadratic past the width's design range. The
-    * (4 bands × 4 planes) constants are sized for the gate corpora
-    * (≲ 10⁴ vectors, ~350/bucket); a production corpus needs
-    * [[BandPlanes]] ≈ log₂(n / target_bucket) so occupancy — and with
-    * it candidate volume per vector — stays constant (the
-    * `lsh_bucket_stats` / `lsh_tuning` knob, same recall↔bucket-size
-    * tradeoff as the MinHash band/row choice). The constant is a
-    * config, not a structural limit: every plan shape here is
-    * occupancy-bounded, not corpus-bounded.
+    * SCALE: candidates come from the DERIVED-width band frame
+    * ([[dupBandsOf]] — width = [[widthFor]](corpus count)), so expected
+    * bucket occupancy — and with it candidate volume per vector — stays
+    * ~constant as the corpus grows instead of the r15 fixed-width
+    * Θ(n²/2^4) blowup (measured 3.5× super-linear at 10× before the
+    * fix; the `embed_width_sweep` table priced the rule). Recall at a
+    * wider width is the measured tradeoff the sweep quantifies — the
+    * same recall↔bucket-size knob as the MinHash band/row choice — and
+    * the in-plan occupancy assert fails loudly if the ladder ever stops
+    * covering the corpus.
     */
   private def dupPairsScored(s: SparkSession, dir: String): DataFrame =
     graft.Memo.cached(s, "emb_dup_pairs", dir) {
       val qn = qdf(s, dir)
-      val sigs = (0 until DedupBands).map(bandSigCol)
-      val bands = qn.select(col("vec_id"),
-        posexplode(array(sigs: _*)).as(Seq("band", "sig")))
+      val bands = dupBandsOf(s, dir)
       val cand = bands.alias("a")
         .join(bands.alias("b"),
           col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
@@ -255,6 +324,29 @@ object Similarity {
         .select(col("id_a"), col("id_b"), col("dot"), col("na"), col("nb"))
     }
 
+  /** Oracle twin of the derived signature width: the `wq(w)` scalar CTE
+    * (CASE arms generated from the SAME [[MinBandPlanes]]..[[MaxBandPlanes]]
+    * ladder as [[widthFor]] — integer-exact on both engines) and the
+    * width-dynamic `bands` CTE. Append after
+    * `projSql(DedupBands * MaxBandPlanes)`: the oracle projects the full
+    * plane budget and keeps `h < bands·w`, so band `b` reads exactly the
+    * planes the Spark side's [[bandSigCol]] reads at the derived w.
+    */
+  private val bandsDynSql: String = {
+    val arms = (MinBandPlanes until MaxBandPlanes)
+      .map(w => s"WHEN nb <= ${1L << w} THEN $w").mkString("\n        ")
+    s"""wq AS (
+      SELECT CASE $arms
+        ELSE $MaxBandPlanes END AS w
+      FROM (SELECT (count(*) + ${TargetBucket - 1}) // $TargetBucket AS nb
+            FROM embeddings)),
+    bands AS (
+      SELECT vec_id, h // w AS band,
+        sum(CASE WHEN proj >= 0 THEN 1 ELSE 0 END * (1 << (h % w))) AS sig
+      FROM proj CROSS JOIN wq WHERE h < $DedupBands * w
+      GROUP BY vec_id, h // w, w)"""
+  }
+
   /** Cosine bars the threshold sweep evaluates — [[DupCosBar]] anchors
     * the conservative end; the looser bars price what a more aggressive
     * semantic dedup would cost (the published pipelines disagree on the
@@ -264,13 +356,17 @@ object Similarity {
 
   /** Signature widths (planes per band) the width sweep evaluates; the
     * widest is the per-band plane budget and the narrower widths are
-    * PREFIXES of it, so candidate sets nest structurally.
+    * PREFIXES of it, so candidate sets nest structurally. The per-pair
+    * widest-agreeing-width ladder (Spark when-chain AND the SQL CASE
+    * arms) is GENERATED from this one list — editing it cannot
+    * desynchronize the two engines (advice finding, r15).
     */
   private val WidthSweep = Seq(4, 8, 12)
-  private val WidthMax = 12
+  private val WidthMax = WidthSweep.max
+  private val WidthMin = WidthSweep.min
 
-  /** Gate: the LSH signature-WIDTH tuning table — the `BandPlanes` knob
-    * the scale bound at [[dupPairsScored]] points to, measured: per
+  /** Gate: the LSH signature-WIDTH tuning table — the measurement the
+    * [[widthFor]] derivation rule is built on: per
     * planes-per-band width w ∈ {4, 8, 12} (4 bands, width-w signatures
     * as PREFIXES of one 12-plane-per-band projection), the occupied
     * buckets, the largest bucket, candidate pairs generated, pairs
@@ -303,19 +399,25 @@ object Similarity {
       .persist()
     def mask(w: Int): Long = (1L << w) - 1
     // one self-join at the narrowest width; per pair the widest width
-    // at which SOME band's masked signatures still agree
-    val m4 = mask(4)
+    // at which SOME band's masked signatures still agree — the ladder
+    // generated from WidthSweep (descending), single source of truth
+    val mMin = mask(WidthMin)
     val a = bands.select(col("vec_id").as("id_a"), col("band"),
-      col("sig12").as("s12a"), (col("sig12") bitwiseAND m4).as("sig4"))
+      col("sig12").as("s12a"), (col("sig12") bitwiseAND mMin).as("sigmin"))
     val b = bands.select(col("vec_id").as("id_b"), col("band"),
-      col("sig12").as("s12b"), (col("sig12") bitwiseAND m4).as("sig4"))
-    val joined = a.join(b, Seq("band", "sig4"))
+      col("sig12").as("s12b"), (col("sig12") bitwiseAND mMin).as("sigmin"))
+    val desc = WidthSweep.sorted.reverse
+    val wbCol = desc.init.foldRight(lit(desc.last.toLong): Column) {
+      case (w, acc) =>
+        val agree =
+          if (w == WidthMax) col("s12a") === col("s12b")
+          else (col("s12a") bitwiseAND mask(w)) ===
+            (col("s12b") bitwiseAND mask(w))
+        when(agree, lit(w.toLong)).otherwise(acc)
+    }
+    val joined = a.join(b, Seq("band", "sigmin"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        when(col("s12a") === col("s12b"), 12L)
-          .when((col("s12a") bitwiseAND mask(8)) ===
-            (col("s12b") bitwiseAND mask(8)), 8L)
-          .otherwise(4L).as("wb"))
+      .select(col("id_a"), col("id_b"), wbCol.as("wb"))
       .groupBy(col("id_a"), col("id_b"))
       .agg(max(col("wb")).as("wmax"))
     val scored = joined
@@ -368,6 +470,12 @@ object Similarity {
         (SELECT count(*) FROM ews_p WHERE wmax >= $w AND verified)
           AS n_verified"""
     }.mkString("\n    UNION ALL\n    ")
+    // CASE arms generated from the SAME WidthSweep list as the Spark
+    // when-chain (descending; the widest width compares unmasked)
+    val caseArms = WidthSweep.sorted.reverse.init.map { w =>
+      if (w == WidthMax) s"WHEN a.sig12 = b.sig12 THEN $w"
+      else s"WHEN (a.sig12 & ${mask(w)}) = (b.sig12 & ${mask(w)}) THEN $w"
+    }.mkString("\n                 ")
     s"""
     WITH $QuantSql,
     ${projSql(DedupBands * WidthMax)},
@@ -378,12 +486,11 @@ object Similarity {
       FROM proj GROUP BY 1, 2),
     ews_j AS (
       SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-        max(CASE WHEN a.sig12 = b.sig12 THEN 12
-                 WHEN (a.sig12 & ${mask(8)}) = (b.sig12 & ${mask(8)})
-                   THEN 8
-                 ELSE 4 END) AS wmax
+        max(CASE $caseArms
+                 ELSE ${WidthSweep.min} END) AS wmax
       FROM ews_b a JOIN ews_b b
-        ON a.band = b.band AND (a.sig12 & ${mask(4)}) = (b.sig12 & ${mask(4)})
+        ON a.band = b.band
+          AND (a.sig12 & ${mask(WidthMin)}) = (b.sig12 & ${mask(WidthMin)})
           AND a.vec_id < b.vec_id
       GROUP BY 1, 2),
     ews_p AS MATERIALIZED (
@@ -442,8 +549,12 @@ object Similarity {
         explode(sequence(lit(1L), col("lvl"))).as("g"))
       .select((col("id_a") * k + col("g")).as("src"),
         (col("id_b") * k + col("g")).as("dst"))
-    val labels = Clustering.ccPointerJump(edges)
-      .withColumn("g", pmod(col("id"), lit(k)))
+    // hold the RAW ccPointerJump result: it is the frame the loop
+    // persists internally, so the cleanup below must unpersist IT — an
+    // unpersist on the withColumn-derived plan is a no-op and leaked one
+    // cached duplicate-subset frame per invocation (advice finding, r15)
+    val cc = Clustering.ccPointerJump(edges)
+    val labels = cc.withColumn("g", pmod(col("id"), lit(k)))
     val cstats = labels.groupBy(col("g"), col("cluster"))
       .agg(count(lit(1)).as("cs"))
       .groupBy(col("g"))
@@ -469,7 +580,7 @@ object Similarity {
         coalesce(col("max_csize"), lit(0L)).as("max_csize"))
       .orderBy("cos_bar")
       .localCheckpoint(true)
-    labels.unpersist(false)
+    cc.unpersist(false)
     lv.unpersist(false)
     res
   }
@@ -501,12 +612,8 @@ object Similarity {
       .mkString("\n    UNION ALL\n    ")
     s"""
     WITH RECURSIVE $QuantSql,
-    ${projSql(DedupBands * BandPlanes)},
-    bands AS (
-      SELECT vec_id, h // $BandPlanes AS band,
-        sum(CASE WHEN proj >= 0 THEN 1 ELSE 0 END * (1 << (h % $BandPlanes)))
-          AS sig
-      FROM proj GROUP BY 1, 2),
+    ${projSql(DedupBands * MaxBandPlanes)},
+    $bandsDynSql,
     cand AS (
       SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
       FROM bands a JOIN bands b
@@ -523,12 +630,8 @@ object Similarity {
 
   val dedupEmbeddingSql: String = s"""
     WITH $QuantSql,
-    ${projSql(DedupBands * BandPlanes)},
-    bands AS (
-      SELECT vec_id, h // $BandPlanes AS band,
-        sum(CASE WHEN proj >= 0 THEN 1 ELSE 0 END * (1 << (h % $BandPlanes)))
-          AS sig
-      FROM proj GROUP BY 1, 2),
+    ${projSql(DedupBands * MaxBandPlanes)},
+    $bandsDynSql,
     cand AS (
       SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
       FROM bands a JOIN bands b
@@ -554,9 +657,7 @@ object Similarity {
     */
   def decontaminateSemantic(s: SparkSession, dir: String): DataFrame = {
     val qn = qdf(s, dir)
-    val sigs = (0 until DedupBands).map(bandSigCol)
-    val bands = qn.select(col("vec_id"),
-      posexplode(array(sigs: _*)).as(Seq("band", "sig")))
+    val bands = dupBandsOf(s, dir)
     val cand = bands.filter(col("vec_id") % SemEvalMod =!= 0).alias("a")
       .join(bands.filter(col("vec_id") % SemEvalMod === 0).alias("b"),
         col("a.band") === col("b.band") && col("a.sig") === col("b.sig"))
@@ -577,12 +678,8 @@ object Similarity {
 
   val decontaminateSemanticSql: String = s"""
     WITH $QuantSql,
-    ${projSql(DedupBands * BandPlanes)},
-    bands AS (
-      SELECT vec_id, h // $BandPlanes AS band,
-        sum(CASE WHEN proj >= 0 THEN 1 ELSE 0 END * (1 << (h % $BandPlanes)))
-          AS sig
-      FROM proj GROUP BY 1, 2),
+    ${projSql(DedupBands * MaxBandPlanes)},
+    $bandsDynSql,
     cand AS (
       SELECT DISTINCT a.vec_id AS vec_id, b.vec_id AS eval_id
       FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig

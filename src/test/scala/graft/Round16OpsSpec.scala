@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-16 operator specs: the derived LSH signature width's ladder
+  * (the r15 weak's fix — properties a cross-engine hash can't
+  * articulate: gate-corpus invariance, scale behavior, occupancy
+  * coverage).
+  */
+class Round16OpsSpec extends SparkSpec {
+
+  test("widthFor: gate corpora derive width 4 (r15 hashes unchanged), " +
+    "probe scales derive wider, ladder is monotone and capped") {
+    val S = operators.Similarity
+    // the two gate corpora (sf0.01: 500 embeddings; sf0.1: 2000) sit at
+    // the bottom of the ladder — every pre-derivation gate hash holds
+    assert(S.widthFor(500) == 4)
+    assert(S.widthFor(2000) == 4)
+    // the r15 10×/100× probe scales (ScaleUp over sf0.1) now widen:
+    // 20k vectors → 8 planes/band, 200k → 11 — the candidate-volume
+    // blowup the r15 probe measured (3.5× super-linear at 10×) is what
+    // these widths exist to remove
+    assert(S.widthFor(20000) == 8)
+    assert(S.widthFor(200000) == 11)
+    // monotone in n, floored and capped by the ladder bounds
+    val widths = Seq(1L, 100L, 1000L, 10000L, 100000L, 1000000L,
+      1000000000L).map(S.widthFor)
+    assert(widths == widths.sorted, s"not monotone: $widths")
+    assert(widths.head == S.MinBandPlanes)
+    assert(widths.last == S.MaxBandPlanes)
+    // coverage invariant the occupancy guard relies on: below the cap,
+    // the chosen width's bucket count covers ceil(n/target)
+    for (n <- Seq(500L, 2000L, 20000L, 200000L)) {
+      val w = S.widthFor(n)
+      val nb = (n + S.TargetBucket - 1) / S.TargetBucket
+      assert(nb <= (1L << w), s"n=$n w=$w does not cover nb=$nb")
+    }
+  }
+
+  test("dupBandsOf: derived-width band frame has DedupBands bands and " +
+    "its occupancy clears the in-plan guard") {
+    val bands = operators.Similarity.dupBandsOf(spark, sf)
+    val stats = bands.groupBy(col("band"), col("sig"))
+      .agg(count(lit(1)).as("n"))
+      .agg(countDistinct(col("band")).as("nb"), max(col("n")).as("mx"))
+      .head()
+    assert(stats.getAs[Long]("nb") == 4L)
+    assert(stats.getAs[Long]("mx") <= operators.Similarity.OccBound)
+  }
+}
