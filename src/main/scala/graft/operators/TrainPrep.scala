@@ -1828,9 +1828,151 @@ object TrainPrep {
     ORDER BY budget, strategy"""
   }
 
+  // ------------------------------------------------- bounded-state packer
+
+  /** Budget / open-bin count / writer fan-out of the production packer.
+    * K bounds packer STATE (K remainders + K bin ids per writer — O(K),
+    * not O(bins)); the writer count is the distribution axis. Budget 512
+    * is the regime [[packEfficiency]]'s table shows the open-bin state
+    * BUYING something (documents comparable to the bin — at 2048 this
+    * corpus's docs are so small every strategy hits the ⌈total/B⌉
+    * floor and the comparison is vacuous).
+    */
+  private[graft] val FfdBudget = 512L
+  private[graft] val FfdOpenBins = 4
+  private[graft] val FfdWriters = 4
+
+  /** Gate: the BOUNDED-STATE production packer — first-fit decreasing
+    * with [[FfdOpenBins]] OPEN BINS, the operator [[packEfficiency]]'s
+    * tuning table argues for: true FFD beats both shipped layouts but
+    * keeps every open bin's remainder (state linear in bins — unbounded
+    * at 100 TB and not replayable as a distributed plan), while
+    * next-fit's O(1) state pays measured waste. K open bins is the
+    * WebDataset-shard-writer shape: each writer task keeps K partial
+    * bins; a document goes to the FIRST open bin it fits (slot order),
+    * opens a new bin while slots are free, and otherwise EVICTS the
+    * fullest bin (min remainder, lowest slot on ties) — the closed bin
+    * ships, the slot reopens. Emits [[TextOps.packSequences]]' layout
+    * shape (doc → bin) with the writer as the stratum.
+    *
+    * Scale: the corpus distributes over writers by `doc_id mod W` (at
+    * 100 TB, W = the write parallelism, thousands); each writer's fold
+    * is one pass over its own length-sorted stream with O(K) state —
+    * `mapPartitions`, zero shuffle beyond the writer repartition, no
+    * driver state. The oracle replays every writer's fold exactly with
+    * a recursive CTE carrying the K-slot remainder/bin-id lists. The
+    * spec pins waste ≤ both shipped layouts and against the unbounded
+    * true-FFD replay (what the K-slot bound costs).
+    *
+    * Reference analog: the bounded per-dataset apply loop —
+    * `lib/LINZ/BdeUpload.pm:612 ApplyUpdates` processes arriving
+    * datasets through a fixed-size working set, never materializing the
+    * full history in memory.
+    */
+  def packBoundedFfd(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val b = FfdBudget
+    val kOpen = FfdOpenBins
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), size(split(norm, " ")).cast("long").as("n"))
+      .filter(col("n") <= b)
+      .withColumn("writer", pmod(col("doc_id"), lit(FfdWriters.toLong)))
+    docs
+      .repartition(FfdWriters, col("writer"))
+      .sortWithinPartitions(col("writer"), col("n").desc, col("doc_id"))
+      .select(col("writer"), col("doc_id"), col("n"))
+      .as[(Long, Long, Long)]
+      .mapPartitions { it =>
+        // per-writer K-slot fold; a hash collision can co-locate two
+        // writers in one partition — state resets on the writer change
+        // (rows arrive sorted by writer first)
+        var curW = Long.MinValue
+        var rem: Array[Long] = null
+        var bid: Array[Long] = null
+        var open = 0
+        var next = 0L
+        it.map { case (w, id, n) =>
+          if (w != curW) {
+            curW = w
+            rem = new Array[Long](kOpen)
+            bid = new Array[Long](kOpen)
+            open = 0
+            next = 0L
+          }
+          var slot = -1
+          var i = 0
+          while (i < open && slot < 0) {
+            if (rem(i) >= n) slot = i
+            i += 1
+          }
+          val sid =
+            if (slot >= 0) { rem(slot) -= n; bid(slot) }
+            else if (open < kOpen) {
+              rem(open) = b - n; bid(open) = next; open += 1
+              next += 1; next - 1
+            } else {
+              var e = 0
+              var j = 1
+              while (j < open) { if (rem(j) < rem(e)) e = j; j += 1 }
+              rem(e) = b - n; bid(e) = next
+              next += 1; bid(e)
+            }
+          (id, w, n, sid)
+        }
+      }
+      .toDF("doc_id", "writer", "n_tokens", "seq_id")
+      .orderBy("doc_id")
+  }
+
+  val packBoundedFfdSql: String = {
+    val b = FfdBudget
+    val k = FfdOpenBins
+    val w = FfdWriters
+    s"""
+    WITH RECURSIVE
+    pf_d AS (SELECT doc_id,
+        CAST(len(string_split($normSql, ' ')) AS BIGINT) AS n
+      FROM documents),
+    pf_e AS (SELECT doc_id, n, doc_id % $w AS wr,
+        row_number() OVER (PARTITION BY doc_id % $w
+          ORDER BY n DESC, doc_id) AS step
+      FROM pf_d WHERE n <= $b),
+    pf_w AS (SELECT DISTINCT wr FROM pf_e),
+    pf_s(wr, step, rems, bids, nxt, doc_id, n, sid) AS (
+      SELECT wr, CAST(0 AS BIGINT), CAST([] AS BIGINT[]),
+        CAST([] AS BIGINT[]), CAST(0 AS BIGINT), CAST(NULL AS BIGINT),
+        CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+      FROM pf_w
+      UNION ALL
+      SELECT wr, step,
+        CASE WHEN fit IS NOT NULL THEN
+            list_transform(rems, (r, i) ->
+              CASE WHEN i = fit THEN r - n ELSE r END)
+          WHEN len(rems) < $k THEN list_append(rems, $b - n)
+          ELSE list_transform(rems, (r, i) ->
+            CASE WHEN i = ev THEN $b - n ELSE r END) END,
+        CASE WHEN fit IS NOT NULL THEN bids
+          WHEN len(rems) < $k THEN list_append(bids, nxt)
+          ELSE list_transform(bids, (x, i) ->
+            CASE WHEN i = ev THEN nxt ELSE x END) END,
+        CASE WHEN fit IS NOT NULL THEN nxt ELSE nxt + 1 END,
+        doc_id, n,
+        CASE WHEN fit IS NOT NULL THEN bids[fit] ELSE nxt END
+      FROM (
+        SELECT s.wr, s.step + 1 AS step, s.rems, s.bids, s.nxt,
+          d.doc_id, d.n,
+          list_filter(generate_series(1, len(s.rems)),
+            i -> s.rems[i] >= d.n)[1] AS fit,
+          list_position(s.rems, list_min(s.rems)) AS ev
+        FROM pf_s s JOIN pf_e d ON d.wr = s.wr AND d.step = s.step + 1) z)
+    SELECT doc_id, wr AS writer, n AS n_tokens, sid AS seq_id
+    FROM pf_s WHERE doc_id IS NOT NULL ORDER BY doc_id"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "span_corruption" -> (spanCorruption _),
     "pack_efficiency" -> (packEfficiency _),
+    "pack_bounded_ffd" -> (packBoundedFfd _),
     "dpo_pairs" -> (dpoPairs _),
     "sft_mask_spans" -> (sftMaskSpans _),
     "shard_plan" -> (shardPlan _),
@@ -1856,6 +1998,7 @@ object TrainPrep {
   val oracles: Map[String, String] = Map(
     "span_corruption" -> spanCorruptionSql,
     "pack_efficiency" -> packEfficiencySql,
+    "pack_bounded_ffd" -> packBoundedFfdSql,
     "dpo_pairs" -> dpoPairsSql,
     "sft_mask_spans" -> sftMaskSpansSql,
     "shard_plan" -> shardPlanSql,
