@@ -1390,6 +1390,89 @@ object StreamEpochCensus {
   }
 }
 
+/** One micro-batch content-hash-index partial: per content hash, the
+  * min doc id and member count observed this batch (pre-reduced
+  * upstream — one row per distinct hash per batch, the [[LinePart]]
+  * shape keyed by content hash instead of line hash).
+  */
+case class HashPart(h: String, keep_doc: Long, n_docs: Long)
+
+/** One maintained content-hash-index entry: the exact-dedup state a
+  * production store persists per distinct content — the kept (min) doc
+  * id and how many arrivals collapsed onto it.
+  */
+case class HashState(h: String, keep_doc: Long, n_docs: Long)
+
+/** Streaming content-hash-index maintenance — the exact-dedup state the
+  * incremental pipeline reads (`pipeline_incr_state`): per distinct
+  * content hash, min-doc + count fold into one state row. Min and sum
+  * are commutative/associative, so arrival order and batch boundaries
+  * cannot change the converged state (the batch `dedup_exact` keep rule
+  * is `min(doc_id) per hash` — identical by construction). State is one
+  * row per DISTINCT content, the dedup store's own cardinality.
+  *
+  * Reference analog: the Level-0 store's primary-key table that
+  * `bde_ApplyLevel5Update` probes arriving rows against
+  * (`sql/02-bde_control_functions.sql.in:1576`) — maintained by the
+  * loader, read (never re-derived) by the incremental apply.
+  */
+object StreamHashIndex {
+
+  def states(parts: Dataset[HashPart]): Dataset[HashState] = {
+    import parts.sparkSession.implicits._
+    parts
+      .groupByKey(_.h)
+      .flatMapGroupsWithState[HashState, HashState](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (h: String, rows: Iterator[HashPart], state: GroupState[HashState]) =>
+          var keep = state.getOption.map(_.keep_doc).getOrElse(Long.MaxValue)
+          var nd = state.getOption.map(_.n_docs).getOrElse(0L)
+          rows.foreach { p =>
+            if (p.keep_doc < keep) keep = p.keep_doc
+            nd += p.n_docs
+          }
+          val next = HashState(h, keep, nd)
+          state.update(next)
+          Iterator(next)
+      }
+  }
+}
+
+/** One micro-batch pack high-water-mark partial: tokens/docs entering a
+  * (split:lang) stratum this batch.
+  */
+case class HwmPart(strat: String, n_docs: Long, n_tokens: Long)
+
+/** One maintained per-stratum high-water mark — the cumulative token
+  * offset the pack/shard delta continues from.
+  */
+case class HwmState(strat: String, n_docs: Long, n_tokens: Long)
+
+/** Streaming pack high-water-mark maintenance — the per-stratum
+  * cumulative token offsets (`pipeline_e2e_incr`'s `base_off` frame and
+  * the global shard total) kept as additive counters, the [[StreamEpochCensus]]
+  * shape keyed by pack stratum. Adds are commutative/associative;
+  * state is O(strata).
+  */
+object StreamHighWater {
+
+  def states(parts: Dataset[HwmPart]): Dataset[HwmState] = {
+    import parts.sparkSession.implicits._
+    parts
+      .groupByKey(_.strat)
+      .flatMapGroupsWithState[HwmState, HwmState](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (k: String, rows: Iterator[HwmPart], state: GroupState[HwmState]) =>
+          var nd = state.getOption.map(_.n_docs).getOrElse(0L)
+          var nt = state.getOption.map(_.n_tokens).getOrElse(0L)
+          rows.foreach { p => nd += p.n_docs; nt += p.n_tokens }
+          val next = HwmState(k, nd, nt)
+          state.update(next)
+          Iterator(next)
+      }
+  }
+}
+
 /** One verified near-dup pair arriving on the stream, pre-routed to a
   * connectivity state shard (shard = min endpoint mod
   * [[graft.operators.Clustering.CcShards]] — ANY edge partition is

@@ -1,6 +1,8 @@
 package graft
 
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
 
 /** Round-16 operator specs: the derived LSH signature width's ladder
   * (the r15 weak's fix — properties a cross-engine hash can't
@@ -82,6 +84,77 @@ class Round16OpsSpec extends SparkSpec {
     // tokens), far inside the 12-bin structural bound
     assert(waste - pwFfd <= 2 * T.FfdBudget,
       s"measured gap regressed: waste=$waste pwFfd=$pwFfd")
+  }
+
+  test("pipeline_incr_state: the maintained-state ledger is " +
+    "hash-identical to the derived-base ledger") {
+    val a = operators.PipelineIncr.pipelineE2eIncr(spark, sf).collect()
+      .map(_.toString).sorted.toSeq
+    val b = operators.PipelineIncr.pipelineIncrState(spark, sf).collect()
+      .map(_.toString).sorted.toSeq
+    assert(a == b)
+    assert(a.nonEmpty)
+  }
+
+  test("StreamHashIndex: content-hash state evolves across batches and " +
+    "converges to the batch min/count regardless of arrival order") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[streaming.HashPart]
+    val query = streaming.StreamHashIndex.states(input.toDS())
+      .writeStream.format("memory").queryName("hidx_state")
+      .outputMode(OutputMode.Update).start()
+    try {
+      def latest(): Map[String, (Long, Long)] =
+        spark.table("hidx_state").collect()
+          .groupBy(_.getAs[String]("h"))
+          .map { case (h, rs) =>
+            // Update mode appends one row per batch; the converged state
+            // is the monotone extremum (min keep, max count)
+            h -> (rs.map(_.getAs[Long]("keep_doc")).min,
+              rs.map(_.getAs[Long]("n_docs")).max)
+          }
+      // batch 1: hash A seen from docs {7, 9}, hash B from {4}
+      input.addData(streaming.HashPart("A", 7L, 2L),
+        streaming.HashPart("B", 4L, 1L))
+      query.processAllAvailable()
+      assert(latest() == Map("A" -> (7L, 2L), "B" -> (4L, 1L)))
+      // batch 2 arrives OUT OF ORDER (an earlier doc id lands later):
+      // the min fold still converges to the global keep rule
+      input.addData(streaming.HashPart("A", 3L, 1L),
+        streaming.HashPart("B", 8L, 2L))
+      query.processAllAvailable()
+      assert(latest() == Map("A" -> (3L, 3L), "B" -> (4L, 3L)))
+    } finally query.stop()
+  }
+
+  test("StreamHighWater: per-stratum pack offsets accumulate across " +
+    "batches (the base's historical loads)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[streaming.HwmPart]
+    val query = streaming.StreamHighWater.states(input.toDS())
+      .writeStream.format("memory").queryName("hwm_state")
+      .outputMode(OutputMode.Update).start()
+    try {
+      def latest(): Map[String, (Long, Long)] =
+        spark.table("hwm_state").collect()
+          .groupBy(_.getAs[String]("strat"))
+          .map { case (k, rs) =>
+            k -> (rs.map(_.getAs[Long]("n_docs")).max,
+              rs.map(_.getAs[Long]("n_tokens")).max)
+          }
+      input.addData(streaming.HwmPart("train:en", 10L, 500L),
+        streaming.HwmPart("val:en", 2L, 90L))
+      query.processAllAvailable()
+      assert(latest() == Map("train:en" -> (10L, 500L),
+        "val:en" -> (2L, 90L)))
+      // a second load day lands — counters carry, never reset
+      input.addData(streaming.HwmPart("train:en", 5L, 250L))
+      query.processAllAvailable()
+      assert(latest() == Map("train:en" -> (15L, 750L),
+        "val:en" -> (2L, 90L)))
+    } finally query.stop()
   }
 
   test("dupBandsOf: derived-width band frame has DedupBands bands and " +
