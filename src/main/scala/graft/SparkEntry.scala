@@ -31,6 +31,7 @@ object SparkEntry {
       operators.Pipeline.queries ++
       operators.PipelineIncr.queries ++
       operators.PipelineMm.queries ++
+      operators.PipelineMmIncr.queries ++
       operators.Filtering.queries ++
       operators.Dedup.queries ++
       operators.SubstringDedup.queries ++
@@ -81,6 +82,7 @@ object SparkEntry {
       operators.Pipeline.oracles ++
       operators.PipelineIncr.oracles ++
       operators.PipelineMm.oracles ++
+      operators.PipelineMmIncr.oracles ++
       operators.Filtering.oracles ++
       operators.Dedup.oracles ++
       operators.SubstringDedup.oracles ++

@@ -96,6 +96,43 @@ class Round16OpsSpec extends SparkSpec {
     assert(a.nonEmpty)
   }
 
+  test("pipeline_e2e_mm_incr: conservation chain holds, vision tokens " +
+    "enter only at interleave, and replayed identical images (the " +
+    "planted feed arriving with the batch) all die by image dedup") {
+    val rows = operators.PipelineMmIncr.pipelineE2eMmIncr(spark, sf)
+      .collect().sortBy(_.getAs[Long]("stage_id"))
+    assert(rows.length == 5)
+    def d(i: Int, k: String): Long =
+      "%s=(-?\\d+)".format(k).r.findFirstMatchIn(
+        rows(i).getAs[String]("detail")).get.group(1).toLong
+    // hand-off chain: each stage's kept is the next stage's in
+    for (i <- 0 until 4)
+      assert(rows(i).getAs[Long]("docs_kept") ==
+        rows(i + 1).getAs[Long]("docs_in"), s"chain broke at $i")
+    // every row conserves docs_in = kept + dropped
+    for (r <- rows)
+      assert(r.getAs[Long]("docs_in") == r.getAs[Long]("docs_kept") +
+        r.getAs[Long]("docs_dropped"))
+    // text tokens conserve through dedup; vision tokens enter EXACTLY
+    // at interleave, at the fixed per-image projector cost
+    assert(rows(2).getAs[Long]("tokens_out") ==
+      rows(3).getAs[Long]("tokens_in"))
+    assert(d(3, "vision_tokens") == 64L * d(3, "images"))
+    assert(rows(3).getAs[Long]("tokens_out") -
+      rows(3).getAs[Long]("tokens_in") == d(3, "vision_tokens"))
+    // the shard delta conserves the interleaved total
+    assert(rows(4).getAs[Long]("tokens_in") ==
+      rows(4).getAs[Long]("tokens_out"))
+    // idempotent replay of identical content: plants (byte-identical
+    // images re-arriving WITH the batch under fresh ids) are nonzero at
+    // arrive and ALL dead after image dedup — the in-plan assert makes
+    // a survivor throw, and the existing-corpus-wins path is exercised
+    assert(d(0, "planted") > 0)
+    assert(d(2, "vs_base") > 0, "no batch doc died to the base store")
+    // delta shards continue from the base layout (base totals recorded)
+    assert(d(0, "base_docs") > 0 && d(0, "base_tokens") > 0)
+  }
+
   test("StreamHashIndex: content-hash state evolves across batches and " +
     "converges to the batch min/count regardless of arrival order") {
     import spark.implicits._
