@@ -861,7 +861,20 @@ object Multimodal {
     * multimodal pipeline shards its SURVIVOR set through the same
     * definition.
     */
-  private[operators] def mmLayout(docs0: DataFrame): DataFrame = {
+  private[operators] def mmLayout(docs0: DataFrame): DataFrame =
+    mediaLayout(docs0, "n_images", "n_image_tokens")
+
+  /** The media-token-balanced shard layout over ANY accounting frame
+    * (doc_id, <nMedia>, n_text_tokens, <mediaTok>, n_total_tokens) —
+    * [[mmLayout]] generalized over the media attribution columns so the
+    * AUDIO chain ([[audioShardPlan]]) prices its rate-derived tokens
+    * through the identical layout discipline (deterministic md5
+    * shuffle order, ⌈total/shards⌉ size, whole records, start-offset
+    * membership, additive member digest). One definition — the image
+    * and audio layouts cannot drift.
+    */
+  private[operators] def mediaLayout(docs0: DataFrame, nMedia: String,
+                                     mediaTok: String): DataFrame = {
     val docs = docs0
       .withColumn("h", expr("cast(conv(substring(md5(concat(" +
         "cast(doc_id as string), ':mm')), 1, 8), 16, 10) as bigint)"))
@@ -876,9 +889,9 @@ object Multimodal {
       .withColumn("shard_id", expr("(cs - n_total_tokens) div ssize"))
       .groupBy("shard_id")
       .agg(count(lit(1)).as("n_docs"),
-        sum(col("n_images")).as("n_images"),
+        sum(col(nMedia)).as(nMedia),
         sum(col("n_text_tokens")).as("n_text_tokens"),
-        sum(col("n_image_tokens")).as("n_image_tokens"),
+        sum(col(mediaTok)).as(mediaTok),
         sum(col("n_total_tokens")).as("n_tokens"),
         min(col("cs") - col("n_total_tokens")).as("start_offset"),
         max(col("cs")).as("end_offset"),
@@ -934,7 +947,176 @@ object Multimodal {
     FROM mmsc, mmst GROUP BY 1 ORDER BY shard_id"""
   }
 
+  // -------------------------------------------------- audio accounting
+
+  /** Audio tokens per second of waveform — the tokenizer frame rate an
+    * audio-LM data layout budgets with (EnCodec/SoundStream-class
+    * codecs emit O(10²) tokens/s; the exact rate is a model constant).
+    * Cost is DURATION-derived: tokens = ⌈samples · rate_tok / rate⌉, so
+    * a resampled stream (half the samples at half the rate) costs the
+    * SAME tokens — the invariant the spec pins.
+    */
+  private[graft] val AudioTokensPerSec = 400
+
+  /** Gate: per-document AUDIO-interleave accounting — the Flamingo/
+    * AudioLM-style data-layout arithmetic with the audio cost derived
+    * from the REAL decode path: every 3rd doc (residue 1 — disjoint
+    * from the image placement residue) carries 1–3 clips of its WAV
+    * stream; even ids ship the full-rate PCM ([[decodeAudio]]'s frames),
+    * odd ids the half-rate resampled stream ([[resampleAudio]]) — and
+    * the per-clip token cost ⌈samples·[[AudioTokensPerSec]]/rate⌉ comes
+    * from the DECODED (samples, rate), not from constants, so a codec
+    * regression that drops frames breaks the gate. Audio tokens enter
+    * the total exactly here: n_total − n_text = n_clips·⌈s·r_t/r⌉ =
+    * f(samples, rate) — the token-entry conservation the spec pins,
+    * together with resampling invariance (duration-derived cost).
+    *
+    * Scale: two memoized decode passes (shared with the solo audio
+    * gates), one narrow join on doc_id, pure column arithmetic — no
+    * shuffle beyond the join; payloads never leave the executors.
+    */
+  def audioInterleave(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.TextNorm.norm
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        size(split(norm, " ")).cast("long").as("n_text_tokens"))
+    val dec = decodeAudio(s, dir)
+      .select(col("doc_id"), col("n_samples"), col("rate"))
+    val res = resampleAudio(s, dir)
+      .select(col("doc_id"), col("out_samples").as("n_samples"),
+        col("out_rate").as("rate"))
+    val clip = dec.filter(col("doc_id") % 2 === 0)
+      .unionByName(res.filter(col("doc_id") % 2 === 1))
+    docs.join(clip, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("doc_id") % 3 === 1,
+          expr("1L + (doc_id div 3) % 3")).otherwise(0L)
+          .as("n_clips"),
+        when(col("doc_id") % 3 === 1, col("rate").cast("long"))
+          .otherwise(0L).as("clip_rate"),
+        when(col("doc_id") % 3 === 1, col("n_samples").cast("long"))
+          .otherwise(0L).as("clip_samples"),
+        col("n_text_tokens"))
+      .withColumn("n_audio_tokens",
+        when(col("n_clips") > 0, col("n_clips") *
+          expr(s"(clip_samples * $AudioTokensPerSec + clip_rate - 1)" +
+            " div clip_rate"))
+          .otherwise(0L))
+      .withColumn("n_total_tokens",
+        col("n_text_tokens") + col("n_audio_tokens"))
+      .orderBy("doc_id")
+  }
+
+  val audioInterleaveSql: String = {
+    import graft.operators.TextNorm.normSql
+    val full = AudRate.toInt
+    s"""
+    WITH aiw AS (
+      SELECT doc_id,
+        CAST(len(string_split($normSql, ' ')) AS BIGINT) AS n_text_tokens
+      FROM documents),
+    aic AS (
+      SELECT doc_id,
+        CASE WHEN doc_id % 3 = 1 THEN 1 + (doc_id // 3) % 3
+          ELSE 0 END AS n_clips,
+        CASE WHEN doc_id % 3 = 1 THEN
+            CASE WHEN doc_id % 2 = 0 THEN $full ELSE ${full / 2} END
+          ELSE 0 END AS clip_rate,
+        CASE WHEN doc_id % 3 = 1 THEN
+            CASE WHEN doc_id % 2 = 0 THEN $AudSamples
+              ELSE ${AudSamples / 2} END
+          ELSE 0 END AS clip_samples
+      FROM documents),
+    aia AS (
+      SELECT c.doc_id, CAST(n_clips AS BIGINT) AS n_clips,
+        CAST(clip_rate AS BIGINT) AS clip_rate,
+        CAST(clip_samples AS BIGINT) AS clip_samples,
+        w.n_text_tokens,
+        CAST(CASE WHEN n_clips > 0 THEN n_clips *
+            ((clip_samples * $AudioTokensPerSec + clip_rate - 1)
+              // clip_rate)
+          ELSE 0 END AS BIGINT) AS n_audio_tokens
+      FROM aic c JOIN aiw w USING (doc_id))
+    SELECT doc_id, n_clips, clip_rate, clip_samples, n_text_tokens,
+      n_audio_tokens,
+      n_text_tokens + n_audio_tokens AS n_total_tokens
+    FROM aia ORDER BY doc_id"""
+  }
+
+  /** Gate: the AUDIO-token-balanced shard plan — [[mmShardPlan]]'s
+    * layout discipline over the [[audioInterleave]] accounting (ONE
+    * [[mediaLayout]] definition serves both modalities): shards balance
+    * on text + rate-derived audio tokens, with per-shard clip and
+    * audio-token attribution — the Flamingo/AudioLM write layout.
+    */
+  def audioShardPlan(s: SparkSession, dir: String): DataFrame =
+    mediaLayout(
+      audioInterleave(s, dir)
+        .select(col("doc_id"), col("n_clips"), col("n_text_tokens"),
+          col("n_audio_tokens"), col("n_total_tokens")),
+      "n_clips", "n_audio_tokens")
+
+  val audioShardPlanSql: String = {
+    import graft.operators.TextNorm.normSql
+    val shards = TrainPrep.OutShards
+    val full = AudRate.toInt
+    s"""
+    WITH asw AS (
+      SELECT doc_id,
+        CAST(len(string_split($normSql, ' ')) AS BIGINT) AS n_text_tokens
+      FROM documents),
+    asc0 AS (
+      SELECT doc_id,
+        CASE WHEN doc_id % 3 = 1 THEN 1 + (doc_id // 3) % 3
+          ELSE 0 END AS n_clips,
+        CASE WHEN doc_id % 3 = 1 THEN
+            CASE WHEN doc_id % 2 = 0 THEN $full ELSE ${full / 2} END
+          ELSE 0 END AS clip_rate,
+        CASE WHEN doc_id % 3 = 1 THEN
+            CASE WHEN doc_id % 2 = 0 THEN $AudSamples
+              ELSE ${AudSamples / 2} END
+          ELSE 0 END AS clip_samples
+      FROM documents),
+    asd AS (
+      SELECT c.doc_id, CAST(n_clips AS BIGINT) AS n_clips,
+        w.n_text_tokens,
+        CAST(CASE WHEN n_clips > 0 THEN n_clips *
+            ((clip_samples * $AudioTokensPerSec + clip_rate - 1)
+              // clip_rate)
+          ELSE 0 END AS BIGINT) AS n_audio_tokens,
+        CAST(w.n_text_tokens + CASE WHEN n_clips > 0 THEN n_clips *
+            ((clip_samples * $AudioTokensPerSec + clip_rate - 1)
+              // clip_rate)
+          ELSE 0 END AS BIGINT) AS n_total_tokens,
+        ('0x' || substring(md5(CAST(c.doc_id AS VARCHAR) || ':mm'),
+          1, 8))::BIGINT AS h
+      FROM asc0 c JOIN asw w USING (doc_id)),
+    ast AS (
+      SELECT CAST((sum(n_total_tokens) + ${shards - 1}) // $shards
+        AS BIGINT) AS ssize
+      FROM asd),
+    ascm AS (
+      SELECT doc_id, n_clips, n_text_tokens, n_audio_tokens,
+        n_total_tokens,
+        CAST(sum(n_total_tokens) OVER (ORDER BY h, doc_id
+          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cs
+      FROM asd)
+    SELECT CAST((cs - n_total_tokens) // ssize AS BIGINT) AS shard_id,
+      count(*) AS n_docs,
+      CAST(sum(n_clips) AS BIGINT) AS n_clips,
+      CAST(sum(n_text_tokens) AS BIGINT) AS n_text_tokens,
+      CAST(sum(n_audio_tokens) AS BIGINT) AS n_audio_tokens,
+      CAST(sum(n_total_tokens) AS BIGINT) AS n_tokens,
+      CAST(min(cs - n_total_tokens) AS BIGINT) AS start_offset,
+      CAST(max(cs) AS BIGINT) AS end_offset,
+      CAST(sum(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':ck'),
+        1, 8))::BIGINT) AS BIGINT) AS member_check
+    FROM ascm, ast GROUP BY 1 ORDER BY shard_id"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "audio_interleave" -> (audioInterleave _),
+    "audio_shard_plan" -> (audioShardPlan _),
     "mm_shard_plan" -> (mmShardPlan _),
     "mm_interleave" -> (mmInterleave _),
     "multimodal_phash" -> (phashImages(_, _)),
@@ -956,6 +1138,8 @@ object Multimodal {
     "multimodal_resample" -> (resampleAudio(_, _)))
 
   val oracles: Map[String, String] = Map(
+    "audio_interleave" -> audioInterleaveSql,
+    "audio_shard_plan" -> audioShardPlanSql,
     "mm_shard_plan" -> mmShardPlanSql,
     "mm_interleave" -> mmInterleaveSql,
     "multimodal_phash" -> phashSql,

@@ -133,6 +133,38 @@ class Round16OpsSpec extends SparkSpec {
     assert(d(0, "base_docs") > 0 && d(0, "base_tokens") > 0)
   }
 
+  test("audio_interleave: audio tokens enter as f(samples, rate) and the " +
+    "cost is DURATION-derived — resampling changes samples, not tokens") {
+    val rows = operators.Multimodal.audioInterleave(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val audio = rows.filter(_.getAs[Long]("n_clips") > 0)
+    assert(audio.nonEmpty, "no audio-bearing docs at the spec corpus")
+    val tps = operators.Multimodal.AudioTokensPerSec
+    for (r <- rows) {
+      val (nc, cs, cr) = (r.getAs[Long]("n_clips"),
+        r.getAs[Long]("clip_samples"), r.getAs[Long]("clip_rate"))
+      // the token-entry invariant: total - text = n_clips * ceil(s*tps/r)
+      val expect = if (nc == 0) 0L else nc * ((cs * tps + cr - 1) / cr)
+      assert(r.getAs[Long]("n_audio_tokens") == expect)
+      assert(r.getAs[Long]("n_total_tokens") ==
+        r.getAs[Long]("n_text_tokens") + expect)
+    }
+    // resampling invariance: half-rate docs (odd ids: 128 samples at
+    // 4000 Hz) pay the SAME per-clip cost as full-rate docs (256 at
+    // 8000) — the cost prices the waveform's duration, not its encoding
+    val perClip = audio.map(r => (r.getAs[Long]("clip_rate"),
+      r.getAs[Long]("n_audio_tokens") / r.getAs[Long]("n_clips")))
+    val byRate = perClip.groupBy(_._1).map { case (k, v) =>
+      k -> v.map(_._2).distinct.toSeq }
+    assert(byRate.keySet == Set(8000L, 4000L),
+      s"expected both stream variants, got ${byRate.keySet}")
+    assert(byRate.values.flatten.toSet.size == 1,
+      s"per-clip cost differs across rates: $byRate")
+    // clip inventories actually vary (1-3 clips) so the shard balance
+    // has something to balance
+    assert(audio.map(_.getAs[Long]("n_clips")).distinct.length > 1)
+  }
+
   test("StreamHashIndex: content-hash state evolves across batches and " +
     "converges to the batch min/count regardless of arrival order") {
     import spark.implicits._
