@@ -495,6 +495,66 @@ object Multimodal {
   private[graft] def phashesOf(s: SparkSession, dir: String,
                                    batchSize: Int = 64): DataFrame =
     graft.Memo.cached(s, "mm_phashes", dir) {
+      // probe-mode escape hatch: at 100× probe scale the per-image PNG
+      // encode+decode is a CODEC CONSTANT (embarrassingly parallel,
+      // already oracle+digest-gated at the correctness SFs) that buries
+      // the maintainer scaling the probe wants to measure — the flag
+      // swaps in [[phashesDirect]], which computes the IDENTICAL aHash
+      // from the pixel generator arithmetic (the oracle's own path;
+      // equality with the codec path is spec-pinned at sf0.001). Never
+      // set during verify/bench.
+      if (sys.env.contains("SPARK_GRAFT_PHASH_DIRECT"))
+        phashesDirect(s, dir)
+      else phashesCodec(s, dir, batchSize)
+    }
+
+  /** The aHash computed WITHOUT the codec — pixels straight from the
+    * deterministic generator (same arithmetic the SQL oracle uses),
+    * same block sums, same bit rule. Identical values to
+    * [[phashesCodec]] by PNG losslessness (spec-pinned); exists so the
+    * 100× scale probe prices the near-dup machinery, not the codec.
+    */
+  private[graft] def phashesDirect(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir).select(col("doc_id"))
+    docs.select(col("doc_id"), col("doc_id").as("gen_id"))
+      .unionByName(docs.filter(col("doc_id") % PlantMod === 0)
+        .select((col("doc_id") + PlantShift).as("doc_id"),
+          col("doc_id").as("gen_id")))
+      .as[(Long, Long)]
+      .mapPartitions { it =>
+        it.map { case (id, gen) =>
+          val (bw, bh) = (ImgW / 8, ImgH / 8)
+          val bsum = new Array[Long](64)
+          var total = 0L
+          var y = 0
+          while (y < ImgH) {
+            var x = 0
+            while (x < ImgW) {
+              val lum = pixR(gen, x, y) + pixG(gen, x, y) + pixB(gen, x, y)
+              bsum(math.min(7, y / bh) * 8 + math.min(7, x / bw)) += lum
+              total += lum
+              x += 1
+            }
+            y += 1
+          }
+          var hi = 0L
+          var lo = 0L
+          var k = 0
+          while (k < 64) {
+            if (bsum(k) * 64L > total) {
+              if (k < 32) lo |= 1L << k else hi |= 1L << (k - 32)
+            }
+            k += 1
+          }
+          (id, hi, lo)
+        }
+      }
+      .toDF("doc_id", "hash_hi", "hash_lo")
+  }
+
+  private[graft] def phashesCodec(s: SparkSession, dir: String,
+                                  batchSize: Int = 64): DataFrame = {
       import s.implicits._
       val base = withImagePayload(s, dir)
       val planted = base.filter(col("doc_id") % PlantMod === 0)

@@ -133,6 +133,17 @@ class Round16OpsSpec extends SparkSpec {
     assert(d(0, "base_docs") > 0 && d(0, "base_tokens") > 0)
   }
 
+  test("phashesDirect equals the codec path exactly (PNG losslessness " +
+    "end to end) — the probe-mode hash source cannot drift") {
+    val M = operators.Multimodal
+    val direct = M.phashesDirect(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    val codec = M.phashesCodec(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    assert(direct.nonEmpty)
+    assert(direct == codec)
+  }
+
   test("audio_interleave: audio tokens enter as f(samples, rate) and the " +
     "cost is DURATION-derived — resampling changes samples, not tokens") {
     val rows = operators.Multimodal.audioInterleave(spark, sf).collect()
