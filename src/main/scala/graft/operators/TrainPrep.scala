@@ -1864,10 +1864,11 @@ object TrainPrep {
     * spec pins waste ≤ both shipped layouts and against the unbounded
     * true-FFD replay (what the K-slot bound costs).
     *
-    * Reference analog: the bounded per-dataset apply loop —
-    * `lib/LINZ/BdeUpload.pm:612 ApplyUpdates` processes arriving
-    * datasets through a fixed-size working set, never materializing the
-    * full history in memory.
+    * Reference analog (spirit, not mechanism): the dataset-at-a-time
+    * apply loop — `lib/LINZ/BdeUpload.pm:559 ApplyUpdates` walks the
+    * pending set in order with bounded in-flight state, never
+    * materializing the full history; the packer is LLM-pipeline
+    * breadth beyond the reference surface.
     */
   def packBoundedFfd(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
