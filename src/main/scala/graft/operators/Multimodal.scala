@@ -1110,10 +1110,17 @@ object Multimodal {
     * audio-token attribution — the Flamingo/AudioLM write layout.
     */
   def audioShardPlan(s: SparkSession, dir: String): DataFrame =
+    // eager checkpoint: the layout takes several driver actions (size
+    // scalar, two-phase rank) and each would re-run the WAV decode
+    // chain upstream — measured 22 s vs ~4 s at sf0.1; the accounting
+    // is narrow (5 longs/doc), so materializing it once is the
+    // decode-amortization a production run gets from its stored
+    // accounting table
     mediaLayout(
       audioInterleave(s, dir)
         .select(col("doc_id"), col("n_clips"), col("n_text_tokens"),
-          col("n_audio_tokens"), col("n_total_tokens")),
+          col("n_audio_tokens"), col("n_total_tokens"))
+        .localCheckpoint(true),
       "n_clips", "n_audio_tokens")
 
   val audioShardPlanSql: String = {

@@ -44,10 +44,21 @@ object ScaleUp {
       var r = df.crossJoin(reps)
       for (k <- keyCols)
         r = r.withColumn(k, col(k) + col("rep") * KeyStride)
+      // suffix every NON-STOPWORD word with the replica index: shingles
+      // across replicas stay disjoint (any k-window contains a content
+      // word), near-dup pair graphs grow linearly — but the quality
+      // gate's stopword rule still sees its stopwords. Suffixing the
+      // stoplist too (the pre-r16 form) made EVERY replica doc fail
+      // r_stopwords, so the composed-pipeline probe cells measured the
+      // quality scan plus EMPTY downstream stages (0 of 50 000 docs
+      // survived on the 10× copy — measured, and it silently flattered
+      // the r15 pipeline probe rows).
+      val stop = graft.operators.Stoplists.en
       for (t <- textCols)
         r = r.withColumn(t,
           array_join(transform(split(col(t), " "),
-            w => concat(w, lit("r"), col("rep"))), " "))
+            w => when(w.isin(stop: _*), w)
+              .otherwise(concat(w, lit("r"), col("rep")))), " "))
       for (v <- vecCols) {
         val n = size(col(v))
         val shift = (col("rep") % n).cast("int")
