@@ -178,6 +178,10 @@ object PipelineIncr {
     // The raw frame is held so its checkpoint blocks release eagerly at
     // the end (ContextCleaner would get them eventually; the loop-frame
     // lesson says don't wait).
+    // bLab is the RAW loop result (checkpointed by ccLabels /
+    // clustersFromForest) — the cleanup below unpersists IT; an
+    // unpersist on a derived select would be a no-op and leak the
+    // round blocks for the session (the embedDedupSweep advice class)
     val bLab =
       if (!maintained)
         Clustering.ccLabels(
@@ -194,9 +198,11 @@ object PipelineIncr {
           .select(explode(col("fedges")).as("e"))
           .select(col("e.a").as("a"), col("e.b").as("b"))
         Clustering.clustersFromForest(forest)
-          .select(col("doc_id").as("id"), col("cluster").as("lab"))
       }
-    val bLabP = bLab.select(col("id"), col("lab")).persist()
+    val bLabP =
+      (if (!maintained) bLab.select(col("id"), col("lab"))
+       else bLab.select(col("doc_id").as("id"), col("cluster").as("lab")))
+        .persist()
     val bWin = bLabP
       .join(quality, col("id") === col("doc_id"))
       .groupBy(col("lab"))
