@@ -5,6 +5,11 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
+    // probe-only env flags swap a gated query's data source (e.g. the
+    // codec-free phash path) — a verify run with one set would pass the
+    // hash gate while the documented path never executes. Refuse loudly
+    // (advice finding, r16).
+    ProbeFlags.refuse("verify")
     val (sfDir, outDir) = (args(0), args(1))
     // optional third arg (dev only): comma-separated query-name filter
     val only = args.drop(2).headOption.map(_.split(",").toSet)

@@ -239,6 +239,7 @@ object PipelineIncr {
     // counter fold over arrival-chunk partials (adds are additive — the
     // chunking by doc_id mod 3 stands in for the base's historical
     // loads; the converged counters cannot depend on it)
+    var hwmFrame: Option[DataFrame] = None
     val (bOff, bTot) =
       if (!maintained)
         (b4.groupBy(col("strat"))
@@ -259,6 +260,10 @@ object PipelineIncr {
           .agg(max(col("n_docs")).as("n_docs"),
             max(col("n_tokens")).as("n_tokens"))
           .localCheckpoint(true)
+        // held for the end-of-build unpersist: the checkpoint blocks must
+        // release eagerly with the other per-call frames, not wait for
+        // ContextCleaner GC (advice finding, r16)
+        hwmFrame = Some(hwm)
         (hwm.select(col("strat"), col("n_tokens").as("base_off")),
          hwm.agg(coalesce(sum(col("n_docs")), lit(0L)).as("base_docs"),
            coalesce(sum(col("n_tokens")), lit(0L)).as("base_total")))
@@ -483,6 +488,7 @@ object PipelineIncr {
       cPairs, mLabP, hasBase, i3c, i3, en).foreach(_.unpersist(false))
     bLab.unpersist(false)
     mLab.unpersist(false)
+    hwmFrame.foreach(_.unpersist(false))
     ledger
   }
 

@@ -55,6 +55,17 @@ object PipelineMmIncr {
   private val IncrMod = PipelineIncr.IncrMod
   private val IncrRes = PipelineIncr.IncrRes
 
+  // Batch membership keys on the SOURCE residue via (doc_id % PlantShift)
+  // % IncrMod; for a planted id (source + PlantShift, sources always
+  // below PlantShift — the in-plan collision guard enforces disjointness)
+  // this equals the source's residue ONLY because PlantShift is a
+  // multiple of IncrMod. Tie the two constants at class-load instead of
+  // letting them drift apart silently (advice finding, r16).
+  require(PlantShift % IncrMod == 0,
+    s"PlantShift ($PlantShift) must be divisible by IncrMod ($IncrMod): " +
+      "batch membership keys on (doc_id % PlantShift) % IncrMod and a " +
+      "planted copy must share its source's residue")
+
   def pipelineE2eMmIncr(s: SparkSession, dir: String): DataFrame =
     graft.Memo.cached(s, "pipeline_e2e_mm_incr", dir) {
       // ---- universe: corpus + the planted duplicate-image feed, plants

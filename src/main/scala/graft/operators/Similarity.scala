@@ -658,10 +658,27 @@ object Similarity {
   def decontaminateSemantic(s: SparkSession, dir: String): DataFrame = {
     val qn = qdf(s, dir)
     val bands = dupBandsOf(s, dir)
-    val cand = bands.filter(col("vec_id") % SemEvalMod =!= 0).alias("a")
-      .join(bands.filter(col("vec_id") % SemEvalMod === 0).alias("b"),
-        col("a.band") === col("b.band") && col("a.sig") === col("b.sig"))
-      .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("eval_id"))
+    // MULTI-PROBE at the derived width — the decontamination recall
+    // floor (advice finding, r16): as the corpus-derived width grows,
+    // a single-bucket probe's per-band agreement probability decays as
+    // p^w and contamination misses are SILENT (nothing downstream
+    // re-checks). The eval side therefore probes its own bucket PLUS
+    // every hamming-1 bucket (w+1 probes per band — the standard
+    // multi-probe LSH recovery: per-band hit probability rises from p^w
+    // to p^w + w·p^(w-1)(1−p), so recall is bounded below by the
+    // narrow-width single-probe recall at every ladder step). Cost
+    // scales on the EVAL side only — probe volume is eval-size × (w+1),
+    // never corpus × corpus — which is exactly where the asymmetric
+    // shape can afford it.
+    val w = widthFor(Tables.embeddings(s, dir).count())
+    val evalProbes = bands.filter(col("vec_id") % SemEvalMod === 0)
+      .select(col("vec_id").as("eval_id"), col("band"),
+        explode(array((0 to w).map(i =>
+          if (i == 0) col("sig")
+          else expr(s"sig ^ ${1L << (i - 1)}L")): _*)).as("sig"))
+    val cand = bands.filter(col("vec_id") % SemEvalMod =!= 0)
+      .join(evalProbes, Seq("band", "sig"))
+      .select(col("vec_id"), col("eval_id"))
       .distinct()
     val scored = cand
       .join(qn.select(col("vec_id"), col("q").as("qa"), col("n2").as("na")),
@@ -680,10 +697,17 @@ object Similarity {
     WITH $QuantSql,
     ${projSql(DedupBands * MaxBandPlanes)},
     $bandsDynSql,
+    eprobe AS (
+      SELECT vec_id AS eval_id, band,
+        CASE WHEN f.i = 0 THEN CAST(sig AS BIGINT)
+          ELSE xor(CAST(sig AS BIGINT), CAST(1 AS BIGINT) << (f.i - 1))
+          END AS sig
+      FROM bands, wq, UNNEST(generate_series(0, w)) AS f(i)
+      WHERE vec_id % $SemEvalMod = 0),
     cand AS (
-      SELECT DISTINCT a.vec_id AS vec_id, b.vec_id AS eval_id
-      FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig
-      WHERE a.vec_id % $SemEvalMod <> 0 AND b.vec_id % $SemEvalMod = 0),
+      SELECT DISTINCT a.vec_id AS vec_id, b.eval_id
+      FROM bands a JOIN eprobe b ON a.band = b.band AND a.sig = b.sig
+      WHERE a.vec_id % $SemEvalMod <> 0),
     pairs AS (
       SELECT cand.vec_id, eval_id, x.n2 AS na, y.n2 AS nb,
         CAST(list_sum(list_transform(generate_series(1, len(x.q)),

@@ -53,12 +53,20 @@ object ScaleUp {
       // quality scan plus EMPTY downstream stages (0 of 50 000 docs
       // survived on the 10× copy — measured, and it silently flattered
       // the r15 pipeline probe rows).
+      // The LAST word is suffixed unconditionally (stopword or not): an
+      // all-stopword document would otherwise be byte-identical across
+      // every replica, making exact-dedup group sizes grow with the
+      // replica count instead of staying constant (advice finding, r16).
+      // Uniform across replicas — every replica sees the same one-word
+      // deviation from the stopword rule, so scaling stays linear.
       val stop = graft.operators.Stoplists.en
-      for (t <- textCols)
+      for (t <- textCols) {
+        val ws = split(col(t), " ")
         r = r.withColumn(t,
-          array_join(transform(split(col(t), " "),
-            w => when(w.isin(stop: _*), w)
+          array_join(transform(ws,
+            (w, i) => when(i < size(ws) - 1 && w.isin(stop: _*), w)
               .otherwise(concat(w, lit("r"), col("rep")))), " "))
+      }
       for (v <- vecCols) {
         val n = size(col(v))
         val shift = (col("rep") % n).cast("int")
