@@ -82,23 +82,79 @@ object Multimodal {
 
   /** Deterministic RGB generator: pure integer arithmetic in (doc_id, x, y)
     * so an SQL oracle can recompute any pixel statistic without a codec.
+    *
+    * The per-channel offset mixes the id's SECOND and THIRD bytes
+    * (`id/256`, `id/65536` — integer division, SQL-replayable as `//`)
+    * alongside the low byte: a low-byte-only offset (`id * k % 256`, the
+    * pre-r17 form) collapses the image universe to 256 distinct images
+    * for ANY corpus, so duplicate groups grow ~n/256 and verified pair
+    * counts grow Θ(n²/256) — a clique shape no real corpus has, and the
+    * reason the mm-family 100× probe cells were unmeasurable through
+    * r16. With three mixed bytes, two ids share an image only when they
+    * agree mod 2^24 (the three channel offsets use coprime-to-256
+    * multipliers, so each byte must match), i.e. distinct-image count
+    * scales with the corpus and near-dup pair volume stays ~linear —
+    * plants (byte-copies under id + [[PlantShift]]) remain the
+    * deliberate duplicates.
     */
-  @inline private def pixR(id: Long, x: Int, y: Int): Int = ((id * 31 + x * 7 + y * 13) % 256).toInt
-  @inline private def pixG(id: Long, x: Int, y: Int): Int = ((id * 17 + x * 11 + y * 3) % 256).toInt
-  @inline private def pixB(id: Long, x: Int, y: Int): Int = ((id * 5 + x * 13 + y * 29) % 256).toInt
+  @inline private def pixR(id: Long, x: Int, y: Int): Int =
+    ((id * 31 + (id / 256) * 97 + (id / 65536) * 193 + x * 7 + y * 13) % 256).toInt
+  @inline private def pixG(id: Long, x: Int, y: Int): Int =
+    ((id * 17 + (id / 256) * 59 + (id / 65536) * 151 + x * 11 + y * 3) % 256).toInt
+  @inline private def pixB(id: Long, x: Int, y: Int): Int =
+    ((id * 5 + (id / 256) * 41 + (id / 65536) * 229 + x * 13 + y * 29) % 256).toInt
 
-  /** Row-major RGB bytes of the generated image — the decode spec pins the
-    * decoded digest against md5 of exactly this sequence.
+  /** The image RE-CRAWL family: every [[ReImMod]]-th document (residue
+    * [[ReImRes]]) carries the SAME image as the document [[ReImDelta]]
+    * ids earlier — the mirrored-thumbnail/re-crawl duplicate structure a
+    * real corpus has and the decorrelated generator would otherwise
+    * remove entirely. The delta is chosen so the source sits in the
+    * OTHER incremental partition (9 % 5 = 4 is the batch residue; 5 % 5
+    * = 0 is base), so cross-batch image duplicates — the
+    * existing-corpus-wins path of the incremental mm pipeline — exist by
+    * construction at a linear ~n/[[ReImMod]] rate at every corpus scale.
+    */
+  private[graft] val ReImMod = 10L
+  private[graft] val ReImRes = 9L
+  private[graft] val ReImDelta = 4L
+
+  /** The id whose pixels document `id` displays (the re-crawl source). */
+  private[graft] def genOf(id: Long): Long =
+    if (id % ReImMod == ReImRes) id - ReImDelta else id
+
+  private def genCol(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(c % ReImMod === ReImRes, c - ReImDelta).otherwise(c)
+
+  /** [[genOf]] as a DuckDB expression. */
+  private[operators] def genSqlOf(id: String): String =
+    s"CASE WHEN $id % $ReImMod = $ReImRes THEN $id - $ReImDelta ELSE $id END"
+
+  /** The three-channel luma sum as a DuckDB expression over an id column
+    * and x/y coordinate expressions — ONE definition for every oracle
+    * replay of the pixel generator (decode, resize at strided
+    * coordinates, the phash CTEs), so the Scala generator and its SQL
+    * twins cannot drift.
+    */
+  private[operators] def lumSql(id: String, x: String, y: String): String =
+    s"""($id * 31 + ($id // 256) * 97 + ($id // 65536) * 193 + $x * 7 + $y * 13) % 256
+             + ($id * 17 + ($id // 256) * 59 + ($id // 65536) * 151 + $x * 11 + $y * 3) % 256
+             + ($id * 5 + ($id // 256) * 41 + ($id // 65536) * 229 + $x * 13 + $y * 29) % 256"""
+
+  /** Row-major RGB bytes of DOCUMENT `id`'s image (re-crawl resolution
+    * via [[genOf]] applied here, so every JVM-local expectation keys on
+    * the document id) — the decode spec pins the decoded digest against
+    * md5 of exactly this sequence.
     */
   def rgbBytes(id: Long): Array[Byte] = {
+    val gen = genOf(id)
     val out = new Array[Byte](ImgW * ImgH * 3)
     var i = 0
     var y = 0
     while (y < ImgH) {
       var x = 0
       while (x < ImgW) {
-        out(i) = pixR(id, x, y).toByte; out(i + 1) = pixG(id, x, y).toByte
-        out(i + 2) = pixB(id, x, y).toByte; i += 3; x += 1
+        out(i) = pixR(gen, x, y).toByte; out(i + 1) = pixG(gen, x, y).toByte
+        out(i + 2) = pixB(gen, x, y).toByte; i += 3; x += 1
       }
       y += 1
     }
@@ -125,6 +181,7 @@ object Multimodal {
       .mapPartitions { it =>
         javax.imageio.ImageIO.setUseCache(false)
         it.map { id =>
+          val gen = genOf(id)
           val img = new java.awt.image.BufferedImage(
             ImgW, ImgH, java.awt.image.BufferedImage.TYPE_INT_RGB)
           var y = 0
@@ -132,7 +189,7 @@ object Multimodal {
             var x = 0
             while (x < ImgW) {
               img.setRGB(x, y,
-                (pixR(id, x, y) << 16) | (pixG(id, x, y) << 8) | pixB(id, x, y))
+                (pixR(gen, x, y) << 16) | (pixG(gen, x, y) << 8) | pixB(gen, x, y))
               x += 1
             }
             y += 1
@@ -193,10 +250,8 @@ object Multimodal {
     SELECT d.doc_id,
       CAST($ImgW AS INT) AS width, CAST($ImgH AS INT) AS height,
       CAST(3 AS INT) AS channels,
-      CAST(SUM((d.doc_id * 31 + x.i * 7 + y.i * 13) % 256
-             + (d.doc_id * 17 + x.i * 11 + y.i * 3) % 256
-             + (d.doc_id * 5 + x.i * 13 + y.i * 29) % 256) AS BIGINT) AS pix_sum
-    FROM documents d
+      CAST(SUM(${lumSql("d.gen_id", "x.i", "y.i")}) AS BIGINT) AS pix_sum
+    FROM (SELECT doc_id, ${genSqlOf("doc_id")} AS gen_id FROM documents) d
     CROSS JOIN generate_series(0, ${ImgW - 1}) AS x(i)
     CROSS JOIN generate_series(0, ${ImgH - 1}) AS y(i)
     GROUP BY d.doc_id ORDER BY d.doc_id"""
@@ -250,11 +305,9 @@ object Multimodal {
   val resizeSql: String = s"""
     SELECT d.doc_id,
       CAST(${ImgW / 2} AS INT) AS out_w, CAST(${ImgH / 2} AS INT) AS out_h,
-      CAST(SUM((d.doc_id * 31 + x.i * 2 * 7 + y.i * 2 * 13) % 256
-             + (d.doc_id * 17 + x.i * 2 * 11 + y.i * 2 * 3) % 256
-             + (d.doc_id * 5 + x.i * 2 * 13 + y.i * 2 * 29) % 256) AS BIGINT)
+      CAST(SUM(${lumSql("d.gen_id", "x.i * 2", "y.i * 2")}) AS BIGINT)
         AS out_pix_sum
-    FROM documents d
+    FROM (SELECT doc_id, ${genSqlOf("doc_id")} AS gen_id FROM documents) d
     CROSS JOIN generate_series(0, ${ImgW / 2 - 1}) AS x(i)
     CROSS JOIN generate_series(0, ${ImgH / 2 - 1}) AS y(i)
     GROUP BY d.doc_id ORDER BY d.doc_id"""
@@ -266,10 +319,23 @@ object Multimodal {
   val AudSamples = 256
 
   /** Deterministic 16-bit sample generator — pure integer arithmetic in
-    * (doc_id, i), SQL-recomputable like the image pixels.
+    * (doc_id, i), SQL-recomputable like the image pixels. Mixes the id's
+    * THIRD byte (`id/65536`) alongside the low two the `id * 7` term
+    * reaches, for the same reason the pixel generator does: a 16-bit-only
+    * offset collapses the clip universe to 65536 distinct waveforms at
+    * any corpus size, flattening the 100× dedup probe; with the mixed
+    * byte, distinct-clip count scales with the corpus and only plants
+    * duplicate deliberately.
     */
   @inline private def sampleAt(id: Long, i: Int): Int =
-    (((id * 7 + i * 13) % 65536) - 32768).toInt
+    (((id * 7 + (id / 65536) * 101 + i * 13) % 65536) - 32768).toInt
+
+  /** The sample expression as DuckDB SQL over an id column and a sample
+    * index expression — ONE definition for every oracle replay (decode,
+    * resample at strided indices, the audio fingerprint CTEs).
+    */
+  private[operators] def sampleSql(id: String, i: String): String =
+    s"($id * 7 + ($id // 65536) * 101 + $i * 13) % 65536 - 32768"
 
   /** Documents with a REAL WAV payload: the generated PCM samples encoded
     * through the JDK's `javax.sound.sampled` WAV writer on the executors.
@@ -357,7 +423,7 @@ object Multimodal {
     SELECT d.doc_id,
       CAST(${AudRate.toInt} AS INT) AS rate, CAST(1 AS INT) AS channels,
       CAST(16 AS INT) AS bits, CAST($AudSamples AS INT) AS n_samples,
-      CAST(SUM((d.doc_id * 7 + i.i * 13) % 65536 - 32768) AS BIGINT)
+      CAST(SUM(${sampleSql("d.doc_id", "i.i")}) AS BIGINT)
         AS sample_sum
     FROM documents d
     CROSS JOIN generate_series(0, ${AudSamples - 1}) AS i(i)
@@ -409,7 +475,7 @@ object Multimodal {
     SELECT d.doc_id,
       CAST(${AudSamples / 2} AS INT) AS out_samples,
       CAST(${AudRate.toInt / 2} AS INT) AS out_rate,
-      CAST(SUM((d.doc_id * 7 + i.i * 2 * 13) % 65536 - 32768) AS BIGINT)
+      CAST(SUM(${sampleSql("d.doc_id", "i.i * 2")}) AS BIGINT)
         AS out_sample_sum
     FROM documents d
     CROSS JOIN generate_series(0, ${AudSamples / 2 - 1}) AS i(i)
@@ -517,10 +583,10 @@ object Multimodal {
   private[graft] def phashesDirect(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val docs = Tables.documents(s, dir).select(col("doc_id"))
-    docs.select(col("doc_id"), col("doc_id").as("gen_id"))
+    docs.select(col("doc_id"), genCol(col("doc_id")).as("gen_id"))
       .unionByName(docs.filter(col("doc_id") % PlantMod === 0)
         .select((col("doc_id") + PlantShift).as("doc_id"),
-          col("doc_id").as("gen_id")))
+          genCol(col("doc_id")).as("gen_id")))
       .as[(Long, Long)]
       .mapPartitions { it =>
         it.map { case (id, gen) =>
@@ -609,14 +675,13 @@ object Multimodal {
 
   val phashSql: String = s"""
     WITH ids AS (
-      SELECT doc_id, doc_id AS gen_id FROM documents
+      SELECT doc_id, ${genSqlOf("doc_id")} AS gen_id FROM documents
       UNION ALL
-      SELECT doc_id + $PlantShift, doc_id FROM documents WHERE doc_id % $PlantMod = 0),
+      SELECT doc_id + $PlantShift, ${genSqlOf("doc_id")}
+      FROM documents WHERE doc_id % $PlantMod = 0),
     px AS (
       SELECT ids.doc_id, (y.i // ${ImgH / 8}) * 8 + (x.i // ${ImgW / 8}) AS k,
-        (gen_id * 31 + x.i * 7 + y.i * 13) % 256
-        + (gen_id * 17 + x.i * 11 + y.i * 3) % 256
-        + (gen_id * 5 + x.i * 13 + y.i * 29) % 256 AS lum
+        ${lumSql("gen_id", "x.i", "y.i")} AS lum
       FROM ids
       CROSS JOIN generate_series(0, ${ImgW - 1}) AS x(i)
       CROSS JOIN generate_series(0, ${ImgH - 1}) AS y(i)),
@@ -697,14 +762,13 @@ object Multimodal {
     */
   private[operators] val phashPairCtesSql: String = s"""
     ids AS (
-      SELECT doc_id, doc_id AS gen_id FROM documents
+      SELECT doc_id, ${genSqlOf("doc_id")} AS gen_id FROM documents
       UNION ALL
-      SELECT doc_id + $PlantShift, doc_id FROM documents WHERE doc_id % $PlantMod = 0),
+      SELECT doc_id + $PlantShift, ${genSqlOf("doc_id")}
+      FROM documents WHERE doc_id % $PlantMod = 0),
     px AS (
       SELECT ids.doc_id, (y.i // ${ImgH / 8}) * 8 + (x.i // ${ImgW / 8}) AS k,
-        (gen_id * 31 + x.i * 7 + y.i * 13) % 256
-        + (gen_id * 17 + x.i * 11 + y.i * 3) % 256
-        + (gen_id * 5 + x.i * 13 + y.i * 29) % 256 AS lum
+        ${lumSql("gen_id", "x.i", "y.i")} AS lum
       FROM ids
       CROSS JOIN generate_series(0, ${ImgW - 1}) AS x(i)
       CROSS JOIN generate_series(0, ${ImgH - 1}) AS y(i)),
