@@ -45,6 +45,8 @@ object Bench {
     // order; totals are unchanged — only which gate pays the shared
     // build moves.
     val artifactOwners = Seq(
+      "audio_fp",           // audio fingerprint frame
+      "audio_fp_pairs",     // verified audio near-dup pair frame
       "suffix_array",       // prefix-doubling rank tables (sa_q*)
       "bpe_train",          // BPE merge table
       "dedup_minhash_lsh",  // minhash signature/candidate frames

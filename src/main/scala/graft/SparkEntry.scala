@@ -47,6 +47,8 @@ object SparkEntry {
       operators.GraphOps.queries ++
       operators.UrlOps.queries ++
       operators.Multimodal.queries ++
+      operators.AudioFp.queries ++
+      operators.PipelineAudio.queries ++
       operators.VersionedScenarios.queries ++
       operators.DatasetRevScenarios.queries ++
       sources.BdeScenarios.queries ++
@@ -98,6 +100,8 @@ object SparkEntry {
       operators.GraphOps.oracles ++
       operators.UrlOps.oracles ++
       operators.Multimodal.oracles ++
+      operators.AudioFp.oracles ++
+      operators.PipelineAudio.oracles ++
       operators.VersionedScenarios.oracles ++
       operators.DatasetRevScenarios.oracles ++
       sources.BdeScenarios.oracles ++

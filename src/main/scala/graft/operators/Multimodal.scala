@@ -122,7 +122,7 @@ object Multimodal {
   private[graft] def genOf(id: Long): Long =
     if (id % ReImMod == ReImRes) id - ReImDelta else id
 
-  private def genCol(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+  private[operators] def genCol(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     when(c % ReImMod === ReImRes, c - ReImDelta).otherwise(c)
 
   /** [[genOf]] as a DuckDB expression. */
@@ -327,7 +327,7 @@ object Multimodal {
     * byte, distinct-clip count scales with the corpus and only plants
     * duplicate deliberately.
     */
-  @inline private def sampleAt(id: Long, i: Int): Int =
+  @inline private[operators] def sampleAt(id: Long, i: Int): Int =
     (((id * 7 + (id / 65536) * 101 + i * 13) % 65536) - 32768).toInt
 
   /** The sample expression as DuckDB SQL over an id column and a sample
@@ -348,10 +348,14 @@ object Multimodal {
       Tables.documents(s, dir).select("doc_id").as[Long]
         .mapPartitions { it =>
           it.map { id =>
+            // the re-crawl family covers audio too: doc id%10==9 ships
+            // the SAME clip as doc id-4 (see genOf) — cross-partition
+            // duplicate clips exist by construction at a linear rate
+            val gen = genOf(id)
             val pcm = new Array[Byte](AudSamples * 2)
             var i = 0
             while (i < AudSamples) {
-              val v = sampleAt(id, i)
+              val v = sampleAt(gen, i)
               pcm(2 * i) = (v & 0xff).toByte         // little-endian
               pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
               i += 1
@@ -404,14 +408,16 @@ object Multimodal {
         "sample_sum", "pcm_md5")
   }
 
-  /** JVM-local expected PCM bytes (little-endian), for the spec's digest
-    * pin.
+  /** JVM-local expected PCM bytes (little-endian) of DOCUMENT `id`'s
+    * clip ([[genOf]] applied here, like [[rgbBytes]]), for the spec's
+    * digest pin.
     */
   def pcmBytes(id: Long): Array[Byte] = {
+    val gen = genOf(id)
     val pcm = new Array[Byte](AudSamples * 2)
     var i = 0
     while (i < AudSamples) {
-      val v = sampleAt(id, i)
+      val v = sampleAt(gen, i)
       pcm(2 * i) = (v & 0xff).toByte
       pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
       i += 1
@@ -423,9 +429,9 @@ object Multimodal {
     SELECT d.doc_id,
       CAST(${AudRate.toInt} AS INT) AS rate, CAST(1 AS INT) AS channels,
       CAST(16 AS INT) AS bits, CAST($AudSamples AS INT) AS n_samples,
-      CAST(SUM(${sampleSql("d.doc_id", "i.i")}) AS BIGINT)
+      CAST(SUM(${sampleSql("d.gen_id", "i.i")}) AS BIGINT)
         AS sample_sum
-    FROM documents d
+    FROM (SELECT doc_id, ${genSqlOf("doc_id")} AS gen_id FROM documents) d
     CROSS JOIN generate_series(0, ${AudSamples - 1}) AS i(i)
     GROUP BY d.doc_id ORDER BY d.doc_id"""
 
@@ -475,9 +481,9 @@ object Multimodal {
     SELECT d.doc_id,
       CAST(${AudSamples / 2} AS INT) AS out_samples,
       CAST(${AudRate.toInt / 2} AS INT) AS out_rate,
-      CAST(SUM(${sampleSql("d.doc_id", "i.i * 2")}) AS BIGINT)
+      CAST(SUM(${sampleSql("d.gen_id", "i.i * 2")}) AS BIGINT)
         AS out_sample_sum
-    FROM documents d
+    FROM (SELECT doc_id, ${genSqlOf("doc_id")} AS gen_id FROM documents) d
     CROSS JOIN generate_series(0, ${AudSamples / 2 - 1}) AS i(i)
     GROUP BY d.doc_id ORDER BY d.doc_id"""
 
@@ -718,8 +724,22 @@ object Multimodal {
     * shuffle, per-band candidate lists, popcount verify in codegen; never
     * an all-pairs comparison.
     */
-  def phashPairs(s: SparkSession, dir: String): DataFrame = {
-    val hs = phashesOf(s, dir)
+  // memoized: FIVE consumers ride this verified pair frame (the pair
+  // gate, the cluster gate, the stream maintainer, both composed mm
+  // pipelines) — each re-ran the band join + popcount verify before r17
+  def phashPairs(s: SparkSession, dir: String): DataFrame =
+    graft.Memo.cached(s, "mm_phash_pairs", dir)(
+      hammingBandPairs(phashesOf(s, dir), PhashMaxHamming))
+
+  /** Banded hamming near-dup pair search over ANY 64-bit signature frame
+    * `(doc_id, hash_hi, hash_lo)` — the [[phashPairs]] machinery factored
+    * so the AUDIO fingerprint family ([[AudioFp]]) runs the identical
+    * band-keyed shuffle + popcount verify: the 64 bits split into four
+    * 16-bit bands, candidates share at least one band (lossless blocking
+    * for hamming ≤ 3 by pigeonhole), exact hamming filters candidates.
+    */
+  private[operators] def hammingBandPairs(hs: DataFrame,
+                                          maxHamming: Int): DataFrame = {
     val bands = hs.select(col("doc_id"), col("hash_hi"), col("hash_lo"),
       explode(array(
         struct(lit(0).as("band"), (col("hash_lo") bitwiseAND 65535L).as("bv")),
@@ -741,7 +761,7 @@ object Multimodal {
         (expr("bit_count(hi_a ^ hi_b)") + expr("bit_count(lo_a ^ lo_b)"))
           .cast("long").as("hamming"))
       .distinct()
-      .filter(col("hamming") <= PhashMaxHamming)
+      .filter(col("hamming") <= maxHamming)
       .orderBy("id_a", "id_b")
   }
 
@@ -1099,9 +1119,24 @@ object Multimodal {
     * gates), one narrow join on doc_id, pure column arithmetic — no
     * shuffle beyond the join; payloads never leave the executors.
     */
-  def audioInterleave(s: SparkSession, dir: String): DataFrame = {
+  def audioInterleave(s: SparkSession, dir: String): DataFrame =
+    audioAccounting(s, dir,
+      Tables.documents(s, dir).select(col("doc_id"), col("text")))
+      .orderBy("doc_id")
+
+  /** The audio-interleave accounting over ANY `(doc_id, text)` frame —
+    * [[audioInterleave]]'s arithmetic factored so the composed audio
+    * pipeline ([[PipelineAudio]]) prices its SURVIVOR set through the
+    * identical definition (the [[mmAccounting]] discipline for the
+    * audio modality). Clip geometry joins from the memoized decode /
+    * resample frames, so callers must pass corpus doc ids only (the
+    * composed pipeline's dedup stage guarantees that — plants die
+    * before accounting).
+    */
+  private[operators] def audioAccounting(s: SparkSession, dir: String,
+                                         docs0: DataFrame): DataFrame = {
     import graft.operators.TextNorm.norm
-    val docs = Tables.documents(s, dir)
+    val docs = docs0
       .select(col("doc_id"),
         size(split(norm, " ")).cast("long").as("n_text_tokens"))
     val dec = decodeAudio(s, dir)
@@ -1128,7 +1163,6 @@ object Multimodal {
           .otherwise(0L))
       .withColumn("n_total_tokens",
         col("n_text_tokens") + col("n_audio_tokens"))
-      .orderBy("doc_id")
   }
 
   val audioInterleaveSql: String = {

@@ -232,15 +232,18 @@ object Pipeline {
 
     // ---- stage 4: decontaminate — eval docs OUT, shared spans stripped
     val evalMod = CorpusFilters.EvalMod
-    // persisted: the gram explosion feeds TWO plan subtrees (the eval
-    // probe and the survivor-restricted removal join) — unpersisted it
-    // executed the full-corpus explode twice (review finding, r14)
-    val grams = SubstringDedup.gramsOf(
-      Tables.documents(s, dir).select(col("doc_id"), col("text")),
-      CorpusFilters.SpanK)
-      .persist()
-    val evalG = grams.filter(col("doc_id") % evalMod === 0)
-      .select(col("g")).distinct()
+    // Memo-shared with the incremental twins (keys pl_grams/pl_evalg —
+    // the corpus gram explosion is predicate-independent): persisted
+    // because it feeds TWO plan subtrees here (the eval probe and the
+    // survivor-restricted removal join; review finding, r14), and
+    // across gates it is the base-store memo the r16 verdict asked for
+    val grams = graft.Memo.cached(s, "pl_grams", dir)(
+      SubstringDedup.gramsOf(
+        Tables.documents(s, dir).select(col("doc_id"), col("text")),
+        CorpusFilters.SpanK))
+    val evalG = graft.Memo.cached(s, "pl_evalg", dir)(
+      grams.filter(col("doc_id") % evalMod === 0)
+        .select(col("g")).distinct())
     val tr4 = s3.filter(col("doc_id") % evalMod =!= 0)
     val rem = grams
       .join(tr4.select(col("doc_id")), "doc_id")
@@ -362,7 +365,9 @@ object Pipeline {
       .orderBy("stage_id")
       .localCheckpoint(true)
 
-    Seq(qf, s1, groups, s2, pairsF, labP, winners, s3, grams, en)
+    // grams/evalG are Memo-owned now (released by Memo.clear) — only the
+    // per-call frames unpersist here
+    Seq(qf, s1, groups, s2, pairsF, labP, winners, s3, en)
       .foreach(_.unpersist(false))
     labels.unpersist(false)
     ledger

@@ -135,11 +135,17 @@ object PipelineIncr {
     val qf = graft.Memo.cached(s, "pincr_qf", dir)(
       Pipeline.gopherFrame(docs))
     val pairs = Dedup.minhashPairsOf(s, dir).select(col("id_a"), col("id_b"))
-    val grams = graft.Memo.cached(s, "pincr_grams", dir)(
+    // keys shared with Pipeline.pipelineE2e: the gram explosion and the
+    // eval gram set are corpus-level (predicate-independent), so the
+    // full-load gate and both incremental twins ride ONE build per
+    // (session, dir) — before r17 pipeline_e2e re-exploded the corpus
+    // grams the incr gates had just built (the base-store memo, verdict
+    // r16 minor)
+    val grams = graft.Memo.cached(s, "pl_grams", dir)(
       SubstringDedup.gramsOf(docs.select(col("doc_id"), col("text")), spanK))
     // the eval gram set feeds BOTH remOf calls (base + batch) —
     // unmaterialized, each call re-ran the distinct over the gram frame
-    val evalG = graft.Memo.cached(s, "pincr_evalg", dir)(
+    val evalG = graft.Memo.cached(s, "pl_evalg", dir)(
       grams.filter(col("doc_id") % evalMod === 0)
         .select(col("g")).distinct())
     val quality = TextOps.qualityDf(s, dir)

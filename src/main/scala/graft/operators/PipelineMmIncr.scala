@@ -67,7 +67,40 @@ object PipelineMmIncr {
       "planted copy must share its source's residue")
 
   def pipelineE2eMmIncr(s: SparkSession, dir: String): DataFrame =
-    graft.Memo.cached(s, "pipeline_e2e_mm_incr", dir) {
+    graft.Memo.cached(s, "pipeline_e2e_mm_incr", dir)(build(s, dir))
+
+  /** Gate: the SAME incremental multimodal ledger read from MAINTAINED
+    * state — the image-family analog of `pipeline_incr_state`, closing
+    * the r16 gap (the maintainer existed — `stream_audiofp_maintain`'s
+    * image sibling `stream_phash_maintain` keeps per-shard spanning
+    * forests — but no gate read the image ledger from it). The two
+    * base-state artifacts the delta tail consumes flow through the
+    * streaming maintainers' state machinery instead of the batch
+    * aggregations:
+    *
+    *  - base phash components from the PER-SHARD SPANNING FORESTS
+    *    ([[graft.streaming.StreamCluster]] + the `clustersFromForest`
+    *    read-time merge — the `stream_phash_maintain` path),
+    *  - the base accounting totals (docs, vision-token total the delta
+    *    shard ids continue from) from the HIGH-WATER COUNTER fold
+    *    ([[graft.streaming.StreamHighWater]] — additive over
+    *    arrival-chunk partials).
+    *
+    * Both folds are commutative/associative (union-find, sum), so the
+    * converged state is value-identical to the batch aggregations and
+    * the ledger is HASH-IDENTICAL to `pipeline_e2e_mm_incr` — the
+    * oracle SQL is shared VERBATIM, which IS the claim. Reference:
+    * `bde_ApplyLevel5Update` consumes persisted Level-0 state
+    * (`sql/02-bde_control_functions.sql.in:1576`).
+    */
+  def pipelineMmIncrState(s: SparkSession, dir: String): DataFrame =
+    graft.Memo.cached(s, "pipeline_mm_incr_state", dir)(
+      build(s, dir, maintained = true))
+
+  private[graft] def build(s: SparkSession, dir: String,
+                           maintained: Boolean = false): DataFrame = {
+      import s.implicits._
+      import graft.streaming.{EdgeObs, HwmPart}
       // ---- universe: corpus + the planted duplicate-image feed, plants
       // tagged at construction, collision asserted in-plan (the
       // pipeline_e2e_mm arrive); batch membership keys on the SOURCE
@@ -114,11 +147,31 @@ object PipelineMmIncr {
         .join(idsB.withColumnRenamed("doc_id", "id_a"), "id_a")
         .join(idsB.withColumnRenamed("doc_id", "id_b"), "id_b")
         .persist()
-      val bLab = Clustering.ccLabels(
-        bPairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-          .unionByName(bPairs.select(col("id_b").as("src"),
-            col("id_a").as("dst"))))
-      val bLabP = bLab.select(col("id"), col("lab")).persist()
+      // base components: batch frontier propagation, or the per-shard
+      // spanning forests' read-time merge (the stream_phash_maintain
+      // path — forests preserve exactly the connectivity of their
+      // edges; the PipelineIncr maintained-read shape)
+      val bLab =
+        if (!maintained)
+          Clustering.ccLabels(
+            bPairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+              .unionByName(bPairs.select(col("id_b").as("src"),
+                col("id_a").as("dst"))))
+        else {
+          val forest = graft.streaming.StreamCluster.forests(
+              bPairs.select(
+                pmod(least(col("id_a"), col("id_b")),
+                  lit(Clustering.CcShards.toLong)).as("shard"),
+                col("id_a").as("a"), col("id_b").as("b")).as[EdgeObs])
+            .toDF()
+            .select(explode(col("fedges")).as("e"))
+            .select(col("e.a").as("a"), col("e.b").as("b"))
+          Clustering.clustersFromForest(forest)
+        }
+      val bLabP =
+        (if (!maintained) bLab.select(col("id"), col("lab"))
+         else bLab.select(col("doc_id").as("id"), col("cluster").as("lab")))
+          .persist()
       val s2b = s1b
         .join(bLabP.select(col("id").as("doc_id"), col("lab")),
           Seq("doc_id"), "left")
@@ -126,8 +179,34 @@ object PipelineMmIncr {
         .select(col("doc_id"), col("text"))
         .persist()
       val accB = Multimodal.mmAccounting(s2b)
-      val bTot = accB.agg(count(lit(1)).as("base_docs"),
-        coalesce(sum(col("n_total_tokens")), lit(0L)).as("base_total"))
+      // base accounting totals: batch aggregation, or the high-water
+      // counter fold over arrival-chunk partials (adds are additive —
+      // the doc_id-mod-3 chunking stands in for historical loads; the
+      // converged counter cannot depend on it)
+      var hwmFrame: Option[DataFrame] = None
+      val bTot =
+        if (!maintained)
+          accB.agg(count(lit(1)).as("base_docs"),
+            coalesce(sum(col("n_total_tokens")), lit(0L)).as("base_total"))
+        else {
+          val hwm = graft.streaming.StreamHighWater.states(
+              accB.groupBy(lit("mm").as("strat"),
+                  pmod(col("doc_id"), lit(3L)).as("ch"))
+                .agg(count(lit(1)).as("n_docs"),
+                  sum(col("n_total_tokens")).as("n_tokens"))
+                .select(col("strat"), col("n_docs"), col("n_tokens"))
+                .as[HwmPart])
+            .toDF()
+            // per-group emissions within one fold are monotone; the
+            // converged state row is the LAST (max) counter
+            .groupBy(col("strat"))
+            .agg(max(col("n_docs")).as("n_docs"),
+              max(col("n_tokens")).as("n_tokens"))
+            .localCheckpoint(true)
+          hwmFrame = Some(hwm)
+          hwm.agg(coalesce(sum(col("n_docs")), lit(0L)).as("base_docs"),
+            coalesce(sum(col("n_tokens")), lit(0L)).as("base_total"))
+        }
 
       // ---- stage 2: image near-dedup over MERGED components. Base
       // components contract to their min-id labels; only batch-touched
@@ -283,6 +362,7 @@ object PipelineMmIncr {
         accI, en).foreach(_.unpersist(false))
       bLab.unpersist(false)
       mLab.unpersist(false)
+      hwmFrame.foreach(_.unpersist(false))
       ledger
     }
 
@@ -458,8 +538,13 @@ object PipelineMmIncr {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "pipeline_e2e_mm_incr" -> (pipelineE2eMmIncr _))
+    "pipeline_e2e_mm_incr" -> (pipelineE2eMmIncr _),
+    "pipeline_mm_incr_state" -> (pipelineMmIncrState _))
 
+  // pipeline_mm_incr_state shares pipeline_e2e_mm_incr's oracle
+  // VERBATIM: the maintained-state read is value-identical by fold
+  // algebra, and the shared SQL is exactly the hash-identity claim
   val oracles: Map[String, String] = Map(
-    "pipeline_e2e_mm_incr" -> pipelineE2eMmIncrSql)
+    "pipeline_e2e_mm_incr" -> pipelineE2eMmIncrSql,
+    "pipeline_mm_incr_state" -> pipelineE2eMmIncrSql)
 }

@@ -1925,6 +1925,130 @@ object TrainPrep {
       .orderBy("doc_id")
   }
 
+  /** Open-bin slot counts the K sweep prices; K = 1 IS next-fit (one
+    * open bin), the spec's unbounded-FFD replay is the floor.
+    */
+  private[graft] val FfdKSweep = Seq(1, 2, 4, 8)
+
+  /** Gate: the K-SWEEP tuning table for [[packBoundedFfd]]'s open-bin
+    * knob — the §4 discipline (measure the knob, like `lsh_tuning` /
+    * `embed_width_sweep`) applied to the packer's own constant: per
+    * K ∈ [[FfdKSweep]], the bins opened, the waste in tokens and the
+    * evictions paid, all folded from ONE shared per-writer
+    * length-sorted pass (the K states advance together per document —
+    * one repartition + sort, O(ΣK) state per writer, no extra scan).
+    * This is the decision artifact for sizing writer state at 100 TB:
+    * waste falls monotonically in K on this corpus while state is
+    * K remainders per writer — the table prices where the curve flattens
+    * (the shipped K = [[FfdOpenBins]]).
+    */
+  def packKSweep(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val b = FfdBudget
+    val ks = FfdKSweep
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), size(split(norm, " ")).cast("long").as("n"))
+      .filter(col("n") <= b)
+      .withColumn("writer", pmod(col("doc_id"), lit(FfdWriters.toLong)))
+    val perWriter = docs
+      .repartition(FfdWriters, col("writer"))
+      .sortWithinPartitions(col("writer"), col("n").desc, col("doc_id"))
+      .select(col("writer"), col("n"))
+      .as[(Long, Long)]
+      .mapPartitions { it =>
+        // one pass, all K states per writer advanced per document —
+        // the same slot/evict rule as packBoundedFfd's fold
+        final class St(k: Int) {
+          val rem = new Array[Long](k)
+          var open = 0
+          var bins = 0L
+          var evc = 0L
+          var tok = 0L
+          def add(n: Long): Unit = {
+            var slot = -1
+            var i = 0
+            while (i < open && slot < 0) {
+              if (rem(i) >= n) slot = i
+              i += 1
+            }
+            if (slot >= 0) rem(slot) -= n
+            else if (open < k) { rem(open) = b - n; open += 1; bins += 1 }
+            else {
+              var e = 0
+              var j = 1
+              while (j < open) { if (rem(j) < rem(e)) e = j; j += 1 }
+              rem(e) = b - n; bins += 1; evc += 1
+            }
+            tok += n
+          }
+        }
+        val states =
+          scala.collection.mutable.LinkedHashMap.empty[(Long, Int), St]
+        it.foreach { case (w, n) =>
+          ks.foreach(k => states.getOrElseUpdate((w, k), new St(k)).add(n))
+        }
+        states.iterator.map { case ((w, k), st) =>
+          (w, k.toLong, st.bins, st.evc, st.tok)
+        }
+      }
+      .toDF("writer", "k_open", "bins", "evictions", "tok")
+    perWriter.groupBy(col("k_open"))
+      .agg(sum(col("bins")).as("n_bins"),
+        (sum(col("bins")) * b - sum(col("tok"))).as("waste_tokens"),
+        sum(col("evictions")).as("evictions"))
+      .orderBy("k_open")
+  }
+
+  val packKSweepSql: String = {
+    val b = FfdBudget
+    val w = FfdWriters
+    val ksList = FfdKSweep.mkString("[", ", ", "]")
+    s"""
+    WITH RECURSIVE
+    pk_d AS (SELECT doc_id,
+        CAST(len(string_split($normSql, ' ')) AS BIGINT) AS n
+      FROM documents),
+    pk_e AS (SELECT doc_id, n, doc_id % $w AS wr,
+        row_number() OVER (PARTITION BY doc_id % $w
+          ORDER BY n DESC, doc_id) AS step
+      FROM pk_d WHERE n <= $b),
+    pk_w AS (SELECT DISTINCT wr FROM pk_e),
+    pk_k AS (SELECT unnest($ksList) AS k),
+    pk_s(wr, k, step, rems, nxt, evc) AS (
+      SELECT wr, k, CAST(0 AS BIGINT), CAST([] AS BIGINT[]),
+        CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+      FROM pk_w CROSS JOIN pk_k
+      UNION ALL
+      SELECT wr, k, step,
+        CASE WHEN fit IS NOT NULL THEN
+            list_transform(rems, (r, i) ->
+              CASE WHEN i = fit THEN r - n ELSE r END)
+          WHEN len(rems) < k THEN list_append(rems, $b - n)
+          ELSE list_transform(rems, (r, i) ->
+            CASE WHEN i = ev THEN $b - n ELSE r END) END,
+        CASE WHEN fit IS NOT NULL THEN nxt ELSE nxt + 1 END,
+        CASE WHEN fit IS NOT NULL OR len(rems) < k THEN evc
+          ELSE evc + 1 END
+      FROM (
+        SELECT s.wr, s.k, s.step + 1 AS step, s.rems, s.nxt, s.evc, d.n,
+          list_filter(generate_series(1, len(s.rems)),
+            i -> s.rems[i] >= d.n)[1] AS fit,
+          list_position(s.rems, list_min(s.rems)) AS ev
+        FROM pk_s s JOIN pk_e d ON d.wr = s.wr AND d.step = s.step + 1) z),
+    pk_last AS (SELECT wr, k, max(step) AS last FROM pk_s GROUP BY 1, 2),
+    pk_fin AS (
+      SELECT s.k, s.nxt, s.evc
+      FROM pk_s s JOIN pk_last l
+        ON s.wr = l.wr AND s.k = l.k AND s.step = l.last),
+    pk_tot AS (SELECT CAST(sum(n) AS BIGINT) AS tok FROM pk_e)
+    SELECT CAST(k AS BIGINT) AS k_open,
+      CAST(sum(nxt) AS BIGINT) AS n_bins,
+      CAST(sum(nxt) * $b - (SELECT tok FROM pk_tot) AS BIGINT)
+        AS waste_tokens,
+      CAST(sum(evc) AS BIGINT) AS evictions
+    FROM pk_fin GROUP BY k ORDER BY k_open"""
+  }
+
   val packBoundedFfdSql: String = {
     val b = FfdBudget
     val k = FfdOpenBins
@@ -1974,6 +2098,7 @@ object TrainPrep {
     "span_corruption" -> (spanCorruption _),
     "pack_efficiency" -> (packEfficiency _),
     "pack_bounded_ffd" -> (packBoundedFfd _),
+    "pack_k_sweep" -> (packKSweep _),
     "dpo_pairs" -> (dpoPairs _),
     "sft_mask_spans" -> (sftMaskSpans _),
     "shard_plan" -> (shardPlan _),
@@ -2000,6 +2125,7 @@ object TrainPrep {
     "span_corruption" -> spanCorruptionSql,
     "pack_efficiency" -> packEfficiencySql,
     "pack_bounded_ffd" -> packBoundedFfdSql,
+    "pack_k_sweep" -> packKSweepSql,
     "dpo_pairs" -> dpoPairsSql,
     "sft_mask_spans" -> sftMaskSpansSql,
     "shard_plan" -> shardPlanSql,

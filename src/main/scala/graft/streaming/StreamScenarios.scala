@@ -580,6 +580,22 @@ object StreamScenarios {
     graft.operators.Clustering.clustersFromForest(forest)
   }
 
+  /** The AUDIO near-dup cluster maintainer — [[streamPhashMaintain]]'s
+    * twin over the audio fingerprint pair family: arriving verified
+    * fingerprint pairs fold into the same per-shard spanning forests,
+    * and the read-time merge recovers `audio_fp_clusters`' global
+    * labels (SAME oracle, hash-identical). Completes the maintainer
+    * symmetry across the text, image and audio dedup families.
+    */
+  def streamAudioFpMaintain(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val obs = graft.operators.AudioFp.audioFpPairObs(s, dir).as[EdgeObs]
+    val forest = StreamCluster.forests(obs).toDF()
+      .select(explode(col("fedges")).as("e"))
+      .select(col("e.a").as("a"), col("e.b").as("b"))
+    graft.operators.Clustering.clustersFromForest(forest)
+  }
+
   /** The cluster-level split reassignment read DIRECTLY from the
     * maintained connectivity state — `split_by_cluster`'s report layer
     * over [[streamClusterMaintain]]'s merged clusters, checked by the
@@ -600,6 +616,7 @@ object StreamScenarios {
     "stream_cluster_maintain" -> (streamClusterMaintain _),
     "stream_split_maintain" -> (streamSplitMaintain _),
     "stream_phash_maintain" -> (streamPhashMaintain _),
+    "stream_audiofp_maintain" -> (streamAudioFpMaintain _),
     "stream_changeset" -> (streamChangeset _),
     "stream_sessionize" -> (streamSessionize _),
     "stream_window_counts" -> (streamWindowCounts _),
@@ -637,6 +654,8 @@ object StreamScenarios {
       graft.operators.Clustering.splitByClusterSql,
     "stream_phash_maintain" ->
       graft.operators.Multimodal.phashClustersSql,
+    "stream_audiofp_maintain" ->
+      graft.operators.AudioFp.audioFpClustersSql,
     "stream_topk_sketch" -> graft.operators.Sketch.topkSketchSql,
     "stream_topk_space" -> graft.operators.Sketch.topkSketchSql,
     "stream_cms_maintain" -> graft.operators.Sketch.cmsSketchSql,
