@@ -328,14 +328,29 @@ object Multimodal {
     * duplicate deliberately.
     */
   @inline private[operators] def sampleAt(id: Long, i: Int): Int =
-    (((id * 7 + (id / 65536) * 101 + i * 13) % 65536) - 32768).toInt
+    (((id * 7 + (id / 65536) * 101
+      + i * (13 + 2 * ((id * 11 + (id / 65536) * 53) % 16384)))
+      % 65536) - 32768).toInt
 
   /** The sample expression as DuckDB SQL over an id column and a sample
     * index expression — ONE definition for every oracle replay (decode,
     * resample at strided indices, the audio fingerprint CTEs).
+    *
+    * Both the BASE OFFSET (`id·7 + (id/65536)·101`) and the per-sample
+    * STRIDE (`13 + 2·((id·11 + (id/65536)·53) mod 16384)` — always odd,
+    * so every clip sweeps the full 16-bit range) depend on the id: with
+    * a fixed stride (the first r17 form) every clip was a SHIFT of one
+    * master ramp — a 1-parameter family whose near-dup graph is a
+    * clique (measured: every sf0.01 clip clustered with something, the
+    * exact pathology the pixel decorrelation removed). With the
+    * id-derived stride the clip universe is (offset × stride) ≈ 2^30
+    * and energy fingerprints decorrelate, so only plants and re-crawls
+    * duplicate.
     */
   private[operators] def sampleSql(id: String, i: String): String =
-    s"($id * 7 + ($id // 65536) * 101 + $i * 13) % 65536 - 32768"
+    s"""($id * 7 + ($id // 65536) * 101
+          + $i * (13 + 2 * (($id * 11 + ($id // 65536) * 53) % 16384)))
+          % 65536 - 32768"""
 
   /** Documents with a REAL WAV payload: the generated PCM samples encoded
     * through the JDK's `javax.sound.sampled` WAV writer on the executors.
