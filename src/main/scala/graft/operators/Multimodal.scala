@@ -396,7 +396,15 @@ object Multimodal {
     * (spec-pinned).
     */
   def decodeAudio(s: SparkSession, dir: String,
-                  batchSize: Int = 64): DataFrame = {
+                  batchSize: Int = 64): DataFrame =
+    // memoized: the decoded frame is 7 narrow columns per doc, but the
+    // codec pass behind it was re-paid by every consumer (the solo
+    // decode gate, both accounting gates, the composed audio pipeline)
+    graft.Memo.cached(s, "audio_decoded", dir)(
+      decodeAudioUncached(s, dir, batchSize))
+
+  private def decodeAudioUncached(s: SparkSession, dir: String,
+                                  batchSize: Int): DataFrame = {
     import s.implicits._
     withAudioPayload(s, dir)
       .as[(Long, Array[Byte])]
@@ -457,7 +465,13 @@ object Multimodal {
     * the generator at even indices.
     */
   def resampleAudio(s: SparkSession, dir: String,
-                    batchSize: Int = 64): DataFrame = {
+                    batchSize: Int = 64): DataFrame =
+    // memoized like decodeAudio — same multi-consumer codec pass
+    graft.Memo.cached(s, "audio_resampled", dir)(
+      resampleAudioUncached(s, dir, batchSize))
+
+  private def resampleAudioUncached(s: SparkSession, dir: String,
+                                    batchSize: Int): DataFrame = {
     import s.implicits._
     withAudioPayload(s, dir)
       .as[(Long, Array[Byte])]
