@@ -49,6 +49,7 @@ object SparkEntry {
       operators.Multimodal.queries ++
       operators.AudioFp.queries ++
       operators.PipelineAudio.queries ++
+      operators.PipelineAudioIncr.queries ++
       operators.VersionedScenarios.queries ++
       operators.DatasetRevScenarios.queries ++
       sources.BdeScenarios.queries ++
@@ -102,6 +103,7 @@ object SparkEntry {
       operators.Multimodal.oracles ++
       operators.AudioFp.oracles ++
       operators.PipelineAudio.oracles ++
+      operators.PipelineAudioIncr.oracles ++
       operators.VersionedScenarios.oracles ++
       operators.DatasetRevScenarios.oracles ++
       sources.BdeScenarios.oracles ++

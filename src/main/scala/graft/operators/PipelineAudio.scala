@@ -201,11 +201,39 @@ object PipelineAudio {
       ledger
     }
 
-  val pipelineE2eAudioSql: String = {
-    val shards = TrainPrep.OutShards
+  /** The audio-accounting CTE body over a survivor CTE exposing
+    * `(doc_id, text)` — the `audio_interleave` arithmetic as the oracle
+    * replays it (clip geometry from the parity constants), shared by
+    * the full pipeline oracle and the incremental twins'
+    * ([[PipelineAudioIncr]]).
+    */
+  private[operators] def audioAccSql(src: String): String = {
     val full = Multimodal.AudRate.toInt
     val samples = Multimodal.AudSamples
     val tps = Multimodal.AudioTokensPerSec
+    s"""
+      SELECT doc_id,
+        CAST(n_clips AS BIGINT) AS n_clips,
+        CAST(n_text_tokens AS BIGINT) AS n_text_tokens,
+        CAST(CASE WHEN n_clips > 0 THEN n_clips *
+            ((clip_samples * $tps + clip_rate - 1) // clip_rate)
+          ELSE 0 END AS BIGINT) AS n_audio_tokens,
+        CAST(n_text_tokens + CASE WHEN n_clips > 0 THEN n_clips *
+            ((clip_samples * $tps + clip_rate - 1) // clip_rate)
+          ELSE 0 END AS BIGINT) AS n_total_tokens
+      FROM (SELECT doc_id,
+              len(string_split($normSql, ' ')) AS n_text_tokens,
+              CASE WHEN doc_id % 3 = 1 THEN 1 + (doc_id // 3) % 3
+                ELSE 0 END AS n_clips,
+              CASE WHEN doc_id % 2 = 0 THEN $full ELSE ${full / 2} END
+                AS clip_rate,
+              CASE WHEN doc_id % 2 = 0 THEN $samples
+                ELSE ${samples / 2} END AS clip_samples
+            FROM $src)"""
+  }
+
+  val pipelineE2eAudioSql: String = {
+    val shards = TrainPrep.OutShards
     s"""
     WITH RECURSIVE ${AudioFp.audioFpCtesSql},
     pa_u AS (
@@ -236,25 +264,7 @@ object PipelineAudio {
       SELECT p.doc_id, p.text, p.n_tokens
       FROM pa_s1 p LEFT JOIN pa_comp c USING (doc_id)
       WHERE c.lab IS NULL OR p.doc_id = c.lab),
-    pa_ac AS MATERIALIZED (
-      SELECT doc_id,
-        CAST(n_clips AS BIGINT) AS n_clips,
-        CAST(n_text_tokens AS BIGINT) AS n_text_tokens,
-        CAST(CASE WHEN n_clips > 0 THEN n_clips *
-            ((clip_samples * $tps + clip_rate - 1) // clip_rate)
-          ELSE 0 END AS BIGINT) AS n_audio_tokens,
-        CAST(n_text_tokens + CASE WHEN n_clips > 0 THEN n_clips *
-            ((clip_samples * $tps + clip_rate - 1) // clip_rate)
-          ELSE 0 END AS BIGINT) AS n_total_tokens
-      FROM (SELECT doc_id,
-              len(string_split($normSql, ' ')) AS n_text_tokens,
-              CASE WHEN doc_id % 3 = 1 THEN 1 + (doc_id // 3) % 3
-                ELSE 0 END AS n_clips,
-              CASE WHEN doc_id % 2 = 0 THEN $full ELSE ${full / 2} END
-                AS clip_rate,
-              CASE WHEN doc_id % 2 = 0 THEN $samples
-                ELSE ${samples / 2} END AS clip_samples
-            FROM pa_s2)),
+    pa_ac AS MATERIALIZED (${audioAccSql("pa_s2")}),
     pa_sz AS (
       SELECT CAST((sum(n_total_tokens) + ${shards - 1}) // $shards
         AS BIGINT) AS ssize

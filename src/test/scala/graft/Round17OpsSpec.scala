@@ -134,6 +134,38 @@ class Round17OpsSpec extends SparkSpec {
       k1.getAs[Long]("n_bins") - T.FfdWriters)
   }
 
+  test("pipeline_e2e_audio_incr: conservation chain holds, re-crawled " +
+    "clips die to the base (existing corpus wins), and the " +
+    "maintained-state ledger is hash-identical") {
+    val rows = operators.PipelineAudioIncr.pipelineE2eAudioIncr(spark, sf)
+      .collect().sortBy(_.getAs[Long]("stage_id"))
+    assert(rows.length == 5)
+    def d(i: Int, k: String): Long =
+      "%s=(-?\\d+)".format(k).r.findFirstMatchIn(
+        rows(i).getAs[String]("detail")).get.group(1).toLong
+    for (i <- 0 until 4)
+      assert(rows(i).getAs[Long]("docs_kept") ==
+        rows(i + 1).getAs[Long]("docs_in"), s"chain broke at $i")
+    for (r <- rows)
+      assert(r.getAs[Long]("docs_in") == r.getAs[Long]("docs_kept") +
+        r.getAs[Long]("docs_dropped"))
+    // the audio re-crawl family exercises dies-to-base: batch doc
+    // id%10==9 plays the clip of id-4 (base residue)
+    assert(d(0, "planted") > 0)
+    assert(d(2, "vs_base") > 0, "no batch clip died to the base store")
+    assert(d(0, "base_docs") > 0 && d(0, "base_tokens") > 0)
+    // audio tokens enter exactly at interleave; shard delta conserves
+    assert(d(3, "audio_tokens") == 13L * d(3, "clips"))
+    assert(rows(4).getAs[Long]("tokens_in") ==
+      rows(4).getAs[Long]("tokens_out"))
+    // the maintained-state twin reads forests + high-water counters and
+    // must be value-identical (the verbatim-shared oracle's claim)
+    val a = rows.map(_.toString).sorted.toSeq
+    val b = operators.PipelineAudioIncr.pipelineAudioIncrState(spark, sf)
+      .collect().map(_.toString).sorted.toSeq
+    assert(a == b)
+  }
+
   test("pipeline_e2e_audio: conservation chain holds, audio tokens " +
     "enter only at interleave at the rate-derived per-clip cost, and " +
     "planted duplicate clips all die by audio dedup") {
