@@ -54,23 +54,32 @@ object AudioFp {
   /** The 64-bit energy fingerprint of one clip's samples — shared by the
     * codec path, the probe-only direct path and the spec's JVM-local
     * expectation, so the three cannot drift.
+    *
+    * Bit k compares NEIGHBOURING window energies (energy(k) >
+    * energy((k+1) mod 64)) — the chromaprint-style difference bit — not
+    * energy-above-mean: above-mean bits are strongly correlated across
+    * clips (the energy PROFILE shape dominates; measured: 50 k clips
+    * occupied only ~5.9 k distinct 16-bit band values, max bucket 691,
+    * so banded candidates grew ~n²/6k and the 100× pair join exploded).
+    * Difference bits are ~fair coin flips for unrelated clips — band
+    * values spread over the full 16-bit space, bucket occupancy stays
+    * ~n/65536 per band and candidate volume linear — while byte-copies
+    * (plants, re-crawls) still fingerprint identically.
     */
   private[graft] def fpOfSamples(samples: Array[Int]): (Long, Long) = {
     val wlen = samples.length / FpWindows
     val esum = new Array[Long](FpWindows)
-    var total = 0L
     var i = 0
     while (i < samples.length) {
       val e = samples(i).toLong * samples(i)
       esum(math.min(FpWindows - 1, i / wlen)) += e
-      total += e
       i += 1
     }
     var hi = 0L
     var lo = 0L
     var k = 0
     while (k < FpWindows) {
-      if (esum(k) * 64L > total) {
+      if (esum(k) > esum((k + 1) % FpWindows)) {
         if (k < 32) lo |= 1L << k else hi |= 1L << (k - 32)
       }
       k += 1
@@ -218,12 +227,11 @@ object AudioFp {
       CROSS JOIN generate_series(0, ${AudSamples - 1}) AS i(i)),
     afes AS (SELECT doc_id, k, CAST(sum(sv * sv) AS BIGINT) AS esum
              FROM afsx GROUP BY 1, 2),
-    aftot AS (SELECT doc_id, CAST(sum(esum) AS BIGINT) AS total
-              FROM afes GROUP BY 1),
     afbits AS (
-      SELECT afes.doc_id, k,
-        CASE WHEN esum * 64 > total THEN 1 ELSE 0 END AS bit
-      FROM afes JOIN aftot USING (doc_id)),
+      SELECT a.doc_id, a.k,
+        CASE WHEN a.esum > b.esum THEN 1 ELSE 0 END AS bit
+      FROM afes a JOIN afes b
+        ON a.doc_id = b.doc_id AND b.k = (a.k + 1) % $FpWindows),
     afhashes AS (
       SELECT doc_id,
         CAST(sum(CASE WHEN k >= 32 AND bit = 1
