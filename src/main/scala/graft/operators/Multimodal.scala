@@ -327,30 +327,43 @@ object Multimodal {
     * byte, distinct-clip count scales with the corpus and only plants
     * duplicate deliberately.
     */
-  @inline private[operators] def sampleAt(id: Long, i: Int): Int =
-    (((id * 7 + (id / 65536) * 101
-      + i * (13 + 2 * ((id * 11 + (id / 65536) * 53) % 16384)))
-      % 65536) - 32768).toInt
+  /** The clip's per-sample generator: a Weyl-style SQUARE mix of a
+    * per-(id, i) linear ramp, reduced through TWO coprime primes.
+    *
+    * Why this shape (each simpler form failed a measured 100× probe):
+    * a linear ramp (`c_id + 13·i`) makes every clip a SHIFT of one
+    * master waveform — the near-dup graph is a clique; an id-derived
+    * stride still leaves a smooth 2-parameter family whose window
+    * energies correlate (measured 387 k spurious hamming-≤3 pairs at
+    * 10×); a single `v² mod p` reduction makes the clip a function of
+    * `v0 mod p` ONLY, so the clip universe caps at p ≈ 2^20 and
+    * birthday collisions produce ~0.5 M accidental EXACT duplicates at
+    * 100×. Squaring v under two coprime primes and mixing middle bits
+    * makes clip equality require v0 congruence mod p1·p2 ≈ 2^40 —
+    * distinct-clip count scales with any realistic corpus, samples are
+    * white-noise-like (energy fingerprints decorrelate: the 100×
+    * verified-pair census equals EXACTLY the planted + re-crawl count),
+    * and every intermediate stays below 2^52, so the arithmetic is
+    * replayable in 64-bit SQL without overflow divergence.
+    */
+  @inline private[operators] def sampleAt(id: Long, i: Int): Int = {
+    val v = (id % 1048576) * 31 + (id / 1048576) * 97 + i * 131L
+    val a = (v * v) % 1048573
+    val b = (v * v) % 1048571
+    ((a * a / 1024 + b * b / 2048) % 65536 - 32768).toInt
+  }
 
   /** The sample expression as DuckDB SQL over an id column and a sample
     * index expression — ONE definition for every oracle replay (decode,
-    * resample at strided indices, the audio fingerprint CTEs).
-    *
-    * Both the BASE OFFSET (`id·7 + (id/65536)·101`) and the per-sample
-    * STRIDE (`13 + 2·((id·11 + (id/65536)·53) mod 16384)` — always odd,
-    * so every clip sweeps the full 16-bit range) depend on the id: with
-    * a fixed stride (the first r17 form) every clip was a SHIFT of one
-    * master ramp — a 1-parameter family whose near-dup graph is a
-    * clique (measured: every sf0.01 clip clustered with something, the
-    * exact pathology the pixel decorrelation removed). With the
-    * id-derived stride the clip universe is (offset × stride) ≈ 2^30
-    * and energy fingerprints decorrelate, so only plants and re-crawls
-    * duplicate.
+    * resample at strided indices, the audio fingerprint CTEs), the
+    * exact integer twin of [[sampleAt]].
     */
-  private[operators] def sampleSql(id: String, i: String): String =
-    s"""($id * 7 + ($id // 65536) * 101
-          + $i * (13 + 2 * (($id * 11 + ($id // 65536) * 53) % 16384)))
+  private[operators] def sampleSql(id: String, i: String): String = {
+    val v = s"(($id % 1048576) * 31 + ($id // 1048576) * 97 + $i * 131)"
+    s"""((($v * $v) % 1048573) * (($v * $v) % 1048573) // 1024
+          + (($v * $v) % 1048571) * (($v * $v) % 1048571) // 2048)
           % 65536 - 32768"""
+  }
 
   /** Documents with a REAL WAV payload: the generated PCM samples encoded
     * through the JDK's `javax.sound.sampled` WAV writer on the executors.
