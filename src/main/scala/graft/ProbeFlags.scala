@@ -11,7 +11,8 @@ object ProbeFlags {
   /** Every probe-mode source-swap flag; extend when adding one. */
   val all: Seq[String] = Seq(
     "SPARK_GRAFT_PHASH_DIRECT",
-    "SPARK_GRAFT_AUDIOFP_DIRECT")
+    "SPARK_GRAFT_AUDIOFP_DIRECT",
+    "SPARK_GRAFT_AUDIO_DIRECT")
 
   /** Fail fast if any probe flag is set — called by the graded mains. */
   def refuse(entry: String): Unit = {

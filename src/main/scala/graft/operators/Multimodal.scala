@@ -412,9 +412,65 @@ object Multimodal {
                   batchSize: Int = 64): DataFrame =
     // memoized: the decoded frame is 7 narrow columns per doc, but the
     // codec pass behind it was re-paid by every consumer (the solo
-    // decode gate, both accounting gates, the composed audio pipeline)
+    // decode gate, both accounting gates, the composed audio pipeline).
+    // SPARK_GRAFT_AUDIO_DIRECT is the probe-only codec escape hatch
+    // (the phashesDirect pattern, refused by Verify/Bench): decode ∘
+    // encode is the identity on PCM, so the decoded frame is
+    // recomputable from the generator arithmetic — equality is
+    // spec-pinned, and a 100× probe prices the accounting machinery
+    // instead of 10^6 WAV container round-trips.
     graft.Memo.cached(s, "audio_decoded", dir)(
-      decodeAudioUncached(s, dir, batchSize))
+      if (sys.env.contains("SPARK_GRAFT_AUDIO_DIRECT"))
+        audioFramesDirect(s, dir, resampled = false)
+      else decodeAudioUncached(s, dir, batchSize))
+
+  /** The decoded (or decimated) audio frame computed WITHOUT the codec —
+    * samples straight from the deterministic generator, value-identical
+    * to the codec paths by WAV PCM losslessness (spec-pinned).
+    */
+  private[graft] def audioFramesDirect(s: SparkSession, dir: String,
+                                       resampled: Boolean): DataFrame = {
+    import s.implicits._
+    val stride = if (resampled) 2 else 1
+    val n = AudSamples / stride
+    val rate = AudRate.toInt / stride
+    val rows = Tables.documents(s, dir).select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val gen = genOf(id)
+          var sum = 0L
+          val pcm = new Array[Byte](n * 2)
+          var i = 0
+          while (i < n) {
+            val v = sampleAt(gen, i * stride)
+            sum += v
+            pcm(2 * i) = (v & 0xff).toByte
+            pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+            i += 1
+          }
+          (id, sum, md5hex(pcm))
+        }
+      }
+      .toDF("doc_id", "sample_sum", "pcm_md5")
+    if (!resampled)
+      rows.select(col("doc_id"), lit(rate).as("rate"),
+        lit(1).as("channels"), lit(16).as("bits"),
+        lit(n).as("n_samples"), col("sample_sum"), col("pcm_md5"))
+    else
+      rows.select(col("doc_id"), lit(n).as("out_samples"),
+        lit(rate).as("out_rate"), col("sample_sum").as("out_sample_sum"))
+        .orderBy("doc_id")
+  }
+
+  /** Spec accessors for the codec paths, bypassing the memo so the
+    * equality spec compares genuinely independent builds.
+    */
+  private[graft] def decodeAudioUncachedForSpec(s: SparkSession,
+                                                dir: String): DataFrame =
+    decodeAudioUncached(s, dir, 64)
+  private[graft] def resampleAudioUncachedForSpec(s: SparkSession,
+                                                  dir: String): DataFrame =
+    resampleAudioUncached(s, dir, 64)
 
   private def decodeAudioUncached(s: SparkSession, dir: String,
                                   batchSize: Int): DataFrame = {
@@ -479,9 +535,12 @@ object Multimodal {
     */
   def resampleAudio(s: SparkSession, dir: String,
                     batchSize: Int = 64): DataFrame =
-    // memoized like decodeAudio — same multi-consumer codec pass
+    // memoized like decodeAudio — same multi-consumer codec pass, same
+    // probe-only escape hatch
     graft.Memo.cached(s, "audio_resampled", dir)(
-      resampleAudioUncached(s, dir, batchSize))
+      if (sys.env.contains("SPARK_GRAFT_AUDIO_DIRECT"))
+        audioFramesDirect(s, dir, resampled = true)
+      else resampleAudioUncached(s, dir, batchSize))
 
   private def resampleAudioUncached(s: SparkSession, dir: String,
                                     batchSize: Int): DataFrame = {

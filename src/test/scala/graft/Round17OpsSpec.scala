@@ -60,6 +60,22 @@ class Round17OpsSpec extends SparkSpec {
     for ((id, fp) <- codec) assert(direct(id) == fp, s"doc $id drifted")
   }
 
+  test("audioFramesDirect equals the codec decode/resample frames " +
+    "exactly (WAV PCM losslessness) — the probe-mode frame source " +
+    "cannot drift") {
+    val M = operators.Multimodal
+    def key(r: org.apache.spark.sql.Row): (Long, String) =
+      (r.getAs[Long]("doc_id"), r.toString)
+    val dc = M.decodeAudioUncachedForSpec(spark, sf).collect().map(key).sorted
+    val dd = M.audioFramesDirect(spark, sf, resampled = false)
+      .collect().map(key).sorted
+    assert(dc.toSeq == dd.toSeq)
+    val rc = M.resampleAudioUncachedForSpec(spark, sf).collect().map(key).sorted
+    val rd = M.audioFramesDirect(spark, sf, resampled = true)
+      .collect().map(key).sorted
+    assert(rc.toSeq == rd.toSeq)
+  }
+
   test("audio_fp plants and re-crawls: every planted clip fingerprints " +
     "identically to its source; clusters chain plant → source → " +
     "re-crawl source and keep the min id") {
