@@ -16,9 +16,11 @@ import org.apache.spark.sql.functions._
   * reorders frames changes the fingerprint and fails the gate) splits
   * into [[FpWindows]] fixed time windows; per-window ENERGY (sum of
   * squared samples — integer-exact, SQL-replayable) is reduced to one
-  * bit by the aHash discipline: bit k set iff window k holds more than
-  * the mean share of total energy. The 64 bits ship as two BIGINT
-  * halves, and near-dup pairs come from the SAME banded-hamming search
+  * bit by comparing NEIGHBOURING windows: bit k set iff energy(k) >
+  * energy((k+1) mod 64) — the chromaprint-style difference bit (see
+  * [[fpOfSamples]] for why above-mean bits failed at scale). The 64
+  * bits ship as two BIGINT halves, and near-dup pairs come from the
+  * SAME banded-hamming search
   * as the image family ([[Multimodal.hammingBandPairs]] — four 16-bit
   * bands, lossless blocking for hamming ≤ [[AudioFpMaxHamming]] by
   * pigeonhole, popcount verify) — one definition, the modalities cannot
