@@ -116,8 +116,7 @@ object AudioFp {
         it.grouped(batchSize).flatMap { batch =>
           // <- a vectorized audio decoder would take `batch` in one call
           batch.iterator.map { case (id, bytes) =>
-            val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-              new java.io.ByteArrayInputStream(bytes))
+            val ais = Multimodal.WavCodec.read(bytes)
             val pcm = ais.readAllBytes()
             val n = pcm.length / 2
             val samples = new Array[Int](n)

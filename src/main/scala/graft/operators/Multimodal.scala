@@ -314,6 +314,99 @@ object Multimodal {
 
   // ------------------------------------------------------------ audio (WAV)
 
+  /** The WAV codec SPI providers, resolved ONCE per JVM.
+    *
+    * Every `AudioSystem.write` / `AudioSystem.getAudioInputStream` call
+    * re-enumerates the sound SPI registry through
+    * `com.sun.media.sound.JDK13Services.getProviders` — a GLOBAL
+    * `synchronized static` that re-runs `ServiceLoader` on each call.
+    * At one facade call per row, 32 executor threads serialize on that
+    * one lock: measured on the 100× probe corpus, the whole codec stage
+    * ran at ~1 core (thread dumps showed every worker parked in
+    * `JDK13Services.getProviders`) — the "codec constant" the earlier
+    * probe rows adjudicated was mostly this lock, not codec work.
+    *
+    * Fix: resolve the same SPI providers once through the PUBLIC
+    * `java.util.ServiceLoader` (same classes `AudioSystem` dispatches
+    * to — `com.sun.media.sound.WaveFileReader` / `WaveFileWriter`, same
+    * bytes) and replicate the facade's provider-iteration semantics:
+    * writers that don't support the type/format throw
+    * `IllegalArgumentException` and the next is tried; readers that
+    * can't parse the container throw `UnsupportedAudioFileException`.
+    * The provider instances are stateless and safe for concurrent use.
+    * On a cluster this initializes once per executor JVM.
+    */
+  private[operators] object WavCodec {
+    import javax.sound.sampled.spi.{AudioFileReader, AudioFileWriter}
+    import scala.jdk.CollectionConverters._
+
+    private lazy val readers: List[AudioFileReader] =
+      java.util.ServiceLoader.load(classOf[AudioFileReader])
+        .iterator().asScala.toList
+    private lazy val writers: List[AudioFileWriter] =
+      java.util.ServiceLoader.load(classOf[AudioFileWriter])
+        .iterator().asScala.toList
+
+    /** The reader that last parsed a container successfully, tried first
+      * on the next read. Without this, every read walks the provider list
+      * in registration order — and `SoftMidiAudioFileReader` (registered
+      * BEFORE the WAV reader) probes the stream through
+      * `MidiSystem.getSequence`, whose provider lookup re-enters the same
+      * global `JDK13Services` lock per call (measured: 31 of 32 executor
+      * threads parked there once the facade lock itself was gone). A
+      * benign race: two threads may both set it — either value is a
+      * working reader. Volatile, not synchronized: reads must not
+      * serialize on exactly the lock this object exists to remove.
+      */
+    @volatile private var preferred: AudioFileReader = null
+
+    /** `AudioSystem.getAudioInputStream` minus the per-call registry
+      * scan; a fresh ByteArrayInputStream per attempt stands in for the
+      * facade's mark/reset discipline.
+      */
+    def read(bytes: Array[Byte]): javax.sound.sampled.AudioInputStream = {
+      val pref = preferred
+      if (pref != null) {
+        try return pref.getAudioInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        catch {
+          case _: javax.sound.sampled.UnsupportedAudioFileException => ()
+        }
+      }
+      val it = readers.iterator
+      while (it.hasNext) {
+        val r = it.next()
+        if (r ne pref) {
+          try {
+            val ais = r.getAudioInputStream(
+              new java.io.ByteArrayInputStream(bytes))
+            preferred = r
+            return ais
+          } catch {
+            case _: javax.sound.sampled.UnsupportedAudioFileException => ()
+          }
+        }
+      }
+      throw new javax.sound.sampled.UnsupportedAudioFileException(
+        "Stream of unsupported format")
+    }
+
+    /** `AudioSystem.write(ais, WAVE, out)` minus the per-call registry
+      * scan.
+      */
+    def write(ais: javax.sound.sampled.AudioInputStream,
+              out: java.io.OutputStream): Int = {
+      val tpe = javax.sound.sampled.AudioFileFormat.Type.WAVE
+      val it = writers.iterator
+      while (it.hasNext) {
+        val w = it.next()
+        if (w.isFileTypeSupported(tpe, ais)) return w.write(ais, tpe, out)
+      }
+      throw new IllegalArgumentException(
+        "could not write audio file: file type not supported: " + tpe)
+    }
+  }
+
   /** Synthetic audio geometry: 16-bit mono PCM. */
   val AudRate = 8000f
   val AudSamples = 256
@@ -393,8 +486,7 @@ object Multimodal {
             val ais = new javax.sound.sampled.AudioInputStream(
               new java.io.ByteArrayInputStream(pcm), fmt, AudSamples.toLong)
             val bos = new java.io.ByteArrayOutputStream()
-            javax.sound.sampled.AudioSystem.write(ais,
-              javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+            WavCodec.write(ais, bos)
             (id, bos.toByteArray)
           }
         }
@@ -481,8 +573,7 @@ object Multimodal {
         it.grouped(batchSize).flatMap { batch =>
           // <- a vectorized audio decoder would take `batch` in one call
           batch.iterator.map { case (id, bytes) =>
-            val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-              new java.io.ByteArrayInputStream(bytes))
+            val ais = WavCodec.read(bytes)
             val fmt = ais.getFormat
             val pcm = ais.readAllBytes()
             var sum = 0L
@@ -550,8 +641,7 @@ object Multimodal {
       .mapPartitions { it =>
         it.grouped(batchSize).flatMap { batch =>
           batch.iterator.map { case (id, bytes) =>
-            val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-              new java.io.ByteArrayInputStream(bytes))
+            val ais = WavCodec.read(bytes)
             val pcm = ais.readAllBytes()
             val n = pcm.length / 2
             val out = new Array[Byte]((n + 1) / 2 * 2)
@@ -568,8 +658,7 @@ object Multimodal {
             val ais2 = new javax.sound.sampled.AudioInputStream(
               new java.io.ByteArrayInputStream(out), fmt, (out.length / 2).toLong)
             val bos = new java.io.ByteArrayOutputStream()
-            javax.sound.sampled.AudioSystem.write(ais2,
-              javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+            WavCodec.write(ais2, bos)
             (id, out.length / 2, (AudRate / 2).toInt, sum)
           }
         }
