@@ -680,11 +680,20 @@ object Similarity {
       .join(evalProbes, Seq("band", "sig"))
       .select(col("vec_id"), col("eval_id"))
       .distinct()
+    // scoring-join shape (fixed after the multi-probe 100× probe cell
+    // OOM'd): the candidate frame is the big side (~12× the single-probe
+    // volume at the derived width), so it must shuffle ONCE carrying ids
+    // only — pick up the corpus vectors in that join — and take the eval
+    // vectors via BROADCAST (the production shape: an eval suite is
+    // small; here 1/SemEvalMod of the corpus, still broadcast-sized).
+    // The previous both-sides-shuffled form re-shuffled the candidate
+    // frame twice carrying 64-float arrays.
     val scored = cand
       .join(qn.select(col("vec_id"), col("q").as("qa"), col("n2").as("na")),
         "vec_id")
-      .join(qn.select(col("vec_id").as("eval_id"), col("q").as("qb"),
-        col("n2").as("nb")), "eval_id")
+      .join(broadcast(qn.filter(col("vec_id") % SemEvalMod === 0)
+        .select(col("vec_id").as("eval_id"), col("q").as("qb"),
+          col("n2").as("nb"))), "eval_id")
       .withColumn("dot", expr("q_dot(qa, qb)"))
     val cos = cosCol(col("dot"), col("na"), col("nb"))
     scored.filter(cos >= SemCosBar)
