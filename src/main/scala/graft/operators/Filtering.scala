@@ -1092,8 +1092,16 @@ object Filtering {
     val k = KnScale
     val ctx = types.groupBy("w1", "w2")
       .agg(sum(col("c123")).as("c12"), countDistinct(col("w3")).as("m"))
+    // aT feeds FOUR consumers (bT, cT, gT, the scoring join) and perDoc
+    // two (the mean, the final select) — left lazy, each consumer
+    // re-derived the whole continuation-count subtree from the type
+    // table (measured: zero ReusedExchange, the doc_ppl_kn plan carried
+    // every aggregation 3-4×). Cache them for the build, materialize the
+    // per-doc report eagerly (it is one row per document), release the
+    // interiors — the hand-over-materialized builder pattern.
     val aT = types.groupBy("w2", "w3")
       .agg(countDistinct(col("w1")).as("a"))
+      .cache()
     val bT = aT.groupBy("w2")
       .agg(sum(col("a")).as("b"), countDistinct(col("w3")).as("hh"))
     val cT = aT.groupBy("w3").agg(countDistinct(col("w2")).as("c3"))
@@ -1119,13 +1127,18 @@ object Filtering {
         sum(col("cd") * col("nb")).as("nll"))
       .withColumn("avg_nll",
         expr("cast((nll - (nll % n_trigrams)) div n_trigrams as bigint)"))
+      .cache()
     val mean = perDoc.agg(count(lit(1)).as("nd"),
       sum(col("avg_nll")).as("sa"))
-    perDoc.crossJoin(broadcast(mean))
+    val report = perDoc.crossJoin(broadcast(mean))
       .select(col("doc_id"), col("n_trigrams"), col("nll"), col("avg_nll"),
         when(col("avg_nll") * col("nd") > col("sa"), 1L).otherwise(0L)
           .as("flagged"))
       .orderBy("doc_id")
+      .localCheckpoint(true)
+    aT.unpersist(false)
+    perDoc.unpersist(false)
+    report
   }
 
   /** The shared KN head: trigram occurrences, type table, every
@@ -1363,16 +1376,23 @@ object Filtering {
     val d = Kn5D.toLong
     val ctx = types.groupBy("w1", "w2", "w3", "w4")
       .agg(sum(col("c")).as("c1234"), countDistinct(col("w5")).as("m4"))
+    // each A-table feeds THREE consumers (the next order's B/A tables
+    // and the scoring join) — cached for the build so the continuation
+    // recursion runs once, not once per consumer (the knReport fix, two
+    // orders up; measured zero ReusedExchange before)
     val a4T = types.groupBy("w2", "w3", "w4", "w5")
       .agg(countDistinct(col("w1")).as("a4"))
+      .cache()
     val b4T = a4T.groupBy("w2", "w3", "w4")
       .agg(sum(col("a4")).as("b4"), countDistinct(col("w5")).as("h4"))
     val a3T = a4T.groupBy("w3", "w4", "w5")
       .agg(countDistinct(col("w2")).as("a3"))
+      .cache()
     val b3T = a3T.groupBy("w3", "w4")
       .agg(sum(col("a3")).as("b3"), countDistinct(col("w5")).as("h3"))
     val a2T = a3T.groupBy("w4", "w5")
       .agg(countDistinct(col("w3")).as("a2"))
+      .cache()
     val b2T = a2T.groupBy("w4")
       .agg(sum(col("a2")).as("b2"), countDistinct(col("w5")).as("h2"))
     val c1T = a2T.groupBy("w5").agg(countDistinct(col("w4")).as("c1"))
@@ -1412,13 +1432,17 @@ object Filtering {
         sum(col("cd") * col("nb")).as("nll"))
       .withColumn("avg_nll",
         expr("cast((nll - (nll % n_fivegrams)) div n_fivegrams as bigint)"))
+      .cache()
     val mean = perDoc.agg(count(lit(1)).as("nd"),
       sum(col("avg_nll")).as("sa"))
-    perDoc.crossJoin(broadcast(mean))
+    val report = perDoc.crossJoin(broadcast(mean))
       .select(col("doc_id"), col("n_fivegrams"), col("nll"), col("avg_nll"),
         when(col("avg_nll") * col("nd") > col("sa"), 1L).otherwise(0L)
           .as("flagged"))
       .orderBy("doc_id")
+      .localCheckpoint(true)
+    Seq(a4T, a3T, a2T, perDoc).foreach(_.unpersist(false))
+    report
   }
 
   /** The 5-gram chain's CTE body (ends in `k5p2(doc_id, n_fivegrams,
