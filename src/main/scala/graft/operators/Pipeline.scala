@@ -108,6 +108,65 @@ object Pipeline {
         col("r_symbols") && col("r_alpha") && col("r_stopwords"))
   }
 
+  /** The memoized Gopher rule frame over the RAW corpus (doc_id, lang,
+    * text, n_tokens, aug, rule columns, keep) — ONE gopher pass per
+    * (session, dir) shared by the incremental twins (their historical
+    * memo key) and, through [[qfPlanted]], by every planted-universe
+    * pipeline: the rule columns depend only on the text and on
+    * `doc_id % PlantShift`, so planted copies can be DERIVED from their
+    * source's row instead of re-running the normalize/split/rule chain
+    * over the duplicated universe.
+    */
+  private[operators] def qfBase(s: SparkSession, dir: String): DataFrame =
+    graft.Memo.cached(s, "pincr_qf", dir) {
+      // eager checkpoint, not cache: the gopher rule columns are WIDE
+      // expression trees (array lambdas, a ~100-literal stoplist isin);
+      // a cached-but-lazy frame re-injects them into every consumer's
+      // ANALYZED plan across all six pipeline gates — the checkpoint
+      // hands consumers a leaf (the ccLabels plan-growth lesson)
+      gopherFrame(Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), col("text"))
+        .withColumn("n_tokens", size(split(norm, " ")).cast("long")))
+        .localCheckpoint(true)
+    }
+
+  /** The memoized PLANTED-universe Gopher frame at plant modulus `mod`
+    * (adds `planted`): the base frame plus, for every mod-th source, a
+    * copy under id + PlantShift carrying the SOURCE's rule verdicts —
+    * exact because (x + PlantShift) % PlantShift = x % PlantShift and
+    * the copy's text is byte-identical, so every rule column is equal by
+    * construction. The id-collision guard rides the memoized frame as a
+    * cross-joined filter (the probesOf idiom — it must evaluate).
+    * Shared by the full-load text pipeline (mod 5) and the mm/audio
+    * families (mod [[Multimodal.PlantMod]]), which previously each
+    * re-ran the gopher chain over their own planted union.
+    */
+  private[operators] def qfPlanted(s: SparkSession, dir: String,
+                                   mod: Int): DataFrame =
+    graft.Memo.cached(s, s"qf_plant_$mod", dir) {
+      val base = qfBase(s, dir)
+      val ids = Tables.documents(s, dir).select(col("doc_id"))
+      val plantGuard = ids
+        .intersect(ids.filter(col("doc_id") % mod === 0)
+          .select((col("doc_id") + PlantShift).as("doc_id")))
+        .agg(coalesce(
+          assert_true(count(lit(1)) === 0L,
+            lit(s"qf_plant_$mod: a planted id (doc_id + PlantShift) " +
+              "collides with a real doc_id — choose a shift outside " +
+              "the corpus id range")).cast("long"),
+          lit(0L)).as("__plant_g0"))
+      base.withColumn("planted", lit(0L)).unionByName(
+          base.filter(col("doc_id") % mod === 0)
+            .withColumn("doc_id", col("doc_id") + PlantShift)
+            .withColumn("planted", lit(1L)))
+        .crossJoin(broadcast(plantGuard))
+        .filter(col("__plant_g0") === 0L)
+        .drop("__plant_g0")
+        // leaf hand-off for the same reason as [[qfBase]] (and the guard
+        // has evaluated by the time any consumer reads the frame)
+        .localCheckpoint(true)
+    }
+
   /** The matching DuckDB rule CTE pair over a source CTE exposing
     * `(doc_id, lang, text)` — [[gopherFrame]]'s oracle twin, emitting
     * `${p}tok` (with `n_tokens` and the augmented text) and `${p}qf`
@@ -147,51 +206,22 @@ object Pipeline {
     graft.Memo.cached(s, "pipeline_e2e", dir) {
     val keepN = TrainPrep.TruncHead + TrainPrep.TruncTail
 
-    // ---- stage 0: extract = raw corpus + planted duplicate feed.
-    // LOUD on id collision — the PRECISE invariant, not a max-id bound:
-    // a planted id (source + PlantShift) colliding with a REAL doc_id
-    // would merge two documents downstream and mis-attribute the
-    // mod-PlantShift augmentation. The residue itself is safe at ANY id
-    // layout ((x + PlantShift) % PlantShift = x % PlantShift, so copies
-    // always share their source's verdict) — which is why the earlier
-    // max(doc_id) < PlantShift form was too strict: it rejected the
-    // decorrelated 100× ScaleUp corpus (ids offset by 10^8, collision-
-    // free) and made the r14 probe row unreproducible. The assert lives
-    // in a FILTER over the cross-joined 1-row aggregate (the probesOf
-    // idiom — a dropped or merely-projected check can be pruned; a
-    // filter must evaluate; review finding, r14).
-    val raw = Tables.documents(s, dir)
-      .select(col("doc_id"), col("lang"), col("text"))
-    val plantGuard = raw.select(col("doc_id"))
-      .intersect(raw.filter(col("doc_id") % 5 === 0)
-        .select((col("doc_id") + PlantShift).as("doc_id")))
-      .agg(coalesce(
-        assert_true(count(lit(1)) === 0L,
-          lit("pipeline_e2e: a planted id (doc_id + PlantShift) " +
-            "collides with a real doc_id — choose a shift outside the " +
-            "corpus id range")).cast("long"),
-        lit(0L)).as("__plant_g0"))
-    // plants are TAGGED at construction (exact at any id layout — an
-    // id-range test like doc_id >= PlantShift misreads large real ids,
-    // e.g. the ScaleUp probe corpus, as planted)
-    val u = raw.withColumn("planted", lit(0L)).unionByName(
-        raw.filter(col("doc_id") % 5 === 0)
-          .withColumn("doc_id", col("doc_id") + PlantShift)
-          .withColumn("planted", lit(1L)))
-      .crossJoin(broadcast(plantGuard))
-      .filter(col("__plant_g0") === 0L)
-      .drop("__plant_g0")
-      .withColumn("n_tokens", size(split(norm, " ")).cast("long"))
-
-    // ---- stage 1: Gopher rule suite (quality_rules' thresholds); the
-    // augmentation keys on the ORIGINAL id so copies share verdicts
-    val qf = gopherFrame(u).persist()
-    val s1 = qf.filter(col("keep"))
+    // ---- stages 0-1: extract (corpus + planted duplicate feed, the
+    // id-collision guard riding the memoized frame) and the Gopher rule
+    // suite — ONE shared [[qfPlanted]] build: the rule columns key on
+    // the text and doc_id % PlantShift, so the planted copies carry
+    // their source's verdicts by construction instead of re-running the
+    // normalize/split/rule chain over the 1.2× universe per gate.
+    val qf = qfPlanted(s, dir, 5)
+    // hashed is the stage-1 survivor frame plus the content hash — the
+    // md5/norm pass runs once for its three consumers (the hash groups,
+    // the canonical join, nothing else re-derives it)
+    val hashed = qf.filter(col("keep"))
       .select(col("doc_id"), col("lang"), col("text"), col("n_tokens"))
+      .withColumn("h", md5(norm))
       .persist()
 
     // ---- stage 2: exact dedup — keep min id per content hash
-    val hashed = s1.withColumn("h", md5(norm))
     val groups = hashed.groupBy(col("h"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("nc"))
       .persist()
@@ -214,12 +244,13 @@ object Pipeline {
       .unionByName(pairsF.select(col("id_b").as("src"), col("id_a").as("dst")))
     val labels = Clustering.ccLabels(edges)
     val labP = labels.select(col("id"), col("lab")).persist()
+    // winners has exactly one consumer (the s3 membership join) — no
+    // persist needed
     val winners = labP
       .join(TextOps.qualityDf(s, dir), col("id") === col("doc_id"))
       .groupBy(col("lab"))
       .agg(max_by(col("id"),
         struct(col("quality"), (-col("id")).as("nd"))).as("keep_id"))
-      .persist()
     val s3 = s2
       .join(labP.select(col("id").as("doc_id"), col("lab")), Seq("doc_id"),
         "left")
@@ -277,35 +308,45 @@ object Pipeline {
         "doc_id", col("n_after"), "cum")
       .withColumn("seq_id", floor((col("cum") - col("n_after")) / Budget))
       .withColumn("__all", lit(0L))
+    // en2 feeds TWO branches (the shard-size scalar and the enriched
+    // frame) — left lazy, the whole chain above it INCLUDING the gram
+    // explosion and both two-phase running sums executed twice (no
+    // exchange reuse across the branches); cache it, not the single-
+    // consumer `en` frame downstream
     val en2 = DistRank.runningSum(en1, "__all",
       Seq(col("h"), col("doc_id")), "doc_id", col("n_after"), "cs")
+      .localCheckpoint(true)
     val ssize = en2.agg(greatest(lit(1L),
       expr(s"(sum(n_after) + ${TrainPrep.OutShards - 1})" +
         s" div ${TrainPrep.OutShards}")).as("ssize"))
     val en = en2.crossJoin(broadcast(ssize))
       .withColumn("shard_id", expr("(cs - n_after) div ssize"))
-      .persist()
 
-    // ---- the ledger: 9 rows of scalar aggregates
+    // ---- the ledger: 9 rows of scalar aggregates. Aggregates over the
+    // SAME frame are FUSED into one pass with conditional sums (extract
+    // + rule failures + stage-1 survivors over qf; stage-3 survivors +
+    // eval docs over s3) — each fusion removes a full aggregate
+    // stage-chain from the crossJoin tree.
     def st(c: Column): Column = c.cast("string")
-    val aU = u.agg(count(lit(1)).as("d_u"), sum(col("n_tokens")).as("t_u"),
-      sum(col("planted")).as("np"))
-    val aQ = qf.agg(
+    val aQF = qf.agg(count(lit(1)).as("d_u"), sum(col("n_tokens")).as("t_u"),
+      sum(col("planted")).as("np"),
       sum(when(!col("r_words"), 1L).otherwise(0L)).as("fw"),
       sum(when(!col("r_mean_len"), 1L).otherwise(0L)).as("fm"),
       sum(when(!col("r_symbols"), 1L).otherwise(0L)).as("fs"),
       sum(when(!col("r_alpha"), 1L).otherwise(0L)).as("fa"),
-      sum(when(!col("r_stopwords"), 1L).otherwise(0L)).as("fst"))
-    val a1 = s1.agg(count(lit(1)).as("d1"), sum(col("n_tokens")).as("t1"))
+      sum(when(!col("r_stopwords"), 1L).otherwise(0L)).as("fst"),
+      sum(when(col("keep"), 1L).otherwise(0L)).as("d1"),
+      coalesce(sum(when(col("keep"), col("n_tokens"))), lit(0L)).as("t1"))
     val a2 = s2.agg(count(lit(1)).as("d2"), sum(col("n_tokens")).as("t2"))
     val aG = groups.agg(
       sum(when(col("nc") >= 2, 1L).otherwise(0L)).as("dup_groups"))
-    val a3 = s3.agg(count(lit(1)).as("d3"), sum(col("n_tokens")).as("t3"))
+    val a3 = s3.agg(count(lit(1)).as("d3"), sum(col("n_tokens")).as("t3"),
+      coalesce(sum(when(col("doc_id") % evalMod === 0, 1L)
+        .otherwise(0L)), lit(0L)).as("ed"),
+      coalesce(sum(when(col("doc_id") % evalMod === 0, col("n_tokens"))),
+        lit(0L)).as("et"))
     val aC = labP.agg(countDistinct(col("lab")).as("ncl"),
       count(lit(1)).as("nmem"))
-    val aE = s3.filter(col("doc_id") % evalMod === 0)
-      .agg(coalesce(count(lit(1)), lit(0L)).as("ed"),
-        coalesce(sum(col("n_tokens")), lit(0L)).as("et"))
     val a4 = en.agg(count(lit(1)).as("d4"), sum(col("n_clean")).as("t4"),
       sum(col("moved")).as("moved"),
       sum(when(col("split") === "train", 1L).otherwise(0L)).as("ntr"),
@@ -322,9 +363,8 @@ object Pipeline {
     // re-analyze and re-execute every crossJoined aggregate subtree
     // otherwise (the PipelineIncr lesson — measured 87 s of ledger
     // planning there); from the checkpointed leaf they are row reads
-    val scalars = aU.crossJoin(aQ).crossJoin(a1).crossJoin(a2)
-      .crossJoin(aG).crossJoin(a3).crossJoin(aC).crossJoin(aE)
-      .crossJoin(a4)
+    val scalars = aQF.crossJoin(a2).crossJoin(aG).crossJoin(a3)
+      .crossJoin(aC).crossJoin(a4)
       .localCheckpoint(true)
 
     def row(id: Int, name: String, din: Column, dkept: Column,
@@ -365,9 +405,9 @@ object Pipeline {
       .orderBy("stage_id")
       .localCheckpoint(true)
 
-    // grams/evalG are Memo-owned now (released by Memo.clear) — only the
-    // per-call frames unpersist here
-    Seq(qf, s1, groups, s2, pairsF, labP, winners, s3, en)
+    // qf/grams/evalG are Memo-owned now (released by Memo.clear) — only
+    // the per-call frames unpersist here
+    Seq(hashed, groups, s2, pairsF, labP, s3, en2)
       .foreach(_.unpersist(false))
     labels.unpersist(false)
     ledger

@@ -56,31 +56,11 @@ object PipelineAudio {
 
   def pipelineE2eAudio(s: SparkSession, dir: String): DataFrame =
     graft.Memo.cached(s, "pipeline_e2e_audio", dir) {
-      // ---- stage 0: arrive = raw corpus + the planted duplicate feed,
-      // plants tagged at construction, collision asserted in-plan (the
-      // pipeline_e2e_mm arrive idiom)
-      val raw = Tables.documents(s, dir)
-        .select(col("doc_id"), col("lang"), col("text"))
-      val plantGuard = raw.select(col("doc_id"))
-        .intersect(raw.filter(col("doc_id") % PlantMod === 0)
-          .select((col("doc_id") + PlantShift).as("doc_id")))
-        .agg(coalesce(
-          assert_true(count(lit(1)) === 0L,
-            lit("pipeline_e2e_audio: a planted id (doc_id + PlantShift) " +
-              "collides with a real doc_id — choose a shift outside " +
-              "the corpus id range")).cast("long"),
-          lit(0L)).as("__plant_g0"))
-      val u = raw.withColumn("planted", lit(0L)).unionByName(
-          raw.filter(col("doc_id") % PlantMod === 0)
-            .withColumn("doc_id", col("doc_id") + PlantShift)
-            .withColumn("planted", lit(1L)))
-        .crossJoin(broadcast(plantGuard))
-        .filter(col("__plant_g0") === 0L)
-        .drop("__plant_g0")
-        .withColumn("n_tokens", size(split(norm, " ")).cast("long"))
-
-      // ---- stage 1: the shared Gopher rule gate
-      val qf = Pipeline.gopherFrame(u).persist()
+      // ---- stages 0-1: arrive (corpus + planted duplicate feed, the
+      // id-collision guard riding the memoized frame) and the shared
+      // Gopher rule gate — ONE [[Pipeline.qfPlanted]] build per
+      // (session, dir, PlantMod), shared across the mm/audio family
+      val qf = Pipeline.qfPlanted(s, dir, PlantMod)
       val s1 = qf.filter(col("keep"))
         .select(col("doc_id"), col("text"), col("n_tokens"), col("planted"))
         .persist()
@@ -120,19 +100,22 @@ object PipelineAudio {
           "n_clips", "n_audio_tokens")
         .persist()
 
-      // ---- the ledger: 5 rows of scalar aggregates
+      // ---- the ledger: 5 rows of scalar aggregates. Same-frame
+      // aggregates FUSED into one pass over qf (arrive totals + rule
+      // failures + stage-1 survivors via conditional sums).
       def st(c: org.apache.spark.sql.Column) = c.cast("string")
-      val aU = u.agg(count(lit(1)).as("d_u"),
+      val aQF = qf.agg(count(lit(1)).as("d_u"),
         sum(col("n_tokens")).as("t_u"),
-        sum(col("planted")).as("np"))
-      val aQ = qf.agg(
+        sum(col("planted")).as("np"),
         sum(when(!col("r_words"), 1L).otherwise(0L)).as("fw"),
         sum(when(!col("r_mean_len"), 1L).otherwise(0L)).as("fm"),
         sum(when(!col("r_symbols"), 1L).otherwise(0L)).as("fs"),
         sum(when(!col("r_alpha"), 1L).otherwise(0L)).as("fa"),
-        sum(when(!col("r_stopwords"), 1L).otherwise(0L)).as("fst"))
-      val a1 = s1.agg(count(lit(1)).as("d1"),
-        coalesce(sum(col("n_tokens")), lit(0L)).as("t1"))
+        sum(when(!col("r_stopwords"), 1L).otherwise(0L)).as("fst"),
+        coalesce(sum(when(col("keep"), 1L).otherwise(0L)), lit(0L))
+          .as("d1"),
+        coalesce(sum(when(col("keep"), col("n_tokens"))), lit(0L))
+          .as("t1"))
       val aC = labP.agg(countDistinct(col("lab")).as("ncl"),
         count(lit(1)).as("nmem"))
       val a2 = s2.agg(count(lit(1)).as("d2"),
@@ -155,7 +138,7 @@ object PipelineAudio {
           .cast("long"),
         lit(0L)).as("__pd"))
 
-      val scalars = aU.crossJoin(aQ).crossJoin(a1).crossJoin(aC)
+      val scalars = aQF.crossJoin(aC)
         .crossJoin(a2).crossJoin(a3).crossJoin(a4)
         .crossJoin(plantDead)
         .filter(col("__pd") === 0L)
@@ -196,7 +179,8 @@ object PipelineAudio {
         .orderBy("stage_id")
         .localCheckpoint(true)
 
-      Seq(qf, s1, pairsF, labP, s2, acc, layout).foreach(_.unpersist(false))
+      // qf is Memo-owned (released by Memo.clear)
+      Seq(s1, pairsF, labP, s2, acc, layout).foreach(_.unpersist(false))
       labels.unpersist(false)
       ledger
     }

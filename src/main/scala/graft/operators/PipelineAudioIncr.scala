@@ -57,33 +57,16 @@ object PipelineAudioIncr {
       import s.implicits._
       import graft.streaming.{EdgeObs, HwmPart}
       // ---- universe: corpus + the planted duplicate-clip feed, plants
-      // tagged at construction, collision asserted in-plan; batch
-      // membership keys on the SOURCE residue (doc_id % PlantShift)
-      val raw = Tables.documents(s, dir)
-        .select(col("doc_id"), col("lang"), col("text"))
-      val plantGuard = raw.select(col("doc_id"))
-        .intersect(raw.filter(col("doc_id") % PlantMod === 0)
-          .select((col("doc_id") + PlantShift).as("doc_id")))
-        .agg(coalesce(
-          assert_true(count(lit(1)) === 0L,
-            lit("pipeline_e2e_audio_incr: a planted id collides with a " +
-              "real doc_id — choose a shift outside the corpus id " +
-              "range")).cast("long"),
-          lit(0L)).as("__plant_g0"))
-      val u = raw.withColumn("planted", lit(0L)).unionByName(
-          raw.filter(col("doc_id") % PlantMod === 0)
-            .withColumn("doc_id", col("doc_id") + PlantShift)
-            .withColumn("planted", lit(1L)))
-        .crossJoin(broadcast(plantGuard))
-        .filter(col("__plant_g0") === 0L)
-        .drop("__plant_g0")
-        .withColumn("n_tokens", size(split(norm, " ")).cast("long"))
+      // tagged at construction, collision asserted in-plan — ONE shared
+      // [[Pipeline.qfPlanted]] build per (session, dir, PlantMod) serves
+      // the whole mm/audio family; batch membership keys on the SOURCE
+      // residue (doc_id % PlantShift)
       val srcRes = (col("doc_id") % PlantShift) % IncrMod
       val isB = srcRes =!= IncrRes
       val isI = srcRes === IncrRes
 
       // ---- stage 1 (shared): the Gopher rule gate over the universe
-      val qf = Pipeline.gopherFrame(u).persist()
+      val qf = Pipeline.qfPlanted(s, dir, PlantMod)
       val s1 = qf.filter(col("keep"))
         .select(col("doc_id"), col("text"), col("n_tokens"), col("planted"))
         .persist()
@@ -213,27 +196,30 @@ object PipelineAudioIncr {
       val en1 = DistRank.runningSum(en0, "__all",
         Seq(col("h"), col("doc_id")), "doc_id", col("n_total_tokens"),
         "cs")
+      // en has exactly one consumer (the a4 aggregate) — no persist
       val en = en1.crossJoin(broadcast(bTot))
         .withColumn("ssize", greatest(lit(1L),
           expr(s"(base_total + ${TrainPrep.OutShards - 1})" +
             s" div ${TrainPrep.OutShards}")))
         .withColumn("shard_id",
           expr("(base_total + cs - n_total_tokens) div ssize"))
-        .persist()
 
-      // ---- the ledger: 5 rows of scalar aggregates
+      // ---- the ledger: 5 rows of scalar aggregates. The three arriving-
+      // batch aggregates (totals + rule failures + stage-1 survivors)
+      // FUSE into one pass over the batch slice of qf.
       def st(c: org.apache.spark.sql.Column) = c.cast("string")
-      val a0 = u.filter(isI).agg(count(lit(1)).as("d_i0"),
+      val a0 = qf.filter(isI).agg(count(lit(1)).as("d_i0"),
         coalesce(sum(col("n_tokens")), lit(0L)).as("t_i0"),
-        coalesce(sum(col("planted")), lit(0L)).as("np"))
-      val aQ = qf.filter(isI).agg(
+        coalesce(sum(col("planted")), lit(0L)).as("np"),
         sum(when(!col("r_words"), 1L).otherwise(0L)).as("fw"),
         sum(when(!col("r_mean_len"), 1L).otherwise(0L)).as("fm"),
         sum(when(!col("r_symbols"), 1L).otherwise(0L)).as("fs"),
         sum(when(!col("r_alpha"), 1L).otherwise(0L)).as("fa"),
-        sum(when(!col("r_stopwords"), 1L).otherwise(0L)).as("fst"))
-      val a1 = s1i.agg(count(lit(1)).as("d1"),
-        coalesce(sum(col("n_tokens")), lit(0L)).as("t1"))
+        sum(when(!col("r_stopwords"), 1L).otherwise(0L)).as("fst"),
+        coalesce(sum(when(col("keep"), 1L).otherwise(0L)), lit(0L))
+          .as("d1"),
+        coalesce(sum(when(col("keep"), col("n_tokens"))), lit(0L))
+          .as("t1"))
       val aC = i2c.agg(
         coalesce(sum(when(col("has_base").isNotNull, 1L).otherwise(0L)),
           lit(0L)).as("vs_base"),
@@ -261,7 +247,7 @@ object PipelineAudioIncr {
           .cast("long"),
         lit(0L)).as("__pd"))
 
-      val scalars = a0.crossJoin(aQ).crossJoin(a1).crossJoin(aC)
+      val scalars = a0.crossJoin(aC)
         .crossJoin(a2).crossJoin(a3).crossJoin(a4)
         .crossJoin(broadcast(bTot))
         .crossJoin(plantDead)
@@ -306,8 +292,9 @@ object PipelineAudioIncr {
         .orderBy("stage_id")
         .localCheckpoint(true)
 
-      Seq(qf, s1, bPairs, bLabP, s2b, cPairs, mLabP, hasBase, i2c, s2i,
-        accI, en).foreach(_.unpersist(false))
+      // qf is Memo-owned (released by Memo.clear)
+      Seq(s1, bPairs, bLabP, s2b, cPairs, mLabP, hasBase, i2c, s2i,
+        accI).foreach(_.unpersist(false))
       bLab.unpersist(false)
       mLab.unpersist(false)
       hwmFrame.foreach(_.unpersist(false))

@@ -132,8 +132,7 @@ object PipelineIncr {
     val docs = Tables.documents(s, dir)
       .select(col("doc_id"), col("lang"), col("text"))
       .withColumn("n_tokens", size(split(norm, " ")).cast("long"))
-    val qf = graft.Memo.cached(s, "pincr_qf", dir)(
-      Pipeline.gopherFrame(docs))
+    val qf = Pipeline.qfBase(s, dir)
     val pairs = Dedup.minhashPairsOf(s, dir).select(col("id_a"), col("id_b"))
     // keys shared with Pipeline.pipelineE2e: the gram explosion and the
     // eval gram set are corpus-level (predicate-independent), so the
@@ -230,50 +229,6 @@ object PipelineIncr {
         col("lab").as("cluster"))
       .persist()
     val bTr = b3.filter(col("doc_id") % evalMod =!= 0)
-    val b4 = bTr.join(remOf(bTr.select(col("doc_id"))), Seq("doc_id"), "left")
-      .withColumn("n_clean",
-        col("n_tokens") - coalesce(col("n_rem"), lit(0L)))
-      .withColumn("split",
-        when(col("cluster").isNotNull, TrainPrep.splitColOf("cluster"))
-          .otherwise(TrainPrep.splitColOf("doc_id")))
-      .withColumn("n_after",
-        when(col("n_clean") > keepN, lit(keepN + 1).cast("long"))
-          .otherwise(col("n_clean")))
-      .withColumn("strat", concat(col("split"), lit(":"), col("lang")))
-      .persist()
-    // pack offsets/totals: batch aggregation, or the high-water-mark
-    // counter fold over arrival-chunk partials (adds are additive — the
-    // chunking by doc_id mod 3 stands in for the base's historical
-    // loads; the converged counters cannot depend on it)
-    var hwmFrame: Option[DataFrame] = None
-    val (bOff, bTot) =
-      if (!maintained)
-        (b4.groupBy(col("strat"))
-          .agg(sum(col("n_after")).as("base_off")),
-         b4.agg(count(lit(1)).as("base_docs"),
-           coalesce(sum(col("n_after")), lit(0L)).as("base_total")))
-      else {
-        val hwm = graft.streaming.StreamHighWater.states(
-            b4.groupBy(col("strat"), pmod(col("doc_id"), lit(3L)).as("ch"))
-              .agg(count(lit(1)).as("n_docs"),
-                sum(col("n_after")).as("n_tokens"))
-              .select(col("strat"), col("n_docs"), col("n_tokens"))
-              .as[HwmPart])
-          .toDF()
-          // per-group emissions within one batch fold monotonically; the
-          // converged state row per stratum is the LAST (max) counter
-          .groupBy(col("strat"))
-          .agg(max(col("n_docs")).as("n_docs"),
-            max(col("n_tokens")).as("n_tokens"))
-          .localCheckpoint(true)
-        // held for the end-of-build unpersist: the checkpoint blocks must
-        // release eagerly with the other per-call frames, not wait for
-        // ContextCleaner GC (advice finding, r16)
-        hwmFrame = Some(hwm)
-        (hwm.select(col("strat"), col("n_tokens").as("base_off")),
-         hwm.agg(coalesce(sum(col("n_docs")), lit(0L)).as("base_docs"),
-           coalesce(sum(col("n_tokens")), lit(0L)).as("base_total")))
-      }
 
     // ---- stage 0: arrive — the batch lands untouched
     val i0 = qf.filter(isIncr(col("doc_id")))
@@ -309,20 +264,22 @@ object PipelineIncr {
     // `stream_cluster_maintain` daily-operation shape: state is read,
     // per-batch work is batch-sized.
     val i2Ids = i2.select(col("doc_id"))
-    val mIds = bIds.unionByName(i2Ids)
-    val touched = pairs
-      .join(mIds.withColumnRenamed("doc_id", "id_a"), "id_a")
-      .join(mIds.withColumnRenamed("doc_id", "id_b"), "id_b")
-      .join(i2Ids.select(col("doc_id").as("id_a"), lit(1).as("ia")),
-        Seq("id_a"), "left")
-      .join(i2Ids.select(col("doc_id").as("id_b"), lit(1).as("ib")),
-        Seq("id_b"), "left")
-      .filter(col("ia").isNotNull || col("ib").isNotNull)
-    val cPairs = touched
-      .join(bLabP.select(col("id").as("id_a"), col("lab").as("la")),
-        Seq("id_a"), "left")
-      .join(bLabP.select(col("id").as("id_b"), col("lab").as("lb")),
-        Seq("id_b"), "left")
+    // ONE node-lookup frame replaces the former six joins (membership ×2,
+    // batch flag ×2, contracted label ×2): per survivor id it carries the
+    // batch flag and the base label (null for batch ids), so each pair
+    // endpoint resolves membership + flag + label in a single equi-join.
+    // bIds and i2Ids are disjoint (base residue ≠ batch residue), so node
+    // has one row per id and join multiplicities are unchanged.
+    val node = bIds.withColumn("ii", lit(0))
+      .unionByName(i2Ids.withColumn("ii", lit(1)))
+      .join(bLabP.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      .localCheckpoint(true)
+    val cPairs = pairs
+      .join(node.select(col("doc_id").as("id_a"), col("ii").as("ia"),
+        col("lab").as("la")), "id_a")
+      .join(node.select(col("doc_id").as("id_b"), col("ii").as("ib"),
+        col("lab").as("lb")), "id_b")
+      .filter(col("ia") === 1 || col("ib") === 1)
       .select(coalesce(col("la"), col("id_a")).as("id_a"),
         coalesce(col("lb"), col("id_b")).as("id_b"))
       .filter(col("id_a") =!= col("id_b"))
@@ -356,10 +313,65 @@ object PipelineIncr {
         col("lab").as("cluster"))
       .persist()
 
-    // ---- stage 4: decontaminate — eval docs out, shared spans counted
+    // ---- stage 4: decontaminate — eval docs out, shared spans counted.
+    // ONE remOf pass serves base and batch: the two survivor id sets are
+    // disjoint, so the per-doc strip counts over their union split back
+    // exactly by the join key — this halves the gram-join/explode/
+    // distinct chain (the heaviest stage-4 work) per gate.
     val iTr = i3.filter(col("doc_id") % evalMod =!= 0)
-    val i4 = iTr.join(remOf(iTr.select(col("doc_id"))), Seq("doc_id"),
-        "left")
+    // eager checkpoint: remAll's lineage spans BOTH survivor sides (the
+    // whole merged-component subtree rides in through iTr) — persisted
+    // lazy, every ledger branch that touches b4/bOff/bTot re-ANALYZES
+    // that full tree (measured +17 s of pure driver planning); the
+    // checkpoint hands the per-doc strip counts over as a leaf
+    val remAll = remOf(bTr.select(col("doc_id"))
+        .unionByName(iTr.select(col("doc_id"))))
+      .localCheckpoint(true)
+    val b4 = bTr.join(remAll, Seq("doc_id"), "left")
+      .withColumn("n_clean",
+        col("n_tokens") - coalesce(col("n_rem"), lit(0L)))
+      .withColumn("split",
+        when(col("cluster").isNotNull, TrainPrep.splitColOf("cluster"))
+          .otherwise(TrainPrep.splitColOf("doc_id")))
+      .withColumn("n_after",
+        when(col("n_clean") > keepN, lit(keepN + 1).cast("long"))
+          .otherwise(col("n_clean")))
+      .withColumn("strat", concat(col("split"), lit(":"), col("lang")))
+      .localCheckpoint(true)
+    // pack offsets/totals: batch aggregation, or the high-water-mark
+    // counter fold over arrival-chunk partials (adds are additive — the
+    // chunking by doc_id mod 3 stands in for the base's historical
+    // loads; the converged counters cannot depend on it)
+    var hwmFrame: Option[DataFrame] = None
+    val (bOff, bTot) =
+      if (!maintained)
+        (b4.groupBy(col("strat"))
+          .agg(sum(col("n_after")).as("base_off")),
+         b4.agg(count(lit(1)).as("base_docs"),
+           coalesce(sum(col("n_after")), lit(0L)).as("base_total")))
+      else {
+        val hwm = graft.streaming.StreamHighWater.states(
+            b4.groupBy(col("strat"), pmod(col("doc_id"), lit(3L)).as("ch"))
+              .agg(count(lit(1)).as("n_docs"),
+                sum(col("n_after")).as("n_tokens"))
+              .select(col("strat"), col("n_docs"), col("n_tokens"))
+              .as[HwmPart])
+          .toDF()
+          // per-group emissions within one batch fold monotonically; the
+          // converged state row per stratum is the LAST (max) counter
+          .groupBy(col("strat"))
+          .agg(max(col("n_docs")).as("n_docs"),
+            max(col("n_tokens")).as("n_tokens"))
+          .localCheckpoint(true)
+        // held for the end-of-build unpersist: the checkpoint blocks must
+        // release eagerly with the other per-call frames, not wait for
+        // ContextCleaner GC (advice finding, r16)
+        hwmFrame = Some(hwm)
+        (hwm.select(col("strat"), col("n_tokens").as("base_off")),
+         hwm.agg(coalesce(sum(col("n_docs")), lit(0L)).as("base_docs"),
+           coalesce(sum(col("n_tokens")), lit(0L)).as("base_total")))
+      }
+    val i4 = iTr.join(remAll, Seq("doc_id"), "left")
       .withColumn("n_clean",
         col("n_tokens") - coalesce(col("n_rem"), lit(0L)))
 
@@ -394,33 +406,35 @@ object PipelineIncr {
           s" div ${TrainPrep.OutShards}")))
       .withColumn("shard_id",
         expr("(base_total + cs - n_after) div ssize"))
-      .persist()
 
-    // ---- the ledger: 9 rows of scalar aggregates
+    // ---- the ledger: 9 rows of scalar aggregates. Same-frame aggregates
+    // are FUSED into one pass (arrive totals + rule failures + stage-1
+    // survivors over i0; stage-3 survivors + eval docs over i3) — each
+    // fusion removes a full aggregate stage-chain from the crossJoin tree.
     def st(c: Column): Column = c.cast("string")
     val a0 = i0.agg(count(lit(1)).as("d_i0"),
-      coalesce(sum(col("n_tokens")), lit(0L)).as("t_i0"))
-    val aQ = i0.agg(
+      coalesce(sum(col("n_tokens")), lit(0L)).as("t_i0"),
       sum(when(!col("r_words"), 1L).otherwise(0L)).as("fw"),
       sum(when(!col("r_mean_len"), 1L).otherwise(0L)).as("fm"),
       sum(when(!col("r_symbols"), 1L).otherwise(0L)).as("fs"),
       sum(when(!col("r_alpha"), 1L).otherwise(0L)).as("fa"),
-      sum(when(!col("r_stopwords"), 1L).otherwise(0L)).as("fst"))
-    val a1 = i1.agg(count(lit(1)).as("d1"),
-      coalesce(sum(col("n_tokens")), lit(0L)).as("t1"))
+      sum(when(!col("r_stopwords"), 1L).otherwise(0L)).as("fst"),
+      coalesce(sum(when(col("keep"), 1L).otherwise(0L)), lit(0L)).as("d1"),
+      coalesce(sum(when(col("keep"), col("n_tokens"))), lit(0L)).as("t1"))
     val aN = iNew.agg(count(lit(1)).as("dn"))
     val a2 = i2.agg(count(lit(1)).as("d2"),
       coalesce(sum(col("n_tokens")), lit(0L)).as("t2"))
     val a3 = i3.agg(count(lit(1)).as("d3"),
-      coalesce(sum(col("n_tokens")), lit(0L)).as("t3"))
+      coalesce(sum(col("n_tokens")), lit(0L)).as("t3"),
+      coalesce(sum(when(col("doc_id") % evalMod === 0, 1L)
+        .otherwise(0L)), lit(0L)).as("ed"),
+      coalesce(sum(when(col("doc_id") % evalMod === 0, col("n_tokens"))),
+        lit(0L)).as("et"))
     val aC = i3c.agg(
       coalesce(sum(when(col("has_base").isNotNull, 1L).otherwise(0L)),
         lit(0L)).as("vs_base"),
       countDistinct(when(col("lab").isNotNull && col("has_base").isNull,
         col("lab"))).as("clusters_new"))
-    val aE = i3.filter(col("doc_id") % evalMod === 0)
-      .agg(coalesce(count(lit(1)), lit(0L)).as("ed"),
-        coalesce(sum(col("n_tokens")), lit(0L)).as("et"))
     val a4 = en.agg(count(lit(1)).as("d4"),
       coalesce(sum(col("n_clean")), lit(0L)).as("t4"),
       coalesce(sum(col("moved")), lit(0L)).as("moved"),
@@ -443,8 +457,8 @@ object PipelineIncr {
     // re-analyze and re-execute every crossJoined aggregate subtree
     // otherwise — 9 × 10 deep-plan evaluations, measured 87 s of the
     // gate's 132 s; from the checkpointed leaf they are row reads
-    val scalars = a0.crossJoin(aQ).crossJoin(a1).crossJoin(aN)
-      .crossJoin(a2).crossJoin(a3).crossJoin(aC).crossJoin(aE)
+    val scalars = a0.crossJoin(aN)
+      .crossJoin(a2).crossJoin(a3).crossJoin(aC)
       .crossJoin(a4).crossJoin(broadcast(bTot))
       .localCheckpoint(true)
 
@@ -490,8 +504,8 @@ object PipelineIncr {
 
     // qf/grams/evalG are Memo-owned (released by Memo.clear) — only the
     // per-call frames unpersist here
-    Seq(bH, b2, bPairs, bLabP, b3, b4, iH, iNew, i2,
-      cPairs, mLabP, hasBase, i3c, i3, en).foreach(_.unpersist(false))
+    Seq(bH, b2, bPairs, bLabP, b3, b4, iH, iNew, i2, node,
+      cPairs, mLabP, hasBase, i3c, i3, remAll).foreach(_.unpersist(false))
     bLab.unpersist(false)
     mLab.unpersist(false)
     hwmFrame.foreach(_.unpersist(false))

@@ -60,38 +60,13 @@ object PipelineMm {
 
   def pipelineE2eMm(s: SparkSession, dir: String): DataFrame =
     graft.Memo.cached(s, "pipeline_e2e_mm", dir) {
-      // ---- stage 0: arrive = raw corpus + the planted duplicate feed.
-      // LOUD on id collision — the PRECISE invariant (the Pipeline
-      // guard idiom): the residue (x + PlantShift) % PlantShift =
-      // x % PlantShift means copies share verdicts at ANY id layout, so
-      // the only thing that can break is a planted id colliding with a
-      // REAL doc_id; asserting exactly that keeps the decorrelated
-      // ScaleUp probe corpus runnable.
-      val raw = Tables.documents(s, dir)
-        .select(col("doc_id"), col("lang"), col("text"))
-      val plantGuard = raw.select(col("doc_id"))
-        .intersect(raw.filter(col("doc_id") % PlantMod === 0)
-          .select((col("doc_id") + PlantShift).as("doc_id")))
-        .agg(coalesce(
-          assert_true(count(lit(1)) === 0L,
-            lit("pipeline_e2e_mm: a planted id (doc_id + PlantShift) " +
-              "collides with a real doc_id — choose a shift outside " +
-              "the corpus id range")).cast("long"),
-          lit(0L)).as("__plant_g0"))
-      // plants TAGGED at construction (exact at any id layout — an
-      // id-range test misreads large real ids as planted)
-      val u = raw.withColumn("planted", lit(0L)).unionByName(
-          raw.filter(col("doc_id") % PlantMod === 0)
-            .withColumn("doc_id", col("doc_id") + PlantShift)
-            .withColumn("planted", lit(1L)))
-        .crossJoin(broadcast(plantGuard))
-        .filter(col("__plant_g0") === 0L)
-        .drop("__plant_g0")
-        .withColumn("n_tokens", size(split(norm, " ")).cast("long"))
-
-      // ---- stage 1: the shared Gopher rule gate (copies share their
-      // source's verdict — gopherFrame keys augmentation on the mod)
-      val qf = Pipeline.gopherFrame(u).persist()
+      // ---- stages 0-1: arrive (corpus + planted duplicate feed, the
+      // id-collision guard riding the memoized frame) and the shared
+      // Gopher rule gate — ONE [[Pipeline.qfPlanted]] build per
+      // (session, dir, PlantMod), shared with the incremental mm twins
+      // and the audio family (copies carry their source's verdicts by
+      // construction; the rule columns key on doc_id % PlantShift)
+      val qf = Pipeline.qfPlanted(s, dir, PlantMod)
       val s1 = qf.filter(col("keep"))
         .select(col("doc_id"), col("text"), col("n_tokens"), col("planted"))
         .persist()
@@ -127,19 +102,22 @@ object PipelineMm {
       // ---- stage 4: vision-token-balanced shard layout (O(shards))
       val layout = Multimodal.mmLayout(acc).persist()
 
-      // ---- the ledger: 5 rows of scalar aggregates
+      // ---- the ledger: 5 rows of scalar aggregates. Same-frame
+      // aggregates FUSED into one pass over qf (arrive totals + rule
+      // failures + stage-1 survivors via conditional sums).
       def st(c: org.apache.spark.sql.Column) = c.cast("string")
-      val aU = u.agg(count(lit(1)).as("d_u"),
+      val aQF = qf.agg(count(lit(1)).as("d_u"),
         sum(col("n_tokens")).as("t_u"),
-        sum(col("planted")).as("np"))
-      val aQ = qf.agg(
+        sum(col("planted")).as("np"),
         sum(when(!col("r_words"), 1L).otherwise(0L)).as("fw"),
         sum(when(!col("r_mean_len"), 1L).otherwise(0L)).as("fm"),
         sum(when(!col("r_symbols"), 1L).otherwise(0L)).as("fs"),
         sum(when(!col("r_alpha"), 1L).otherwise(0L)).as("fa"),
-        sum(when(!col("r_stopwords"), 1L).otherwise(0L)).as("fst"))
-      val a1 = s1.agg(count(lit(1)).as("d1"),
-        coalesce(sum(col("n_tokens")), lit(0L)).as("t1"))
+        sum(when(!col("r_stopwords"), 1L).otherwise(0L)).as("fst"),
+        coalesce(sum(when(col("keep"), 1L).otherwise(0L)), lit(0L))
+          .as("d1"),
+        coalesce(sum(when(col("keep"), col("n_tokens"))), lit(0L))
+          .as("t1"))
       val aC = labP.agg(countDistinct(col("lab")).as("ncl"),
         count(lit(1)).as("nmem"))
       val a2 = s2.agg(count(lit(1)).as("d2"),
@@ -167,7 +145,7 @@ object PipelineMm {
 
       // ONE checkpointed scalar row (the ledger-scalars lesson: the
       // branches below would re-execute every crossJoined subtree)
-      val scalars = aU.crossJoin(aQ).crossJoin(a1).crossJoin(aC)
+      val scalars = aQF.crossJoin(aC)
         .crossJoin(a2).crossJoin(a3).crossJoin(a4)
         .crossJoin(plantDead)
         .filter(col("__pd") === 0L)
@@ -208,7 +186,8 @@ object PipelineMm {
         .orderBy("stage_id")
         .localCheckpoint(true)
 
-      Seq(qf, s1, pairsF, labP, s2, acc, layout).foreach(_.unpersist(false))
+      // qf is Memo-owned (released by Memo.clear)
+      Seq(s1, pairsF, labP, s2, acc, layout).foreach(_.unpersist(false))
       labels.unpersist(false)
       ledger
     }

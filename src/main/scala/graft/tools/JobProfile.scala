@@ -2,7 +2,7 @@ package graft.tools
 
 import scala.collection.mutable
 
-import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkListenerJobStart}
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkListenerJobStart, SparkListenerStageCompleted}
 
 import graft.{Memo, Spark, SparkEntry}
 
@@ -14,6 +14,12 @@ import graft.{Memo, Spark, SparkEntry}
   * §1 measurement the overhead-dominated gates need (at gate scale each
   * action costs a near-constant scheduling/planning quantum, so the job
   * COUNT is the budget).
+  *
+  * Besides wall time it reports two HOST-NOISE-IMMUNE structure metrics
+  * for A/B comparisons on a contended box: the stage count and the
+  * summed executor task time (executorRunTime over all completed stages)
+  * — a structural change that removes work moves both deterministically,
+  * while wall-clock alone can swing 3× between runs.
   */
 object JobProfile {
   def main(args: Array[String]): Unit = {
@@ -23,6 +29,9 @@ object JobProfile {
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
     val starts = mutable.Map[Int, (Long, String)]()
     val rows = mutable.ArrayBuffer[(Int, Double, String)]()
+    var stages = 0
+    var taskMs = 0L
+    var tasks = 0
     val listener = new SparkListener {
       override def onJobStart(js: SparkListenerJobStart): Unit = {
         val site = js.stageInfos.lastOption.map(_.name).getOrElse("?")
@@ -32,20 +41,26 @@ object JobProfile {
         starts.remove(je.jobId).foreach { case (t0, site) =>
           rows += ((je.jobId, (System.nanoTime() - t0) / 1e9, site))
         }
+      override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
+        stages += 1
+        taskMs += sc.stageInfo.taskMetrics.executorRunTime
+        tasks += sc.stageInfo.numTasks
+      }
     }
     for (name <- names) {
       SparkEntry.queries(name)(spark, "/root/testdata/sf0.001")
         .write.format("noop").mode("overwrite").save()
       Memo.clear(spark)
       spark.catalog.clearCache()
-      rows.clear(); starts.clear()
+      rows.clear(); starts.clear(); stages = 0; taskMs = 0L; tasks = 0
       spark.sparkContext.addSparkListener(listener)
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, dir)
         .write.format("noop").mode("overwrite").save()
       val total = (System.nanoTime() - t0) / 1e9
       spark.sparkContext.removeSparkListener(listener)
-      println(f"== $name: $total%.2f s, ${rows.size} jobs ==")
+      println(f"== $name: $total%.2f s, ${rows.size} jobs, " +
+        f"$stages stages, $tasks tasks, ${taskMs / 1e3}%.1f task-sec ==")
       val bySite = rows.groupBy(_._3).map { case (site, rs) =>
         (rs.map(_._2).sum, rs.size, site)
       }.toSeq.sortBy(-_._1)
