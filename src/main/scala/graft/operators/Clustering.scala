@@ -95,15 +95,36 @@ object Clustering {
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("lab", col("id")).withColumn("chg", lit(true))
     var frontier = labels
+    // last round's changed count bounds the frontier size; -1 = unknown
+    // (round 1, the full label set)
+    var frontierSize = -1L
+    val broadcastMax = 1L << 20
     var converged = false
     while (!converged) {
       // candidate improvements: neighbour labels of last round's changed
       // nodes, min-combined per node (map-side), then one equi-join back
-      // into the label set; `chg` marks the next frontier in the same pass
-      val cand = edges
-        .join(frontier.select(col("id").as("dst"), col("lab")), "dst")
+      // into the label set; `chg` marks the next frontier in the same
+      // pass. When the known frontier size is under the broadcast bound,
+      // ship it map-side so the edge table is probed in place instead of
+      // shuffled every round (late rounds here; early rounds at
+      // production scale still shuffle, which is right).
+      val front0 = frontier.select(col("id").as("dst"), col("lab"))
+      val front =
+        if (frontierSize >= 0L && frontierSize <= broadcastMax)
+          broadcast(front0)
+        else front0
+      val cand0 = edges
+        .join(front, "dst")
         .select(col("src").as("id"), col("lab").as("clab"))
         .groupBy(col("id")).agg(min(col("clab")).as("clab"))
+      // |cand| ≤ Σ degree(frontier); with the band-graph degree bound a
+      // small frontier keeps cand broadcastable — ship it map-side so the
+      // label table is probed in place instead of shuffled every round
+      // (the conservative 64× degree headroom under the 2^20 bound)
+      val cand =
+        if (frontierSize >= 0L && frontierSize <= (1L << 14))
+          broadcast(cand0)
+        else cand0
       // eager localCheckpoint, not persist: persist materializes the data
       // but KEEPS the logical plan, so round r's frame carried r rounds of
       // unrolled lineage — by convergence ~20k plan nodes that every
@@ -124,6 +145,7 @@ object Clustering {
           .otherwise(0L)), lit(0L)))
         .head().getLong(0)
       converged = changed == 0L
+      frontierSize = changed
       // the new round is materialized (the scalar action above) — release
       // the SUPERSEDED round's checkpointed blocks eagerly. Left to GC +
       // ContextCleaner, a slow-converging graph accumulates O(rounds × N)
@@ -353,31 +375,65 @@ object Clustering {
     // every node "changed" at round 0 — seeds the frontier and the
     // broadcast-vs-salt decision for round 1
     var changed = labels.count()
+    // upper bound on next round's pointer-map size, for the broadcast-vs-
+    // salt decision: round 1's map is at most the node count; later
+    // rounds measure the true non-root count in the same scalar action
+    // as the convergence test
+    var mapSize = changed
     var prev = labels
     while (changed != 0L) {
-      val frontier = labels.filter(col("chg"))
-      val cand = und
-        .join(frontier.select(col("id").as("dst"), col("lab")), "dst")
+      // the frontier's size IS last round's changed scalar — below the
+      // broadcast bound, ship it map-side so the edge table is probed in
+      // place instead of shuffled every round (late rounds here; at
+      // production scale early rounds still shuffle, which is right)
+      val frontier0 = labels.filter(col("chg"))
+        .select(col("id").as("dst"), col("lab"))
+      val frontier =
+        if (changed <= jumpBroadcastMax) broadcast(frontier0) else frontier0
+      val cand0 = und
+        .join(frontier, "dst")
         .select(col("src").as("id"), col("lab").as("clab"))
         .groupBy(col("id")).agg(min(col("clab")).as("clab"))
+      // map-side probe of the label table when cand is provably small
+      // (same rationale as the ccLabels frontier/cand broadcasts)
+      val cand =
+        if (changed <= (1L << 14)) broadcast(cand0) else cand0
       val stepped = labels.select(col("id"), col("lab"))
         .join(cand, Seq("id"), "left")
         .select(col("id"), least(col("lab"), col("clab")).as("lab"),
           (col("clab") < col("lab")).as("chg"))
         .persist()
-      val ptr = stepped.filter(col("chg"))
+      // the FULL pointer map (every non-root entry), not just this
+      // round's changed nodes: labels are min-monotone with lab(u) ≤ u,
+      // so lab(lab(v)) ≤ lab(v) always holds and jumping through settled
+      // entries is exactly the path-halving step lab(v) ← lab(lab(v)) —
+      // with the changed-only map the jump composed ONE extra hop per
+      // round and the 51-chain gate took 27 rounds (measured) instead of
+      // the O(log diameter) the docstring promises; full-map halving
+      // converges it in ~8
+      val ptr = stepped.filter(col("lab") < col("id"))
         .select(col("id").as("lab"), col("lab").as("lab2"))
       // the jump references `stepped` on both sides — the eager
       // localCheckpoint materializes the round and resets the lineage to
       // a leaf (without it the plan doubles per round: exponential
       // analysis, the loop OOMs on plan objects, not data)
       val next =
-        applyJump(stepped, ptr, changed <= jumpBroadcastMax, salt)
+        applyJump(stepped, ptr, mapSize <= jumpBroadcastMax, salt)
           .select(col("id"), least(col("lab"), col("lab2")).as("lab"),
             (col("chg") || col("lab2") < col("lab")).as("chg"))
           .localCheckpoint(true)
-      changed = next.agg(sum(when(col("chg"), 1L).otherwise(0L)))
-        .head().getLong(0)
+      // ONE scalar action per round: the convergence count plus the next
+      // round's pointer-map size (non-root entries)
+      val row = next.agg(
+        coalesce(sum(when(col("chg"), 1L).otherwise(0L)), lit(0L)),
+        coalesce(sum(when(col("lab") < col("id"), 1L).otherwise(0L)),
+          lit(0L))).head()
+      changed = row.getLong(0)
+      mapSize = row.getLong(1)
+      // dev visibility: per-round convergence trace (scalars already
+      // computed above — no extra action)
+      if (sys.env.contains("SPARK_GRAFT_CC_DEBUG"))
+        System.err.println(s"[ccjump] changed=$changed map=$mapSize")
       stepped.unpersist()
       prev.unpersist()
       prev = next

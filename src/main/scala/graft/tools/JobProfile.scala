@@ -25,6 +25,10 @@ object JobProfile {
   def main(args: Array[String]): Unit = {
     val names = args.headOption.getOrElse("q1_agg").split(',').toSeq
     val dir = args.drop(1).headOption.getOrElse("/root/testdata/sf0.1")
+    // "keep": retain memoized frames across the listed queries (profile a
+    // query in its bench CONTEXT, where earlier gates built the shared
+    // artifacts). Default clears per query (worst-case attribution).
+    val keepMemo = args.contains("keep")
     val spark = Spark.session("graft-jobprofile",
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
     val starts = mutable.Map[Int, (Long, String)]()
@@ -50,8 +54,7 @@ object JobProfile {
     for (name <- names) {
       SparkEntry.queries(name)(spark, "/root/testdata/sf0.001")
         .write.format("noop").mode("overwrite").save()
-      Memo.clear(spark)
-      spark.catalog.clearCache()
+      if (!keepMemo) { Memo.clear(spark); spark.catalog.clearCache() }
       rows.clear(); starts.clear(); stages = 0; taskMs = 0L; tasks = 0
       spark.sparkContext.addSparkListener(listener)
       val t0 = System.nanoTime()
