@@ -172,7 +172,11 @@ object Filtering {
           .filter(col("y") * col("sc") <= 0)
           .select(col("y"), posexplode(col("x")).as(Seq("i", "xi")))
           .groupBy("i").agg(sum(col("y") * col("xi")).as("g"))
-        w = w.join(grad, Seq("i"), "left").join(s2, Seq("i"))
+        // grad and s2 are dimension-sized (≤ buckets+1 rows): broadcast
+        // both so the weight update is a map over the checkpointed state
+        // — no per-round shuffle of the model frame
+        w = w.join(broadcast(grad), Seq("i"), "left")
+          .join(broadcast(s2), Seq("i"))
           .select(col("i"), (col("wv") + expr(
             s"cast(((coalesce(g, 0) * $ClfK) - ((coalesce(g, 0) * $ClfK) " +
               s"% (s2v * $r) + (s2v * $r)) % (s2v * $r)) div (s2v * $r) " +
@@ -376,9 +380,12 @@ object Filtering {
   private def crossTrain(feats: DataFrame): DataFrame = {
     val s = feats.sparkSession
     GraftFunctions.register(s)
+    // checkpointed ONCE: left lazy, the per-round update join re-ran the
+    // whole posexplode + aggregate over the feature frame every round
     val s2 = feats.select(posexplode(col("x")).as(Seq("i", "xi")))
       .groupBy("i").agg(greatest(sum(col("xi") * col("xi")), lit(1L))
         .as("s2v"))
+      .localCheckpoint(true)
     var w = s.range(0, CrossDims + 1L)
       .select(col("id").cast("int").as("i"), lit(0L).as("wv"))
       .localCheckpoint(true)
@@ -391,7 +398,10 @@ object Filtering {
         .filter(col("y") * col("sc") <= 0)
         .select(col("y"), posexplode(col("x")).as(Seq("i", "xi")))
         .groupBy("i").agg(sum(col("y") * col("xi")).as("g"))
-      w = w.join(grad, Seq("i"), "left").join(s2, Seq("i"))
+      // model-sized frames: broadcast both so the update is a map over
+      // the checkpointed state (the clfWeights rationale)
+      w = w.join(broadcast(grad), Seq("i"), "left")
+        .join(broadcast(s2), Seq("i"))
         .select(col("i"), (col("wv") + expr(
           s"cast(((coalesce(g, 0) * $ClfK) - ((coalesce(g, 0) * $ClfK) " +
             s"% (s2v * $r) + (s2v * $r)) % (s2v * $r)) div (s2v * $r) " +
@@ -559,7 +569,9 @@ object Filtering {
           "'gc', -yt)))")).as("e"))
         .select(col("e.i").as("i"), col("e.gc").as("gc"))
         .groupBy("i").agg(sum(col("gc")).as("g"))
-      val u = st.join(grad, Seq("i"), "left").join(s2, Seq("i"), "left")
+      // model-sized joins broadcast (the clfWeights rationale)
+      val u = st.join(broadcast(grad), Seq("i"), "left")
+        .join(broadcast(s2), Seq("i"), "left")
         .crossJoin(broadcast(nd))
         .withColumn("dnm", when(col("i") <= ClfBuckets,
           col("s2v") * (2L * r)).otherwise(col("nd") * r.toLong))
@@ -569,7 +581,10 @@ object Filtering {
           .as("wv"))
       st = u.localCheckpoint(true)
       // θ consistency (the PRank sort): a second, corpus-free checkpoint
-      // over the 67 materialized rows
+      // over the 67 materialized rows. (A fused single-checkpoint variant
+      // was measured SLOWER: referencing the lazy update twice in one
+      // plan re-executed the gradient's corpus pass — the broadcast
+      // exchange is not reused across the two references.)
       val thAgg = st.filter(col("i") > ClfBuckets)
         .agg(min(col("wv")).as("lo"), max(col("wv")).as("hi"))
       st = st.crossJoin(broadcast(thAgg))
@@ -1801,7 +1816,11 @@ object Filtering {
           .select(col("clang"), col("yw"),
             posexplode(col("x")).as(Seq("i", "xi")))
           .groupBy("clang", "i").agg(sum(col("yw") * col("xi")).as("g"))
-        w = w.join(grad, Seq("clang", "i"), "left").join(s2, Seq("i"))
+        // model-sized frames (5 × 66 and 66 rows): broadcast both so the
+        // update is a map over the checkpointed state — no per-round
+        // shuffle of the model frame
+        w = w.join(broadcast(grad), Seq("clang", "i"), "left")
+          .join(broadcast(s2), Seq("i"))
           .select(col("clang"), col("i"), (col("wv") + expr(
             s"cast(((coalesce(g, 0) * $ClfK) - ((coalesce(g, 0) * $ClfK) " +
               s"% (s2v * $r) + (s2v * $r)) % (s2v * $r)) div (s2v * $r) " +

@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.Memo
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Distributed suffix ranking by prefix doubling (Manber & Myers 1990 via
@@ -193,13 +194,17 @@ object SuffixArray {
     val keys = "tok" +: (1 to 3).map(i => s"t$i")
     val o = if (j == 0) 1 else 1 << (2 * j) // 4^j
     val pad: Any = if (j == 0) "" else 0L
+    // positions are DENSE per document (p = 1..len, every round keeps
+    // every position), so the three shifted lookups are lead() offsets
+    // over ONE per-document window — one shuffle-and-sort by doc_id
+    // instead of three (doc_id, p)-keyed self-joins; a lead past the
+    // document end is null, coalesced to the same terminator pad the
+    // join-miss produced. Window width is bounded by MaxDocTokens.
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("p"))
     var paired = base
-    for (i <- 1 to 3) {
-      val bi = base.select(col("doc_id"), (col("p") - i * o).as("p"),
-        col("tok").as(s"t$i"))
-      paired = paired.join(bi, Seq("doc_id", "p"), "left")
-        .withColumn(s"t$i", coalesce(col(s"t$i"), lit(pad)))
-    }
+    for (i <- 1 to 3)
+      paired = paired.withColumn(s"t$i",
+        coalesce(lead(col("tok"), i * o).over(w), lit(pad)))
     // two consumers (boundary pick, rank join) read the pair frame;
     // cache for the round, release once the barrier materialized
     val shared = paired.cache()
