@@ -42,6 +42,33 @@ object Memo {
       if (df.storageLevel == StorageLevel.NONE) df.cache() else df
     })
 
+  /** [[cached]], but the frame is handed over as an EAGER localCheckpoint
+    * LEAF. A cached-but-lazy memo keeps its full logical plan, and every
+    * consumer across every gate re-ANALYZES that deep subtree (the r17
+    * persist-vs-checkpoint lesson — measured as pure driver planning
+    * time); the checkpoint truncates the plan to a LogicalRDD leaf once
+    * per (session, dir). Use for multi-consumer artifacts with DEEP build
+    * plans (LSH candidate chains, hashed-feature builds, layer graphs);
+    * plain [[cached]] stays right for shallow or single-digit-consumer
+    * frames. The checkpoint blocks are ContextCleaner-freed once
+    * [[clear]] drops the reference.
+    */
+  def cachedLeaf(s: SparkSession, key: String, dir: String)
+                (mk: => DataFrame): DataFrame =
+    if (leafHandover) cached(s, key, dir)(mk.localCheckpoint(true))
+    else mk
+
+  /** TEST-ONLY seam for the plan-shape specs: inside `f`, [[cachedLeaf]]
+    * returns the RAW builder frame (no checkpoint, no registry), so a
+    * spec can assert on the build plan that the leaf handover otherwise
+    * truncates to a `LogicalRDD` scan. Never used by Bench/Verify.
+    */
+  @volatile private var leafHandover = true
+  private[graft] def withoutLeafHandover[T](f: => T): T = {
+    leafHandover = false
+    try f finally leafHandover = true
+  }
+
   /** Unpersist and drop every frame memoized for `s` (bench pass
     * isolation, suite teardown). The next `cached` call rebuilds.
     */

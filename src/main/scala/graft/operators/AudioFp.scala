@@ -99,7 +99,7 @@ object AudioFp {
     * equality with the codec path is spec-pinned.
     */
   private[graft] def audioFpOf(s: SparkSession, dir: String): DataFrame =
-    graft.Memo.cached(s, "audio_fp", dir) {
+    graft.Memo.cachedLeaf(s, "audio_fp", dir) {
       if (sys.env.contains("SPARK_GRAFT_AUDIOFP_DIRECT")) audioFpDirect(s, dir)
       else audioFpCodec(s, dir)
     }
@@ -179,7 +179,7 @@ object AudioFp {
   // gate, the stream maintainer and the composed audio pipeline share
   // one band join + verify pass
   def audioFpPairs(s: SparkSession, dir: String): DataFrame =
-    graft.Memo.cached(s, "audio_fp_pairs", dir)(
+    graft.Memo.cachedLeaf(s, "audio_fp_pairs", dir)(
       Multimodal.hammingBandPairs(audioFpOf(s, dir), AudioFpMaxHamming))
 
   /** Gate: near-dup clip CLUSTERS — connected components over the

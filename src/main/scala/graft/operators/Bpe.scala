@@ -107,7 +107,7 @@ object Bpe {
     * (session, dir); training fills [[mergesCache]] as a side effect.
     */
   private def segsOf(s: SparkSession, dir: String): DataFrame =
-    graft.Memo.cached(s, "bpe_segs", dir) {
+    graft.Memo.cachedLeaf(s, "bpe_segs", dir) {
       val (merges, segs) = trainOn(Tables.documents(s, dir), Merges)
       mergesCache((s, dir)) = merges
       segs

@@ -53,7 +53,7 @@ object Clustering {
     // re-run the propagation loop and leak its final persisted frame
     graft.Memo.cached(s, "dedup_clusters", dir) {
     val pairs = Dedup.minhashPairsOf(s, dir).select(col("id_a"), col("id_b"))
-    val edges = graft.Memo.cached(s, "dup_edges", dir)(
+    val edges = graft.Memo.cachedLeaf(s, "dup_edges", dir)(
       pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
         .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst"))))
     val labels = ccLabels(edges)
@@ -337,111 +337,148 @@ object Clustering {
     else {
       val salted = ptr.withColumn("__salt",
         explode(array((0 until salt).map(lit): _*)))
-      labels.withColumn("__salt", pmod(hash(col("id")), lit(salt)))
+      // salt from the whole row (not a fixed `id` column): callers probe
+      // arbitrary frames (labels, edge endpoints, forest targets); any
+      // non-`lab` column varies within a hot label, so the hash spreads
+      labels.withColumn("__salt",
+          pmod(hash(labels.columns.map(col): _*), lit(salt)))
         .join(salted, Seq("lab", "__salt"), "left")
         .drop("__salt")
     }
 
-  /** Connected components by FRONTIER min-label propagation with pointer
-    * jumping — the deep-graph variant of [[dedupClusters]]. Plain
-    * propagation moves labels one hop per round (O(diameter) rounds —
-    * fine for shallow near-dup graphs, hopeless for adversarial chains);
-    * the jump step `label ← label(label)` through the CHANGED pointer
-    * entries doubles label reach while change waves are moving.
+  /** Connected components by EDGE CONTRACTION — the deep-graph variant of
+    * [[dedupClusters]]: per round, hook every contracted node to its min
+    * neighbour, partially flatten the hook forest, relabel the edge set
+    * through it and drop internal edges. The contracted edge table
+    * shrinks geometrically and rounds are O(log diameter) with a small
+    * constant (the body comment carries the full argument and the r17→r18
+    * measurement that motivated the switch from frontier propagation +
+    * path halving).
     *
-    * Each round:
-    *  1. neighbour-min from last round's changed nodes only (equi-join on
-    *     the neighbour id — degree-bounded key, never the label);
-    *  2. pointer jump through this round's changed entries via
-    *     [[applyJump]] — broadcast when the frontier is small (scalar
-    *     count from last round), salted when large; in NEITHER case does
-    *     a reduce key on the converging label exist, which removes the
-    *     hot-label shuffle the pre-r7 formulation left for AQE to split.
-    *
-    * Frames stay O(nodes + edges); the driver sees one scalar (the changed
-    * count, which is also the convergence test) per round. Termination is
-    * the standard frontier-relaxation fixed point: a round with zero
-    * changes means every node's label ≤ all neighbours' labels (each past
-    * change was offered to its neighbours the following round), which
-    * forces labels constant per component = the component minimum.
+    * Frames stay O(edges) and shrink; the driver sees one scalar (the
+    * contracted-edge count, which is also the convergence test) per
+    * round. Every map application goes through [[applyJump]] (broadcast
+    * or salted), so no reduce ever keys on a converging hot label.
     */
   def ccPointerJump(edges: DataFrame, jumpBroadcastMax: Long = 1L << 20,
                     salt: Int = 16): DataFrame = {
+    // EDGE-CONTRACTION components (replacing the r17 frontier+halving
+    // loop, whose round count was bound by min-wave propagation over
+    // graph EDGES — measured 21 rounds on the phash near-dup graph, with
+    // an oscillating ~11-round tail of tiny frontiers each paying a full
+    // action's fixed cost). Each round:
+    //
+    //  1. HOOK: every contracted node with a smaller neighbour points to
+    //     its MIN neighbour — `ptr(a) = min N(a) < a`, a forest;
+    //  2. FLATTEN: self-compose the hook forest (`ptr ← ptr∘ptr`,
+    //     reach doubles per application; the composition count grows
+    //     with the round index, so a pure n-chain converges in
+    //     ~log₂ n rounds and bushy graphs far faster);
+    //  3. CONTRACT: relabel BOTH endpoints of the contracted edge set
+    //     through the flattened forest and drop now-internal edges — the
+    //     edge table SHRINKS geometrically, unlike the former loop whose
+    //     every round re-joined the full edge set.
+    //
+    // Node labels accumulate the same per-round maps lazily (≤ rounds
+    // chained map joins over checkpointed leaves) and materialize once
+    // at the end. Values are unchanged: hooks only follow edges, so a
+    // label is always a node of the same component, and the component
+    // MIN never hooks (it has no smaller neighbour) — when the
+    // contracted edge set empties, connectivity forces every label in a
+    // component to the surviving representative, the min. Rounds are
+    // O(log diameter) with a small constant; every per-round frame is
+    // either the (shrinking) contracted edge set or the hook forest, and
+    // all joins go through [[applyJump]]'s broadcast-or-salted paths —
+    // no reduce ever keys on a converging hot label.
     val und = edges.select(col("src"), col("dst"))
       .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
-    var labels = und.select(col("src").as("id")).distinct()
-      .withColumn("lab", col("id")).withColumn("chg", lit(true))
-      .localCheckpoint(true)
-    // every node "changed" at round 0 — seeds the frontier and the
-    // broadcast-vs-salt decision for round 1
-    var changed = labels.count()
-    // upper bound on next round's pointer-map size, for the broadcast-vs-
-    // salt decision: round 1's map is at most the node count; later
-    // rounds measure the true non-root count in the same scalar action
-    // as the convergence test
-    var mapSize = changed
-    var prev = labels
-    while (changed != 0L) {
-      // the frontier's size IS last round's changed scalar — below the
-      // broadcast bound, ship it map-side so the edge table is probed in
-      // place instead of shuffled every round (late rounds here; at
-      // production scale early rounds still shuffle, which is right)
-      val frontier0 = labels.filter(col("chg"))
-        .select(col("id").as("dst"), col("lab"))
-      val frontier =
-        if (changed <= jumpBroadcastMax) broadcast(frontier0) else frontier0
-      val cand0 = und
-        .join(frontier, "dst")
-        .select(col("src").as("id"), col("lab").as("clab"))
-        .groupBy(col("id")).agg(min(col("clab")).as("clab"))
-      // map-side probe of the label table when cand is provably small
-      // (same rationale as the ccLabels frontier/cand broadcasts)
-      val cand =
-        if (changed <= (1L << 14)) broadcast(cand0) else cand0
-      val stepped = labels.select(col("id"), col("lab"))
-        .join(cand, Seq("id"), "left")
-        .select(col("id"), least(col("lab"), col("clab")).as("lab"),
-          (col("clab") < col("lab")).as("chg"))
-        .persist()
-      // the FULL pointer map (every non-root entry), not just this
-      // round's changed nodes: labels are min-monotone with lab(u) ≤ u,
-      // so lab(lab(v)) ≤ lab(v) always holds and jumping through settled
-      // entries is exactly the path-halving step lab(v) ← lab(lab(v)) —
-      // with the changed-only map the jump composed ONE extra hop per
-      // round and the 51-chain gate took 27 rounds (measured) instead of
-      // the O(log diameter) the docstring promises; full-map halving
-      // converges it in ~8
-      val ptr = stepped.filter(col("lab") < col("id"))
-        .select(col("id").as("lab"), col("lab").as("lab2"))
-      // the jump references `stepped` on both sides — the eager
-      // localCheckpoint materializes the round and resets the lineage to
-      // a leaf (without it the plan doubles per round: exponential
-      // analysis, the loop OOMs on plan objects, not data)
-      val next =
-        applyJump(stepped, ptr, mapSize <= jumpBroadcastMax, salt)
-          .select(col("id"), least(col("lab"), col("lab2")).as("lab"),
-            (col("chg") || col("lab2") < col("lab")).as("chg"))
-          .localCheckpoint(true)
-      // ONE scalar action per round: the convergence count plus the next
-      // round's pointer-map size (non-root entries)
-      val row = next.agg(
-        coalesce(sum(when(col("chg"), 1L).otherwise(0L)), lit(0L)),
-        coalesce(sum(when(col("lab") < col("id"), 1L).otherwise(0L)),
-          lit(0L))).head()
-      changed = row.getLong(0)
-      mapSize = row.getLong(1)
-      // dev visibility: per-round convergence trace (scalars already
-      // computed above — no extra action)
+    // map-apply through [[applyJump]]: x ← p(x) where present (p is
+    // min-monotone, so coalesce is exactly the one-step jump)
+    def ap(df: DataFrame, keyCol: String, p: DataFrame, pSize: Long,
+           outCol: String): DataFrame = {
+      val renamed = df.withColumnRenamed(keyCol, "lab")
+      applyJump(renamed, p, pSize <= jumpBroadcastMax, salt)
+        .withColumn(outCol, coalesce(col("lab2"), col("lab")))
+        .drop("lab", "lab2")
+    }
+    // eager checkpoint + fresh-leaf re-wrap (the [[SuffixArray]] barrier
+    // idiom): a bare checkpoint leaf CARRIES the join-compounded size
+    // estimate forward, and the chained flatten levels square it per
+    // level — measured 33 s of pure BigInt stats planning on the phash
+    // graph before the re-wrap. Every join in this loop broadcasts or
+    // salts EXPLICITLY, so nothing needs the estimate.
+    def leafCk(df: DataFrame): DataFrame = {
+      val ck = df.localCheckpoint()
+      ck.sparkSession.createDataFrame(ck.rdd, ck.schema)
+    }
+    var e = leafCk(und)
+    val e0 = e
+    var ecount = e.count()
+    val held = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    // the label chain: rounds' hook forests applied in sequence, kept
+    // LAZY until the loop ends (each ptr is a checkpointed leaf, so the
+    // final plan is ≤ rounds map joins over leaves)
+    var labels = e0.select(col("src").as("id")).distinct()
+      .withColumn("lab", col("id"))
+    var round = 0
+    while (ecount != 0L) {
+      round += 1
+      require(round <= 64, s"ccPointerJump: no convergence after 64 " +
+        s"contraction rounds ($ecount contracted edges left) — the edge " +
+        "frame is growing instead of contracting; check the input for " +
+        "nondeterminism")
+      // 1. hook to the min neighbour (strictly smaller only — a forest)
+      val ptr0 = e.groupBy(col("src")).agg(min(col("dst")).as("m"))
+        .filter(col("m") < col("src"))
+        .select(col("src").as("lab"), col("m").as("lab2"))
+      // 2. flatten: compose the forest with itself; every level hands
+      // over as an eager checkpoint LEAF — persisted-but-lazy levels kept
+      // their whole stacked plan and the round's analysis cost grew
+      // quadratically (measured: 5.4 s of pure driver planning on the
+      // chain gate). |ptr| ≤ #contracted nodes ≤ ecount bounds the
+      // broadcast decision.
+      var ptr = leafCk(ptr0)
+      held += ptr
+      // composition count grows with the round index: cumulative
+      // contraction after r rounds covers chains of Σ 2^(k+1) ≈ 2^(r+2)
+      // nodes, so even a pure path converges in O(log n) rounds; levels
+      // past the forest's actual depth are identity joins on a shrinking
+      // frame (cheap), and bushy graphs converge long before the sum
+      // matters
+      val flat = round + 1
+      for (_ <- 1 to flat) {
+        // ptr ∘ ptr: map each entry's TARGET through the same forest
+        // (rename first — both sides carry lab/lab2)
+        val tgt = ptr.select(col("lab").as("pa"), col("lab2").as("lab"))
+        ptr = leafCk(ap(tgt, "lab", ptr, ecount, "pb")
+          .select(col("pa").as("lab"), col("pb").as("lab2")))
+        held += ptr
+      }
+      // 3. contract the edge set through the flattened forest
+      val eNext = ap(ap(e, "src", ptr, ecount, "s2"), "dst", ptr, ecount,
+          "d2")
+        .filter(col("s2") =!= col("d2"))
+        .select(col("s2").as("src"), col("d2").as("dst"))
+        .distinct()
+        .transform(leafCk)
+      labels = ap(labels, "lab", ptr, ecount, "labx")
+        .withColumnRenamed("labx", "lab")
+      // superseded edge frames must outlive the lazy label chain only if
+      // a ptr depends on them — ptrs are persisted, so the old edge leaf
+      // can release as soon as the new one is materialized
+      val eOld = e
+      e = eNext
+      ecount = e.count()
+      if (eOld ne e0) eOld.unpersist(false)
       if (sys.env.contains("SPARK_GRAFT_CC_DEBUG"))
-        System.err.println(s"[ccjump] changed=$changed map=$mapSize")
-      stepped.unpersist()
-      prev.unpersist()
-      prev = next
-      labels = next
+        System.err.println(s"[ccjump] round=$round edges=$ecount")
     }
     val res = labels.select(col("id"), col("lab").as("cluster")).persist()
     res.count(): Unit
-    prev.unpersist(): Unit
+    // everything the (now materialized) result depended on can go
+    held.foreach(_.unpersist(false))
+    if (e ne e0) e.unpersist(false)
+    e0.unpersist(false)
     res
   }
 
@@ -497,7 +534,7 @@ object Clustering {
     */
   private[operators] def cellsOf(s: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(s)
-    graft.Memo.cached(s, "kmeans_cells", dir)(assignCells(s, dir))
+    graft.Memo.cachedLeaf(s, "kmeans_cells", dir)(assignCells(s, dir))
   }
 
   /** Coarse-quantized corpus (`vec_id`, `q`, `n2` at [[KScale]]) — the
@@ -506,7 +543,7 @@ object Clustering {
     */
   private def qnOf(s: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(s)
-    graft.Memo.cached(s, "kmeans_qvecs", dir) {
+    graft.Memo.cachedLeaf(s, "kmeans_qvecs", dir) {
       Tables.embeddings(s, dir)
         .select(col("vec_id"), expr(KQvecExpr).as("q"))
         .withColumn("n2", expr("q_dot(q, q)"))
@@ -901,7 +938,7 @@ object Clustering {
   }
 
   def kmeansParallel(s: SparkSession, dir: String): DataFrame =
-    graft.Memo.cached(s, "kmeans_parallel", dir)(
+    graft.Memo.cachedLeaf(s, "kmeans_parallel", dir)(
       kmeansParallelCandidates(s, dir)).orderBy("cand_id")
 
   private def pllDistSql(v: String, w: String): String =
@@ -958,7 +995,7 @@ object Clustering {
     * bit-reproducible in SQL over the same CTEs.
     */
   def kmeansParallelSeeds(s: SparkSession, dir: String): DataFrame = {
-    val cand = graft.Memo.cached(s, "kmeans_parallel", dir)(
+    val cand = graft.Memo.cachedLeaf(s, "kmeans_parallel", dir)(
       kmeansParallelCandidates(s, dir))
     val qn = qnOf(s, dir)
     val rows = cand.join(qn, cand("cand_id") === qn("vec_id"))
@@ -1548,7 +1585,7 @@ object Clustering {
   private def pcaDeflatedCorpus(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir)
       .select(col("vec_id"), expr(PcaQExpr).as("q"))
-    graft.Memo.cached(s, "pca_defl_e2", dir) {
+    graft.Memo.cachedLeaf(s, "pca_defl_e2", dir) {
       pcaDeflateStep(e, pcaPowerLoop(e)(pcaRoundSingle))
     }
   }
@@ -1572,7 +1609,7 @@ object Clustering {
   def embedPcaThird(s: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(s)
     val e2 = pcaDeflatedCorpus(s, dir)
-    val e3 = graft.Memo.cached(s, "pca_defl_e3", dir) {
+    val e3 = graft.Memo.cachedLeaf(s, "pca_defl_e3", dir) {
       pcaDeflateStep(e2, pcaPowerLoop(e2)(pcaRoundSingle))
     }
     val v3 = pcaPowerLoop(e3)(pcaRoundSingle)

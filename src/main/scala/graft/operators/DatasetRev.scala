@@ -95,7 +95,7 @@ object DatasetRevScenarios {
     // and a table whose applies SKIP a revision — lives in the customer
     // store below, which [[DatasetRev.buildBracketed]] constructs.
     val ord = VersionedScenarios.store(s, dir)
-    val cust = graft.Memo.cached(s, "dsrev_customer", dir)(
+    val cust = graft.Memo.cachedLeaf(s, "dsrev_customer", dir)(
       DatasetRev.buildBracketed(
         Seq(DA -> c1(s, dir), DC -> c3(s, dir)), revOf, "c_custkey"))
     (ord, cust, revOf)

@@ -93,7 +93,7 @@ object Dedup {
   // composed corpus_clean and the KMV sketch — built+cached once per
   // (session, dir)
   private def shinglesC(s: SparkSession, dir: String): DataFrame =
-    graft.Memo.cached(s, "doc_shingles", dir)(shingles(Tables.documents(s, dir)))
+    graft.Memo.cachedLeaf(s, "doc_shingles", dir)(shingles(Tables.documents(s, dir)))
 
   /** The memoized per-document distinct-shingle frame, for operators
     * outside this object (e.g. [[Sketch]]) and their specs.
@@ -152,7 +152,7 @@ object Dedup {
     */
   private[operators] def minhashPairsOf(s: SparkSession, dir: String,
                                         threshold: Double = 0.8): DataFrame =
-    graft.Memo.cached(s, s"minhash_pairs_$threshold", dir)(
+    graft.Memo.cachedLeaf(s, s"minhash_pairs_$threshold", dir)(
       minhashLshPairs(s, dir, threshold))
 
   // the verified near-dup pairs, memoized above: both the dedup gate query
@@ -163,7 +163,7 @@ object Dedup {
     */
   private[operators] def minhashCandidatesOf(s: SparkSession,
                                              dir: String): DataFrame =
-    graft.Memo.cached(s, "minhash_cand", dir)(minhashCandidates(s, dir))
+    graft.Memo.cachedLeaf(s, "minhash_cand", dir)(minhashCandidates(s, dir))
 
   /** The memoized signature frame `(doc_id, m1..m16)`:
     * minhash_i(doc) = min over shingles of h1 + i·h2 (mod 2^32), the
@@ -173,7 +173,7 @@ object Dedup {
     * candidate generation and the [[minhashAccuracy]] audit.
     */
   private def minhashesOf(s: SparkSession, dir: String): DataFrame =
-    graft.Memo.cached(s, "minhash_sigs", dir) {
+    graft.Memo.cachedLeaf(s, "minhash_sigs", dir) {
       val sh = shinglesC(s, dir)
       val withH = sh.selectExpr("doc_id",
         "cast(conv(substring(md5(sh), 1, 8), 16, 10) as bigint) as h1",

@@ -181,6 +181,25 @@ object DistRank {
     finish(keyed, offsets, stratum, row_number().over(w).cast("long"), out)
   }
 
+  /** 1-based DENSE rank of every row within its stratum under ASCENDING
+    * `order` (ties share a rank; ranks are consecutive). Computed
+    * directly on the full frame: slice-local `dense_rank` plus offsets =
+    * the count of DISTINCT keys in earlier slices of the stratum —
+    * value-identical to row_number-over-the-distinct-key-frame joined
+    * back (the former formulation in [[SuffixArray]]), with two fewer
+    * full-frame shuffles per call: no distinct-frame build and no key
+    * join back. Sound for the same reason [[rowNumber]] is: equal keys
+    * share a slice, and every key in an earlier slice is strictly
+    * smaller, so distinct counts add across slices.
+    */
+  def denseRank(df: DataFrame, stratum: String, order: Seq[Column],
+                hashKey: String, out: String): DataFrame = {
+    val (keyed, offsets) = sliced(df, stratum, order, hashKey,
+      countDistinct(col("__sk")).cast("long"))
+    val w = Window.partitionBy(col(stratum), col("__rp")).orderBy(col("__sk"))
+    finish(keyed, offsets, stratum, dense_rank().over(w).cast("long"), out)
+  }
+
   /** Inclusive running sum of `value` within each stratum under ASCENDING
     * `order`. Long-typed (exact; use for counts/token budgets, not
     * floats).

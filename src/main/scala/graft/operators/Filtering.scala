@@ -105,7 +105,7 @@ object Filtering {
   private val ClfTierBars = (0.22, 0.37)
 
   private def clfFeats(s: SparkSession, dir: String): DataFrame =
-    graft.Memo.cached(s, "clf_feats", dir) {
+    graft.Memo.cachedLeaf(s, "clf_feats", dir) {
       val lab = TextOps.qualityDf(s, dir)
         .select(col("doc_id"),
           when(col("quality") > ClfQualityBar, 1L).otherwise(-1L).as("y"),
@@ -137,7 +137,7 @@ object Filtering {
     * shape.
     */
   private def clfPrecond(s: SparkSession, dir: String): DataFrame =
-    graft.Memo.cached(s, "clf_s2", dir) {
+    graft.Memo.cachedLeaf(s, "clf_s2", dir) {
       clfFeats(s, dir)
         .select(posexplode(col("x")).as(Seq("i", "xi")))
         .groupBy("i").agg(greatest(sum(col("xi") * col("xi")), lit(1L))
@@ -160,30 +160,36 @@ object Filtering {
       GraftFunctions.register(s)
       val feats = clfFeats(s, dir)
       val s2 = clfPrecond(s, dir)
+      // the state carries the ROUND-INVARIANT preconditioner (i, wv, s2v):
+      // joining s2 once here removes one broadcast join (and its exchange
+      // execution) from every round
       var w = s.range(0, ClfBuckets + 1)
         .select(col("id").cast("int").as("i"), lit(0L).as("wv"))
+        .join(s2, Seq("i"))
         .localCheckpoint(true)
       for (r <- 1 to ClfRounds) {
         val wArr = w.groupBy()
           .agg(transform(array_sort(collect_list(struct(col("i"), col("wv")))),
             x => x.getField("wv")).as("wa"))
-        val grad = feats.crossJoin(broadcast(wArr))
+        // the gradient folds to ONE row (a dim→g map): the update becomes
+        // a pure map over the checkpointed state via a 1-row crossJoin —
+        // no per-round key join of the model frame at all
+        val gm = feats.crossJoin(broadcast(wArr))
           .select(col("y"), col("x"), expr("q_dot(x, wa)").as("sc"))
           .filter(col("y") * col("sc") <= 0)
           .select(col("y"), posexplode(col("x")).as(Seq("i", "xi")))
           .groupBy("i").agg(sum(col("y") * col("xi")).as("g"))
-        // grad and s2 are dimension-sized (≤ buckets+1 rows): broadcast
-        // both so the weight update is a map over the checkpointed state
-        // — no per-round shuffle of the model frame
-        w = w.join(broadcast(grad), Seq("i"), "left")
-          .join(broadcast(s2), Seq("i"))
+          .groupBy().agg(map_from_arrays(collect_list(col("i")),
+            collect_list(col("g"))).as("gm"))
+        w = w.crossJoin(broadcast(gm))
           .select(col("i"), (col("wv") + expr(
-            s"cast(((coalesce(g, 0) * $ClfK) - ((coalesce(g, 0) * $ClfK) " +
+            s"cast(((coalesce(element_at(gm, i), 0) * $ClfK) " +
+              s"- ((coalesce(element_at(gm, i), 0) * $ClfK) " +
               s"% (s2v * $r) + (s2v * $r)) % (s2v * $r)) div (s2v * $r) " +
-              "as bigint)")).as("wv"))
+              "as bigint)")).as("wv"), col("s2v"))
           .localCheckpoint(true)
       }
-      w
+      w.select(col("i"), col("wv"))
     }
 
   /** Gate: the trained weight vector (65 rows, bias at i = 0). */
@@ -345,7 +351,7 @@ object Filtering {
     * hashed quadratic cross makes it linearly separable.
     */
   private def crossFeats(s: SparkSession, dir: String): DataFrame =
-    graft.Memo.cached(s, "cross_feats", dir) {
+    graft.Memo.cachedLeaf(s, "cross_feats", dir) {
       val marked = Tables.documents(s, dir)
         .select(col("doc_id"), concat_ws(" ", norm,
           when(col("doc_id") % 2 === 0, lit("qmarkeralpha")),
@@ -380,35 +386,36 @@ object Filtering {
   private def crossTrain(feats: DataFrame): DataFrame = {
     val s = feats.sparkSession
     GraftFunctions.register(s)
-    // checkpointed ONCE: left lazy, the per-round update join re-ran the
-    // whole posexplode + aggregate over the feature frame every round
+    // consumed exactly once (folded into the initial state checkpoint)
     val s2 = feats.select(posexplode(col("x")).as(Seq("i", "xi")))
       .groupBy("i").agg(greatest(sum(col("xi") * col("xi")), lit(1L))
         .as("s2v"))
-      .localCheckpoint(true)
+    // state carries the round-invariant preconditioner; the gradient folds
+    // to one map row per round (the clfWeights shape)
     var w = s.range(0, CrossDims + 1L)
       .select(col("id").cast("int").as("i"), lit(0L).as("wv"))
+      .join(s2, Seq("i"))
       .localCheckpoint(true)
     for (r <- 1 to CrossRounds) {
       val wArr = w.groupBy()
         .agg(transform(array_sort(collect_list(struct(col("i"), col("wv")))),
           x => x.getField("wv")).as("wa"))
-      val grad = feats.crossJoin(broadcast(wArr))
+      val gm = feats.crossJoin(broadcast(wArr))
         .select(col("y"), col("x"), expr("q_dot(x, wa)").as("sc"))
         .filter(col("y") * col("sc") <= 0)
         .select(col("y"), posexplode(col("x")).as(Seq("i", "xi")))
         .groupBy("i").agg(sum(col("y") * col("xi")).as("g"))
-      // model-sized frames: broadcast both so the update is a map over
-      // the checkpointed state (the clfWeights rationale)
-      w = w.join(broadcast(grad), Seq("i"), "left")
-        .join(broadcast(s2), Seq("i"))
+        .groupBy().agg(map_from_arrays(collect_list(col("i")),
+          collect_list(col("g"))).as("gm"))
+      w = w.crossJoin(broadcast(gm))
         .select(col("i"), (col("wv") + expr(
-          s"cast(((coalesce(g, 0) * $ClfK) - ((coalesce(g, 0) * $ClfK) " +
+          s"cast(((coalesce(element_at(gm, i), 0) * $ClfK) " +
+            s"- ((coalesce(element_at(gm, i), 0) * $ClfK) " +
             s"% (s2v * $r) + (s2v * $r)) % (s2v * $r)) div (s2v * $r) " +
-            "as bigint)")).as("wv"))
+            "as bigint)")).as("wv"), col("s2v"))
         .localCheckpoint(true)
     }
-    w
+    w.select(col("i"), col("wv"))
   }
 
   /** Gate: the measured linear-vs-crossed comparison on the planted
@@ -539,16 +546,29 @@ object Filtering {
     // The arithmetic is IDENTICAL to the split form, so the unrolled
     // oracle (which keeps the two-frame shape for readability) and the
     // gate hash are unchanged.
+    // state carries the round-invariant preconditioner and corpus count
+    // (s2v null on the two threshold rows, which use nd instead)
     var st = s.range(0, ClfBuckets + 3)
       .select(col("id").cast("int").as("i"), lit(0L).as("wv"))
+      .join(s2, Seq("i"), "left")
+      .crossJoin(broadcast(nd))
       .localCheckpoint(true)
+    // the floor-step expression shared by every update arm
+    def step(g: String, dn: String): String =
+      s"cast(((($g) * $ClfK) - ((($g) * $ClfK) % ($dn) + ($dn)) " +
+        s"% ($dn)) div ($dn) as bigint)"
     for (r <- 1 to ClfRounds) {
       // q_dot truncates to the shorter array, so the 67-long state array
       // against the 65-long feature vector scores weights only
       val stArr = st.groupBy()
         .agg(transform(array_sort(collect_list(struct(col("i"), col("wv")))),
           x => x.getField("wv")).as("sa"))
-      val grad = feats.crossJoin(broadcast(stArr))
+      // the whole gradient folds to ONE map row; the update is then a
+      // pure map over the state, and the PRank θ re-sort folds into the
+      // SAME update expression (both new θ values are computable per row
+      // from the broadcast sa + gm), so each round is ONE corpus pass
+      // and ONE checkpoint — the former second θ-sort checkpoint is gone
+      val gm = feats.crossJoin(broadcast(stArr))
         .select(col("tier"), col("x"), expr("q_dot(x, sa)").as("sc"),
           expr(s"element_at(sa, ${ClfBuckets + 2})").as("th0"),
           expr(s"element_at(sa, ${ClfBuckets + 3})").as("th1"))
@@ -569,32 +589,26 @@ object Filtering {
           "'gc', -yt)))")).as("e"))
         .select(col("e.i").as("i"), col("e.gc").as("gc"))
         .groupBy("i").agg(sum(col("gc")).as("g"))
-      // model-sized joins broadcast (the clfWeights rationale)
-      val u = st.join(broadcast(grad), Seq("i"), "left")
-        .join(broadcast(s2), Seq("i"), "left")
-        .crossJoin(broadcast(nd))
-        .withColumn("dnm", when(col("i") <= ClfBuckets,
-          col("s2v") * (2L * r)).otherwise(col("nd") * r.toLong))
-        .select(col("i"), (col("wv") + expr(
-          s"cast(((coalesce(g, 0) * $ClfK) - ((coalesce(g, 0) * $ClfK) " +
-            s"% dnm + dnm) % dnm) div dnm as bigint)"))
-          .as("wv"))
-      st = u.localCheckpoint(true)
-      // θ consistency (the PRank sort): a second, corpus-free checkpoint
-      // over the 67 materialized rows. (A fused single-checkpoint variant
-      // was measured SLOWER: referencing the lazy update twice in one
-      // plan re-executed the gradient's corpus pass — the broadcast
-      // exchange is not reused across the two references.)
-      val thAgg = st.filter(col("i") > ClfBuckets)
-        .agg(min(col("wv")).as("lo"), max(col("wv")).as("hi"))
-      st = st.crossJoin(broadcast(thAgg))
-        .select(col("i"),
-          when(col("i") === ClfBuckets + 1, col("lo"))
-            .when(col("i") === ClfBuckets + 2, col("hi"))
-            .otherwise(col("wv")).as("wv"))
+        .groupBy().agg(map_from_arrays(collect_list(col("i")),
+          collect_list(col("g"))).as("gm"))
+      // new θ values (pre-sort), identical to the former two-step form:
+      // old θ_t from the broadcast state array + its own floor step
+      val th0n = s"(element_at(sa, ${ClfBuckets + 2}) + " +
+        step(s"coalesce(element_at(gm, ${ClfBuckets + 1}), 0)",
+          s"nd * $r") + ")"
+      val th1n = s"(element_at(sa, ${ClfBuckets + 3}) + " +
+        step(s"coalesce(element_at(gm, ${ClfBuckets + 2}), 0)",
+          s"nd * $r") + ")"
+      st = st.crossJoin(broadcast(gm)).crossJoin(broadcast(stArr))
+        .select(col("i"), expr(
+          s"case when i <= $ClfBuckets then wv + " +
+            step("coalesce(element_at(gm, i), 0)", s"s2v * ${2L * r}") +
+            s" when i = ${ClfBuckets + 1} then least($th0n, $th1n)" +
+            s" else greatest($th0n, $th1n) end").as("wv"),
+          col("s2v"), col("nd"))
         .localCheckpoint(true)
     }
-    val w = st.filter(col("i") <= ClfBuckets)
+    val w = st.filter(col("i") <= ClfBuckets).select(col("i"), col("wv"))
     val th = st.filter(col("i") > ClfBuckets)
       .groupBy().agg(
         min(when(col("i") === ClfBuckets + 1, col("wv"))).as("th0"),
@@ -1741,7 +1755,7 @@ object Filtering {
     * the same hashed-bucket machinery as [[clfFeats]].
     */
   private def langidFeats(s: SparkSession, dir: String): DataFrame =
-    graft.Memo.cached(s, "langid_feats", dir) {
+    graft.Memo.cachedLeaf(s, "langid_feats", dir) {
       val aug = Tables.documents(s, dir)
         .select(col("doc_id"), col("lang"), col("text"),
           langidSfxCol.as("sfx"))
@@ -1778,7 +1792,7 @@ object Filtering {
     * as [[clfPrecond]]; one frame for all five one-vs-rest problems).
     */
   private def langidS2(s: SparkSession, dir: String): DataFrame =
-    graft.Memo.cached(s, "langid_s2", dir) {
+    graft.Memo.cachedLeaf(s, "langid_s2", dir) {
       langidFeats(s, dir)
         .select(posexplode(col("x")).as(Seq("i", "xi")))
         .groupBy("i").agg(greatest(sum(col("xi") * col("xi")), lit(1L))
@@ -1797,16 +1811,21 @@ object Filtering {
       val feats = langidFeats(s, dir)
       val s2 = langidS2(s, dir)
       import s.implicits._
+      // state carries the round-invariant preconditioner (the clfWeights
+      // shape); the gradient folds to one dim→g map row PER CLASS, so the
+      // update is a 5-row broadcast join — no per-round model shuffle and
+      // one fewer broadcast exchange per round
       var w = LangidLangs.toDF("clang")
         .crossJoin(s.range(0, LangidBuckets + 1)
           .select(col("id").cast("int").as("i")))
         .select(col("clang"), col("i"), lit(0L).as("wv"))
+        .join(s2, Seq("i"))
         .localCheckpoint(true)
       for (r <- 1 to LangidRounds) {
         val wArr = w.groupBy("clang")
           .agg(transform(array_sort(collect_list(struct(col("i"), col("wv")))),
             x => x.getField("wv")).as("wa"))
-        val grad = feats.crossJoin(broadcast(wArr))
+        val gm = feats.crossJoin(broadcast(wArr))
           .select(col("clang"),
             when(col("lang") === col("clang"), 1L).otherwise(-1L).as("y"),
             when(col("lang") === col("clang"), LangidPosW.toLong)
@@ -1816,18 +1835,19 @@ object Filtering {
           .select(col("clang"), col("yw"),
             posexplode(col("x")).as(Seq("i", "xi")))
           .groupBy("clang", "i").agg(sum(col("yw") * col("xi")).as("g"))
-        // model-sized frames (5 × 66 and 66 rows): broadcast both so the
-        // update is a map over the checkpointed state — no per-round
-        // shuffle of the model frame
-        w = w.join(broadcast(grad), Seq("clang", "i"), "left")
-          .join(broadcast(s2), Seq("i"))
+          .groupBy("clang").agg(map_from_arrays(collect_list(col("i")),
+            collect_list(col("g"))).as("gm"))
+        // left join: a class with zero misclassifications this round has
+        // no gm row — its null map reads as an all-zero gradient
+        w = w.join(broadcast(gm), Seq("clang"), "left")
           .select(col("clang"), col("i"), (col("wv") + expr(
-            s"cast(((coalesce(g, 0) * $ClfK) - ((coalesce(g, 0) * $ClfK) " +
+            s"cast(((coalesce(element_at(gm, i), 0) * $ClfK) " +
+              s"- ((coalesce(element_at(gm, i), 0) * $ClfK) " +
               s"% (s2v * $r) + (s2v * $r)) % (s2v * $r)) div (s2v * $r) " +
-              "as bigint)")).as("wv"))
+              "as bigint)")).as("wv"), col("s2v"))
           .localCheckpoint(true)
       }
-      w
+      w.select(col("clang"), col("i"), col("wv"))
     }
 
   /** Gate: MODEL-GRADE LANGUAGE ID — a hashed char-trigram one-vs-rest

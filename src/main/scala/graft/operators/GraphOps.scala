@@ -38,7 +38,12 @@ object GraphOps {
     * type free — vector ids for the kNN graph, site strings for the link
     * graph). Returns `(v, pr)` with the integer rank.
     */
-  private def pagerankOver(edges: DataFrame): DataFrame = {
+  private def pagerankOver(edges0: DataFrame): DataFrame = {
+    // the edge frame is referenced ~3× per iteration (contribution join,
+    // out-degree, node spine) — hand the loop a LEAF so the caller's edge
+    // build (regex extraction for the site graph) runs once, not 3·Iters
+    // times
+    val edges = edges0.localCheckpoint(true)
     val nodes = edges.select(col("src").as("v"))
       .union(edges.select(col("nbr").as("v"))).distinct()
     val odeg = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
@@ -81,7 +86,7 @@ object GraphOps {
     * blocklist filter share it like production shares the crawl ranking.
     */
   private def sitePrOf(s: SparkSession, dir: String): DataFrame =
-    graft.Memo.cached(s, "site_pr", dir) {
+    graft.Memo.cachedLeaf(s, "site_pr", dir) {
       val page = concat(
         lit("<html><body><p>doc "), col("doc_id"), lit("</p>"),
         lit("<a href=\"http://site"), col("doc_id") % 10,

@@ -53,7 +53,7 @@ object Hnsw {
 
   /** (vec_id, level): geometric with ratio 1/4 from the md5 draw. */
   private[operators] def levels(s: SparkSession, dir: String): DataFrame =
-    graft.Memo.cached(s, "hnsw_levels", dir) {
+    graft.Memo.cachedLeaf(s, "hnsw_levels", dir) {
       Similarity.qdf(s, dir).select(col("vec_id"))
         .withColumn("u", expr(uExpr))
         .select(col("vec_id"),
@@ -83,7 +83,7 @@ object Hnsw {
   private[operators] def layerEdges(s: SparkSession, dir: String,
                                     l: Int, m: Int = M): DataFrame =
     if (l == 0) Similarity.knnGraphOf(s, dir, m)
-    else graft.Memo.cached(s,
+    else graft.Memo.cachedLeaf(s,
       if (m == M) s"hnsw_layer_$l" else s"hnsw_layer_${l}_m$m", dir) {
       val verts = levels(s, dir).filter(col("level") >= l).select("vec_id")
       val qn = Similarity.qdf(s, dir).join(verts, "vec_id")

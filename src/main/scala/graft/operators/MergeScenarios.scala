@@ -129,11 +129,11 @@ object MergeScenarios {
   // persistence the whole derivation subtree re-scans at every appearance:
   // ~150 parquet scans for the apply alone)
   private def curC(s: SparkSession, dir: String): DataFrame =
-    graft.Memo.cached(s, "merge_cur", dir)(cur(s, dir))
+    graft.Memo.cachedLeaf(s, "merge_cur", dir)(cur(s, dir))
   private def incomingC(s: SparkSession, dir: String): DataFrame =
-    graft.Memo.cached(s, "merge_incoming", dir)(incoming(s, dir))
+    graft.Memo.cachedLeaf(s, "merge_incoming", dir)(incoming(s, dir))
   private def actionsC(s: SparkSession, dir: String): DataFrame =
-    graft.Memo.cached(s, "merge_actions", dir)(
+    graft.Memo.cachedLeaf(s, "merge_actions", dir)(
       Merge.changesetActions(curC(s, dir), incomingC(s, dir),
         changeKeys(s, dir), OrdersKey, uniqueCols = Seq("o_uniq")))
 
@@ -158,7 +158,7 @@ object MergeScenarios {
     * a hash match proves apply ∘ invert = identity.
     */
   def changesetInvert(s: SparkSession, dir: String): DataFrame = {
-    val applied = graft.Memo.cached(s, "merge_applied", dir)(
+    val applied = graft.Memo.cachedLeaf(s, "merge_applied", dir)(
       Merge.applyActions(curC(s, dir), incomingC(s, dir), actionsC(s, dir),
         OrdersKey))
     Merge.applyActions(applied, curC(s, dir),
@@ -217,7 +217,7 @@ object MergeScenarios {
     * `o_uniq`, different key) force the old keys into the change set.
     */
   def fixChangedIncKeys(s: SparkSession, dir: String): DataFrame = {
-    val b = graft.Memo.cached(s, "merge_base", dir)(base(s, dir))
+    val b = graft.Memo.cachedLeaf(s, "merge_base", dir)(base(s, dir))
     val rekeyed = b.filter(col("o_orderkey") % 13 === 0)
       .withColumn("o_orderkey", col("o_orderkey") + 1000000)
     Merge.missedKeyChanges(b, rekeyed, rekeyed.select("o_orderkey"),
@@ -310,7 +310,7 @@ object MergeScenarios {
     */
   def incrementalJoin(s: SparkSession, dir: String): DataFrame = {
     val dim = Tables.customer(s, dir).select(col("c_custkey"), col("c_mktsegment"))
-    val old = graft.Memo.cached(s, "merge_join_old", dir) {
+    val old = graft.Memo.cachedLeaf(s, "merge_join_old", dir) {
       val f = curC(s, dir)
       f.join(broadcast(dim), f("o_custkey") === dim("c_custkey"))
         .select((f.columns.map(col) :+ col("c_mktsegment")).toIndexedSeq: _*)

@@ -173,7 +173,7 @@ object Multimodal {
   def withImagePayload(s: SparkSession, dir: String): DataFrame =
     // memoized: the decode and resize gates share one PNG generation pass
     // (in production the payloads are a stored binary column, not derived)
-    graft.Memo.cached(s, "mm_image_payload", dir)(genImagePayload(s, dir))
+    graft.Memo.cachedLeaf(s, "mm_image_payload", dir)(genImagePayload(s, dir))
 
   private def genImagePayload(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -464,7 +464,7 @@ object Multimodal {
     * the samples.
     */
   def withAudioPayload(s: SparkSession, dir: String): DataFrame =
-    graft.Memo.cached(s, "mm_audio_payload", dir) {
+    graft.Memo.cachedLeaf(s, "mm_audio_payload", dir) {
       import s.implicits._
       Tables.documents(s, dir).select("doc_id").as[Long]
         .mapPartitions { it =>
@@ -511,7 +511,7 @@ object Multimodal {
     // recomputable from the generator arithmetic — equality is
     // spec-pinned, and a 100× probe prices the accounting machinery
     // instead of 10^6 WAV container round-trips.
-    graft.Memo.cached(s, "audio_decoded", dir)(
+    graft.Memo.cachedLeaf(s, "audio_decoded", dir)(
       if (sys.env.contains("SPARK_GRAFT_AUDIO_DIRECT"))
         audioFramesDirect(s, dir, resampled = false)
       else decodeAudioUncached(s, dir, batchSize))
@@ -628,7 +628,7 @@ object Multimodal {
                     batchSize: Int = 64): DataFrame =
     // memoized like decodeAudio — same multi-consumer codec pass, same
     // probe-only escape hatch
-    graft.Memo.cached(s, "audio_resampled", dir)(
+    graft.Memo.cachedLeaf(s, "audio_resampled", dir)(
       if (sys.env.contains("SPARK_GRAFT_AUDIO_DIRECT"))
         audioFramesDirect(s, dir, resampled = true)
       else resampleAudioUncached(s, dir, batchSize))
@@ -756,7 +756,7 @@ object Multimodal {
     */
   private[graft] def phashesOf(s: SparkSession, dir: String,
                                    batchSize: Int = 64): DataFrame =
-    graft.Memo.cached(s, "mm_phashes", dir) {
+    graft.Memo.cachedLeaf(s, "mm_phashes", dir) {
       // probe-mode escape hatch: at 100× probe scale the per-image PNG
       // encode+decode is a CODEC CONSTANT (embarrassingly parallel,
       // already oracle+digest-gated at the correctness SFs) that buries
@@ -918,7 +918,7 @@ object Multimodal {
   // gate, the cluster gate, the stream maintainer, both composed mm
   // pipelines) — each re-ran the band join + popcount verify before r17
   def phashPairs(s: SparkSession, dir: String): DataFrame =
-    graft.Memo.cached(s, "mm_phash_pairs", dir)(
+    graft.Memo.cachedLeaf(s, "mm_phash_pairs", dir)(
       hammingBandPairs(phashesOf(s, dir), PhashMaxHamming))
 
   /** Banded hamming near-dup pair search over ANY 64-bit signature frame

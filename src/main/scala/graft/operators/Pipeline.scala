@@ -268,11 +268,11 @@ object Pipeline {
     // because it feeds TWO plan subtrees here (the eval probe and the
     // survivor-restricted removal join; review finding, r14), and
     // across gates it is the base-store memo the r16 verdict asked for
-    val grams = graft.Memo.cached(s, "pl_grams", dir)(
+    val grams = graft.Memo.cachedLeaf(s, "pl_grams", dir)(
       SubstringDedup.gramsOf(
         Tables.documents(s, dir).select(col("doc_id"), col("text")),
         CorpusFilters.SpanK))
-    val evalG = graft.Memo.cached(s, "pl_evalg", dir)(
+    val evalG = graft.Memo.cachedLeaf(s, "pl_evalg", dir)(
       grams.filter(col("doc_id") % evalMod === 0)
         .select(col("g")).distinct())
     val tr4 = s3.filter(col("doc_id") % evalMod =!= 0)

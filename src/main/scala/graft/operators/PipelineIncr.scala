@@ -140,11 +140,11 @@ object PipelineIncr {
     // (session, dir) — before r17 pipeline_e2e re-exploded the corpus
     // grams the incr gates had just built (the base-store memo, verdict
     // r16 minor)
-    val grams = graft.Memo.cached(s, "pl_grams", dir)(
+    val grams = graft.Memo.cachedLeaf(s, "pl_grams", dir)(
       SubstringDedup.gramsOf(docs.select(col("doc_id"), col("text")), spanK))
     // the eval gram set feeds BOTH remOf calls (base + batch) —
     // unmaterialized, each call re-ran the distinct over the gram frame
-    val evalG = graft.Memo.cached(s, "pl_evalg", dir)(
+    val evalG = graft.Memo.cachedLeaf(s, "pl_evalg", dir)(
       grams.filter(col("doc_id") % evalMod === 0)
         .select(col("g")).distinct())
     val quality = TextOps.qualityDf(s, dir)

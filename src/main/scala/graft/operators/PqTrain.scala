@@ -78,7 +78,7 @@ object PqTrain {
     */
   private[operators] def codebookCandidates(s: SparkSession,
                                             dir: String): DataFrame =
-    graft.Memo.cached(s, "pq_pll_cand", dir) {
+    graft.Memo.cachedLeaf(s, "pq_pll_cand", dir) {
       val subs = subsOf(s, dir)
       val first = Similarity.qdf(s, dir)
         .agg(min(col("vec_id"))).head().getLong(0) // scalar aggregate

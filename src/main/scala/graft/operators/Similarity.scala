@@ -53,7 +53,7 @@ object Similarity {
     */
   private[operators] def qdf(s: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(s)
-    graft.Memo.cached(s, "sim_qvecs", dir) {
+    graft.Memo.cachedLeaf(s, "sim_qvecs", dir) {
       Tables.embeddings(s, dir)
         .select(col("vec_id"), expr(QvecExpr).as("q"))
         .withColumn("n2", expr("q_dot(q, q)"))
@@ -214,7 +214,7 @@ object Similarity {
     * that stops covering the corpus fails LOUDLY, not quadratically.
     */
   private[graft] def dupBandsOf(s: SparkSession, dir: String): DataFrame =
-    graft.Memo.cached(s, "emb_dup_bands", dir) {
+    graft.Memo.cachedLeaf(s, "emb_dup_bands", dir) {
       val n = Tables.embeddings(s, dir).count()
       val w = widthFor(n)
       val qn = qdf(s, dir)
@@ -306,7 +306,7 @@ object Similarity {
     * covering the corpus.
     */
   private def dupPairsScored(s: SparkSession, dir: String): DataFrame =
-    graft.Memo.cached(s, "emb_dup_pairs", dir) {
+    graft.Memo.cachedLeaf(s, "emb_dup_pairs", dir) {
       val qn = qdf(s, dir)
       val bands = dupBandsOf(s, dir)
       val cand = bands.alias("a")
@@ -1172,7 +1172,7 @@ object Similarity {
     * q/n2 through (functionally dependent on vec_id).
     */
   private def ivfCellsOf(s: SparkSession, dir: String): DataFrame =
-    graft.Memo.cached(s, "ivf_cells", dir) {
+    graft.Memo.cachedLeaf(s, "ivf_cells", dir) {
       ivfAsgOf(s, dir).groupBy(col("vec_id"))
         .agg(min_by(col("cid"), struct(col("d2"), col("cid"))).as("cell"),
           first(col("q")).as("q"), first(col("n2")).as("n2"))
@@ -1882,7 +1882,7 @@ object Similarity {
     * a cheap per-anchor window over it.
     */
   private[operators] def knnScoredOf(s: SparkSession, dir: String): DataFrame =
-    graft.Memo.cached(s, "knn_scored", dir) {
+    graft.Memo.cachedLeaf(s, "knn_scored", dir) {
       val qn = qdf(s, dir)
       val buckets = qn.select(col("vec_id"),
         posexplode(array((0 until LshTables).map(tableBucketCol): _*))
@@ -1910,7 +1910,7 @@ object Similarity {
     */
   private[operators] def knnGraphOf(s: SparkSession, dir: String,
                                     k: Int = 3): DataFrame =
-    graft.Memo.cached(s,
+    graft.Memo.cachedLeaf(s,
       if (k == 3) "knn_graph" else s"knn_graph_k$k", dir) {
       val w = Window.partitionBy(col("probe_id"))
         .orderBy(col("cos_raw").desc, col("vec_id"))
@@ -2216,7 +2216,7 @@ object Similarity {
   def embedMrl(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
     // k in the memo key: a k=10 call must not reuse a k=5 baseline (the
     // minhash_pairs_$threshold convention)
-    val exact = graft.Memo.cached(s, s"ann_exact_ids_$k", dir) {
+    val exact = graft.Memo.cachedLeaf(s, s"ann_exact_ids_$k", dir) {
       annTopk(s, dir, k).select(col("probe_id"), col("vec_id"))
     }
     val qn = qdf(s, dir)
@@ -2283,7 +2283,7 @@ object Similarity {
   def ivfNprobeSweep(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
     val asg = ivfAsgOf(s, dir)
     val cells = ivfCellsOf(s, dir)
-    val exact = graft.Memo.cached(s, s"ann_exact_ids_$k", dir) {
+    val exact = graft.Memo.cachedLeaf(s, s"ann_exact_ids_$k", dir) {
       annTopk(s, dir, k).select(col("probe_id"), col("vec_id"))
     }
     val pw = Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("cid"))

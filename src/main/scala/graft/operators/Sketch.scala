@@ -87,7 +87,7 @@ object Sketch {
     * vocabulary would fall in the exact n<k branch).
     */
   private[graft] def kmvWl(s: SparkSession, dir: String): DataFrame =
-    graft.Memo.cached(s, "kmv_wl", dir) {
+    graft.Memo.cachedLeaf(s, "kmv_wl", dir) {
       Dedup.shinglesOf(s, dir)
         .join(Tables.documents(s, dir).select("doc_id", "lang"), "doc_id")
         .select(col("lang"), col("sh").as("w"))

@@ -26,12 +26,11 @@ import org.apache.spark.sql.functions._
   *     the extra offset joins ride the same shuffle while the per-round
   *     fixed cost — the boundary pick, the materialization, the rank
   *     join — is paid half as often (measured 33 s → 19 s at sf0.1);
-  *  3. dense ranking is DISTINCT quadruples → [[DistRank.rowNumber]]
-  *     (the two-phase boundary-broadcast rank — row_number over a
-  *     distinct frame IS the dense rank of the original) → equi-join
-  *     back. No global window anywhere; each round is O(corpus) shuffle
-  *     keyed by the rank tuple, and ⌈log4 maxlen⌉ rounds finish the
-  *     order.
+  *  3. dense ranking is the direct two-phase [[DistRank.denseRank]]
+  *     (boundary-broadcast slices, slice-local dense_rank, distinct-count
+  *     offsets). No global window anywhere; each round is O(corpus)
+  *     shuffle keyed by the rank tuple, and ⌈log4 maxlen⌉ rounds finish
+  *     the order.
   *
   * Every round materializes through [[barrier]] and caches its pair
   * frame for the round's two consumers (the boundary pick and the rank
@@ -156,21 +155,20 @@ object SuffixArray {
     ck.sparkSession.createDataFrame(ck.rdd, ck.schema)
   }
 
-  /** Dense rank of `df` over `keys` (ascending): row_number over the
-    * distinct key frame via the two-phase DistRank, joined back. The
-    * distinct frame is O(|df|) worst-case but carries only the key
-    * columns; the join back is an equi-join on the full key.
+  /** Dense rank of `df` over `keys` (ascending) — the direct
+    * [[DistRank.denseRank]] (slice-local dense_rank + distinct-count
+    * offsets), value-identical to the former row_number-over-distinct
+    * joined back but without the distinct-frame build and the key
+    * join-back — two corpus-scale shuffles fewer per doubling round.
     */
   private def denseRank(df: DataFrame, keys: Seq[String],
-                        out: String): DataFrame = {
-    val dk = df.select(keys.map(col): _*).distinct()
-      .withColumn("__all", lit(0L))
-      .withColumn("__hk",
-        concat_ws(":", keys.map(c => col(c).cast("string")): _*))
-    val ranked = DistRank.rowNumber(dk, "__all", keys.map(col), "__hk", out)
+                        out: String): DataFrame =
+    DistRank.denseRank(
+      df.withColumn("__all", lit(0L))
+        .withColumn("__hk",
+          concat_ws(":", keys.map(c => col(c).cast("string")): _*)),
+      "__all", keys.map(col), "__hk", out)
       .drop("__all", "__hk")
-    df.join(ranked, keys)
-  }
 
   /** The round-j rank table (doc_id, p, r), memoized per (session, dir).
     * Round j's rank orders positions by their first 4^(j+1) tokens —
@@ -205,8 +203,9 @@ object SuffixArray {
     for (i <- 1 to 3)
       paired = paired.withColumn(s"t$i",
         coalesce(lead(col("tok"), i * o).over(w), lit(pad)))
-    // two consumers (boundary pick, rank join) read the pair frame;
-    // cache for the round, release once the barrier materialized
+    // three passes read the pair frame (boundary sample, slice totals,
+    // the ranked window); cache for the round, release once the barrier
+    // materialized
     val shared = paired.cache()
     val out = barrier(
       denseRank(shared, keys, "rn")

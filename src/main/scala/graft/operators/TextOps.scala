@@ -91,17 +91,21 @@ object TextOps {
     * formula, kept in sync) as a joinable frame for downstream canonical
     * selection ([[Clustering]]'s keep-best dedup).
     */
-  private[operators] def qualityDf(s: SparkSession, dir: String): DataFrame = {
-    val nWords = size(words)
-    val punctRatio =
-      length(regexp_replace(lower(col("text")), "[a-z0-9\\s]", ""))
-        .cast("double") / length(col("text"))
-    val stopRatio = hits(Stoplists.en).cast("double") / nWords
-    Tables.documents(s, dir).select(col("doc_id"),
-      round(least(lit(1.0), nWords.cast("double") / 100.0)
-        * (lit(1.0) - punctRatio) * (lit(0.5) + lit(0.5) * stopRatio), 6)
-        .as("quality"))
-  }
+  private[operators] def qualityDf(s: SparkSession, dir: String): DataFrame =
+    // memoized LEAF: the composite is a regex-heavy corpus pass consumed
+    // by a dozen gates (keep-best, every composed pipeline, the
+    // classifier labels, the layout audits) — each used to re-run it
+    graft.Memo.cachedLeaf(s, "doc_quality", dir) {
+      val nWords = size(words)
+      val punctRatio =
+        length(regexp_replace(lower(col("text")), "[a-z0-9\\s]", ""))
+          .cast("double") / length(col("text"))
+      val stopRatio = hits(Stoplists.en).cast("double") / nWords
+      Tables.documents(s, dir).select(col("doc_id"),
+        round(least(lit(1.0), nWords.cast("double") / 100.0)
+          * (lit(1.0) - punctRatio) * (lit(0.5) + lit(0.5) * stopRatio), 6)
+          .as("quality"))
+    }
 
   /** Oracle twin of [[qualityDf]]: CTE `dq(doc_id, quality)`. */
   private[operators] val docQualityCteSql: String = {
@@ -321,7 +325,7 @@ object TextOps {
     // memoized: the selection feeds three plan branches (census + both
     // sides of the partner join) and Spark re-evaluates uncached subtrees
     // per branch — measured as 3 full gram/window recomputes in .explain
-    graft.Memo.cached(s, "winnow_sel", dir) {
+    graft.Memo.cachedLeaf(s, "winnow_sel", dir) {
       wins.withColumn("rn", rn).filter(col("rn") === 1)
         .select("doc_id", "p", "h").distinct()
     }
@@ -420,7 +424,7 @@ object TextOps {
       .filter(col("df") <= maxDf).select("fp")
     // the memo key carries maxDf: a later call with a different cap must
     // not be served the frame built with the other one
-    val fp = graft.Memo.cached(s, s"containment_fp_$maxDf", dir)(
+    val fp = graft.Memo.cachedLeaf(s, s"containment_fp_$maxDf", dir)(
       all.join(rare, "fp"))
     fp.alias("a")
       .join(fp.alias("b"),

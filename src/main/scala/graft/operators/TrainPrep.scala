@@ -102,7 +102,7 @@ object TrainPrep {
 
   /** Shared (doc_id, token) pairs — one row per occurrence. */
   private def docTokens(s: SparkSession, dir: String): DataFrame =
-    graft.Memo.cached(s, "doc_tokens", dir) {
+    graft.Memo.cachedLeaf(s, "doc_tokens", dir) {
       Tables.documents(s, dir)
         .select(col("doc_id"), explode(split(norm, " ")).as("w"))
     }
@@ -1565,7 +1565,7 @@ object TrainPrep {
     */
   def packEfficiency(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val docs = graft.Memo.cached(s, "packeff_docs", dir) {
+    val docs = graft.Memo.cachedLeaf(s, "packeff_docs", dir) {
       Tables.documents(s, dir)
         .select(col("doc_id"), size(split(norm, " ")).cast("long").as("n"))
     }
@@ -1623,16 +1623,28 @@ object TrainPrep {
     var reach = cfgMeta.select(col("cfg"), lit(0L).as("x"))
     var f = f0
     for (t <- 1 to rounds) {
-      reach = reach.unionByName(
-          reach.join(f, Seq("cfg", "x")).select(col("cfg"),
-            col("fx").as("x")))
-        .localCheckpoint(true)
-      if (t < rounds)
-        f = f.join(
+      val nextReach = reach.unionByName(
+        reach.join(f, Seq("cfg", "x")).select(col("cfg"),
+          col("fx").as("x")))
+      if (t < rounds) {
+        // ONE checkpoint action per round, not two: the stepped reach and
+        // the doubled f ride one tagged union and split back as leaf
+        // filters — at gate scale the checkpoint ACTION is the round's
+        // dominant cost (both frames are O(bins) rows)
+        val nextF = f.join(
             f.select(col("cfg"), col("x").as("fx"), col("fx").as("fx2")),
             Seq("cfg", "fx"))
           .select(col("cfg"), col("x"), col("fx2").as("fx"))
+        val both = nextReach
+          .select(col("cfg"), col("x"), lit(null).cast("long").as("fx"),
+            lit("r").as("side"))
+          .unionByName(nextF.select(col("cfg"), col("x"), col("fx"),
+            lit("f").as("side")))
           .localCheckpoint(true)
+        reach = both.filter(col("side") === "r").select("cfg", "x")
+        f = both.filter(col("side") === "f").select("cfg", "x", "fx")
+      } else
+        reach = nextReach.localCheckpoint(true)
     }
     reach = reach.distinct()
     // per-cfg totals from cfgMeta LEFT-joined so a budget with ZERO
@@ -1697,7 +1709,7 @@ object TrainPrep {
     // is n_bins − 1 full bins in decile 9 plus the final partial fill's
     // decile (merged arithmetic — never a duplicate-key map, which Spark
     // rejects by default).
-    val cumAll = graft.Memo.cached(s, "packeff_cum_doc", dir) {
+    val cumAll = graft.Memo.cachedLeaf(s, "packeff_cum_doc", dir) {
       DistRank.runningSum(docs.withColumn("__all", lit(0L)), "__all",
         Seq(col("doc_id")), "doc_id", col("n"), "cum")
     }

@@ -99,7 +99,7 @@ object Unigram {
 
   /** The distinct-word table (word, cnt), memoized per (session, dir). */
   private def words(s: SparkSession, dir: String): DataFrame =
-    Memo.cached(s, "ug_words", dir) {
+    Memo.cachedLeaf(s, "ug_words", dir) {
       Tables.documents(s, dir)
         .select(explode(split(norm, " ")).as("word"))
         .filter(col("word") =!= "")
@@ -118,7 +118,7 @@ object Unigram {
 
   /** The ≤ [[MaxPiece]]-char substring census, count-weighted. */
   private def census(s: SparkSession, dir: String): DataFrame =
-    Memo.cached(s, "ug_census", dir) {
+    Memo.cachedLeaf(s, "ug_census", dir) {
       words(s, dir)
         .withColumn("j", explode(sequence(lit(1), length(col("word")))))
         .withColumn("l", explode(sequence(lit(1),
@@ -211,7 +211,7 @@ object Unigram {
     * the round chain never compounds plans.
     */
   private[graft] def finalVocab(s: SparkSession, dir: String): DataFrame =
-    Memo.cached(s, "ug_vocab", dir) {
+    Memo.cachedLeaf(s, "ug_vocab", dir) {
       requireLens(s, dir)
       val w = words(s, dir)
       val sg = singles(s, dir)
@@ -225,7 +225,7 @@ object Unigram {
     * E-step, under the final vocabulary.
     */
   private[graft] def finalSegs(s: SparkSession, dir: String): DataFrame =
-    Memo.cached(s, "ug_segs", dir) {
+    Memo.cachedLeaf(s, "ug_segs", dir) {
       segment(words(s, dir), finalVocab(s, dir))
     }
 

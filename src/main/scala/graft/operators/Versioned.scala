@@ -174,7 +174,7 @@ object VersionedScenarios {
   // revision map — append-built and batch-built stores are bit-identical,
   // both gates hash the same oracle)
   private[operators] def store(s: SparkSession, dir: String): DataFrame =
-    graft.Memo.cached(s, "versioned_store", dir) {
+    graft.Memo.cachedLeaf(s, "versioned_store", dir) {
       Versioned.build(
         Seq(1 -> r1(s, dir), 2 -> r2(s, dir), 3 -> r3(s, dir)), "o_orderkey")
     }
@@ -281,7 +281,7 @@ object VersionedScenarios {
   def versionedAppend(s: SparkSession, dir: String): DataFrame = {
     // the pre-append store is what production reads from disk — memoized,
     // so the gate/bench measure the append, not a from-scratch rebuild
-    val store12 = graft.Memo.cached(s, "versioned_store12", dir)(
+    val store12 = graft.Memo.cachedLeaf(s, "versioned_store12", dir)(
       Versioned.build(Seq(1 -> r1(s, dir), 2 -> r2(s, dir)), "o_orderkey"))
     Versioned.appendRevision(store12, r3(s, dir), 3, "o_orderkey")
       .orderBy(col("o_orderkey"), col(Versioned.Created))

@@ -132,7 +132,7 @@ object Wordpiece {
 
   /** The trained segmentation table, memoized; fills [[mergesCache]]. */
   private def segsOf(s: SparkSession, dir: String): DataFrame =
-    graft.Memo.cached(s, "wp_segs", dir) {
+    graft.Memo.cachedLeaf(s, "wp_segs", dir) {
       val (merges, segs) = trainOn(Tables.documents(s, dir), Merges)
       mergesCache((s, dir)) = merges
       segs
@@ -148,7 +148,7 @@ object Wordpiece {
     * greedy matcher scans.
     */
   private def vocabOf(s: SparkSession, dir: String): DataFrame =
-    graft.Memo.cached(s, "wp_vocab", dir) {
+    graft.Memo.cachedLeaf(s, "wp_vocab", dir) {
       val merges = trainedMerges(s, dir)
       // seed singles = the position-tagged characters of the word table
       // (identical to exploding the seed segmentation's symbols)
@@ -226,7 +226,7 @@ object Wordpiece {
     * tokenize gate and the three-way parity).
     */
   private[operators] def wordSegs(s: SparkSession, dir: String): DataFrame =
-    graft.Memo.cached(s, "wp_wordsegs", dir) {
+    graft.Memo.cachedLeaf(s, "wp_wordsegs", dir) {
       wordSegsOf(s, dir,
         Tables.documents(s, dir)
           .select(explode(split(norm, " ")).as("word"))

@@ -461,15 +461,21 @@ object ZOrder {
     val q = TextOps.qualityDf(s, dir)
       .select(col("doc_id"),
         expr("cast(round(quality * 1000000) as bigint) div 100000").as("qb"))
-    val base = Tables.documents(s, dir)
+    // materialize the base and the two intermediate rank frames: each
+    // chained DistRank pass reads its input THREE times (boundary
+    // sample, slice totals, the ranked window), so left lazy the quality
+    // chain re-executed ~3× per pass, compounding to ~27× by the third
+    // rank (the customer_rfm lesson)
+    def leaf(df: DataFrame): DataFrame = df.localCheckpoint(true)
+    val base = leaf(Tables.documents(s, dir)
       .select(col("doc_id"),
         expr("cast(substring(source, 4) as bigint)").as("sidx"))
       .join(q, "doc_id")
-      .withColumn("__all", lit(0L))
-    val rs = DistRank.rowNumber(base, "__all",
-      Seq(col("sidx"), col("qb"), col("doc_id")), "doc_id", "rs")
-    val rq = DistRank.rowNumber(rs, "__all",
-      Seq(col("qb"), col("sidx"), col("doc_id")), "doc_id", "rq")
+      .withColumn("__all", lit(0L)))
+    val rs = leaf(DistRank.rowNumber(base, "__all",
+      Seq(col("sidx"), col("qb"), col("doc_id")), "doc_id", "rs"))
+    val rq = leaf(DistRank.rowNumber(rs, "__all",
+      Seq(col("qb"), col("sidx"), col("doc_id")), "doc_id", "rq"))
     val rc = DistRank.rowNumber(rq, "__all",
       Seq(col("doc_id")), "doc_id", "rc")
     val tot = base.agg(count(lit(1)).as("n"))

@@ -194,7 +194,7 @@ object ResumeScenarios {
     * run applied exactly the one new dataset.
     */
   def uploadResume(s: SparkSession, dir: String): DataFrame =
-    graft.Memo.cached(s, "upload_resume", dir)(resumed(s, dir)("orders").current)
+    graft.Memo.cachedLeaf(s, "upload_resume", dir)(resumed(s, dir)("orders").current)
       .orderBy(Key)
 
   val uploadResumeSql: String = s"""
@@ -206,7 +206,7 @@ object ResumeScenarios {
     * oracle's classification of inc2 against the level-0-era result.
     */
   def resumeStats(s: SparkSession, dir: String): DataFrame =
-    graft.Memo.cached(s, "upload_resume_stats", dir)(
+    graft.Memo.cachedLeaf(s, "upload_resume_stats", dir)(
       resumed(s, dir)("orders").bookkeeping)
       .orderBy("dataset")
 

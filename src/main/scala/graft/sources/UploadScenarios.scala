@@ -126,7 +126,7 @@ object UploadScenarios {
     * exactly the inputs incremental maintenance needs.
     */
   def uploadHookAgg(s: SparkSession, dir: String): DataFrame =
-    graft.Memo.cached(s, "upload_hook_agg", dir) {
+    graft.Memo.cachedLeaf(s, "upload_hook_agg", dir) {
       val root = buildRepo(s, dir)
       var state: DataFrame = null
       val maintain: Upload.PostApplyHook = ev =>
@@ -160,7 +160,7 @@ object UploadScenarios {
     * broadcast dimension; the fact table is never rescanned).
     */
   def uploadHookJoin(s: SparkSession, dir: String): DataFrame =
-    graft.Memo.cached(s, "upload_hook_join", dir) {
+    graft.Memo.cachedLeaf(s, "upload_hook_join", dir) {
       val root = buildRepo(s, dir)
       val dim = Tables.customer(s, dir)
         .select(col("c_custkey"), col("c_mktsegment"))

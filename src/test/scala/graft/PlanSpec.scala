@@ -7,8 +7,10 @@ import org.apache.spark.sql.DataFrame
   */
 class PlanSpec extends SparkSpec {
 
-  private def plan(df: DataFrame): String =
-    df.queryExecution.executedPlan.toString
+  // by-name + leaf-handover disabled: the spec asserts on BUILDER plans,
+  // which Memo.cachedLeaf otherwise truncates to a LogicalRDD scan
+  private def plan(df: => DataFrame): String =
+    Memo.withoutLeafHandover(df.queryExecution.executedPlan.toString)
 
   private def count(p: String, op: String): Int = op.r.findAllIn(p).length
 

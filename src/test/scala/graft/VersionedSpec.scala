@@ -55,8 +55,10 @@ class VersionedSpec extends SparkSpec {
   }
 
   test("scenario store: one shuffle exchange feeding the version window") {
-    val plan = VersionedScenarios.versionedTable(spark, sf)
-      .queryExecution.executedPlan.toString
+    // builder-plan assertion — bypass the memo leaf handover
+    val plan = Memo.withoutLeafHandover(
+      VersionedScenarios.versionedTable(spark, sf)
+        .queryExecution.executedPlan.toString)
     assert(plan.contains("Window"), "SCD2 must run as a window, not a loop")
   }
 
