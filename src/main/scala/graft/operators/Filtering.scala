@@ -403,14 +403,14 @@ object Filtering {
       val gm = feats.crossJoin(broadcast(wArr))
         .select(col("y"), col("x"), expr("q_dot(x, wa)").as("sc"))
         .filter(col("y") * col("sc") <= 0)
-        .select(col("y"), posexplode(col("x")).as(Seq("i", "xi")))
-        .groupBy("i").agg(sum(col("y") * col("xi")).as("g"))
-        .groupBy().agg(map_from_arrays(collect_list(col("i")),
-          collect_list(col("g"))).as("gm"))
+        .groupBy()
+        .agg(array((0 to CrossDims).map(i =>
+          coalesce(sum(col("y") * element_at(col("x"), i + 1)),
+            lit(0L))): _*).as("ga"))
       w = w.crossJoin(broadcast(gm))
         .select(col("i"), (col("wv") + expr(
-          s"cast(((coalesce(element_at(gm, i), 0) * $ClfK) " +
-            s"- ((coalesce(element_at(gm, i), 0) * $ClfK) " +
+          s"cast(((element_at(ga, i + 1) * $ClfK) " +
+            s"- ((element_at(ga, i + 1) * $ClfK) " +
             s"% (s2v * $r) + (s2v * $r)) % (s2v * $r)) div (s2v * $r) " +
             "as bigint)")).as("wv"), col("s2v"))
         .localCheckpoint(true)
@@ -568,6 +568,9 @@ object Filtering {
       // SAME update expression (both new θ values are computable per row
       // from the broadcast sa + gm), so each round is ONE corpus pass
       // and ONE checkpoint — the former second θ-sort checkpoint is gone
+      // ONE wide-aggregate gradient row: 65 per-dimension sums plus the
+      // two threshold sums (−yt per t), no zip_with explode, no
+      // dim-keyed shuffle
       val gm = feats.crossJoin(broadcast(stArr))
         .select(col("tier"), col("x"), expr("q_dot(x, sa)").as("sc"),
           expr(s"element_at(sa, ${ClfBuckets + 2})").as("th0"),
@@ -580,29 +583,25 @@ object Filtering {
           (col("sc") - when(col("t") === 0, col("th0"))
             .otherwise(col("th1"))).as("m"))
         .filter(col("yt") * col("m") <= 0)
-        // one exploded row set carries BOTH gradients: the 65 weight
-        // contributions yt·x_i and the threshold row (65+t, −yt)
-        .select(explode(expr(s"concat(zip_with(x, sequence(0, $ClfBuckets)" +
-          ", (xi, fi) -> named_struct('i', cast(fi as int), 'gc', " +
-          "yt * xi)), " +
-          s"array(named_struct('i', cast(t + ${ClfBuckets + 1} as int), " +
-          "'gc', -yt)))")).as("e"))
-        .select(col("e.i").as("i"), col("e.gc").as("gc"))
-        .groupBy("i").agg(sum(col("gc")).as("g"))
-        .groupBy().agg(map_from_arrays(collect_list(col("i")),
-          collect_list(col("g"))).as("gm"))
+        .groupBy()
+        .agg({
+          val gsums = (0 to ClfBuckets).map(i =>
+            coalesce(sum(col("yt") * element_at(col("x"), i + 1)),
+              lit(0L))) ++ Seq(
+            coalesce(sum(when(col("t") === 0, -col("yt"))), lit(0L)),
+            coalesce(sum(when(col("t") === 1, -col("yt"))), lit(0L)))
+          array(gsums: _*).as("ga")
+        })
       // new θ values (pre-sort), identical to the former two-step form:
       // old θ_t from the broadcast state array + its own floor step
       val th0n = s"(element_at(sa, ${ClfBuckets + 2}) + " +
-        step(s"coalesce(element_at(gm, ${ClfBuckets + 1}), 0)",
-          s"nd * $r") + ")"
+        step(s"element_at(ga, ${ClfBuckets + 2})", s"nd * $r") + ")"
       val th1n = s"(element_at(sa, ${ClfBuckets + 3}) + " +
-        step(s"coalesce(element_at(gm, ${ClfBuckets + 2}), 0)",
-          s"nd * $r") + ")"
+        step(s"element_at(ga, ${ClfBuckets + 3})", s"nd * $r") + ")"
       st = st.crossJoin(broadcast(gm)).crossJoin(broadcast(stArr))
         .select(col("i"), expr(
           s"case when i <= $ClfBuckets then wv + " +
-            step("coalesce(element_at(gm, i), 0)", s"s2v * ${2L * r}") +
+            step("element_at(ga, i + 1)", s"s2v * ${2L * r}") +
             s" when i = ${ClfBuckets + 1} then least($th0n, $th1n)" +
             s" else greatest($th0n, $th1n) end").as("wv"),
           col("s2v"), col("nd"))
