@@ -120,10 +120,16 @@ object Wordpiece {
         // parity holds exactly; counts deviate from Schuster–Nakajima/
         // Sennrich merge-all-occurrences semantics only on immediately-
         // repeated pairs within one word (absent from the gate corpora).
+        // the replace stays LAZY for a few rounds (successive projections
+        // collapse into one nested-replace expression), checkpointing
+        // every 5th merge to bound the nesting — the former EVERY-round
+        // segmentation checkpoint paid an action per merge for a
+        // vocab-sized frame, while a fully-unbounded chain is the
+        // plan-compounding OOM the [[Bpe]] loop documents
         segs = segs.withColumn("seg",
           expr(s"trim(replace(concat(' ', seg, ' '), " +
             s"' ${q(m.a)} ${q(m.b)} ', ' ${q(m.merged)} '))"))
-          .localCheckpoint()
+        if ((i + 1) % 5 == 0) segs = segs.localCheckpoint()
       }
       i += 1
     }
