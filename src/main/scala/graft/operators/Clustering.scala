@@ -81,6 +81,12 @@ object Clustering {
     * the wrong input there. Caller owns unpersisting the returned frame.
     */
   private[operators] def ccLabels(edges: DataFrame): DataFrame = {
+    // An r18 A/B routed this through the edge-contraction core
+    // ([[ccContract]]): the shallow survivor-restricted graphs here
+    // measured WORSE (the incremental pipelines' contracted graphs
+    // converge in 2-3 frontier rounds; the hook+flatten machinery costs
+    // more actions than it saves) — contraction stays the DEEP-graph
+    // variant ([[ccPointerJump]]), frontier propagation stays here.
     // FRONTIER-based min-label propagation: round 1 propagates from the
     // full label set, every later round joins only the labels that CHANGED
     // last round (the frontier, a lazy filter over the round's one cached
@@ -361,7 +367,22 @@ object Clustering {
     * or salted), so no reduce ever keys on a converging hot label.
     */
   def ccPointerJump(edges: DataFrame, jumpBroadcastMax: Long = 1L << 20,
-                    salt: Int = 16): DataFrame = {
+                    salt: Int = 16): DataFrame =
+    ccContract(
+      edges.select(col("src"), col("dst"))
+        .unionByName(edges.select(col("dst").as("src"),
+          col("src").as("dst"))),
+      "cluster", withChg = false, jumpBroadcastMax, salt)
+
+  /** The contraction core over an ALREADY-SYMMETRIC edge frame: labels
+    * every source node with its component minimum, returned PERSISTED
+    * and materialized as `(id, <labName>[, chg])` — the caller owns the
+    * unpersist, and gets the persisted frame itself (never a derived
+    * select, whose unpersist would be a no-op).
+    */
+  private def ccContract(und: DataFrame, labName: String, withChg: Boolean,
+                         jumpBroadcastMax: Long = 1L << 20,
+                         salt: Int = 16): DataFrame = {
     // EDGE-CONTRACTION components (replacing the r17 frontier+halving
     // loop, whose round count was bound by min-wave propagation over
     // graph EDGES — measured 21 rounds on the phash near-dup graph, with
@@ -390,8 +411,6 @@ object Clustering {
     // either the (shrinking) contracted edge set or the hook forest, and
     // all joins go through [[applyJump]]'s broadcast-or-salted paths —
     // no reduce ever keys on a converging hot label.
-    val und = edges.select(col("src"), col("dst"))
-      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
     // map-apply through [[applyJump]]: x ← p(x) where present (p is
     // min-monotone, so coalesce is exactly the one-step jump)
     def ap(df: DataFrame, keyCol: String, p: DataFrame, pSize: Long,
@@ -423,7 +442,7 @@ object Clustering {
     var round = 0
     while (ecount != 0L) {
       round += 1
-      require(round <= 64, s"ccPointerJump: no convergence after 64 " +
+      require(round <= 64, s"ccContract: no convergence after 64 " +
         s"contraction rounds ($ecount contracted edges left) — the edge " +
         "frame is growing instead of contracting; check the input for " +
         "nondeterminism")
@@ -473,7 +492,9 @@ object Clustering {
       if (sys.env.contains("SPARK_GRAFT_CC_DEBUG"))
         System.err.println(s"[ccjump] round=$round edges=$ecount")
     }
-    val res = labels.select(col("id"), col("lab").as("cluster")).persist()
+    val outCols = Seq(col("id"), col("lab").as(labName)) ++
+      (if (withChg) Seq(lit(false).as("chg")) else Nil)
+    val res = labels.select(outCols: _*).persist()
     res.count(): Unit
     // everything the (now materialized) result depended on can go
     held.foreach(_.unpersist(false))
