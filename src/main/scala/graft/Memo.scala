@@ -55,7 +55,14 @@ object Memo {
     */
   def cachedLeaf(s: SparkSession, key: String, dir: String)
                 (mk: => DataFrame): DataFrame =
-    if (leafHandover) cached(s, key, dir)(mk.localCheckpoint(true))
+    if (leafHandover)
+      // registered DIRECTLY: the eager checkpoint already holds
+      // materialized blocks, so the extra .cache() layer [[cached]] would
+      // add is a second copy plus one InMemoryRelation build per
+      // artifact; consumers scan the checkpoint blocks as-is. clear()'s
+      // unpersist is a no-op on these — the blocks release via
+      // ContextCleaner once the registry drops the reference.
+      framesOf(s).getOrElseUpdate((key, dir), mk.localCheckpoint(true))
     else mk
 
   /** TEST-ONLY seam for the plan-shape specs: inside `f`, [[cachedLeaf]]
